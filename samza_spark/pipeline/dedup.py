@@ -1,0 +1,299 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB corpora):
+
+* exact dedup is one hash-partitioned aggregation (map-side partial
+  ``min``), no Python.
+* MinHash signatures are computed entirely with Catalyst expressions
+  (``xxhash64`` per shingle under per-permutation salts + ``array_min``) —
+  no UDF; LSH banding turns all-pairs comparison into an equi-join on
+  (band_id, band_hash), i.e. one shuffle keyed by bucket, never O(n²).
+* candidate verification (exact Jaccard) runs only inside LSH buckets.
+* SimHash packs 64 per-bit majority votes into one BIGINT with bit
+  arithmetic; near-dup = hamming distance on bucket-joined prefixes.
+* embedding near-dup reuses the ANN module's bucketed cosine join.
+
+Skew note: a degenerate shingle (e.g. empty docs) can hot-spot one LSH
+bucket; callers should pre-filter empty/boilerplate docs (quality filter in
+pipeline.text) — AQE skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from samza_spark.pipeline.text import normalized
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group
+    (hash-groupBy; md5 on normalized text so the group key is 16 bytes, not
+    the document)."""
+    fp = F.md5(normalized(F.col(text_col))).alias("fp")
+    keep = df.select(fp, F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="inner").drop("fp")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-content-group stats: (fp, n_copies, keep_id) — the audit view."""
+    return (
+        df.select(F.md5(normalized(F.col(text_col))).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text_col: str, k: int = 5) -> Column:
+    """Distinct k-character shingles of the normalized text (JVM-side)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({norm}) - {k - 1}, 1)), "
+        f"i -> substring({norm}, i, {k})))"
+    )
+
+
+def word_ngrams(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    toks = f"split({norm}, ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')))"
+    )
+
+
+def minhash_signature(shingle_col: str, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature over a (pre-projected) shingle-array
+    column.
+
+    Cost model (higher-order functions are interpreted, not codegen'd, so
+    constant factors matter): each shingle is string-hashed exactly once
+    (xxhash64), then each "permutation" re-mixes the 64-bit value with the
+    two-arg xxhash64(perm, h) — integer-only, no per-perm string concat.
+    The permutation loop lives inside the expression (sequence+transform) so
+    the Catalyst tree stays tiny regardless of num_perm (inlining one
+    sub-expression per permutation blows past codegen limits)."""
+    return F.expr(
+        f"transform(sequence(0, {num_perm - 1}), p -> "
+        f"array_min(transform({shingle_col}, h -> xxhash64(p, h))))"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows = (a, b) with a < b that collide in ≥1 band. Two docs with Jaccard
+    similarity s collide w.p. 1-(1-s^r)^b, r = num_perm/bands — the standard
+    LSH S-curve. One explode + one self-join keyed by (band, band_hash):
+    shuffle volume is O(n·bands), never O(n²)."""
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows_per_band = num_perm // bands
+    # Spread the (CPU-bound) signature computation across all cores: a small
+    # parquet arrives as one partition, which would serialize the whole
+    # interpreted-HOF pipeline onto a single thread.
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    with_sig = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), char_shingles(text_col, shingle_k).alias("__sh"))
+        # hash every distinct shingle once, up front
+        .select(F.col(id_col), F.expr("transform(__sh, s -> xxhash64(s))").alias("__shh"))
+        .select(F.col(id_col), minhash_signature("__shh", num_perm).alias("sig"))
+    )
+    # per-band bucket ids, again as one expression (band id salts the hash)
+    buckets = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"xxhash64(concat(cast(b as string), '|', "
+        f"array_join(transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
+        f"x -> cast(x as string)), ','))))"
+    )
+    # cache: both sides of the self-join read this relation — without it the
+    # whole signature pipeline would run twice
+    banded = with_sig.select(
+        id_col, F.posexplode(buckets).alias("band", "bucket")
+    ).cache()
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (the verify stage of
+    MinHash-LSH, and the standalone `n-gram Jaccard` dedup when fed
+    all-pairs of a small corpus). Returns (a, b, jaccard) ≥ threshold."""
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    sh = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
+        .cache()  # read twice (a-side and b-side of the pair join)
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"}), on="a")
+        .join(sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"}), on="b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return j
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
+    higher id of each verified pair (greedy single-link approximation; a
+    connected-components pass is `dedup_connected_components`)."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    dups = jaccard_verify(df, pairs, text_col, id_col, threshold)
+    to_drop = dups.select(F.col("b").alias(id_col)).distinct()
+    return df.join(to_drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes(text_col: str, shingle_k: int = 4) -> Column:
+    """xxhash64 of every k-shingle of the normalized text (pre-projection
+    for simhash — compute once, fold many)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm}) - {shingle_k - 1}, 1)), "
+        f"i -> xxhash64(substring({norm}, i, {shingle_k})))"
+    )
+
+
+def simhash(hash_col: str = "__shh", bits: int = 32) -> Column:
+    """SimHash over a (pre-projected) shingle-hash array column: bit b of
+    the signature = 1 iff #{hashes with bit b set} > n/2. The bit loop is
+    inside the expression (sequence+aggregate with a nested filter), so the
+    tree stays small for any bit width."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, bit) -> acc + "
+        f"if(2 * size(filter({hash_col}, h -> ((h >> bit) & 1) = 1)) > size({hash_col}), "
+        f"shiftleft(1L, bit), 0L))"
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket-join on bit-prefix blocks (the
+    public 'SimHash + block permutation' trick), verify hamming ≤ k via
+    bit_count(a XOR b)."""
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    sh = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), shingle_hashes(text_col).alias("__shh"))
+        .select(F.col(id_col), simhash("__shh").alias("sh"))
+        .cache()  # both sides of the block self-join
+    )
+    blocked = sh.withColumn("block", F.expr(f"sh & {(1 << prefix_bits) - 1}"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn("hamming", F.expr("bit_count(l.sh ^ r.sh)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            "hamming",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, via the ANN
+    module's LSH bucketing (avoids the O(n²) cross join at scale)."""
+    from samza_spark.pipeline.similarity import cosine_sim_expr, hyperplane_buckets
+
+    bucketed = hyperplane_buckets(emb, vec_col, n_planes=8).select(
+        F.col(id_col), F.col(vec_col), F.col("bucket")
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn(
+            "cosine", cosine_sim_expr(f"l.{vec_col}", f"r.{vec_col}")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side contract is real and tested — schemas, partition-preserving
+``mapInPandas`` plumbing, Arrow batch shapes — while the actual media
+decoding is stubbed (PIL/librosa/ffmpeg are not in this container). The
+``fake=True`` path produces *deterministic* pseudo-features derived from the
+bytes, so downstream operators (dedup, ANN) are testable end-to-end.
+
+Schema convention (typed metadata next to the blob):
+
+    content   BINARY,
+    mm_meta   STRUCT<kind: STRING, mime: STRING, n_bytes: BIGINT,
+                     sha: STRING>
+
+Batch-size note: media blobs are large; cap Arrow batch sizes via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set small, e.g. 64, when
+rows carry multi-MB blobs) and size file-split bytes so one task's batches
+fit executor memory — at 100 TB the decode stage is compute-bound and
+embarrassingly parallel, so throughput scales with executors as long as no
+operator forces a shuffle of the raw bytes. Feature extraction projects the
+blob away before any shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+META_DDL = "kind string, mime string, n_bytes bigint, sha string"
+IMAGE_FEAT_DDL = "width int, height int, channels int, feat array<float>"
+AUDIO_FEAT_DDL = "sample_rate int, n_samples bigint, feat array<float>"
+
+
+def attach_meta(df: DataFrame, content_col: str = "content", kind: str = "image", mime: str = "application/octet-stream") -> DataFrame:
+    """Attach the typed metadata struct (JVM-side: sha/length native)."""
+    return df.withColumn(
+        "mm_meta",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(mime).alias("mime"),
+            F.length(F.col(content_col)).cast("bigint").alias("n_bytes"),
+            F.sha2(F.col(content_col), 256).alias("sha"),
+        ),
+    )
+
+
+def _fake_feature(blob: bytes, dim: int) -> np.ndarray:
+    """Deterministic unit-norm pseudo-embedding from a blob digest."""
+    digest = hashlib.sha256(blob or b"").digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / (np.linalg.norm(v) or 1.0)
+
+
+def decode_image(
+    df: DataFrame,
+    content_col: str = "content",
+    dim: int = 64,
+    fake: bool = True,
+) -> DataFrame:
+    """Decode + feature-extract images.
+
+    Real path requires PIL (not installed here) and raises; the fake path
+    emits deterministic (width, height, channels, feat) so the Spark-side
+    plumbing — schema, batching, partitioning — is fully exercised.
+    """
+    out_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != content_col
+    )
+    out_ddl = f"{out_ddl}, {IMAGE_FEAT_DDL}" if out_ddl else IMAGE_FEAT_DDL
+    passthrough = [f.name for f in df.schema.fields if f.name != content_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decode requires PIL/opencv — not available in this "
+                    "container; run with fake=True for plumbing tests"
+                )
+            blobs = pdf[content_col]
+            out = pdf[passthrough].copy()
+            out["width"] = [
+                64 + (int.from_bytes(hashlib.sha256(b or b"").digest()[:2], "big") % 960)
+                for b in blobs
+            ]
+            out["height"] = [
+                64 + (int.from_bytes(hashlib.sha256(b or b"").digest()[2:4], "big") % 960)
+                for b in blobs
+            ]
+            out["channels"] = 3
+            out["feat"] = [_fake_feature(b, dim) for b in blobs]
+            yield out
+
+    return df.mapInPandas(run, out_ddl)
+
+
+def sample_audio_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    dim: int = 32,
+    fake: bool = True,
+) -> DataFrame:
+    """Audio decode / frame-sample stub with the same contract as
+    :func:`decode_image` (librosa/ffmpeg absent -> fake deterministic
+    features)."""
+    passthrough = [f.name for f in df.schema.fields if f.name != content_col]
+    prefix = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != content_col
+    )
+    out_ddl = f"{prefix}, {AUDIO_FEAT_DDL}" if prefix else AUDIO_FEAT_DDL
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires librosa/ffmpeg — not in this container"
+                )
+            blobs = pdf[content_col]
+            out = pdf[passthrough].copy()
+            out["sample_rate"] = 16_000
+            out["n_samples"] = [len(b or b"") * 4 for b in blobs]
+            out["feat"] = [_fake_feature(b, dim) for b in blobs]
+            yield out
+
+    return df.mapInPandas(run, out_ddl)

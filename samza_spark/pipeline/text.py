@@ -1,0 +1,118 @@
+"""Text analysis operators over document tables.
+
+All hot paths are pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage codegen); nothing here drops to Python. Every operator is a
+DataFrame->DataFrame function usable in both batch and streaming plans.
+
+Determinism: expressions are chosen so a DuckDB oracle can reproduce them
+bit-for-bit (md5, regexp counts, integer arithmetic) — see
+``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language-ID. Chosen to be high-frequency and disjoint-ish across languages.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " in "],
+    "de": [" der ", " und ", " die ", " nicht ", " das "],
+    "fr": [" le ", " la ", " les ", " des ", " est "],
+    "es": [" el ", " los ", " las ", " una ", " que "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (a BPE-ish regex split is `tokenize_bpe`)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def tokenize_bpe_like(text: Column) -> Column:
+    """BPE-ish pre-tokenization: split into word / number / punctuation
+    runs (the GPT-2 pre-tokenizer shape, public knowledge)."""
+    return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), 0)
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for fingerprints: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. (A rolling-hash
+    variant is `rolling_fingerprint`; md5 is the cross-engine-checkable
+    default.)"""
+    return F.md5(normalized(text))
+
+
+def rolling_fingerprint(text_col: str, window: int = 8) -> Column:
+    """Rolling hash fingerprint: XOR-fold of xxhash64 over all
+    ``window``-character shingles of the normalized text — a 64-bit content
+    signature stable under whitespace/case changes. Pure Catalyst
+    (aggregate over substring shingles), no Python. Takes the column *name*
+    so the normalized expression can be inlined into generated SQL."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    return F.expr(
+        f"aggregate(transform(sequence(1, greatest(length({norm}) - {window - 1}, 1)), "
+        f"i -> xxhash64(substring({norm}, i, {window}))), cast(0 as bigint), (acc, h) -> acc ^ h)"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality score in [0, 1]: penalises very short docs, low
+    alphabetic ratio, and high punctuation density (public C4/Gopher-style
+    filters, arithmetic kept integer/deterministic)."""
+    length = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    words = token_count(text)
+    alpha_ratio = alpha / F.greatest(length, F.lit(1))
+    punct_ratio = punct / F.greatest(length, F.lit(1))
+    len_component = F.least(words / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.4) * len_component
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return F.round(score, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language ID: count marker hits per language on the
+    lowercased text, pick the argmax (ties -> lexicographic language order,
+    no hits -> 'und'). Deterministic and SQL-expressible."""
+    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = [
+        (
+            lang,
+            sum(
+                (
+                    F.size(F.split(lowered, F.lit(marker).cast("string"), -1)) - 1
+                    for marker in markers
+                ),
+                start=F.lit(0),
+            ),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reversed so earlier (lexicographically smaller) languages win ties
+    for lang, s in reversed(scores):
+        result = F.when((s == best_score) & (s > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-document text metrics in one projection (single scan)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fp": fingerprint(t),
+        }
+    )

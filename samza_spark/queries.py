@@ -1,0 +1,727 @@
+"""Headline query suite: one entry per implemented operator (SURVEY.md §2).
+
+Each ``QUERIES[name]`` is a ``(spark, sf_dir) -> DataFrame`` callable built
+on the engine's operator modules; ``ORACLES[name]`` is the equivalent ANSI
+SQL for DuckDB over the same parquet views. Queries without an oracle
+(approximate/stateful/non-SQL ops) get a rows-only check from the driver.
+
+Cross-engine determinism rules used throughout (see each oracle):
+
+* doubles are only compared when both engines compute them with the *same
+  per-row operation order* (IEEE ops are deterministic), or after passing
+  cross-row sums through exact DECIMAL arithmetic and casting the final
+  result to DOUBLE;
+* no ``round()`` on compared doubles (the engines' rounding of identical
+  doubles can disagree at representation boundaries);
+* timestamps are compared as epoch integers (Spark session TZ pinned UTC);
+* every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from samza_spark.catalog import load_table
+from samza_spark.operators import MessageStream, Windows
+from samza_spark.operators.windows import AccumulationMode, Triggers
+from samza_spark.pipeline import dedup, similarity, text
+from samza_spark.pipeline.multimodal import attach_meta, decode_image
+from samza_spark.sql.runner import SqlApplication
+from samza_spark.streaming.stateful import AggSpec, triggered_window_batch
+from samza_spark.tables.local import LocalTable
+from samza_spark.tables.remote import RemoteTable, RateLimiter
+
+# DuckDB spelling of the normalized-text expression (must mirror
+# samza_spark.pipeline.text.normalized — note the 'g' flag).
+_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+# ---------------------------------------------------------------------------
+# §2.1 stateless DSL operators
+# ---------------------------------------------------------------------------
+
+
+def q_passthrough(spark: SparkSession, sf: str) -> DataFrame:
+    """map/select (MessageStream.map -> df.select)."""
+    orders = MessageStream(load_table(spark, sf, "orders"))
+    return orders.map("o_orderkey", "o_custkey", "o_totalprice").df
+
+
+def q_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """filter (MessageStream.filter -> df.filter, predicate pushed to scan)."""
+    li = MessageStream(load_table(spark, sf, "lineitem"))
+    return (
+        li.filter("l_quantity > 45 AND l_discount < 0.05")
+        .map("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .df
+    )
+
+
+def q_project_case_like(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE / LIKE / boolean projection (TestSamzaSqlEndToEnd.java:312-423)."""
+    part = MessageStream(load_table(spark, sf, "part"))
+    return part.map(
+        "p_partkey",
+        size_class=F.expr(
+            "CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END"
+        ),
+        has_green=F.expr("p_name LIKE '%green%'"),
+        brand_u=F.upper("p_brand"),
+    ).df
+
+
+def q_flatten(spark: SparkSession, sf: str) -> DataFrame:
+    """flatMap / flatten -> explode (ProjectTranslator.java:147-174)."""
+    docs = MessageStream(load_table(spark, sf, "documents"))
+    return (
+        docs.filter("doc_id < 100")
+        .flat_map(F.split(F.col("text"), " "), alias="token", keep=["doc_id"])
+        .df
+    )
+
+
+def q_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """merge -> UNION ALL (MessageStream.java:227)."""
+    orders = load_table(spark, sf, "orders")
+    a = MessageStream(orders).filter("o_orderstatus = 'F'").map("o_orderkey", "o_totalprice")
+    b = MessageStream(orders).filter("o_orderpriority LIKE '1%'").map("o_orderkey", "o_totalprice")
+    return a.merge(b).df
+
+
+def q_partition_by(spark: SparkSession, sf: str) -> DataFrame:
+    """partitionBy -> repartition (shuffle replaces the intermediate Kafka
+    topic); downstream keyed agg sees co-partitioned input."""
+    ev = MessageStream(load_table(spark, sf, "events"))
+    return (
+        ev.partition_by("user_id")
+        .df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (§2.1 join / §2.3 stream-table join)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_table_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-table inner equi-join; table side broadcast (JoinTranslator
+    local-table path)."""
+    orders = MessageStream(load_table(spark, sf, "orders"))
+    customer = LocalTable(load_table(spark, sf, "customer"), ["c_custkey"])
+    return (
+        orders.join_table(customer, on=F.expr("o_custkey = c_custkey"))
+        .map("o_orderkey", "c_name", "o_totalprice")
+        .df
+    )
+
+
+def q_join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER stream-table join with null misses
+    (TestSamzaSqlEndToEnd.java:972-1074)."""
+    customer = MessageStream(load_table(spark, sf, "customer"))
+    orders = LocalTable(load_table(spark, sf, "orders"), ["o_orderkey"])
+    return (
+        customer.join_table(orders, on=F.expr("c_custkey = o_custkey"), how="left")
+        .map("c_custkey", "c_name", "o_orderkey")
+        .df
+    )
+
+
+def q_multiway_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: 5-table join + aggregate (three-way-join shape of
+    TestSamzaSqlEndToEnd.java:1075-1108 generalised). Dims broadcast;
+    revenue passes through exact DECIMAL then casts to DOUBLE."""
+    li = MessageStream(load_table(spark, sf, "lineitem"))
+    orders = load_table(spark, sf, "orders")
+    customer = LocalTable(load_table(spark, sf, "customer"), ["c_custkey"])
+    nation = LocalTable(load_table(spark, sf, "nation"), ["n_nationkey"])
+    region = LocalTable(load_table(spark, sf, "region"), ["r_regionkey"])
+    joined = (
+        li.join(MessageStream(orders), on=F.expr("l_orderkey = o_orderkey"))
+        .join_table(customer, on=F.expr("o_custkey = c_custkey"))
+        .join_table(nation, on=F.expr("c_nationkey = n_nationkey"))
+        .join_table(region, on=F.expr("n_regionkey = r_regionkey"))
+        .filter("r_name = 'ASIA'")
+    )
+    return joined.df.groupBy("n_name").agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(1.0 - l_discount as decimal(12,2))) as double)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream TTL join, batch semantics: click->purchase pairs within
+    5 minutes (PartialJoinOperatorImpl's symmetric buffered join; the
+    streaming variant adds watermarks — SURVEY.md §2.1 join)."""
+    ev = load_table(spark, sf, "events")
+    clicks = MessageStream(ev).filter("event_type = 'click'").map(
+        "user_id", click_id=F.col("event_id"), click_ts=F.col("ts")
+    )
+    purchases = MessageStream(ev).filter("event_type = 'purchase'").map(
+        "user_id", purchase_id=F.col("event_id"), purchase_ts=F.col("ts")
+    )
+    joined = clicks.join(
+        purchases,
+        on=(
+            (clicks.df["user_id"] == purchases.df["user_id"])
+            & (purchases.df["purchase_ts"] >= clicks.df["click_ts"])
+            & (
+                purchases.df["purchase_ts"]
+                <= clicks.df["click_ts"] + F.expr("INTERVAL 5 MINUTES")
+            )
+        ),
+    )
+    return joined.df.select(clicks.df["user_id"].alias("user_id"), "click_id", "purchase_id")
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-before it
+    by the same user. Implemented scalably (union + running last over a
+    window — one shuffle, no per-key quadratic join)."""
+    ev = load_table(spark, sf, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias("click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type"))  # click < purchase: click first on ts ties
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = tagged.withColumn("last_click_us", F.last("click_us", ignorenulls=True).over(w))
+    return (
+        runs.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("last_click_us").alias("last_click_us"),
+        )
+    )
+
+
+def q_remote_table_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Remote-table enrichment: supplier rows looked up against a
+    'service' (nation keyed dict) through the rate-limited, retrying,
+    batching lookup runner (samza_spark.tables.remote)."""
+    import pyarrow.parquet as pq
+
+    nation_tbl = pq.read_table(f"{sf}/nation.parquet").to_pylist()
+    service = {r["n_nationkey"]: {"n_name": r["n_name"]} for r in nation_tbl}
+    remote = RemoteTable(
+        lookup_fn=lambda keys: {k: service[k] for k in keys if k in service},
+        key_col="s_nationkey",
+        value_schema="n_name string",
+        rate_limiter=RateLimiter(rate=1e9),
+        max_batch=500,
+    )
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    return remote.enrich(sup, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 windows, §2.3 aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_groupby_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Samza SQL GROUP BY COUNT parity, through the SQL surface in compat
+    mode (FIXTURES.md query 8 shape; LogicalAggregateTranslator.java:62-87)."""
+    app = SqlApplication(spark, compat_mode=True)
+    app.add_stream("events", load_table(spark, sf, "events"))
+    [df] = app.run(
+        "SELECT event_type, count(*) AS cnt FROM events "
+        "WHERE event_type = 'click' OR event_type = 'purchase' GROUP BY event_type"
+    )
+    return df
+
+
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """keyedTumblingWindow (Windows.java:128) -> groupBy(key, window(1h))."""
+    ev = MessageStream(load_table(spark, sf, "events"))
+    spec = Windows.keyed_tumbling_window("event_type", "ts", "1 hour")
+    out = ev.window(spec, n=F.count(F.lit(1)))
+    return out.map(
+        "event_type",
+        ws=F.col("window.start").cast("long"),
+        n=F.col("n"),
+    ).df
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding/hopping window (Spark-native extension; superset of Samza)."""
+    ev = MessageStream(load_table(spark, sf, "events"))
+    spec = Windows.keyed_sliding_window("event_type", "ts", "1 hour", "30 minutes")
+    out = ev.window(spec, n=F.count(F.lit(1)))
+    return out.map("event_type", ws=F.col("window.start").cast("long"), n=F.col("n")).df
+
+
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """keyedSessionWindow (Windows.java:259) -> session_window(ts, 30 min)."""
+    ev = MessageStream(load_table(spark, sf, "events"))
+    spec = Windows.keyed_session_window("user_id", "ts", "30 minutes")
+    out = ev.window(spec, n=F.count(F.lit(1)))
+    return out.map(
+        "user_id",
+        session_start_us=F.unix_micros(F.col("window.start")),
+        n=F.col("n"),
+    ).df
+
+
+def q_triggered_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Early count-trigger + DISCARDING panes (Triggers.java:54,
+    AccumulationMode purge at WindowOperatorImpl.java:272) — batch replay of
+    the stateful operator's pane stream."""
+    ev = load_table(spark, sf, "events")
+    spec = (
+        Windows.keyed_tumbling_window("event_type", "ts", "1 hour")
+        .set_early_trigger(Triggers.count(50))
+        .set_accumulation_mode(AccumulationMode.DISCARDING)
+    )
+    panes = triggered_window_batch(ev, spec, [AggSpec("n", "count")])
+    return panes.select(
+        "event_type",
+        F.col("window_start").cast("long").alias("ws"),
+        F.col("n"),
+        F.col("pane_seq").cast("int").alias("pane_seq"),
+        "is_final",
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """General aggregation extension (Samza SQL stops at COUNT; Spark's
+    sum/avg/min/max are exposed as extensions — SURVEY.md §2.3). Doubles go
+    through DECIMAL so the oracle matches bit-for-bit."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("cast(sum(cast(l_quantity as decimal(12,2))) as double)").alias("sum_qty"),
+            F.expr("cast(sum(cast(l_extendedprice as decimal(12,2))) as double)").alias(
+                "sum_base_price"
+            ),
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(1.0 - l_discount as decimal(12,2))) as double)"
+            ).alias("sum_disc_price"),
+            F.expr(
+                "cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*)"
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K (ORDER BY/LIMIT extension; rejected by Samza's validator —
+    SamzaSqlValidator.java:116-127 — native here)."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-function coverage (SamzaSqlOperatorTable.java:45-146 subset:
+    strings, math, date parts — SURVEY.md §2.4)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 1).alias("prio1"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("F")), F.lit("FINAL")).alias("status_c"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("mod7"),
+    )
+
+
+def q_udf_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference UDF RegexMatch via the SQL rewrite path (fn/RegexMatch.java
+    -> rlike; samza_spark.sql.runner.rewrite_builtins)."""
+    app = SqlApplication(spark)
+    app.add_stream("documents", load_table(spark, sf, "documents"))
+    [df] = app.run(
+        "SELECT doc_id, n_chars FROM documents WHERE RegexMatch('table|join', text)"
+    )
+    return df
+
+
+def q_nested_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """BuildOutputRecord + GetSqlField round-trip (fn/BuildOutputRecordUdf,
+    GetSqlFieldUdf) -> named_struct + dotted access, all Catalyst-native."""
+    app = SqlApplication(spark)
+    app.add_stream("nation", load_table(spark, sf, "nation"))
+    [df] = app.run(
+        "SELECT n_name, cast(GetSqlField(rec, 'zip') as bigint) AS zip5 FROM "
+        "(SELECT n_name, BuildOutputRecord('zip', n_nationkey * 10) AS rec FROM nation)"
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "n_chars")
+
+
+def q_text_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return text.text_profile(docs).select("doc_id", "n_tokens", "quality", "fp")
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        text.text_profile(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard on deterministic (adjacent-id) pairs — the
+    verify stage of near-dup, oracle-checkable; LSH candidates feed the
+    same verifier at scale."""
+    docs = load_table(spark, sf, "documents")
+    ids = docs.select("doc_id")
+    pairs = ids.select(F.col("doc_id").alias("a")).join(
+        ids.select(F.col("doc_id").alias("b")), F.col("b") == F.col("a") + 1
+    )
+    return dedup.jaccard_verify(docs, pairs, threshold=0.0)
+
+
+def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (no SQL oracle — hash permutations are
+    engine-specific; verified in tests against brute-force Jaccard)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_candidates(docs, num_perm=32, bands=8)
+
+
+def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Full MinHash near-dup dedup pipeline (rows-only check)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_dedup(docs, threshold=0.8, num_perm=32, bands=8).select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only check)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash_candidates(docs, max_hamming=3)
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-k (ANN baseline): queries broadcast,
+    corpus never shuffled."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over an id-bounded slice (exact,
+    oracle-checkable; the LSH-bucketed variant is q_ann_topk). The 0.3
+    threshold is tuned to the synthetic embeddings' similarity range."""
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn("cosine", similarity.cosine_sim_expr("va", "vb"))
+        .filter(F.col("cosine") >= 0.3)
+        .select("a", "b", "cosine")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs exact covered
+    in tests)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk(emb, queries, k=10)
+
+
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal binary-column plumbing: bytes -> typed metadata -> decoded
+    features via mapInPandas (deterministic fake decode; rows-only)."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    with_meta = attach_meta(docs, "content", kind="image", mime="image/fake")
+    decoded = decode_image(with_meta, "content", dim=8, fake=True)
+    return decoded.select(
+        "doc_id", "width", "height", "channels", F.size("feat").alias("feat_dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "passthrough": q_passthrough,
+    "filter": q_filter,
+    "project_case_like": q_project_case_like,
+    "flatten": q_flatten,
+    "merge": q_merge,
+    "partition_by": q_partition_by,
+    "stream_table_join": q_stream_table_join,
+    "join_left_outer": q_join_left_outer,
+    "multiway_join_revenue": q_multiway_join_revenue,
+    "interval_join": q_interval_join,
+    "asof_join": q_asof_join,
+    "remote_table_join": q_remote_table_join,
+    "groupby_count": q_groupby_count,
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
+    "triggered_window": q_triggered_window,
+    "tpch_q1": q_tpch_q1,
+    "topk": q_topk,
+    "scalar_functions": q_scalar_functions,
+    "udf_regex": q_udf_regex,
+    "nested_struct": q_nested_struct,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact": q_dedup_exact,
+    "text_metrics": q_text_metrics,
+    "lang_id": q_lang_id,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs": q_minhash_pairs,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+# DuckDB list-expression helpers for the oracles ---------------------------
+
+_SHINGLE5 = (
+    "list_distinct(list_transform(generate_series(1, greatest(length({n}) - 4, 1)), "
+    "i -> substr({n}, i, 5)))"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _norm2(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (x, y) -> x + y))"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm2(a)} * {_norm2(b)}))"
+
+
+_LANG_MARKERS_SQL = {
+    lang: " + ".join(
+        f"(len(string_split(lowered, '{m}')) - 1)" for m in markers
+    )
+    for lang, markers in sorted(text.LANG_MARKERS.items())
+}
+
+_QUALITY_SQL = (
+    "(CAST(0.4 AS DOUBLE) * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) "
+    "+ CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) "
+    "+ CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1)) * 10, CAST(1.0 AS DOUBLE))))"
+)
+
+_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+ORACLES = {
+    "passthrough": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "filter": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem "
+        "WHERE l_quantity > 45 AND l_discount < 0.05"
+    ),
+    "project_case_like": (
+        "SELECT p_partkey, CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 "
+        "THEN 'medium' ELSE 'large' END AS size_class, (p_name LIKE '%green%') AS has_green, "
+        "upper(p_brand) AS brand_u FROM part"
+    ),
+    "flatten": (
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 100"
+    ),
+    "merge": (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' "
+        "UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority LIKE '1%'"
+    ),
+    "partition_by": "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+    "stream_table_join": (
+        "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "join_left_outer": (
+        "SELECT c_custkey, c_name, o_orderkey FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    ),
+    "multiway_join_revenue": (
+        "SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+        "CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue, count(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name"
+    ),
+    "interval_join": (
+        "SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id "
+        "FROM events c JOIN events p ON c.user_id = p.user_id "
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE"
+    ),
+    "asof_join": (
+        "SELECT p.event_id AS purchase_id, p.user_id AS user_id, "
+        "CAST(epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS last_click_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ),
+    "remote_table_join": (
+        "SELECT s_suppkey, s_name, s_nationkey, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey"
+    ),
+    "groupby_count": (
+        "SELECT event_type, count(*) AS cnt FROM events "
+        "WHERE event_type = 'click' OR event_type = 'purchase' GROUP BY event_type"
+    ),
+    "tumbling_window": (
+        "SELECT event_type, CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws, "
+        "count(*) AS n FROM events GROUP BY 1, 2"
+    ),
+    "sliding_window": (
+        "SELECT event_type, CAST(epoch(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) "
+        "- i * INTERVAL '30 minutes') AS BIGINT) AS ws, count(*) AS n "
+        "FROM events, (SELECT unnest(generate_series(0, 1)) AS i) shifts GROUP BY 1, 2"
+    ),
+    "session_window": (
+        "WITH ordered AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes' "
+        "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s "
+        "FROM events), sessions AS (SELECT user_id, ts, "
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM ordered) "
+        "SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us, count(*) AS n "
+        "FROM sessions GROUP BY user_id, sid"
+    ),
+    "triggered_window": (
+        "WITH wcounts AS (SELECT event_type, "
+        "CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws, "
+        "count(*) AS total FROM events GROUP BY 1, 2) "
+        "SELECT event_type, ws, CAST(50 AS BIGINT) AS n, "
+        "CAST(unnest(generate_series(0, CAST(total // 50 AS INT) - 1)) AS INT) AS pane_seq, "
+        "false AS is_final FROM wcounts WHERE total >= 50 "
+        "UNION ALL "
+        "SELECT event_type, ws, CAST(total % 50 AS BIGINT) AS n, CAST(total // 50 AS INT) AS pane_seq, "
+        "true AS is_final FROM wcounts WHERE total % 50 > 0"
+    ),
+    "tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "topk": (
+        "SELECT o_orderkey, o_totalprice, CAST(row_number() OVER "
+        "(ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank FROM orders "
+        "QUALIFY rank <= 10"
+    ),
+    "scalar_functions": (
+        "SELECT o_orderkey, upper(o_orderstatus) AS status_u, "
+        "substr(o_orderpriority, 1, 1) AS prio1, CAST(length(o_orderpriority) AS INT) AS prio_len, "
+        "concat_ws('-', o_orderstatus, o_orderpriority) AS tag, "
+        "coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status_c, "
+        "CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, "
+        "CAST(o_orderkey % 7 AS BIGINT) AS mod7 FROM orders"
+    ),
+    "udf_regex": (
+        "SELECT doc_id, n_chars FROM documents WHERE regexp_matches(text, 'table|join')"
+    ),
+    "nested_struct": (
+        "SELECT n_name, CAST(n_nationkey * 10 AS BIGINT) AS zip5 FROM nation"
+    ),
+    "dedup_exact_groups": (
+        f"SELECT md5({_NORM.format(c='text')}) AS fp, count(*) AS n_copies, "
+        "min(doc_id) AS keep_id FROM documents GROUP BY 1"
+    ),
+    "dedup_exact": (
+        f"SELECT doc_id, n_chars FROM documents WHERE doc_id IN "
+        f"(SELECT min(doc_id) FROM documents GROUP BY md5({_NORM.format(c='text')}))"
+    ),
+    "text_metrics": (
+        f"WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS n_tokens FROM documents) "
+        f"SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"round({_QUALITY_SQL}, 4) AS quality, "
+        f"md5({_NORM.format(c='text')}) AS fp FROM t"
+    ),
+    "lang_id": (
+        "WITH scored AS (SELECT lang, concat(' ', lower(text), ' ') AS lowered FROM documents), "
+        "hits AS (SELECT lang, "
+        + ", ".join(f"{expr} AS {lang}_hits" for lang, expr in _LANG_MARKERS_SQL.items())
+        + ", greatest("
+        + ", ".join(f"{expr}" for expr in _LANG_MARKERS_SQL.values())
+        + ") AS best FROM scored) "
+        "SELECT lang, CASE "
+        + " ".join(
+            f"WHEN {lang}_hits = best AND best > 0 THEN '{lang}'"
+            for lang in _LANG_MARKERS_SQL
+        )
+        + " ELSE 'und' END AS lang_pred, count(*) AS cnt FROM hits GROUP BY 1, 2"
+    ),
+    "ngram_jaccard": (
+        "WITH sh AS (SELECT doc_id, "
+        + _SHINGLE5.format(n=_NORM.format(c="text"))
+        + " AS s FROM documents) "
+        "SELECT l.doc_id AS a, r.doc_id AS b, "
+        "(len(list_intersect(l.s, r.s)) / len(list_distinct(list_concat(l.s, r.s)))) AS jaccard "
+        "FROM sh l JOIN sh r ON r.doc_id = l.doc_id + 1"
+    ),
+    "cosine_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        + _cos("e.embedding", "q.qv")
+        + " AS cosine FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+        "SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank "
+        "FROM scored QUALIFY rank <= 10"
+    ),
+    "embedding_near_dup": (
+        "SELECT l.vec_id AS a, r.vec_id AS b, "
+        + _cos("l.embedding", "r.embedding")
+        + " AS cosine FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "
+        "WHERE l.vec_id < 200 AND r.vec_id < 200 AND "
+        + _cos("l.embedding", "r.embedding")
+        + " >= 0.3"
+    ),
+}

@@ -1,0 +1,34 @@
+"""Source/sink descriptors (connectors).
+
+Reference: Samza system descriptors — KafkaInput/Output/SystemDescriptor
+(/root/reference samza-kafka/.../descriptors/), HDFS readers/writers
+(samza-hdfs/), EventHubs (samza-azure/), Elasticsearch producer
+(samza-elasticsearch/), in-memory test system (samza-core/.../system/
+inmemory/). SURVEY.md §2.6 maps each to a Spark connector.
+"""
+
+from samza_spark.sources.descriptors import (
+    FileSource,
+    FileSink,
+    KafkaSource,
+    KafkaSink,
+    MemorySource,
+    MemorySink,
+    ConsoleSink,
+    ElasticsearchSink,
+    RateSource,
+    Startpoint,
+)
+
+__all__ = [
+    "FileSource",
+    "FileSink",
+    "KafkaSource",
+    "KafkaSink",
+    "MemorySource",
+    "MemorySink",
+    "ConsoleSink",
+    "ElasticsearchSink",
+    "RateSource",
+    "Startpoint",
+]

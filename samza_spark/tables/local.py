@@ -1,0 +1,113 @@
+"""Local tables: the Spark analog of Samza's RocksDB / in-memory KV tables.
+
+Reference: RocksDbTableDescriptor (/root/reference samza-kv-rocksdb/.../
+RocksDbTableDescriptor.java:47,201-207,342), InMemoryKeyValueStore
+(samza-kv-inmemory/.../InMemoryKeyValueStore.java), ReadWriteUpdateTable
+(samza-api/.../table/ReadWriteUpdateTable.java:46-140).
+
+Samza keeps a per-task RocksDB instance fed by a changelog topic; under
+Spark a *local table* is simply a keyed DataFrame that joins (usually
+broadcast) against the stream — durability comes from the backing files /
+checkpoint rather than a changelog. ``get/put/putAll/delete/range/all``
+(KeyValueStore.java:40-152) map to lookups/upserts expressed relationally
+so they stay distributed.
+
+TTL (RocksDbTableDescriptor.withTtl, :201-207) maps to a timestamp column +
+filter on read.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class LocalTable:
+    """A keyed, updatable dataset held as a DataFrame.
+
+    Mutations are relational (union + dedup-by-key keeping latest) so the
+    same code path works for a 1k-row dim table and a 10 TB keyed table —
+    only the join strategy changes (broadcast vs shuffle).
+    """
+
+    TTL_COL = "__ss_put_ms"
+
+    def __init__(self, df: DataFrame, key_cols: Sequence[str], ttl_ms: int | None = None):
+        self.key_cols = list(key_cols)
+        self.ttl_ms = ttl_ms
+        self._df = df
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str, key_cols: Sequence[str]) -> "LocalTable":
+        return cls(spark.read.parquet(path), key_cols)
+
+    # -- read side ---------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        df = self._df
+        if self.ttl_ms is not None and self.TTL_COL in df.columns:
+            cutoff = int(time.time() * 1000) - self.ttl_ms
+            df = df.filter(F.col(self.TTL_COL) >= F.lit(cutoff))
+        return df.drop(self.TTL_COL) if self.TTL_COL in df.columns else df
+
+    def as_broadcast(self) -> DataFrame:
+        """Hint the table as the broadcast side of a lookup join — the moral
+        equivalent of Samza shipping the table to every task's RocksDB."""
+        return F.broadcast(self.df)
+
+    def get_all(self) -> DataFrame:
+        """KeyValueStore.all (KeyValueStore.java:152)."""
+        return self.df
+
+    def range(self, col: str, lo, hi) -> DataFrame:
+        """Ordered range scan (KeyValueStore.range, KeyValueStore.java:130).
+        Relational translation: a between-filter Catalyst pushes to the scan."""
+        return self.df.filter((F.col(col) >= lo) & (F.col(col) < hi))
+
+    # -- write side (ReadWriteUpdateTable.java:78-140) ---------------------
+
+    def merge_batch(self, updates: DataFrame, mode: str = "upsert") -> "LocalTable":
+        """Upsert a batch of rows: last-writer-wins per key.
+
+        Implements sendTo(table) / UpdateOptions partial update
+        (SendToTableOperatorImpl, SendToTableWithUpdateOperatorImpl) without
+        Delta: anti-join old rows that are being replaced, union the new.
+        """
+        updates = updates.select(*self._df.columns) if set(self._df.columns) <= set(updates.columns) else updates
+        if mode == "upsert":
+            survivors = self._df.join(
+                updates.select(*self.key_cols), on=self.key_cols, how="left_anti"
+            )
+            self._df = survivors.unionByName(updates, allowMissingColumns=True)
+        elif mode == "delete":
+            self._df = self._df.join(
+                updates.select(*self.key_cols), on=self.key_cols, how="left_anti"
+            )
+        else:
+            raise ValueError(f"unknown merge mode {mode!r}")
+        return self
+
+    def write_stream(self, stream) -> object:
+        """sendTo(table) from a streaming source: per-micro-batch merge via
+        foreachBatch (SURVEY.md §2.1 sendTo(table))."""
+        return stream.sink(lambda batch, _epoch: self.merge_batch(batch))
+
+
+class InMemoryTable(LocalTable):
+    """Small dict-backed table (InMemoryKeyValueStore analog) for tests and
+    bootstrap-style side inputs."""
+
+    @classmethod
+    def from_rows(
+        cls,
+        spark: SparkSession,
+        rows: Sequence[Mapping] | Sequence[tuple],
+        schema,
+        key_cols: Sequence[str],
+    ) -> "InMemoryTable":
+        return cls(spark.createDataFrame(rows, schema), key_cols)

@@ -1,0 +1,122 @@
+"""SQL surface: parser, compat validator, builtin rewrites, end-to-end
+multi-statement runs (golden-output corpus shapes from
+TestSamzaSqlEndToEnd.java — SURVEY.md §5)."""
+
+import pytest
+
+from samza_spark.sources import MemorySink, MemorySource
+from samza_spark.sql import (
+    SqlApplication,
+    SqlValidationError,
+    parse_statements,
+    validate_compat,
+)
+from samza_spark.sql.runner import rewrite_builtins
+
+
+def test_parse_insert_and_bare_select():
+    stmts = parse_statements(
+        "INSERT INTO kafka.out SELECT a FROM t; SELECT b FROM u"
+    )
+    assert stmts[0].sink == "kafka.out" and stmts[0].select.lower().startswith("select a")
+    assert stmts[1].sink is None
+
+
+def test_parse_rejects_other_statements():
+    with pytest.raises(ValueError):
+        parse_statements("DELETE FROM t")
+
+
+def test_source_table_extraction():
+    [stmt] = parse_statements(
+        "INSERT INTO o SELECT * FROM pv JOIN profile ON pv.id = profile.id"
+    )
+    assert stmt.source_tables == ["pv", "profile"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT * FROM t ORDER BY a",
+        "SELECT * FROM t LIMIT 5",
+        "SELECT a FROM t UNION SELECT a FROM u",
+        "SELECT sum(a) FROM t GROUP BY b",
+        "SELECT count(*), count(b) FROM t GROUP BY c",
+        "SELECT a, rank() OVER (ORDER BY b) FROM t",
+        "SELECT count(DISTINCT a) FROM t GROUP BY b",
+    ],
+)
+def test_compat_validator_rejects(bad):
+    with pytest.raises(SqlValidationError):
+        validate_compat(bad)
+
+
+def test_compat_validator_accepts_samza_subset():
+    validate_compat("SELECT a, b FROM t WHERE a <> 'x'")
+    validate_compat("SELECT k, count(*) AS c FROM t GROUP BY k")
+
+
+def test_rewrite_builtins():
+    assert (
+        rewrite_builtins("SELECT GetSqlField(address, 'streetnum.number') FROM p")
+        == "SELECT address.streetnum.number FROM p"
+    )
+    assert "explode(arr)" in rewrite_builtins("SELECT flatten(arr) FROM t")
+    assert "named_struct(" in rewrite_builtins("SELECT BuildOutputRecord('k', v) FROM t")
+    assert "cast(x as string)" in rewrite_builtins("SELECT ConvertToString(x) FROM t")
+    assert "(txt rlike 'a.*b')" in rewrite_builtins("SELECT RegexMatch('a.*b', txt) FROM t")
+
+
+def test_sql_application_end_to_end(spark):
+    """Passthrough + projection shape (TestSamzaSqlEndToEnd.java:62)."""
+    app = SqlApplication(spark)
+    app.add_stream(
+        "pageview",
+        MemorySource(
+            [("home", 1), ("blank", 2), ("job", 3)], "pageKey string, profileId int"
+        ).read(spark),
+    )
+    sink = MemorySink("outview")
+    app.add_sink("outview", sink)
+    app.run("INSERT INTO outview SELECT pageKey, profileId FROM pageview WHERE pageKey <> 'blank'")
+    rows = sink.collect(spark)
+    assert sorted(r.pageKey for r in rows) == ["home", "job"]
+
+
+def test_sql_stream_table_join_with_nested(spark):
+    """Stream-table join + nested access (TestSamzaSqlEndToEnd.java:770-800)."""
+    from pyspark.sql import Row
+
+    app = SqlApplication(spark)
+    app.add_stream(
+        "pageview",
+        MemorySource([("pk1", 1), ("pk2", 7)], "pageKey string, profileId int").read(spark),
+    )
+    profiles = spark.createDataFrame(
+        [Row(id=1, name="Ann", address=Row(zip=94110, streetnum=Row(number=42)))]
+    )
+    app.add_table("profile", profiles)
+    [df] = app.run(
+        "SELECT pv.pageKey, p.name AS profileName, "
+        "GetSqlField(p.address, 'streetnum.number') AS streetnum "
+        "FROM pageview AS pv JOIN profile AS p ON p.id = pv.profileId"
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].streetnum == 42
+
+
+def test_compat_mode_rejects_stream_stream_join(spark):
+    app = SqlApplication(spark, compat_mode=True)
+    app.add_stream("s1", MemorySource([(1,)], "a int").read(spark))
+    app.add_stream("s2", MemorySource([(1,)], "a int").read(spark))
+    with pytest.raises(SqlValidationError, match="Stream-stream"):
+        app.run("SELECT s1.a FROM s1 JOIN s2 ON s1.a = s2.a")
+
+
+def test_multi_statement_fan_out(spark):
+    app = SqlApplication(spark)
+    app.add_stream("src", MemorySource([(1,), (2,)], "a int").read(spark))
+    s1, s2 = MemorySink("out1"), MemorySink("out2")
+    app.add_sink("out1", s1).add_sink("out2", s2)
+    app.run("INSERT INTO out1 SELECT a FROM src WHERE a = 1; INSERT INTO out2 SELECT a FROM src")
+    assert len(s1.collect(spark)) == 1 and len(s2.collect(spark)) == 2

@@ -1,0 +1,89 @@
+"""Structured Streaming integration: file source -> windowed agg -> memory
+sink; streaming SQL; checkpoint/AvailableNow (drain analog — SURVEY.md
+§2.8). Uses the memory sink + processAllAvailable for synchronous tests."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from samza_spark.operators import MessageStream, Windows
+from samza_spark.sources import FileSource, MemorySink
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="ss_stream_")
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 10, m, s), float(m))
+        for m in range(0, 30, 5)
+        for s in (0, 30)
+    ]
+    spark.createDataFrame(rows, "k string, t timestamp, v double").write.mode(
+        "overwrite"
+    ).parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_completion(query):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+
+
+def test_stream_tumbling_window_counts(spark, stream_dir):
+    src = FileSource(stream_dir, schema="k string, t timestamp, v double")
+    stream = src.read_stream(spark)
+    assert stream.is_streaming
+    spec = Windows.keyed_tumbling_window("k", "t", "10 minutes").with_watermark(
+        "1 minute"
+    )
+    out = stream.window(spec, n=F.count(F.lit(1)), s=F.sum("v"))
+    # complete mode: emits every window (append would hold back the last
+    # window until the watermark passes it — no more data arrives here)
+    sink = MemorySink("win_out", output_mode="complete")
+    q = out.send_to(sink)
+    _run_to_completion(q)
+    rows = sink.collect(spark)
+    got = sorted((r.window.start.minute, r.n, r.s) for r in rows)
+    assert got == [(0, 4, 10.0), (10, 4, 50.0), (20, 4, 90.0)]
+
+
+def test_stream_filter_map_passthrough(spark, stream_dir):
+    src = FileSource(stream_dir, schema="k string, t timestamp, v double")
+    out = (
+        src.read_stream(spark)
+        .filter("v >= 10")
+        .map("k", doubled=F.col("v") * 2)
+    )
+    sink = MemorySink("filter_out")
+    q = out.send_to(sink)
+    _run_to_completion(q)
+    rows = sink.collect(spark)
+    assert len(rows) == 8 and all(r.doubled >= 20 for r in rows)
+
+
+def test_streaming_sql_over_temp_view(spark, stream_dir):
+    """Layer-3 parity: spark.sql over a streaming temp view."""
+    from samza_spark.sql import SqlApplication
+
+    src = FileSource(stream_dir, schema="k string, t timestamp, v double")
+    app = SqlApplication(spark)
+    app.add_stream("sensor", src.read_stream(spark))
+    sink = MemorySink("sql_stream_out")
+    app.add_sink("sql_stream_out", sink)
+    [q] = app.run("INSERT INTO sql_stream_out SELECT k, v FROM sensor WHERE v > 20")
+    _run_to_completion(q)
+    assert all(r.v > 20 for r in sink.collect(spark))
+
+
+def test_foreach_batch_sink(spark, stream_dir):
+    """MessageStream.sink -> foreachBatch (SinkOperatorImpl analog)."""
+    src = FileSource(stream_dir, schema="k string, t timestamp, v double")
+    seen = []
+    q = src.read_stream(spark).sink(lambda df, epoch: seen.append(df.count()))
+    _run_to_completion(q)
+    assert sum(seen) == 12

@@ -1,0 +1,104 @@
+"""Tables: local upsert/delete/TTL, remote lookup (batching, rate limit,
+retry), caching wrapper (SURVEY.md §2.7; TestLocalTableEndToEnd /
+TestRemoteTableEndToEnd / TestRemoteTableWithBatchEndToEnd shapes)."""
+
+import time
+
+import pytest
+
+from samza_spark.sources import MemorySource
+from samza_spark.tables import (
+    CachingTable,
+    InMemoryTable,
+    LocalTable,
+    RateLimiter,
+    RemoteTable,
+    RetryPolicy,
+)
+
+
+def test_local_table_upsert_and_delete(spark):
+    t = InMemoryTable.from_rows(
+        spark, [(1, "a"), (2, "b")], "k int, v string", ["k"]
+    )
+    t.merge_batch(spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"))
+    got = {r.k: r.v for r in t.df.collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # last-writer-wins upsert
+    t.merge_batch(spark.createDataFrame([(1, None)], "k int, v string"), mode="delete")
+    assert {r.k for r in t.df.collect()} == {2, 3}
+
+
+def test_local_table_range_scan(spark):
+    t = InMemoryTable.from_rows(
+        spark, [(i, str(i)) for i in range(10)], "k int, v string", ["k"]
+    )
+    assert {r.k for r in t.range("k", 3, 6).collect()} == {3, 4, 5}
+
+
+def test_remote_table_enrich_inner_and_left(spark):
+    service = {1: {"name": "Ann"}, 2: {"name": "Bob"}}
+    remote = RemoteTable(
+        lookup_fn=lambda keys: {k: service[k] for k in keys if k in service},
+        key_col="k",
+        value_schema="name string",
+    )
+    df = MemorySource([(1,), (2,), (9,)], "k int").read(spark).df
+    inner = remote.enrich(df, how="inner").collect()
+    assert sorted((r.k, r.name) for r in inner) == [(1, "Ann"), (2, "Bob")]
+    left = remote.enrich(df, how="left").collect()
+    assert len(left) == 3
+    assert {r.k: r.name for r in left}[9] is None
+
+
+def test_remote_table_batching(spark):
+    # the lookup runs on executors; smuggle the observed batch size back
+    # through the returned values to assert the cap
+    def lookup(keys):
+        return {k: {"v": k * 2, "bs": len(keys)} for k in keys}
+
+    remote = RemoteTable(lookup, "k", "v int, bs int", max_batch=10)
+    df = spark.createDataFrame([(i,) for i in range(35)], "k int").coalesce(1)
+    out = remote.enrich(df).collect()
+    assert len(out) == 35 and all(r.v == r.k * 2 for r in out)
+    assert max(r.bs for r in out) <= 10  # batch cap respected
+
+
+def test_retry_policy_recovers_and_gives_up():
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise IOError("transient")
+        return "ok"
+
+    assert RetryPolicy(max_attempts=3, backoff_s=0.001).run(flaky) == "ok"
+    with pytest.raises(IOError):
+        RetryPolicy(max_attempts=2, backoff_s=0.001).run(
+            lambda: (_ for _ in ()).throw(IOError("always"))
+        )
+
+
+def test_rate_limiter_throttles():
+    rl = RateLimiter(rate=100, burst=1)
+    t0 = time.monotonic()
+    for _ in range(6):
+        rl.acquire()
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.04  # 5 extra credits at 100/s
+
+
+def test_caching_table_read_through():
+    fetches = []
+
+    def lookup(keys):
+        fetches.extend(keys)
+        return {k: {"v": str(k)} for k in keys}
+
+    cached = CachingTable(
+        RemoteTable(lookup, "k", "v string"), cache_size=100
+    )
+    out1 = cached.lookup_fn([1, 2, 3])
+    out2 = cached.lookup_fn([2, 3, 4])
+    assert set(out2) == {2, 3, 4}
+    assert fetches == [1, 2, 3, 4]  # 2,3 served from cache on second call
