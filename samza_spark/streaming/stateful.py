@@ -262,10 +262,23 @@ def triggered_window_stream(
     Samza's TimeSeriesStore ``(key, windowStart)`` composite key
     (TimeSeriesStoreImpl.java:79) carried in Spark's state store.
     Time-based triggers use ProcessingTimeTimeout, matching Samza's
-    injected-Clock processing-time trigger evaluation."""
+    injected-Clock processing-time trigger evaluation.
+
+    Granularity note: Samza evaluates count triggers per *message*
+    (RunLoop drives one envelope at a time); under micro-batching the
+    trigger condition is checked per Arrow chunk, so a count(3) pane may
+    carry more than 3 rows when a chunk overshoots the threshold. The batch
+    replay (`triggered_window_batch`) keeps exact per-message semantics and
+    is the reference for tests/oracles."""
     import json
     import time as _time
 
+    if spec.window_type is WindowType.SESSION:
+        raise NotImplementedError(
+            "streaming triggered SESSION windows are not supported yet — "
+            "use the native session_window path (no early triggers) or the "
+            "batch replay; tumbling windows support the full trigger set"
+        )
     win_ms = _duration_ms(spec.duration) if spec.duration else None
     gap_ms = _duration_ms(spec.gap) if spec.gap else None
     triggers = _flatten_triggers(spec.early_trigger)
@@ -319,8 +332,6 @@ def triggered_window_stream(
                 continue
             got_data = True
             ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
-            if spec.window_type is WindowType.SESSION:
-                starts = ts_ms  # session merge handled below per existing windows
             for ws_val, chunk in pdf.groupby((ts_ms // win_ms) * win_ms if win_ms else 0):
                 ws = int(ws_val)
                 we = ws + (win_ms or gap_ms)
@@ -383,6 +394,27 @@ def triggered_window_stream(
             fn, out_ddl, state_ddl, "append", GroupStateTimeout.ProcessingTimeTimeout
         )
     )
+
+
+def await_condition(query, condition, timeout_s: float = 60.0, poll_s: float = 0.25) -> bool:
+    """Wait until ``condition()`` is truthy or ``timeout_s`` elapses.
+
+    Required instead of ``StreamingQuery.processAllAvailable`` for queries
+    containing this operator: with ``ProcessingTimeTimeout`` configured,
+    Spark's FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true
+    (timer-evaluation batches are scheduled indefinitely), so the engine
+    never signals ``noNewData`` and processAllAvailable blocks forever.
+    Returns True if the condition was met; raises if the query failed."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        if query.exception() is not None:
+            raise query.exception()
+        if condition():
+            return True
+        _time.sleep(poll_s)
+    return bool(condition())
 
 
 def triggered_window(df: DataFrame, spec: WindowSpec, agg_cols) -> DataFrame:
