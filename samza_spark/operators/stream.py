@@ -130,20 +130,34 @@ class MessageStream:
         range condition Spark needs to expire state — event-time TTL, a
         documented (stronger) deviation from Samza's processing-time TTL."""
         cond = on if not isinstance(on, str) else [on]
+        left_df, right_df = self._df, other._df
         if ttl and left_ts and right_ts:
-            lts, rts = F.col(left_ts), F.col(right_ts)
+            if left_df.isStreaming and right_df.isStreaming:
+                # watermarks bound the join state exactly like Samza's
+                # per-side TTL'd RocksDB buffers (PartialJoinOperatorImpl's
+                # ttlMs); Spark expires buffered rows past watermark+range
+                left_df = left_df.withWatermark(left_ts, ttl)
+                right_df = right_df.withWatermark(right_ts, ttl)
+            lts, rts = left_df[left_ts], right_df[right_ts]
             range_cond = (rts >= lts - F.expr(f"INTERVAL {ttl}")) & (
                 rts <= lts + F.expr(f"INTERVAL {ttl}")
             )
+            key_names = cond if isinstance(cond, list) else []
             if isinstance(cond, list):
                 eq = None
                 for c in cond:
-                    e = self._df[c] == other._df[c]
+                    e = left_df[c] == right_df[c]
                     eq = e if eq is None else (eq & e)
                 cond = eq & range_cond
             else:
                 cond = cond & range_cond
-        return self._wrap(self._df.join(other._df, cond, how))
+            joined = left_df.join(right_df, cond, how)
+            # string equi-keys: keep only the left copy (same column set a
+            # plain USING join would produce)
+            for c in key_names:
+                joined = joined.drop(right_df[c])
+            return self._wrap(joined)
+        return self._wrap(left_df.join(right_df, cond, how))
 
     def join_table(
         self,

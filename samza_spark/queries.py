@@ -397,6 +397,28 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer runs
+    (word/number/punct regex, the public GPT-2 pre-tokenizer shape) —
+    pure Catalyst, oracle-checkable."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_ws_tokens"),
+        F.size(text.tokenize_bpe_like(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprint (XOR-fold of xxhash64 shingles —
+    no SQL oracle: xxhash64 is engine-specific; stability under
+    whitespace/case perturbation is covered in tests)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", text.rolling_fingerprint("text").alias("rfp")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard on deterministic (adjacent-id) pairs — the
     verify stage of near-dup, oracle-checkable; LSH candidates feed the
@@ -505,6 +527,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_metrics": q_text_metrics,
     "lang_id": q_lang_id,
+    "token_stats": q_token_stats,
+    "rolling_fp": q_rolling_fp,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs": q_minhash_pairs,
     "minhash_dedup": q_minhash_dedup,
@@ -698,6 +722,12 @@ ORACLES = {
             for lang in _LANG_MARKERS_SQL
         )
         + " ELSE 'und' END AS lang_pred, count(*) AS cnt FROM hits GROUP BY 1, 2"
+    ),
+    "token_stats": (
+        f"WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS n_ws FROM documents) "
+        "SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) "
+        "AS n_bpe_tokens FROM t"
     ),
     "ngram_jaccard": (
         "WITH sh AS (SELECT doc_id, "

@@ -18,6 +18,7 @@ from samza_spark.sources.descriptors import (
     ElasticsearchSink,
     RateSource,
     Startpoint,
+    KinesisSource,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "ElasticsearchSink",
     "RateSource",
     "Startpoint",
+    "KinesisSource",
 ]

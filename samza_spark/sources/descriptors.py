@@ -254,3 +254,27 @@ class ElasticsearchSink:
             return writer.start()
         send(df, 0)
         return None
+
+
+@dataclass
+class KinesisSource:
+    """AWS Kinesis source descriptor (KinesisSystemConsumer.java analog,
+    samza-aws/ — source only, like the reference). No Kinesis connector jar
+    ships in this environment, so this descriptor validates config and
+    raises with the two supported deployment paths; the stream shape it
+    would produce matches KafkaSource's (key, value, timestamp, ...) so
+    downstream plans are connector-agnostic."""
+
+    stream: str
+    region: str = "us-east-1"
+    startpoint: Startpoint = field(default_factory=Startpoint)
+
+    def read_stream(self, spark: SparkSession) -> MessageStream:
+        raise NotImplementedError(
+            "Kinesis requires either the spark-sql-kinesis connector jar "
+            "(format 'aws-kinesis') or a Kinesis->Kafka bridge consumed via "
+            "KafkaSource; neither is available in this environment "
+            "(reference parity: samza-aws is likewise an optional module)"
+        )
+
+    read = read_stream

@@ -1,0 +1,195 @@
+"""Interactive SQL shell: the CliShell/SamzaExecutor analog.
+
+Reference (SURVEY.md §3.4): samza-sql-shell/.../cli/CliShell.java +
+impl/SamzaExecutor.java with command set ``SELECT`` (transient live view),
+``INSERT INTO``, ``SHOW TABLES``, ``SHOW FUNCTIONS``, ``DESCRIBE``,
+``LS`` / ``STOP`` / ``RM`` executions, ``SET`` (impl/CliCommandType.java:
+30-46). Here each command maps onto the SqlApplication runner + Spark
+catalog; a streaming SELECT becomes a transient memory-sink query whose
+rows the shell polls — the same "live view" behavior the reference gets
+from its in-memory view buffer (SamzaExecutor.java consumeQueueEntries).
+
+The engine-facing class is ``ShellSession`` (fully testable, no I/O);
+``repl()`` is the thin stdin loop (tools/sql_shell.py entry point).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from samza_spark.sql.parser import parse_statement
+from samza_spark.sql.runner import SqlApplication
+
+
+@dataclass
+class ShellResult:
+    kind: str  # rows | text | execution | ok
+    text: str = ""
+    rows: list = field(default_factory=list)
+    columns: list = field(default_factory=list)
+    execution_id: int | None = None
+
+
+@dataclass
+class _Execution:
+    id: int
+    statement: str
+    query: object | None  # StreamingQuery for streaming, None for batch
+
+    @property
+    def status(self) -> str:
+        if self.query is None:
+            return "FINISHED"
+        return "RUNNING" if self.query.isActive else "STOPPED"
+
+
+class ShellSession:
+    """One shell session: registered sources/sinks + tracked executions."""
+
+    def __init__(self, spark: SparkSession, app: SqlApplication | None = None):
+        self.spark = spark
+        self.app = app or SqlApplication(spark)
+        self._executions: dict[int, _Execution] = {}
+        self._ids = itertools.count(1)
+        self._select_limit = 100
+
+    # -- command dispatch --------------------------------------------------
+
+    def execute(self, line: str) -> ShellResult:
+        line = line.strip().rstrip(";")
+        if not line:
+            return ShellResult("ok")
+        upper = line.upper()
+        if upper in ("EXIT", "QUIT"):
+            raise SystemExit(0)
+        if upper == "SHOW TABLES":
+            return self._show_tables()
+        if upper == "SHOW FUNCTIONS":
+            return self._show_functions()
+        if upper.startswith("DESCRIBE "):
+            return self._describe(line.split(None, 1)[1])
+        if upper == "LS":
+            return self._ls()
+        if upper.startswith("STOP "):
+            return self._stop(int(line.split()[1]), remove=False)
+        if upper.startswith("RM "):
+            return self._stop(int(line.split()[1]), remove=True)
+        if upper.startswith("SET"):
+            return self._set(line[3:].strip())
+        if upper.startswith("SELECT") or upper.startswith("INSERT"):
+            return self._sql(line)
+        return ShellResult("text", text=f"unknown command: {line.split()[0]}")
+
+    # -- metadata commands -------------------------------------------------
+
+    def _show_tables(self) -> ShellResult:
+        names = sorted(t.name for t in self.spark.catalog.listTables())
+        return ShellResult("rows", rows=[(n,) for n in names], columns=["table"])
+
+    def _show_functions(self) -> ShellResult:
+        # the reference lists registered Samza UDFs (SamzaExecutor.java);
+        # ours are the rewritten builtins + anything in the session registry
+        builtins = [
+            "BuildOutputRecord",
+            "ConvertToString",
+            "Flatten",
+            "GetNestedField",
+            "GetSqlField",
+            "RegexMatch",
+        ]
+        return ShellResult("rows", rows=[(n,) for n in builtins], columns=["function"])
+
+    def _describe(self, table: str) -> ShellResult:
+        df = self.spark.table(table)
+        rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields]
+        return ShellResult("rows", rows=rows, columns=["column", "type", "nullable"])
+
+    def _ls(self) -> ShellResult:
+        rows = [
+            (e.id, e.status, e.statement[:60]) for e in self._executions.values()
+        ]
+        return ShellResult("rows", rows=rows, columns=["id", "status", "statement"])
+
+    def _stop(self, exec_id: int, remove: bool) -> ShellResult:
+        e = self._executions.get(exec_id)
+        if e is None:
+            return ShellResult("text", text=f"no execution {exec_id}")
+        if e.query is not None and e.query.isActive:
+            e.query.stop()
+        if remove:
+            del self._executions[exec_id]
+        return ShellResult("ok", text=f"{'removed' if remove else 'stopped'} {exec_id}")
+
+    def _set(self, kv: str) -> ShellResult:
+        if not kv:
+            return ShellResult("text", text="usage: SET key=value")
+        m = re.match(r"([\w.]+)\s*=\s*(.+)", kv)
+        if not m:
+            return ShellResult("text", text="usage: SET key=value")
+        self.spark.conf.set(m.group(1), m.group(2).strip())
+        return ShellResult("ok", text=f"set {m.group(1)}")
+
+    # -- SQL ---------------------------------------------------------------
+
+    def _sql(self, sql: str) -> ShellResult:
+        stmt = parse_statement(sql)
+        if stmt.sink is None:
+            df = self.app._plan(stmt)
+            if df.isStreaming:
+                # transient live view: memory sink the shell can poll
+                exec_id = next(self._ids)
+                name = f"shell_view_{exec_id}"
+                q = (
+                    df.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .start()
+                )
+                self._executions[exec_id] = _Execution(exec_id, sql, q)
+                return ShellResult(
+                    "execution",
+                    execution_id=exec_id,
+                    text=f"live view '{name}' (poll with SELECT * FROM {name}; STOP {exec_id} to end)",
+                )
+            rows = df.limit(self._select_limit).collect()
+            return ShellResult("rows", rows=rows, columns=df.columns)
+        [result] = self.app.run(sql)
+        exec_id = next(self._ids)
+        self._executions[exec_id] = _Execution(exec_id, sql, result)
+        return ShellResult("execution", execution_id=exec_id)
+
+    def view_rows(self, exec_id: int) -> list:
+        """Poll a live view started by a streaming SELECT."""
+        return self.spark.sql(f"SELECT * FROM shell_view_{exec_id}").collect()
+
+
+def repl(spark: SparkSession, app: SqlApplication | None = None) -> None:
+    """Minimal stdin REPL over ShellSession."""
+    sess = ShellSession(spark, app)
+    print("samza-spark sql shell — SELECT / INSERT INTO / SHOW TABLES / "
+          "SHOW FUNCTIONS / DESCRIBE <t> / LS / STOP <id> / RM <id> / SET k=v / EXIT")
+    while True:
+        try:
+            line = input("sql> ")
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return
+        try:
+            r = sess.execute(line)
+        except SystemExit:
+            return
+        except Exception as exc:  # surface, keep shell alive (CliShell behavior)
+            print(f"error: {exc}")
+            continue
+        if r.kind == "rows":
+            print("\t".join(r.columns))
+            for row in r.rows:
+                print("\t".join(str(v) for v in row))
+        elif r.text:
+            print(r.text)
+        elif r.kind == "execution":
+            print(f"execution {r.execution_id} started")

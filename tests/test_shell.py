@@ -1,0 +1,70 @@
+"""SQL shell (CliShell/SamzaExecutor analog): command dispatch, metadata
+commands, batch SELECT, streaming INSERT execution tracking, STOP/RM."""
+
+import pytest
+
+from samza_spark.sql.shell import ShellSession
+from samza_spark.sources import FileSink, MemorySink
+
+
+@pytest.fixture()
+def shell(spark):
+    spark.createDataFrame(
+        [(1, "alice", 30), (2, "bob", 17), (3, "carol", 45)],
+        "id int, name string, age int",
+    ).createOrReplaceTempView("people")
+    return ShellSession(spark)
+
+
+def test_show_tables_and_describe(shell):
+    r = shell.execute("SHOW TABLES")
+    assert ("people",) in [tuple(x) for x in r.rows]
+    d = shell.execute("DESCRIBE people")
+    assert [tuple(x) for x in d.rows] == [
+        ("id", "int", True),
+        ("name", "string", True),
+        ("age", "int", True),
+    ]
+
+
+def test_show_functions_lists_builtins(shell):
+    r = shell.execute("SHOW FUNCTIONS")
+    names = {row[0] for row in r.rows}
+    assert {"RegexMatch", "GetSqlField", "BuildOutputRecord"} <= names
+
+
+def test_batch_select_returns_rows(shell):
+    r = shell.execute("SELECT name FROM people WHERE age >= 18 ORDER BY id;")
+    assert [row[0] for row in r.rows] == ["alice", "carol"]
+    assert r.columns == ["name"]
+
+
+def test_set_and_unknown(shell):
+    assert shell.execute("SET spark.sql.shuffle.partitions=7").kind == "ok"
+    assert shell.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    shell.execute("SET spark.sql.shuffle.partitions=4")
+    assert "unknown" in shell.execute("FROBNICATE").text
+
+
+def test_streaming_insert_ls_stop_rm(shell, spark, tmp_path):
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    spark.createDataFrame([(1, "x")], "id int, v string").write.parquet(
+        str(src_dir / "f1")
+    )
+    spark.readStream.schema("id int, v string").parquet(
+        f"{src_dir}/*"
+    ).createOrReplaceTempView("instream")
+    shell.app.add_sink("out", MemorySink("shell_out", output_mode="append"))
+    r = shell.execute("INSERT INTO out SELECT id, upper(v) AS v FROM instream")
+    assert r.kind == "execution"
+    ls = shell.execute("LS")
+    assert any(row[0] == r.execution_id and row[1] == "RUNNING" for row in ls.rows)
+    q = shell._executions[r.execution_id].query
+    q.processAllAvailable()
+    assert [tuple(x) for x in spark.sql("SELECT * FROM shell_out").collect()] == [(1, "X")]
+    shell.execute(f"STOP {r.execution_id}")
+    ls2 = shell.execute("LS")
+    assert any(row[0] == r.execution_id and row[1] == "STOPPED" for row in ls2.rows)
+    shell.execute(f"RM {r.execution_id}")
+    assert shell.execute("LS").rows == []

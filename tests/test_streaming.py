@@ -87,3 +87,41 @@ def test_foreach_batch_sink(spark, stream_dir):
     q = src.read_stream(spark).sink(lambda df, epoch: seen.append(df.count()))
     _run_to_completion(q)
     assert sum(seen) == 12
+
+
+def test_stream_stream_ttl_join(spark):
+    """Streaming stream-stream equi-join with TTL: watermarks added on both
+    sides bound state (Samza PartialJoinOperatorImpl's per-side TTL'd
+    buffers); only pairs inside the +/- ttl window match."""
+    d = tempfile.mkdtemp(prefix="ss_join_")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    clicks = [
+        ("u1", "c1", base),
+        ("u1", "c2", base + dt.timedelta(minutes=20)),
+        ("u2", "c3", base),
+    ]
+    buys = [
+        ("u1", "p1", base + dt.timedelta(minutes=2)),   # matches c1 only
+        ("u2", "p2", base + dt.timedelta(minutes=50)),  # outside ttl of c3
+    ]
+    spark.createDataFrame(clicks, "user_id string, click_id string, cts timestamp") \
+        .write.parquet(f"{d}/clicks")
+    spark.createDataFrame(buys, "user_id string, buy_id string, bts timestamp") \
+        .write.parquet(f"{d}/buys")
+    try:
+        cs = FileSource(f"{d}/clicks", schema="user_id string, click_id string, cts timestamp")
+        bs = FileSource(f"{d}/buys", schema="user_id string, buy_id string, bts timestamp")
+        joined = cs.read_stream(spark).join(
+            bs.read_stream(spark),
+            on="user_id",
+            ttl="5 minutes",
+            left_ts="cts",
+            right_ts="bts",
+        )
+        sink = MemorySink("ttl_join_out", output_mode="append")
+        q = joined.map("user_id", "click_id", "buy_id").send_to(sink)
+        _run_to_completion(q)
+        rows = {tuple(r) for r in sink.collect(spark)}
+        assert rows == {("u1", "c1", "p1")}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
