@@ -55,8 +55,15 @@ def main() -> None:
 
     from samza_spark.queries import QUERIES
 
-    # warm the JVM + file listing once (excluded from timing)
+    # warm the JVM + file listing + Python worker pool once (excluded from
+    # timing — one-time process startup, the analog of JVM/codegen warm-up)
     QUERIES["passthrough"](spark, sf_dir).count()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")  # no type hints: this module
+    # uses postponed annotations, which the UDF hint-inference can't resolve
+    spark.range(cpus * 4).repartition(cpus).select(F.sum(_warm(F.col("id")))).collect()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -145,6 +145,82 @@ def minhash_signature_pandas(shingle_hash_col: str, num_perm: int = 64) -> Colum
     return sig(F.col(shingle_hash_col))
 
 
+def lsh_band_buckets_pandas(
+    word_hash_col: str, num_perm: int, bands: int, ngram: int = 3
+) -> Column:
+    """Fused n-gram + MinHash + LSH banding in one Arrow-batched numpy UDF.
+
+    Input: per-doc array of 64-bit *word* hashes (xxhash64, computed once
+    JVM-side — no n-gram string construction, the dominant cost of the
+    expression path). The UDF then, fully vectorized over the flattened
+    batch: (1) mixes each ``ngram``-word sliding window into one 64-bit
+    shingle hash, (2) MinHashes all permutations via the multiply-xorshift
+    family + ``np.minimum.reduceat``, (3) folds each signature band into a
+    single 64-bit bucket id. Output: array of ``bands`` bucket hashes.
+
+    MinHash over a multiset equals MinHash over the set, so no distinct
+    pass is needed (dup shingles can't change a minimum)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(0x5A17ED)
+    A = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    # odd multipliers for the n-gram position mix and the band fold
+    POS = (rng.integers(1, 2**63, size=ngram, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    BANDK = (rng.integers(1, 2**63, size=2, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    r = num_perm // bands
+
+    def _xs(v):
+        v ^= v >> np.uint64(33)
+        v *= np.uint64(0xFF51AFD7ED558CCD)
+        v ^= v >> np.uint64(33)
+        return v
+
+    @pandas_udf("array<bigint>")
+    def buckets(wh: pd.Series) -> pd.Series:
+        ndocs = len(wh)
+        lens = np.fromiter((len(x) for x in wh), dtype=np.int64, count=ndocs)
+        if lens.sum() == 0:
+            return pd.Series([[0] * bands] * ndocs)
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in wh]).astype(np.uint64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # sliding n-gram mix over the flat array; windows that cross a doc
+        # boundary are cut by clamping each doc's gram count below
+        total = len(flat)
+        gram = np.zeros(total, dtype=np.uint64)
+        for j in range(ngram):
+            seg = flat[j:] * POS[j]
+            gram[: total - j] ^= seg
+        gram = _xs(gram)
+        # per-doc gram segment: starts unchanged, count = max(len - ngram + 1, 1)
+        # (docs shorter than ngram fall back to their partial-window gram)
+        glens = np.maximum(lens - (ngram - 1), 1)
+        # compact grams so each doc's segment is contiguous
+        keep = np.zeros(total, dtype=bool)
+        for d in range(ndocs):
+            keep[starts[d] : starts[d] + glens[d]] = True
+        cg = gram[keep]
+        goff = np.concatenate(([0], np.cumsum(glens)[:-1]))
+        sig = np.empty((ndocs, num_perm), dtype=np.uint64)
+        chunk = max(1, int(8_000_000 // max(len(cg), 1)))
+        for p0 in range(0, num_perm, chunk):
+            a = A[p0 : p0 + chunk, None]
+            b = B[p0 : p0 + chunk, None]
+            v = (cg[None, :] + b) * a
+            v ^= v >> np.uint64(33)
+            sig[:, p0 : p0 + chunk] = np.minimum.reduceat(v, goff, axis=1).T
+        # band fold: (ndocs, bands, r) -> (ndocs, bands)
+        sb = sig.reshape(ndocs, bands, r)
+        acc = np.full((ndocs, bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+        for j in range(r):
+            acc = _xs((acc ^ sb[:, :, j]) * BANDK[j % 2])
+        return pd.Series(list(acc.view(np.int64)))
+
+    return buckets(F.col(word_hash_col))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -166,45 +242,69 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
     # Spread the (CPU-bound) signature computation across all cores: a small
     # parquet arrives as one partition, which would serialize the whole
-    # interpreted-HOF pipeline onto a single thread. Word n-grams (default)
-    # give ~6x fewer shingles than char 5-grams at equivalent dedup quality
-    # for natural-language docs — the dominant cost is per-shingle hashing.
+    # pipeline onto a single thread. Word n-grams (default) give ~6x fewer
+    # shingles than char 5-grams at equivalent dedup quality for natural-
+    # language docs — the dominant cost is per-shingle hashing.
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
-    sig_expr = (
-        minhash_signature_pandas("__shh", num_perm)
-        if impl == "pandas"
-        else minhash_signature("__shh", num_perm)
-    )
-    with_sig = (
-        df.repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col), _shingle_expr(text_col, shingle_mode, shingle_k).alias("__sh"))
-        # hash every distinct shingle once, up front
-        .select(F.col(id_col), F.expr("transform(__sh, s -> xxhash64(s))").alias("__shh"))
-        .select(F.col(id_col), sig_expr.alias("sig"))
-    )
-    # per-band bucket ids, again as one expression (band id salts the hash)
-    buckets = F.expr(
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"xxhash64(concat(cast(b as string), '|', "
-        f"array_join(transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
-        f"x -> cast(x as string)), ','))))"
-    )
-    # cache: both sides of the self-join read this relation — without it the
-    # whole signature pipeline would run twice
-    banded = with_sig.select(
-        id_col, F.posexplode(buckets).alias("band", "bucket")
-    ).cache()
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if impl == "pandas" and shingle_mode == "word":
+        # fast path: hash words once JVM-side, everything else fused in
+        # one vectorized UDF emitting band buckets directly
+        norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+        banded_src = (
+            df.repartition(n_parts, F.col(id_col))
+            .select(
+                F.col(id_col),
+                F.expr(f"transform(split({norm}, ' '), t -> xxhash64(t))").alias("__wh"),
+            )
+            .select(
+                F.col(id_col),
+                lsh_band_buckets_pandas("__wh", num_perm, bands, shingle_k).alias("bks"),
+            )
         )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        banded = banded_src.select(
+            id_col, F.posexplode("bks").alias("band", "bucket")
+        )
+    else:
+        sig_expr = (
+            minhash_signature_pandas("__shh", num_perm)
+            if impl == "pandas"
+            else minhash_signature("__shh", num_perm)
+        )
+        with_sig = (
+            df.repartition(n_parts, F.col(id_col))
+            .select(F.col(id_col), _shingle_expr(text_col, shingle_mode, shingle_k).alias("__sh"))
+            # hash every distinct shingle once, up front
+            .select(F.col(id_col), F.expr("transform(__sh, s -> xxhash64(s))").alias("__shh"))
+            .select(F.col(id_col), sig_expr.alias("sig"))
+        )
+        # per-band bucket ids, again as one expression (band id salts the hash)
+        buckets = F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"xxhash64(concat(cast(b as string), '|', "
+            f"array_join(transform(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), "
+            f"x -> cast(x as string)), ','))))"
+        )
+        banded = with_sig.select(
+            id_col, F.posexplode(buckets).alias("band", "bucket")
+        )
+    # in-bucket pair expansion: ONE shuffle (groupBy bucket) instead of a
+    # cached two-sided self-join — per bucket, emit all sorted-id pairs.
+    # Bucket populations are tiny by construction (the S-curve keeps
+    # non-near-dups apart), so the quadratic expansion is per-bucket local;
+    # a pathological hot bucket is the same failure mode the self-join has.
+    pair_expr = (
+        f"flatten(transform(sequence(1, size(ids) - 1), i -> "
+        f"transform(sequence(0, i - 1), j -> "
+        f"struct(sorted[j] AS a, sorted[i] AS b))))"  # [] is 0-based in Spark SQL
+    )
+    pairs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("sorted", F.array_sort("ids"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
     return pairs
@@ -224,8 +324,17 @@ def jaccard_verify(
     all-pairs of a small corpus). Returns (a, b, jaccard) ≥ threshold."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    # shingle only docs that appear in a candidate pair — at corpus scale
+    # the candidate set is orders of magnitude smaller than the corpus, so
+    # the expensive shingling never touches non-candidates
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
     sh = (
-        df.repartition(n_parts, F.col(id_col))
+        df.join(cand_ids, on=id_col, how="left_semi")
+        .repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), _shingle_expr(text_col, shingle_mode, shingle_k).alias("sh"))
         .cache()  # read twice (a-side and b-side of the pair join)
     )
