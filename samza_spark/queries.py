@@ -320,12 +320,16 @@ def q_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-K (ORDER BY/LIMIT extension; rejected by Samza's validator —
     SamzaSqlValidator.java:116-127 — native here)."""
     orders = load_table(spark, sf, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("o_orderkey", "o_totalprice", "rank")
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition partial
+    # top-k, then merge) — no single-partition global sort; the rank window
+    # then runs over only k rows
+    top = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
     )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:

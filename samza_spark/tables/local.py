@@ -92,6 +92,51 @@ class LocalTable:
             raise ValueError(f"unknown merge mode {mode!r}")
         return self
 
+    def update_batch(
+        self,
+        updates: DataFrame,
+        insert_missing: bool = False,
+        defaults: Mapping | None = None,
+    ) -> "LocalTable":
+        """Partial update: ``updates`` carries the key columns plus any
+        subset of value columns; unspecified columns keep their current
+        value (column-wise MERGE).
+
+        Implements sendTo(table, UpdateOptions)
+        (SendToTableWithUpdateOperatorImpl; UpdateOptions UPDATE_ONLY vs
+        UPDATE_WITH_DEFAULTS, samza-api/.../operators/UpdateOptions.java):
+        ``insert_missing=False`` = UPDATE_ONLY (rows for unknown keys are
+        dropped); ``insert_missing=True`` = UPDATE_WITH_DEFAULTS (unknown
+        keys become new rows, absent columns from ``defaults`` or null).
+        """
+        defaults = dict(defaults or {})
+        upd_cols = [c for c in updates.columns if c not in self.key_cols]
+        bad = set(upd_cols) - set(self._df.columns)
+        if bad:
+            raise ValueError(f"update columns not in table schema: {sorted(bad)}")
+        u = updates.select(
+            *self.key_cols, *[F.col(c).alias(f"__u_{c}") for c in upd_cols]
+        )
+        how = "full_outer" if insert_missing else "left_outer"
+        existing = self._df.withColumn("__exists", F.lit(True))
+        merged = existing.join(u, on=self.key_cols, how=how)
+        is_new = F.col("__exists").isNull()
+        out_cols = []
+        for c in self._df.columns:
+            if c in self.key_cols:
+                out_cols.append(F.col(c))
+            elif c in upd_cols:
+                out_cols.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
+            elif c in defaults:
+                # defaults fill only newly-inserted rows; existing nulls stay
+                out_cols.append(
+                    F.when(is_new, F.lit(defaults[c])).otherwise(F.col(c)).alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        self._df = merged.select(*out_cols)
+        return self
+
     def write_stream(self, stream) -> object:
         """sendTo(table) from a streaming source: per-micro-batch merge via
         foreachBatch (SURVEY.md §2.1 sendTo(table))."""

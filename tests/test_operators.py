@@ -120,3 +120,21 @@ def test_broadcast_hint_applies(spark, pageviews):
     with redirect_stdout(buf):
         joined.explain()
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_flat_map_async(spark):
+    """flatMapAsync (MessageStream.java:95): 1:n expansion through an
+    Arrow-batched callable that may run its own async client per batch."""
+    import pandas as pd
+
+    src = MessageStream(spark.createDataFrame([(1, 2), (2, 3)], "id int, n int"))
+
+    def expand(batches):
+        for pdf in batches:
+            out = pdf.loc[pdf.index.repeat(pdf["n"])]
+            yield out[["id"]].assign(copy=out.groupby(level=0).cumcount())
+
+    rows = sorted(
+        tuple(r) for r in src.flat_map_async(expand, "id int, copy long").df.collect()
+    )
+    assert rows == [(1, 0), (1, 1), (2, 0), (2, 1), (2, 2)]

@@ -102,3 +102,65 @@ def test_caching_table_read_through():
     out2 = cached.lookup_fn([2, 3, 4])
     assert set(out2) == {2, 3, 4}
     assert fetches == [1, 2, 3, 4]  # 2,3 served from cache on second call
+
+
+def test_partial_update_update_only(spark):
+    from samza_spark.tables.local import InMemoryTable
+
+    t = InMemoryTable.from_rows(
+        spark,
+        [(1, "a", 10), (2, "b", 20)],
+        "id int, name string, score int",
+        ["id"],
+    )
+    # update only `score` for id=1; id=99 unknown -> dropped (UPDATE_ONLY)
+    t.update_batch(spark.createDataFrame([(1, 99), (99, 1)], "id int, score int"))
+    rows = {tuple(r) for r in t.df.collect()}
+    assert rows == {(1, "a", 99), (2, "b", 20)}
+
+
+def test_partial_update_with_defaults(spark):
+    from samza_spark.tables.local import InMemoryTable
+
+    t = InMemoryTable.from_rows(
+        spark,
+        [(1, "a", 10)],
+        "id int, name string, score int",
+        ["id"],
+    )
+    t.update_batch(
+        spark.createDataFrame([(3, 30)], "id int, score int"),
+        insert_missing=True,
+        defaults={"name": "unknown"},
+    )
+    rows = {tuple(r) for r in t.df.collect()}
+    assert rows == {(1, "a", 10), (3, "unknown", 30)}
+
+
+def test_partial_update_rejects_bad_column(spark):
+    from samza_spark.tables.local import InMemoryTable
+
+    t = InMemoryTable.from_rows(spark, [(1, "a")], "id int, name string", ["id"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.update_batch(spark.createDataFrame([(1, 5)], "id int, nosuch int"))
+
+
+def test_side_input_stream_feeds_table(spark, tmp_path):
+    """Side inputs (LocalTableDescriptor.java:57-97): a small streaming
+    query keeps a lookup table current via per-batch merge."""
+    from samza_spark.operators import MessageStream
+    from samza_spark.sources import FileSource
+    from samza_spark.tables.local import InMemoryTable
+
+    d = tmp_path / "side"
+    d.mkdir()
+    spark.createDataFrame([(1, "v1"), (3, "v3")], "id int, v string").write.parquet(
+        str(d / "b1")
+    )
+    table = InMemoryTable.from_rows(spark, [(1, "old"), (2, "keep")], "id int, v string", ["id"])
+    src = FileSource(f"{d}/*", schema="id int, v string")
+    q = table.write_stream(src.read_stream(spark))
+    q.processAllAvailable()
+    q.stop()
+    rows = {tuple(r) for r in table.df.collect()}
+    assert rows == {(1, "v1"), (2, "keep"), (3, "v3")}
