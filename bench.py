@@ -74,6 +74,55 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Streaming workloads mirroring BASELINE.md #1 (read->write passthrough
+    # throughput) and #3/#4 (stateful windowed count). Structured Streaming
+    # file source, AvailableNow trigger (bounded replay of the whole table),
+    # memory sink — the Spark analog of the reference's
+    # kafka-read-write-performance and stateful-window jobs.
+    from pyspark.sql import functions as F
+
+    events_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events_raw.count()
+    schema = events_raw.schema
+    streaming = {}
+
+    def run_stream(name, build, state_partitions=None):
+        # stateful micro-batches pay per-partition state-store init; size the
+        # state partition count to the workload, not the CPU count
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        # glob form: the file stream source requires a directory/glob path
+        src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        t0 = time.perf_counter()
+        q = (
+            build(src)
+            .writeStream.format("memory")
+            .queryName(f"bench_{name}")
+            .outputMode("append" if name == "stream_passthrough" else "complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = round(time.perf_counter() - t0, 3)
+        per_query[name] = secs
+        streaming[name + "_msgs_per_sec"] = round(n_events / secs)
+        print(f"# {name}: {secs:.3f}s ({n_events} msgs)", file=sys.stderr)
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+
+    run_stream(
+        "stream_passthrough",
+        lambda s: s.filter(F.col("event_type") != "").select("event_id", "user_id", "event_type"),
+    )
+    run_stream(
+        "stream_window_count",
+        lambda s: s.groupBy(
+            "event_type", F.window("ts", "1 hour")
+        ).count(),
+        state_partitions=8,
+    )
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -83,6 +132,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -397,37 +397,73 @@ def simhash(hash_col: str = "__shh", bits: int = 32) -> Column:
     )
 
 
+def simhash_pandas(hash_col: str, bits: int = 32) -> Column:
+    """Vectorized SimHash: per Arrow batch, unpack each 64-bit shingle hash
+    into a bit matrix with numpy and majority-vote per bit via
+    ``np.add.reduceat`` — one pass over the data instead of ``bits``
+    interpreted filter scans."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def sh(hs: pd.Series) -> pd.Series:
+        ndocs = len(hs)
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=ndocs)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(ndocs, dtype=np.int64))
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).astype(np.uint64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # (total, bits) 0/1 matrix; int16 keeps the reduceat sums compact
+        bitmat = (
+            (flat[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int16)
+        ones = np.add.reduceat(bitmat, offsets, axis=0)  # (ndocs, bits)
+        maj = (2 * ones > lens[:, None]).astype(np.uint64)
+        sig = (maj << np.arange(bits, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sig.view(np.int64))
+
+    return sh(F.col(hash_col))
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     prefix_bits: int = 8,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket-join on bit-prefix blocks (the
     public 'SimHash + block permutation' trick), verify hamming ≤ k via
     bit_count(a XOR b)."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    sig_expr = simhash_pandas("__shh") if impl == "pandas" else simhash("__shh")
     sh = (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), shingle_hashes(text_col).alias("__shh"))
-        .select(F.col(id_col), simhash("__shh").alias("sh"))
-        .cache()  # both sides of the block self-join
+        .select(F.col(id_col), sig_expr.alias("sh"))
     )
+    # in-block pair expansion: one shuffle keyed by bit-prefix block, then
+    # hamming verify inside each block (same plan shape as the LSH path)
     blocked = sh.withColumn("block", F.expr(f"sh & {(1 << prefix_bits) - 1}"))
-    l, r = blocked.alias("l"), blocked.alias("r")
+    pair_expr = (
+        "flatten(transform(sequence(1, size(rs) - 1), i -> "
+        "transform(sequence(0, i - 1), j -> struct(rs[j] AS l, rs[i] AS r))))"
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .withColumn("hamming", F.expr("bit_count(l.sh ^ r.sh)"))
+        blocked.groupBy("block")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sh")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("rs", F.array_sort("ids"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .withColumn("hamming", F.expr("bit_count(p.l.sh ^ p.r.sh)"))
         .filter(F.col("hamming") <= max_hamming)
         .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
+            F.col("p.l.id").alias("a"),
+            F.col("p.r.id").alias("b"),
             "hamming",
         )
     )
