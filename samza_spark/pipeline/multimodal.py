@@ -128,3 +128,84 @@ def sample_audio_frames(
             yield out
 
     return df.mapInPandas(run, out_ddl)
+
+
+VIDEO_FEAT_DDL = "n_frames int, fps double, frame_feats array<array<float>>"
+
+
+def resize_image(
+    df: DataFrame,
+    content_col: str = "content",
+    width: int = 224,
+    height: int = 224,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize images to (width, height), emitting a new binary column.
+
+    Real path needs PIL (absent here); the fake path re-encodes a
+    deterministic digest-stamped blob of plausible size so byte-level
+    plumbing (binary in -> binary out, metadata refresh) is exercised.
+    Partition-preserving mapInPandas: blobs never shuffle.
+    """
+    out_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv — not in this container; "
+                    "run with fake=True for plumbing tests"
+                )
+            out = pdf.copy()
+            out[content_col] = [
+                hashlib.sha256((b or b"") + f"{width}x{height}".encode()).digest()
+                * max(1, (width * height * 3) // (32 * 1024))
+                for b in pdf[content_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, out_ddl)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    every_n: int = 30,
+    dim: int = 32,
+    fake: bool = True,
+) -> DataFrame:
+    """Video frame sampling: decode every ``every_n``-th frame and emit one
+    feature vector per sampled frame (ffmpeg absent -> deterministic fake
+    frames; frame count derives from blob size so batch shapes vary like
+    real video)."""
+    passthrough = [f.name for f in df.schema.fields if f.name != content_col]
+    prefix = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != content_col
+    )
+    out_ddl = f"{prefix}, {VIDEO_FEAT_DDL}" if prefix else VIDEO_FEAT_DDL
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires ffmpeg — not in this container"
+                )
+            blobs = pdf[content_col]
+            out = pdf[passthrough].copy()
+            totals = [max(1, len(b or b"") // 16) for b in blobs]
+            out["n_frames"] = [(t + every_n - 1) // every_n for t in totals]
+            out["fps"] = 30.0
+            out["frame_feats"] = [
+                [
+                    _fake_feature((b or b"") + i.to_bytes(4, "big"), dim)
+                    for i in range(0, t, every_n)
+                ]
+                for b, t in zip(blobs, totals)
+            ]
+            yield out
+
+    return df.mapInPandas(run, out_ddl)

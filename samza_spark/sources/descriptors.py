@@ -55,11 +55,24 @@ class FileSource:
     options: Mapping[str, str] = field(default_factory=dict)
     max_files_per_trigger: int | None = None
 
+    def _load(self, reader):
+        try:
+            return MessageStream(reader.load(self.path))
+        except Exception as exc:  # surface the missing-package case clearly
+            if self.fmt == "avro" and "avro" in str(exc).lower():
+                raise NotImplementedError(
+                    "the spark-avro package jar is not on this cluster's "
+                    "classpath (Avro is an external Spark module); submit with "
+                    "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+                    "(reference parity: samza-hdfs Avro readers/writers)"
+                ) from exc
+            raise
+
     def read(self, spark: SparkSession) -> MessageStream:
         reader = spark.read.format(self.fmt).options(**self.options)
         if self.schema is not None:
             reader = reader.schema(self.schema)
-        return MessageStream(reader.load(self.path))
+        return self._load(reader)
 
     def read_stream(self, spark: SparkSession) -> MessageStream:
         if self.schema is None:
@@ -67,7 +80,7 @@ class FileSource:
         reader = spark.readStream.format(self.fmt).schema(self.schema).options(**self.options)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        return MessageStream(reader.load(self.path))
+        return self._load(reader)
 
 
 @dataclass

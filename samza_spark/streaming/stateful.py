@@ -344,8 +344,10 @@ def triggered_window_stream(
                         "seq": 0,
                         "first_ms": now_ms,
                         "last_ms": now_ms,
+                        "quiet_fired": False,
                     },
                 )
+                st["quiet_fired"] = False  # new data re-arms time triggers
                 partial = _pane_agg(chunk, aggs)
                 merged = {k: list(v) for k, v in st["state"].items()}
                 _merge_partial(merged, partial, aggs)
@@ -366,8 +368,16 @@ def triggered_window_stream(
                     if st["state"]:
                         fire(wkey, st, "window_close", True)
                     del windows[wkey]
-                elif (first_due or last_due) and st["state"]:
+                elif (
+                    (first_due or last_due)
+                    and st["state"]
+                    and not st.get("quiet_fired")
+                ):
+                    # one fire per quiet period (Samza re-evaluates
+                    # timeSinceLastMessage only as messages arrive; repeat
+                    # semantics need Triggers.repeat)
                     fire(wkey, st, "time_trigger", False)
+                    st["quiet_fired"] = True
 
         if windows:
             state.update((json.dumps(windows),))

@@ -142,3 +142,38 @@ def test_multimodal_audio_plumbing(spark):
     df = spark.createDataFrame([(1, b"\x00" * 64)], "id long, content binary")
     out = sample_audio_frames(df, "content", dim=4, fake=True).collect()
     assert out[0].sample_rate == 16000 and len(out[0].feat) == 4
+
+
+def test_multimodal_resize_and_video_frames(spark):
+    from samza_spark.pipeline.multimodal import (
+        attach_meta,
+        resize_image,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 1000), (2, b"y" * 4000)], "id int, content binary"
+    )
+    resized = resize_image(attach_meta(df, "content"), "content", width=64, height=64)
+    rows = {r.id: r.content for r in resized.collect()}
+    assert set(rows) == {1, 2}
+    assert all(isinstance(v, (bytes, bytearray)) and len(v) > 0 for v in rows.values())
+    # deterministic: same input -> same bytes
+    again = {r.id: r.content for r in resize_image(
+        attach_meta(df, "content"), "content", width=64, height=64).collect()}
+    assert rows == again
+
+    vids = sample_video_frames(df, "content", every_n=10, dim=8)
+    out = {r.id: r for r in vids.collect()}
+    # frame count derives from blob size: 1000//16=62 frames -> ceil(62/10)=7
+    assert out[1].n_frames == 7
+    assert out[2].n_frames == 25
+    assert len(out[1].frame_feats) == 7 and len(out[1].frame_feats[0]) == 8
+
+
+def test_avro_gate_raises_helpfully(spark, tmp_path):
+    from samza_spark.sources import FileSource
+
+    with pytest.raises((NotImplementedError, Exception)) as ei:
+        FileSource(str(tmp_path), fmt="avro", schema="a int").read(spark).df.collect()
+    assert "avro" in str(ei.value).lower()

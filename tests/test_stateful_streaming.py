@@ -74,3 +74,42 @@ def test_streaming_session_triggered_rejected(spark, two_batch_dir):
     )
     with pytest.raises(NotImplementedError, match="SESSION"):
         triggered_window_stream(stream, spec, [AggSpec("n", "count")])
+
+
+def test_streaming_time_since_last_trigger(spark):
+    """timeSinceLastMessage(d) (Triggers.java:77): a quiet period after the
+    last message fires a time_trigger pane via ProcessingTimeTimeout, once
+    per quiet period."""
+    d = tempfile.mkdtemp(prefix="ss_timetrig_")
+    try:
+        rows = [("a", ts(0, i)) for i in range(2)]
+        spark.createDataFrame(rows, "k string, t timestamp").coalesce(1).write.parquet(
+            f"{d}/b1"
+        )
+        src = FileSource(f"{d}/*", schema="k string, t timestamp")
+        spec = (
+            Windows.keyed_tumbling_window("k", "t", "1 hour")
+            .set_early_trigger(Triggers.time_since_last_message("2 seconds"))
+            .set_accumulation_mode(AccumulationMode.ACCUMULATING)
+        )
+        out = src.read_stream(spark).window(spec, AggSpec("n", "count"))
+        sink = MemorySink("timetrig_out", output_mode="append")
+        q = out.send_to(sink)
+        ok = await_condition(
+            q,
+            lambda: any(
+                r.fire_reason == "time_trigger" for r in sink.collect(spark)
+            ),
+            timeout_s=60,
+        )
+        # quiet period continues: give it two more timer cycles to prove the
+        # trigger does NOT refire without new data
+        time.sleep(5)
+        q.stop()
+        q.awaitTermination(30)
+        assert ok, f"no time_trigger pane in {sink.collect(spark)}"
+        panes = [r for r in sink.collect(spark) if r.fire_reason == "time_trigger"]
+        assert len(panes) == 1
+        assert panes[0].n == 2 and panes[0].k == "a" and not panes[0].is_final
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
