@@ -504,3 +504,84 @@ def embedding_near_dup(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (transitive near-dup grouping)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Label each node in the (a, b) pair graph with the minimum id of its
+    connected component — the transitive closure the greedy per-pair drop
+    approximates.
+
+    Iterative min-label propagation: per round, every node takes the min of
+    its own label and its neighbors' labels (one shuffle per round over the
+    EDGE set only — nodes outside any pair never enter the loop). Rounds
+    needed = component diameter; near-dup clusters are tiny, so this
+    converges in a handful of rounds. ``localCheckpoint`` truncates the
+    lineage so plans don't grow superlinearly.
+
+    Returns (id_col, component) — component = min id reachable.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .union(pairs.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        incoming = (
+            edges.join(labels, edges["s"] == labels["id"])
+            .select(F.col("d").alias("id"), F.col("label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(incoming, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup dedup keeping exactly one doc (the min id) per *connected
+    component* of verified pairs — the exact variant of ``minhash_dedup``'s
+    greedy drop."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    dups = jaccard_verify(
+        df, pairs, text_col, id_col, threshold, shingle_k=3, shingle_mode="word"
+    )
+    comp = connected_components(dups.select("a", "b"), id_col)
+    to_drop = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
+    return df.join(to_drop, on=id_col, how="left_anti")

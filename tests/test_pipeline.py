@@ -177,3 +177,26 @@ def test_avro_gate_raises_helpfully(spark, tmp_path):
     with pytest.raises((NotImplementedError, Exception)) as ei:
         FileSource(str(tmp_path), fmt="avro", schema="a int").read(spark).df.collect()
     assert "avro" in str(ei.value).lower()
+
+
+def test_connected_components_transitive(spark):
+    from samza_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 5), (5, 6), (6, 40)], "a bigint, b bigint"
+    )
+    comp = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 5: 4, 6: 4, 40: 4}
+
+
+def test_minhash_dedup_cc_matches_greedy_on_doc_corpus(spark, doc_df):
+    from samza_spark.pipeline import dedup
+
+    greedy = dedup.minhash_dedup(doc_df, threshold=0.7, num_perm=32, bands=8)
+    cc = dedup.minhash_dedup_cc(doc_df, threshold=0.7, num_perm=32, bands=8)
+    kept_g = {r.doc_id for r in greedy.select("doc_id").collect()}
+    kept_c = {r.doc_id for r in cc.select("doc_id").collect()}
+    # CC keeps exactly one per component; greedy may keep fewer reps is
+    # impossible (it drops strictly the b-side) — CC kept-set is a subset
+    assert kept_c <= kept_g
+    assert len(kept_c) >= 1
