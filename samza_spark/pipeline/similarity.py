@@ -18,6 +18,9 @@ Two paths:
 
 from __future__ import annotations
 
+import pandas as pd  # module-scope: pandas_udf type hints resolve against
+# module globals under postponed annotations
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -69,12 +72,36 @@ def cosine_topk(
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    # partition-local top-k BEFORE the shuffle: selection only (the cosine
+    # doubles are untouched, so the result stays bit-identical to a full
+    # sort); the global rank then sees nparts*k rows per query instead of
+    # the whole corpus — the difference between shuffling ~everything and
+    # shuffling nothing at 100 TB.
+    import pandas as pd
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk,
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -133,6 +160,132 @@ def ann_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the trained-centroid scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    sample_per_list: int = 40,
+    max_iter: int = 8,
+):
+    """Train IVF coarse centroids: deterministic sample to the driver (first
+    ids — cheap TakeOrdered, reproducible across runs/partitionings), then
+    spherical k-means in numpy. Returns an (n_lists, dim) float64 array of
+    unit-norm centroids. The sample is tiny (n_lists*sample_per_list rows);
+    the corpus itself never moves."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_lists * sample_per_list)
+        .collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(0x1FF)
+    cent = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)].copy()
+    for _ in range(max_iter):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for j in range(len(cent)):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def ivf_assign(df, centroids, vec_col: str = "embedding", out_col: str = "list_id", n_probe: int = 1):
+    """Assign each vector its ``n_probe`` nearest coarse lists (cosine) via
+    one vectorized pandas UDF over the broadcast centroid matrix."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids  # captured (small) -> shipped in the serialized UDF
+
+    @pandas_udf("array<int>")
+    def lists(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if X.ndim != 2 or not len(X):
+            return pd.Series([[0]] * len(vs))
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return df.withColumn(out_col, lists(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus,
+    queries,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+):
+    """IVF approximate top-k: corpus rows live in their single nearest list
+    (the inverted file, ONE shuffle to co-locate by list at build time);
+    each query probes its ``n_probe`` nearest lists. Exact fold-order cosine
+    inside probed lists, partition-local pre-selection, then global rank —
+    identical output contract to ``cosine_topk``.
+
+    100 TB shape: centroids train on a driver-side sample, assignment is a
+    map-only pass, and the probe join is an equi-join on list_id whose
+    fan-out is bounded by n_probe — candidate volume ~= corpus * n_probe /
+    n_lists."""
+    cent = train_ivf_centroids(corpus, vec_col, id_col, n_lists)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        cent,
+        "__cv",
+        n_probe=1,
+    ).select("neighbor_id", "__cv", F.col("list_id")[0].alias("list_id"))
+    q = F.broadcast(
+        ivf_assign(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+            cent,
+            "__qv",
+            n_probe=n_probe,
+        ).select("query_id", "__qv", F.explode("list_id").alias("list_id"))
+    )
+    scored = (
+        c.join(q, on="list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk,
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -487,6 +487,15 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_topk(emb, queries, k=10)
 
 
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (trained coarse centroids, n_probe lists per query) — the
+    second approximate scale path next to LSH (rows-only; recall vs exact
+    covered in tests)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+
+
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal binary-column plumbing: bytes -> typed metadata -> decoded
     features via mapInPandas (deterministic fake decode; rows-only)."""
@@ -540,6 +549,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
 }
 

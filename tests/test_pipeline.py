@@ -200,3 +200,33 @@ def test_minhash_dedup_cc_matches_greedy_on_doc_corpus(spark, doc_df):
     # impossible (it drops strictly the b-side) — CC kept-set is a subset
     assert kept_c <= kept_g
     assert len(kept_c) >= 1
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: recall@10 vs exact top-k on clustered synthetic vectors."""
+    import numpy as np
+
+    from samza_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = c + 0.15 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter("vec_id < 4")
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
