@@ -125,3 +125,61 @@ def test_stream_stream_ttl_join(spark):
         assert rows == {("u1", "c1", "p1")}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Checkpoint/restart (Samza checkpoint topic + OffsetManager analog,
+    SURVEY.md §2.8): a restarted query resumes from committed offsets —
+    already-processed files are not re-emitted; AvailableNow drains and
+    terminates (DrainStates analog)."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id int, v string").parquet(f"{src_dir}/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, e: seen.extend(tuple(r) for r in b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").write.parquet(
+        str(src_dir / "f1")
+    )
+    run_once()
+    assert sorted(seen) == [(1, "a"), (2, "b")]
+    spark.createDataFrame([(3, "c")], "id int, v string").write.parquet(
+        str(src_dir / "f2")
+    )
+    run_once()  # restart from checkpoint: only f2 is new
+    assert sorted(seen) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_streaming_stream_table_join(spark, tmp_path):
+    """Stream-table lookup join on a streaming source: static side
+    broadcast per micro-batch (StreamTableJoinOperatorImpl analog)."""
+    from samza_spark.tables.local import InMemoryTable
+
+    d = tmp_path / "stj"
+    d.mkdir()
+    spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id int, v int").write.parquet(
+        str(d / "b1")
+    )
+    dim = InMemoryTable.from_rows(
+        spark, [(1, "one"), (2, "two")], "id int, name string", ["id"]
+    )
+    src = FileSource(f"{d}/*", schema="id int, v int")
+    joined = src.read_stream(spark).join_table(dim, on="id", how="inner")
+    sink = MemorySink("stj_out", output_mode="append")
+    q = joined.send_to(sink)
+    _run_to_completion(q)
+    rows = {tuple(r) for r in sink.collect(spark)}
+    assert rows == {(1, 10, "one"), (2, 20, "two")}
