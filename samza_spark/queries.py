@@ -487,6 +487,17 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_topk(emb, queries, k=10)
 
 
+def q_pipeline_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed training-data cleaning pass in one plan: quality filter ->
+    exact dedup -> per-doc profile. One scan feeds the whole chain; the
+    only shuffle is the dedup groupBy."""
+    docs = load_table(spark, sf, "documents")
+    profiled = text.text_profile(docs)
+    kept = profiled.filter((F.col("quality") >= 0.65) & (F.col("n_tokens") >= 20))
+    deduped = dedup.exact_dedup(kept)
+    return deduped.select("doc_id", "lang", "n_tokens", "quality")
+
+
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (trained coarse centroids, n_probe lists per query) — the
     second approximate scale path next to LSH (rows-only; recall vs exact
@@ -540,6 +551,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_metrics": q_text_metrics,
     "lang_id": q_lang_id,
+    "pipeline_clean": q_pipeline_clean,
     "token_stats": q_token_stats,
     "rolling_fp": q_rolling_fp,
     "ngram_jaccard": q_ngram_jaccard,
@@ -736,6 +748,15 @@ ORACLES = {
             for lang in _LANG_MARKERS_SQL
         )
         + " ELSE 'und' END AS lang_pred, count(*) AS cnt FROM hits GROUP BY 1, 2"
+    ),
+    "pipeline_clean": (
+        f"WITH t AS (SELECT doc_id, lang, text, {_TOKENS_SQL} AS n_tokens FROM documents), "
+        f"p AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"round({_QUALITY_SQL}, 4) AS quality, md5({_NORM.format(c='text')}) AS fp "
+        "FROM t), "
+        "kept AS (SELECT * FROM p WHERE quality >= CAST(0.65 AS DOUBLE) AND n_tokens >= 20) "
+        "SELECT doc_id, lang, n_tokens, quality FROM kept "
+        "WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY fp)"
     ),
     "token_stats": (
         f"WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS n_ws FROM documents) "
