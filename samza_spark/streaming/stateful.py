@@ -118,6 +118,30 @@ def _merge_partial(state: dict, partial: dict, aggs: Sequence[AggSpec]) -> None:
             cur[1] += new_n
 
 
+def _merge_states(a: dict, b: dict, aggs: Sequence[AggSpec]) -> dict:
+    """Merge two pane states (both {name: [value, n]}) — used when session
+    windows coalesce. All supported aggs are commutative merges."""
+    out = {k: list(v) for k, v in a.items()}
+    for ag in aggs:
+        if ag.name not in b:
+            continue
+        bv, bn = b[ag.name]
+        if ag.name not in out:
+            out[ag.name] = [bv, bn]
+            continue
+        cur = out[ag.name]
+        if ag.op in ("count", "sum"):
+            cur[0] += bv
+        elif ag.op == "min":
+            cur[0] = min(cur[0], bv)
+        elif ag.op == "max":
+            cur[0] = max(cur[0], bv)
+        elif ag.op == "avg":
+            cur[0] += bv
+            cur[1] += bn
+    return out
+
+
 def _finalize(state: dict, aggs: Sequence[AggSpec]) -> dict:
     out = {}
     for a in aggs:
@@ -264,6 +288,11 @@ def triggered_window_stream(
     Time-based triggers use ProcessingTimeTimeout, matching Samza's
     injected-Clock processing-time trigger evaluation.
 
+    SESSION windows keep dynamic ``(start, last_event+gap)`` state keys;
+    incoming chunks are split at >gap breaks and coalesced with every
+    overlapping open session (Samza's session merge), and the gap timer
+    closes a session one gap after its last event.
+
     Granularity note: Samza evaluates count triggers per *message*
     (RunLoop drives one envelope at a time); under micro-batching the
     trigger condition is checked per Arrow chunk, so a count(3) pane may
@@ -273,12 +302,7 @@ def triggered_window_stream(
     import json
     import time as _time
 
-    if spec.window_type is WindowType.SESSION:
-        raise NotImplementedError(
-            "streaming triggered SESSION windows are not supported yet — "
-            "use the native session_window path (no early triggers) or the "
-            "batch replay; tumbling windows support the full trigger set"
-        )
+    is_session = spec.window_type is WindowType.SESSION
     win_ms = _duration_ms(spec.duration) if spec.duration else None
     gap_ms = _duration_ms(spec.gap) if spec.gap else None
     triggers = _flatten_triggers(spec.early_trigger)
@@ -326,44 +350,88 @@ def triggered_window_stream(
             if discarding:
                 st["state"] = {}
 
+        def fresh_st():
+            return {
+                "state": {},
+                "n_since_fire": 0,
+                "seq": 0,
+                "first_ms": now_ms,
+                "last_ms": now_ms,
+                "quiet_fired": False,
+            }
+
+        def ingest(wkey: str, chunk: pd.DataFrame) -> None:
+            st = windows.setdefault(wkey, fresh_st())
+            st["quiet_fired"] = False  # new data re-arms time triggers
+            partial = _pane_agg(chunk, aggs)
+            merged = {k: list(v) for k, v in st["state"].items()}
+            _merge_partial(merged, partial, aggs)
+            st["state"] = merged
+            st["n_since_fire"] += len(chunk)
+            st["last_ms"] = now_ms
+            fire_n = next((n for n in count_ns if st["n_since_fire"] >= n), None)
+            if fire_n is not None:
+                fire(wkey, st, f"count({fire_n})", False)
+
+        def ingest_session(chunk: pd.DataFrame, ts_ms) -> None:
+            """Sessions: split the (sorted) chunk at >gap breaks, then merge
+            each mini-session with every overlapping open session — Samza's
+            session coalescing (WindowOperatorImpl session merge) carried in
+            the state store as dynamic (start, end) keys."""
+            order = ts_ms.argsort(kind="mergesort")
+            sorted_ts = ts_ms[order]
+            breaks = [0]
+            for i in range(1, len(sorted_ts)):
+                if sorted_ts[i] - sorted_ts[i - 1] > gap_ms:
+                    breaks.append(i)
+            breaks.append(len(sorted_ts))
+            for b0, b1 in zip(breaks, breaks[1:]):
+                idx = order[b0:b1]
+                mini = chunk.iloc[idx]
+                s, e = int(sorted_ts[b0]), int(sorted_ts[b1 - 1]) + gap_ms
+                overlapping = []
+                for wkey in list(windows):
+                    ws, we = map(int, wkey.split(":"))
+                    if s <= we and ws <= e:
+                        overlapping.append((wkey, ws, we))
+                new_ws = min([s] + [ws for _, ws, _ in overlapping])
+                new_we = max([e] + [we for _, _, we in overlapping])
+                merged_st = fresh_st()
+                for wkey, _, _ in overlapping:
+                    old = windows.pop(wkey)
+                    merged_st["state"] = _merge_states(merged_st["state"], old["state"], aggs)
+                    merged_st["n_since_fire"] += old["n_since_fire"]
+                    merged_st["seq"] = max(merged_st["seq"], old["seq"])
+                    merged_st["first_ms"] = min(merged_st["first_ms"], old["first_ms"])
+                windows[f"{new_ws}:{new_we}"] = merged_st
+                ingest(f"{new_ws}:{new_we}", mini)
+
         got_data = False
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
             got_data = True
             ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+            if is_session:
+                ingest_session(pdf, ts_ms)
+                continue
             for ws_val, chunk in pdf.groupby((ts_ms // win_ms) * win_ms if win_ms else 0):
                 ws = int(ws_val)
                 we = ws + (win_ms or gap_ms)
-                wkey = f"{ws}:{we}"
-                st = windows.setdefault(
-                    wkey,
-                    {
-                        "state": {},
-                        "n_since_fire": 0,
-                        "seq": 0,
-                        "first_ms": now_ms,
-                        "last_ms": now_ms,
-                        "quiet_fired": False,
-                    },
-                )
-                st["quiet_fired"] = False  # new data re-arms time triggers
-                partial = _pane_agg(chunk, aggs)
-                merged = {k: list(v) for k, v in st["state"].items()}
-                _merge_partial(merged, partial, aggs)
-                st["state"] = merged
-                st["n_since_fire"] += len(chunk)
-                st["last_ms"] = now_ms
-                fire_n = next((n for n in count_ns if st["n_since_fire"] >= n), None)
-                if fire_n is not None:
-                    fire(wkey, st, f"count({fire_n})", False)
+                ingest(f"{ws}:{we}", chunk)
 
         if state.hasTimedOut or not got_data:
             for wkey in list(windows):
                 st = windows[wkey]
                 first_due = any(now_ms - st["first_ms"] >= d for d in since_first)
                 last_due = any(now_ms - st["last_ms"] >= d for d in since_last)
-                closing = now_ms - st["first_ms"] >= close_after_ms
+                # sessions close one gap after the LAST event (arrival-clock
+                # proxy for the gap timer); fixed windows after their span
+                closing = (
+                    now_ms - st["last_ms"] >= gap_ms
+                    if is_session
+                    else now_ms - st["first_ms"] >= close_after_ms
+                )
                 if closing:
                     if st["state"]:
                         fire(wkey, st, "window_close", True)

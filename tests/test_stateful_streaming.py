@@ -12,11 +12,7 @@ import pytest
 from samza_spark.operators import MessageStream, Windows
 from samza_spark.operators.windows import AccumulationMode, Triggers, WindowType
 from samza_spark.sources import FileSource, MemorySink
-from samza_spark.streaming.stateful import (
-    AggSpec,
-    await_condition,
-    triggered_window_stream,
-)
+from samza_spark.streaming.stateful import AggSpec, await_condition
 
 
 def ts(minute, second=0):
@@ -65,15 +61,38 @@ def test_streaming_count_trigger_across_batches(spark, two_batch_dir):
     assert all(r.k == "a" for r in rows)
 
 
-def test_streaming_session_triggered_rejected(spark, two_batch_dir):
-    src = FileSource(f"{two_batch_dir}/*", schema="k string, t timestamp")
-    stream = src.read_stream(spark).df
+def test_streaming_session_windows_merge_across_batches(spark, two_batch_dir):
+    """Triggered SESSION windows on a stream: batch 1 (4 rows at 10:00:00-03)
+    and batch 2 (3 rows at 10:01:00-02) fall within one 5-minute gap, so the
+    open session merges across micro-batches; count(5) fires an early pane
+    once the merged session holds 7 rows; the gap timer closes it with the
+    full session bounds."""
+    src = FileSource(
+        f"{two_batch_dir}/*",
+        schema="k string, t timestamp",
+        max_files_per_trigger=1,
+    )
     spec = (
         Windows.keyed_session_window("k", "t", "5 minutes")
-        .set_early_trigger(Triggers.count(3))
+        .set_early_trigger(Triggers.count(5))
+        .set_accumulation_mode(AccumulationMode.ACCUMULATING)
     )
-    with pytest.raises(NotImplementedError, match="SESSION"):
-        triggered_window_stream(stream, spec, [AggSpec("n", "count")])
+    out = src.read_stream(spark).window(spec, AggSpec("n", "count"))
+    sink = MemorySink("sess_stream_out", output_mode="append")
+    q = out.send_to(sink)
+    # batch1: 4 rows (< 5, no fire); batch2 merges -> 7 rows >= 5 -> pane
+    ok = await_condition(
+        q, lambda: any(r.fire_reason.startswith("count") for r in sink.collect(spark)),
+        timeout_s=90,
+    )
+    q.stop()
+    q.awaitTermination(30)
+    assert ok, f"no count pane in {sink.collect(spark)}"
+    pane = [r for r in sink.collect(spark) if r.fire_reason.startswith("count")][0]
+    assert pane.n == 7 and pane.k == "a" and not pane.is_final
+    # merged session bounds: start 10:00:00, end = last event 10:01:02 + gap
+    assert pane.window_start == ts(0, 0)
+    assert pane.window_end == ts(6, 2)
 
 
 def test_streaming_time_since_last_trigger(spark):
