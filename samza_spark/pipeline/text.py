@@ -24,8 +24,12 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (a BPE-ish regex split is `tokenize_bpe`)."""
-    t = F.trim(text)
+    """Whitespace token count (a BPE-ish regex split is `tokenize_bpe`).
+
+    Strips ALL whitespace at the ends (``trim`` only removes spaces, so a
+    trailing tab/newline would otherwise produce a phantom empty token) —
+    matches Python ``str.split()`` semantics."""
+    t = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
 
 

@@ -606,8 +606,12 @@ _QUALITY_SQL = (
     "+ CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1)) * 10, CAST(1.0 AS DOUBLE))))"
 )
 
+# strip ALL whitespace at the ends (trim removes spaces only) — mirrors
+# samza_spark.pipeline.text.token_count / Python str.split semantics
+_STRIPPED = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
 _TOKENS_SQL = (
-    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    f"CASE WHEN {_STRIPPED} = '' THEN 0 "
+    f"ELSE len(string_split_regex({_STRIPPED}, '\\s+')) END"
 )
 
 ORACLES = {

@@ -209,6 +209,11 @@ class MemorySink:
                 .outputMode(self.output_mode)
                 .start()
             )
+        # batch writes APPEND (union with any prior batch), mirroring the
+        # reference's in-memory sink accumulating messages across commits
+        spark = df.sparkSession
+        if any(t.name == self.name for t in spark.catalog.listTables()):
+            df = spark.table(self.name).unionByName(df)
         df.createOrReplaceTempView(self.name)
         return None
 

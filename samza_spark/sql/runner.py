@@ -67,6 +67,7 @@ class SqlApplication:
     compat_mode: bool = False
     _sinks: dict = field(default_factory=dict)
     _tables: set = field(default_factory=set)
+    _sink_schemas: dict = field(default_factory=dict)
 
     def __post_init__(self):
         register_builtins(self.spark)
@@ -86,8 +87,13 @@ class SqlApplication:
         self._tables.add(name)
         return self
 
-    def add_sink(self, name: str, sink) -> "SqlApplication":
+    def add_sink(self, name: str, sink, schema=None) -> "SqlApplication":
+        """Register a sink; an optional declared ``schema`` (DDL string or
+        StructType) is enforced against every INSERT's projected schema
+        (SamzaSqlValidator.java:180-254 output-record validation)."""
         self._sinks[name] = sink
+        if schema is not None:
+            self._sink_schemas[name] = schema
         return self
 
     # -- execution ---------------------------------------------------------
@@ -117,6 +123,10 @@ class SqlApplication:
             else:
                 if stmt.sink not in self._sinks:
                     raise KeyError(f"sink {stmt.sink!r} not registered")
+                if stmt.sink in self._sink_schemas:
+                    from samza_spark.sql.validator import validate_output_schema
+
+                    validate_output_schema(df.schema, self._sink_schemas[stmt.sink])
                 results.append(self._sinks[stmt.sink].write(df))
         return results
 

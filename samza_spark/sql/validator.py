@@ -61,3 +61,33 @@ def validate_compat(select_sql: str) -> None:
             raise SqlValidationError("aggregate requires GROUP BY in Samza SQL")
     if re.search(r"\bdistinct\b", lowered):
         raise SqlValidationError("DISTINCT aggregates are not supported in Samza SQL")
+
+
+def validate_output_schema(actual_schema, expected) -> None:
+    """Sink output-schema compatibility (SamzaSqlValidator.java:180-254
+    validateOutputRecords analog): the SELECT's projected fields must match
+    the sink's declared schema by name and type. The reference permits
+    missing fields only when the Avro default fills them; we require exact
+    name/type correspondence (nullability ignored — Samza's rel schema has
+    no nullability either)."""
+    from samza_spark.schema import ddl_to_struct
+
+    expected_struct = ddl_to_struct(expected) if isinstance(expected, str) else expected
+    actual = {f.name: f.dataType for f in actual_schema.fields}
+    wanted = {f.name: f.dataType for f in expected_struct.fields}
+    missing = sorted(set(wanted) - set(actual))
+    extra = sorted(set(actual) - set(wanted))
+    if missing or extra:
+        raise SqlValidationError(
+            f"output schema mismatch: missing={missing} unexpected={extra} "
+            f"(SamzaSqlValidator.java:180-254)"
+        )
+    wrong = [
+        f"{n}: {actual[n].simpleString()} != {wanted[n].simpleString()}"
+        for n in wanted
+        if actual[n] != wanted[n]
+    ]
+    if wrong:
+        raise SqlValidationError(
+            "output schema type mismatch: " + "; ".join(wrong)
+        )

@@ -138,3 +138,40 @@ def test_flat_map_async(spark):
         tuple(r) for r in src.flat_map_async(expand, "id int, copy long").df.collect()
     )
     assert rows == [(1, 0), (1, 1), (2, 0), (2, 1), (2, 2)]
+
+
+def test_low_level_stream_task(spark, tmp_path):
+    """Layer-1 Task API (StreamTask/WindowableTask analog): per-batch
+    process callback with collector output, windowed callback on interval,
+    coordinator-driven shutdown."""
+    from samza_spark.operators.task import StreamTaskRunner
+    from samza_spark.sources import FileSource, MemorySink
+
+    d = tmp_path / "task_in"
+    d.mkdir()
+    spark.createDataFrame([(1, 5), (2, 7)], "id int, v int").write.parquet(
+        str(d / "b1")
+    )
+    state = {"total": 0}
+
+    def process(batch, collector, coordinator):
+        for r in batch.collect():
+            state["total"] += r.v
+            collector.send((r.id, r.v * 10))
+
+    def window(collector, coordinator):
+        collector.send((0, state["total"]))
+
+    runner = StreamTaskRunner(
+        process,
+        window=window,
+        window_interval_s=0.0,  # fire after every batch
+        output_sink=MemorySink("task_out"),
+        output_schema="id int, out int",
+    )
+    src = FileSource(f"{d}/*", schema="id int, v int")
+    q = runner.run(src.read_stream(spark))
+    q.processAllAvailable()
+    q.stop()
+    rows = {tuple(r) for r in spark.sql("SELECT * FROM task_out").collect()}
+    assert rows == {(1, 50), (2, 70), (0, 12)}

@@ -230,3 +230,43 @@ def test_ivf_topk_recall(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_text_op_invariants_random_inputs(spark):
+    """Invariants over 300 seeded-random strings (unicode, whitespace runs,
+    punctuation, empties): quality in [0,1], token_count matches Python
+    str.split, lang_id stays in its domain, identical normalized text =>
+    identical fingerprint and minhash signature."""
+    import random
+    import string
+
+    from samza_spark.pipeline import text as T
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = string.ascii_letters + string.digits + " .,!?;:\t\néü中"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(300)
+    ] + ["", " ", "\t\n", "the the the", "a  b   c"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = T.text_profile(df).collect()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0, (r.doc_id, r.quality)
+        assert r.n_tokens == len(texts[r.doc_id].split()), r.doc_id
+        assert r.lang_pred in {"en", "de", "es", "fr", "und"}
+    # same normalized content -> same fingerprint
+    from pyspark.sql import functions as F
+
+    dup = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "HELLO\tWORLD")],
+        "doc_id bigint, text string",
+    )
+    fps = {r.fp for r in dup.select(T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert len(fps) == 1
+    rfps = {
+        r.rfp
+        for r in dup.select(T.rolling_fingerprint("text").alias("rfp")).collect()
+    }
+    assert len(rfps) == 1

@@ -120,3 +120,20 @@ def test_multi_statement_fan_out(spark):
     app.add_sink("out1", s1).add_sink("out2", s2)
     app.run("INSERT INTO out1 SELECT a FROM src WHERE a = 1; INSERT INTO out2 SELECT a FROM src")
     assert len(s1.collect(spark)) == 1 and len(s2.collect(spark)) == 2
+
+
+def test_output_schema_validation(spark):
+    """Sink-declared schema enforced on INSERT (SamzaSqlValidator.java:
+    180-254 output-record validation)."""
+    from samza_spark.sources import MemorySink
+
+    app = SqlApplication(spark)
+    app.add_stream("src9", spark.createDataFrame([(1, "x")], "id int, v string"))
+    app.add_sink("good", MemorySink("osv_good"), schema="id int, v string")
+    app.run("INSERT INTO good SELECT id, v FROM src9")  # fits
+
+    app.add_sink("strict", MemorySink("osv_strict"), schema="id int, v string")
+    with pytest.raises(SqlValidationError, match="missing"):
+        app.run("INSERT INTO strict SELECT id FROM src9")
+    with pytest.raises(SqlValidationError, match="type mismatch"):
+        app.run("INSERT INTO strict SELECT cast(id as bigint) AS id, v FROM src9")
