@@ -332,6 +332,32 @@ def q_topk(spark: SparkSession, sf: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT ...) — rejected by Samza's validator
+    (SamzaSqlValidator.java:116-127), native extension here; Spark plans it
+    as a two-phase expand+agg, map-side partials intact."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (not supported in Samza SQL — SURVEY.md §2.3);
+    Catalyst's Expand handles it in one pass."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
 def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar-function coverage (SamzaSqlOperatorTable.java:45-146 subset:
     strings, math, date parts — SURVEY.md §2.4)."""
@@ -544,6 +570,8 @@ QUERIES = {
     "triggered_window": q_triggered_window,
     "tpch_q1": q_tpch_q1,
     "topk": q_topk,
+    "distinct_agg": q_distinct_agg,
+    "rollup": q_rollup,
     "scalar_functions": q_scalar_functions,
     "udf_regex": q_udf_regex,
     "nested_struct": q_nested_struct,
@@ -710,6 +738,15 @@ ORACLES = {
         "SELECT o_orderkey, o_totalprice, CAST(row_number() OVER "
         "(ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank FROM orders "
         "QUALIFY rank <= 10"
+    ),
+    "distinct_agg": (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events "
+        "FROM events GROUP BY event_type"
+    ),
+    "rollup": (
+        "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
+        "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
     ),
     "scalar_functions": (
         "SELECT o_orderkey, upper(o_orderstatus) AS status_u, "

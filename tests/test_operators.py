@@ -175,3 +175,42 @@ def test_low_level_stream_task(spark, tmp_path):
     q.stop()
     rows = {tuple(r) for r in spark.sql("SELECT * FROM task_out").collect()}
     assert rows == {(1, 50), (2, 70), (0, 12)}
+
+
+def test_salted_agg_matches_plain(spark):
+    from samza_spark.operators.skew import salted_agg, skew_safe_count_distinct
+
+    rows = [(("hot" if i % 3 else f"k{i}"), i % 7, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, u int, v double")
+    salted = {
+        tuple(r)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("count", None), "total": ("sum", "v"), "avg_v": ("avg", "v"),
+             "mx": ("max", "v")},
+            salt=8,
+        ).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.avg("v").alias("avg_v"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+    cd = {
+        tuple(r)
+        for r in skew_safe_count_distinct(df, ["k"], "u").collect()
+    }
+    plain_cd = {
+        tuple(r)
+        for r in df.groupBy("k").agg(F.countDistinct("u").alias("n_distinct")).collect()
+    }
+    assert cd == plain_cd
