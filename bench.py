@@ -32,6 +32,7 @@ HEADLINE = [
     "tpch_q1",
     "topk",
     "dedup_exact_groups",
+    "pipeline_clean",
     "text_metrics",
     "minhash_pairs",
     "cosine_topk",

@@ -5,6 +5,7 @@ sink; streaming SQL; checkpoint/AvailableNow (drain analog — SURVEY.md
 import datetime as dt
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -183,3 +184,54 @@ def test_streaming_stream_table_join(spark, tmp_path):
     _run_to_completion(q)
     rows = {tuple(r) for r in sink.collect(spark)}
     assert rows == {(1, 10, "one"), (2, 20, "two")}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling (a strict superset of Samza, which has none —
+    WindowOperatorImpl.java:278): rows older than watermark are dropped
+    from windowed aggregation state."""
+    d = tmp_path / "late"
+    d.mkdir()
+    on_time = [("a", dt.datetime(2024, 1, 1, 10, 0, i)) for i in range(3)]
+    ahead = [("a", dt.datetime(2024, 1, 1, 12, 0, 0))]  # advances watermark
+    mid = [("a", dt.datetime(2024, 1, 1, 12, 5, 0))]  # commits the advance
+    late = [("a", dt.datetime(2024, 1, 1, 9, 0, 0))]  # behind watermark
+    # the row filter uses the watermark committed at the END of the prior
+    # batch, so the late row must arrive two batches after the advancing
+    # event to be provably late
+    spark.createDataFrame(on_time + ahead, "k string, t timestamp").coalesce(
+        1
+    ).write.parquet(str(d / "b1"))
+    time.sleep(1.1)
+    spark.createDataFrame(mid, "k string, t timestamp").coalesce(1).write.parquet(
+        str(d / "b2")
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(late, "k string, t timestamp").coalesce(1).write.parquet(
+        str(d / "b3")
+    )
+    stream = (
+        spark.readStream.schema("k string, t timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+        .withWatermark("t", "10 minutes")
+        .groupBy("k", F.window("t", "1 hour"))
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    rows = {
+        (r.k, r.window.start.hour, r["count"])
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # append mode emits only watermark-closed windows: the 10:00 window (3
+    # rows); the late 09:00 row was dropped, never creating its window
+    assert (("a", 10, 3)) in rows
+    assert not any(h == 9 for (_, h, _) in rows)
