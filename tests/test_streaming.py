@@ -235,3 +235,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # rows); the late 09:00 row was dropped, never creating its window
     assert (("a", 10, 3)) in rows
     assert not any(h == 9 for (_, h, _) in rows)
+
+
+def test_idempotent_foreach_batch_skips_replayed_epoch(spark, tmp_path):
+    """Effectively-once sink: a replayed epoch_id is skipped (Samza is
+    at-least-once; the marker protocol upgrades any sink to exactly-once
+    across completed batches)."""
+    from samza_spark.streaming.idempotent import idempotent_foreach_batch
+
+    hits = []
+    fn = idempotent_foreach_batch(
+        lambda df, epoch: hits.append(epoch), str(tmp_path / "markers")
+    )
+    df = spark.range(1)
+    fn(df, 0)
+    fn(df, 1)
+    fn(df, 0)  # replay after "recovery"
+    assert hits == [0, 1]
