@@ -124,6 +124,42 @@ def main() -> None:
         state_partitions=8,
     )
 
+    # Sustained replay at the reference workload size (BASELINE.md #1 runs
+    # 1M messages through one container): replicate events to ~1M rows
+    # across 10 files (setup untimed), then stream them through a
+    # multi-batch AvailableNow passthrough.
+    import shutil
+    import tempfile
+
+    replay_dir = tempfile.mkdtemp(prefix="bench_replay_")
+    try:
+        replicas = max(1, 1_000_000 // max(n_events, 1))
+        for i in range(replicas):
+            events_raw.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 10_000_000)
+            ).write.mode("overwrite" if i == 0 else "append").parquet(replay_dir)
+        n_replay = replicas * n_events
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max(1, replicas // 5))
+            .parquet(replay_dir)
+            .filter(F.col("event_type") != "")
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = round(time.perf_counter() - t0, 3)
+        per_query["stream_sustained_1m"] = secs
+        streaming["stream_sustained_msgs_per_sec"] = round(n_replay / secs)
+        streaming["stream_sustained_messages"] = n_replay
+        print(f"# stream_sustained_1m: {secs:.3f}s ({n_replay} msgs)", file=sys.stderr)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
