@@ -65,6 +65,11 @@ class SqlApplication:
 
     spark: SparkSession
     compat_mode: bool = False
+    # Samza fixes streaming GROUP BY to a tumbling window of
+    # `samza.sql.groupby.window.ms` (default 5 min) in DISCARDING mode —
+    # SamzaSqlApplicationConfig.java:91-99, LogicalAggregateTranslator.java:
+    # 62-87. Applied only to streaming sources in compat mode.
+    groupby_window_ms: int = 300_000
     _sinks: dict = field(default_factory=dict)
     _tables: set = field(default_factory=set)
     _sink_schemas: dict = field(default_factory=dict)
@@ -109,7 +114,44 @@ class SqlApplication:
                 raise SqlValidationError("Stream-stream join is not yet supported")
         sql = rewrite_builtins(stmt.select)
         df = self.spark.sql(sql)
+        if self.compat_mode and df.isStreaming:
+            windowed = self._windowed_groupby(stmt.select)
+            if windowed is not None:
+                df = self.spark.sql(windowed)
         return df
+
+    def _windowed_groupby(self, select_sql: str) -> str | None:
+        """Compat streaming aggregation: rewrite ``GROUP BY k`` to
+        ``GROUP BY k, window(current_timestamp(), '<ms>')`` — Samza's
+        config-fixed processing-time tumble (the translator keys window
+        state by arrival clock; ``current_timestamp()`` is the micro-batch
+        timestamp, Spark's processing-time proxy). The window bounds are
+        appended as ``window_start``/``window_end`` columns."""
+        m = re.search(r"\bgroup\s+by\b(?P<keys>.+)$", select_sql, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        secs = max(1, self.groupby_window_ms // 1000)
+        win = f"window(current_timestamp(), '{secs} seconds')"
+        rewritten = re.sub(
+            r"(\bselect\b)",
+            rf"\1 __w.start AS window_start, __w.end AS window_end,",
+            select_sql,
+            count=1,
+            flags=re.IGNORECASE,
+        )
+        rewritten = re.sub(
+            r"(\bgroup\s+by\b)",
+            rf"\1 __w,",
+            rewritten,
+            count=1,
+            flags=re.IGNORECASE,
+        )
+        # bind the window expression via a lateral alias in the FROM? No —
+        # simplest valid spelling: group by the window expr and re-project
+        rewritten = rewritten.replace("__w.start", f"{win}.start").replace(
+            "__w.end", f"{win}.end"
+        ).replace("__w,", f"{win},")
+        return rewrite_builtins(rewritten)
 
     def run(self, sql: str) -> list:
         """Execute each statement; INSERTs go to their registered sink

@@ -137,3 +137,33 @@ def test_output_schema_validation(spark):
         app.run("INSERT INTO strict SELECT id FROM src9")
     with pytest.raises(SqlValidationError, match="type mismatch"):
         app.run("INSERT INTO strict SELECT cast(id as bigint) AS id, v FROM src9")
+
+
+def test_compat_streaming_groupby_gets_processing_time_window(spark, tmp_path):
+    """Samza SQL GROUP BY on a stream = config-fixed processing-time
+    tumbling window (samza.sql.groupby.window.ms, default 5 min —
+    LogicalAggregateTranslator.java:62-87)."""
+    d = tmp_path / "gbw"
+    d.mkdir()
+    spark.createDataFrame(
+        [("click",), ("click",), ("view",)], "etype string"
+    ).write.parquet(str(d / "b1"))
+    app = SqlApplication(spark, compat_mode=True, groupby_window_ms=60_000)
+    app.add_stream(
+        "ev", spark.readStream.schema("etype string").parquet(f"{d}/*")
+    )
+    [df] = app.run("SELECT etype, count(*) AS cnt FROM ev GROUP BY etype")
+    assert df.isStreaming
+    assert {"window_start", "window_end", "etype", "cnt"} <= set(df.columns)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("gbw_out")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.etype, r.cnt) for r in spark.sql("SELECT * FROM gbw_out").collect()}
+    assert rows == {("click", 2), ("view", 1)}
+    got = spark.sql("SELECT * FROM gbw_out").collect()
+    assert all((r.window_end.timestamp() - r.window_start.timestamp()) == 60 for r in got)
