@@ -19,6 +19,8 @@ from samza_spark.sources.descriptors import (
     RateSource,
     Startpoint,
     KinesisSource,
+    EventHubsSource,
+    bootstrap_table,
 )
 
 __all__ = [
@@ -33,4 +35,6 @@ __all__ = [
     "RateSource",
     "Startpoint",
     "KinesisSource",
+    "EventHubsSource",
+    "bootstrap_table",
 ]

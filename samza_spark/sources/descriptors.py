@@ -296,3 +296,69 @@ class KinesisSource:
         )
 
     read = read_stream
+
+
+@dataclass
+class EventHubsSource(KafkaSource):
+    """Azure Event Hubs via its Kafka-compatible endpoint
+    (EventHubSystemConsumer.java analog — SURVEY.md §2.6 maps EventHubs
+    onto format("kafka")). ``namespace`` fills in the bootstrap servers and
+    the SASL/SSL options Event Hubs requires; ``connection_string`` goes
+    into the JAAS config."""
+
+    namespace: str = ""
+    connection_string: str = ""
+
+    def _configure(self, reader):
+        reader = super()._configure(reader)
+        if self.namespace:
+            reader = reader.option(
+                "kafka.bootstrap.servers", f"{self.namespace}.servicebus.windows.net:9093"
+            )
+        if self.connection_string:
+            jaas = (
+                "org.apache.kafka.common.security.plain.PlainLoginModule required "
+                f'username="$ConnectionString" password="{self.connection_string}";'
+            )
+            reader = (
+                reader.option("kafka.security.protocol", "SASL_SSL")
+                .option("kafka.sasl.mechanism", "PLAIN")
+                .option("kafka.sasl.jaas.config", jaas)
+            )
+        return reader
+
+
+def bootstrap_table(spark, source, key_cols, schema=None):
+    """Bootstrap-stream semantics (BootstrappingChooser.scala analog,
+    SURVEY.md §2.6): fully consume a source into a LocalTable BEFORE the
+    main query starts, then use the table as a lookup side. For a batch
+    descriptor this is just a read; for a streaming descriptor the stream
+    is drained with Trigger.AvailableNow into the table and the query
+    blocks until the drain finishes."""
+    from samza_spark.tables.local import LocalTable
+
+    if hasattr(source, "read"):
+        try:
+            return LocalTable(source.read(spark).df, key_cols)
+        except Exception:
+            pass  # fall through to streaming drain
+    stream = source.read_stream(spark)
+    acc = {"df": None}
+
+    def absorb(batch, _epoch):
+        acc["df"] = batch if acc["df"] is None else acc["df"].unionByName(batch)
+
+    q = (
+        stream.df.writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    base = acc["df"]
+    if base is None:
+        if schema is None:
+            raise ValueError("empty bootstrap stream requires an explicit schema")
+        base = spark.createDataFrame([], schema)
+    else:
+        base = spark.createDataFrame(base.collect(), base.schema)
+    return LocalTable(base, key_cols)

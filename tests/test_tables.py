@@ -164,3 +164,24 @@ def test_side_input_stream_feeds_table(spark, tmp_path):
     q.stop()
     rows = {tuple(r) for r in table.df.collect()}
     assert rows == {(1, "v1"), (2, "keep"), (3, "v3")}
+
+
+def test_bootstrap_table_drains_stream_first(spark, tmp_path):
+    """Bootstrap streams (BootstrappingChooser analog): the side input is
+    fully consumed into a lookup table before the main job uses it."""
+    from samza_spark.sources import FileSource, bootstrap_table
+
+    d = tmp_path / "boot"
+    d.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").write.parquet(
+        str(d / "f1")
+    )
+    src = FileSource(f"{d}/*", schema="id int, v string")
+    # force the streaming-drain path by removing batch read
+    src_stream_only = FileSource(f"{d}/*", schema="id int, v string")
+    src_stream_only.read = None
+    table = bootstrap_table(spark, src_stream_only, ["id"])
+    assert sorted(tuple(r) for r in table.df.collect()) == [(1, "a"), (2, "b")]
+    # batch-readable source takes the direct path
+    t2 = bootstrap_table(spark, src, ["id"])
+    assert t2.df.count() == 2
