@@ -48,6 +48,27 @@ def cosine_sim_expr(a: str, b: str) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_sim_pandas(a: str, b: str) -> Column:
+    """Vectorized cosine for the approximate paths (ann/ivf): one numpy
+    batch op instead of an interpreted fold per row (~50x). NOT used where
+    a DuckDB oracle must reproduce the doubles — numpy's pairwise summation
+    order differs from the sequential fold."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.asarray([np.asarray(x, dtype=np.float64) for x in va])
+        B = np.asarray([np.asarray(x, dtype=np.float64) for x in vb])
+        if A.ndim != 2 or not len(A):
+            return pd.Series([0.0] * len(va))
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return cos(F.col(a) if "." not in a else F.expr(a), F.col(b) if "." not in b else F.expr(b))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -155,7 +176,7 @@ def ann_topk(
     scored = (
         c.join(q, F.col("bucket") == F.col("qbucket"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+        .withColumn("cosine", cosine_sim_pandas("__cv", "__qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -263,7 +284,7 @@ def ivf_topk(
     scored = (
         c.join(q, on="list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+        .withColumn("cosine", cosine_sim_pandas("__cv", "__qv"))
         .select("query_id", "neighbor_id", "cosine")
     )
 
