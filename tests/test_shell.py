@@ -68,3 +68,24 @@ def test_streaming_insert_ls_stop_rm(shell, spark, tmp_path):
     assert any(row[0] == r.execution_id and row[1] == "STOPPED" for row in ls2.rows)
     shell.execute(f"RM {r.execution_id}")
     assert shell.execute("LS").rows == []
+
+
+def test_streaming_select_live_view(shell, spark, tmp_path):
+    """Shell SELECT on a streaming source starts a transient memory-sink
+    query the shell can poll (SamzaExecutor live-view analog)."""
+    d = tmp_path / "livesel"
+    d.mkdir()
+    spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string").write.parquet(
+        str(d / "f1")
+    )
+    spark.readStream.schema("id int, v string").parquet(f"{d}/*").createOrReplaceTempView(
+        "livestream"
+    )
+    r = shell.execute("SELECT id, upper(v) AS vu FROM livestream WHERE id > 1")
+    assert r.kind == "execution" and "live view" in r.text
+    q = shell._executions[r.execution_id].query
+    q.processAllAvailable()
+    rows = {tuple(x) for x in shell.view_rows(r.execution_id)}
+    assert rows == {(2, "Y")}
+    shell.execute(f"RM {r.execution_id}")
+    assert not q.isActive
