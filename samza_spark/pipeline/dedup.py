@@ -36,12 +36,20 @@ from samza_spark.pipeline.text import normalized
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id representative of each exact-content group
-    (hash-groupBy; md5 on normalized text so the group key is 16 bytes, not
-    the document)."""
-    fp = F.md5(normalized(F.col(text_col))).alias("fp")
-    keep = df.select(fp, F.col(id_col)).groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=id_col, how="inner").drop("fp")
+    """Keep the lowest-id representative of each exact-content group.
+
+    Single pass: min-id over a window partitioned by the content
+    fingerprint (md5 of normalized text — 16-byte group key, not the
+    document). One shuffle, and the upstream plan is evaluated once —
+    the groupBy+self-join alternative computes it twice, which matters
+    when ``df`` is itself an expensive pipeline stage."""
+    fp = F.md5(normalized(F.col(text_col)))
+    cols = df.columns
+    return (
+        df.groupBy(fp.alias("__fp"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+    )
 
 
 def exact_dedup_groups(
