@@ -38,11 +38,12 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the lowest-id representative of each exact-content group.
 
-    Single pass: min-id over a window partitioned by the content
+    Single pass: ``min_by(struct(*), id)`` grouped by the content
     fingerprint (md5 of normalized text — 16-byte group key, not the
-    document). One shuffle, and the upstream plan is evaluated once —
-    the groupBy+self-join alternative computes it twice, which matters
-    when ``df`` is itself an expensive pipeline stage."""
+    document). One hash-aggregation shuffle with map-side partials, no
+    sort, and the upstream plan is evaluated once — the groupBy+self-join
+    alternative computes it twice, which matters when ``df`` is itself an
+    expensive pipeline stage."""
     fp = F.md5(normalized(F.col(text_col)))
     cols = df.columns
     return (
@@ -593,3 +594,31 @@ def minhash_dedup_cc(
     comp = connected_components(dups.select("a", "b"), id_col)
     to_drop = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
     return df.join(to_drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup(
+    stream,
+    keys: "list[str]",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+):
+    """Exact dedup on a stream: keep the first row per key, with state
+    bounded by a watermark (``dropDuplicatesWithinWatermark``). The
+    at-least-once replay a Samza-style source produces (README
+    "Durability") collapses back to effectively-once content downstream.
+
+    Without ``ts_col`` falls back to unbounded ``dropDuplicates`` (state
+    grows with distinct keys — only for bounded key domains)."""
+    df = getattr(stream, "df", stream)
+    if ts_col is None:
+        out = df.dropDuplicates(keys)
+    else:
+        out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    from samza_spark.operators.stream import MessageStream
+
+    return MessageStream(out)

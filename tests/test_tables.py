@@ -185,3 +185,50 @@ def test_bootstrap_table_drains_stream_first(spark, tmp_path):
     # batch-readable source takes the direct path
     t2 = bootstrap_table(spark, src, ["id"])
     assert t2.df.count() == 2
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed co-located join: both sides bucketed on the key -> the
+    equi-join plan contains no Exchange (shuffle), the Spark analog of
+    Samza's matched-partition stream-table joins."""
+    from samza_spark.tables.bucketed import read_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+        write_bucketed(a, "bk_a", ["k"], num_buckets=8, sort_cols=["k"])
+        write_bucketed(b, "bk_b", ["k"], num_buckets=8, sort_cols=["k"])
+        joined = read_bucketed(spark, "bk_a").join(
+            read_bucketed(spark, "bk_b"), on="k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from samza_spark.pipeline.dedup import streaming_dedup
+    from samza_spark.sources import FileSource, MemorySink
+    import datetime as dt
+
+    d = tmp_path / "sdedup"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [("e1", base, "a"), ("e1", base, "a"), ("e2", base, "b")]  # e1 replayed
+    spark.createDataFrame(rows, "event_id string, ts timestamp, v string").write.parquet(
+        str(d / "f1")
+    )
+    src = FileSource(f"{d}/*", schema="event_id string, ts timestamp, v string")
+    out = streaming_dedup(src.read_stream(spark), ["event_id"], "ts", "10 minutes")
+    sink = MemorySink("sdedup_out", output_mode="append")
+    q = out.send_to(sink)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    rows = sorted(r.event_id for r in sink.collect(spark))
+    assert rows == ["e1", "e2"]
