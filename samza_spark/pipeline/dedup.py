@@ -3,16 +3,20 @@ embedding-cosine near-dup.
 
 Scale design (100 TB corpora):
 
-* exact dedup is one hash-partitioned aggregation (map-side partial
-  ``min``), no Python.
-* MinHash signatures are computed entirely with Catalyst expressions
-  (``xxhash64`` per shingle under per-permutation salts + ``array_min``) —
-  no UDF; LSH banding turns all-pairs comparison into an equi-join on
-  (band_id, band_hash), i.e. one shuffle keyed by bucket, never O(n²).
-* candidate verification (exact Jaccard) runs only inside LSH buckets.
-* SimHash packs 64 per-bit majority votes into one BIGINT with bit
-  arithmetic; near-dup = hamming distance on bucket-joined prefixes.
-* embedding near-dup reuses the ANN module's bucketed cosine join.
+* exact dedup is one ``min_by`` hash aggregation (map-side partials), no
+  Python; the streaming variant is watermark-bounded
+  ``dropDuplicatesWithinWatermark``.
+* MinHash hot path: words hashed once JVM-side (``xxhash64``), then n-gram
+  mixing + permutations + band folding fused in one Arrow-batched numpy
+  UDF; candidates come from ONE shuffle (groupBy band bucket) with
+  in-bucket pair expansion — never O(n²). A pure-Catalyst expression path
+  remains as ``impl="sql"``.
+* candidate verification (exact Jaccard) first semi-joins the corpus down
+  to candidate-pair members, so its cost tracks the candidate set.
+* SimHash: numpy bit-matrix majority vote per batch; near-dup = hamming
+  on bucket-grouped prefixes (same single-shuffle pair expansion).
+* embedding near-dup reuses the ANN module's bucketed cosine join;
+  ``connected_components`` turns verified pairs into transitive groups.
 
 Skew note: a degenerate shingle (e.g. empty docs) can hot-spot one LSH
 bucket; callers should pre-filter empty/boilerplate docs (quality filter in
