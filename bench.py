@@ -157,6 +157,33 @@ def main() -> None:
         streaming["stream_sustained_msgs_per_sec"] = round(n_replay / secs)
         streaming["stream_sustained_messages"] = n_replay
         print(f"# stream_sustained_1m: {secs:.3f}s ({n_replay} msgs)", file=sys.stderr)
+
+        # the stateful counterpart (BASELINE.md #3/#4: windowed counts with
+        # durable state) over the same 1M-message replay
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max(1, replicas // 5))
+            .parquet(replay_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "1 hour")
+            .groupBy("event_type", F.window("ts", "1 hour"))
+            .count()
+            .writeStream.format("noop")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = round(time.perf_counter() - t0, 3)
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        per_query["stream_sustained_window_1m"] = secs
+        streaming["stream_sustained_window_msgs_per_sec"] = round(n_replay / secs)
+        print(
+            f"# stream_sustained_window_1m: {secs:.3f}s ({n_replay} msgs)",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
 
