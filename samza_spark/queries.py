@@ -332,6 +332,26 @@ def q_topk(spark: SparkSession, sf: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def q_having(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING (rejected by Samza's validator — SURVEY.md §2.3) — plain
+    post-aggregation predicate here, folded into the agg by Catalyst."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") >= 12)
+    )
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT/EXCEPT (not supported in Samza SQL): customers with orders
+    but no high-priority orders."""
+    orders = load_table(spark, sf, "orders")
+    with_orders = orders.select("o_custkey").distinct()
+    high = orders.filter(F.col("o_orderpriority") < "3").select("o_custkey").distinct()
+    return with_orders.subtract(high).withColumnRenamed("o_custkey", "custkey")
+
+
 def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
     """COUNT(DISTINCT ...) — rejected by Samza's validator
     (SamzaSqlValidator.java:116-127), native extension here; Spark plans it
@@ -570,6 +590,8 @@ QUERIES = {
     "triggered_window": q_triggered_window,
     "tpch_q1": q_tpch_q1,
     "topk": q_topk,
+    "having": q_having,
+    "set_ops": q_set_ops,
     "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
     "scalar_functions": q_scalar_functions,
@@ -738,6 +760,15 @@ ORACLES = {
         "SELECT o_orderkey, o_totalprice, CAST(row_number() OVER "
         "(ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank FROM orders "
         "QUALIFY rank <= 10"
+    ),
+    "having": (
+        "SELECT l_suppkey, count(*) AS n_items FROM lineitem "
+        "GROUP BY l_suppkey HAVING count(*) >= 12"
+    ),
+    "set_ops": (
+        "SELECT o_custkey AS custkey FROM orders "
+        "EXCEPT "
+        "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority < '3'"
     ),
     "distinct_agg": (
         "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events "

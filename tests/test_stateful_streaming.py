@@ -132,3 +132,18 @@ def test_streaming_time_since_last_trigger(spark):
         assert panes[0].n == 2 and panes[0].k == "a" and not panes[0].is_final
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_running_aggregate_gated_without_protobuf(spark):
+    """transformWithStateInPandas needs google.protobuf (absent here); the
+    running-aggregate operator must fail with guidance, not a worker crash."""
+    from samza_spark.streaming.running_agg import running_aggregate
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf available — gate not applicable")
+    except ImportError:
+        pass
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        running_aggregate(df, "value")
