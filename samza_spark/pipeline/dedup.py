@@ -142,6 +142,10 @@ def minhash_signature_pandas(shingle_hash_col: str, num_perm: int = 64) -> Colum
             return pd.Series([[0] * num_perm] * len(shh))
         flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in shh]).astype(np.uint64)
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # reduceat on an empty segment (offsets[d] == offsets[d+1], or a
+        # trailing offset == len) returns the NEXT doc's value or raises —
+        # clamp the index and overwrite empty docs with 0 below
+        safe_offsets = np.minimum(offsets, len(flat) - 1)
         out = np.empty((len(shh), num_perm), dtype=np.uint64)
         # chunk the permutation axis so the (perm, total_shingles) work
         # matrix stays ~64 MB regardless of Arrow batch size
@@ -151,7 +155,8 @@ def minhash_signature_pandas(shingle_hash_col: str, num_perm: int = 64) -> Colum
             b = B[p0 : p0 + chunk, None]
             v = (flat[None, :] + b) * a
             v ^= v >> np.uint64(33)
-            out[:, p0 : p0 + chunk] = np.minimum.reduceat(v, offsets, axis=1).T
+            out[:, p0 : p0 + chunk] = np.minimum.reduceat(v, safe_offsets, axis=1).T
+        out[lens == 0] = 0
         signed = out.view(np.int64)
         return pd.Series(list(signed))
 
@@ -197,23 +202,31 @@ def lsh_band_buckets_pandas(
         if lens.sum() == 0:
             return pd.Series([[0] * bands] * ndocs)
         flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in wh]).astype(np.uint64)
+        total = len(flat)
         ends = np.cumsum(lens)
         starts = ends - lens
-        # sliding n-gram mix over the flat array; windows that cross a doc
-        # boundary are cut by clamping each doc's gram count below
-        total = len(flat)
-        gram = np.zeros(total, dtype=np.uint64)
+        # Pad ngram-1 sentinel slots after every doc so sliding windows never
+        # read a neighboring doc's hashes: a doc shorter than ngram gets a
+        # deterministic partial-window gram (its words + sentinels) that is
+        # identical regardless of what else shares the Arrow batch.
+        pad = ngram - 1
+        pstarts = starts + pad * np.arange(ndocs, dtype=np.int64)
+        ptotal = total + pad * ndocs
+        pflat = np.full(ptotal, 0x9E3779B97F4A7C15, dtype=np.uint64)
+        if total:
+            word_pos = np.repeat(pstarts, lens) + (np.arange(total) - np.repeat(starts, lens))
+            pflat[word_pos] = flat
+        gram = np.zeros(ptotal, dtype=np.uint64)
         for j in range(ngram):
-            seg = flat[j:] * POS[j]
-            gram[: total - j] ^= seg
+            seg = pflat[j:] * POS[j]
+            gram[: ptotal - j] ^= seg
         gram = _xs(gram)
-        # per-doc gram segment: starts unchanged, count = max(len - ngram + 1, 1)
+        # per-doc gram segment: count = max(len - ngram + 1, 1)
         # (docs shorter than ngram fall back to their partial-window gram)
         glens = np.maximum(lens - (ngram - 1), 1)
-        # compact grams so each doc's segment is contiguous
-        keep = np.zeros(total, dtype=bool)
+        keep = np.zeros(ptotal, dtype=bool)
         for d in range(ndocs):
-            keep[starts[d] : starts[d] + glens[d]] = True
+            keep[pstarts[d] : pstarts[d] + glens[d]] = True
         cg = gram[keep]
         goff = np.concatenate(([0], np.cumsum(glens)[:-1]))
         sig = np.empty((ndocs, num_perm), dtype=np.uint64)
@@ -426,11 +439,15 @@ def simhash_pandas(hash_col: str, bits: int = 32) -> Column:
             return pd.Series(np.zeros(ndocs, dtype=np.int64))
         flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs]).astype(np.uint64)
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # clamp reduceat indices (empty segments read the next doc / raise);
+        # empty docs then majority-vote over 0 ones vs len 0 -> signature 0
+        safe_offsets = np.minimum(offsets, len(flat) - 1)
         # (total, bits) 0/1 matrix; int16 keeps the reduceat sums compact
         bitmat = (
             (flat[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & np.uint64(1)
         ).astype(np.int16)
-        ones = np.add.reduceat(bitmat, offsets, axis=0)  # (ndocs, bits)
+        ones = np.add.reduceat(bitmat, safe_offsets, axis=0)  # (ndocs, bits)
+        ones[lens == 0] = 0
         maj = (2 * ones > lens[:, None]).astype(np.uint64)
         sig = (maj << np.arange(bits, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64

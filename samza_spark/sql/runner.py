@@ -25,12 +25,14 @@ from samza_spark.sql.parser import SqlStatement, parse_statements
 from samza_spark.sql.validator import validate_compat
 
 
-def rewrite_builtins(select_sql: str) -> str:
+def rewrite_builtins(select_sql: str, compat_mode: bool = True) -> str:
     """Rewrite reference UDF spellings to native Spark SQL so they run
     inside Catalyst (no Python UDF in the path):
 
     * ``GetSqlField(col, 'a.b')`` / ``GetNestedField`` -> ``col.a.b``
     * ``flatten(col)``            -> ``explode(col)`` (ProjectTranslator.java:147-174)
+      — compat mode only: Spark's native ``flatten(array<array<T>>)`` is a
+      different, valid function that extension-mode SQL must keep.
     * ``BuildOutputRecord('k', v, ...)`` -> ``named_struct(...)``
     * ``ConvertToString(x)``      -> ``cast(x as string)``
     * ``RegexMatch(p, s)``        -> ``s rlike p``
@@ -41,7 +43,8 @@ def rewrite_builtins(select_sql: str) -> str:
         select_sql,
         flags=re.IGNORECASE,
     )
-    out = re.sub(r"\bflatten\s*\(", "explode(", out, flags=re.IGNORECASE)
+    if compat_mode:
+        out = re.sub(r"\bflatten\s*\(", "explode(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bBuildOutputRecord\s*\(", "named_struct(", out, flags=re.IGNORECASE)
     out = re.sub(
         r"\bConvertToString\s*\(([^()]*)\)",
@@ -112,7 +115,7 @@ class SqlApplication:
                 from samza_spark.sql.validator import SqlValidationError
 
                 raise SqlValidationError("Stream-stream join is not yet supported")
-        sql = rewrite_builtins(stmt.select)
+        sql = rewrite_builtins(stmt.select, compat_mode=self.compat_mode)
         df = self.spark.sql(sql)
         if self.compat_mode and df.isStreaming:
             windowed = self._windowed_groupby(stmt.select)

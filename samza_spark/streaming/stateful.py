@@ -420,32 +420,37 @@ def triggered_window_stream(
                 we = ws + (win_ms or gap_ms)
                 ingest(f"{ws}:{we}", chunk)
 
-        if state.hasTimedOut or not got_data:
-            for wkey in list(windows):
-                st = windows[wkey]
-                first_due = any(now_ms - st["first_ms"] >= d for d in since_first)
-                last_due = any(now_ms - st["last_ms"] >= d for d in since_last)
-                # sessions close one gap after the LAST event (arrival-clock
-                # proxy for the gap timer); fixed windows after their span
-                closing = (
-                    now_ms - st["last_ms"] >= gap_ms
-                    if is_session
-                    else now_ms - st["first_ms"] >= close_after_ms
-                )
-                if closing:
-                    if st["state"]:
-                        fire(wkey, st, "window_close", True)
-                    del windows[wkey]
-                elif (
-                    (first_due or last_due)
-                    and st["state"]
-                    and not st.get("quiet_fired")
-                ):
-                    # one fire per quiet period (Samza re-evaluates
-                    # timeSinceLastMessage only as messages arrive; repeat
-                    # semantics need Triggers.repeat)
-                    fire(wkey, st, "time_trigger", False)
-                    st["quiet_fired"] = True
+        # Close/time-trigger sweep runs on EVERY invocation, not only on
+        # timeout: each data batch resets the timeout clock, so under
+        # sustained per-key traffic a timeout-only sweep would never fire
+        # window_close and expired windows would pile up in state forever.
+        # Windows touched this batch have last_ms == now_ms, so fresh
+        # sessions never close early and last_due never fires spuriously.
+        for wkey in list(windows):
+            st = windows[wkey]
+            first_due = any(now_ms - st["first_ms"] >= d for d in since_first)
+            last_due = any(now_ms - st["last_ms"] >= d for d in since_last)
+            # sessions close one gap after the LAST event (arrival-clock
+            # proxy for the gap timer); fixed windows after their span
+            closing = (
+                now_ms - st["last_ms"] >= gap_ms
+                if is_session
+                else now_ms - st["first_ms"] >= close_after_ms
+            )
+            if closing:
+                if st["state"]:
+                    fire(wkey, st, "window_close", True)
+                del windows[wkey]
+            elif (
+                (first_due or last_due)
+                and st["state"]
+                and not st.get("quiet_fired")
+            ):
+                # one fire per quiet period (Samza re-evaluates
+                # timeSinceLastMessage only as messages arrive; repeat
+                # semantics need Triggers.repeat)
+                fire(wkey, st, "time_trigger", False)
+                st["quiet_fired"] = True
 
         if windows:
             state.update((json.dumps(windows),))

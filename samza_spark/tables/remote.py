@@ -36,14 +36,20 @@ class RateLimiter:
         self._last = time.monotonic()
 
     def acquire(self, credits: float = 1.0) -> None:
-        while True:
-            now = time.monotonic()
-            self._tokens = min(self.capacity, self._tokens + (now - self._last) * self.rate)
-            self._last = now
-            if self._tokens >= credits:
-                self._tokens -= credits
-                return
-            time.sleep((credits - self._tokens) / self.rate)
+        # A request larger than the bucket can ever hold is drawn in
+        # capacity-sized instalments (Guava acquires >burst by waiting out
+        # the debt); otherwise tokens never reach `credits` and this spins.
+        while credits > 0:
+            chunk = min(credits, self.capacity)
+            while True:
+                now = time.monotonic()
+                self._tokens = min(self.capacity, self._tokens + (now - self._last) * self.rate)
+                self._last = now
+                if self._tokens >= chunk:
+                    self._tokens -= chunk
+                    break
+                time.sleep((chunk - self._tokens) / self.rate)
+            credits -= chunk
 
 
 @dataclass

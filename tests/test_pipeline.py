@@ -54,6 +54,48 @@ def test_simhash_near_dups(spark, doc_df):
     assert any(a == 0 and b in (100, 101) for a, b in got)
 
 
+def test_lsh_short_and_empty_docs_batch_independent(spark):
+    """Regression: docs shorter than the ngram width (and empty docs) must
+    hash to the same band buckets regardless of their Arrow-batch neighbors
+    — partial windows are sentinel-padded, never read the next doc's words.
+    Identical short docs therefore ALWAYS become candidate pairs."""
+    rows = [
+        (0, "tiny"),            # 1 word < ngram=3
+        (1, "big neighbor document with many distinct words flooding the flat batch"),
+        (2, "tiny"),            # identical to 0, different neighbor context
+        (3, ""),                # empty doc
+        (4, "totally different neighbor text so batches differ in content"),
+        (5, ""),                # identical-empty, different neighbor
+        (6, "two words"),       # 2 words < ngram=3
+        (7, "another large filler document to shift flat offsets around again"),
+        (8, "two words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_candidates(df, num_perm=32, bands=16)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (0, 2) in got, f"identical short docs missed: {got}"
+    assert (3, 5) in got, f"identical empty docs missed: {got}"
+    assert (6, 8) in got, f"identical 2-word docs missed: {got}"
+    # and a single-partition run gives the same signatures as multi-partition
+    pairs1 = dedup.minhash_lsh_candidates(df.coalesce(1), num_perm=32, bands=16)
+    assert {(r.a, r.b) for r in pairs1.collect()} == got
+
+
+def test_minhash_signature_empty_docs_zeroed(spark):
+    """Empty shingle arrays must produce the all-zero signature, not the
+    next doc's reduceat value (and a trailing empty doc must not raise)."""
+    df = spark.createDataFrame(
+        [(0, [11, 22, 33]), (1, []), (2, [44, 55]), (3, [])],
+        "doc_id long, shh array<bigint>",
+    ).coalesce(1)
+    out = df.select(
+        "doc_id", dedup.minhash_signature_pandas("shh", num_perm=8).alias("sig")
+    ).collect()
+    by_id = {r.doc_id: r.sig for r in out}
+    assert by_id[1] == [0] * 8 and by_id[3] == [0] * 8
+    assert by_id[0] != [0] * 8 and by_id[2] != [0] * 8
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(7)
     vecs = rng.standard_normal((50, 16)).astype(np.float32)

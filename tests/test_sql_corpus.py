@@ -157,11 +157,26 @@ def test_fan_in_union_all(app):
     assert rows(df) == [("home",), ("home",), ("search",)]
 
 
-def test_flatten_array_projection(app, spark):
-    """flatten() -> explode (ProjectTranslator.java:147-174)."""
-    app.add_stream(
+def test_flatten_array_projection(spark):
+    """flatten() -> explode (ProjectTranslator.java:147-174) — compat mode
+    only; extension mode keeps Spark's native flatten(array<array<T>>)."""
+    a = SqlApplication(spark, compat_mode=True)
+    a.add_stream(
         "docs",
         spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])], "id int, tags array<string>"),
     )
-    [df] = app.run("SELECT id, flatten(tags) AS tag FROM docs")
+    [df] = a.run("SELECT id, flatten(tags) AS tag FROM docs")
     assert rows(df) == [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_native_flatten_untouched_in_extension_mode(app, spark):
+    """Permissive mode must NOT rewrite Spark's native flatten — a valid
+    flatten(array<array<T>>) call keeps its concat-arrays semantics."""
+    app.add_stream(
+        "nested",
+        spark.createDataFrame(
+            [(1, [["a", "b"], ["c"]])], "id int, tags array<array<string>>"
+        ),
+    )
+    [df] = app.run("SELECT id, flatten(tags) AS flat FROM nested")
+    assert rows(df) == [(1, ["a", "b", "c"])]

@@ -134,6 +134,37 @@ def test_streaming_time_since_last_trigger(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_window_close_fires_under_sustained_traffic(spark):
+    """Regression: window_close must fire while data KEEPS arriving for the
+    key — the close sweep runs every invocation, not only on timeout (each
+    data batch resets the timeout, so a timeout-only sweep starves and state
+    grows unboundedly under sustained per-key traffic)."""
+    from samza_spark.operators.stream import MessageStream
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+    stream = MessageStream(
+        src.selectExpr("'k' AS k", "timestamp AS t")
+    )
+    spec = (
+        Windows.keyed_tumbling_window("k", "t", "2 seconds")
+        .set_accumulation_mode(AccumulationMode.DISCARDING)
+    )
+    out = stream.window(spec, AggSpec("n", "count"))
+    sink = MemorySink("close_sustained_out", output_mode="append")
+    q = out.send_to(sink)
+    ok = await_condition(
+        q,
+        lambda: any(r.is_final for r in sink.collect(spark)),
+        timeout_s=60,
+    )
+    q.stop()
+    q.awaitTermination(30)
+    assert ok, f"no window_close pane under sustained traffic: {sink.collect(spark)}"
+    finals = [r for r in sink.collect(spark) if r.is_final]
+    assert all(r.fire_reason == "window_close" for r in finals)
+    assert all(r.n > 0 for r in finals)
+
+
 def test_running_aggregate_gated_without_protobuf(spark):
     """transformWithStateInPandas needs google.protobuf (absent here); the
     running-aggregate operator must fail with guidance, not a worker crash."""

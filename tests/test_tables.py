@@ -88,6 +88,17 @@ def test_rate_limiter_throttles():
     assert elapsed >= 0.04  # 5 extra credits at 100/s
 
 
+def test_rate_limiter_acquire_beyond_burst_terminates():
+    """credits > capacity must drain in capacity-sized instalments, not spin
+    forever (enrich calls acquire(len(batch)) with batches bigger than burst)."""
+    rl = RateLimiter(rate=1000, burst=100)
+    t0 = time.monotonic()
+    rl.acquire(250)  # 2.5x the bucket capacity
+    elapsed = time.monotonic() - t0
+    assert elapsed < 5  # terminates
+    assert elapsed >= 0.1  # but did pay for ~150 credits beyond the burst
+
+
 def test_caching_table_read_through():
     fetches = []
 
