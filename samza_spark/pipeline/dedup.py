@@ -401,13 +401,25 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def shingle_hashes(text_col: str, shingle_k: int = 4) -> Column:
-    """xxhash64 of every k-shingle of the normalized text (pre-projection
-    for simhash — compute once, fold many)."""
+def shingle_hashes(text_col: str, shingle_k: int = 4, family: str = "xxhash64") -> Column:
+    """Per-shingle hash array of the normalized text (pre-projection for
+    simhash — compute once, fold many).
+
+    ``family='xxhash64'`` (default) is the fast engine-native hash;
+    ``family='md5'`` derives a 32-bit value from the first 8 hex chars of
+    md5, which DuckDB can reproduce (``('0x'||substr(md5(s),1,8))::BIGINT``)
+    — used by the oracle-checked simhash query. With 32-bit hashes the
+    default ``bits=32`` simhash consumes exactly the hashed range."""
     norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    if family == "md5":
+        h = f"cast(conv(substr(md5(substring({norm}, i, {shingle_k})), 1, 8), 16, 10) as bigint)"
+    elif family == "xxhash64":
+        h = f"xxhash64(substring({norm}, i, {shingle_k}))"
+    else:
+        raise ValueError(f"unknown hash family {family!r}")
     return F.expr(
         f"transform(sequence(1, greatest(length({norm}) - {shingle_k - 1}, 1)), "
-        f"i -> xxhash64(substring({norm}, i, {shingle_k})))"
+        f"i -> {h})"
     )
 
 
@@ -464,16 +476,21 @@ def simhash_candidates(
     max_hamming: int = 3,
     prefix_bits: int = 8,
     impl: str = "pandas",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket-join on bit-prefix blocks (the
     public 'SimHash + block permutation' trick), verify hamming ≤ k via
-    bit_count(a XOR b)."""
+    bit_count(a XOR b).
+
+    ``hash_family='md5'`` makes the whole chain (gram hash -> per-bit
+    majority -> block join -> hamming) reproducible in DuckDB SQL for the
+    correctness oracle; xxhash64 stays the fast default."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
     sig_expr = simhash_pandas("__shh") if impl == "pandas" else simhash("__shh")
     sh = (
         df.repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col), shingle_hashes(text_col).alias("__shh"))
+        .select(F.col(id_col), shingle_hashes(text_col, family=hash_family).alias("__shh"))
         .select(F.col(id_col), sig_expr.alias("sh"))
     )
     # in-block pair expansion: one shuffle keyed by bit-prefix block, then

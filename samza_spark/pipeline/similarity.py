@@ -186,6 +186,85 @@ def ann_topk(
     )
 
 
+def det_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """±1 hyperplane matrix derived from md5 of 'pl{j}:{i}' — plain Python
+    constants (hashlib.md5 == SQL md5), baked as literals into BOTH the
+    Spark expression and the DuckDB oracle so the bucketing is
+    cross-engine-exact. Data-independent, so safe to embed in a static
+    oracle SQL string."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"pl{j}:{i}".encode()).digest()[0] & 1 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _plane_array_sql(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({v} as double)" for v in plane) + ")"
+
+
+def hyperplane_buckets_det(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Deterministic-constant variant of :func:`hyperplane_buckets`: plane
+    components are ±1 literals from :func:`det_planes`, the projection is a
+    sequential fold (zip_with + aggregate), so a DuckDB oracle reproduces
+    the bucket ids bit-for-bit. Multiplying by ±1.0 is exact; only the
+    fold order of the sum matters, and both engines fold left-to-right."""
+    planes = det_planes(n_planes, dim)
+    bit_terms = " + ".join(
+        f"(case when aggregate(zip_with({_as_double(vec_col)}, "
+        f"{_plane_array_sql(p)}, (x, h) -> x * h), cast(0.0 as double), "
+        f"(acc, v) -> acc + v) >= 0.0 then shiftleft(1L, {j}) else 0L end)"
+        for j, p in enumerate(planes)
+    )
+    return df.withColumn("bucket", F.expr(f"({bit_terms})"))
+
+
+def ann_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Oracle-checkable ANN: identical plan shape to :func:`ann_topk`
+    (bucket equi-join, never O(n·q)) but with deterministic ±1 planes and
+    the sequential-fold cosine, so every output double is reproducible in
+    DuckDB. The xxhash64/numpy path stays the throughput variant."""
+    c = hyperplane_buckets_det(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        n_planes,
+        dim,
+    )
+    q = F.broadcast(
+        hyperplane_buckets_det(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+            "__qv",
+            n_planes,
+            dim,
+        ).withColumnRenamed("bucket", "qbucket")
+    )
+    scored = (
+        c.join(q, F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the trained-centroid scale path
 # ---------------------------------------------------------------------------
@@ -307,6 +386,92 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_centroids_relational(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+) -> DataFrame:
+    """One-shot IVF coarse centroids, fully relational and deterministic:
+    seed lists by ``id % n_lists`` (no RNG, no floats), centroid element =
+    id-ordered sequential-fold mean of the member vectors' elements. Every
+    double is reproducible in DuckDB (``list(val ORDER BY id)`` +
+    ``list_reduce``), unlike the k-means path whose iteration order isn't
+    SQL-expressible. Returns (list_id, cv: array<double>).
+
+    Scale shape: one explode + one (list_id, d) agg over n_lists*dim cells
+    — map-side partial folds don't apply (order-sensitive), but the cell
+    count is tiny and the corpus is scanned once."""
+    e = corpus.select(
+        (F.col(id_col) % n_lists).alias("list_id"),
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.expr(f"transform({vec_col}, x -> cast(x as double))")).alias(
+            "d", "val"
+        ),
+    )
+    percell = (
+        e.groupBy("list_id", "d")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(__id, val))), "
+                "cast(0.0 as double), (acc, s) -> acc + s.val)"
+            ).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumn("cval", F.col("s") / F.col("cnt"))
+    )
+    return percell.groupBy("list_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, cval))), s -> s.cval)"
+        ).alias("cv")
+    )
+
+
+def ivf_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Oracle-checkable IVF top-k: same inverted-file structure as
+    :func:`ivf_topk` (corpus rows in their single nearest list, queries
+    probe n_probe lists, candidate volume ~= corpus*n_probe/n_lists) with
+    the deterministic relational centroids and sequential-fold cosine so a
+    DuckDB oracle reproduces every double. The k-means/numpy path remains
+    the throughput variant."""
+    cent = F.broadcast(ivf_centroids_relational(corpus, id_col, vec_col, n_lists))
+
+    def assign(df: DataFrame, out_id: str, vec_alias: str, keep: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_alias))
+            .crossJoin(cent)
+            .withColumn("__csim", cosine_sim_expr(vec_alias, "cv"))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("__csim"), F.asc("list_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= keep)
+            .select(out_id, vec_alias, "list_id")
+        )
+
+    c = assign(corpus, "neighbor_id", "__cv", 1)
+    q = F.broadcast(assign(queries, "query_id", "__qv", n_probe))
+    scored = (
+        c.join(q, on="list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -51,16 +51,27 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized(text))
 
 
-def rolling_fingerprint(text_col: str, window: int = 8) -> Column:
-    """Rolling hash fingerprint: XOR-fold of xxhash64 over all
-    ``window``-character shingles of the normalized text — a 64-bit content
-    signature stable under whitespace/case changes. Pure Catalyst
+def rolling_fingerprint(text_col: str, window: int = 8, family: str = "md5") -> Column:
+    """Rolling hash fingerprint: XOR-fold of a per-shingle hash over all
+    ``window``-character shingles of the normalized text — a 60/64-bit
+    content signature stable under whitespace/case changes. Pure Catalyst
     (aggregate over substring shingles), no Python. Takes the column *name*
-    so the normalized expression can be inlined into generated SQL."""
+    so the normalized expression can be inlined into generated SQL.
+
+    ``family='md5'`` (default) derives each shingle hash from the first 15
+    hex chars of md5 — 60 bits, cross-engine checkable (DuckDB spells it
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``). ``family='xxhash64'`` is
+    the faster engine-specific variant (no SQL oracle)."""
     norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    if family == "md5":
+        h = f"cast(conv(substr(md5(substring({norm}, i, {window})), 1, 15), 16, 10) as bigint)"
+    elif family == "xxhash64":
+        h = f"xxhash64(substring({norm}, i, {window}))"
+    else:
+        raise ValueError(f"unknown hash family {family!r}")
     return F.expr(
         f"aggregate(transform(sequence(1, greatest(length({norm}) - {window - 1}, 1)), "
-        f"i -> xxhash64(substring({norm}, i, {window}))), cast(0 as bigint), (acc, h) -> acc ^ h)"
+        f"i -> {h}), cast(0 as bigint), (acc, h) -> acc ^ h)"
     )
 
 

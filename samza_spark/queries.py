@@ -460,12 +460,13 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_rolling_fp(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling-hash document fingerprint (XOR-fold of xxhash64 shingles —
-    no SQL oracle: xxhash64 is engine-specific; stability under
-    whitespace/case perturbation is covered in tests)."""
+    """Rolling-hash document fingerprint: XOR-fold of md5-derived 60-bit
+    shingle hashes — the hash family is pure hex/integer ops both engines
+    compute identically, so the fingerprint is fully oracle-checked
+    (family='xxhash64' remains the engine-native fast variant)."""
     docs = load_table(spark, sf, "documents")
     return docs.select(
-        "doc_id", text.rolling_fingerprint("text").alias("rfp")
+        "doc_id", text.rolling_fingerprint("text", family="md5").alias("rfp")
     )
 
 
@@ -482,24 +483,40 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (no SQL oracle — hash permutations are
-    engine-specific; verified in tests against brute-force Jaccard)."""
+    """MinHash-LSH near-dup pairs, verified: LSH candidates (one banded
+    shuffle, never O(n²)) filtered to exact word-3-gram Jaccard ≥ 0.8.
+    The oracle recomputes the SAME verified-pair set by brute force — an
+    exactness-checkable invariant (the hash family itself is engine
+    -specific, but with r=4/b=16 the S-curve admits every ≥0.8 pair of
+    this corpus, so candidate recall is exactly 1 and the outputs match
+    value-for-value)."""
     docs = load_table(spark, sf, "documents")
-    return dedup.minhash_lsh_candidates(docs, num_perm=32, bands=8)
+    cands = dedup.minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    return dedup.jaccard_verify(
+        docs, cands, threshold=0.8, shingle_k=3, shingle_mode="word"
+    )
 
 
 def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Full MinHash near-dup dedup pipeline (rows-only check)."""
+    """Full MinHash near-dup dedup pipeline; oracle = brute-force verified
+    pairs -> same greedy higher-id drop (recall-1 invariant as
+    q_minhash_pairs)."""
     docs = load_table(spark, sf, "documents")
-    return dedup.minhash_dedup(docs, threshold=0.8, num_perm=32, bands=8).select(
+    return dedup.minhash_dedup(docs, threshold=0.8, num_perm=64, bands=16).select(
         "doc_id", "n_chars"
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup candidates (rows-only check)."""
+    """SimHash near-dup candidates with the md5-derived 32-bit gram hash
+    family: gram hash -> per-bit majority -> prefix-block join -> hamming
+    is integer/hex arithmetic DuckDB reproduces exactly, so the full
+    signature math is oracle-checked (xxhash64+numpy stays the fast
+    path)."""
     docs = load_table(spark, sf, "documents")
-    return dedup.simhash_candidates(docs, max_hamming=3)
+    return dedup.simhash_candidates(docs, max_hamming=3, hash_family="md5").select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -526,11 +543,13 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall vs exact covered
-    in tests)."""
+    """LSH-bucketed approximate top-k with deterministic ±1 hyperplanes
+    (md5-derived constants baked into both engines) and sequential-fold
+    cosine — the same bucket-equi-join plan as the fast path, every double
+    oracle-checked."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ann_topk(emb, queries, k=10)
+    return similarity.ann_topk_exact(emb, queries, k=10)
 
 
 def q_pipeline_clean(spark: SparkSession, sf: str) -> DataFrame:
@@ -545,17 +564,21 @@ def q_pipeline_clean(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN (trained coarse centroids, n_probe lists per query) — the
-    second approximate scale path next to LSH (rows-only; recall vs exact
-    covered in tests)."""
+    """IVF ANN with deterministic relational centroids (id-ordered fold
+    means over mod-seeded lists) — same inverted-file structure and probe
+    join as the k-means path, every double oracle-checked. The
+    numpy/k-means variant stays the throughput path (recall tests)."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
+    return similarity.ivf_topk_exact(emb, queries, k=10, n_lists=16, n_probe=4)
 
 
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal binary-column plumbing: bytes -> typed metadata -> decoded
-    features via mapInPandas (deterministic fake decode; rows-only)."""
+    features via mapInPandas. The fake decode derives width/height from the
+    sha256 digest of the blob — hex/integer arithmetic DuckDB reproduces,
+    so the emitted metadata columns are fully oracle-checked (the feat
+    vector itself is numpy-generated and checked by dimension only)."""
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
@@ -621,6 +644,26 @@ _SHINGLE5 = (
     "list_distinct(list_transform(generate_series(1, greatest(length({n}) - 4, 1)), "
     "i -> substr({n}, i, 5)))"
 )
+
+# distinct word 3-grams of the normalized text (mirrors dedup.word_ngrams:
+# Spark slice(toks, i, 3) == DuckDB list_slice(w, i, i+2), both clamped)
+_WORD_GRAMS3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({w}) - 2, 1)), "
+    "i -> array_to_string(list_slice({w}, i, i + 2), ' ')))"
+)
+
+
+def _grams3_of_norm(norm: str) -> str:
+    return _WORD_GRAMS3.format(w=f"string_split({norm}, ' ')")
+
+
+# exact word-3-gram jaccard between two gram-list columns (int set sizes,
+# one double division — identical in both engines)
+def _jaccard(ls: str, rs: str) -> str:
+    return (
+        f"(len(list_intersect({ls}, {rs})) / "
+        f"len(list_distinct(list_concat({ls}, {rs}))))"
+    )
 
 
 def _dot(a: str, b: str) -> str:
@@ -861,4 +904,111 @@ ORACLES = {
         + _cos("l.embedding", "r.embedding")
         + " >= 0.3"
     ),
+    # rolling fingerprint: XOR-fold of md5-derived 60-bit shingle hashes —
+    # hex parse is ('0x'||hex)::BIGINT in DuckDB, conv(hex,16,10) in Spark
+    "rolling_fp": (
+        f"WITH t AS (SELECT doc_id, {_NORM.format(c='text')} AS n FROM documents) "
+        "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, greatest(length(n) - 7, 1)), "
+        "i -> ('0x' || substr(md5(substr(n, i, 8)), 1, 15))::BIGINT)), "
+        "(acc, h) -> xor(acc, h)) AS rfp FROM t"
+    ),
+    # verified near-dup pairs by brute force — matches the LSH+verify path
+    # exactly because r=4/b=16 banding admits every >=0.8-jaccard pair of
+    # this corpus (candidate recall 1); jaccard is int set sizes + one
+    # double division, identical in both engines
+    "minhash_pairs": (
+        f"WITH sh AS (SELECT doc_id, {_grams3_of_norm(_NORM.format(c='text'))} AS s "
+        "FROM documents) "
+        f"SELECT l.doc_id AS a, r.doc_id AS b, {_jaccard('l.s', 'r.s')} AS jaccard "
+        "FROM sh l JOIN sh r ON l.doc_id < r.doc_id "
+        f"WHERE {_jaccard('l.s', 'r.s')} >= CAST(0.8 AS DOUBLE)"
+    ),
+    "minhash_dedup": (
+        f"WITH sh AS (SELECT doc_id, {_grams3_of_norm(_NORM.format(c='text'))} AS s "
+        "FROM documents), "
+        "dropped AS (SELECT DISTINCT r.doc_id AS b FROM sh l "
+        "JOIN sh r ON l.doc_id < r.doc_id "
+        f"WHERE {_jaccard('l.s', 'r.s')} >= CAST(0.8 AS DOUBLE)) "
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE doc_id NOT IN (SELECT b FROM dropped)"
+    ),
+    # full simhash chain on the md5 32-bit gram family: per-bit majority
+    # vote, prefix-block join, hamming via bit_count(xor)
+    "simhash_pairs": (
+        f"WITH t AS (SELECT doc_id, {_NORM.format(c='text')} AS n FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, greatest(length(n) - 3, 1)), "
+        "i -> ('0x' || substr(md5(substr(n, i, 4)), 1, 8))::BIGINT)) AS h FROM t), "
+        "bits AS (SELECT doc_id, b, CASE WHEN 2 * sum((h >> b) & 1) > count(*) "
+        "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END AS v "
+        "FROM g CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb "
+        "GROUP BY doc_id, b), "
+        "sig AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sh FROM bits GROUP BY doc_id) "
+        "SELECT l.doc_id AS a, r.doc_id AS b, "
+        "CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming "
+        "FROM sig l JOIN sig r ON (l.sh & 255) = (r.sh & 255) AND l.doc_id < r.doc_id "
+        "WHERE bit_count(xor(l.sh, r.sh)) <= 3"
+    ),
+    # multimodal fake decode: width/height derive from sha256 hex of the
+    # utf-8 blob — DuckDB sha256(text) hashes the same bytes
+    "multimodal_decode": (
+        "SELECT doc_id, "
+        "CAST(64 + (('0x' || substr(sha256(text), 1, 4))::BIGINT % 960) AS INT) AS width, "
+        "CAST(64 + (('0x' || substr(sha256(text), 5, 4))::BIGINT % 960) AS INT) AS height, "
+        "CAST(3 AS INT) AS channels, CAST(8 AS INT) AS feat_dim FROM documents"
+    ),
 }
+
+
+def _plane_duck(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in plane) + "]"
+
+
+# deterministic ±1 hyperplanes (md5-derived constants — same values the
+# Spark expression bakes in via similarity.det_planes)
+_BUCKET_DUCK = " + ".join(
+    f"(CASE WHEN {_dot('embedding', _plane_duck(p))} >= 0.0 "
+    f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j, p in enumerate(similarity.det_planes(8, 64))
+)
+
+ORACLES["ann_topk"] = (
+    f"WITH b AS (SELECT vec_id, embedding, ({_BUCKET_DUCK}) AS bucket FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket "
+    "FROM b WHERE vec_id < 5), "
+    "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+    + _cos("c.embedding", "q.qv")
+    + " AS cosine FROM b c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.query_id) "
+    "SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank "
+    "FROM scored QUALIFY rank <= 10"
+)
+
+# IVF with deterministic relational centroids: mod-seeded lists, id-ordered
+# sequential-fold means, fold-order cosine — mirrors ivf_topk_exact
+ORACLES["ivf_topk"] = (
+    "WITH ex AS (SELECT vec_id % 16 AS list_id, vec_id AS id, i - 1 AS d, "
+    "CAST(embedding[i] AS DOUBLE) AS val FROM embeddings "
+    "CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims), "
+    "percell AS (SELECT list_id, d, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY id)), "
+    "(a, b) -> a + b) / count(*) AS cval FROM ex GROUP BY list_id, d), "
+    "cent AS (SELECT list_id, list(cval ORDER BY d) AS cv FROM percell GROUP BY list_id), "
+    "cscore AS (SELECT e.vec_id, e.embedding, c.list_id, "
+    + _cos("e.embedding", "c.cv")
+    + " AS csim FROM embeddings e CROSS JOIN cent c), "
+    "cassign AS (SELECT vec_id AS neighbor_id, embedding AS nv, list_id FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) "
+    "AS rn FROM cscore) WHERE rn = 1), "
+    "qassign AS (SELECT vec_id AS query_id, embedding AS qv, list_id FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) "
+    "AS rn FROM cscore WHERE vec_id < 5) WHERE rn <= 4), "
+    "scored AS (SELECT q.query_id, n.neighbor_id, "
+    + _cos("n.nv", "q.qv")
+    + " AS cosine FROM cassign n JOIN qassign q ON n.list_id = q.list_id "
+    "AND n.neighbor_id <> q.query_id) "
+    "SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank "
+    "FROM scored QUALIFY rank <= 10"
+)
