@@ -243,27 +243,41 @@ class ElasticsearchSink:
 
     index: str
     id_col: str | None = None
-    bulk_fn: object = None  # Callable[[list[dict]], None]
+    bulk_fn: object = None  # Callable[[list[dict]], None] — runs ON EXECUTORS
     checkpoint: str | None = None
+    max_actions_per_bulk: int = 1000  # flushMaxActions analog
 
     def write(self, df: DataFrame):
         index, id_col, bulk_fn = self.index, self.id_col, self.bulk_fn
+        max_actions = self.max_actions_per_bulk
         if bulk_fn is None:
             raise NotImplementedError(
                 "es-hadoop jar not available in this environment; inject bulk_fn"
             )
 
+        # Bulk actions are built and flushed EXECUTOR-side, one client per
+        # partition (ElasticsearchSystemProducer keeps one BulkProcessor per
+        # source; flushMaxActions bounds each request). The driver never
+        # sees a row — at 100 TB the write path scales with executors.
+        def send_partition(rows) -> None:
+            actions = []
+            for row in rows:
+                d = row.asDict(recursive=True)
+                actions.append(
+                    {
+                        "_index": index,
+                        **({"_id": d[id_col]} if id_col else {}),
+                        "_source": d,
+                    }
+                )
+                if len(actions) >= max_actions:
+                    bulk_fn(actions)
+                    actions = []
+            if actions:
+                bulk_fn(actions)
+
         def send(batch: DataFrame, _epoch: int) -> None:
-            docs = [row.asDict(recursive=True) for row in batch.collect()]
-            actions = [
-                {
-                    "_index": index,
-                    **({"_id": d[id_col]} if id_col else {}),
-                    "_source": d,
-                }
-                for d in docs
-            ]
-            bulk_fn(actions)
+            batch.foreachPartition(send_partition)
 
         if df.isStreaming:
             writer = df.writeStream.foreachBatch(send)
@@ -328,13 +342,18 @@ class EventHubsSource(KafkaSource):
         return reader
 
 
-def bootstrap_table(spark, source, key_cols, schema=None):
+def bootstrap_table(spark, source, key_cols, schema=None, spool_dir: str | None = None):
     """Bootstrap-stream semantics (BootstrappingChooser.scala analog,
     SURVEY.md §2.6): fully consume a source into a LocalTable BEFORE the
     main query starts, then use the table as a lookup side. For a batch
     descriptor this is just a read; for a streaming descriptor the stream
-    is drained with Trigger.AvailableNow into the table and the query
-    blocks until the drain finishes."""
+    is drained with Trigger.AvailableNow into parquet spool files and read
+    back — rows go executor -> files -> executor and NEVER materialize on
+    the driver, so an arbitrarily large bootstrap stream works (the
+    reference's BootstrappingChooser likewise streams through, it doesn't
+    buffer the stream in one process)."""
+    import tempfile
+
     from samza_spark.tables.local import LocalTable
 
     if hasattr(source, "read"):
@@ -343,22 +362,16 @@ def bootstrap_table(spark, source, key_cols, schema=None):
         except Exception:
             pass  # fall through to streaming drain
     stream = source.read_stream(spark)
-    acc = {"df": None}
-
-    def absorb(batch, _epoch):
-        acc["df"] = batch if acc["df"] is None else acc["df"].unionByName(batch)
-
+    spool = spool_dir or tempfile.mkdtemp(prefix="ss_bootstrap_")
     q = (
-        stream.df.writeStream.foreachBatch(absorb)
+        stream.df.writeStream.format("parquet")
+        .option("path", f"{spool}/data")
+        .option("checkpointLocation", f"{spool}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    base = acc["df"]
-    if base is None:
-        if schema is None:
-            raise ValueError("empty bootstrap stream requires an explicit schema")
-        base = spark.createDataFrame([], schema)
-    else:
-        base = spark.createDataFrame(base.collect(), base.schema)
+    # schema from the stream itself, so a zero-row drain still yields a
+    # well-typed (empty) table
+    base = spark.read.schema(schema or stream.df.schema).parquet(f"{spool}/data")
     return LocalTable(base, key_cols)

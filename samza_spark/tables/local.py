@@ -34,10 +34,29 @@ class LocalTable:
 
     TTL_COL = "__ss_put_ms"
 
-    def __init__(self, df: DataFrame, key_cols: Sequence[str], ttl_ms: int | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str],
+        ttl_ms: int | None = None,
+        compact_every: int = 10,
+    ):
         self.key_cols = list(key_cols)
         self.ttl_ms = ttl_ms
         self._df = df
+        # Every mutation stacks an anti-join+union on the plan; a
+        # long-running upsert stream would otherwise build an ever-deeper
+        # lineage (and re-execute it per batch). Truncate via eager
+        # localCheckpoint every ``compact_every`` mutations — plan depth
+        # stays O(compact_every) for any stream length.
+        self.compact_every = compact_every
+        self._mutations_since_compact = 0
+
+    def _maybe_compact(self) -> None:
+        self._mutations_since_compact += 1
+        if self.compact_every and self._mutations_since_compact >= self.compact_every:
+            self._df = self._df.localCheckpoint(eager=True)
+            self._mutations_since_compact = 0
 
     # -- construction ------------------------------------------------------
 
@@ -90,6 +109,7 @@ class LocalTable:
             )
         else:
             raise ValueError(f"unknown merge mode {mode!r}")
+        self._maybe_compact()
         return self
 
     def update_batch(
@@ -135,6 +155,7 @@ class LocalTable:
             else:
                 out_cols.append(F.col(c))
         self._df = merged.select(*out_cols)
+        self._maybe_compact()
         return self
 
     def write_stream(self, stream) -> object:

@@ -198,6 +198,90 @@ def test_bootstrap_table_drains_stream_first(spark, tmp_path):
     assert t2.df.count() == 2
 
 
+def test_es_sink_bulk_runs_executor_side(spark, tmp_path):
+    """ES sink builds bulk actions per PARTITION on executors (no driver
+    collect) and honors max_actions_per_bulk chunking
+    (ElasticsearchSystemProducer flushMaxActions semantics)."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from samza_spark.sources import ElasticsearchSink
+
+    spool = str(tmp_path / "es_bulk")
+    os.makedirs(spool, exist_ok=True)
+
+    def bulk_fn(actions, _spool=spool):
+        # executor-side recorder: one file per bulk call (a driver-side list
+        # would stay empty — python workers are separate processes, which is
+        # itself proof the build happens off-driver)
+        with open(f"{_spool}/{uuid.uuid4().hex}.json", "w") as f:
+            json.dump(actions, f)
+
+    df = spark.range(100).selectExpr("id", "concat('doc', id) AS body").repartition(4)
+    sink = ElasticsearchSink(
+        index="docs", id_col="id", bulk_fn=bulk_fn, max_actions_per_bulk=10
+    )
+    sink.write(df)
+    calls = [json.load(open(p)) for p in glob.glob(f"{spool}/*.json")]
+    assert len(calls) >= 4  # at least one bulk per non-empty partition
+    assert all(len(c) <= 10 for c in calls)  # flushMaxActions respected
+    ids = {a["_id"] for c in calls for a in c}
+    assert ids == set(range(100))
+    assert all(
+        a["_index"] == "docs" and a["_source"]["body"] == f"doc{a['_id']}"
+        for c in calls
+        for a in c
+    )
+
+
+def test_bootstrap_table_large_stream_no_driver_materialization(spark, tmp_path):
+    """A 1M-row bootstrap stream drains through parquet spool files —
+    executor -> files -> executor, nothing driver-side
+    (BootstrappingChooser handles arbitrarily large streams)."""
+    from samza_spark.sources import FileSource, bootstrap_table
+
+    d = tmp_path / "bigboot"
+    d.mkdir()
+    spark.range(1_000_000).selectExpr("id", "id % 97 AS v").write.parquet(
+        str(d / "f1")
+    )
+    src = FileSource(f"{d}/*", schema="id bigint, v bigint")
+    src.read = None  # force the streaming-drain path
+    table = bootstrap_table(
+        spark, src, ["id"], spool_dir=str(tmp_path / "spool")
+    )
+    assert table.df.count() == 1_000_000
+    assert table.df.filter("v = 96").count() == 1_000_000 // 97
+
+
+def test_local_table_lineage_bounded_under_streaming_upserts(spark):
+    """Regression: repeated merge_batch must not build an ever-deeper
+    anti-join+union plan — compaction truncates lineage every N mutations,
+    with merge semantics unchanged."""
+    t = LocalTable(
+        spark.createDataFrame([(i, 0) for i in range(20)], "id int, v int"),
+        ["id"],
+        compact_every=10,
+    )
+    depth_at = {}
+    for b in range(1, 41):
+        upd = spark.createDataFrame([(b % 20, b)], "id int, v int")
+        t.merge_batch(upd)
+        if b in (5, 40):
+            depth_at[b] = len(
+                t._df._jdf.queryExecution().analyzed().numberedTreeString().splitlines()
+            )
+    # flat plan depth: 40 batches must not be deeper than ~one compaction
+    # window beyond 5 batches
+    assert depth_at[40] <= depth_at[5] + 40, depth_at
+    rows = {r.id: r.v for r in t.df.collect()}
+    # key k last updated at the largest b <= 40 with b % 20 == k
+    assert rows[0] == 40 and rows[19] == 39 and rows[1] == 21
+    assert len(rows) == 20
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Bucketed co-located join: both sides bucketed on the key -> the
     equi-join plan contains no Exchange (shuffle), the Spark analog of
