@@ -19,8 +19,11 @@ Scale design (100 TB corpora):
   ``connected_components`` turns verified pairs into transitive groups.
 
 Skew note: a degenerate shingle (e.g. empty docs) can hot-spot one LSH
-bucket; callers should pre-filter empty/boilerplate docs (quality filter in
-pipeline.text) — AQE skew-join handles the rest.
+bucket. Pair expansion caps bucket/block membership (``max_bucket_size`` /
+``max_block_size``) so a pathological bucket is dropped — with its census
+queryable via ``lsh_capped_buckets`` — instead of expanding quadratically
+in one straggler task; pre-filtering empty/boilerplate docs (quality
+filter in pipeline.text) remains the first line of defense.
 """
 
 from __future__ import annotations
@@ -247,22 +250,18 @@ def lsh_band_buckets_pandas(
     return buckets(F.col(word_hash_col))
 
 
-def minhash_lsh_candidates(
+def _lsh_banded(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
-    shingle_mode: str = "word",
-    impl: str = "pandas",
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    shingle_mode: str,
+    impl: str,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash-LSH.
-
-    rows = (a, b) with a < b that collide in ≥1 band. Two docs with Jaccard
-    similarity s collide w.p. 1-(1-s^r)^b, r = num_perm/bands — the standard
-    LSH S-curve. One explode + one self-join keyed by (band, band_hash):
-    shuffle volume is O(n·bands), never O(n²)."""
+    """(id, band, bucket) rows — the shared banding stage of the LSH
+    candidate and bucket-stat paths."""
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows_per_band = num_perm // bands
@@ -314,26 +313,85 @@ def minhash_lsh_candidates(
         banded = with_sig.select(
             id_col, F.posexplode(buckets).alias("band", "bucket")
         )
+    return banded
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    impl: str = "pandas",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows = (a, b) with a < b that collide in ≥1 band. Two docs with Jaccard
+    similarity s collide w.p. 1-(1-s^r)^b, r = num_perm/bands — the standard
+    LSH S-curve. One explode + one self-join keyed by (band, band_hash):
+    shuffle volume is O(n·bands), never O(n²).
+
+    Hot-bucket guard: a degenerate shingle (empty/boilerplate docs sharing
+    one signature) would expand quadratically inside a single task — a
+    bucket of 50k ids is 1.25B pairs. Buckets larger than
+    ``max_bucket_size`` are dropped from pair expansion (their membership
+    is queryable via :func:`lsh_capped_buckets` for logging/inspection);
+    such buckets are boilerplate by construction — genuine near-dup
+    clusters that big should be caught by exact dedup/quality filters
+    first. ``None`` disables the cap."""
+    banded = _lsh_banded(
+        df, text_col, id_col, num_perm, bands, shingle_k, shingle_mode, impl
+    )
     # in-bucket pair expansion: ONE shuffle (groupBy bucket) instead of a
     # cached two-sided self-join — per bucket, emit all sorted-id pairs.
     # Bucket populations are tiny by construction (the S-curve keeps
-    # non-near-dups apart), so the quadratic expansion is per-bucket local;
-    # a pathological hot bucket is the same failure mode the self-join has.
+    # non-near-dups apart), so the quadratic expansion is per-bucket local.
     pair_expr = (
         f"flatten(transform(sequence(1, size(ids) - 1), i -> "
         f"transform(sequence(0, i - 1), j -> "
         f"struct(sorted[j] AS a, sorted[i] AS b))))"  # [] is 0-based in Spark SQL
     )
-    pairs = (
+    agged = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
-        .withColumn("sorted", F.array_sort("ids"))
+    )
+    if max_bucket_size is not None:
+        agged = agged.filter(F.size("ids") <= max_bucket_size)
+    pairs = (
+        agged.withColumn("sorted", F.array_sort("ids"))
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
     return pairs
+
+
+def lsh_capped_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    impl: str = "pandas",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band, bucket, n_ids) for buckets the candidate pass drops — the
+    'logged count' side of the hot-bucket guard. Same single banding
+    shuffle; callers log/alert on ``count()`` of this frame."""
+    banded = _lsh_banded(
+        df, text_col, id_col, num_perm, bands, shingle_k, shingle_mode, impl
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket_size)
+    )
 
 
 def jaccard_verify(
@@ -477,6 +535,7 @@ def simhash_candidates(
     prefix_bits: int = 8,
     impl: str = "pandas",
     hash_family: str = "xxhash64",
+    max_block_size: int | None = 5000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket-join on bit-prefix blocks (the
     public 'SimHash + block permutation' trick), verify hamming ≤ k via
@@ -484,7 +543,12 @@ def simhash_candidates(
 
     ``hash_family='md5'`` makes the whole chain (gram hash -> per-bit
     majority -> block join -> hamming) reproducible in DuckDB SQL for the
-    correctness oracle; xxhash64 stays the fast default."""
+    correctness oracle; xxhash64 stays the fast default.
+
+    ``max_block_size`` is the hot-block guard (same failure mode as the
+    LSH hot bucket): a degenerate signature block bigger than the cap is
+    dropped from pair expansion rather than exploding quadratically in one
+    task. ``None`` disables."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
     sig_expr = simhash_pandas("__shh") if impl == "pandas" else simhash("__shh")
@@ -500,11 +564,15 @@ def simhash_candidates(
         "flatten(transform(sequence(1, size(rs) - 1), i -> "
         "transform(sequence(0, i - 1), j -> struct(rs[j] AS l, rs[i] AS r))))"
     )
-    return (
+    agged = (
         blocked.groupBy("block")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sh")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .withColumn("rs", F.array_sort("ids"))
+    )
+    if max_block_size is not None:
+        agged = agged.filter(F.size("ids") <= max_block_size)
+    return (
+        agged.withColumn("rs", F.array_sort("ids"))
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .withColumn("hamming", F.expr("bit_count(p.l.sh ^ p.r.sh)"))
         .filter(F.col("hamming") <= max_hamming)

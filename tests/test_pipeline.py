@@ -81,6 +81,32 @@ def test_lsh_short_and_empty_docs_batch_independent(spark):
     assert {(r.a, r.b) for r in pairs1.collect()} == got
 
 
+def test_lsh_hot_bucket_guard(spark):
+    """Skew stress: thousands of identical docs collapse into ONE bucket
+    per band — uncapped that is a quadratic straggler task (5k docs =
+    12.5M pairs x bands). The guard drops oversized buckets (reported via
+    lsh_capped_buckets) while normal near-dup pairs still come through."""
+    degenerate = [(i, "identical boilerplate text repeated everywhere") for i in range(5000)]
+    normal = [
+        (100000, "the quick brown fox jumps over the lazy dog today"),
+        (100001, "the quick brown fox jumps over the lazy dog today!"),
+    ]
+    df = spark.createDataFrame(degenerate + normal, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_candidates(df, num_perm=32, bands=16, max_bucket_size=100)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (100000, 100001) in got  # normal near-dups unaffected
+    assert not any(a < 5000 and b < 5000 for a, b in got)  # hot bucket dropped
+    capped = dedup.lsh_capped_buckets(
+        df, num_perm=32, bands=16, max_bucket_size=100
+    ).collect()
+    assert len(capped) >= 16  # one per band for the degenerate cluster
+    assert all(r.n_ids == 5000 for r in capped)
+    # simhash has the analogous block guard
+    sim = dedup.simhash_candidates(df, max_hamming=2, max_block_size=100)
+    sgot = {(r.a, r.b) for r in sim.collect()}
+    assert not any(a < 5000 and b < 5000 for a, b in sgot)
+
+
 def test_minhash_signature_empty_docs_zeroed(spark):
     """Empty shingle arrays must produce the all-zero signature, not the
     next doc's reduceat value (and a trailing empty doc must not raise)."""
