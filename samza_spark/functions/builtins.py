@@ -71,15 +71,16 @@ def register_builtins(spark: SparkSession) -> None:
 
     GetSqlField/GetNestedField/Flatten/BuildOutputRecord are rewritten to
     native expressions by the SQL runner (samza_spark.sql.runner) before
-    execution; ConvertToString and RegexMatch are registered here as thin
-    native wrappers for direct use.
+    execution; ConvertToString and RegexMatch are registered as SQL UDFs
+    (CREATE TEMPORARY FUNCTION ... RETURN <expr>), so a direct
+    ``spark.sql("... RegexMatch(...)")`` that bypasses the runner's rewrite
+    still runs inside Catalyst/codegen — no BatchEvalPython in any path.
     """
-    spark.udf.register("ConvertToString", lambda x: None if x is None else str(x), "string")
-    # RegexMatch kept native via rewrite; a Python fallback for direct calls:
-    import re
-
-    spark.udf.register(
-        "RegexMatch",
-        lambda pattern, s: bool(re.search(pattern, s)) if (pattern is not None and s is not None) else None,
-        "boolean",
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ConvertToString(x STRING) "
+        "RETURNS STRING RETURN x"  # implicit cast to the declared STRING param
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION RegexMatch(pattern STRING, s STRING) "
+        "RETURNS BOOLEAN RETURN s RLIKE pattern"  # Samza's argument order
     )

@@ -278,16 +278,17 @@ def train_ivf_centroids(
     sample_per_list: int = 40,
     max_iter: int = 8,
 ):
-    """Train IVF coarse centroids: deterministic sample to the driver (first
-    ids — cheap TakeOrdered, reproducible across runs/partitionings), then
-    spherical k-means in numpy. Returns an (n_lists, dim) float64 array of
-    unit-norm centroids. The sample is tiny (n_lists*sample_per_list rows);
-    the corpus itself never moves."""
+    """Train IVF coarse centroids: deterministic PSEUDO-RANDOM sample to the
+    driver (TakeOrdered by xxhash64(id) — a seeded shuffle, so the sample is
+    unbiased even when ids correlate with content, and reproducible across
+    runs/partitionings), then spherical k-means in numpy. Returns an
+    (n_lists, dim) float64 array of unit-norm centroids. The sample is tiny
+    (n_lists*sample_per_list rows); the corpus itself never moves."""
     import numpy as np
 
     rows = (
         corpus.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n_lists * sample_per_list)
         .collect()
     )

@@ -21,6 +21,9 @@ from samza_spark.sources.descriptors import (
     KinesisSource,
     EventHubsSource,
     bootstrap_table,
+    KAFKA_WIRE_DDL,
+    from_kafka_records,
+    to_kafka_records,
 )
 
 __all__ = [
@@ -37,4 +40,7 @@ __all__ = [
     "KinesisSource",
     "EventHubsSource",
     "bootstrap_table",
+    "KAFKA_WIRE_DDL",
+    "from_kafka_records",
+    "to_kafka_records",
 ]

@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from samza_spark.operators.stream import MessageStream
 
@@ -166,6 +166,44 @@ class KafkaSink:
             return target.start()
         target.save()
         return None
+
+
+# Kafka wire schema as Spark's kafka source emits it — the contract the
+# config-only connectors above produce/consume. MemorySource rows in this
+# shape exercise the full mapping without a broker.
+KAFKA_WIRE_DDL = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def from_kafka_records(df: DataFrame, value_schema, key_alias: str = "__key__") -> DataFrame:
+    """Kafka wire rows -> Samza-SQL-shaped rows: the record key surfaces as
+    the ``__key__`` field (SamzaSqlRelMessage.java:39 KEY_NAME convention),
+    the JSON value decodes into columns, and the consumer metadata
+    (topic/partition/offset/timestamp) rides along — the projection
+    KafkaSystemConsumer.java:44-65 feeds into IncomingMessageEnvelope."""
+    parsed = df.select(
+        F.col("key").cast("string").alias(key_alias),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("__v"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+    return parsed.select(key_alias, "__v.*", "topic", "partition", "offset", "timestamp")
+
+
+def to_kafka_records(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Samza-SQL-shaped rows -> Kafka producer rows (key/value) for
+    KafkaSink: ``key_col`` (the ``__key__`` field) becomes the record key,
+    every other column JSON-encodes into the value
+    (KafkaSystemProducer.scala send path; SamzaSqlRelMessage key split)."""
+    payload_cols = [c for c in df.columns if c != key_col]
+    value = F.to_json(F.struct(*payload_cols)).alias("value")
+    if key_col is None:
+        return df.select(value)
+    return df.select(F.col(key_col).cast("string").alias("key"), value)
 
 
 @dataclass

@@ -108,7 +108,7 @@ class SqlApplication:
 
     def _plan(self, stmt: SqlStatement) -> DataFrame:
         if self.compat_mode:
-            validate_compat(stmt.select)
+            validate_compat(stmt.select, spark=self.spark)
             streams = [t for t in stmt.source_tables if t not in self._tables]
             if len(streams) > 1:
                 # JoinTranslator.java:210-212

@@ -37,8 +37,105 @@ _CHECKS: list[tuple[str, str]] = [
 _AGG_RE = re.compile(r"\b(count|sum|avg|min|max)\s*\(", re.IGNORECASE)
 
 
-def validate_compat(select_sql: str) -> None:
-    """Raise SqlValidationError when `select_sql` leaves the Samza subset."""
+def validate_compat(select_sql: str, spark=None) -> None:
+    """Raise SqlValidationError when `select_sql` leaves the Samza subset.
+
+    With a ``spark`` session the check runs on the ANALYZED logical plan
+    (operator nodes, not query text), so a column literally named
+    ``limit``/``except`` can't false-positive; without a session — or when
+    the statement can't be analyzed (unregistered views) — it falls back
+    to the regex check."""
+    if spark is not None:
+        try:
+            plan = spark.sql(select_sql)._jdf.queryExecution().analyzed()
+        except SqlValidationError:
+            raise
+        except Exception:
+            plan = None  # unresolvable here -> textual fallback below
+        if plan is not None:
+            _validate_plan(plan)
+            return
+    _validate_text(select_sql)
+
+
+def _iter_plan_nodes(plan):
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def _validate_plan(plan) -> None:
+    """Walk analyzed-plan nodes and reject the constructs the reference
+    rejects (SamzaSqlValidator.java:72-127, JoinTranslator.java:69-76,
+    LogicalAggregateTranslator.java:99-108). Structural nodes first, so a
+    ROLLUP reports 'grouping sets' rather than a downstream aggregate
+    nit."""
+    nodes = list(_iter_plan_nodes(plan))
+    for node in nodes:
+        name = node.nodeName()
+        if name == "Sort":
+            raise SqlValidationError("ORDER BY is not supported in Samza SQL")
+        if name in ("GlobalLimit", "LocalLimit"):
+            raise SqlValidationError("LIMIT is not supported in Samza SQL")
+        if name == "Union":
+            raise SqlValidationError(
+                "UNION is not supported in Samza SQL (use multi-statement fan-in)"
+            )
+        if name == "Intersect":
+            raise SqlValidationError("INTERSECT is not supported in Samza SQL")
+        if name == "Except":
+            raise SqlValidationError("EXCEPT is not supported in Samza SQL")
+        if name == "Window":
+            raise SqlValidationError(
+                "analytic window functions (OVER) are not supported in Samza SQL"
+            )
+        if name == "Expand":
+            raise SqlValidationError("grouping sets/cube/rollup are not supported")
+        if name in ("Distinct", "Deduplicate"):
+            raise SqlValidationError(
+                "DISTINCT aggregates are not supported in Samza SQL"
+            )
+        if name == "Join":
+            jt = node.joinType().toString()
+            if "FullOuter" in jt:
+                raise SqlValidationError(
+                    "FULL OUTER JOIN is not supported (JoinTranslator.java:69-76)"
+                )
+            if jt == "Cross":
+                raise SqlValidationError("CROSS JOIN is not supported (equi-joins only)")
+        if name == "Filter" and node.child().nodeName() == "Aggregate":
+            raise SqlValidationError("HAVING is not supported in Samza SQL")
+    for node in nodes:
+        if node.nodeName() == "Aggregate":
+            # one-line node description: grouping + aggregate expressions
+            # only. Unaliased aggregates render as `count(1) AS count(1)#5L`
+            # — strip alias text so the function call is counted once.
+            desc = re.sub(r" AS [^,\]]+", "", node.simpleString(1_000_000))
+            if re.search(r"\bcount\(distinct ", desc, re.IGNORECASE):
+                raise SqlValidationError(
+                    "DISTINCT aggregates are not supported in Samza SQL"
+                )
+            for fn in ("sum", "avg", "min", "max", "first", "last", "collect_list"):
+                if re.search(rf"\b{fn}\(", desc, re.IGNORECASE):
+                    # SamzaSqlValidator.java:116-127
+                    raise SqlValidationError(
+                        f"LogicalAggregate with {fn} function is not supported"
+                    )
+            n_counts = len(re.findall(r"\bcount\(", desc, re.IGNORECASE))
+            if n_counts > 1:
+                # LogicalAggregateTranslator.java:99-108 — exactly one agg call
+                raise SqlValidationError(
+                    "only a single COUNT aggregate call is supported per query"
+                )
+            if n_counts and node.groupingExpressions().isEmpty():
+                raise SqlValidationError("aggregate requires GROUP BY in Samza SQL")
+
+
+def _validate_text(select_sql: str) -> None:
     lowered = select_sql.lower()
     for pattern, message in _CHECKS:
         if re.search(pattern, lowered):

@@ -54,19 +54,35 @@ def running_aggregate(
     stream,
     key_col: str,
     value_col: str | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Running per-key (count, sum) emitted after every micro-batch that
-    touches the key. State persists across batches in the state store."""
-    try:  # the TWS state protocol needs protobuf, absent from this image
+    touches the key. State persists across batches in the state store.
+
+    ``impl``: 'tws' = transformWithStateInPandas (Spark 4 StatefulProcessor
+    — needs google.protobuf for its state-server protocol), 'apws' =
+    applyInPandasWithState (no extra deps), 'auto' = tws when protobuf is
+    importable, else apws. Both emit the same (key, running_n,
+    running_total) contract."""
+    df = getattr(stream, "df", stream)
+    if impl == "auto":
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            impl = "tws"
+        except ImportError:
+            impl = "apws"
+    if impl == "apws":
+        return _running_aggregate_apws(df, key_col, value_col)
+    try:  # the TWS state protocol needs protobuf, absent from some images
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
             "transformWithStateInPandas requires the google.protobuf package "
             "(its state-server protocol is protobuf-encoded), which is not "
-            "installed in this environment — use the applyInPandasWithState "
-            "operators in samza_spark.streaming.stateful instead"
+            "installed in this environment — use impl='apws' (same API on "
+            "applyInPandasWithState) instead"
         ) from exc
-    df = getattr(stream, "df", stream)
     return (
         df.groupBy(F.col(key_col))
         .transformWithStateInPandas(
@@ -74,5 +90,46 @@ def running_aggregate(
             outputStructType="key string, running_n bigint, running_total double",
             outputMode="append",
             timeMode="none",
+        )
+    )
+
+
+def _running_aggregate_apws(
+    df: DataFrame, key_col: str, value_col: str | None
+) -> DataFrame:
+    """The same running (n, total) per key on ``applyInPandasWithState`` —
+    dependency-free (no protobuf): per-key ValueState is a single
+    (n, total) tuple, exactly Samza's KeyValueStore get/put accumulation
+    (KeyValueStore.java:40)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    value_col_ = value_col
+
+    def fn(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        got = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            got = True
+            n += len(pdf)
+            if value_col_ is not None:
+                total += float(pdf[value_col_].sum())
+        if got:
+            state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"key": [str(key[0])], "running_n": [n], "running_total": [total]}
+            )
+        else:
+            yield pd.DataFrame({"key": [], "running_n": [], "running_total": []})
+
+    return (
+        df.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            "key string, running_n bigint, running_total double",
+            "n bigint, total double",
+            "append",
+            GroupStateTimeout.NoTimeout,
         )
     )

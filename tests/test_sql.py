@@ -56,6 +56,46 @@ def test_compat_validator_accepts_samza_subset():
     validate_compat("SELECT k, count(*) AS c FROM t GROUP BY k")
 
 
+def test_plan_validator_no_false_positive_on_keyword_columns(spark):
+    """Plan-based validation (analyzed logical plan, not query text): a
+    column literally named `limit` or `except` must pass; the same
+    constructs as OPERATORS must still be rejected."""
+    spark.createDataFrame(
+        [(1, 2, 3)], "`limit` int, `except` int, k int"
+    ).createOrReplaceTempView("kw")
+    # keyword-named columns: fine on the plan, false-positive on the text
+    validate_compat("SELECT `limit`, `except` FROM kw WHERE `limit` > 0", spark=spark)
+    validate_compat(
+        "SELECT k, count(*) AS c FROM kw GROUP BY k", spark=spark
+    )
+    with pytest.raises(SqlValidationError, match="LIMIT"):
+        validate_compat("SELECT k FROM kw LIMIT 5", spark=spark)
+    with pytest.raises(SqlValidationError, match="ORDER BY"):
+        validate_compat("SELECT k FROM kw ORDER BY k", spark=spark)
+    with pytest.raises(SqlValidationError, match="sum"):
+        validate_compat("SELECT k, sum(`limit`) FROM kw GROUP BY k", spark=spark)
+    with pytest.raises(SqlValidationError, match="HAVING"):
+        validate_compat(
+            "SELECT k, count(*) AS c FROM kw GROUP BY k HAVING count(*) > 1",
+            spark=spark,
+        )
+    with pytest.raises(SqlValidationError, match="DISTINCT"):
+        validate_compat(
+            "SELECT k, count(DISTINCT `limit`) FROM kw GROUP BY k", spark=spark
+        )
+    with pytest.raises(SqlValidationError, match="OVER"):
+        validate_compat(
+            "SELECT k, rank() OVER (ORDER BY `limit`) FROM kw", spark=spark
+        )
+    with pytest.raises(SqlValidationError, match="rollup"):
+        validate_compat(
+            "SELECT k, count(*) FROM kw GROUP BY ROLLUP(k)", spark=spark
+        )
+    # unresolvable view -> graceful textual fallback, still validates
+    with pytest.raises(SqlValidationError, match="LIMIT"):
+        validate_compat("SELECT x FROM no_such_view LIMIT 3", spark=spark)
+
+
 def test_rewrite_builtins():
     assert (
         rewrite_builtins("SELECT GetSqlField(address, 'streetnum.number') FROM p")
@@ -167,3 +207,21 @@ def test_compat_streaming_groupby_gets_processing_time_window(spark, tmp_path):
     assert rows == {("click", 2), ("view", 1)}
     got = spark.sql("SELECT * FROM gbw_out").collect()
     assert all((r.window_end.timestamp() - r.window_start.timestamp()) == 60 for r in got)
+
+
+def test_builtin_udfs_stay_in_catalyst(spark):
+    """Direct spark.sql calls to the registered builtins (bypassing the
+    runner's rewrite) must run as SQL UDFs inside Catalyst — no
+    BatchEvalPython / row-at-a-time Python in the plan."""
+    from samza_spark.functions.builtins import register_builtins
+
+    register_builtins(spark)
+    spark.createDataFrame(
+        [("axxb", 7), ("nope", 8)], "txt string, n int"
+    ).createOrReplaceTempView("bu")
+    df = spark.sql(
+        "SELECT RegexMatch('a.*b', txt) AS m, ConvertToString(n) AS s FROM bu"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert sorted(tuple(r) for r in df.collect()) == [(False, "8"), (True, "7")]

@@ -165,9 +165,9 @@ def test_window_close_fires_under_sustained_traffic(spark):
     assert all(r.n > 0 for r in finals)
 
 
-def test_running_aggregate_gated_without_protobuf(spark):
+def test_running_aggregate_tws_gated_without_protobuf(spark):
     """transformWithStateInPandas needs google.protobuf (absent here); the
-    running-aggregate operator must fail with guidance, not a worker crash."""
+    explicit impl='tws' must fail with guidance, not a worker crash."""
     from samza_spark.streaming.running_agg import running_aggregate
 
     try:
@@ -177,4 +177,36 @@ def test_running_aggregate_gated_without_protobuf(spark):
         pass
     df = spark.readStream.format("rate").load()
     with pytest.raises(NotImplementedError, match="protobuf"):
-        running_aggregate(df, "value")
+        running_aggregate(df, "value", impl="tws")
+
+
+def test_running_aggregate_apws_across_batches(spark, tmp_path):
+    """Per-key running (n, total) accumulates across >=3 micro-batches on
+    the protobuf-free applyInPandasWithState implementation (KeyValueStore
+    get/put accumulation, KeyValueStore.java:40); impl='auto' selects it
+    when protobuf is absent."""
+    from samza_spark.streaming.running_agg import running_aggregate
+
+    d = tmp_path / "run_agg"
+    d.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            [("a", float(i + 1)), ("b", 10.0 * (i + 1))], "k string, v double"
+        ).coalesce(1).write.parquet(str(d / f"b{i}"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    src = FileSource(f"{d}/*", schema="k string, v double", max_files_per_trigger=1)
+    out = running_aggregate(src.read_stream(spark), "k", "v")
+    sink = MemorySink("run_agg_out", output_mode="append")
+    q = sink.write(out)
+    ok = await_condition(q, lambda: len(sink.collect(spark)) >= 6, timeout_s=90)
+    q.stop()
+    q.awaitTermination(30)
+    assert ok, f"expected 6 rows, got {sink.collect(spark)}"
+    rows = sorted(
+        ((r.key, r.running_n, r.running_total) for r in sink.collect(spark)),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert rows == [
+        ("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 6.0),
+        ("b", 1, 10.0), ("b", 2, 30.0), ("b", 3, 60.0),
+    ]

@@ -252,3 +252,50 @@ def test_idempotent_foreach_batch_skips_replayed_epoch(spark, tmp_path):
     fn(df, 1)
     fn(df, 0)  # replay after "recovery"
     assert hits == [0, 1]
+
+
+def test_kafka_wire_contract_via_memory_source(spark):
+    """Kafka-shape contract without a broker: 6-column wire schema rows
+    (KafkaSystemConsumer.java:44-65) run through the __key__ mapping
+    (SamzaSqlRelMessage.java:39), an engine op, and back out as producer
+    (key, value) records — the semantics the config-only KafkaSource/
+    KafkaSink carry."""
+    import json
+
+    from samza_spark.sources import (
+        KAFKA_WIRE_DDL,
+        MemorySource,
+        from_kafka_records,
+        to_kafka_records,
+    )
+
+    rows = [
+        (
+            str(k).encode(),
+            json.dumps({"user": f"u{k}", "amount": k * 10}).encode(),
+            "payments",
+            k % 2,
+            i,
+            dt.datetime(2024, 1, 1, 10, 0, i),
+            0,
+        )
+        for i, k in enumerate([1, 2, 1, 3])
+    ]
+    wire = MemorySource(rows, KAFKA_WIRE_DDL).read(spark).df
+    msgs = from_kafka_records(wire, "user string, amount bigint")
+    # __key__ first (KEY_NAME convention), payload columns, consumer metadata
+    assert msgs.columns == [
+        "__key__", "user", "amount", "topic", "partition", "offset", "timestamp"
+    ]
+    got = {(r["__key__"], r["user"], r["amount"], r["offset"]) for r in msgs.collect()}
+    assert got == {
+        ("1", "u1", 10, 0), ("2", "u2", 20, 1), ("1", "u1", 10, 2), ("3", "u3", 30, 3)
+    }
+    out = msgs.filter("amount >= 20").select("__key__", "user", "amount")
+    prod = to_kafka_records(out, key_col="__key__")
+    assert prod.columns == ["key", "value"]
+    sent = {(r["key"], json.loads(r["value"])["user"], json.loads(r["value"])["amount"])
+            for r in prod.collect()}
+    assert sent == {("2", "u2", 20), ("3", "u3", 30)}
+    # keyless records: value-only producer rows (null-key round-robin topic)
+    assert to_kafka_records(out).columns == ["value"]
