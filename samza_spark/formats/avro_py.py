@@ -1,0 +1,449 @@
+"""Pure-Python Avro Object Container File codec + Spark integration.
+
+The reference's HDFS surface is Avro-first — AvroFileHdfsReader
+(/root/reference samza-hdfs/.../reader/AvroFileHdfsReader.java:41-74),
+AvroDataFileHdfsWriter (samza-hdfs/.../writer/AvroDataFileHdfsWriter.scala)
+— but the spark-avro connector jar is an external module that may be
+absent (as in this environment). This module implements the Avro 1.x
+binary encoding and OCF framing (public spec: avro.apache.org/docs/
+current/specification/) in plain Python so Avro files remain readable and
+writable WITHOUT the jar:
+
+* ``read_avro``  — ``binaryFile`` scan + ``mapInPandas`` decode: each
+  executor decodes whole container files in parallel (one task per file,
+  the same unit AvroFileHdfsReader uses per split); the blob never
+  reaches the driver (only one file HEADER is peeked for the schema).
+* ``write_avro`` — ``foreachPartition`` writes one ``.avro`` container
+  file per partition (AvroDataFileHdfsWriter writes per task the same
+  way). Codecs: null and deflate.
+
+When the spark-avro jar IS on the classpath, prefer it
+(``format("avro")``) — JVM decode is far faster; FileSource tries the jar
+first and falls back here. Supported schema features mirror
+AvroRelConverter (samza-sql/.../avro/AvroRelConverter.java:63-158):
+records, arrays, maps, nullable unions, enums (as strings), fixed (as
+bytes), and the date/timestamp logical types.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from samza_spark.schema import avro_to_struct
+
+MAGIC = b"Obj\x01"
+
+
+# ---------------------------------------------------------------------------
+# Binary primitives (Avro spec "Binary encoding")
+# ---------------------------------------------------------------------------
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    n = (n << 1) ^ (n >> 63)  # zigzag
+    while (n & ~0x7F) != 0:
+        out.write(bytes([(n & 0x7F) | 0x80]))
+        n >>= 7
+    out.write(bytes([n]))
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+def _write_bytes(out: io.BytesIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    return buf.read(n)
+
+
+# ---------------------------------------------------------------------------
+# Schema-driven value codec
+# ---------------------------------------------------------------------------
+
+
+def _norm_schema(schema: Any) -> Any:
+    if isinstance(schema, str):
+        s = schema.strip()
+        if s.startswith("{") or s.startswith("["):
+            return json.loads(s)
+    return schema
+
+
+def _type_name(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"] if isinstance(schema.get("type"), str) else _type_name(schema["type"])
+
+
+def _encode(out: io.BytesIO, schema: Any, v: Any) -> None:
+    schema = _norm_schema(schema)
+    if isinstance(schema, list):  # union: branch index + value
+        idx = _pick_branch(schema, v)
+        _write_long(out, idx)
+        _encode(out, schema[idx], v)
+        return
+    t = _type_name(schema)
+    if t == "null":
+        return
+    if t == "boolean":
+        out.write(b"\x01" if v else b"\x00")
+    elif t in ("int", "long"):
+        _write_long(out, int(v))
+    elif t == "float":
+        out.write(struct.pack("<f", float(v)))
+    elif t == "double":
+        out.write(struct.pack("<d", float(v)))
+    elif t == "bytes":
+        _write_bytes(out, bytes(v))
+    elif t == "string":
+        _write_bytes(out, str(v).encode("utf-8"))
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode(out, f["type"], None if v is None else v.get(f["name"]))
+    elif t == "array":
+        items = list(v or [])
+        if items:
+            _write_long(out, len(items))
+            for item in items:
+                _encode(out, schema["items"], item)
+        _write_long(out, 0)
+    elif t == "map":
+        entries = dict(v or {})
+        if entries:
+            _write_long(out, len(entries))
+            for k, val in entries.items():
+                _write_bytes(out, str(k).encode("utf-8"))
+                _encode(out, schema["values"], val)
+        _write_long(out, 0)
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(v))
+    elif t == "fixed":
+        out.write(bytes(v))
+    else:
+        raise ValueError(f"unsupported avro type for encode: {t!r}")
+
+
+def _pick_branch(branches: list, v: Any) -> int:
+    for i, b in enumerate(branches):
+        if _type_name(_norm_schema(b)) == "null" and v is None:
+            return i
+    for i, b in enumerate(branches):
+        if _type_name(_norm_schema(b)) != "null" and v is not None:
+            return i
+    raise ValueError(f"no union branch for {v!r} in {branches!r}")
+
+
+def _decode(buf: io.BytesIO, schema: Any) -> Any:
+    schema = _norm_schema(schema)
+    if isinstance(schema, list):
+        idx = _read_long(buf)
+        return _decode(buf, schema[idx])
+    t = _type_name(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        n = _read_long(buf)
+        return _apply_logical(schema, n)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return _read_bytes(buf)
+    if t == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if t == "record":
+        return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:  # block with byte-size prefix (spec-permitted)
+                _read_long(buf)
+                n = -n
+            out.extend(_decode(buf, schema["items"]) for _ in range(n))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(buf).decode("utf-8")
+                out[k] = _decode(buf, schema["values"])
+        return out
+    if t == "enum":
+        return schema["symbols"][_read_long(buf)]
+    if t == "fixed":
+        return buf.read(schema["size"])
+    raise ValueError(f"unsupported avro type for decode: {t!r}")
+
+
+def _apply_logical(schema: Any, n: int) -> Any:
+    import datetime as dt
+
+    logical = schema.get("logicalType") if isinstance(schema, dict) else None
+    if logical == "date":
+        return dt.date(1970, 1, 1) + dt.timedelta(days=n)
+    if logical == "timestamp-millis":
+        return dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=n)
+    if logical == "timestamp-micros":
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=n)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Object Container File framing
+# ---------------------------------------------------------------------------
+
+
+def write_ocf(fileobj, schema: Any, rows, codec: str = "null", block_rows: int = 4096) -> None:
+    """Write rows (dicts matching the record schema) as one container file."""
+    schema = _norm_schema(schema)
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    sync = os.urandom(16)
+    fileobj.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    hdr = io.BytesIO()
+    _write_long(hdr, len(meta))
+    for k, v in meta.items():
+        _write_bytes(hdr, k.encode("utf-8"))
+        _write_bytes(hdr, v)
+    _write_long(hdr, 0)
+    fileobj.write(hdr.getvalue())
+    fileobj.write(sync)
+
+    batch, count = io.BytesIO(), 0
+
+    def flush():
+        nonlocal batch, count
+        if not count:
+            return
+        data = batch.getvalue()
+        if codec == "deflate":
+            data = zlib.compress(data)[2:-4]  # raw deflate per spec
+        blk = io.BytesIO()
+        _write_long(blk, count)
+        _write_long(blk, len(data))
+        fileobj.write(blk.getvalue())
+        fileobj.write(data)
+        fileobj.write(sync)
+        batch, count = io.BytesIO(), 0
+
+    for row in rows:
+        _encode(batch, schema, row)
+        count += 1
+        if count >= block_rows:
+            flush()
+    flush()
+
+
+def read_ocf_header(blob: bytes) -> tuple[dict, bytes, int]:
+    """(metadata, sync_marker, header_end_offset) from container bytes."""
+    if blob[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    buf = io.BytesIO(blob[4:])
+    meta = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode("utf-8")
+            meta[k] = _read_bytes(buf)
+    sync = buf.read(16)
+    return meta, sync, 4 + buf.tell()
+
+
+def read_ocf(blob: bytes) -> Iterator[dict]:
+    """Decode every row of a container file held in memory."""
+    meta, sync, off = read_ocf_header(blob)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    buf = io.BytesIO(blob[off:])
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, 1)
+        count = _read_long(buf)
+        size = _read_long(buf)
+        data = buf.read(size)
+        if codec == "deflate":
+            data = zlib.decompress(data, wbits=-15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        block = io.BytesIO(data)
+        for _ in range(count):
+            yield _decode(block, schema)
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+
+
+# ---------------------------------------------------------------------------
+# Spark <-> Avro schema derivation (writer side)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_AVRO: dict[type, Any] = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BinaryType: "bytes",
+    T.StringType: "string",
+    T.DateType: {"type": "int", "logicalType": "date"},
+    T.TimestampType: {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+def spark_to_avro_schema(dt: T.DataType, name: str = "record0", nullable: bool = False) -> Any:
+    base: Any
+    if isinstance(dt, T.StructType):
+        base = {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": spark_to_avro_schema(f.dataType, f"{name}_{f.name}", f.nullable),
+                }
+                for f in dt.fields
+            ],
+        }
+    elif isinstance(dt, T.ArrayType):
+        base = {
+            "type": "array",
+            "items": spark_to_avro_schema(dt.elementType, f"{name}_item", dt.containsNull),
+        }
+    elif isinstance(dt, T.MapType):
+        base = {
+            "type": "map",
+            "values": spark_to_avro_schema(dt.valueType, f"{name}_value", dt.valueContainsNull),
+        }
+    elif type(dt) in _SPARK_TO_AVRO:
+        base = _SPARK_TO_AVRO[type(dt)]
+    elif isinstance(dt, T.DecimalType):
+        base = "double"  # lossy; declare an explicit avro schema for exact decimals
+    else:
+        raise ValueError(f"cannot derive avro schema for spark type {dt.simpleString()}")
+    return ["null", base] if nullable else base
+
+
+# ---------------------------------------------------------------------------
+# DataFrame read/write
+# ---------------------------------------------------------------------------
+
+
+def read_avro(spark: SparkSession, path: str, avro_schema: Any = None) -> DataFrame:
+    """Read .avro container files into a DataFrame without the spark-avro
+    jar: ``binaryFile`` scan + per-file executor-side decode. The schema
+    comes from ``avro_schema`` or from peeking ONE file's header (the only
+    driver-side read, a few KB)."""
+    import pandas as pd
+
+    if avro_schema is None:
+        files = [
+            r.path
+            for r in spark.read.format("binaryFile")
+            .load(path)
+            .select("path")
+            .limit(1)
+            .collect()
+        ]
+        if not files:
+            raise ValueError(f"no avro files at {path}")
+        local = files[0].removeprefix("file:")
+        with open(local, "rb") as f:
+            head = f.read(1 << 20)
+        meta, _, _ = read_ocf_header(head)
+        avro_schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    avro_schema = _norm_schema(avro_schema)
+    out_struct = avro_to_struct(avro_schema)
+    cols = [f.name for f in out_struct.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = list(read_ocf(bytes(blob)))
+                yield pd.DataFrame(
+                    {c: [r.get(c) for r in rows] for c in cols}, columns=cols
+                )
+
+    files_df = spark.read.format("binaryFile").load(path).select("content")
+    return files_df.mapInPandas(decode, out_struct)
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    avro_schema: Any = None,
+    codec: str = "null",
+) -> Any:
+    """Write a DataFrame as .avro container files, one file per partition
+    (AvroDataFileHdfsWriter writes per task the same way), executor-side —
+    rows never reach the driver. Returns the avro schema used."""
+    schema = _norm_schema(avro_schema) if avro_schema else spark_to_avro_schema(df.schema, "topLevelRecord")
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        import itertools
+
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        with open(fname, "wb") as f:
+            write_ocf(
+                f,
+                schema,
+                (r.asDict(recursive=True) for r in itertools.chain([first], it)),
+                codec=codec,
+            )
+
+    df.foreachPartition(write_partition)
+    return schema

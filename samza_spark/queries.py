@@ -589,6 +589,29 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro end-to-end WITHOUT the spark-avro jar: documents -> pure-Python
+    OCF container files (one per partition, executor-side) -> binaryFile +
+    mapInPandas decode -> projection. Oracle reads the original table, so
+    every byte of the round trip is value-checked
+    (samza-hdfs AvroFileHdfsReader.java:41-74 / AvroDataFileHdfsWriter
+    parity path)."""
+    import tempfile
+
+    from samza_spark.formats.avro_py import read_avro, write_avro
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="ss_avro_q_")
+    write_avro(docs, path)
+    return read_avro(spark, path).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").cast("int").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -636,6 +659,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
+    "avro_roundtrip": q_avro_roundtrip,
 }
 
 # DuckDB list-expression helpers for the oracles ---------------------------
@@ -957,6 +981,12 @@ ORACLES = {
         "CAST(64 + (('0x' || substr(sha256(text), 1, 4))::BIGINT % 960) AS INT) AS width, "
         "CAST(64 + (('0x' || substr(sha256(text), 5, 4))::BIGINT % 960) AS INT) AS height, "
         "CAST(3 AS INT) AS channels, CAST(8 AS INT) AS feat_dim FROM documents"
+    ),
+    # the spark side round-trips through pure-Python Avro container files;
+    # matching the original table proves the codec end-to-end
+    "avro_roundtrip": (
+        "SELECT doc_id, lang, n_chars, CAST(length(text) AS INT) AS text_len, "
+        "md5(text) AS text_md5 FROM documents"
     ),
 }
 

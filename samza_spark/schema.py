@@ -80,9 +80,12 @@ def avro_to_spark_type(schema: Any) -> T.DataType:
     if t in PRIMITIVES:
         return PRIMITIVES[t]
     if t == "array":
-        return T.ArrayType(avro_to_spark_type(schema["items"]))
+        # element nullability mirrors the items schema (nullable union or not)
+        return T.ArrayType(avro_to_spark_type(schema["items"]), _nullable(schema["items"]))
     if t == "map":  # Avro maps are string-keyed (matches Samza's MAP type)
-        return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]))
+        return T.MapType(
+            T.StringType(), avro_to_spark_type(schema["values"]), _nullable(schema["values"])
+        )
     if t == "record":
         return T.StructType(
             [

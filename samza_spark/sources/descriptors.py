@@ -55,16 +55,24 @@ class FileSource:
     options: Mapping[str, str] = field(default_factory=dict)
     max_files_per_trigger: int | None = None
 
-    def _load(self, reader):
+    def _load(self, reader, spark: SparkSession | None = None):
         try:
             return MessageStream(reader.load(self.path))
-        except Exception as exc:  # surface the missing-package case clearly
+        except Exception as exc:
             if self.fmt == "avro" and "avro" in str(exc).lower():
+                if spark is not None:  # batch read: pure-Python OCF fallback
+                    from samza_spark.formats.avro_py import read_avro
+
+                    return MessageStream(
+                        read_avro(spark, self.path, self.options.get("avroSchema"))
+                    )
                 raise NotImplementedError(
-                    "the spark-avro package jar is not on this cluster's "
-                    "classpath (Avro is an external Spark module); submit with "
-                    "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
-                    "(reference parity: samza-hdfs Avro readers/writers)"
+                    "streaming Avro needs the spark-avro package jar (Avro is "
+                    "an external Spark module); submit with --packages "
+                    "org.apache.spark:spark-avro_2.13:<spark-version>. Batch "
+                    "reads fall back to the built-in pure-Python OCF codec "
+                    "(samza_spark.formats.avro_py; reference parity: "
+                    "samza-hdfs Avro readers/writers)"
                 ) from exc
             raise
 
@@ -72,7 +80,7 @@ class FileSource:
         reader = spark.read.format(self.fmt).options(**self.options)
         if self.schema is not None:
             reader = reader.schema(self.schema)
-        return self._load(reader)
+        return self._load(reader, spark)
 
     def read_stream(self, spark: SparkSession) -> MessageStream:
         if self.schema is None:
@@ -110,7 +118,16 @@ class FileSink:
         writer = df.write.format(self.fmt).mode(self.mode).options(**self.options)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.save(self.path)
+        try:
+            writer.save(self.path)
+        except Exception as exc:
+            if self.fmt == "avro" and "avro" in str(exc).lower():
+                # jar-less fallback: pure-Python OCF, one file per partition
+                from samza_spark.formats.avro_py import write_avro
+
+                write_avro(df, self.path, self.options.get("avroSchema"))
+                return None
+            raise
         return None
 
 

@@ -1,0 +1,243 @@
+"""Avro without the spark-avro jar: pure-Python OCF codec (spec-compliance
+golden bytes, round trips, codecs), DataFrame read/write integration, and
+reference-shaped schema conversion fixtures (AvroRelConverter.java:63-158
+feature coverage)."""
+
+import datetime as dt
+import io
+import json
+
+import pytest
+from pyspark.sql import Row, types as T
+
+from samza_spark.formats.avro_py import (
+    read_avro,
+    read_ocf,
+    spark_to_avro_schema,
+    write_avro,
+    write_ocf,
+)
+from samza_spark.schema import avro_to_struct
+
+
+RICH_SCHEMA = {
+    "type": "record",
+    "name": "Profile",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "active", "type": "boolean"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "address",
+            "type": {
+                "type": "record",
+                "name": "Address",
+                "fields": [
+                    {"name": "zip", "type": "int"},
+                    {"name": "street", "type": ["null", "string"]},
+                ],
+            },
+        },
+        {
+            "name": "kind",
+            "type": {"type": "enum", "name": "Kind", "symbols": ["FREE", "PAID"]},
+        },
+        {"name": "sig", "type": {"type": "fixed", "name": "Sig", "size": 4}},
+    ],
+}
+
+RICH_ROWS = [
+    {
+        "id": 1,
+        "name": "ann",
+        "score": 1.5,
+        "active": True,
+        "blob": b"\x00\x01",
+        "tags": ["a", "b"],
+        "attrs": {"k1": 7, "k2": -3},
+        "address": {"zip": 94110, "street": "mission"},
+        "kind": "PAID",
+        "sig": b"abcd",
+    },
+    {
+        "id": -2,
+        "name": None,
+        "score": -0.25,
+        "active": False,
+        "blob": b"",
+        "tags": [],
+        "attrs": {},
+        "address": {"zip": 10001, "street": None},
+        "kind": "FREE",
+        "sig": b"\x00\x00\x00\x00",
+    },
+]
+
+
+def test_binary_encoding_golden_bytes():
+    """Spec compliance against hand-computed bytes: zigzag varints, length-
+    prefixed strings, array terminator (Avro spec 'Binary encoding')."""
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    from samza_spark.formats.avro_py import _encode
+
+    out = io.BytesIO()
+    _encode(out, schema, {"a": 3, "b": "hi", "c": [1, -1]})
+    # zigzag(3)=6; "hi" -> len 2 = zigzag 4 then bytes; array: count 2
+    # (zigzag 4), items zigzag(1)=2, zigzag(-1)=1, terminator 0
+    assert out.getvalue() == b"\x06" + b"\x04hi" + b"\x04\x02\x01\x00"
+    # large varint: zigzag(64) = 128 -> 2-byte varint 0x80 0x01
+    out2 = io.BytesIO()
+    _encode(out2, "long", 64)
+    assert out2.getvalue() == b"\x80\x01"
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_round_trip(codec):
+    buf = io.BytesIO()
+    write_ocf(buf, RICH_SCHEMA, RICH_ROWS, codec=codec, block_rows=1)  # multi-block
+    got = list(read_ocf(buf.getvalue()))
+    assert got == RICH_ROWS
+
+
+def test_ocf_corruption_detected():
+    buf = io.BytesIO()
+    write_ocf(buf, RICH_SCHEMA, RICH_ROWS)
+    blob = bytearray(buf.getvalue())
+    blob[-1] ^= 0xFF  # clobber the trailing sync marker
+    with pytest.raises(ValueError, match="sync marker"):
+        list(read_ocf(bytes(blob)))
+
+
+def test_logical_types_round_trip():
+    schema = {
+        "type": "record",
+        "name": "L",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "tm", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    from samza_spark.formats.avro_py import _decode, _encode
+
+    out = io.BytesIO()
+    _encode(out, schema, {"d": 19723, "tm": 1_704_067_200_000_000})
+    got = _decode(io.BytesIO(out.getvalue()), schema)
+    assert got["d"] == dt.date(2024, 1, 1)
+    assert got["tm"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_dataframe_avro_round_trip(spark, tmp_path):
+    """write_avro (one OCF per partition, executor-side) -> read_avro
+    (binaryFile + mapInPandas decode) round-trips data and types,
+    including nested struct / array / map / nullable."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1, 2], {"x": 1.5}, Row(zip=94110, street="mission"), None),
+            (2, None, [], {}, Row(zip=10001, street=None), 3.5),
+        ],
+        "id bigint, name string, xs array<int>, m map<string,double>, "
+        "addr struct<zip:int,street:string>, opt double",
+    ).repartition(3)
+    path = str(tmp_path / "avro_rt")
+    schema_used = write_avro(df, path)
+    assert schema_used["type"] == "record"
+    back = read_avro(spark, path)
+    assert back.schema == avro_to_struct(schema_used)
+    got = sorted(
+        ((r.id, r.name, r.xs, r.m, (r.addr.zip, r.addr.street), r.opt) for r in back.collect())
+    )
+    assert got == [
+        (1, "a", [1, 2], {"x": 1.5}, (94110, "mission"), None),
+        (2, None, [], {}, (10001, None), 3.5),
+    ]
+
+
+def test_filesource_filesink_avro_fallback(spark, tmp_path):
+    """FileSink/FileSource fmt='avro' work end-to-end without the
+    spark-avro jar via the OCF fallback; streaming avro still raises with
+    guidance (the jar is genuinely required for readStream)."""
+    from samza_spark.sources import FileSink, FileSource
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    path = str(tmp_path / "avro_sink")
+    FileSink(path, fmt="avro").write(df)
+    back = FileSource(path, fmt="avro").read(spark).df
+    assert sorted((r.id, r.v) for r in back.collect()) == [(1, "x"), (2, "y")]
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        FileSource(path, fmt="avro", schema="id int, v string").read_stream(spark)
+
+
+def test_reference_shaped_schema_fixtures():
+    """avro_to_struct over the schema features the reference's converter
+    handles (AvroRelConverter.java:63-158): nested records, nullable
+    unions, multi-branch unions (tagged struct), maps, arrays, enums ->
+    string, fixed -> bytes, decimal/timestamp logical types."""
+    st = avro_to_struct(RICH_SCHEMA)
+    assert st["name"].dataType == T.StringType() and st["name"].nullable
+    assert st["tags"].dataType == T.ArrayType(T.StringType(), False)
+    assert st["attrs"].dataType == T.MapType(T.StringType(), T.LongType(), False)
+    assert isinstance(st["address"].dataType, T.StructType)
+    assert st["address"].dataType["street"].nullable
+    assert st["kind"].dataType == T.StringType()  # enum -> string
+    assert st["sig"].dataType == T.BinaryType()  # fixed -> bytes
+
+    multi_union = {
+        "type": "record",
+        "name": "U",
+        "fields": [{"name": "val", "type": ["null", "string", "long"]}],
+    }
+    ust = avro_to_struct(multi_union)
+    assert isinstance(ust["val"].dataType, T.StructType)  # tagged struct
+    assert {f.name for f in ust["val"].dataType.fields} == {
+        "member_string",
+        "member_long",
+    }
+
+    logical = {
+        "type": "record",
+        "name": "LT",
+        "fields": [
+            {
+                "name": "price",
+                "type": {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2},
+            },
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    }
+    lst = avro_to_struct(logical)
+    assert lst["price"].dataType == T.DecimalType(12, 2)
+    assert lst["ts"].dataType == T.TimestampType()
+    assert lst["day"].dataType == T.DateType()
+
+
+def test_spark_to_avro_derivation_round_trips_through_converter():
+    """spark_to_avro_schema o avro_to_struct is identity on the supported
+    lattice (modulo nullability defaults on containers)."""
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("xs", T.ArrayType(T.IntegerType(), False), False),
+            T.StructField(
+                "addr",
+                T.StructType([T.StructField("zip", T.IntegerType(), False)]),
+                False,
+            ),
+        ]
+    )
+    avro = spark_to_avro_schema(st, "topLevelRecord")
+    assert json.dumps(avro)  # serializable
+    assert avro_to_struct(avro) == st
