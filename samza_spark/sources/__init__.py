@@ -16,6 +16,7 @@ from samza_spark.sources.descriptors import (
     MemorySink,
     ConsoleSink,
     ElasticsearchSink,
+    AzureBlobAvroSink,
     RateSource,
     Startpoint,
     KinesisSource,
@@ -35,6 +36,7 @@ __all__ = [
     "MemorySink",
     "ConsoleSink",
     "ElasticsearchSink",
+    "AzureBlobAvroSink",
     "RateSource",
     "Startpoint",
     "KinesisSource",

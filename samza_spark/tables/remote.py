@@ -132,3 +132,47 @@ class RemoteTable:
                     yield rows
 
         return df.mapInPandas(lookup_batches, out_schema)
+
+
+class CouchbaseTable(RemoteTable):
+    """Couchbase-backed remote table (samza-kv-couchbase
+    CouchbaseTableReadFunction.java:74-120 / CouchbaseTableWriteFunction
+    analog, sharing BaseCouchbaseTableFunction's rate-limit/retry/batch
+    stack via RemoteTable).
+
+    ``client`` is any object with ``get_multi(keys) -> dict[key, dict]``
+    (the couchbase SDK's bucket wrapped, or a dict-backed fake in tests).
+    Without one, the real SDK is probed at call time — it is an optional
+    dependency exactly as samza-kv-couchbase is an optional module."""
+
+    def __init__(
+        self,
+        bucket: str,
+        key_col: str,
+        value_schema: str,
+        client=None,
+        **kwargs,
+    ):
+        self.bucket = bucket
+        if client is None:
+            try:
+                import couchbase  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "the couchbase Python SDK is not installed in this "
+                    "environment; pass client= (any object with "
+                    "get_multi(keys) -> dict) or install couchbase "
+                    "(reference parity: samza-kv-couchbase is optional)"
+                ) from exc
+            from couchbase.cluster import Cluster  # pragma: no cover
+
+            raise NotImplementedError(
+                "direct SDK wiring requires cluster credentials; construct "
+                "the bucket client and pass client="
+            )  # pragma: no cover
+        super().__init__(
+            lookup_fn=lambda keys: client.get_multi(keys),
+            key_col=key_col,
+            value_schema=value_schema,
+            **kwargs,
+        )

@@ -241,3 +241,47 @@ def test_spark_to_avro_derivation_round_trips_through_converter():
     avro = spark_to_avro_schema(st, "topLevelRecord")
     assert json.dumps(avro)  # serializable
     assert avro_to_struct(avro) == st
+
+
+def test_azure_blob_avro_sink_local_path(spark, tmp_path):
+    """AzureBlobAvroWriter analog: deflate Avro container blobs, one per
+    partition, rolled over at max_records_per_blob — readable back through
+    the jar-less codec."""
+    import glob
+
+    from samza_spark.sources import AzureBlobAvroSink
+
+    df = spark.range(10).selectExpr("id", "concat('v', id) AS v").repartition(2)
+    path = str(tmp_path / "blobs")
+    AzureBlobAvroSink(path, max_records_per_blob=3).write(df)
+    blobs = glob.glob(f"{path}/blob-*.avro")
+    assert len(blobs) >= 4  # 2 partitions x ceil(5/3) rollover
+    back = read_avro(spark, path)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (i, f"v{i}") for i in range(10)
+    ]
+
+
+def test_couchbase_table_fake_client_and_gate(spark):
+    """CouchbaseTableReadFunction analog: injected client drives the
+    shared rate-limit/retry/batch enrich path; without a client the
+    optional SDK gate raises with guidance."""
+    from samza_spark.tables.remote import CouchbaseTable
+
+    class FakeBucket:
+        def __init__(self):
+            self.calls = 0
+
+        def get_multi(self, keys):
+            self.calls += 1
+            return {k: {"name": f"user{k}"} for k in keys if k % 2 == 0}
+
+    fb = FakeBucket()
+    t = CouchbaseTable("users", "uid", "name string", client=fb, max_batch=2)
+    df = spark.createDataFrame([(i,) for i in range(6)], "uid int").coalesce(1)
+    got = sorted((r.uid, r.name) for r in t.enrich(df, how="inner").collect())
+    assert got == [(0, "user0"), (2, "user2"), (4, "user4")]
+    left = t.enrich(df, how="left").count()
+    assert left == 6
+    with pytest.raises(NotImplementedError, match="couchbase"):
+        CouchbaseTable("users", "uid", "name string")
