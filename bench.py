@@ -65,6 +65,16 @@ def main() -> None:
     _warm = F.pandas_udf(lambda s: s, "long")  # no type hints: this module
     # uses postponed annotations, which the UDF hint-inference can't resolve
     spark.range(cpus * 4).repartition(cpus).select(F.sum(_warm(F.col("id")))).collect()
+    # warm the interpreted higher-order-function path + Arrow array serde
+    # (first HOF use in a session costs seconds — NOTES.md; 64 synthetic
+    # rows, unrelated to the measured data)
+    from samza_spark.pipeline import dedup as _dedup
+
+    _warm_docs = spark.createDataFrame(
+        [(i, f"warm doc {i} body text sample tokens") for i in range(64)],
+        "doc_id long, text string",
+    )
+    _dedup.minhash_lsh_candidates(_warm_docs, num_perm=8, bands=4).count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
