@@ -252,6 +252,15 @@ def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     ).df
 
 
+def q_global_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-keyed tumblingWindow (Windows.java:191 — fold over ALL messages
+    per interval, no key) -> groupBy(window(ts)) with no key columns."""
+    ev = MessageStream(load_table(spark, sf, "events"))
+    spec = Windows.tumbling_window("ts", "1 hour")
+    out = ev.window(spec, n=F.count(F.lit(1)))
+    return out.map(ws=F.col("window.start").cast("long"), n=F.col("n")).df
+
+
 def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding/hopping window (Spark-native extension; superset of Samza)."""
     ev = MessageStream(load_table(spark, sf, "events"))
@@ -379,8 +388,11 @@ def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """Scalar-function coverage (SamzaSqlOperatorTable.java:45-146 subset:
-    strings, math, date parts — SURVEY.md §2.4)."""
+    """Scalar-function coverage (SamzaSqlOperatorTable.java:45-146:
+    strings incl. INITCAP/OVERLAY/POSITION, math, EXTRACT and
+    TIMESTAMPDIFF date arithmetic — SURVEY.md §2.4). DuckDB lacks
+    initcap/overlay as built-ins; the oracle expands them to primitive
+    string ops with identical semantics."""
     orders = load_table(spark, sf, "orders")
     return orders.select(
         "o_orderkey",
@@ -392,6 +404,13 @@ def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("yr"),
         F.month("o_orderdate").cast("int").alias("mo"),
         (F.col("o_orderkey") % 7).cast("bigint").alias("mod7"),
+        F.initcap(F.lower("o_orderpriority")).alias("prio_ic"),
+        F.expr("overlay(o_orderpriority PLACING 'XX' FROM 2 FOR 2)").alias("prio_ovl"),
+        F.instr("o_orderpriority", "-").cast("int").alias("dash_pos"),
+        F.expr("extract(day from o_orderdate)").cast("int").alias("dom"),
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("int").alias("days_since"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.expr("ceil(cast(o_orderkey as double) / 1000.0)").cast("bigint").alias("key_k"),
     )
 
 
@@ -631,6 +650,7 @@ QUERIES = {
     "remote_table_join": q_remote_table_join,
     "groupby_count": q_groupby_count,
     "tumbling_window": q_tumbling_window,
+    "global_window": q_global_window,
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
     "triggered_window": q_triggered_window,
@@ -788,6 +808,10 @@ ORACLES = {
         "SELECT event_type, CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws, "
         "count(*) AS n FROM events GROUP BY 1, 2"
     ),
+    "global_window": (
+        "SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws, "
+        "count(*) AS n FROM events GROUP BY 1"
+    ),
     "sliding_window": (
         "SELECT event_type, CAST(epoch(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) "
         "- i * INTERVAL '30 minutes') AS BIGINT) AS ws, count(*) AS n "
@@ -852,7 +876,18 @@ ORACLES = {
         "concat_ws('-', o_orderstatus, o_orderpriority) AS tag, "
         "coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status_c, "
         "CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, "
-        "CAST(o_orderkey % 7 AS BIGINT) AS mod7 FROM orders"
+        "CAST(o_orderkey % 7 AS BIGINT) AS mod7, "
+        # initcap expansion: first letter of each space-word uppercased
+        "array_to_string(list_transform(string_split(lower(o_orderpriority), ' '), "
+        "w -> CASE WHEN length(w) = 0 THEN w ELSE upper(substr(w, 1, 1)) || substr(w, 2) END), ' ') AS prio_ic, "
+        # overlay(s PLACING 'XX' FROM 2 FOR 2) == s[1] || 'XX' || s[4:]
+        "substr(o_orderpriority, 1, 1) || 'XX' || substr(o_orderpriority, 4) AS prio_ovl, "
+        "CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos, "
+        "CAST(extract(day FROM o_orderdate) AS INT) AS dom, "
+        "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since, "
+        "CAST(floor(o_totalprice) AS BIGINT) AS price_floor, "
+        "CAST(ceil(CAST(o_orderkey AS DOUBLE) / CAST(1000.0 AS DOUBLE)) AS BIGINT) AS key_k "
+        "FROM orders"
     ),
     "udf_regex": (
         "SELECT doc_id, n_chars FROM documents WHERE regexp_matches(text, 'table|join')"
