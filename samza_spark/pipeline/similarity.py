@@ -265,6 +265,28 @@ def ann_topk_exact(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "scale"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max(|v|)/127``,
+    ``q[i] = floor(v[i]/scale + 0.5)`` (explicit half-up — floor is
+    deterministic in both engines, unlike round()'s tie-breaking). 4x
+    memory/bandwidth cut for storing and shipping embeddings at corpus
+    scale; ANN candidate scoring can run on (q, scale) and re-rank the
+    top slice on the float vectors. Pure Catalyst, oracle-exact; zero
+    vectors quantize to all-zero with scale 0."""
+    scale = F.expr(
+        f"aggregate({_as_double(vec_col)}, cast(0.0 as double), "
+        f"(m, x) -> greatest(m, abs(x))) / cast(127.0 as double)"
+    )
+    out = df.withColumn(scale_col, scale)
+    q = F.expr(
+        f"transform({_as_double(vec_col)}, x -> cast(if({scale_col} = 0.0, 0.0, "
+        f"floor(x / {scale_col} + cast(0.5 as double))) as int))"
+    )
+    return out.withColumn(out_col, q)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the trained-centroid scale path
 # ---------------------------------------------------------------------------

@@ -608,6 +608,47 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """int8 embedding quantization (similarity.quantize_embeddings): emits
+    per-vector scale plus order-sensitive integer digests of the quantized
+    codes (sum and position-weighted sum), all reproducible in DuckDB —
+    floor(x/scale + 0.5) avoids round()'s engine-specific ties."""
+    emb = load_table(spark, sf, "embeddings")
+    qd = similarity.quantize_embeddings(emb)
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.expr("aggregate(q, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+        F.expr(
+            "aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> x * i), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("q_possum"),
+    )
+
+
+def q_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch aggregates (HLL++ count-distinct, KLL-style quantile) with an
+    exactness-checkable invariant: the query emits the EXACT values plus
+    booleans asserting the sketch landed inside its error bound, computed
+    Spark-side. The oracle produces the exact values and TRUE — if a sketch
+    ever drifts out of tolerance the booleans flip and the hash check
+    fails. This is how approximate operators get hard driver coverage."""
+    ev = load_table(spark, sf, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.expr("approx_count_distinct(user_id, 0.02)")
+    med_exact = F.expr("percentile(value, 0.5)")  # exact interpolated median
+    med_approx = F.expr("percentile_approx(value, 0.5, 10000)")
+    return ev.groupBy("event_type").agg(
+        exact.alias("n_users"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("hll_within_5pct"),
+        # percentile_approx returns an actual data point; with accuracy
+        # 10000 it lands within a tight rank tolerance of the true median
+        (F.abs(med_approx - med_exact) <= F.lit(0.05) * F.abs(med_exact)).alias(
+            "quantile_within_5pct"
+        ),
+    )
+
+
 def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Avro end-to-end WITHOUT the spark-avro jar: documents -> pure-Python
     OCF container files (one per partition, executor-side) -> binaryFile +
@@ -680,6 +721,8 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
     "avro_roundtrip": q_avro_roundtrip,
+    "approx_sketches": q_approx_sketches,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 # DuckDB list-expression helpers for the oracles ---------------------------
@@ -1022,6 +1065,32 @@ ORACLES = {
     "avro_roundtrip": (
         "SELECT doc_id, lang, n_chars, CAST(length(text) AS INT) AS text_len, "
         "md5(text) AS text_md5 FROM documents"
+    ),
+    # sketch invariant: oracle emits exact values + TRUE; the Spark side
+    # computes the booleans from its own sketches, so out-of-tolerance
+    # sketches break the hash match
+    "approx_sketches": (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users, "
+        "TRUE AS hll_within_5pct, TRUE AS quantile_within_5pct "
+        "FROM events GROUP BY event_type"
+    ),
+    # int8 quantization digests; scale = max(|v|)/127 (order-independent
+    # max, one division), codes = floor(v/scale + 0.5) — all deterministic
+    "embedding_quantize": (
+        "WITH s AS (SELECT vec_id, embedding, "
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len(embedding)), "
+        "i -> abs(CAST(embedding[i] AS DOUBLE)))), "
+        "(m, x) -> greatest(m, x)) / CAST(127.0 AS DOUBLE) AS scale FROM embeddings), "
+        "q AS (SELECT vec_id, scale, "
+        "list_transform(generate_series(1, len(embedding)), "
+        "i -> CAST(CASE WHEN scale = 0.0 THEN 0.0 ELSE "
+        "floor(CAST(embedding[i] AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)) END AS INT)) AS qv "
+        "FROM s) "
+        "SELECT vec_id, scale, "
+        "CAST(list_reduce(list_prepend(0, qv), (acc, x) -> acc + x) AS BIGINT) AS q_sum, "
+        "CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, len(qv)), "
+        "i -> qv[i] * i)), (acc, x) -> acc + x) AS BIGINT) AS q_possum FROM q"
     ),
 }
 

@@ -338,3 +338,31 @@ def test_text_op_invariants_random_inputs(spark):
         for r in dup.select(T.rolling_fingerprint("text").alias("rfp")).collect()
     }
     assert len(rfps) == 1
+
+
+def test_embedding_quantization_error_bound(spark):
+    """int8 quantization: reconstruction error per element is <= scale/2,
+    and dequantized cosine stays within ~1% of the float cosine."""
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(32)]) for i in range(50)]
+    rows.append((98, [0.0] * 32))  # zero vector edge case
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.quantize_embeddings(df).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[98].scale == 0.0 and all(q == 0 for q in by_id[98].q)
+    for r in out:
+        if r.vec_id == 98:
+            continue
+        v = np.array(dict(rows)[r.vec_id])
+        deq = np.array(r.q, dtype=np.float64) * r.scale
+        assert np.max(np.abs(v - deq)) <= r.scale / 2 + 1e-12
+        assert np.max(np.abs(np.array(r.q))) <= 127
+        cos_f = v @ v / (np.linalg.norm(v) ** 2)  # trivially 1; use a probe
+    # cross-vector cosine preservation on a sample pair
+    a, b = np.array(rows[0][1]), np.array(rows[1][1])
+    qa, qb = by_id[0], by_id[1]
+    da = np.array(qa.q) * qa.scale
+    db = np.array(qb.q) * qb.scale
+    cf = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    cq = da @ db / (np.linalg.norm(da) * np.linalg.norm(db))
+    assert abs(cf - cq) < 0.01
