@@ -608,6 +608,24 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS / NOT EXISTS correlated sub-queries (SamzaSqlOperatorTable
+    EXISTS registration :75; Samza itself only runs uncorrelated FROM
+    sub-queries — Spark's semi/anti-join planning is the extension).
+    Catalyst compiles these to Left{Semi,Anti} BroadcastHashJoins."""
+    app = SqlApplication(spark)
+    app.add_stream("customer", load_table(spark, sf, "customer"))
+    app.add_stream("orders", load_table(spark, sf, "orders"))
+    [df] = app.run(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey "
+        "AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 1000)"
+    )
+    return df
+
+
 def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """int8 embedding quantization (similarity.quantize_embeddings): emits
     per-vector scale plus order-sensitive integer digests of the quantized
@@ -723,6 +741,7 @@ QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "approx_sketches": q_approx_sketches,
     "embedding_quantize": q_embedding_quantize,
+    "exists_subquery": q_exists_subquery,
 }
 
 # DuckDB list-expression helpers for the oracles ---------------------------
@@ -1091,6 +1110,13 @@ ORACLES = {
         "CAST(list_reduce(list_prepend(0, qv), (acc, x) -> acc + x) AS BIGINT) AS q_sum, "
         "CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, len(qv)), "
         "i -> qv[i] * i)), (acc, x) -> acc + x) AS BIGINT) AS q_possum FROM q"
+    ),
+    "exists_subquery": (
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey "
+        "AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 1000)"
     ),
 }
 
