@@ -527,45 +527,78 @@ def simhash_pandas(hash_col: str, bits: int = 32) -> Column:
     return sh(F.col(hash_col))
 
 
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` disjoint blocks that
+    together cover all ``bits`` signature bits. Pigeonhole: a pair at
+    hamming distance ≤ k differs in ≤ k bits, which cannot touch all k+1
+    blocks, so the pair matches exactly on at least one block — candidate
+    recall is 1 by construction."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more blocks than bits={bits}")
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    return list(zip(offsets, widths))
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 8,
+    bits: int = 32,
     impl: str = "pandas",
     hash_family: str = "xxhash64",
     max_block_size: int | None = 5000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket-join on bit-prefix blocks (the
-    public 'SimHash + block permutation' trick), verify hamming ≤ k via
-    bit_count(a XOR b).
+    """Near-dup pairs by SimHash with the public pigeonhole multi-block
+    scheme: split the ``bits``-wide signature into ``max_hamming + 1``
+    disjoint blocks covering every bit, bucket-join on (block_idx,
+    block_val), verify hamming ≤ k via bit_count(a XOR b). Any pair at
+    hamming ≤ k matches on at least one whole block (its ≤ k differing
+    bits cannot hit all k+1 blocks), so recall is exactly 1 — the oracle
+    is the brute-force hamming join.
 
     ``hash_family='md5'`` makes the whole chain (gram hash -> per-bit
     majority -> block join -> hamming) reproducible in DuckDB SQL for the
     correctness oracle; xxhash64 stays the fast default.
 
+    Scale: each doc emits k+1 keyed rows (not a pair blow-up); the single
+    shuffle is keyed by (block_idx, block_val) — k+1 × 2^width buckets.
+    At 100 TB corpus scale prefer ``bits=64`` (16-bit blocks at k=3 →
+    4 × 65,536 buckets) over the default 32 (8-bit blocks saturate).
+
     ``max_block_size`` is the hot-block guard (same failure mode as the
-    LSH hot bucket): a degenerate signature block bigger than the cap is
-    dropped from pair expansion rather than exploding quadratically in one
-    task. ``None`` disables."""
+    LSH hot bucket): a degenerate (block_idx, block_val) bucket bigger
+    than the cap is dropped from pair expansion rather than exploding
+    quadratically in one task. ``None`` disables."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
-    sig_expr = simhash_pandas("__shh") if impl == "pandas" else simhash("__shh")
+    sig_expr = (
+        simhash_pandas("__shh", bits=bits) if impl == "pandas" else simhash("__shh", bits=bits)
+    )
     sh = (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), shingle_hashes(text_col, family=hash_family).alias("__shh"))
         .select(F.col(id_col), sig_expr.alias("sh"))
     )
-    # in-block pair expansion: one shuffle keyed by bit-prefix block, then
-    # hamming verify inside each block (same plan shape as the LSH path)
-    blocked = sh.withColumn("block", F.expr(f"sh & {(1 << prefix_bits) - 1}"))
+    # one keyed row per (doc, block); shiftrightunsigned so a sign-extended
+    # 64-bit signature still yields the plain bit-slice value
+    block_vals = ", ".join(
+        f"(shiftrightunsigned(sh, {off}) & {(1 << w) - 1})"
+        for off, w in simhash_blocks(bits, max_hamming)
+    )
+    blocked = sh.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.posexplode(F.expr(f"array({block_vals})")).alias("bidx", "bval"),
+    )
     pair_expr = (
         "flatten(transform(sequence(1, size(rs) - 1), i -> "
         "transform(sequence(0, i - 1), j -> struct(rs[j] AS l, rs[i] AS r))))"
     )
     agged = (
-        blocked.groupBy("block")
+        blocked.groupBy("bidx", "bval")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sh")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -581,6 +614,9 @@ def simhash_candidates(
             F.col("p.r.id").alias("b"),
             "hamming",
         )
+        # a pair can match on several blocks; hamming is deterministic per
+        # pair so the distinct is on the full row
+        .dropDuplicates(["a", "b"])
     )
 
 

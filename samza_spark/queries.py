@@ -528,10 +528,11 @@ def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup candidates with the md5-derived 32-bit gram hash
-    family: gram hash -> per-bit majority -> prefix-block join -> hamming
-    is integer/hex arithmetic DuckDB reproduces exactly, so the full
-    signature math is oracle-checked (xxhash64+numpy stays the fast
-    path)."""
+    family. The pigeonhole multi-block scheme (max_hamming+1 disjoint
+    blocks covering all 32 bits) has candidate recall exactly 1, so the
+    oracle is the BRUTE-FORCE hamming join — this checks the operator
+    finds every hamming≤3 pair, not merely that it mirrors its own
+    bucketing (xxhash64+numpy stays the fast path)."""
     docs = load_table(spark, sf, "documents")
     return dedup.simhash_candidates(docs, max_hamming=3, hash_family="md5").select(
         "a", "b", F.col("hamming").cast("int").alias("hamming")
@@ -1055,7 +1056,9 @@ ORACLES = {
         "WHERE doc_id NOT IN (SELECT b FROM dropped)"
     ),
     # full simhash chain on the md5 32-bit gram family: per-bit majority
-    # vote, prefix-block join, hamming via bit_count(xor)
+    # vote, then the BRUTE-FORCE hamming join — the pigeonhole multi-block
+    # candidate generator has recall 1 by construction, so implementation
+    # == brute force is the invariant being checked
     "simhash_pairs": (
         f"WITH t AS (SELECT doc_id, {_NORM.format(c='text')} AS n FROM documents), "
         "g AS (SELECT doc_id, unnest(list_transform("
@@ -1068,7 +1071,7 @@ ORACLES = {
         "sig AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sh FROM bits GROUP BY doc_id) "
         "SELECT l.doc_id AS a, r.doc_id AS b, "
         "CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming "
-        "FROM sig l JOIN sig r ON (l.sh & 255) = (r.sh & 255) AND l.doc_id < r.doc_id "
+        "FROM sig l JOIN sig r ON l.doc_id < r.doc_id "
         "WHERE bit_count(xor(l.sh, r.sh)) <= 3"
     ),
     # multimodal fake decode: width/height derive from sha256 hex of the

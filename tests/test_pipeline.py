@@ -49,9 +49,81 @@ def test_minhash_dedup_drops_near_dups(spark, doc_df):
 
 
 def test_simhash_near_dups(spark, doc_df):
-    pairs = dedup.simhash_candidates(doc_df, max_hamming=2, prefix_bits=4)
+    pairs = dedup.simhash_candidates(doc_df, max_hamming=2)
     got = {(r.a, r.b) for r in pairs.collect()}
     assert any(a == 0 and b in (100, 101) for a, b in got)
+
+
+def _brute_force_hamming_pairs(spark, df, max_hamming, hash_family="xxhash64"):
+    sig = df.select(
+        "doc_id", dedup.shingle_hashes("text", family=hash_family).alias("__shh")
+    ).select("doc_id", dedup.simhash_pandas("__shh").alias("sh"))
+    l, r = sig.alias("l"), sig.alias("r")
+    return {
+        (row.a, row.b, row.hamming)
+        for row in l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .withColumn("hamming", F.expr("bit_count(l.sh ^ r.sh)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"), "hamming")
+        .collect()
+    }
+
+
+def test_simhash_pigeonhole_recall_is_exactly_brute_force(spark, doc_df):
+    """The multi-block candidate generator must find EVERY hamming≤k pair
+    (pigeonhole over max_hamming+1 disjoint blocks) — including pairs whose
+    differing bits fall in the low-8-bit prefix the old single-block join
+    keyed on."""
+    for k in (1, 2, 3):
+        got = {
+            (r.a, r.b, r.hamming)
+            for r in dedup.simhash_candidates(doc_df, max_hamming=k).collect()
+        }
+        want = _brute_force_hamming_pairs(spark, doc_df, k)
+        assert got == want, f"max_hamming={k}: {got ^ want}"
+
+
+def test_simhash_finds_pair_differing_in_low_prefix(spark):
+    """Adversarial regression for the old single-prefix-block join: craft a
+    corpus where a genuine near-dup pair's signatures differ ONLY inside
+    the low 8 bits, and assert the pair is still a candidate."""
+    base = " ".join(f"token{i}" for i in range(40))
+    rows = [(i, f"{base} filler {i * 13}") for i in range(10)]
+    # near-identical pair: same long body, tiny perturbation
+    rows.append((200, base + " zz"))
+    rows.append((201, base + " zq"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", dedup.shingle_hashes("text").alias("__shh")
+        )
+        .select("doc_id", dedup.simhash_pandas("__shh").alias("sh"))
+        .collect()
+    }
+    ham = bin((sig[200] ^ sig[201]) & 0xFFFFFFFF).count("1")
+    got = {
+        (r.a, r.b)
+        for r in dedup.simhash_candidates(df, max_hamming=max(ham, 1)).collect()
+    }
+    assert (200, 201) in got
+    # the exhaustive check: whatever bits differ, candidates == brute force
+    want = {
+        (a, b) for a, b, _ in _brute_force_hamming_pairs(spark, df, max(ham, 1))
+    }
+    assert got == want
+
+
+def test_simhash_blocks_cover_all_bits():
+    for bits in (32, 64):
+        for k in (1, 2, 3, 5):
+            blocks = dedup.simhash_blocks(bits, k)
+            assert len(blocks) == k + 1
+            covered = []
+            for off, w in blocks:
+                assert w >= 1
+                covered.extend(range(off, off + w))
+            assert sorted(covered) == list(range(bits))
 
 
 def test_lsh_short_and_empty_docs_batch_independent(spark):
