@@ -2,16 +2,21 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-The metric is total wall-clock over the headline suite (lower is better);
-per-query seconds let the judge compare against BASELINE.md workloads
-(#1 stateless passthrough ≈ `passthrough`/`filter`; #3/#4 stateful windowed
-count ≈ `tumbling_window`/`session_window`).
+The metric is the sum of per-query MEDIANS over $SPARK_GRAFT_BENCH_REPEATS
+(default 3) runs each — a single contended run cannot inflate the artifact
+(round-2 recorded a phantom 77% regression from exactly that). The true
+elapsed time is reported separately as ``wall_clock_sec``, and the host
+load average at start/end (``load_avg``) makes a contended run
+self-identifying. Per-query seconds let the judge compare against
+BASELINE.md workloads (#1 stateless passthrough ≈ `passthrough`/`filter`;
+#3/#4 stateful windowed count ≈ `tumbling_window`/`session_window`).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -42,6 +47,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    bench_t0 = time.perf_counter()
+    load_start = os.getloadavg()
 
     from samza_spark import SessionConfig, get_session
 
@@ -74,16 +82,26 @@ def main() -> None:
         [(i, f"warm doc {i} body text sample tokens") for i in range(64)],
         "doc_id long, text string",
     )
-    _dedup.minhash_lsh_candidates(_warm_docs, num_perm=8, bands=4).count()
+    _warm_pairs = _dedup.minhash_lsh_candidates(_warm_docs, num_perm=8, bands=4)
+    # ...and the jaccard-verify HOF path (array_intersect/array_union folds
+    # pay their own first-use interpreter init, separate from the band UDF)
+    _dedup.jaccard_verify(_warm_docs, _warm_pairs, threshold=0.0).count()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {per_query[name]:.3f}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(samples), 3)
+        print(
+            f"# {name}: median {per_query[name]:.3f}s of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # Streaming workloads mirroring BASELINE.md #1 (read->write passthrough
     # throughput) and #3/#4 (stateful windowed count). Structured Streaming
@@ -102,23 +120,30 @@ def main() -> None:
         # state partition count to the workload, not the CPU count
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        # glob form: the file stream source requires a directory/glob path
-        src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        t0 = time.perf_counter()
-        q = (
-            build(src)
-            .writeStream.format("memory")
-            .queryName(f"bench_{name}")
-            .outputMode("append" if name == "stream_passthrough" else "complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        secs = round(time.perf_counter() - t0, 3)
+        samples = []
+        for i in range(repeats):
+            # glob form: the file stream source requires a directory/glob path
+            src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+            src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            t0 = time.perf_counter()
+            q = (
+                build(src)
+                .writeStream.format("memory")
+                .queryName(f"bench_{name}_{i}")
+                .outputMode("append" if name == "stream_passthrough" else "complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            samples.append(time.perf_counter() - t0)
+        secs = round(statistics.median(samples), 3)
         per_query[name] = secs
         streaming[name + "_msgs_per_sec"] = round(n_events / secs)
-        print(f"# {name}: {secs:.3f}s ({n_events} msgs)", file=sys.stderr)
+        print(
+            f"# {name}: median {secs:.3f}s of {[round(s, 3) for s in samples]} "
+            f"({n_events} msgs)",
+            file=sys.stderr,
+        )
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
 
@@ -202,11 +227,17 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall_clock",
+                "metric": "headline_suite_median_sum",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
                 "streaming": streaming,
+                "repeats": repeats,
+                "wall_clock_sec": round(time.perf_counter() - bench_t0, 3),
+                "load_avg": {
+                    "start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in os.getloadavg()],
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
