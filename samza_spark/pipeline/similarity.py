@@ -28,20 +28,34 @@ def _as_double(col: str) -> str:
     return f"transform({col}, x -> cast(x as double))"
 
 
-def dot_expr(a: str, b: str) -> Column:
-    """Sequential-fold dot product: sum_i a[i]*b[i] in list order, double
-    accumulation from 0.0 — byte-identical to DuckDB list_reduce oracle."""
-    return F.expr(
+def _dot_sql(a: str, b: str) -> str:
+    return (
         f"aggregate(zip_with({_as_double(a)}, {_as_double(b)}, (x, y) -> x * y), "
         f"cast(0.0 as double), (acc, v) -> acc + v)"
     )
 
 
-def norm_expr(a: str) -> Column:
-    return F.expr(
+def _norm_sql(a: str) -> str:
+    return (
         f"sqrt(aggregate(transform({_as_double(a)}, x -> x * x), "
         f"cast(0.0 as double), (acc, v) -> acc + v))"
     )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Sequential-fold cosine as a raw SQL fragment — usable inside
+    higher-order-function lambdas where a Column can't reach."""
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Sequential-fold dot product: sum_i a[i]*b[i] in list order, double
+    accumulation from 0.0 — byte-identical to DuckDB list_reduce oracle."""
+    return F.expr(_dot_sql(a, b))
+
+
+def norm_expr(a: str) -> Column:
+    return F.expr(_norm_sql(a))
 
 
 def cosine_sim_expr(a: str, b: str) -> Column:
@@ -148,6 +162,18 @@ def hyperplane_buckets(
     return df.withColumn("bucket", F.expr(f"({bit_terms})"))
 
 
+def probe_buckets(bucket_col: str, n_planes: int, multi_probe: bool) -> Column:
+    """The buckets a query visits: its own, plus (multi-probe) every
+    1-bit-flip neighbor — a vector near a hyperplane lands one bit away
+    from its true neighbors, and flip-1 probing recovers them. Query-side
+    explode of ≤ n_planes+1 keys; the corpus side is untouched, so shuffle
+    volume stays O(n)."""
+    if not multi_probe:
+        return F.array(F.col(bucket_col))
+    flips = ", ".join([bucket_col] + [f"({bucket_col} ^ {1 << j})" for j in range(n_planes)])
+    return F.expr(f"array({flips})")
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -155,12 +181,15 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    plus (default) its 1-bit-flip probe buckets.
 
     At 1000-executor scale the corpus is hash-partitioned by bucket once
     (one shuffle), queries broadcast, and each executor scans only its
-    bucket's slice — the IVF-style scale path."""
+    bucket's slice — the IVF-style scale path. Multi-probe multiplies the
+    broadcast query rows by ≤ n_planes+1, not the corpus shuffle."""
     c = hyperplane_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv",
@@ -171,7 +200,13 @@ def ann_topk(
             queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
             "__qv",
             n_planes,
-        ).withColumnRenamed("bucket", "qbucket")
+        )
+        .withColumnRenamed("bucket", "qbucket")
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(probe_buckets("qbucket", n_planes, multi_probe)).alias("qbucket"),
+        )
     )
     scored = (
         c.join(q, F.col("bucket") == F.col("qbucket"))
@@ -233,11 +268,13 @@ def ann_topk_exact(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Oracle-checkable ANN: identical plan shape to :func:`ann_topk`
-    (bucket equi-join, never O(n·q)) but with deterministic ±1 planes and
-    the sequential-fold cosine, so every output double is reproducible in
-    DuckDB. The xxhash64/numpy path stays the throughput variant."""
+    (bucket equi-join + flip-1 multi-probe, never O(n·q)) but with
+    deterministic ±1 planes and the sequential-fold cosine, so every
+    output double is reproducible in DuckDB. The xxhash64/numpy path
+    stays the throughput variant."""
     c = hyperplane_buckets_det(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv",
@@ -250,7 +287,13 @@ def ann_topk_exact(
             "__qv",
             n_planes,
             dim,
-        ).withColumnRenamed("bucket", "qbucket")
+        )
+        .withColumnRenamed("bucket", "qbucket")
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(probe_buckets("qbucket", n_planes, multi_probe)).alias("qbucket"),
+        )
     )
     scored = (
         c.join(q, F.col("bucket") == F.col("qbucket"))
@@ -470,19 +513,33 @@ def ivf_topk_exact(
     the deterministic relational centroids and sequential-fold cosine so a
     DuckDB oracle reproduces every double. The k-means/numpy path remains
     the throughput variant."""
-    cent = F.broadcast(ivf_centroids_relational(corpus, id_col, vec_col, n_lists))
+    # all centroids folded into ONE broadcast row; per-vector assignment is
+    # then a single array expression (all n_lists fold-order cosines +
+    # inline (sim DESC, list_id ASC) selection) — a map-only pass with no
+    # Exchange/Window, instead of shuffling corpus×n_lists rows through a
+    # window sort. Same doubles: the per-centroid cosine is the identical
+    # sequential fold, and reverse(array_sort(struct(sim, -list_id)))
+    # reproduces the oracle's ORDER BY csim DESC, list_id ASC exactly.
+    cent1 = F.broadcast(
+        ivf_centroids_relational(corpus, id_col, vec_col, n_lists).agg(
+            F.array_sort(F.collect_list(F.struct("list_id", "cv"))).alias("__cents")
+        )
+    )
 
     def assign(df: DataFrame, out_id: str, vec_alias: str, keep: int) -> DataFrame:
-        scored = (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_alias))
-            .crossJoin(cent)
-            .withColumn("__csim", cosine_sim_expr(vec_alias, "cv"))
+        ranked = (
+            f"reverse(array_sort(transform(__cents, s -> "
+            f"struct({_cosine_sql(vec_alias, 's.cv')} as sim, -s.list_id as nlid))))"
         )
-        w = Window.partitionBy(out_id).orderBy(F.desc("__csim"), F.asc("list_id"))
         return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= keep)
-            .select(out_id, vec_alias, "list_id")
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_alias))
+            .join(cent1)
+            .select(
+                out_id,
+                vec_alias,
+                F.explode(F.expr(f"slice({ranked}, 1, {keep})")).alias("__t"),
+            )
+            .select(out_id, vec_alias, (-F.col("__t.nlid")).alias("list_id"))
         )
 
     c = assign(corpus, "neighbor_id", "__cv", 1)

@@ -1136,13 +1136,18 @@ _BUCKET_DUCK = " + ".join(
     for j, p in enumerate(similarity.det_planes(8, 64))
 )
 
+# multi-probe: a candidate matches the query's bucket or any 1-bit flip of
+# it (mirrors similarity.probe_buckets with n_planes=8)
+_PROBE_IN = ", ".join(["q.qbucket"] + [f"xor(q.qbucket, {1 << j})" for j in range(8)])
+
 ORACLES["ann_topk"] = (
     f"WITH b AS (SELECT vec_id, embedding, ({_BUCKET_DUCK}) AS bucket FROM embeddings), "
     "q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket "
     "FROM b WHERE vec_id < 5), "
     "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
     + _cos("c.embedding", "q.qv")
-    + " AS cosine FROM b c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.query_id) "
+    + f" AS cosine FROM b c JOIN q ON c.bucket IN ({_PROBE_IN}) "
+    "AND c.vec_id <> q.query_id) "
     "SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER "
     "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank "
     "FROM scored QUALIFY rank <= 10"

@@ -224,6 +224,57 @@ def test_ann_topk_recall(spark):
     assert any(r.neighbor_id == 1 for r in out)
 
 
+def test_ann_multi_probe_improves_recall(spark):
+    """Flip-1-bit multi-probe must recover neighbors a near-hyperplane
+    query loses, and never reduce recall vs single-probe. Measured on this
+    clustered corpus (20 clusters, 300 vectors, 20 queries, n_planes=8):
+    recall@10 0.295 -> 0.78 for the xxhash planes and 0.46 -> 0.83 for the
+    deterministic oracle planes."""
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((20, 16))
+    rows = [
+        (i, [float(x) for x in centers[i % 20] + 0.25 * rng.standard_normal(16)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 20")
+    exact = similarity.cosine_topk(df, queries, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        per_q = [
+            len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+        ]
+        return sum(per_q) / len(per_q)
+
+    single = recall(
+        similarity.ann_topk(df, queries, k=10, n_planes=8, multi_probe=False).collect()
+    )
+    multi = recall(
+        similarity.ann_topk(df, queries, k=10, n_planes=8, multi_probe=True).collect()
+    )
+    assert multi >= single + 0.2, (single, multi)
+    assert multi >= 0.7, (single, multi)
+    # the exact (oracle) variant probes the same way
+    multi_det = recall(
+        similarity.ann_topk_exact(
+            df, queries, k=10, n_planes=8, dim=16, multi_probe=True
+        ).collect()
+    )
+    single_det = recall(
+        similarity.ann_topk_exact(
+            df, queries, k=10, n_planes=8, dim=16, multi_probe=False
+        ).collect()
+    )
+    assert multi_det >= single_det
+    assert multi_det >= 0.7, (single_det, multi_det)
+
+
 def test_embedding_near_dup_pairs(spark):
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((30, 8)).astype(np.float32)
@@ -372,7 +423,26 @@ def test_ivf_topk_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
-def test_text_op_invariants_random_inputs(spark):
+def test_ivf_exact_assign_has_no_window_shuffle(spark):
+    """The oracle-path IVF assignment must be a map-only array expression:
+    exactly ONE Window in the whole plan (the final per-query rank), not
+    one per assign stage — the old crossJoin+row_number shuffled
+    corpus×n_lists rows through a window sort."""
+    import numpy as np
+
+    from samza_spark.pipeline.similarity import ivf_topk_exact
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = ivf_topk_exact(emb, emb.filter("vec_id < 3"), k=5, n_lists=4, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # "Window [" is the operator; WindowGroupLimit is the rank-pushdown
+    # optimization and fine to see
+    assert plan.count("Window [") == 1, plan
+    assert out.count() > 0
     """Invariants over 300 seeded-random strings (unicode, whitespace runs,
     punctuation, empties): quality in [0,1], token_count matches Python
     str.split, lang_id stays in its domain, identical normalized text =>
