@@ -164,6 +164,163 @@ class LocalTable:
         return stream.sink(lambda batch, _epoch: self.merge_batch(batch))
 
 
+class DurableLocalTable(LocalTable):
+    """Parquet-warehouse-backed local table — the changelog-restore analog
+    of Samza's KeyValueStorageEngine (/root/reference samza-kv/src/main/
+    scala/org/apache/samza/storage/kv/KeyValueStorageEngine.scala:44-157):
+    every mutation appends the POST-IMAGE of the affected keys (or delete
+    markers) to ``{path}/changelog/``; construction restores the
+    ``{path}/base/`` snapshot plus the changelog with last-writer-wins per
+    key, so state survives session restarts. Compaction (every
+    ``compact_every`` mutations, same knob as the in-memory lineage
+    truncation) snapshots the table to base/ and truncates the changelog —
+    restore cost stays O(table + recent mutations), the exact shape of
+    Samza's changelog-topic restore.
+
+    Paths must be visible to the driver's filesystem (local or shared
+    mount): data moves through Spark jobs, but directory bookkeeping
+    (existence checks, changelog truncation) uses python ``os``.
+    """
+
+    OP_COL = "__ss_op"
+    SEQ_COL = "__ss_seq"
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str],
+        path: str,
+        ttl_ms: int | None = None,
+        compact_every: int = 10,
+        seq: int = 0,
+    ):
+        super().__init__(df, key_cols, ttl_ms=ttl_ms, compact_every=compact_every)
+        self._path = path
+        self._seq = seq
+
+    # -- construction / restore -------------------------------------------
+
+    @staticmethod
+    def _has_parquet(d: str) -> bool:
+        import os
+
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_cols: Sequence[str],
+        schema=None,
+        ttl_ms: int | None = None,
+        compact_every: int = 10,
+    ) -> "DurableLocalTable":
+        """Open (restoring if the warehouse has state) or create (empty,
+        ``schema`` required) a durable table at ``path``."""
+        import os
+
+        base, clog = os.path.join(path, "base"), os.path.join(path, "changelog")
+        have_base, have_clog = cls._has_parquet(base), cls._has_parquet(clog)
+        if not have_base and not have_clog:
+            if schema is None:
+                raise ValueError(
+                    f"no state at {path!r} and no schema to create an empty table"
+                )
+            return cls(
+                spark.createDataFrame([], schema),
+                key_cols,
+                path,
+                ttl_ms=ttl_ms,
+                compact_every=compact_every,
+            )
+        parts = []
+        if have_base:
+            parts.append(
+                spark.read.parquet(base)
+                .withColumn(cls.OP_COL, F.lit("upsert"))
+                .withColumn(cls.SEQ_COL, F.lit(-1).cast("long"))
+            )
+        seq = 0
+        if have_clog:
+            clog_df = spark.read.parquet(clog)
+            parts.append(clog_df)
+            seq = (clog_df.agg(F.max(cls.SEQ_COL)).first()[0] or 0) + 1
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(cls.SEQ_COL))
+        df = (
+            allrows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .filter(F.col(cls.OP_COL) != "delete")
+            .drop(cls.OP_COL, cls.SEQ_COL, "__rn")
+            # materialize the restore once (the 50 MB/s restore analog);
+            # lookups then hit the checkpointed rows, not base+changelog
+            .localCheckpoint(eager=True)
+        )
+        return cls(
+            df, key_cols, path, ttl_ms=ttl_ms, compact_every=compact_every, seq=seq
+        )
+
+    # -- write-through changelog ------------------------------------------
+
+    def _append_changelog(self, rows: DataFrame, op: str) -> None:
+        import os
+
+        out = rows
+        for f in self._df.schema.fields:
+            if f.name not in out.columns:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        (
+            out.select(*self._df.columns)
+            .withColumn(self.OP_COL, F.lit(op))
+            .withColumn(self.SEQ_COL, F.lit(self._seq).cast("long"))
+            .write.mode("append")
+            .parquet(os.path.join(self._path, "changelog"))
+        )
+        self._seq += 1
+
+    def merge_batch(self, updates: DataFrame, mode: str = "upsert") -> "DurableLocalTable":
+        keys = updates.select(*self.key_cols).distinct()
+        super().merge_batch(updates, mode)
+        if mode == "delete":
+            self._append_changelog(keys, "delete")
+        else:
+            post = self._df.join(keys, on=self.key_cols, how="left_semi")
+            self._append_changelog(post, "upsert")
+        return self
+
+    def update_batch(
+        self,
+        updates: DataFrame,
+        insert_missing: bool = False,
+        defaults: Mapping | None = None,
+    ) -> "DurableLocalTable":
+        keys = updates.select(*self.key_cols).distinct()
+        super().update_batch(updates, insert_missing=insert_missing, defaults=defaults)
+        post = self._df.join(keys, on=self.key_cols, how="left_semi")
+        self._append_changelog(post, "upsert")
+        return self
+
+    def _maybe_compact(self) -> None:
+        import os
+        import shutil
+
+        self._mutations_since_compact += 1
+        if self.compact_every and self._mutations_since_compact >= self.compact_every:
+            # checkpoint BEFORE overwriting base: the plan may still read
+            # base/, and eager materialization breaks that dependency
+            self._df = self._df.localCheckpoint(eager=True)
+            self._mutations_since_compact = 0
+            self._df.write.mode("overwrite").parquet(os.path.join(self._path, "base"))
+            shutil.rmtree(os.path.join(self._path, "changelog"), ignore_errors=True)
+
+
 class InMemoryTable(LocalTable):
     """Small dict-backed table (InMemoryKeyValueStore analog) for tests and
     bootstrap-style side inputs."""
