@@ -225,3 +225,46 @@ def test_builtin_udfs_stay_in_catalyst(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert sorted(tuple(r) for r in df.collect()) == [(False, "8"), (True, "7")]
+
+
+def test_udf_overload_dispatch_from_sql(spark):
+    """Polymorphic UDF names (@SamzaSqlUdfMethod, SamzaSqlUdfMethod.java:
+    34-45): one name, several signatures, dispatched on arg count and
+    runtime types — int vs string overloads and a vararg form, all
+    callable from SQL."""
+    from samza_spark.functions import UdfRegistry
+
+    reg = UdfRegistry()
+    reg.register("tagit", lambda i: f"int:{i}", "string", params=["int"])
+    reg.register("tagit", lambda s: f"str:{s}", "string", params=["string"])
+    reg.register(
+        "tagit",
+        lambda s, n: f"both:{s}*{n}",
+        "string",
+        params=["string", "int"],
+    )
+    reg.register(
+        "joinall", lambda *xs: "|".join(str(x) for x in xs), "string", varargs=True
+    )
+    reg.attach(spark)
+    spark.createDataFrame(
+        [(5, "abc")], "n int, t string"
+    ).createOrReplaceTempView("ov")
+    row = spark.sql(
+        "SELECT tagit(n) AS a, tagit(t) AS b, tagit(t, n) AS c, "
+        "joinall(n, t, 'z') AS d FROM ov"
+    ).first()
+    assert (row.a, row.b, row.c, row.d) == (
+        "int:5",
+        "str:abc",
+        "both:abc*5",
+        "5|abc|z",
+    )
+    # return-type conflicts are rejected at registration
+    import pytest
+
+    with pytest.raises(ValueError):
+        reg.register("tagit", lambda b: b, "boolean", params=["bool"])
+    # no matching overload -> clear TypeError at execution
+    with pytest.raises(Exception, match="no overload"):
+        spark.sql("SELECT tagit(CAST(1.5 AS DOUBLE)) FROM ov").collect()
