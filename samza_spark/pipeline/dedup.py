@@ -28,11 +28,40 @@ filter in pipeline.text) remains the first line of defense.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from samza_spark.pipeline.text import normalized
+
+logger = logging.getLogger(__name__)
+
+
+def _report_capped(census: DataFrame, what: str, on_capped: str) -> None:
+    """Shared hot-bucket census surfacing: ``on_capped`` is 'ignore' (no
+    extra job), 'log' (WARNING with bucket/member counts when anything was
+    dropped), or 'raise'. At 100 TB a silently-skipped boilerplate cluster
+    is a correctness hazard; the default pipelines log."""
+    if on_capped == "ignore":
+        return
+    if on_capped not in ("log", "raise"):
+        raise ValueError(f"on_capped must be ignore|log|raise, got {on_capped!r}")
+    n_buckets, n_members = census.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("n_ids"), F.lit(0))
+    ).first()
+    if not n_buckets:
+        return
+    msg = (
+        f"{what}: hot-bucket cap dropped {n_buckets} bucket(s) covering "
+        f"{n_members} member rows from near-dup candidate expansion — "
+        "likely boilerplate/empty-doc clusters; run exact dedup or a "
+        "quality filter first, or query the census function for membership"
+    )
+    if on_capped == "raise":
+        raise RuntimeError(msg)
+    logger.warning(msg)
 
 
 # ---------------------------------------------------------------------------
@@ -342,9 +371,31 @@ def minhash_lsh_candidates(
     such buckets are boilerplate by construction — genuine near-dup
     clusters that big should be caught by exact dedup/quality filters
     first. ``None`` disables the cap."""
+    agged = _lsh_bucket_groups(
+        df, text_col, id_col, num_perm, bands, shingle_k, shingle_mode, impl
+    )
+    if max_bucket_size is not None:
+        agged = agged.filter(F.size("ids") <= max_bucket_size)
+    return _expand_bucket_pairs(agged)
+
+
+def _lsh_bucket_groups(
+    df, text_col, id_col, num_perm, bands, shingle_k, shingle_mode, impl
+) -> DataFrame:
+    """(band, bucket, ids) for every bucket with ≥2 members — the single
+    groupBy shuffle both the pair expansion and the hot-bucket census
+    derive from."""
     banded = _lsh_banded(
         df, text_col, id_col, num_perm, bands, shingle_k, shingle_mode, impl
     )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+def _expand_bucket_pairs(agged: DataFrame) -> DataFrame:
     # in-bucket pair expansion: ONE shuffle (groupBy bucket) instead of a
     # cached two-sided self-join — per bucket, emit all sorted-id pairs.
     # Bucket populations are tiny by construction (the S-curve keeps
@@ -354,20 +405,38 @@ def minhash_lsh_candidates(
         f"transform(sequence(0, i - 1), j -> "
         f"struct(sorted[j] AS a, sorted[i] AS b))))"  # [] is 0-based in Spark SQL
     )
-    agged = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    if max_bucket_size is not None:
-        agged = agged.filter(F.size("ids") <= max_bucket_size)
-    pairs = (
+    return (
         agged.withColumn("sorted", F.array_sort("ids"))
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
-    return pairs
+
+
+def minhash_lsh_candidates_with_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    impl: str = "pandas",
+    max_bucket_size: int = 1000,
+) -> "tuple[DataFrame, DataFrame]":
+    """(pairs, census): candidate pairs under the hot-bucket cap PLUS the
+    (band, bucket, n_ids) rows the cap dropped — from ONE banding pass.
+    The bucket aggregation is checkpointed so both outputs reuse it
+    instead of re-running the minhash UDF (the data materialized is the
+    multi-member buckets the shuffle already built)."""
+    agged = _lsh_bucket_groups(
+        df, text_col, id_col, num_perm, bands, shingle_k, shingle_mode, impl
+    ).localCheckpoint(eager=True)
+    census = agged.filter(F.size("ids") > max_bucket_size).select(
+        "band", "bucket", F.size("ids").alias("n_ids")
+    )
+    pairs = _expand_bucket_pairs(agged.filter(F.size("ids") <= max_bucket_size))
+    return pairs, census
 
 
 def lsh_capped_buckets(
@@ -443,10 +512,25 @@ def minhash_dedup(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = 1000,
+    on_capped: str = "log",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
-    higher id of each verified pair (greedy single-link approximation)."""
-    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    higher id of each verified pair (greedy single-link approximation).
+
+    The hot-bucket guard is no longer silent: when the candidate pass
+    drops a bucket over ``max_bucket_size``, ``on_capped='log'`` (default)
+    emits a WARNING with the bucket/member counts, ``'raise'`` fails the
+    job, ``'ignore'`` skips the census entirely."""
+    if max_bucket_size is not None and on_capped != "ignore":
+        pairs, census = minhash_lsh_candidates_with_census(
+            df, text_col, id_col, num_perm, bands, max_bucket_size=max_bucket_size
+        )
+        _report_capped(census, "minhash_dedup", on_capped)
+    else:
+        pairs = minhash_lsh_candidates(
+            df, text_col, id_col, num_perm, bands, max_bucket_size=max_bucket_size
+        )
     dups = jaccard_verify(
         df, pairs, text_col, id_col, threshold, shingle_k=3, shingle_mode="word"
     )
@@ -725,11 +809,21 @@ def minhash_dedup_cc(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = 1000,
+    on_capped: str = "log",
 ) -> DataFrame:
     """Near-dup dedup keeping exactly one doc (the min id) per *connected
     component* of verified pairs — the exact variant of ``minhash_dedup``'s
-    greedy drop."""
-    pairs = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    greedy drop. Hot-bucket drops surface per ``on_capped`` (log default)."""
+    if max_bucket_size is not None and on_capped != "ignore":
+        pairs, census = minhash_lsh_candidates_with_census(
+            df, text_col, id_col, num_perm, bands, max_bucket_size=max_bucket_size
+        )
+        _report_capped(census, "minhash_dedup_cc", on_capped)
+    else:
+        pairs = minhash_lsh_candidates(
+            df, text_col, id_col, num_perm, bands, max_bucket_size=max_bucket_size
+        )
     dups = jaccard_verify(
         df, pairs, text_col, id_col, threshold, shingle_k=3, shingle_mode="word"
     )

@@ -179,6 +179,41 @@ def test_lsh_hot_bucket_guard(spark):
     assert not any(a < 5000 and b < 5000 for a, b in sgot)
 
 
+def test_dedup_pipelines_surface_capped_buckets(spark, caplog):
+    """The end-to-end dedup pipelines must not silently skip a capped
+    boilerplate cluster: census rows come back from the shared bucket
+    aggregation, the default logs a WARNING, and on_capped='raise'
+    fails the job."""
+    import logging
+
+    import pytest
+
+    degenerate = [(i, "identical boilerplate text repeated everywhere") for i in range(500)]
+    normal = [
+        (100000, "the quick brown fox jumps over the lazy dog today"),
+        (100001, "the quick brown fox jumps over the lazy dog today!"),
+    ]
+    df = spark.createDataFrame(degenerate + normal, "doc_id long, text string")
+    pairs, census = dedup.minhash_lsh_candidates_with_census(
+        df, num_perm=32, bands=16, max_bucket_size=100
+    )
+    crows = census.collect()
+    assert len(crows) >= 16 and all(r.n_ids == 500 for r in crows)
+    assert (100000, 100001) in {(r.a, r.b) for r in pairs.collect()}
+    with caplog.at_level(logging.WARNING, logger="samza_spark.pipeline.dedup"):
+        out = dedup.minhash_dedup(df, threshold=0.7, max_bucket_size=100)
+        out.count()
+    assert any("hot-bucket cap dropped" in rec.message for rec in caplog.records)
+    with pytest.raises(RuntimeError, match="hot-bucket cap dropped"):
+        dedup.minhash_dedup_cc(df, max_bucket_size=100, on_capped="raise")
+    # a clean corpus stays silent
+    caplog.clear()
+    clean = spark.createDataFrame(normal, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="samza_spark.pipeline.dedup"):
+        dedup.minhash_dedup(clean, threshold=0.7, max_bucket_size=100).count()
+    assert not any("hot-bucket" in rec.message for rec in caplog.records)
+
+
 def test_minhash_signature_empty_docs_zeroed(spark):
     """Empty shingle arrays must produce the all-zero signature, not the
     next doc's reduceat value (and a trailing empty doc must not raise)."""
