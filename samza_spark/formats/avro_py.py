@@ -22,7 +22,13 @@ When the spark-avro jar IS on the classpath, prefer it
 first and falls back here. Supported schema features mirror
 AvroRelConverter (samza-sql/.../avro/AvroRelConverter.java:63-158):
 records, arrays, maps, nullable unions, enums (as strings), fixed (as
-bytes), and the date/timestamp logical types.
+bytes), and the date/timestamp logical types (timestamps are UTC
+instants: encoded from naive-as-UTC, decoded tz-aware).
+
+PATH RESTRICTION: the write path (and the read path's header peek) uses
+plain ``open()`` on POSIX paths — local mode or a shared mount. Raw
+hdfs:// / abfss:// URIs require the JVM connectors; the ``binaryFile``
+read scan itself is Hadoop-backed and follows Spark's filesystem support.
 """
 
 from __future__ import annotations
@@ -100,6 +106,29 @@ def _type_name(schema: Any) -> str:
     return schema["type"] if isinstance(schema.get("type"), str) else _type_name(schema["type"])
 
 
+def _to_logical_int(schema: Any, v: Any) -> int:
+    """int/long encode honoring the date/timestamp logical types the
+    writer-side schema derivation emits: datetime.date -> epoch days,
+    datetime -> epoch millis/micros. Naive datetimes are taken as UTC
+    instants (the decoder returns UTC-aware ones, so round-trips
+    preserve the instant regardless of session timezone)."""
+    import datetime as dt
+
+    logical = schema.get("logicalType") if isinstance(schema, dict) else None
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        epoch_us = round(v.timestamp() * 1_000_000)
+        if logical == "timestamp-millis":
+            return epoch_us // 1000
+        return epoch_us  # timestamp-micros (the derived default)
+    if isinstance(v, dt.date):
+        if logical == "date" or logical is None:
+            return (v - dt.date(1970, 1, 1)).days
+        raise ValueError(f"date value for non-date logical type {logical!r}")
+    return int(v)
+
+
 def _encode(out: io.BytesIO, schema: Any, v: Any) -> None:
     schema = _norm_schema(schema)
     if isinstance(schema, list):  # union: branch index + value
@@ -110,10 +139,17 @@ def _encode(out: io.BytesIO, schema: Any, v: Any) -> None:
     t = _type_name(schema)
     if t == "null":
         return
+    if v is None:
+        # a null reaching a non-nullable branch must FAIL, not coerce
+        # (str(None) would silently write the literal 'None')
+        raise ValueError(
+            f"null value for non-nullable avro type {t!r}; declare the field "
+            "nullable (union with null) or drop the nulls before writing"
+        )
     if t == "boolean":
         out.write(b"\x01" if v else b"\x00")
     elif t in ("int", "long"):
-        _write_long(out, int(v))
+        _write_long(out, _to_logical_int(schema, v))
     elif t == "float":
         out.write(struct.pack("<f", float(v)))
     elif t == "double":
@@ -218,10 +254,17 @@ def _apply_logical(schema: Any, n: int) -> Any:
     logical = schema.get("logicalType") if isinstance(schema, dict) else None
     if logical == "date":
         return dt.date(1970, 1, 1) + dt.timedelta(days=n)
+    # Avro timestamps are UTC instants — decode tz-AWARE so Arrow /
+    # mapInPandas can't reinterpret a naive datetime in the session
+    # timezone and shift the instant
     if logical == "timestamp-millis":
-        return dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=n)
+        return dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            milliseconds=n
+        )
     if logical == "timestamp-micros":
-        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=n)
+        return dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            microseconds=n
+        )
     return n
 
 
@@ -424,7 +467,14 @@ def write_avro(
 ) -> Any:
     """Write a DataFrame as .avro container files, one file per partition
     (AvroDataFileHdfsWriter writes per task the same way), executor-side —
-    rows never reach the driver. Returns the avro schema used."""
+    rows never reach the driver. Returns the avro schema used.
+
+    PATH RESTRICTION: files are opened with plain ``open()`` inside
+    ``foreachPartition``, so ``path`` must be a driver+executor-visible
+    POSIX path — local mode or a shared mount (NFS/FUSE). hdfs:// or
+    abfss:// URIs need the spark-avro jar (``format("avro")``), which
+    FileSink prefers whenever it is on the classpath; this module is the
+    jar-less fallback."""
     schema = _norm_schema(avro_schema) if avro_schema else spark_to_avro_schema(df.schema, "topLevelRecord")
     os.makedirs(path, exist_ok=True)
 

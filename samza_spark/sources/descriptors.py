@@ -122,9 +122,30 @@ class FileSink:
             writer.save(self.path)
         except Exception as exc:
             if self.fmt == "avro" and "avro" in str(exc).lower():
-                # jar-less fallback: pure-Python OCF, one file per partition
+                # jar-less fallback: pure-Python OCF, one file per partition.
+                # It must honor the same sink contract as the jar path:
+                # partitioned layouts aren't implemented, and write modes
+                # map to explicit directory handling (append would
+                # otherwise silently mix stale part files into overwrite).
+                import os
+                import shutil
+
                 from samza_spark.formats.avro_py import write_avro
 
+                if self.partition_by:
+                    raise NotImplementedError(
+                        "partition_by requires the spark-avro jar; the "
+                        "jar-less OCF fallback writes flat part files"
+                    ) from exc
+                exists = os.path.isdir(self.path) and os.listdir(self.path)
+                if self.mode in ("error", "errorifexists") and exists:
+                    raise FileExistsError(
+                        f"{self.path} exists and mode={self.mode!r}"
+                    ) from exc
+                if self.mode == "ignore" and exists:
+                    return None
+                if self.mode == "overwrite" and os.path.isdir(self.path):
+                    shutil.rmtree(self.path)
                 write_avro(df, self.path, self.options.get("avroSchema"))
                 return None
             raise
@@ -351,11 +372,14 @@ class AzureBlobAvroSink:
     (deflate compression matching the reference's GZIP-class default), so
     the path works without the spark-avro jar.
 
-    ``path`` may be a local/posix/HDFS path; an ``abfss://`` URI
-    additionally needs hadoop-azure on the classpath (storage auth is
-    cluster config, as in the reference). ``max_records_per_blob`` maps to
-    the reference's maxRecordsPerBlob: partitions larger than it roll over
-    to a new blob."""
+    PATH RESTRICTION: blobs are opened with plain ``open()`` inside
+    ``foreachPartition``, so ``path`` must be a POSIX path visible to
+    every executor at the same location — local mode or a shared mount
+    (NFS/FUSE, or abfss/hdfs exposed through a FUSE driver). Raw
+    ``abfss://``/``hdfs://`` URIs need a JVM writer (spark-avro +
+    hadoop-azure); this sink is the jar-less analog, not a replacement.
+    ``max_records_per_blob`` maps to the reference's maxRecordsPerBlob:
+    partitions larger than it roll over to a new blob."""
 
     path: str
     codec: str = "deflate"

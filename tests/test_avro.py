@@ -135,7 +135,68 @@ def test_logical_types_round_trip():
     _encode(out, schema, {"d": 19723, "tm": 1_704_067_200_000_000})
     got = _decode(io.BytesIO(out.getvalue()), schema)
     assert got["d"] == dt.date(2024, 1, 1)
-    assert got["tm"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+    # timestamps decode tz-AWARE (avro timestamps are UTC instants)
+    assert got["tm"] == dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+    # and python date/datetime values ENCODE through the logical types too
+    out2 = io.BytesIO()
+    _encode(
+        out2,
+        schema,
+        {"d": dt.date(2024, 1, 1), "tm": dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)},
+    )
+    assert out2.getvalue() == out.getvalue()
+
+
+def test_null_through_non_nullable_branch_raises():
+    schema = {
+        "type": "record",
+        "name": "N",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    from samza_spark.formats.avro_py import _encode
+
+    with pytest.raises(ValueError, match="non-nullable"):
+        _encode(io.BytesIO(), schema, {"s": None})
+
+
+def test_dataframe_date_timestamp_round_trip(spark, tmp_path):
+    """write_avro on a DataFrame with date/timestamp columns must encode
+    via the logical types (it used to crash on int(datetime)) and read
+    back the same instants."""
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), dt.datetime(2024, 1, 1, 12, 30, 0)),
+            (2, dt.date(1969, 12, 31), dt.datetime(1970, 1, 1, 0, 0, 1)),
+        ],
+        "id int, d date, ts timestamp",
+    )
+    path = str(tmp_path / "avro_dt")
+    write_avro(df, path)
+    back = read_avro(spark, path)
+    got = {r.id: (r.d, r.ts) for r in back.collect()}
+    want = {r.id: (r.d, r.ts) for r in df.collect()}
+    assert got == want
+
+
+def test_filesink_fallback_honors_mode_and_rejects_partition_by(spark, tmp_path):
+    from samza_spark.sources import FileSink, FileSource
+
+    df1 = spark.createDataFrame([(1, "x")], "id int, v string")
+    df2 = spark.createDataFrame([(2, "y")], "id int, v string")
+    path = str(tmp_path / "avro_modes")
+    FileSink(path, fmt="avro").write(df1)
+    # overwrite must CLEAR stale part files, not mix them in
+    FileSink(path, fmt="avro", mode="overwrite").write(df2)
+    got = sorted((r.id, r.v) for r in FileSource(path, fmt="avro").read(spark).df.collect())
+    assert got == [(2, "y")]
+    with pytest.raises(FileExistsError):
+        FileSink(path, fmt="avro", mode="errorifexists").write(df1)
+    # ignore on existing target is a no-op
+    FileSink(path, fmt="avro", mode="ignore").write(df1)
+    got = sorted((r.id, r.v) for r in FileSource(path, fmt="avro").read(spark).df.collect())
+    assert got == [(2, "y")]
+    with pytest.raises(NotImplementedError, match="partition_by"):
+        FileSink(str(tmp_path / "p"), fmt="avro", partition_by=["v"]).write(df1)
 
 
 def test_dataframe_avro_round_trip(spark, tmp_path):
