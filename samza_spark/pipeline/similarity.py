@@ -143,23 +143,50 @@ def cosine_topk(
 
 
 def hyperplane_buckets(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, impl: str = "pandas"
 ) -> DataFrame:
-    """Assign each vector an LSH bucket: bit j = sign(<v, h_j>) where
-    hyperplane h_j has components in {-1,+1} derived from
-    xxhash64(j, dim_index) — deterministic, no stored model."""
-    dim_component = (
-        "(case when (xxhash64(concat('pl', cast({j} as string), ':', cast(i as string))) & 1) = 1 "
-        "then 1.0 else -1.0 end)"
-    )
-    bit_terms = " + ".join(
-        f"(case when aggregate(zip_with({_as_double(vec_col)}, "
-        f"transform(sequence(0, size({vec_col}) - 1), i -> {dim_component.format(j=j)}), "
-        f"(x, h) -> x * h), cast(0.0 as double), (acc, v) -> acc + v) >= 0.0 "
-        f"then shiftleft(1L, {j}) else 0L end)"
-        for j in range(n_planes)
-    )
-    return df.withColumn("bucket", F.expr(f"({bit_terms})"))
+    """Assign each vector an LSH bucket: bit j = sign(<v, h_j>) with ±1
+    hyperplane components derived deterministically (no stored model, no
+    RNG state — reproducible across runs/executors).
+
+    ``impl='pandas'`` (default): ONE numpy matmul per Arrow batch against
+    the md5-derived ±1 plane matrix (same constants as
+    :func:`det_planes`). ``impl='sql'`` keeps the pure-Catalyst
+    xxhash64-derived expression (no Python workers), at the cost of
+    n_planes interpreted higher-order folds per row — use it where a
+    Python-free plan matters more than per-row cost."""
+    if impl == "sql":
+        dim_component = (
+            "(case when (xxhash64(concat('pl', cast({j} as string), ':', cast(i as string))) & 1) = 1 "
+            "then 1.0 else -1.0 end)"
+        )
+        bit_terms = " + ".join(
+            f"(case when aggregate(zip_with({_as_double(vec_col)}, "
+            f"transform(sequence(0, size({vec_col}) - 1), i -> {dim_component.format(j=j)}), "
+            f"(x, h) -> x * h), cast(0.0 as double), (acc, v) -> acc + v) >= 0.0 "
+            f"then shiftleft(1L, {j}) else 0L end)"
+            for j in range(n_planes)
+        )
+        return df.withColumn("bucket", F.expr(f"({bit_terms})"))
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    plane_cache: dict = {}
+
+    @pandas_udf("long")
+    def bucket(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if X.ndim != 2 or not len(X):
+            return pd.Series([0] * len(vs))
+        dim = X.shape[1]
+        P = plane_cache.get(dim)
+        if P is None:
+            P = plane_cache[dim] = np.asarray(det_planes(n_planes, dim))
+        bits = (X @ P.T) >= 0.0
+        weights = 1 << np.arange(n_planes, dtype=np.uint64)
+        return pd.Series((bits.astype(np.uint64) @ weights).view(np.int64))
+
+    return df.withColumn("bucket", bucket(F.col(vec_col)))
 
 
 def probe_buckets(bucket_col: str, n_planes: int, multi_probe: bool) -> Column:
