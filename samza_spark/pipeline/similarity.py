@@ -357,6 +357,96 @@ def quantize_embeddings(
     return out.withColumn(out_col, q)
 
 
+def _int_cosine_sql(a: str, b: str) -> str:
+    """Cosine of two int-code arrays with EXACT integer dot products
+    (BIGINT folds — no float association order to drift between engines);
+    only the final sqrt/multiply/divide are IEEE ops, identical in Spark
+    and DuckDB. Zero-norm codes score 0."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * cast(y as bigint)), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    sq = "aggregate(transform({c}, x -> cast(x as bigint) * cast(x as bigint)), cast(0 as bigint), (acc, v) -> acc + v)"
+    na, nb = sq.format(c=a), sq.format(c=b)
+    return (
+        f"(case when {na} = 0 or {nb} = 0 then cast(0.0 as double) else "
+        f"cast({dot} as double) / (sqrt(cast({na} as double)) * sqrt(cast({nb} as double))) end)"
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_factor: int = 3,
+) -> DataFrame:
+    """Two-stage ANN on int8-quantized embeddings: score ALL candidates
+    with the cosine of their int8 codes (exact integer dot products —
+    4x less data scanned per comparison at corpus scale, and scale
+    factors cancel inside the cosine), keep the top ``rerank_factor * k``
+    per query, then re-rank only that slice with the exact fold-order
+    float cosine. Every double is DuckDB-reproducible, so the whole
+    two-stage pipeline is oracle-checkable.
+
+    100 TB shape: the corpus ships/stores codes (int8) instead of floats
+    for stage 1; stage 2 touches rerank_factor*k rows per query. Queries
+    broadcast; the corpus is scanned once and never shuffled (stage-1
+    selection is partition-local before the tiny rank exchange, as in
+    cosine_topk)."""
+    m = rerank_factor * k
+    cq = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        out_col="__cq",
+        scale_col="__cs",
+    ).select("neighbor_id", "__cv", "__cq")
+    qq = F.broadcast(
+        quantize_embeddings(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+            "__qv",
+            out_col="__qq",
+            scale_col="__qs",
+        ).select("query_id", "__qv", "__qq")
+    )
+    scored = (
+        cq.crossJoin(qq)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qcos", F.expr(_int_cosine_sql("__cq", "__qq")))
+        .select("query_id", "neighbor_id", "qcos", "__cv", "__qv")
+    )
+
+    def partial_topm(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "qcos", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(m)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topm,
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    shortlist = (
+        pruned.withColumn("__qr", F.row_number().over(wq))
+        .filter(F.col("__qr") <= m)
+        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the trained-centroid scale path
 # ---------------------------------------------------------------------------

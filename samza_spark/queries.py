@@ -387,6 +387,35 @@ def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_analytic_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window functions (OVER) — ranking + frames, rejected
+    outright by Samza SQL (SamzaSqlValidator.java:116-127, SURVEY.md §2.3
+    'NOT implemented'), native Catalyst extension here: per-customer order
+    rank, running revenue (DECIMAL-exact so the fold order can't drift
+    between engines), previous order's price, and share of the customer
+    total."""
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(14,2))) over "
+            "(partition by o_custkey order by o_orderdate, o_orderkey "
+            "rows between unbounded preceding and current row) as double)"
+        ).alias("running_rev"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.expr(
+            "cast(o_totalprice as double) / "
+            "cast(sum(cast(o_totalprice as decimal(14,2))) over "
+            "(partition by o_custkey) as double)"
+        ).alias("rev_share"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("cust_orders"),
+    )
+
+
 def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar-function coverage (SamzaSqlOperatorTable.java:45-146:
     strings incl. INITCAP/OVERLAY/POSITION, math, EXTRACT and
@@ -645,6 +674,19 @@ def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quantized_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage int8 ANN (similarity.quantized_topk): stage 1 ranks ALL
+    candidates by the cosine of their int8 codes — exact BIGINT dot
+    products, no float fold order to drift — stage 2 re-ranks the
+    top rerank_factor*k with the exact fold-order float cosine. The whole
+    pipeline (quantize -> int cosine -> shortlist -> rerank) is mirrored
+    in DuckDB, making a production ANN pattern (quantized scan + float
+    rerank) fully oracle-checked."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.quantized_topk(emb, queries, k=10, rerank_factor=3)
+
+
 def q_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch aggregates (HLL++ count-distinct, KLL-style quantile) with an
     exactness-checkable invariant: the query emits the EXACT values plus
@@ -720,6 +762,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
+    "analytic_window": q_analytic_window,
     "scalar_functions": q_scalar_functions,
     "udf_regex": q_udf_regex,
     "nested_struct": q_nested_struct,
@@ -742,6 +785,7 @@ QUERIES = {
     "avro_roundtrip": q_avro_roundtrip,
     "approx_sketches": q_approx_sketches,
     "embedding_quantize": q_embedding_quantize,
+    "quantized_rerank": q_quantized_rerank,
     "exists_subquery": q_exists_subquery,
 }
 
@@ -791,6 +835,25 @@ def _norm2(a: str) -> str:
 
 def _cos(a: str, b: str) -> str:
     return f"({_dot(a, b)} / ({_norm2(a)} * {_norm2(b)}))"
+
+
+def _int_dot_duck(a: str, b: str) -> str:
+    """Exact BIGINT dot product of int-code lists (mirrors
+    similarity._int_cosine_sql's integer folds)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT))), (x, y) -> x + y)"
+    )
+
+
+def _int_cos_duck(a: str, b: str) -> str:
+    dot = _int_dot_duck(a, b)
+    na, nb = _int_dot_duck(a, a), _int_dot_duck(b, b)
+    return (
+        f"(CASE WHEN {na} = 0 OR {nb} = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))) END)"
+    )
 
 
 _LANG_MARKERS_SQL = {
@@ -932,6 +995,22 @@ ORACLES = {
         "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
         "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n "
         "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    ),
+    # analytic OVER windows: running revenue through DECIMAL (both engines
+    # fold the frame in the same (o_orderdate, o_orderkey) order), lag,
+    # per-partition count, share = double / exact-decimal-total
+    "analytic_window": (
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(row_number() OVER w AS INT) AS order_seq, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev, "
+        "lag(o_totalprice, 1) OVER w AS prev_price, "
+        "CAST(o_totalprice AS DOUBLE) / CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) "
+        "OVER (PARTITION BY o_custkey) AS DOUBLE) AS rev_share, "
+        "CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_orders "
+        "FROM orders WHERE o_custkey < 200 "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
     ),
     "scalar_functions": (
         "SELECT o_orderkey, upper(o_orderstatus) AS status_u, "
@@ -1134,6 +1213,33 @@ _BUCKET_DUCK = " + ".join(
     f"(CASE WHEN {_dot('embedding', _plane_duck(p))} >= 0.0 "
     f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     for j, p in enumerate(similarity.det_planes(8, 64))
+)
+
+# two-stage int8 ANN: quantize (same scale/codes as embedding_quantize),
+# shortlist by exact-integer code cosine, rerank by fold-order float cosine
+ORACLES["quantized_rerank"] = (
+    "WITH s AS (SELECT vec_id, embedding, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len(embedding)), "
+    "i -> abs(CAST(embedding[i] AS DOUBLE)))), "
+    "(m, x) -> greatest(m, x)) / CAST(127.0 AS DOUBLE) AS scale FROM embeddings), "
+    "codes AS (SELECT vec_id, embedding, "
+    "list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(CASE WHEN scale = 0.0 THEN 0.0 ELSE "
+    "floor(CAST(embedding[i] AS DOUBLE) / scale + CAST(0.5 AS DOUBLE)) END AS BIGINT)) AS cq "
+    "FROM s), "
+    "q AS (SELECT vec_id AS query_id, embedding AS qemb, cq AS qq FROM codes "
+    "WHERE vec_id < 5), "
+    "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.embedding AS nemb, "
+    "q.qemb, " + _int_cos_duck("c.cq", "q.qq") + " AS qcos "
+    "FROM codes c CROSS JOIN q WHERE c.vec_id <> q.query_id), "
+    "short AS (SELECT query_id, neighbor_id, nemb, qemb FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY qcos DESC, neighbor_id ASC) AS qr FROM scored) WHERE qr <= 30) "
+    "SELECT query_id, neighbor_id, " + _cos("nemb", "qemb") + " AS cosine, "
+    "CAST(row_number() OVER (PARTITION BY query_id "
+    "ORDER BY " + _cos("nemb", "qemb") + " DESC, neighbor_id ASC) AS INT) AS rank "
+    "FROM short QUALIFY rank <= 10"
 )
 
 # multi-probe: a candidate matches the query's bucket or any 1-bit flip of

@@ -310,6 +310,27 @@ def test_ann_multi_probe_improves_recall(spark):
     assert multi_det >= 0.7, (single_det, multi_det)
 
 
+def test_quantized_rerank_recall(spark):
+    """int8 quantize -> integer-cosine shortlist -> float rerank: int8
+    barely perturbs cosine ordering, so recall@10 vs the exact baseline
+    should be near-perfect with a 3x shortlist."""
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((250, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(250)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter("vec_id < 10")
+    truth = {}
+    for r in similarity.cosine_topk(df, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in similarity.quantized_topk(df, queries, k=10, rerank_factor=3).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_embedding_near_dup_pairs(spark):
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((30, 8)).astype(np.float32)
