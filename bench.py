@@ -36,11 +36,13 @@ HEADLINE = [
     "session_window",
     "tpch_q1",
     "topk",
+    "analytic_window",
     "dedup_exact_groups",
     "pipeline_clean",
     "text_metrics",
     "minhash_pairs",
     "cosine_topk",
+    "quantized_rerank",
 ]
 
 
