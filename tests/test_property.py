@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) over the pure-Python layers: the
+Avro binary/OCF codec, SimHash block partitioning, and UDF overload
+dispatch. No SparkSession needed — these run in milliseconds and explore
+input space the example-based tests can't."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+
+from hypothesis import given, settings, strategies as st
+
+from samza_spark.formats.avro_py import (
+    _read_long,
+    _write_long,
+    read_ocf,
+    write_ocf,
+)
+from samza_spark.functions.registry import UdfSignature
+from samza_spark.pipeline.dedup import simhash_blocks
+
+INT64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@given(INT64)
+def test_zigzag_varint_round_trip(n):
+    out = io.BytesIO()
+    _write_long(out, n)
+    assert _read_long(io.BytesIO(out.getvalue())) == n
+
+
+RICH_SCHEMA = {
+    "type": "record",
+    "name": "P",
+    "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": ["null", "long"]}},
+        {"name": "when", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+    ],
+}
+
+# doubles: avro encodes raw IEEE bits, so NaN round-trips too — compare via repr
+_rows = st.lists(
+    st.fixed_dictionaries(
+        {
+            "i": INT64,
+            "s": st.one_of(st.none(), st.text(max_size=40)),
+            "d": st.floats(allow_nan=False),
+            "b": st.booleans(),
+            "raw": st.binary(max_size=32),
+            "xs": st.lists(INT64, max_size=8),
+            "m": st.dictionaries(st.text(max_size=8), st.one_of(st.none(), INT64), max_size=4),
+            "when": st.datetimes(
+                min_value=dt.datetime(1900, 1, 1),
+                max_value=dt.datetime(2200, 1, 1),
+            ).map(lambda d: d.replace(tzinfo=dt.timezone.utc)),
+            "day": st.dates(min_value=dt.date(1800, 1, 1), max_value=dt.date(2400, 1, 1)),
+        }
+    ),
+    max_size=20,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_rows, st.sampled_from(["null", "deflate"]), st.integers(min_value=1, max_value=7))
+def test_ocf_round_trip_random_rows(rows, codec, block_rows):
+    buf = io.BytesIO()
+    write_ocf(buf, RICH_SCHEMA, rows, codec=codec, block_rows=block_rows)
+    got = list(read_ocf(buf.getvalue()))
+    assert len(got) == len(rows)
+    for g, r in zip(got, rows):
+        assert g["i"] == r["i"]
+        assert g["s"] == r["s"]
+        assert repr(g["d"]) == repr(float(r["d"]))
+        assert g["b"] == r["b"]
+        assert g["raw"] == r["raw"]
+        assert g["xs"] == r["xs"]
+        assert g["m"] == r["m"]
+        # datetimes round-trip as UTC instants at micro precision
+        assert g["when"] == r["when"]
+        assert g["day"] == r["day"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=128), st.integers(min_value=0, max_value=16))
+def test_simhash_blocks_always_disjoint_cover(bits, max_hamming):
+    if max_hamming + 1 > bits:
+        import pytest
+
+        with pytest.raises(ValueError):
+            simhash_blocks(bits, max_hamming)
+        return
+    blocks = simhash_blocks(bits, max_hamming)
+    assert len(blocks) == max_hamming + 1
+    covered = sorted(i for off, w in blocks for i in range(off, off + w))
+    assert covered == list(range(bits))  # disjoint AND complete
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.floats(allow_nan=False),
+            st.text(max_size=10),
+            st.booleans(),
+        ),
+        max_size=5,
+    )
+)
+def test_udf_any_signature_matches_same_arity(args):
+    sig = UdfSignature(fn=lambda *a: a, params=tuple("any" for _ in args))
+    assert sig.matches(tuple(args))
+    assert not sig.matches(tuple(args) + (1,))
+
+
+def test_udf_typed_signature_null_matches_every_tag():
+    for tag in ("int", "double", "string", "bool", "binary", "array", "map"):
+        assert UdfSignature(fn=lambda x: x, params=(tag,)).matches((None,))
+
+
+@given(st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=8))
+def test_udf_vararg_signature_arity(fixed, extra):
+    sig = UdfSignature(fn=lambda *a: a, params=tuple("any" for _ in range(fixed)), varargs=True)
+    assert sig.matches(tuple(range(fixed + extra)))
+    if fixed:
+        assert not sig.matches(tuple(range(fixed - 1)))
