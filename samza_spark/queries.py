@@ -443,6 +443,37 @@ def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_collections(spark: SparkSession, sf: str) -> DataFrame:
+    """Collection operators (SamzaSqlOperatorTable.java:68-73,100-108:
+    ITEM/[i], DOT, ELEMENT, CARDINALITY, IS EMPTY, ARRAY/MAP/ROW
+    constructors): Spark builds real array/map/struct values and probes
+    them; the oracle states the equivalent SCALAR semantics directly
+    (a literal-key map lookup IS the column), so the check is on
+    semantics, not on cross-engine collection stringification."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # CARDINALITY
+        F.expr("size(array(l_quantity, l_discount, l_tax))").cast("int").alias("card"),
+        # ITEM / [i] (1-based element_at)
+        F.expr("element_at(array(l_returnflag, l_linestatus), 1)").alias("item1"),
+        F.expr("array(l_quantity, l_extendedprice)[0]").alias("arr0"),
+        # MAP constructor + keyed ITEM
+        F.expr(
+            "element_at(map('rf', l_returnflag, 'ls', l_linestatus), 'ls')"
+        ).alias("map_ls"),
+        # ROW constructor + DOT
+        F.expr("struct(l_returnflag AS rf, l_linestatus AS ls).rf").alias("dot_rf"),
+        # IS EMPTY over a filtered collection
+        F.expr("size(filter(array(l_quantity), x -> x > 25.0)) = 0").alias(
+            "none_over_25"
+        ),
+        # ELEMENT (sole element of a singleton collection)
+        F.expr("element_at(slice(array(l_quantity), 1, 1), 1)").alias("elem"),
+    )
+
+
 def q_udf_regex(spark: SparkSession, sf: str) -> DataFrame:
     """Reference UDF RegexMatch via the SQL rewrite path (fn/RegexMatch.java
     -> rlike; samza_spark.sql.runner.rewrite_builtins)."""
@@ -764,6 +795,7 @@ QUERIES = {
     "rollup": q_rollup,
     "analytic_window": q_analytic_window,
     "scalar_functions": q_scalar_functions,
+    "collections": q_collections,
     "udf_regex": q_udf_regex,
     "nested_struct": q_nested_struct,
     "dedup_exact_groups": q_dedup_exact_groups,
@@ -1011,6 +1043,15 @@ ORACLES = {
         "CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_orders "
         "FROM orders WHERE o_custkey < 200 "
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    ),
+    # collection ops: the oracle states the scalar semantics each probe
+    # must reduce to (literal-key map lookup == the column, etc.)
+    "collections": (
+        "SELECT l_orderkey, l_linenumber, CAST(3 AS INT) AS card, "
+        "l_returnflag AS item1, l_quantity AS arr0, l_linestatus AS map_ls, "
+        "l_returnflag AS dot_rf, (l_quantity <= 25.0) AS none_over_25, "
+        "l_quantity AS elem "
+        "FROM lineitem WHERE l_orderkey < 500"
     ),
     "scalar_functions": (
         "SELECT o_orderkey, upper(o_orderstatus) AS status_u, "
