@@ -114,6 +114,34 @@ def test_simhash_finds_pair_differing_in_low_prefix(spark):
     assert got == want
 
 
+def test_simhash_64bit_scale_path(spark, doc_df):
+    """bits=64 is the documented corpus-scale configuration (16-bit
+    blocks at k=3 -> 4 x 65,536 buckets instead of 4 x 256): the planted
+    near-dups must still surface, pairs == brute force at the same
+    width, and signatures must use the high bits (sign-extension safe)."""
+    got = {
+        (r.a, r.b)
+        for r in dedup.simhash_candidates(doc_df, max_hamming=3, bits=64).collect()
+    }
+    assert any(a == 0 and b in (100, 101) for a, b in got)
+    sig = df_sig = (
+        doc_df.select("doc_id", dedup.shingle_hashes("text").alias("__shh"))
+        .select("doc_id", dedup.simhash_pandas("__shh", bits=64).alias("sh"))
+    )
+    sigs = [r.sh for r in df_sig.collect()]
+    assert any(s < 0 or s > 0xFFFFFFFF for s in sigs)  # high bits in use
+    l, r = sig.alias("l"), sig.alias("r")
+    brute = {
+        (row.a, row.b)
+        for row in l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .withColumn("h", F.expr("bit_count(l.sh ^ r.sh)"))
+        .filter(F.col("h") <= 3)
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .collect()
+    }
+    assert got == brute
+
+
 def test_simhash_blocks_cover_all_bits():
     for bits in (32, 64):
         for k in (1, 2, 3, 5):
