@@ -180,3 +180,103 @@ def test_native_flatten_untouched_in_extension_mode(app, spark):
     )
     [df] = app.run("SELECT id, flatten(tags) AS flat FROM nested")
     assert rows(df) == [(1, ["a", "b", "c"])]
+
+
+def test_right_outer_join(app):
+    """RIGHT OUTER stream-table join (JoinTranslator accepts
+    INNER/LEFT/RIGHT, JoinTranslator.java:198-213): unmatched table rows
+    surface with null stream side."""
+    [df] = app.run(
+        "SELECT p.pageKey, pr.name FROM pageviews p "
+        "RIGHT JOIN profiles pr ON p.profileId = pr.id "
+        "WHERE p.pageKey IS NULL OR p.pageKey = 'blank'"
+    )
+    assert rows(df) == [("blank", "bob")]  # alice+carol matched elsewhere
+
+
+def test_join_null_keys_never_match(app, spark):
+    """SQL null-key semantics (TestSamzaSqlEndToEnd null-key join shapes):
+    a null profileId matches nothing even against a null table id."""
+    app.add_table(
+        "profiles_with_null",
+        spark.createDataFrame(
+            [(None, "ghost"), (1, "alice")], "id int, name string"
+        ),
+    )
+    [df] = app.run(
+        "SELECT p.pageKey, pr.name FROM pageviews p "
+        "JOIN profiles_with_null pr ON p.profileId = pr.id"
+    )
+    assert rows(df) == [("home", "alice"), ("search", "alice")]
+
+
+def test_udf_in_where_clause(app):
+    """Reference UDFs are usable in predicates, not only projections
+    (RegexMatch shapes in TestSamzaSqlEndToEnd)."""
+    [df] = app.run(
+        "SELECT pageKey FROM pageviews WHERE RegexMatch('^h.*', pageKey)"
+    )
+    assert rows(df) == [("home",), ("home",)]
+
+
+def test_not_like_and_nested_case(app):
+    [df] = app.run(
+        "SELECT pageKey, CASE WHEN country IS NULL THEN 'unknown' "
+        "WHEN country LIKE 'u%' THEN 'amer' ELSE 'other' END AS region "
+        "FROM pageviews WHERE pageKey NOT LIKE 'b%'"
+    )
+    assert rows(df) == [
+        ("about", "other"),
+        ("home", "amer"),
+        ("home", "unknown"),
+        ("search", "amer"),
+    ]
+
+
+def test_multiway_stream_two_tables(app, spark):
+    """Stream joined against TWO tables in one statement (multi-join
+    fan-out of the stream-table shape)."""
+    app.add_table(
+        "companies",
+        spark.createDataFrame(
+            [("acme", "tech"), ("globex", "energy")], "company string, sector string"
+        ),
+    )
+    [df] = app.run(
+        "SELECT p.pageKey, pr.name, c.sector FROM pageviews p "
+        "JOIN profiles pr ON p.profileId = pr.id "
+        "JOIN companies c ON pr.company = c.company"
+    )
+    assert rows(df) == [
+        ("blank", "bob", "energy"),
+        ("home", "alice", "tech"),
+        ("home", "carol", "tech"),
+        ("search", "alice", "tech"),
+    ]
+
+
+def test_insert_select_projection_reorder(app, spark):
+    """INSERT INTO with reordered/renamed projection — the sink sees the
+    SELECT's schema (QueryTranslator sink mapping)."""
+    from samza_spark.sources import MemorySink
+
+    app.add_sink("out_reordered", MemorySink("corpus_reord"))
+    app.run(
+        "INSERT INTO out_reordered SELECT profileId AS pid, upper(pageKey) AS pk "
+        "FROM pageviews WHERE profileId = 1"
+    )
+    got = sorted(
+        (r.pid, r.pk) for r in spark.sql("SELECT * FROM corpus_reord").collect()
+    )
+    assert got == [(1, "HOME"), (1, "SEARCH")]
+
+
+def test_scalar_functions_in_statement_form(app):
+    """String/math scalars inside the statement form (SamzaSqlOperatorTable
+    families end-to-end through the runner, not just DataFrame probes)."""
+    [df] = app.run(
+        "SELECT upper(pageKey) AS pk, char_length(pageKey) AS n, "
+        "coalesce(country, 'xx') AS c, mod(regionId, 2) AS m "
+        "FROM pageviews WHERE pageKey = 'home'"
+    )
+    assert rows(df) == [("HOME", 4, "us", 1), ("HOME", 4, "xx", 1)]
