@@ -195,6 +195,32 @@ def main() -> None:
         streaming["stream_sustained_messages"] = n_replay
         print(f"# stream_sustained_1m: {secs:.3f}s ({n_replay} msgs)", file=sys.stderr)
 
+        # throughput-tuned variant: same workload, bigger triggers (2
+        # batches instead of ~5). The reference's bench puts no batch-size
+        # constraint on its container either — this is the configuration a
+        # throughput-focused user runs; the conservative multi-batch number
+        # above is kept for round-over-round comparability.
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max(1, replicas // 2))
+            .parquet(replay_dir)
+            .filter(F.col("event_type") != "")
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = round(time.perf_counter() - t0, 3)
+        per_query["stream_sustained_1m_tuned"] = secs
+        streaming["stream_sustained_tuned_msgs_per_sec"] = round(n_replay / secs)
+        print(
+            f"# stream_sustained_1m_tuned: {secs:.3f}s ({n_replay} msgs)",
+            file=sys.stderr,
+        )
+
         # the stateful counterpart (BASELINE.md #3/#4: windowed counts with
         # durable state) over the same 1M-message replay
         spark.conf.set("spark.sql.shuffle.partitions", "8")
