@@ -656,6 +656,19 @@ def simhash_candidates(
     LSH hot bucket): a degenerate (block_idx, block_val) bucket bigger
     than the cap is dropped from pair expansion rather than exploding
     quadratically in one task. ``None`` disables."""
+    agged = _simhash_block_groups(
+        df, text_col, id_col, max_hamming, bits, impl, hash_family
+    )
+    if max_block_size is not None:
+        agged = agged.filter(F.size("ids") <= max_block_size)
+    return _expand_simhash_pairs(agged, max_hamming)
+
+
+def _simhash_block_groups(
+    df, text_col, id_col, max_hamming, bits, impl, hash_family
+) -> DataFrame:
+    """(bidx, bval, ids) for every pigeonhole block bucket with ≥2
+    members — shared by pair expansion and the hot-block census."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
     sig_expr = (
@@ -677,17 +690,18 @@ def simhash_candidates(
         F.col("sh"),
         F.posexplode(F.expr(f"array({block_vals})")).alias("bidx", "bval"),
     )
-    pair_expr = (
-        "flatten(transform(sequence(1, size(rs) - 1), i -> "
-        "transform(sequence(0, i - 1), j -> struct(rs[j] AS l, rs[i] AS r))))"
-    )
-    agged = (
+    return (
         blocked.groupBy("bidx", "bval")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sh")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_block_size is not None:
-        agged = agged.filter(F.size("ids") <= max_block_size)
+
+
+def _expand_simhash_pairs(agged: DataFrame, max_hamming: int) -> DataFrame:
+    pair_expr = (
+        "flatten(transform(sequence(1, size(rs) - 1), i -> "
+        "transform(sequence(0, i - 1), j -> struct(rs[j] AS l, rs[i] AS r))))"
+    )
     return (
         agged.withColumn("rs", F.array_sort("ids"))
         .select(F.explode(F.expr(pair_expr)).alias("p"))
@@ -702,6 +716,62 @@ def simhash_candidates(
         # pair so the distinct is on the full row
         .dropDuplicates(["a", "b"])
     )
+
+
+def simhash_candidates_with_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    impl: str = "pandas",
+    hash_family: str = "xxhash64",
+    max_block_size: int = 5000,
+) -> "tuple[DataFrame, DataFrame]":
+    """(pairs, census): candidates under the hot-block cap plus the
+    (bidx, bval, n_ids) rows the cap dropped — one signature pass, the
+    block aggregation checkpointed and shared (mirror of
+    :func:`minhash_lsh_candidates_with_census`)."""
+    agged = _simhash_block_groups(
+        df, text_col, id_col, max_hamming, bits, impl, hash_family
+    ).localCheckpoint(eager=True)
+    census = agged.filter(F.size("ids") > max_block_size).select(
+        "bidx", "bval", F.size("ids").alias("n_ids")
+    )
+    pairs = _expand_simhash_pairs(
+        agged.filter(F.size("ids") <= max_block_size), max_hamming
+    )
+    return pairs, census
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    hash_family: str = "xxhash64",
+    max_block_size: int | None = 5000,
+    on_capped: str = "log",
+) -> DataFrame:
+    """Full SimHash near-dup dedup: pigeonhole candidates (recall 1 at
+    hamming ≤ k) -> connected components over the verified pairs -> keep
+    the min id per component. Hot-block drops surface per ``on_capped``
+    (log default), mirroring :func:`minhash_dedup_cc`."""
+    if max_block_size is not None and on_capped != "ignore":
+        pairs, census = simhash_candidates_with_census(
+            df, text_col, id_col, max_hamming, bits,
+            hash_family=hash_family, max_block_size=max_block_size,
+        )
+        _report_capped(census, "simhash_dedup", on_capped)
+    else:
+        pairs = simhash_candidates(
+            df, text_col, id_col, max_hamming, bits,
+            hash_family=hash_family, max_block_size=max_block_size,
+        )
+    comp = connected_components(pairs.select("a", "b"), id_col)
+    to_drop = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
+    return df.join(to_drop, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -599,6 +599,18 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Full SimHash dedup pipeline: pigeonhole candidates (recall 1) ->
+    connected components -> keep min id per component. The oracle
+    reproduces the whole chain INCLUDING the transitive closure (DuckDB
+    recursive CTE), so the iterative min-label propagation is checked
+    against a declarative fixpoint."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash_dedup(docs, max_hamming=3, hash_family="md5").select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force exact cosine top-k (ANN baseline): queries broadcast,
     corpus never shuffled."""
@@ -809,6 +821,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_dedup": q_simhash_dedup,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk": q_ann_topk,
@@ -1193,6 +1206,28 @@ ORACLES = {
         "CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming "
         "FROM sig l JOIN sig r ON l.doc_id < r.doc_id "
         "WHERE bit_count(xor(l.sh, r.sh)) <= 3"
+    ),
+    # full simhash dedup: same signatures/pairs, then the transitive
+    # closure as a RECURSIVE CTE (declarative fixpoint checks the
+    # iterative min-label propagation), keep min id per component
+    "simhash_dedup": (
+        f"WITH RECURSIVE t AS (SELECT doc_id, {_NORM.format(c='text')} AS n FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        "generate_series(1, greatest(length(n) - 3, 1)), "
+        "i -> ('0x' || substr(md5(substr(n, i, 4)), 1, 8))::BIGINT)) AS h FROM t), "
+        "bits AS (SELECT doc_id, b, CASE WHEN 2 * sum((h >> b) & 1) > count(*) "
+        "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END AS v "
+        "FROM g CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb "
+        "GROUP BY doc_id, b), "
+        "sig AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sh FROM bits GROUP BY doc_id), "
+        "edges AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sig l JOIN sig r "
+        "ON l.doc_id < r.doc_id WHERE bit_count(xor(l.sh, r.sh)) <= 3), "
+        "sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges), "
+        "reach AS (SELECT a AS id, b AS r FROM sym "
+        "UNION SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a), "
+        "comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id) "
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)"
     ),
     # multimodal fake decode: width/height derive from sha256 hex of the
     # utf-8 blob — DuckDB sha256(text) hashes the same bytes

@@ -114,6 +114,22 @@ def test_simhash_finds_pair_differing_in_low_prefix(spark):
     assert got == want
 
 
+def test_simhash_dedup_pipeline(spark, doc_df, caplog):
+    """Candidates -> connected components -> min-id survivor; census
+    surfacing mirrors minhash_dedup."""
+    import logging
+
+    out = dedup.simhash_dedup(doc_df, max_hamming=2)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 0 in ids  # min id of its near-dup component survives
+    assert not {100, 101} <= ids  # its clones were dropped
+    degenerate = [(i, "identical boilerplate text repeated everywhere") for i in range(300)]
+    df = spark.createDataFrame(degenerate, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="samza_spark.pipeline.dedup"):
+        dedup.simhash_dedup(df, max_hamming=2, max_block_size=50).count()
+    assert any("hot-bucket cap dropped" in r.message for r in caplog.records)
+
+
 def test_simhash_64bit_scale_path(spark, doc_df):
     """bits=64 is the documented corpus-scale configuration (16-bit
     blocks at k=3 -> 4 x 65,536 buckets instead of 4 x 256): the planted
