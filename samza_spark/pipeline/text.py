@@ -75,6 +75,34 @@ def rolling_fingerprint(text_col: str, window: int = 8, family: str = "md5") -> 
     )
 
 
+# PII redaction patterns — chosen to parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # http(s)://host/path
+    "URL": r"https?://[A-Za-z0-9./_%?=&#-]+",
+    # phone-ish: optional +country, 3-4 digit groups separated by -/. /space
+    "PHONE": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?",
+    # 16-digit card-ish runs in groups of 4
+    "CARD": r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}",
+}
+
+
+def redact_pii(text: Column, kinds: "list[str] | None" = None) -> Column:
+    """Replace PII-shaped spans with ``<KIND>`` placeholders — the standard
+    scrub stage of a training-data pipeline. Pure ``regexp_replace`` chain
+    (JVM-side, streaming-safe); patterns are restricted to the common
+    Java-regex/RE2 subset so a DuckDB oracle replays them exactly.
+    Order matters (URL before EMAIL would still be safe, but CARD before
+    PHONE keeps 4x4 digit groups from being half-eaten) — kinds apply in
+    the order given, default EMAIL, URL, CARD, PHONE."""
+    out = text
+    for kind in kinds or ["EMAIL", "URL", "CARD", "PHONE"]:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    return out
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic quality score in [0, 1]: penalises very short docs, low
     alphabetic ratio, and high punctuation density (public C4/Gopher-style

@@ -599,6 +599,28 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub stage (pipeline.text.redact_pii): emails, URLs, card and
+    phone shapes replaced with <KIND> placeholders via a pure
+    regexp_replace chain. The query synthesizes deterministic PII spans
+    from doc_id so both engines scrub identical inputs; patterns are
+    restricted to the Java-regex/RE2 common subset."""
+    docs = load_table(spark, sf, "documents")
+    dirty = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com visit https://ex.com/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" call +1-555-0123 card 4111 1111 1111 1111 end"),
+    )
+    return docs.select(
+        "doc_id",
+        text.redact_pii(dirty).alias("clean"),
+        text.redact_pii(dirty, kinds=["EMAIL"]).alias("email_only"),
+    )
+
+
 def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Full SimHash dedup pipeline: pigeonhole candidates (recall 1) ->
     connected components -> keep min id per component. The oracle
@@ -815,6 +837,7 @@ QUERIES = {
     "text_metrics": q_text_metrics,
     "lang_id": q_lang_id,
     "pipeline_clean": q_pipeline_clean,
+    "redact_pii": q_redact_pii,
     "token_stats": q_token_stats,
     "rolling_fp": q_rolling_fp,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1289,6 +1312,29 @@ _BUCKET_DUCK = " + ".join(
     f"(CASE WHEN {_dot('embedding', _plane_duck(p))} >= 0.0 "
     f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     for j, p in enumerate(similarity.det_planes(8, 64))
+)
+
+# PII redaction: identical synthesized input + the same pattern chain
+# (patterns imported from the implementation so they cannot drift)
+_DIRTY_DUCK = (
+    "substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com visit https://ex.com/d/' || CAST(doc_id AS VARCHAR) || "
+    "' call +1-555-0123 card 4111 1111 1111 1111 end'"
+)
+
+
+def _redact_duck(expr: str, kinds: list) -> str:
+    from samza_spark.pipeline.text import PII_PATTERNS
+
+    for k in kinds:
+        pat = PII_PATTERNS[k].replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '<{k}>', 'g')"
+    return expr
+
+
+ORACLES["redact_pii"] = (
+    f"SELECT doc_id, {_redact_duck(_DIRTY_DUCK, ['EMAIL', 'URL', 'CARD', 'PHONE'])} AS clean, "
+    f"{_redact_duck(_DIRTY_DUCK, ['EMAIL'])} AS email_only FROM documents"
 )
 
 # two-stage int8 ANN: quantize (same scale/codes as embedding_quantize),

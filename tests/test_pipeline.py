@@ -387,6 +387,27 @@ def test_embedding_near_dup_pairs(spark):
     assert (3, 7) in {(r.a, r.b) for r in out.collect()}
 
 
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob.smith+x@corp.co.uk today"),
+            (2, "see https://a.b/c?q=1#frag now"),
+            (3, "call +44-020-7946-0958 or 555-867-5309"),
+            (4, "card 4111 1111 1111 1111 expires"),
+            (5, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean for r in df.select(
+        "doc_id", text.redact_pii(F.col("text")).alias("clean")
+    ).collect()}
+    assert got[1] == "write to <EMAIL> today"
+    assert got[2] == "see <URL> now"
+    assert "<PHONE>" in got[3] and "0958" not in got[3] and "5309" not in got[3]
+    assert got[4] == "card <CARD> expires"
+    assert got[5] == "nothing sensitive here"
+
+
 def test_text_profile_metrics(spark):
     df = spark.createDataFrame(
         [
