@@ -1,0 +1,117 @@
+"""Dataset-shaping operators: deterministic train/val/test splits,
+hash-stratified sampling, and contiguous document packing.
+
+These are the reproducibility-critical stages of a training-data
+pipeline: all assignment is derived from md5 of (salt, id) — no RNG
+state, stable across runs/partitionings/engines, and a DuckDB oracle
+replays every decision bit-for-bit. Everything is pure Catalyst
+(whole-stage codegen), usable in batch and streaming plans.
+
+At 100 TB: split/sample are map-only (no shuffle at all); packing
+shuffles once on the shard key and windows within shards, so no global
+sort or single-partition bottleneck exists.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _hash_bucket(id_col: str, salt: str, mod: int) -> Column:
+    """Deterministic bucket in [0, mod): first 8 md5 hex chars of
+    'salt|id' as an integer — the cross-engine-reproducible hash
+    (DuckDB: ('0x' || substr(md5(...), 1, 8))::BIGINT % mod)."""
+    return F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', '|', cast({id_col} as string))), 1, 8), 16, 10) "
+        f"as bigint) % {mod}"
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[tuple] = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5-hash of
+    (salt, id) mod total-weight, split = the bucket's weight band.
+    Stable under corpus growth (a doc's split never changes when other
+    docs are added) and reproducible across engines — unlike
+    ``DataFrame.randomSplit``, which depends on partitioning and seed
+    plumbing. Map-only."""
+    total = sum(w for _, w in weights)
+    bucket = _hash_bucket(id_col, salt, total)
+    acc = 0
+    conds = []
+    for name, w in weights[:-1]:
+        acc += w
+        conds.append((acc, name))
+    expr: Column = F.lit(weights[-1][0])
+    for acc_val, name in reversed(conds):
+        expr = F.when(bucket < acc_val, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample0",
+    default_fraction: float = 0.0,
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket (out of ``granularity``) falls below the stratum's fraction.
+    The standard rebalancing stage (e.g. downsample the dominant
+    language); same stability story as :func:`assign_split`. Map-only,
+    filter pushes into the scan."""
+    bucket = _hash_bucket(id_col, salt, granularity)
+    thr: Column = F.lit(int(default_fraction * granularity))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * granularity))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    cost_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "pack0",
+    out_cols: tuple = ("shard", "bin"),
+) -> DataFrame:
+    """Pack documents into budget-bounded contiguous bins — the
+    sequence-packing stage that groups docs into ~``budget``-cost chunks
+    (e.g. context-window construction). Docs are sharded by hash (so
+    packing distributes over the cluster; ONE shuffle on the shard key),
+    ordered by id within each shard, and assigned
+    ``bin = floor(exclusive-running-cost / budget)``.
+
+    Semantics note: this is boundary-crossing packing, not reset-greedy —
+    a bin may overshoot the budget by at most one document (the one that
+    crosses the boundary), in exchange for a closed-form, fully
+    relational, engine-reproducible assignment. A reset-greedy packer is
+    inherently sequential per shard and not expressible as a window."""
+    shard_col, bin_col = out_cols
+    shard = _hash_bucket(id_col, salt, n_shards)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn(
+            bin_col,
+            F.floor(
+                (F.sum(F.col(cost_col)).over(w) - F.col(cost_col)) / F.lit(budget)
+            ).cast("bigint"),
+        )
+    )

@@ -599,6 +599,34 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dataset_shaping(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-shaping trio (pipeline.sampling): deterministic hash
+    split (98/1/1), per-language stratified sample flag, and contiguous
+    packing of n_chars into 4000-char bins within 8 hash shards. Every
+    assignment derives from md5(salt|id) — no RNG — so DuckDB replays
+    the exact split/sample/bin of every document."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    out = sampling.assign_split(docs, "doc_id")
+    out = sampling.pack_contiguous(out, "n_chars", budget=4000, n_shards=8)
+    sampled_ids = sampling.stratified_sample(
+        docs, {"en": 0.5, "de": 0.25}, "lang", default_fraction=1.0
+    ).select("doc_id")
+    return (
+        out.join(
+            sampled_ids.withColumn("sampled", F.lit(True)), on="doc_id", how="left"
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("shard").cast("int").alias("shard"),
+            F.col("bin").cast("int").alias("bin"),
+            F.coalesce("sampled", F.lit(False)).alias("sampled"),
+        )
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub stage (pipeline.text.redact_pii): emails, URLs, card and
     phone shapes replaced with <KIND> placeholders via a pure
@@ -838,6 +866,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "pipeline_clean": q_pipeline_clean,
     "redact_pii": q_redact_pii,
+    "dataset_shaping": q_dataset_shaping,
     "token_stats": q_token_stats,
     "rolling_fp": q_rolling_fp,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1312,6 +1341,22 @@ _BUCKET_DUCK = " + ".join(
     f"(CASE WHEN {_dot('embedding', _plane_duck(p))} >= 0.0 "
     f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     for j, p in enumerate(similarity.det_planes(8, 64))
+)
+
+# dataset shaping: every assignment replays from md5(salt|id) buckets
+ORACLES["dataset_shaping"] = (
+    "WITH base AS (SELECT doc_id, lang, n_chars, "
+    "('0x' || substr(md5('split0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS sb, "
+    "('0x' || substr(md5('pack0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard, "
+    "('0x' || substr(md5('sample0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS smb "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "CASE WHEN sb < 98 THEN 'train' WHEN sb < 99 THEN 'val' ELSE 'test' END AS split, "
+    "CAST(shard AS INT) AS shard, "
+    "CAST(floor((sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) / 4000) AS INT) AS bin, "
+    "(smb < CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2500 "
+    "ELSE 10000 END) AS sampled FROM base"
 )
 
 # PII redaction: identical synthesized input + the same pattern chain

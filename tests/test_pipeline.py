@@ -387,6 +387,43 @@ def test_embedding_near_dup_pairs(spark):
     assert (3, 7) in {(r.a, r.b) for r in out.collect()}
 
 
+def test_dataset_shaping_invariants(spark):
+    """Split proportions ~98/1/1, assignment stable across corpora,
+    stratified sample keeps only the asked fractions, and packing bins
+    never exceed budget by more than one document."""
+    from samza_spark.pipeline import sampling
+
+    rows = [(i, "en" if i % 3 else "de", 100 + (i * 37) % 900) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+    split = sampling.assign_split(df)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.95 < counts["train"] / 4000 < 1.0
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    # stability: the same ids in a different (smaller) corpus get the SAME split
+    sub = sampling.assign_split(df.filter("doc_id < 100"))
+    full_map = {r.doc_id: r["split"] for r in split.filter("doc_id < 100").collect()}
+    assert {r.doc_id: r["split"] for r in sub.collect()} == full_map
+
+    kept = sampling.stratified_sample(df, {"en": 0.5}, "lang", default_fraction=1.0)
+    n_en_all = df.filter("lang = 'en'").count()
+    n_en_kept = kept.filter("lang = 'en'").count()
+    assert 0.4 < n_en_kept / n_en_all < 0.6
+    assert kept.filter("lang = 'de'").count() == df.filter("lang = 'de'").count()
+
+    packed = sampling.pack_contiguous(df, "n_chars", budget=2000, n_shards=4)
+    per_bin = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("n_chars").alias("tot"), F.max("n_chars").alias("mx"))
+        .collect()
+    )
+    assert all(r.tot <= 2000 + r.mx for r in per_bin)  # overshoot <= one doc
+    # bins are contiguous non-negative ints per shard
+    for r in (
+        packed.groupBy("shard").agg(F.expr("array_sort(collect_set(bin))").alias("bins")).collect()
+    ):
+        assert r.bins == list(range(len(r.bins)))
+
+
 def test_redact_pii(spark):
     df = spark.createDataFrame(
         [
