@@ -75,6 +75,50 @@ def rolling_fingerprint(text_col: str, window: int = 8, family: str = "md5") -> 
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style repetition and shape heuristics (public-knowledge
+    quality rules), all integer-count-derived so an oracle replays them:
+
+    * ``dup_line_frac`` — 1 - distinct/total non-empty lines (a page of
+      repeated boilerplate lines scores high);
+    * ``mean_word_len`` — letters-per-token of the normalized text
+      (gibberish and code skew far from prose's ~4-6);
+    * ``symbol_ratio`` — #/%/&/$/@/* chars per character;
+    * ``ellipsis_line_frac`` — lines ending in '...' over lines.
+
+    Pure Catalyst; one projection, no shuffle."""
+    t = F.col(text_col)
+    lines = F.expr(f"filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0)")
+    norm = normalized(t)
+    n_tok = token_count(t)
+    n_lines = F.size(lines)
+    return df.select(
+        "*",
+        F.when(n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+        F.when(
+            n_tok > 0,
+            (F.length(F.regexp_replace(norm, " ", "")) / n_tok),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(
+            F.length(t) > 0,
+            (F.length(t) - F.length(F.regexp_replace(t, r"[#%&$@*]", ""))) / F.length(t),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("symbol_ratio"),
+        F.when(
+            n_lines > 0,
+            F.size(F.expr(f"filter(split({text_col}, '\\n'), x -> endswith(trim(x), '...'))"))
+            / n_lines,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ellipsis_line_frac"),
+    )
+
+
 # PII redaction patterns — chosen to parse identically under Java regex
 # (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
 PII_PATTERNS: dict[str, str] = {

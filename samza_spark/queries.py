@@ -599,6 +599,22 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/Gopher-style repetition and shape heuristics
+    (pipeline.text.repetition_metrics): duplicate-line fraction, mean
+    word length, symbol ratio, ellipsis-line fraction — all ratios of
+    integer counts (one IEEE division each), so every double matches
+    DuckDB exactly with no rounding."""
+    docs = load_table(spark, sf, "documents")
+    return text.repetition_metrics(docs).select(
+        "doc_id",
+        "dup_line_frac",
+        "mean_word_len",
+        "symbol_ratio",
+        "ellipsis_line_frac",
+    )
+
+
 def q_dataset_shaping(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-shaping trio (pipeline.sampling): deterministic hash
     split (98/1/1), per-language stratified sample flag, and contiguous
@@ -867,6 +883,7 @@ QUERIES = {
     "pipeline_clean": q_pipeline_clean,
     "redact_pii": q_redact_pii,
     "dataset_shaping": q_dataset_shaping,
+    "doc_quality": q_doc_quality,
     "token_stats": q_token_stats,
     "rolling_fp": q_rolling_fp,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1341,6 +1358,24 @@ _BUCKET_DUCK = " + ".join(
     f"(CASE WHEN {_dot('embedding', _plane_duck(p))} >= 0.0 "
     f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     for j, p in enumerate(similarity.det_planes(8, 64))
+)
+
+# repetition/shape heuristics: ratios of integer counts, one division each
+ORACLES["doc_quality"] = (
+    "WITH t AS (SELECT doc_id, text, "
+    "list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines, "
+    f"{_TOKENS_SQL} AS n_tok, {_NORM.format(c='text')} AS norm FROM documents) "
+    "SELECT doc_id, "
+    "CASE WHEN len(lines) > 0 THEN CAST(1.0 AS DOUBLE) - "
+    "(len(list_distinct(lines)) / len(lines)) ELSE CAST(0.0 AS DOUBLE) END AS dup_line_frac, "
+    "CASE WHEN n_tok > 0 THEN (length(replace(norm, ' ', '')) / n_tok) "
+    "ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len, "
+    "CASE WHEN length(text) > 0 THEN ((length(text) - "
+    "length(regexp_replace(text, '[#%&$@*]', '', 'g'))) / length(text)) "
+    "ELSE CAST(0.0 AS DOUBLE) END AS symbol_ratio, "
+    "CASE WHEN len(lines) > 0 THEN "
+    "(len(list_filter(lines, x -> ends_with(trim(x), '...'))) / len(lines)) "
+    "ELSE CAST(0.0 AS DOUBLE) END AS ellipsis_line_frac FROM t"
 )
 
 # dataset shaping: every assignment replays from md5(salt|id) buckets

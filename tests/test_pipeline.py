@@ -387,6 +387,24 @@ def test_embedding_near_dup_pairs(spark):
     assert (3, 7) in {(r.a, r.b) for r in out.collect()}
 
 
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nunique"),
+            (2, "read more...\nok\nread on..."),
+            (3, "#### $$$$ @@@"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.repetition_metrics(df).collect()}
+    assert abs(got[1].dup_line_frac - 0.5) < 1e-12  # 2 distinct of 4
+    assert got[1].ellipsis_line_frac == 0.0
+    assert abs(got[2].ellipsis_line_frac - 2 / 3) < 1e-12
+    assert got[3].symbol_ratio > 0.8
+    assert got[4].dup_line_frac == 0.0 and got[4].mean_word_len == 0.0
+
+
 def test_dataset_shaping_invariants(spark):
     """Split proportions ~98/1/1, assignment stable across corpora,
     stratified sample keeps only the asked fractions, and packing bins
