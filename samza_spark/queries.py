@@ -301,6 +301,28 @@ def q_triggered_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_triggered_window_acc(spark: SparkSession, sf: str) -> DataFrame:
+    """Early count-trigger + ACCUMULATING panes (AccumulationMode.
+    ACCUMULATING keeps window state across fires, WindowOperatorImpl.java:
+    272 keeps-vs-purges): pane s carries the RUNNING count s*50, and the
+    window-close pane repeats the full total. COUNT panes are
+    order-independent, so the whole pane stream is oracle-checkable."""
+    ev = load_table(spark, sf, "events")
+    spec = (
+        Windows.keyed_tumbling_window("event_type", "ts", "1 hour")
+        .set_early_trigger(Triggers.count(50))
+        .set_accumulation_mode(AccumulationMode.ACCUMULATING)
+    )
+    panes = triggered_window_batch(ev, spec, [AggSpec("n", "count")])
+    return panes.select(
+        "event_type",
+        F.col("window_start").cast("long").alias("ws"),
+        F.col("n"),
+        F.col("pane_seq").cast("int").alias("pane_seq"),
+        "is_final",
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """General aggregation extension (Samza SQL stops at COUNT; Spark's
     sum/avg/min/max are exposed as extensions — SURVEY.md §2.3). Doubles go
@@ -865,6 +887,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "session_window": q_session_window,
     "triggered_window": q_triggered_window,
+    "triggered_window_acc": q_triggered_window_acc,
     "tpch_q1": q_tpch_q1,
     "topk": q_topk,
     "having": q_having,
@@ -1076,6 +1099,20 @@ ORACLES = {
         "UNION ALL "
         "SELECT event_type, ws, CAST(total % 50 AS BIGINT) AS n, CAST(total // 50 AS INT) AS pane_seq, "
         "true AS is_final FROM wcounts WHERE total % 50 > 0"
+    ),
+    # ACCUMULATING: pane s = running count s*50; close pane repeats the
+    # total and ALWAYS fires (state survives count-fires)
+    "triggered_window_acc": (
+        "WITH wcounts AS (SELECT event_type, "
+        "CAST(epoch(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws, "
+        "count(*) AS total FROM events GROUP BY 1, 2) "
+        "SELECT event_type, ws, CAST(s * 50 AS BIGINT) AS n, "
+        "CAST(s - 1 AS INT) AS pane_seq, false AS is_final FROM "
+        "(SELECT event_type, ws, unnest(generate_series(1, CAST(total // 50 AS INT))) AS s "
+        "FROM wcounts WHERE total >= 50) "
+        "UNION ALL "
+        "SELECT event_type, ws, CAST(total AS BIGINT) AS n, "
+        "CAST(total // 50 AS INT) AS pane_seq, true AS is_final FROM wcounts"
     ),
     "tpch_q1": (
         "SELECT l_returnflag, l_linestatus, "
