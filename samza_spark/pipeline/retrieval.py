@@ -1,0 +1,153 @@
+"""Full-text retrieval over document tables: term statistics, inverted
+postings, and BM25 ranking.
+
+BM25 (Robertson/Spärck Jones, public since the 90s TREC papers) scores a
+document d for query terms q as
+
+    sum_t idf(t) * tf(t,d) * (k1 + 1) / (tf(t,d) + k1 * (1 - b + b*|d|/avgdl))
+    idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+The reference engine (apache/samza) exposes no text-retrieval operator;
+this is training-data-pipeline surface (e.g. quality-filtering corpora by
+query relevance, building eval retrieval sets) built on pure Catalyst
+expressions.
+
+Scale design (100 TB):
+- Per-document term frequencies are map-only array expressions over the
+  token list (no explode for a fixed small query term list).
+- Corpus statistics (N, avgdl, df per term) reduce to ONE single-row
+  aggregate, which joins back by broadcast (a 1-row cross join) — the
+  corpus never shuffles.
+- Ranking is TakeOrderedAndProject (per-partition top-k, then a k-row
+  merge on the driver-side exchange) — no global sort.
+- The double-precision score is a fixed-order chain of per-term additions
+  (term order = the order given), so a DuckDB oracle reproduces it
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from samza_spark.pipeline.text import normalized
+
+
+def _tokens(text_col: Column) -> Column:
+    t = normalized(text_col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
+def term_frequencies(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, dl, tf_<term>...) — document length in tokens and the count of
+    each query term, all in one map-only projection."""
+    toks = _tokens(F.col(text_col))
+    cols = {"dl": F.size(toks).cast("long")}
+    for t in terms:
+        cols[f"tf_{t}"] = F.size(
+            F.filter(toks, lambda x: x == F.lit(t))
+        ).cast("long")
+    return df.select(id_col, *(c.alias(n) for n, c in cols.items()))
+
+
+def corpus_stats(tf_df: DataFrame, terms: list[str]) -> DataFrame:
+    """Single-row corpus statistics: N, sum_dl, df_<term> per query term.
+    avgdl is computed downstream as sum_dl/N (one exact integer sum, one
+    double division — cross-engine deterministic, unlike a streaming AVG).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ]
+    for t in terms:
+        aggs.append(
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+        )
+    return tf_df.agg(*aggs)
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, dl, score): BM25 of each document against ``terms``.
+
+    The score sums per-term contributions left-to-right in the order of
+    ``terms`` so the IEEE-754 result is reproducible across engines.
+    """
+    tf = term_frequencies(df, terms, text_col, id_col)
+    stats = corpus_stats(tf, terms)
+    joined = tf.join(F.broadcast(stats))
+
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+    score = F.lit(0.0)
+    for t in terms:
+        tf_t = F.col(f"tf_{t}").cast("double")
+        df_t = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        score = score + idf * tf_t * F.lit(k1 + 1.0) / (tf_t + norm)
+    return joined.select(id_col, "dl", score.alias("score"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 matches with deterministic (score DESC, id ASC) order,
+    ranked. Executes as TakeOrderedAndProject — no global sort."""
+    scored = bm25_scores(df, terms, text_col, id_col, k1, b)
+    w = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", w.cast("int"))
+    )
+
+
+def posting_lists(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted index restricted to ``terms``: (term, df, postings) where
+    postings is the sorted id list of matching documents. One shuffle on
+    the term key; term selectivity keeps postings bounded — for unbounded
+    vocabularies cap or bucket the posting lists."""
+    tf = term_frequencies(df, terms, text_col, id_col)
+    arms = [
+        tf.where(F.col(f"tf_{t}") > 0).select(
+            F.lit(t).alias("term"), F.col(id_col).alias("doc")
+        )
+        for t in terms
+    ]
+    exploded = arms[0]
+    for a in arms[1:]:
+        exploded = exploded.unionAll(a)
+    return exploded.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_sort(F.collect_list("doc")).alias("postings"),
+    )

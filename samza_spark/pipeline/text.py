@@ -203,3 +203,118 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp": fingerprint(t),
         }
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    cheap stand-in for perplexity-based quality filtering (the KenLM
+    stage of public pipelines like CCNet, with the n-gram order dropped
+    to 1 so the model is exactly computable in SQL): every token's
+    probability is its corpus frequency, and a document scores the sum /
+    mean of ln p(token).
+
+    Returns (id, n_tokens, logprob_sum, avg_logprob); avg is NULL for
+    empty documents. Unseen tokens cannot occur (the model is trained on
+    the same corpus).
+
+    Determinism: the per-document sum folds ln-values in token order
+    (array fold, not a shuffle-order SUM), so a DuckDB oracle reproduces
+    the doubles bit-for-bit.
+
+    Scale: one explode (map-only), one vocab-count shuffle, one join on
+    the token key (AQE broadcasts when the vocab is small), one doc-keyed
+    regroup. No Python.
+    """
+    toks = F.split(normalized(F.col(text_col)), " ")
+    base = df.select(id_col, toks.alias("__toks"))
+    exploded = base.select(
+        id_col, F.posexplode("__toks").alias("pos", "token")
+    ).where(F.col("token") != "")
+    vocab = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
+    totals = vocab.agg(F.sum("__cnt").alias("__total"))
+    scored = (
+        exploded.join(vocab, on="token")
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            "pos",
+            F.log(
+                F.col("__cnt").cast("double") / F.col("__total").cast("double")
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+                lambda s: s["logp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("logprob_sum"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logprob_sum", F.lit(0.0)).alias("logprob_sum"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("logprob_sum") / F.col("n_tokens").cast("double"),
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks for
+    training-sequence preparation: (id, chunk_idx, chunk_text, n_tokens).
+
+    Chunk i covers whitespace tokens [i*stride, i*stride + chunk_size);
+    a document of T tokens yields 1 chunk if T <= chunk_size, else
+    1 + ceil((T - chunk_size) / stride), so every token is covered and
+    consecutive chunks overlap by chunk_size - stride tokens (the standard
+    sliding-window tokenizer shape, e.g. HuggingFace
+    ``return_overflowing_tokens`` with ``stride``).
+
+    Map-only at any scale: one explode of a per-row sequence, no shuffle,
+    no Python. Empty/whitespace documents yield one empty chunk.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
+    n_tok = F.size(toks)
+    extra = F.greatest(n_tok - F.lit(chunk_size), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(float(stride))).cast("int")
+    chunk_toks = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return (
+        df.select(
+            id_col,
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(chunk_toks, " ").alias("chunk_text"),
+            F.size(chunk_toks).cast("int").alias("n_tokens"),
+        )
+    )

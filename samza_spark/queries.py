@@ -1525,3 +1525,197 @@ ORACLES["ivf_topk"] = (
     "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank "
     "FROM scored QUALIFY rank <= 10"
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level pipeline operators: boilerplate removal, decontamination,
+# chunking, retrieval (pipeline/boilerplate.py, decontam.py, retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+def q_boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/C4-style boilerplate removal: 2-word segments of normalized
+    text appearing in >= 20 distinct documents are dropped and the
+    survivors reassembled in order. One df-count shuffle + a broadcast
+    anti-join; integer counts and string reassembly only, so the oracle
+    replays it exactly."""
+    from samza_spark.pipeline import boilerplate
+
+    docs = load_table(spark, sf, "documents")
+    return boilerplate.remove_frequent_segments(
+        docs, seg_words=2, min_df=20
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C shape): train docs
+    (doc_id % 17 != 0) flagged when any distinct word 6-gram also occurs
+    in the benchmark slice (doc_id % 17 == 0). Benchmark gram set is
+    broadcast; train side explodes map-only then aggregates once."""
+    from samza_spark.pipeline import decontam
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    return decontam.contamination(train, bench, n=6)
+
+
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence preparation: overlapping 24-token windows with
+    stride 16 (HuggingFace return_overflowing_tokens shape). Map-only
+    explode — no shuffle at any scale."""
+    docs = load_table(spark, sf, "documents")
+    return text.chunk_documents(docs, chunk_size=24, stride=16)
+
+
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 over the documents table for a fixed 3-term query.
+    Corpus stats reduce to ONE broadcast row; scoring is map-only with a
+    fixed-order float sum, ranking is TakeOrderedAndProject. ln() is
+    libm-correctly-rounded for these inputs in both engines (verified
+    bit-exact in tests on the static corpora)."""
+    from samza_spark.pipeline import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    return retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index postings for the same 3 terms: (term, df, sorted doc
+    list). One shuffle on the term key."""
+    from samza_spark.pipeline import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    return retrieval.posting_lists(docs, _BM25_TERMS)
+
+
+QUERIES["boilerplate_removal"] = q_boilerplate_removal
+QUERIES["decontaminate"] = q_decontaminate
+QUERIES["doc_chunks"] = q_doc_chunks
+QUERIES["bm25_search"] = q_bm25_search
+QUERIES["posting_lists"] = q_posting_lists
+
+
+# DuckDB spelling of the normalized word list
+_WORDS_DUCK = f"string_split({_NORM.format(c='text')}, ' ')"
+
+# boilerplate removal: same segmentation (2-word windows of the normalized
+# token list), df >= 20 cut, ordered reassembly
+ORACLES["boilerplate_removal"] = (
+    f"WITH t AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents), "
+    "segs AS (SELECT doc_id, i - 1 AS seg_idx, "
+    "array_to_string(list_slice(w, (i - 1) * 2 + 1, (i - 1) * 2 + 2), ' ') AS segment "
+    "FROM (SELECT doc_id, w, unnest(generate_series(1, "
+    "greatest(CAST(ceil(len(w) / 2.0) AS INT), 1))) AS i FROM t)), "
+    "freq AS (SELECT segment FROM (SELECT segment, count(DISTINCT doc_id) AS df "
+    "FROM segs GROUP BY segment) WHERE df >= 20), "
+    "kept AS (SELECT * FROM segs WHERE segment NOT IN (SELECT segment FROM freq)), "
+    "reass AS (SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text, "
+    "count(*) AS n_kept FROM kept GROUP BY doc_id), "
+    "tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id) "
+    "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+    "CAST(t.n_segments AS INT) AS n_segments, "
+    "CAST(t.n_segments - coalesce(r.n_kept, 0) AS INT) AS n_removed "
+    "FROM tot t LEFT JOIN reass r ON t.doc_id = r.doc_id"
+)
+
+
+def _grams_duck(n: int) -> str:
+    """Distinct word n-grams of the normalized text (mirrors
+    decontam.word_ngram_set: slice clamped at the end, short docs emit one
+    gram)."""
+    return (
+        f"list_distinct(list_transform(generate_series(1, "
+        f"greatest(len({_WORDS_DUCK}) - {n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({_WORDS_DUCK}, i, i + {n - 1}), ' ')))"
+    )
+
+
+ORACLES["decontaminate"] = (
+    f"WITH b AS (SELECT DISTINCT unnest({_grams_duck(6)}) AS gram FROM documents "
+    "WHERE doc_id % 17 = 0), "
+    f"tg AS (SELECT doc_id, unnest({_grams_duck(6)}) AS gram FROM documents "
+    "WHERE doc_id % 17 <> 0), "
+    "ov AS (SELECT doc_id, count(*) AS n_overlap FROM tg "
+    "WHERE gram IN (SELECT gram FROM b) GROUP BY doc_id), "
+    f"tot AS (SELECT doc_id, len({_grams_duck(6)}) AS n_grams FROM documents "
+    "WHERE doc_id % 17 <> 0) "
+    "SELECT tot.doc_id, CAST(tot.n_grams AS INT) AS n_grams, "
+    "CAST(coalesce(ov.n_overlap, 0) AS INT) AS n_overlap, "
+    "coalesce(ov.n_overlap, 0) > 0 AS contaminated "
+    "FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id"
+)
+
+# chunking: same token split (strip-all-whitespace then \s+), same window
+# arithmetic; empty docs yield one empty chunk
+_CHUNK_W = (
+    f"CASE WHEN {_STRIPPED} = '' THEN CAST([] AS VARCHAR[]) "
+    f"ELSE string_split_regex({_STRIPPED}, '\\s+') END"
+)
+ORACLES["doc_chunks"] = (
+    f"WITH t AS (SELECT doc_id, {_CHUNK_W} AS w FROM documents), "
+    "c AS (SELECT doc_id, i - 1 AS chunk_idx, "
+    "list_slice(w, (i - 1) * 16 + 1, (i - 1) * 16 + 24) AS ct "
+    "FROM (SELECT doc_id, w, unnest(generate_series(1, "
+    "1 + CAST(ceil(greatest(len(w) - 24, 0) / 16.0) AS INT))) AS i FROM t)) "
+    "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
+    "array_to_string(ct, ' ') AS chunk_text, CAST(len(ct) AS INT) AS n_tokens FROM c"
+)
+
+
+def _bm25_duck(terms: list, k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 oracle: same single stats row, same left-to-right float sum.
+    idf/norm expressions mirror retrieval.bm25_scores token-for-token."""
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
+    )
+    score = "CAST(0.0 AS DOUBLE)"
+    for t in terms:
+        idf = (
+            f"ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) "
+            f"+ CAST(0.5 AS DOUBLE)) / (CAST(df_{t} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        )
+        norm = (
+            f"CAST({k1} AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST({b} AS DOUBLE) "
+            f"+ CAST({b} AS DOUBLE) * CAST(dl AS DOUBLE) / "
+            f"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+        )
+        score = (
+            f"({score} + {idf} * CAST(tf_{t} AS DOUBLE) * CAST({k1 + 1.0} AS DOUBLE) "
+            f"/ (CAST(tf_{t} AS DOUBLE) + {norm}))"
+        )
+    norm_w = (
+        f"CASE WHEN {_NORM.format(c='text')} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split({_NORM.format(c='text')}, ' ') END"
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {norm_w} AS w FROM documents), "
+        f"tf AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, {tf_cols} FROM t), "
+        f"s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM tf) "
+        f"SELECT doc_id, dl, {score} AS score, "
+        "CAST(row_number() OVER (ORDER BY "
+        f"{score} DESC, doc_id ASC) AS INT) AS rank "
+        "FROM tf, s ORDER BY score DESC, doc_id ASC LIMIT 20"
+    )
+
+
+ORACLES["bm25_search"] = _bm25_duck(_BM25_TERMS)
+
+ORACLES["posting_lists"] = (
+    "WITH t AS (SELECT doc_id, "
+    f"{_NORM.format(c='text')} AS n FROM documents), "
+    "m AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{t}' AS term, doc_id AS doc FROM t "
+        f"WHERE len(list_filter(string_split(n, ' '), x -> x = '{t}')) > 0"
+        for t in _BM25_TERMS
+    )
+    + ") SELECT term, CAST(count(*) AS BIGINT) AS df, "
+    "list(doc ORDER BY doc) AS postings FROM m GROUP BY term"
+)
