@@ -1,0 +1,148 @@
+"""Event-sequence analytics over the events table: funnels and retention
+cohorts.
+
+These are the classic stream-analytics workloads the reference engine's
+users run (windowed counts + stream-table joins over user activity, cf.
+samza hello-samza wikipedia-stats and the AdCalc/AdEvent examples in
+docs/learn/documentation/versioned/api/high-level-api.md); here they are
+expressed as declarative Catalyst plans that also run unchanged over a
+Structured Streaming source.
+
+Scale design (100 TB of events):
+- Funnel: ONE shuffle (groupBy user) collecting each user's (ts, type)
+  pairs; step timestamps derive from array expressions over the sorted
+  per-user list (per-user data is bounded), no per-step re-join, no
+  Python.
+- Retention: first-activity and active-period sets both reduce per user
+  in one aggregation, explode to (cohort, offset) pairs, then one count
+  shuffle keyed by the (cohort, offset) grid — the grid is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_ORIGIN_US = 0  # epoch origin for period arithmetic (UTC)
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time each step
+    could complete given the previous step had completed (classic
+    min-forward scan). Returns (user, step_reached, t_<step>... epoch-µs,
+    nullable past the last reached step).
+
+    One groupBy(user) shuffle; the sequential dependency between steps is
+    resolved with array expressions over the user's sorted event list, so
+    no iterative joins are needed.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                F.col(type_col).alias("et"),
+            )
+        )
+    )
+    agged = df.where(F.col(type_col).isin(steps)).groupBy(user_col).agg(
+        evs.alias("__evs")
+    )
+    # t_k = min ts of events of type steps[k] at/after t_{k-1}
+    cols = {}
+    prev: Column | None = None
+    for s in steps:
+        if prev is None:
+            cand = F.filter(F.col("__evs"), lambda e: e["et"] == F.lit(s))
+        else:
+            p = prev
+            cand = F.filter(
+                F.col("__evs"),
+                lambda e: (e["et"] == F.lit(s)) & (e["us"] >= p),
+            )
+        t = F.array_min(F.transform(cand, lambda e: e["us"]))
+        cols[f"t_{s}"] = t
+        prev = t
+    reached = F.lit(0)
+    for i, s in enumerate(steps):
+        reached = F.when(F.col(f"t_{s}").isNotNull(), F.lit(i + 1)).otherwise(
+            reached
+        )
+    out = agged.select(user_col, *(c.alias(n) for n, c in cols.items()))
+    return out.withColumn("step_reached", reached.cast("int"))
+
+
+def funnel_summary(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion counts: (step_idx, step, n_users) where n_users
+    is how many users reached at least that step."""
+    per_user = funnel(df, steps, user_col, ts_col, type_col)
+    aggs = [
+        F.sum((F.col("step_reached") >= i + 1).cast("long")).alias(f"__n{i}")
+        for i in range(len(steps))
+    ]
+    wide = per_user.agg(*aggs)
+    pairs = []
+    for i, s in enumerate(steps):
+        pairs.extend(
+            [F.lit(i + 1), F.struct(F.lit(s).alias("step"), F.col(f"__n{i}").alias("n"))]
+        )
+    m = F.create_map(*pairs)
+    return (
+        wide.select(F.explode(m).alias("step_idx", "sn"))
+        .select(
+            F.col("step_idx").cast("int").alias("step_idx"),
+            F.col("sn.step").alias("step"),
+            F.col("sn.n").alias("n_users"),
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention grid: (cohort, offset, n_users) — users whose
+    first activity fell in period ``cohort`` (epoch-period index) and who
+    were active again ``offset`` periods later (offset 0 = the cohort
+    period itself).
+
+    One user-keyed aggregation produces (first_period, active_periods[]);
+    the explode emits at most (active periods per user) rows; the final
+    count groups on the tiny (cohort, offset) grid.
+    """
+    seconds = {"day": 86400, "week": 7 * 86400}[period]
+    p = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(seconds * 1_000_000))
+    per_user = df.groupBy(user_col).agg(
+        F.min(p).alias("cohort"),
+        F.array_sort(F.collect_set(p)).alias("__periods"),
+    )
+    return (
+        per_user.select(
+            user_col,
+            "cohort",
+            F.explode(
+                F.transform(F.col("__periods"), lambda x: x - F.col("cohort"))
+            ).alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            F.col("offset").cast("long").alias("offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )

@@ -78,6 +78,78 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def mixture_resample(
+    df: DataFrame,
+    target_weights: Mapping[str, int],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix0",
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Resample to a target domain mixture (the data-mixing stage of a
+    training pipeline, e.g. DoReMi/Pile-style source weighting — public
+    recipes) WITHOUT upsampling: find the largest total size T at which
+    every stratum can meet its target share from the rows it has
+    (T = min over strata of n_g * granularity / w_g), then keep each
+    stratum's deterministic hash-sample of floor(w_g * T / granularity)
+    rows' worth of probability mass.
+
+    All arithmetic is integer (weights in parts of ``granularity``,
+    e.g. 5000 = 50%), so the kept set is bit-reproducible across engines.
+    Strata absent from ``target_weights`` are dropped. Rows keep their
+    columns plus ``keep_frac_bp`` (the applied per-stratum threshold).
+
+    Scale: ONE tiny aggregation (stratum counts, broadcast back as a
+    literal-free join); the filter itself is map-side.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if sum(target_weights.values()) > granularity:
+        raise ValueError("target weights exceed granularity (over 100%)")
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col(stratum_col).isin(list(target_weights)))
+    )
+    # T = min_g floor(n_g * granularity / w_g): the largest total honoring
+    # every stratum's share without upsampling
+    t_expr = F.min(
+        F.floor(
+            F.col("__n")
+            * F.lit(granularity)
+            / F.coalesce(
+                *[
+                    F.when(F.col(stratum_col) == s, F.lit(w))
+                    for s, w in sorted(target_weights.items())
+                ]
+            )
+        )
+    ).alias("__t")
+    totals = counts.agg(t_expr)
+    # per-stratum keep threshold in hash buckets: floor(w_g*T/n_g) of
+    # granularity
+    per_stratum = counts.join(F.broadcast(totals)).select(
+        stratum_col,
+        F.floor(
+            F.coalesce(
+                *[
+                    F.when(F.col(stratum_col) == s, F.lit(w))
+                    for s, w in sorted(target_weights.items())
+                ]
+            )
+            * F.col("__t")
+            / F.col("__n")
+        )
+        .cast("long")
+        .alias("keep_frac_bp"),
+    )
+    bucket = _hash_bucket(id_col, salt, granularity)
+    return (
+        df.join(F.broadcast(per_stratum), on=stratum_col, how="inner")
+        .where(bucket < F.col("keep_frac_bp"))
+    )
+
+
 def pack_contiguous(
     df: DataFrame,
     cost_col: str,

@@ -1719,3 +1719,124 @@ ORACLES["posting_lists"] = (
     + ") SELECT term, CAST(count(*) AS BIGINT) AS df, "
     "list(doc ORDER BY doc) AS postings FROM m GROUP BY term"
 )
+
+
+# ---------------------------------------------------------------------------
+# event-sequence analytics + dataset mixing + LM scoring
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view->click->purchase per user (pipeline.events):
+    one groupBy(user) shuffle, sequential step times from array
+    expressions over the sorted per-user event list — no iterative
+    joins. The oracle states the same semantics relationally (chained
+    min-forward aggregations)."""
+    from samza_spark.pipeline import events as E
+
+    ev = load_table(spark, sf, "events")
+    return E.funnel(ev, ["view", "click", "purchase"])
+
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention grid: first-activity week x offset ->
+    distinct users. One user-keyed aggregation + one tiny grid count."""
+    from samza_spark.pipeline import events as E
+
+    ev = load_table(spark, sf, "events")
+    return E.retention_cohorts(ev, "week")
+
+
+def q_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture resampling to en 50% / de 30% / fr 20% without
+    upsampling (pipeline.sampling.mixture_resample): the water-line T and
+    all keep thresholds are integer arithmetic on md5 buckets, so DuckDB
+    replays every kept row."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    out = sampling.mixture_resample(
+        docs, {"en": 5000, "de": 3000, "fr": 2000}, "lang"
+    )
+    return out.select("doc_id", "lang", "keep_frac_bp")
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document (the computable
+    stand-in for KenLM perplexity filtering). Per-doc ln-prob folds in
+    token order, so the doubles hash-match DuckDB."""
+    docs = load_table(spark, sf, "documents")
+    return text.unigram_logprob(docs)
+
+
+QUERIES["funnel_steps"] = q_funnel_steps
+QUERIES["retention_cohorts"] = q_retention_cohorts
+QUERIES["mixture_resample"] = q_mixture_resample
+QUERIES["unigram_logprob"] = q_unigram_logprob
+
+_EPOCH_US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+ORACLES["funnel_steps"] = (
+    f"WITH e AS (SELECT user_id, {_EPOCH_US} AS us, event_type FROM events "
+    "WHERE event_type IN ('view', 'click', 'purchase')), "
+    "u AS (SELECT DISTINCT user_id FROM e), "
+    "v AS (SELECT user_id, min(us) AS t_view FROM e WHERE event_type = 'view' "
+    "GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(e.us) AS t_click FROM e JOIN v "
+    "ON e.user_id = v.user_id WHERE e.event_type = 'click' AND e.us >= v.t_view "
+    "GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.us) AS t_purchase FROM e JOIN c "
+    "ON e.user_id = c.user_id WHERE e.event_type = 'purchase' AND e.us >= c.t_click "
+    "GROUP BY e.user_id) "
+    "SELECT u.user_id, v.t_view, c.t_click, p.t_purchase, "
+    "CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 WHEN c.user_id IS NOT NULL THEN 2 "
+    "WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS step_reached "
+    "FROM u LEFT JOIN v ON u.user_id = v.user_id "
+    "LEFT JOIN c ON u.user_id = c.user_id "
+    "LEFT JOIN p ON u.user_id = p.user_id"
+)
+
+ORACLES["retention_cohorts"] = (
+    f"WITH e AS (SELECT user_id, CAST(floor({_EPOCH_US} / 604800000000) AS BIGINT) "
+    "AS p FROM events), "
+    "pu AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id), "
+    "ap AS (SELECT DISTINCT user_id, p FROM e) "
+    "SELECT CAST(pu.cohort AS BIGINT) AS cohort, "
+    'CAST(ap.p - pu.cohort AS BIGINT) AS "offset", '
+    "CAST(count(*) AS BIGINT) AS n_users "
+    "FROM ap JOIN pu ON ap.user_id = pu.user_id GROUP BY 1, 2"
+)
+
+_MIX_W = "CASE lang WHEN 'de' THEN 3000 WHEN 'en' THEN 5000 WHEN 'fr' THEN 2000 END"
+ORACLES["mixture_resample"] = (
+    "WITH counts AS (SELECT lang, count(*) AS n FROM documents "
+    "WHERE lang IN ('de', 'en', 'fr') GROUP BY lang), "
+    f"w AS (SELECT lang, {_MIX_W} AS wgt, n FROM counts), "
+    "t AS (SELECT min(floor(n * 10000 / wgt)) AS big_t FROM w), "
+    "thr AS (SELECT lang, CAST(floor(wgt * t.big_t / n) AS BIGINT) AS keep_frac_bp "
+    "FROM w, t) "
+    "SELECT d.doc_id, d.lang, thr.keep_frac_bp FROM documents d "
+    "JOIN thr ON d.lang = thr.lang "
+    "WHERE ('0x' || substr(md5('mix0' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 10000 < thr.keep_frac_bp"
+)
+
+ORACLES["unigram_logprob"] = (
+    f"WITH t AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, i AS pos, w[i] AS token FROM "
+    "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t) "
+    "WHERE w[i] <> ''), "
+    "vocab AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token), "
+    "tot AS (SELECT sum(cnt) AS total FROM vocab), "
+    "scored AS (SELECT ex.doc_id, ex.pos, "
+    "ln(CAST(vocab.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS logp "
+    "FROM ex JOIN vocab ON ex.token = vocab.token, tot), "
+    "agg AS (SELECT doc_id, count(*) AS n_tokens, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)), "
+    "(a, b) -> a + b) AS s FROM scored GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens, "
+    "coalesce(agg.s, CAST(0.0 AS DOUBLE)) AS logprob_sum, "
+    "CASE WHEN agg.n_tokens > 0 THEN agg.s / CAST(agg.n_tokens AS DOUBLE) END "
+    "AS avg_logprob FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
+)
