@@ -672,3 +672,78 @@ def ivf_topk_exact(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    tau: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public technique: Abbas et
+    al. 2023 — cluster the embedding space, then drop near-identical
+    members within each cluster; cross-cluster pairs are never compared,
+    which is what makes the quadratic step tractable).
+
+    Keep rule (deterministic, relational): a row is kept iff it has no
+    cosine>=tau neighbor with a SMALLER id inside its cluster — the same
+    min-id-representative convention as ``minhash_dedup``. Returns
+    ``(vec_id, list_id, keep, n_dups, max_dup_sim)`` for every corpus row.
+
+    Scale shape: centroids are one broadcast row; assignment is a map-only
+    array expression (no Exchange — same plan as ``ivf_topk_exact``); the
+    intra-cluster pair join is an equi-join on list_id, so shuffle volume
+    is O(n) and compute is sum over clusters of c^2 — bounded by choosing
+    n_lists ~ n/target_cluster_size, exactly how SemDeDup runs at corpus
+    scale. ``exact=True`` uses the sequential-fold cosine a DuckDB oracle
+    replays; ``exact=False`` swaps in the Arrow-batched numpy cosine for
+    throughput (same pairs, float-rounding may differ at the tau margin).
+    """
+    cent1 = F.broadcast(
+        ivf_centroids_relational(corpus, id_col, vec_col, n_lists).agg(
+            F.array_sort(F.collect_list(F.struct("list_id", "cv"))).alias("__cents")
+        )
+    )
+    ranked = (
+        f"reverse(array_sort(transform(__cents, s -> "
+        f"struct({_cosine_sql('__v', 's.cv')} as sim, -s.list_id as nlid))))"
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .join(cent1)
+        .select(
+            "__id",
+            "__v",
+            (-F.expr(f"element_at({ranked}, 1).nlid")).cast("long").alias("list_id"),
+        )
+    )
+    a = assigned.select(
+        F.col("__id").alias("ida"), F.col("__v").alias("va"), "list_id"
+    )
+    b = assigned.select(
+        F.col("__id").alias("idb"), F.col("__v").alias("vb"), "list_id"
+    )
+    pair_cos = (
+        cosine_sim_expr("va", "vb") if exact else cosine_sim_pandas("va", "vb")
+    )
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("__cos", pair_cos)
+        .filter(F.col("__cos") >= tau)
+    )
+    dups = pairs.groupBy("idb").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.max("__cos").alias("max_dup_sim")
+    )
+    return (
+        assigned.join(dups, assigned["__id"] == dups["idb"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("list_id"),
+            F.col("idb").isNull().alias("keep"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            F.col("max_dup_sim"),
+        )
+    )

@@ -318,3 +318,115 @@ def chunk_documents(
             F.size(chunk_toks).cast("int").alias("n_tokens"),
         )
     )
+
+
+def nb_lang_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    in one relational DAG (the public fastText/langid.py shape with the
+    model reduced to add-one-smoothed unigram likelihoods so every double
+    is SQL-replayable). Training data is the corpus itself with
+    ``label_col`` as the supervision — the distributed analog of fitting
+    the classifier on a labeled sample, then scoring the full corpus.
+
+    Model: ``ln p(lang) = ln(docs_lang / docs_total)``;
+    ``ln p(token|lang) = ln((cnt(lang,token)+1) / (tokens_lang + V))``
+    (Laplace smoothing over the global vocab V). A document scores
+    ``prior + sum_pos ln p(token|lang)`` per language, folded in token
+    order; prediction is the (score DESC, lang ASC) argmax.
+
+    Returns (id, label, pred, score, correct) — one row per document.
+
+    Scale: one explode, one (lang, token) count shuffle, one token-keyed
+    join (langs are a broadcast cross), one doc-keyed regroup. Compute is
+    tokens x n_langs — n_langs is small and constant, so this is the same
+    O(corpus) shape as ``unigram_logprob``. No Python in the plan.
+    """
+    toks = F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl"), toks.alias("__toks")
+    )
+    exploded = base.select(
+        "__id", "__lbl", F.posexplode("__toks").alias("pos", "token")
+    ).where(F.col("token") != "")
+    counts = exploded.groupBy("__lbl", "token").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    lang_tot = counts.groupBy("__lbl").agg(F.sum("__cnt").alias("__ltot"))
+    vocab_n = counts.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    doc_tot = base.agg(F.count(F.lit(1)).alias("__docs"))
+    priors = (
+        base.groupBy("__lbl")
+        .agg(F.count(F.lit(1)).alias("__dl"))
+        .join(F.broadcast(doc_tot))
+        .select(
+            F.col("__lbl").alias("lang"),
+            F.log(F.col("__dl").cast("double") / F.col("__docs").cast("double")).alias(
+                "__prior"
+            ),
+        )
+    )
+    # per (doc, pos, candidate-lang) smoothed log-likelihood
+    model = (
+        lang_tot.join(F.broadcast(vocab_n))
+        .select(F.col("__lbl").alias("lang"), "__ltot", "__v")
+    )
+    tok_lang = (
+        exploded.select("__id", "pos", "token")
+        .join(F.broadcast(model))
+        .join(
+            counts.select(F.col("__lbl").alias("lang"), "token", "__cnt"),
+            on=["lang", "token"],
+            how="left",
+        )
+        .select(
+            "__id",
+            "lang",
+            "pos",
+            F.log(
+                (F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("__ltot") + F.col("__v")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    folded = tok_lang.groupBy("__id", "lang").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+                lambda s: s["logp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__ll")
+    )
+    scored = (
+        base.select("__id", "__lbl")
+        .join(priors)  # cross: every doc scores every language
+        .join(folded, on=["__id", "lang"], how="left")
+        .select(
+            "__id",
+            "__lbl",
+            "lang",
+            (F.col("__prior") + F.coalesce(F.col("__ll"), F.lit(0.0))).alias("score"),
+        )
+    )
+    best = F.expr(
+        "element_at(array_sort(collect_list(struct(-score as ns, lang, score))), 1)"
+    )
+    return (
+        scored.groupBy("__id", "__lbl")
+        .agg(best.alias("__b"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__lbl").alias(label_col),
+            F.col("__b.lang").alias("pred"),
+            F.col("__b.score").alias("score"),
+            (F.col("__b.lang") == F.col("__lbl")).alias("correct"),
+        )
+    )

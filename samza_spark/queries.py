@@ -1840,3 +1840,132 @@ ORACLES["unigram_logprob"] = (
     "CASE WHEN agg.n_tokens > 0 THEN agg.s / CAST(agg.n_tokens AS DOUBLE) END "
     "AS avg_logprob FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"
 )
+
+
+# ---------------------------------------------------------------------------
+# round 4: exact duplicate-substring spans (Lee et al. 2022 family)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide duplicate 8-gram span profile + span-removed text
+    (pipeline.substring.duplicate_ngram_stats): ONE md5-gram groupBy
+    finds every length-8 token window occurring twice anywhere; covered
+    token positions are dropped from clean_text. The oracle replays the
+    identical hash/coverage arithmetic relationally."""
+    from samza_spark.pipeline import substring
+
+    docs = load_table(spark, sf, "documents")
+    return substring.duplicate_ngram_stats(docs, n=8)
+
+
+QUERIES["dup_spans"] = q_dup_spans
+
+ORACLES["dup_spans"] = (
+    f"WITH t AS (SELECT doc_id, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "b AS (SELECT doc_id, w, len(w) AS ntok FROM t), "
+    "g AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h "
+    "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM b "
+    "WHERE len(w) >= 8)), "
+    "d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2), "
+    "o AS (SELECT g.doc_id, g.pos FROM g JOIN d ON g.h = d.h), "
+    "covd AS (SELECT DISTINCT doc_id, cpos FROM "
+    "(SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos FROM o)), "
+    "a1 AS (SELECT doc_id, count(*) AS n_dup_grams FROM o GROUP BY doc_id), "
+    "a2 AS (SELECT doc_id, count(*) AS dup_tokens FROM covd GROUP BY doc_id), "
+    "tok AS (SELECT doc_id, i AS pos, w[i] AS tk FROM "
+    "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM b)), "
+    "keep AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok LEFT JOIN covd "
+    "ON tok.doc_id = covd.doc_id AND tok.pos = covd.cpos WHERE covd.cpos IS NULL), "
+    "ct AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text "
+    "FROM keep GROUP BY doc_id) "
+    "SELECT b.doc_id, CAST(b.ntok AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(a1.n_dup_grams, 0) AS BIGINT) AS n_dup_grams, "
+    "CAST(coalesce(a2.dup_tokens, 0) AS BIGINT) AS dup_tokens, "
+    "CASE WHEN b.ntok > 0 THEN CAST(coalesce(a2.dup_tokens, 0) AS DOUBLE) / b.ntok "
+    "ELSE CAST(0.0 AS DOUBLE) END AS dup_frac, "
+    "coalesce(ct.clean_text, '') AS clean_text "
+    "FROM b LEFT JOIN a1 ON b.doc_id = a1.doc_id "
+    "LEFT JOIN a2 ON b.doc_id = a2.doc_id "
+    "LEFT JOIN ct ON b.doc_id = ct.doc_id"
+)
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup over the embeddings table (pipeline.similarity.
+    semantic_dedup): relational one-shot centroids (broadcast, map-only
+    assignment), intra-cluster tau-cosine pair join, min-id keep rule.
+    The oracle replays centroids, assignment, and every pair decision."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.semantic_dedup(emb, n_lists=16, tau=0.35)
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+
+ORACLES["semantic_dedup"] = (
+    "WITH ex AS (SELECT vec_id % 16 AS list_id, vec_id AS id, i - 1 AS d, "
+    "CAST(embedding[i] AS DOUBLE) AS val FROM embeddings "
+    "CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims), "
+    "percell AS (SELECT list_id, d, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(val ORDER BY id)), "
+    "(a, b) -> a + b) / count(*) AS cval FROM ex GROUP BY list_id, d), "
+    "cent AS (SELECT list_id, list(cval ORDER BY d) AS cv FROM percell GROUP BY list_id), "
+    "cscore AS (SELECT e.vec_id, e.embedding, c.list_id, "
+    + _cos("e.embedding", "c.cv")
+    + " AS csim FROM embeddings e CROSS JOIN cent c), "
+    "assign AS (SELECT vec_id, embedding, list_id FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) "
+    "AS rn FROM cscore) WHERE rn = 1), "
+    "pairs AS (SELECT * FROM (SELECT a.vec_id AS ida, b.vec_id AS idb, "
+    + _cos("a.embedding", "b.embedding")
+    + " AS cs FROM assign a JOIN assign b "
+    "ON a.list_id = b.list_id AND a.vec_id < b.vec_id) WHERE cs >= 0.35), "
+    "dups AS (SELECT idb, count(*) AS n_dups, max(cs) AS max_dup_sim "
+    "FROM pairs GROUP BY idb) "
+    "SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id, "
+    "dups.idb IS NULL AS keep, "
+    "CAST(coalesce(dups.n_dups, 0) AS BIGINT) AS n_dups, dups.max_dup_sim "
+    "FROM assign a LEFT JOIN dups ON a.vec_id = dups.idb"
+)
+
+
+def q_nb_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained multinomial Naive Bayes language classifier
+    (pipeline.text.nb_lang_classifier): train (lang,token) likelihoods +
+    priors and score/argmax every document, all in one relational DAG.
+    The oracle retrains the identical model in SQL and replays every
+    fold-ordered double."""
+    docs = load_table(spark, sf, "documents")
+    return text.nb_lang_classifier(docs)
+
+
+QUERIES["nb_classifier"] = q_nb_classifier
+
+ORACLES["nb_classifier"] = (
+    f"WITH t AS (SELECT doc_id, lang, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "ex AS (SELECT doc_id, lang AS lbl, i AS pos, w[i] AS token FROM "
+    "(SELECT doc_id, lang, w, unnest(generate_series(1, len(w))) AS i FROM t)), "
+    "counts AS (SELECT lbl, token, count(*) AS cnt FROM ex GROUP BY lbl, token), "
+    "ltot AS (SELECT lbl, sum(cnt) AS ltot FROM counts GROUP BY lbl), "
+    "voc AS (SELECT count(DISTINCT token) AS v FROM counts), "
+    "ndocs AS (SELECT count(*) AS n FROM documents), "
+    "priors AS (SELECT d.lang AS clang, "
+    "ln(CAST(count(*) AS DOUBLE) / CAST(any_value(ndocs.n) AS DOUBLE)) AS prior "
+    "FROM documents d, ndocs GROUP BY d.lang), "
+    "tl AS (SELECT ex.doc_id, ex.pos, lt.lbl AS clang, "
+    "ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / CAST(lt.ltot + voc.v AS DOUBLE)) AS logp "
+    "FROM ex CROSS JOIN ltot lt CROSS JOIN voc "
+    "LEFT JOIN counts c ON c.lbl = lt.lbl AND c.token = ex.token), "
+    "folded AS (SELECT doc_id, clang, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)), "
+    "(a, b) -> a + b) AS ll FROM tl GROUP BY doc_id, clang), "
+    "scored AS (SELECT d.doc_id, d.lang AS lbl, p.clang, "
+    "p.prior + coalesce(f.ll, CAST(0.0 AS DOUBLE)) AS score "
+    "FROM documents d CROSS JOIN priors p LEFT JOIN folded f "
+    "ON f.doc_id = d.doc_id AND f.clang = p.clang) "
+    "SELECT doc_id, lbl AS lang, clang AS pred, score, (clang = lbl) AS correct "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, clang ASC) AS rn FROM scored) WHERE rn = 1"
+)

@@ -684,3 +684,118 @@ def test_embedding_quantization_error_bound(spark):
     cf = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     cq = da @ db / (np.linalg.norm(da) * np.linalg.norm(db))
     assert abs(cf - cq) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# round 4: duplicate n-gram spans, SemDeDup, Naive Bayes classifier
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_ngram_stats_planted_span(spark):
+    from samza_spark.pipeline import substring
+
+    span = "alpha beta gamma delta"  # 4 tokens, shared verbatim by docs 1+2
+    rows = [
+        (1, f"one two three {span} four five six"),
+        (2, f"seven eight {span} nine ten eleven twelve"),
+        (3, "totally unrelated words appear only here once ever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in substring.duplicate_ngram_stats(df, n=4, min_count=2).collect()
+    }
+    # exactly the shared 4-gram duplicates; its 4 tokens are covered
+    assert out[1].n_dup_grams == 1 and out[1].dup_tokens == 4
+    assert out[2].n_dup_grams == 1 and out[2].dup_tokens == 4
+    assert out[3].n_dup_grams == 0 and out[3].dup_tokens == 0
+    # clean_text drops exactly the span, keeps order
+    assert out[1].clean_text == "one two three four five six"
+    assert out[2].clean_text == "seven eight nine ten eleven twelve"
+    assert out[3].clean_text == rows[2][1]
+    assert out[1].dup_frac == pytest.approx(4 / 10)
+
+
+def test_duplicate_ngram_within_one_doc_counts(spark):
+    from samza_spark.pipeline import substring
+
+    # the Lee et al. definition: a window repeated WITHIN one document is
+    # duplicated too
+    df = spark.createDataFrame(
+        [(1, "a b c d x y z a b c d"), (2, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in substring.duplicate_ngram_stats(df, n=4, min_count=2).collect()
+    }
+    assert out[1].n_dup_grams == 2  # 'a b c d' at pos 1 and pos 8
+    assert out[1].dup_tokens == 8
+    assert out[1].clean_text == "x y z"
+
+
+def test_remove_duplicate_spans_drops_mostly_dup_docs(spark):
+    from samza_spark.pipeline import substring
+
+    boiler = "terms of service apply to all visitors"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} extra words making real content here now"),
+            (2, boiler),
+            (3, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring.remove_duplicate_spans(df, n=4, max_dup_frac=0.9)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1}  # docs 2/3 are 100% duplicated spans
+    assert "terms" not in rows[1].text and "extra" in rows[1].text
+
+
+def test_semantic_dedup_drops_planted_near_identical(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 8)).astype("float32")
+    vecs = [(i, base[i].tolist()) for i in range(30)]
+    # planted: 100 is a tiny perturbation of 0 -> cosine ~1
+    vecs.append((100, (base[0] + 1e-4).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(df, n_lists=4, tau=0.95).collect()
+    }
+    assert out[0].keep is True  # min-id representative wins
+    assert out[100].keep is False and out[100].n_dups >= 1
+    assert out[100].max_dup_sim > 0.999
+    assert out[100].list_id == out[0].list_id
+    # unrelated gaussian vectors survive
+    assert sum(1 for r in out.values() if not r.keep) == 1
+
+
+def test_semantic_dedup_fast_path_agrees(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 8)).astype("float32")
+    vecs = [(i, base[i].tolist()) for i in range(20)]
+    vecs.append((50, (base[3] * 1.001).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = similarity.semantic_dedup(df, n_lists=4, tau=0.95, exact=True)
+    fast = similarity.semantic_dedup(df, n_lists=4, tau=0.95, exact=False)
+    assert {(r.vec_id, r.keep) for r in exact.collect()} == {
+        (r.vec_id, r.keep) for r in fast.collect()
+    }
+
+
+def test_nb_classifier_learns_separable_langs(spark):
+    rows = []
+    en = "the cat sat on the mat and the dog ran"
+    de = "der hund lief und die katze sass auf der matte"
+    for i in range(10):
+        rows.append((i, f"{en} {i}", "en"))
+        rows.append((100 + i, f"{de} {i}", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = text.nb_lang_classifier(df).collect()
+    assert len(out) == 20
+    acc = sum(1 for r in out if r.correct) / len(out)
+    assert acc == 1.0  # fully separable vocabularies
+    for r in out:
+        assert r.pred == r.lang
+        assert r.score < 0.0  # log-probabilities
