@@ -54,6 +54,7 @@ def main() -> None:
     load_start = os.getloadavg()
 
     from samza_spark import SessionConfig, get_session
+    from samza_spark.catalog import normalize_event_ts
 
     spark = get_session(
         SessionConfig(
@@ -126,7 +127,7 @@ def main() -> None:
         for i in range(repeats):
             # glob form: the file stream source requires a directory/glob path
             src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
-            src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            src = normalize_event_ts(src)
             t0 = time.perf_counter()
             q = (
                 build(src)
@@ -229,7 +230,7 @@ def main() -> None:
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max(1, replicas // 5))
             .parquet(replay_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(normalize_event_ts)
             .withWatermark("ts", "1 hour")
             .groupBy("event_type", F.window("ts", "1 hour"))
             .count()

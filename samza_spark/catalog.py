@@ -39,12 +39,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # nanos-as-long columns -> TIMESTAMP (µs), truncating like a NS->US cast
+    return normalize_event_ts(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Surface ``events.ts`` as a plain µs TIMESTAMP whichever way the
+    driver generated the parquet (works on batch and streaming frames):
+
+    - TIMESTAMP(NANOS) + ``nanosAsLong=true`` -> epoch-nanos BIGINT;
+      integer DIV truncates to µs, matching epoch_ns(ts) // 1000 in DuckDB.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ; with the
+      session tz pinned to UTC the cast reinterprets the same micros as an
+      instant — identical values to the DuckDB view.
+    """
     for f in df.schema.fields:
-        if isinstance(f.dataType, T.LongType) and f.name == "ts":
-            # integer DIV (truncation) — matches epoch_ns(ts) // 1000 in DuckDB
-            df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
+        if f.name != col:
+            continue
+        if isinstance(f.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
