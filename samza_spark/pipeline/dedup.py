@@ -928,3 +928,137 @@ def streaming_dedup(
     from samza_spark.operators.stream import MessageStream
 
     return MessageStream(out)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a reference corpus
+# ---------------------------------------------------------------------------
+
+
+def dedup_against_reference(
+    batch: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    impl: str = "pandas",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Flag every ``batch`` document that duplicates the existing
+    ``reference`` corpus — the incremental form of dedup every production
+    pipeline runs on each new crawl/snapshot (only new-vs-old pairs are
+    considered; old-vs-old was settled when the reference was built, and
+    new-vs-new is a separate :func:`minhash_dedup` pass).
+
+    Returns one row per batch document::
+
+        (id, exact_dup, exact_ref_id, near_dup, near_ref_id, best_jaccard)
+
+    - ``exact_dup``: the normalized text fingerprint (md5) exists in the
+      reference; ``exact_ref_id`` is the smallest matching reference id.
+    - ``near_dup``: some reference doc has word-n-gram Jaccard >=
+      ``threshold``; ``near_ref_id`` is the smallest such id and
+      ``best_jaccard`` the largest such similarity (both deterministic).
+
+    Scale shape: the exact arm is one fingerprint aggregation over the
+    reference + one hash join. The near arm bands batch+reference
+    TOGETHER in the shared single-shuffle LSH stage (the reference's
+    bands are recomputed here; a production deployment persists them once
+    and appends — same plan, one side read from parquet), then expands
+    only CROSS-side pairs inside each bucket: batch x batch and ref x ref
+    pairs are never emitted, so candidate volume tracks the true overlap.
+    Verification shingles only candidate members (semi-join first). The
+    hot-bucket cap applies to the cross product size per bucket.
+    """
+    norm_fp = F.md5(normalized(F.coalesce(F.col(text_col), F.lit(""))))
+    ref_fps = (
+        reference.select(norm_fp.alias("__fp"), F.col(id_col).alias("__rid"))
+        .groupBy("__fp")
+        .agg(F.min("__rid").alias("exact_ref_id"))
+    )
+    exact = batch.select(F.col(id_col).alias("__id"), norm_fp.alias("__fp")).join(
+        ref_fps, on="__fp", how="left"
+    )
+
+    # --- near-dup arm: band the union, expand cross-side pairs only ----
+    tagged = (
+        batch.select(
+            F.concat(F.lit("b|"), F.col(id_col).cast("string")).alias("__sid"),
+            F.col(text_col).alias("__text"),
+        )
+        .unionByName(
+            reference.select(
+                F.concat(F.lit("r|"), F.col(id_col).cast("string")).alias("__sid"),
+                F.col(text_col).alias("__text"),
+            )
+        )
+    )
+    banded = _lsh_banded(
+        tagged, "__text", "__sid", num_perm, bands, shingle_k, shingle_mode, impl
+    )
+    agged = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("__sid").alias("ids"))
+        .withColumn(
+            "bs", F.array_sort(F.expr("filter(ids, x -> x like 'b|%')"))
+        )
+        .withColumn(
+            "rs", F.array_sort(F.expr("filter(ids, x -> x like 'r|%')"))
+        )
+        .filter((F.size("bs") > 0) & (F.size("rs") > 0))
+    )
+    if max_bucket_size is not None:
+        agged = agged.filter(F.size("bs") * F.size("rs") <= max_bucket_size)
+    cands = (
+        agged.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, x -> transform(rs, y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.expr("cast(substr(p.a, 3) as long)").alias("a"),
+            F.expr("cast(substr(p.b, 3) as long)").alias("b"),
+        )
+        .distinct()
+    )
+    # verify: shingle candidate members only, per side
+    bsh = (
+        batch.join(cands.select(F.col("a").alias(id_col)).distinct(), on=id_col, how="left_semi")
+        .select(F.col(id_col).alias("a"), _shingle_expr(text_col, shingle_mode, shingle_k).alias("sh_a"))
+    )
+    rsh = (
+        reference.join(cands.select(F.col("b").alias(id_col)).distinct(), on=id_col, how="left_semi")
+        .select(F.col(id_col).alias("b"), _shingle_expr(text_col, shingle_mode, shingle_k).alias("sh_b"))
+    )
+    verified = (
+        cands.join(bsh, on="a")
+        .join(rsh, on="b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("a")
+        .agg(
+            F.min("b").alias("near_ref_id"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        exact.join(verified, exact["__id"] == verified["a"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("exact_ref_id").isNotNull().alias("exact_dup"),
+            "exact_ref_id",
+            F.col("near_ref_id").isNotNull().alias("near_dup"),
+            "near_ref_id",
+            "best_jaccard",
+        )
+    )

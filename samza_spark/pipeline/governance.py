@@ -1,0 +1,128 @@
+"""Corpus governance: per-source (domain) statistics and caps.
+
+Web-scale training corpora are governed at the *source* level — a domain
+that contributes 40% of the crawl must not contribute 40% of the
+training set. The two public patterns (used by C4, RefinedWeb, Dolma):
+
+- **source profiling**: per-domain document counts, token volume, and
+  quality distribution, to decide mixture weights;
+- **per-source caps**: keep at most K documents per domain, picking the
+  highest-quality ones deterministically.
+
+Both are expressed as pure Catalyst plans. The cap supports a two-phase
+(salted) top-K for hot domains: phase 1 ranks within (source, salt) and
+keeps K per salt group, phase 2 ranks the survivors within source — the
+final top-K is provably identical to the single-phase rank (any row in
+the global per-source top-K is in the top-K of its salt group), but no
+single task ever sorts more than (domain size / n_salts) rows. That is
+the standard skew treatment for windowed top-K at 100 TB, where one hot
+domain would otherwise serialize into one straggler task.
+
+Reference anchor: per-key aggregation + rank is the partitionBy +
+aggregate + window composition of the reference DSL
+(samza-api/.../operators/MessageStream.java:50, Windows.java); the
+governance framing is the training-pipeline capability built on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from samza_spark.pipeline.text import quality_score, token_count
+
+
+def source_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus profile:
+    ``(source, n_docs, n_langs, n_tokens, n_chars, mean_quality, min_doc_id)``.
+
+    Integer metrics are exact sums (shuffle-order-free); ``mean_quality``
+    folds the per-doc quality doubles in id order (array fold, not a
+    shuffle-order SUM) so a DuckDB oracle reproduces the double
+    bit-for-bit. One groupBy shuffle on the source key; map-side partial
+    aggregation applies to every metric except the ordered fold, whose
+    state is one (id, double) pair per doc — same scale shape as any
+    per-key collect with bounded group size; for unbounded groups use the
+    plain AVG (order-dependent, not oracle-exact).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("__id"),
+        F.col(lang_col).alias("__lang"),
+        token_count(t).cast("long").alias("__ntok"),
+        F.length(t).cast("long").alias("__nchar"),
+        quality_score(t).alias("__q"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__lang").cast("long").alias("n_langs"),
+        F.sum("__ntok").cast("long").alias("n_tokens"),
+        F.sum("__nchar").cast("long").alias("n_chars"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__id", "__q"))),
+                    lambda s: s["__q"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_quality"),
+        F.min("__id").alias("min_doc_id"),
+    )
+
+
+def _rank_in(partition_cols: list, quality: Column, id_col: str) -> Column:
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.desc("__q"), F.asc(F.col(id_col))
+    )
+    return F.row_number().over(w)
+
+
+def cap_per_source(
+    df: DataFrame,
+    max_docs: int = 10,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality: Column | None = None,
+    n_salts: int = 1,
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per source, the highest
+    ``quality`` first (ties broken by ascending id — fully
+    deterministic). Returns the kept rows of ``df`` plus ``quality`` and
+    the 1-based ``src_rank``.
+
+    ``n_salts > 1`` switches to the two-phase skew-safe plan: rank within
+    (source, md5-salt of id) keeping ``max_docs`` per salt group, then
+    re-rank the <= max_docs * n_salts survivors within source. The result
+    is identical to the single-phase window (the global per-source top-K
+    is a subset of every salt-group top-K union), but the heavy sort is
+    split across ``n_salts`` tasks per hot source.
+    """
+    if quality is None:
+        quality = quality_score(F.coalesce(F.col(text_col), F.lit("")))
+    ranked = df.withColumn("__q", quality)
+    if n_salts > 1:
+        salt = F.expr(
+            f"cast(conv(substr(md5(cast({id_col} as string)), 1, 8), 16, 10) "
+            f"as bigint) % {n_salts}"
+        )
+        ranked = (
+            ranked.withColumn("__salt", salt)
+            .withColumn("__r1", _rank_in([source_col, "__salt"], quality, id_col))
+            .filter(F.col("__r1") <= max_docs)
+            .drop("__salt", "__r1")
+        )
+    return (
+        ranked.withColumn("src_rank", _rank_in([source_col], quality, id_col))
+        .filter(F.col("src_rank") <= max_docs)
+        .withColumnRenamed("__q", "quality")
+    )

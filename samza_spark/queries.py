@@ -1969,3 +1969,94 @@ ORACLES["nb_classifier"] = (
     "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
     "ORDER BY score DESC, clang ASC) AS rn FROM scored) WHERE rn = 1"
 )
+
+
+# ---------------------------------------------------------------------------
+# round 4: corpus governance + incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def q_source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus profile (pipeline.governance.source_stats):
+    exact integer volumes plus an id-ordered fold of per-doc quality so
+    the mean double is SQL-replayable. One groupBy shuffle."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    return governance.source_stats(docs)
+
+
+QUERIES["source_stats"] = q_source_stats
+
+ORACLES["source_stats"] = (
+    f"WITH t AS (SELECT source, doc_id, lang, text, {_TOKENS_SQL} AS n_tokens FROM documents), "
+    f"p AS (SELECT source, doc_id, lang, CAST(n_tokens AS BIGINT) AS ntok, "
+    f"CAST(length(text) AS BIGINT) AS nchar, round({_QUALITY_SQL}, 4) AS q FROM t) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+    "CAST(sum(ntok) AS BIGINT) AS n_tokens, CAST(sum(nchar) AS BIGINT) AS n_chars, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(q ORDER BY doc_id)), "
+    "(a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS mean_quality, "
+    "min(doc_id) AS min_doc_id FROM p GROUP BY source"
+)
+
+
+def q_source_caps(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source cap (pipeline.governance.cap_per_source): keep the 8
+    highest-quality docs per source, two-phase salted ranking (n_salts=4)
+    — the oracle's single-phase row_number proves the skew-safe plan
+    selects the identical set."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    return governance.cap_per_source(docs, max_docs=8, n_salts=4).select(
+        "source", "doc_id", "quality", "src_rank"
+    )
+
+
+QUERIES["source_caps"] = q_source_caps
+
+ORACLES["source_caps"] = (
+    f"WITH t AS (SELECT source, doc_id, text, {_TOKENS_SQL} AS n_tokens FROM documents), "
+    f"p AS (SELECT source, doc_id, round({_QUALITY_SQL}, 4) AS quality FROM t), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY source "
+    "ORDER BY quality DESC, doc_id ASC) AS rn FROM p) "
+    "SELECT source, doc_id, quality, CAST(rn AS INT) AS src_rank FROM r WHERE rn <= 8"
+)
+
+
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup of a new batch (odd doc_ids) against the
+    reference corpus (even doc_ids) — pipeline.dedup.
+    dedup_against_reference: fingerprint join for exact dups, shared
+    LSH banding with CROSS-side-only pair expansion + Jaccard verify for
+    near dups. Oracle = brute-force cross-set comparison (the r=4/b=16
+    S-curve admits every >=0.8 pair of this corpus, so LSH candidate
+    recall is exactly 1 and the flag columns match value-for-value)."""
+    docs = load_table(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.dedup_against_reference(
+        batch, reference, threshold=0.8, num_perm=64, bands=16
+    )
+
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+
+ORACLES["incremental_dedup"] = (
+    f"WITH n AS (SELECT doc_id, {_NORM.format(c='text')} AS nt FROM documents), "
+    "b AS (SELECT * FROM n WHERE doc_id % 2 = 1), "
+    "r AS (SELECT * FROM n WHERE doc_id % 2 = 0), "
+    "rfp AS (SELECT md5(nt) AS fp, min(doc_id) AS exact_ref_id FROM r GROUP BY 1), "
+    f"bsh AS (SELECT doc_id, {_grams3_of_norm('nt')} AS s FROM b), "
+    f"rsh AS (SELECT doc_id, {_grams3_of_norm('nt')} AS s FROM r), "
+    "m AS (SELECT bsh.doc_id AS a, rsh.doc_id AS rb, "
+    f"{_jaccard('bsh.s', 'rsh.s')} AS j FROM bsh CROSS JOIN rsh "
+    f"WHERE {_jaccard('bsh.s', 'rsh.s')} >= CAST(0.8 AS DOUBLE)), "
+    "agg AS (SELECT a, min(rb) AS near_ref_id, max(j) AS best_jaccard "
+    "FROM m GROUP BY a) "
+    "SELECT b.doc_id, rfp.exact_ref_id IS NOT NULL AS exact_dup, rfp.exact_ref_id, "
+    "agg.near_ref_id IS NOT NULL AS near_dup, agg.near_ref_id, agg.best_jaccard "
+    "FROM b LEFT JOIN rfp ON md5(b.nt) = rfp.fp "
+    "LEFT JOIN agg ON b.doc_id = agg.a"
+)

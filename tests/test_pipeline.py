@@ -799,3 +799,101 @@ def test_nb_classifier_learns_separable_langs(spark):
     for r in out:
         assert r.pred == r.lang
         assert r.score < 0.0  # log-probabilities
+
+
+# ---------------------------------------------------------------------------
+# round 4: corpus governance + incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_source_stats_exact_volumes(spark):
+    from samza_spark.pipeline import governance
+
+    rows = [
+        (1, "one two three", "en", "a"),
+        (2, "four five", "de", "a"),
+        (3, "six seven eight nine", "en", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in governance.source_stats(df).collect()}
+    assert out["a"].n_docs == 2 and out["a"].n_langs == 2
+    assert out["a"].n_tokens == 5 and out["a"].min_doc_id == 1
+    assert out["a"].n_chars == len(rows[0][1]) + len(rows[1][1])
+    assert out["b"].n_docs == 1 and out["b"].n_tokens == 4
+
+
+def test_cap_per_source_two_phase_matches_single(spark):
+    from samza_spark.pipeline import governance
+
+    rows = [
+        (i, f"doc {i} " + "word " * (i % 17), f"src{i % 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    single = governance.cap_per_source(df, max_docs=5, n_salts=1)
+    salted = governance.cap_per_source(df, max_docs=5, n_salts=4)
+    key = lambda d: {(r.source, r.doc_id, r.src_rank) for r in d.collect()}
+    assert key(single) == key(salted)
+    # every source capped at 5, ranks are 1..k
+    per_src = {}
+    for r in single.collect():
+        per_src.setdefault(r.source, []).append(r.src_rank)
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_cap_per_source_prefers_quality(spark):
+    from samza_spark.pipeline import governance
+
+    # doc 2 is long/high-quality, doc 1 is junk — cap of 1 keeps doc 2
+    rows = [
+        (1, "!!!! ???? ;;;;", "s"),
+        (2, "a perfectly reasonable sentence with many alphabetic words here", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = governance.cap_per_source(df, max_docs=1).collect()
+    assert len(kept) == 1 and kept[0].doc_id == 2 and kept[0].src_rank == 1
+
+
+def test_dedup_against_reference_flags(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today now"
+    reference = spark.createDataFrame(
+        [(10, base), (11, "completely different reference content about databases")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (20, base.upper()),                # exact dup of ref 10 (normalized)
+            (21, base + " extra"),             # near dup of ref 10
+            (22, "novel text that matches nothing in the reference corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_against_reference(
+            batch, reference, threshold=0.7, num_perm=32, bands=16
+        ).collect()
+    }
+    assert out[20].exact_dup and out[20].exact_ref_id == 10
+    assert out[21].near_dup and out[21].near_ref_id == 10
+    assert out[21].best_jaccard > 0.7
+    assert not out[22].exact_dup and not out[22].near_dup
+    assert out[22].exact_ref_id is None and out[22].best_jaccard is None
+
+
+def test_dedup_against_reference_no_within_side_pairs(spark):
+    # two identical docs INSIDE the batch must not flag each other —
+    # only batch-vs-reference pairs count
+    batch = spark.createDataFrame(
+        [(1, "same text repeated in the new batch twice over here"),
+         (2, "same text repeated in the new batch twice over here")],
+        "doc_id long, text string",
+    )
+    reference = spark.createDataFrame(
+        [(50, "reference corpus has nothing like those batch documents")],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_against_reference(batch, reference, threshold=0.5).collect()
+    assert all(not r.exact_dup and not r.near_dup for r in out)
