@@ -430,3 +430,96 @@ def nb_lang_classifier(
             (F.col("__b.lang") == F.col("__lbl")).alias("correct"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    order-2 step from :func:`unigram_logprob` toward the KenLM-style
+    perplexity filtering of public pipelines (CCNet). The first token
+    scores its unigram probability; each later token scores
+    ``ln(count(prev, cur) / count(prev as bigram context))``. Trained on
+    the scored corpus itself, so unseen n-grams cannot occur.
+
+    Scores are **fixed-point micro-nats**: each per-token ln is floored
+    to an integer number of 1e-6 nats before summing. JVM ``Math.log``
+    and C ``ln`` may disagree in the last ulp for identical arguments, so
+    a cross-engine oracle cannot compare raw double sums; integer
+    micro-nat sums are exact, shuffle-order-free (no ordered fold
+    needed — plain map-side-partial SUM), and 1e-6 nats is far below any
+    filtering threshold anyone sets on an LM score.
+
+    Returns ``(id, n_tokens, logprob_micro, avg_logprob)`` —
+    ``logprob_micro`` the exact BIGINT micro-nat sum, ``avg_logprob``
+    the derived double (one division from identical integers).
+
+    Scale: bigrams are built from the token array map-side (no self-join
+    on position), then one (prev, cur) count shuffle, one context-count
+    shuffle over the already-aggregated bigram table, one join keyed by
+    the bigram, one doc-keyed integer-sum regroup. Same O(corpus tokens)
+    shape as the unigram model, with cheaper (unordered) aggregation.
+    """
+    toks = F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    # (id, pos, prev, cur) rows straight off the array — map-only
+    bi = base.select(
+        "__id",
+        F.explode(
+            # guard: Spark sequence(1, 0) DESCENDS — gate on size
+            F.expr(
+                "transform("
+                "if(size(__toks) >= 2, sequence(1, size(__toks) - 1), array()), "
+                "i -> struct(i AS pos, __toks[i - 1] AS prev, __toks[i] AS cur))"
+            )
+        ).alias("g"),
+    ).select("__id", "g.pos", "g.prev", "g.cur")
+    bi_counts = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bc"))
+    ctx_counts = bi_counts.groupBy("prev").agg(F.sum("__bc").alias("__pc"))
+    uni = base.select(F.explode("__toks").alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("__uc")
+    )
+    uni_total = uni.agg(F.sum("__uc").alias("__utot"))
+
+    def micro(p_num, p_den):
+        return F.floor(
+            F.log(p_num.cast("double") / p_den.cast("double")) * F.lit(1000000.0)
+        ).cast("long")
+
+    first = (
+        base.filter(F.size("__toks") > 0)
+        .select("__id", F.expr("__toks[0]").alias("token"))
+        .join(uni, on="token")
+        .join(F.broadcast(uni_total))
+        .select("__id", micro(F.col("__uc"), F.col("__utot")).alias("__m0"))
+    )
+    rest = (
+        bi.join(bi_counts, on=["prev", "cur"])
+        .join(ctx_counts, on="prev")
+        .select("__id", micro(F.col("__bc"), F.col("__pc")).alias("__m"))
+        .groupBy("__id")
+        .agg(F.sum("__m").alias("__mr"))
+    )
+    total = (
+        F.coalesce("__m0", F.lit(0)).cast("long")
+        + F.coalesce("__mr", F.lit(0)).cast("long")
+    )
+    return (
+        base.select("__id", F.size("__toks").cast("long").alias("n_tokens"))
+        .join(first, on="__id", how="left")
+        .join(rest, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            total.alias("logprob_micro"),
+            F.when(
+                F.col("n_tokens") > 0,
+                total.cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_tokens").cast("double"),
+            ).alias("avg_logprob"),
+        )
+    )

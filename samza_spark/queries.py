@@ -2060,3 +2060,43 @@ ORACLES["incremental_dedup"] = (
     "FROM b LEFT JOIN rfp ON md5(b.nt) = rfp.fp "
     "LEFT JOIN agg ON b.doc_id = agg.a"
 )
+
+
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained bigram LM score (pipeline.text.bigram_logprob):
+    order-2 conditional probabilities built map-side off the token array
+    (no positional self-join), first token scored by its unigram prob,
+    fold-ordered double sums the oracle replays exactly."""
+    docs = load_table(spark, sf, "documents")
+    return text.bigram_logprob(docs)
+
+
+QUERIES["bigram_logprob"] = q_bigram_logprob
+
+ORACLES["bigram_logprob"] = (
+    f"WITH t AS (SELECT doc_id, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "bi AS (SELECT doc_id, i AS pos, w[i] AS prev, w[i + 1] AS cur FROM "
+    "(SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t "
+    "WHERE len(w) >= 2)), "
+    "bc AS (SELECT prev, cur, count(*) AS bc FROM bi GROUP BY 1, 2), "
+    "pc AS (SELECT prev, sum(bc) AS pc FROM bc GROUP BY 1), "
+    "uni AS (SELECT u AS token, count(*) AS uc FROM "
+    "(SELECT unnest(w) AS u FROM t) GROUP BY 1), "
+    "utot AS (SELECT sum(uc) AS utot FROM uni), "
+    "fst AS (SELECT f.doc_id, CAST(floor(ln(CAST(uni.uc AS DOUBLE) / "
+    "CAST(utot.utot AS DOUBLE)) * 1000000.0) AS BIGINT) AS m0 "
+    "FROM (SELECT doc_id, w[1] AS token FROM t WHERE len(w) >= 1) f "
+    "JOIN uni USING (token) CROSS JOIN utot), "
+    "rest AS (SELECT bi.doc_id, sum(CAST(floor(ln(CAST(bc.bc AS DOUBLE) / "
+    "CAST(pc.pc AS DOUBLE)) * 1000000.0) AS BIGINT)) AS mr FROM bi "
+    "JOIN bc ON bi.prev = bc.prev AND bi.cur = bc.cur "
+    "JOIN pc ON bi.prev = pc.prev GROUP BY bi.doc_id) "
+    "SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(fst.m0, 0) + coalesce(rest.mr, 0) AS BIGINT) AS logprob_micro, "
+    "CASE WHEN len(w) > 0 THEN "
+    "CAST(coalesce(fst.m0, 0) + coalesce(rest.mr, 0) AS DOUBLE) / 1000000.0 "
+    "/ CAST(len(w) AS DOUBLE) END AS avg_logprob "
+    "FROM t LEFT JOIN fst ON t.doc_id = fst.doc_id "
+    "LEFT JOIN rest ON t.doc_id = rest.doc_id"
+)

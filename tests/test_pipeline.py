@@ -897,3 +897,31 @@ def test_dedup_against_reference_no_within_side_pairs(spark):
     )
     out = dedup.dedup_against_reference(batch, reference, threshold=0.5).collect()
     assert all(not r.exact_dup and not r.near_dup for r in out)
+
+
+def test_bigram_logprob_hand_model(spark):
+    import math
+
+    # corpus: "a b a" and "b a" -> unigrams: a=3, b=2, total=5
+    # bigrams: (a,b)=1, (b,a)=2 -> contexts: a=1, b=2
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.bigram_logprob(df).collect()}
+    m = lambda p: math.floor(math.log(p) * 1e6)
+    # doc 1: ln(3/5) + ln(1/1) + ln(2/2)
+    assert out[1].logprob_micro == m(3 / 5) + m(1 / 1) + m(2 / 2)
+    assert out[1].n_tokens == 3
+    # doc 2: ln(2/5) + ln(2/2)
+    assert out[2].logprob_micro == m(2 / 5) + m(2 / 2)
+    assert out[2].avg_logprob == pytest.approx(out[2].logprob_micro / 1e6 / 2)
+
+
+def test_bigram_logprob_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "hello world hello world")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.bigram_logprob(df).collect()}
+    assert out[1].n_tokens == 0 and out[1].logprob_micro == 0
+    assert out[1].avg_logprob is None
+    assert out[2].n_tokens == 4 and out[2].logprob_micro < 0
