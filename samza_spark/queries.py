@@ -2100,3 +2100,109 @@ ORACLES["bigram_logprob"] = (
     "FROM t LEFT JOIN fst ON t.doc_id = fst.doc_id "
     "LEFT JOIN rest ON t.doc_id = rest.doc_id"
 )
+
+
+# ---------------------------------------------------------------------------
+# round 4: distributed BPE vocabulary learning + tokenization
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+_SS = "chr(31) || chr(31)"  # double unit separator, SQL form
+_S1 = "chr(31)"
+
+
+def _bpe_learning_ctes(n: int) -> str:
+    """Unroll the BPE learning loop into chained CTEs: w0 is the word
+    table, p{k}/b{k} the pair counts and argmax of step k, w{k} the word
+    table after applying merge k. Mirrors pipeline.bpe exactly —
+    including the double-separator greedy `replace` merge trick."""
+    parts = [
+        "w0 AS (SELECT word, count(*) AS freq, "
+        f"{_SS} || regexp_replace(word, '(.)', '\\1' || {_SS}, 'g') AS rep "
+        f"FROM (SELECT unnest(list_filter(string_split({_NORM.format(c='text')}, ' '), "
+        "x -> x <> '')) AS word FROM documents) GROUP BY word)"
+    ]
+    for k in range(1, n + 1):
+        prev = f"w{k - 1}"
+        parts.append(
+            f"p{k} AS (SELECT l, r, sum(freq) AS cnt FROM "
+            f"(SELECT freq, s[i] AS l, s[i + 1] AS r FROM "
+            f"(SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i FROM "
+            f"(SELECT freq, list_filter(string_split(rep, {_SS}), x -> x <> '') AS s "
+            f"FROM {prev}) WHERE len(s) >= 2)) GROUP BY l, r)"
+        )
+        parts.append(
+            f"b{k} AS (SELECT l, r, cnt FROM p{k} "
+            "ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"w{k} AS (SELECT word, freq, replace(rep, "
+            f"{_S1} || b{k}.l || {_SS} || b{k}.r || {_S1}, "
+            f"{_S1} || b{k}.l || b{k}.r || {_S1}) AS rep "
+            f"FROM {prev} CROSS JOIN b{k})"
+        )
+    return ", ".join(parts)
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (pipeline.bpe.learn_bpe): the
+    corpus is read once for the word-frequency table; each of the 8
+    merge steps is a vocabulary-sized pair count + argmax (one row to
+    the driver) + map-only greedy `replace`. The oracle unrolls the
+    identical loop into chained CTEs and must reproduce every merge
+    decision, tie-break included."""
+    from samza_spark.pipeline import bpe
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe.learn_bpe(docs, n_merges=_BPE_N_MERGES, min_count=2)
+    return bpe.bpe_merge_table(spark, merges)
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+
+ORACLES["bpe_merges"] = (
+    "WITH "
+    + _bpe_learning_ctes(_BPE_N_MERGES)
+    + ", merges AS ("
+    + " UNION ALL ".join(
+        f"SELECT {k} AS step, l AS \"left\", r AS \"right\", l || r AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, _BPE_N_MERGES + 1)
+    )
+    + ") SELECT * FROM merges"
+)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenization with the corpus-learned merges (pipeline.bpe.
+    bpe_tokenize): a single map-only projection — the 8 merges compose
+    into one chain of `replace` calls per word, no shuffle, no Python —
+    the plan shape a 100 TB tokenization pass needs."""
+    from samza_spark.pipeline import bpe
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe.learn_bpe(docs, n_merges=_BPE_N_MERGES, min_count=2)
+    return bpe.bpe_tokenize(docs, merges)
+
+
+QUERIES["bpe_tokenize"] = q_bpe_tokenize
+
+ORACLES["bpe_tokenize"] = (
+    "WITH "
+    + _bpe_learning_ctes(_BPE_N_MERGES)
+    + f", t AS (SELECT doc_id, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "dt AS (SELECT doc_id, i AS pos, w[i] AS word FROM "
+    "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t "
+    "WHERE len(w) >= 1)), "
+    f"sy AS (SELECT word, list_filter(string_split(rep, {_SS}), x -> x <> '') AS syms "
+    f"FROM w{_BPE_N_MERGES}), "
+    "per AS (SELECT dt.doc_id, dt.pos, sy.syms FROM dt JOIN sy USING (word)), "
+    "agg AS (SELECT doc_id, sum(len(syms)) AS nbpe, "
+    "string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos) AS btext "
+    "FROM per GROUP BY doc_id) "
+    "SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words, "
+    "CAST(coalesce(agg.nbpe, 0) AS BIGINT) AS n_bpe_tokens, "
+    "coalesce(agg.btext, '') AS bpe_text "
+    "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"
+)

@@ -925,3 +925,88 @@ def test_bigram_logprob_empty_doc(spark):
     assert out[1].n_tokens == 0 and out[1].logprob_micro == 0
     assert out[1].avg_logprob is None
     assert out[2].n_tokens == 4 and out[2].logprob_micro < 0
+
+
+# ---------------------------------------------------------------------------
+# round 4: distributed BPE
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(word_freqs, n_merges, min_count=2):
+    """Pure-Python Sennrich-style BPE for cross-checking the Spark path."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((step, l, r, l + r, cnt))
+        new_words = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges
+
+
+def test_learn_bpe_matches_reference_impl(spark):
+    from samza_spark.pipeline import bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "the newest lowest low new",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wf = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    expected = _bpe_reference(wf, n_merges=10)
+    got = bpe.learn_bpe(df, n_merges=10, min_count=2)
+    assert got == expected
+
+
+def test_learn_bpe_overlapping_runs(spark):
+    from samza_spark.pipeline import bpe
+
+    # 'aaaa' x3: first merge (a,a) cnt = 3 words * 3 adjacent = 9;
+    # greedy application turns aaaa -> (aa, aa), so next pair is (aa, aa)
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got = bpe.learn_bpe(df, n_merges=2, min_count=2)
+    assert got[0] == (1, "a", "a", "aa", 9)
+    assert got[1] == (2, "aa", "aa", "aaaa", 3)
+
+
+def test_bpe_tokenize_roundtrip(spark):
+    from samza_spark.pipeline import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, "low")], "doc_id long, text string"
+    )
+    merges = [(1, "l", "o", "lo", 3), (2, "lo", "w", "low", 3)]
+    out = {r.doc_id: r for r in bpe.bpe_tokenize(df, merges).collect()}
+    assert out[1].bpe_text == "low low e r"
+    assert out[1].n_words == 2 and out[1].n_bpe_tokens == 4
+    assert out[2].n_words == 0 and out[2].n_bpe_tokens == 0 and out[2].bpe_text == ""
+    assert out[3].bpe_text == "low"
+    # concatenating subwords reconstructs the normalized text
+    assert out[1].bpe_text.replace(" ", "") == "lowlower"
