@@ -1062,3 +1062,61 @@ def dedup_against_reference(
             "best_jaccard",
         )
     )
+
+
+def streaming_corpus_ingest(
+    stream,
+    reference,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming corpus builder: ingest a document stream, dropping every
+    batch document that duplicates — exactly or nearly — what the corpus
+    already holds, and append the survivors. The incremental-crawl loop
+    of a production training-data pipeline, composed from the engine's
+    own parts: per micro-batch (foreachBatch),
+
+    1. intra-batch exact dedup (:func:`exact_dedup`, min-id keeps),
+    2. :func:`dedup_against_reference` against the CURRENT reference
+       snapshot (exact fingerprint join + cross-side-only LSH near-dup),
+    3. ``merge_batch`` the survivors into the reference table — with a
+       :class:`~samza_spark.tables.local.DurableLocalTable` the corpus
+       (and therefore the dedup state) survives restarts, the changelog
+       -restore analog.
+
+    Note the intentional asymmetry with ``dropDuplicatesWithinWatermark``
+    -based :func:`streaming_dedup`: near-dup state here is the corpus
+    itself (unbounded by design — a crawl from last year still
+    disqualifies today's copy), not a watermark-bounded buffer.
+
+    Returns the started StreamingQuery (caller stops it).
+    """
+    df = getattr(stream, "df", stream)
+
+    def process(batch_df, batch_id):
+        batch_local = exact_dedup(batch_df, text_col, id_col)
+        ref_df = reference.df
+        if not ref_df.isEmpty():
+            flags = dedup_against_reference(
+                batch_local,
+                ref_df,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+                num_perm=num_perm,
+                bands=bands,
+            )
+            keep_ids = flags.filter(
+                ~F.col("exact_dup") & ~F.col("near_dup")
+            ).select(id_col)
+            batch_local = batch_local.join(keep_ids, on=id_col, how="left_semi")
+        reference.merge_batch(batch_local.localCheckpoint(eager=True))
+
+    writer = df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1010,3 +1010,44 @@ def test_bpe_tokenize_roundtrip(spark):
     assert out[3].bpe_text == "low"
     # concatenating subwords reconstructs the normalized text
     assert out[1].bpe_text.replace(" ", "") == "lowlower"
+
+
+def test_streaming_corpus_ingest_two_batches(spark, tmp_path):
+    from samza_spark.pipeline.dedup import streaming_corpus_ingest
+    from samza_spark.sources import FileSource
+    from samza_spark.tables.local import LocalTable
+
+    d = tmp_path / "ingest"
+    d.mkdir()
+    base = "the quick brown fox jumps over the lazy dog and runs far away today now"
+    schema = "doc_id long, text string"
+    # batch 1: two docs (one pair of exact dups inside the batch)
+    spark.createDataFrame(
+        [(1, base), (2, base.upper()), (3, "something else entirely unrelated here")],
+        schema,
+    ).write.parquet(str(d / "f1"))
+    reference = LocalTable(
+        spark.createDataFrame([], schema), key_cols=["doc_id"]
+    )
+    src = FileSource(f"{d}/*", schema=schema)
+    q = streaming_corpus_ingest(
+        src.read_stream(spark), reference, threshold=0.7, num_perm=32, bands=16
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(r.doc_id for r in reference.df.collect())
+        assert got1 == [1, 3]  # 2 was an intra-batch exact dup of 1
+        # batch 2: an exact dup of ref 1, a near dup of ref 1, a new doc
+        spark.createDataFrame(
+            [
+                (10, base),
+                (11, base + " extra"),
+                (12, "fresh new document with completely novel content words"),
+            ],
+            schema,
+        ).write.parquet(str(d / "f2"))
+        q.processAllAvailable()
+        got2 = sorted(r.doc_id for r in reference.df.collect())
+        assert got2 == [1, 3, 12]  # 10 exact-dup, 11 near-dup vs corpus
+    finally:
+        q.stop()
