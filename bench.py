@@ -90,19 +90,25 @@ def main() -> None:
     # pay their own first-use interpreter init, separate from the band UDF)
     _dedup.jaccard_verify(_warm_docs, _warm_pairs, threshold=0.0).count()
 
+    # repeats are interleaved round-robin (suite pass 1, pass 2, ...), not
+    # consecutive per query: a transient contention burst then lands on at
+    # most one of each query's samples, which the median discards —
+    # consecutive repeats let a ~30s burst own all three samples of one
+    # query (observed: minhash_pairs 7.6s recorded vs 3.5s isolated)
+    all_samples: dict[str, list] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
+    for _ in range(repeats):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            rows[name] = QUERIES[name](spark, sf_dir).count()
+            all_samples[name].append(time.perf_counter() - t0)
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        samples = []
-        n = 0
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
+        samples = all_samples[name]
         per_query[name] = round(statistics.median(samples), 3)
         print(
             f"# {name}: median {per_query[name]:.3f}s of "
-            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            f"{[round(s, 3) for s in samples]} ({rows[name]} rows)",
             file=sys.stderr,
         )
 
