@@ -43,6 +43,18 @@ HEADLINE = [
     "minhash_pairs",
     "cosine_topk",
     "quantized_rerank",
+    # round 3-4 corpus-pipeline additions (per-query medians are the
+    # comparable unit round-over-round; the suite total grows with
+    # coverage)
+    "dup_spans",
+    "source_caps",
+    "incremental_dedup",
+    "bigram_logprob",
+    "nb_classifier",
+    "bpe_tokenize",
+    "semantic_dedup",
+    "bm25_search",
+    "funnel_steps",
 ]
 
 
