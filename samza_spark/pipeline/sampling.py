@@ -187,3 +187,43 @@ def pack_contiguous(
             ).cast("bigint"),
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    cost_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "pack0",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the corpus as training shards: deterministic hash
+    sharding + budget-bounded contiguous bins (:func:`pack_contiguous`),
+    written as one parquet directory per shard (``partitionBy``), rows
+    ordered (bin, id) within each shard so a sequential reader walks
+    documents in packing order.
+
+    The export stage of the pipeline: at 100 TB this is one shuffle
+    (repartition on the shard key — each task owns whole shards, so the
+    writer produces n_shards directories without small-file explosion)
+    followed by a sorted local write. Shard/bin assignment is md5-derived
+    (no RNG), so re-running the export on the same corpus produces
+    byte-identical layout — the reproducibility contract a training run
+    depends on.
+
+    Returns the packed DataFrame (with shard/bin columns) for auditing;
+    the write has already happened.
+    """
+    packed = pack_contiguous(
+        df, cost_col, budget, id_col=id_col, n_shards=n_shards, salt=salt
+    )
+    (
+        packed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "bin", id_col)
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+    return packed

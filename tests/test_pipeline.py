@@ -1051,3 +1051,37 @@ def test_streaming_corpus_ingest_two_batches(spark, tmp_path):
         assert got2 == [1, 3, 12]  # 10 exact-dup, 11 near-dup vs corpus
     finally:
         q.stop()
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+    from samza_spark.pipeline.sampling import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}", (i % 7) + 3) for i in range(200)],
+        "doc_id long, text string, n_tokens int",
+    )
+    out = str(tmp_path / "shards")
+    packed = write_training_shards(
+        df, out, cost_col="n_tokens", budget=40, n_shards=8
+    )
+    # one directory per shard, all rows present exactly once
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == len({r.shard for r in packed.select("shard").distinct().collect()})
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert sorted(r.doc_id for r in back.collect()) == list(range(200))
+    # bins respect the budget up to one boundary-crossing doc
+    sums = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("m"))
+        .collect()
+    )
+    for r in sums:
+        assert r.s <= 40 + r.m
+    # determinism: re-running produces the identical assignment
+    packed2 = write_training_shards(
+        df, str(tmp_path / "shards2"), cost_col="n_tokens", budget=40, n_shards=8
+    )
+    key = lambda d: {(r.doc_id, r.shard, r.bin) for r in d.collect()}
+    assert key(packed) == key(packed2)
