@@ -1085,3 +1085,22 @@ def test_write_training_shards_layout(spark, tmp_path):
     )
     key = lambda d: {(r.doc_id, r.shard, r.bin) for r in d.collect()}
     assert key(packed) == key(packed2)
+
+
+def test_cap_per_source_hot_domain_skew(spark):
+    from samza_spark.pipeline import governance
+
+    # one domain contributes 97% of the corpus — the shape that turns a
+    # single-phase per-source window into one straggler sort task
+    rows = [(i, f"document body {i} " + "tok " * (i % 23), "hot") for i in range(20000)]
+    rows += [(100000 + i, f"cold doc {i} words here", f"cold{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = governance.cap_per_source(df, max_docs=10, n_salts=16)
+    got = out.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got}["hot"] == 10
+    assert all(r["count"] <= 10 for r in got)
+    # identical selection to the unsalted reference on the hot domain
+    single = governance.cap_per_source(df.filter(F.col("source") == "hot"), max_docs=10)
+    assert {r.doc_id for r in out.filter(F.col("source") == "hot").collect()} == {
+        r.doc_id for r in single.collect()
+    }
