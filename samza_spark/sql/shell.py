@@ -56,8 +56,36 @@ class ShellSession:
         self._executions: dict[int, _Execution] = {}
         self._ids = itertools.count(1)
         self._select_limit = 100
+        self._buffer: list[str] = []
 
     # -- command dispatch --------------------------------------------------
+
+    def feed(self, line: str) -> "ShellResult | None":
+        """Multi-line entry (CliShell.java behavior): SQL statements
+        buffer across lines until a terminating ``;``; meta commands
+        (SHOW/LS/STOP/... and a lone EXIT) execute immediately when not
+        mid-statement. Returns ``None`` while a statement is still open.
+        """
+        if not self._buffer:
+            stripped = line.strip()
+            if not stripped:
+                return ShellResult("ok")
+            head = stripped.split()[0].upper()
+            if head not in ("SELECT", "INSERT") or stripped.endswith(";"):
+                return self.execute(stripped)
+            self._buffer.append(stripped)
+            return None
+        self._buffer.append(line.strip())
+        if line.strip().endswith(";"):
+            stmt = " ".join(self._buffer)
+            self._buffer.clear()
+            return self.execute(stmt)
+        return None
+
+    @property
+    def pending(self) -> bool:
+        """True when feed() is mid-statement (REPL continuation prompt)."""
+        return bool(self._buffer)
 
     def execute(self, line: str) -> ShellResult:
         line = line.strip().rstrip(";")
@@ -174,16 +202,18 @@ def repl(spark: SparkSession, app: SqlApplication | None = None) -> None:
           "SHOW FUNCTIONS / DESCRIBE <t> / LS / STOP <id> / RM <id> / SET k=v / EXIT")
     while True:
         try:
-            line = input("sql> ")
+            line = input("...> " if sess.pending else "sql> ")
         except (EOFError, KeyboardInterrupt):
             print()
             return
         try:
-            r = sess.execute(line)
+            r = sess.feed(line)
         except SystemExit:
             return
         except Exception as exc:  # surface, keep shell alive (CliShell behavior)
             print(f"error: {exc}")
+            continue
+        if r is None:
             continue
         if r.kind == "rows":
             print("\t".join(r.columns))

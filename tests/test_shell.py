@@ -89,3 +89,18 @@ def test_streaming_select_live_view(shell, spark, tmp_path):
     assert rows == {(2, "Y")}
     shell.execute(f"RM {r.execution_id}")
     assert not q.isActive
+
+
+def test_multiline_statement_buffering(shell):
+    # SQL buffers until ';' (CliShell behavior); meta commands run at once
+    assert shell.feed("SELECT name") is None
+    assert shell.pending
+    assert shell.feed("FROM people WHERE age >= 18") is None
+    r = shell.feed("ORDER BY id;")
+    assert not shell.pending
+    assert [row[0] for row in r.rows] == ["alice", "carol"]
+    # one-liners with ';' execute immediately
+    r2 = shell.feed("SELECT name FROM people WHERE id = 2;")
+    assert [row[0] for row in r2.rows] == ["bob"]
+    # meta command never buffers
+    assert shell.feed("SHOW TABLES").kind == "rows"
