@@ -107,8 +107,18 @@ def duplicate_ngram_stats(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
+        # keep-positions = all positions EXCEPT covered ones: array_except
+        # is hash-based (O(n_tokens + n_covered) per doc, order-preserving)
+        # — a per-token array_contains scan would be quadratic on a long,
+        # heavily-duplicated document
         F.array_join(
-            F.filter("__toks", lambda t, i: ~F.array_contains("__cov", i + F.lit(1))),
+            F.transform(
+                F.expr(
+                    "array_except("
+                    "if(size(__toks) >= 1, sequence(1, size(__toks)), array()), __cov)"
+                ),
+                lambda p: F.element_at("__toks", p),
+            ),
             " ",
         ).alias("clean_text"),
     )
