@@ -681,6 +681,7 @@ def semantic_dedup(
     n_lists: int = 16,
     tau: float = 0.95,
     exact: bool = True,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public technique: Abbas et
     al. 2023 — cluster the embedding space, then drop near-identical
@@ -700,6 +701,13 @@ def semantic_dedup(
     scale. ``exact=True`` uses the sequential-fold cosine a DuckDB oracle
     replays; ``exact=False`` swaps in the Arrow-batched numpy cosine for
     throughput (same pairs, float-rounding may differ at the tau margin).
+
+    ``max_cluster_size`` is the hot-cluster guard (the LSH hot-bucket
+    analog): a degenerate cluster — e.g. a spike of near-identical or
+    zero embeddings — would expand c² inside one task. Clusters over the
+    cap skip the pair join (all their members are KEPT, conservatively)
+    and a WARNING names the skipped clusters; fix by raising n_lists or
+    pre-filtering the spike. ``None`` (default) disables the guard.
     """
     cent1 = F.broadcast(
         ivf_centroids_relational(corpus, id_col, vec_col, n_lists).agg(
@@ -719,10 +727,29 @@ def semantic_dedup(
             (-F.expr(f"element_at({ranked}, 1).nlid")).cast("long").alias("list_id"),
         )
     )
-    a = assigned.select(
+    paired_src = assigned
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("__csz"))
+        hot = sizes.filter(F.col("__csz") > max_cluster_size)
+        hot_rows = hot.collect()  # bounded: at most n_lists rows
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: skipping %d cluster(s) over max_cluster_size=%d "
+                "(members kept, NOT deduped): %s — raise n_lists or pre-filter "
+                "the embedding spike",
+                len(hot_rows),
+                max_cluster_size,
+                [(r["list_id"], r["__csz"]) for r in hot_rows],
+            )
+        paired_src = assigned.join(
+            F.broadcast(hot.select("list_id")), on="list_id", how="left_anti"
+        )
+    a = paired_src.select(
         F.col("__id").alias("ida"), F.col("__v").alias("va"), "list_id"
     )
-    b = assigned.select(
+    b = paired_src.select(
         F.col("__id").alias("idb"), F.col("__v").alias("vb"), "list_id"
     )
     pair_cos = (

@@ -1104,3 +1104,23 @@ def test_cap_per_source_hot_domain_skew(spark):
     assert {r.doc_id for r in out.filter(F.col("source") == "hot").collect()} == {
         r.doc_id for r in single.collect()
     }
+
+
+def test_semantic_dedup_hot_cluster_guard(spark, caplog):
+    import logging
+
+    rng = np.random.default_rng(3)
+    # 60 copies of one vector -> one degenerate cluster; 10 distinct others
+    spike = rng.normal(size=8).astype("float32")
+    vecs = [(i, (spike + i * 1e-6).tolist()) for i in range(60)]
+    vecs += [(200 + i, rng.normal(size=8).astype("float32").tolist()) for i in range(10)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with caplog.at_level(logging.WARNING, logger="samza_spark.pipeline.similarity"):
+        out = similarity.semantic_dedup(
+            df, n_lists=4, tau=0.95, max_cluster_size=50
+        ).collect()
+    assert any("max_cluster_size" in r.message for r in caplog.records)
+    by_id = {r.vec_id: r for r in out}
+    # spike members conservatively kept (their cluster was skipped)
+    assert all(by_id[i].keep for i in range(60))
+    assert len(out) == 70
