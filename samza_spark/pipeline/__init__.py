@@ -8,6 +8,32 @@ fingerprinting), and multimodal binary-column plumbing. All designed for
 driver-side loops, built-in-function hot paths.
 """
 
-from samza_spark.pipeline import dedup, similarity, text, multimodal  # noqa: F401
+from samza_spark.pipeline import (  # noqa: F401
+    boilerplate,
+    bpe,
+    decontam,
+    dedup,
+    events,
+    governance,
+    multimodal,
+    retrieval,
+    sampling,
+    similarity,
+    substring,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "boilerplate",
+    "bpe",
+    "decontam",
+    "dedup",
+    "events",
+    "governance",
+    "multimodal",
+    "retrieval",
+    "sampling",
+    "similarity",
+    "substring",
+    "text",
+]
