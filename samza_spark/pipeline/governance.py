@@ -126,3 +126,94 @@ def cap_per_source(
         .filter(F.col("src_rank") <= max_docs)
         .withColumnRenamed("__q", "quality")
     )
+
+
+def token_mixture_plan(
+    df: DataFrame,
+    target_weights,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Token-weighted mixture planning (the budgeting step of DoReMi /
+    Pile-style source weighting, with tokens — not documents — as the
+    unit that actually matters for training): given target shares in
+    parts of ``granularity`` (e.g. 4000 = 40%), find the largest total
+    token budget T every source can serve WITHOUT upsampling,
+
+        T = min_g floor(tokens_g * granularity / w_g),
+
+    and each source's keep rate ``rate_bp = floor(w_g * T / tokens_g)``.
+    All arithmetic is integer, so the plan is bit-reproducible across
+    engines. Returns one row per targeted source:
+    ``(source, n_docs, n_tokens, target_bp, rate_bp, planned_tokens)``
+    with ``planned_tokens = floor(n_tokens * rate_bp / granularity)``
+    (the expected token yield of hash-sampling at that rate).
+
+    Scale: one groupBy shuffle on the source key; the output is
+    sources-sized (broadcastable into :func:`apply_mixture_plan`).
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if sum(target_weights.values()) > granularity:
+        raise ValueError("target weights exceed granularity (over 100%)")
+    w_expr = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(w))
+            for s, w in sorted(target_weights.items())
+        ]
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = (
+        df.where(F.col(source_col).isin(list(target_weights)))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(t)).cast("long").alias("n_tokens"),
+        )
+        .withColumn("target_bp", w_expr.cast("long"))
+    )
+    total = counts.agg(
+        F.min(
+            F.floor(F.col("n_tokens") * F.lit(granularity) / F.col("target_bp"))
+        ).alias("__t")
+    )
+    return counts.join(F.broadcast(total)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "target_bp",
+        F.floor(F.col("target_bp") * F.col("__t") / F.col("n_tokens"))
+        .cast("long")
+        .alias("rate_bp"),
+        F.floor(
+            F.col("n_tokens")
+            * F.floor(F.col("target_bp") * F.col("__t") / F.col("n_tokens"))
+            / F.lit(granularity)
+        )
+        .cast("long")
+        .alias("planned_tokens"),
+    )
+
+
+def apply_mixture_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix0",
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Execute a :func:`token_mixture_plan`: keep each source's
+    deterministic md5-hash sample at its planned rate. Map-side filter
+    after one broadcast join — the same engine-reproducible mechanism as
+    ``sampling.mixture_resample``, driven by token-weighted rates."""
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', '|', cast({id_col} as string))), 1, 8), 16, 10) "
+        f"as bigint) % {granularity}"
+    )
+    return (
+        df.join(F.broadcast(plan.select(source_col, "rate_bp")), on=source_col)
+        .where(bucket < F.col("rate_bp"))
+    )

@@ -2206,3 +2206,35 @@ ORACLES["bpe_tokenize"] = (
     "coalesce(agg.btext, '') AS bpe_text "
     "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"
 )
+
+
+def q_mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-weighted mixture planning (pipeline.governance.
+    token_mixture_plan): largest no-upsampling token budget T honoring
+    every target share, integer keep rates per source. Pure integer
+    arithmetic — the oracle replays every floor."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    return governance.token_mixture_plan(
+        docs, {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+    )
+
+
+QUERIES["mixture_plan"] = q_mixture_plan
+
+ORACLES["mixture_plan"] = (
+    f"WITH t AS (SELECT source, doc_id, text, {_TOKENS_SQL} AS ntok FROM documents "
+    "WHERE source IN ('src0', 'src1', 'src2', 'src3')), "
+    "w AS (SELECT * FROM (VALUES ('src0', 4000), ('src1', 3000), ('src2', 2000), "
+    "('src3', 1000)) AS v(source, tbp)), "
+    "c AS (SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(ntok) AS BIGINT) AS n_tokens FROM t GROUP BY t.source), "
+    "cw AS (SELECT c.*, CAST(w.tbp AS BIGINT) AS target_bp FROM c JOIN w USING (source)), "
+    "tt AS (SELECT min(CAST(floor(n_tokens * 10000 / target_bp) AS BIGINT)) AS T FROM cw) "
+    "SELECT source, n_docs, n_tokens, target_bp, "
+    "CAST(floor(target_bp * tt.T / n_tokens) AS BIGINT) AS rate_bp, "
+    "CAST(floor(n_tokens * CAST(floor(target_bp * tt.T / n_tokens) AS BIGINT) "
+    "/ 10000) AS BIGINT) AS planned_tokens "
+    "FROM cw CROSS JOIN tt"
+)

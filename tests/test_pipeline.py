@@ -1124,3 +1124,38 @@ def test_semantic_dedup_hot_cluster_guard(spark, caplog):
     # spike members conservatively kept (their cluster was skipped)
     assert all(by_id[i].keep for i in range(60))
     assert len(out) == 70
+
+
+def test_token_mixture_plan_math(spark):
+    from samza_spark.pipeline import governance
+
+    # src a: 100 tokens, src b: 300 tokens; targets 50%/50%
+    rows = [(i, "tok " * 9 + "tok", "a") for i in range(10)]        # 10 x 10
+    rows += [(100 + i, "tok " * 29 + "tok", "b") for i in range(10)]  # 10 x 30
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = {r.source: r for r in governance.token_mixture_plan(
+        df, {"a": 5000, "b": 5000}
+    ).collect()}
+    # T = min(100*10000/5000, 300*10000/5000) = 200 tokens total
+    # a: rate = floor(5000*200/100) = 10000 (keep all); b: floor(5000*200/300)=3333
+    assert plan["a"].n_tokens == 100 and plan["b"].n_tokens == 300
+    assert plan["a"].rate_bp == 10000 and plan["b"].rate_bp == 3333
+    assert plan["a"].planned_tokens == 100
+    assert plan["b"].planned_tokens == 99  # floor(300*3333/10000)
+
+
+def test_apply_mixture_plan_rates(spark):
+    from samza_spark.pipeline import governance
+
+    rows = [(i, "word " * 10, "a") for i in range(2000)]
+    rows += [(10000 + i, "word " * 10, "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = governance.token_mixture_plan(df, {"a": 7500, "b": 2500})
+    kept = governance.apply_mixture_plan(df, plan)
+    by_src = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
+    # a keeps everything (the binding source); b keeps ~1/3 (2500*T/n)
+    assert by_src["a"] == 2000
+    assert 550 < by_src["b"] < 800  # rate_bp=3333 -> ~666 expected
+    # determinism
+    kept2 = governance.apply_mixture_plan(df, plan)
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in kept2.collect()}
