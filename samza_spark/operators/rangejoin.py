@@ -1,0 +1,87 @@
+"""Banded (bucketed) range join — the scale-safe plan for time-range
+joins with no equi-key.
+
+A join on ``r.ts BETWEEN l.ts + lower AND l.ts + upper`` with no
+equality conjunct gives Catalyst nothing to hash or sort on: the plan
+degrades to BroadcastNestedLoopJoin (or a cartesian) — quadratic at
+corpus scale. The public fix (Databricks' range-join optimization, and
+the interval-index literature) turns the range into an equi-key by
+*banding*: pick a band width >= the range span, map the right side to
+``floor(ts / band)``, explode the left side to the (at most two)
+consecutive bands its window ``[ts+lower, ts+upper]`` overlaps, hash
+equi-join on the band id, then apply the exact range predicate as a
+post-filter.
+
+Shuffle volume is O(|L| + |R|) (left at most doubles), every band is a
+parallel hash-join partition, and the result is EXACTLY the theta-join —
+banding only prunes pairs the predicate would reject anyway. A DuckDB
+oracle can therefore replay the operator as a plain brute-force theta
+join.
+
+Reference anchor: the reference's stream-stream join keeps symmetric
+TTL-bounded buffers per key (PartialJoinOperatorImpl.java) — its TTL is
+exactly the ``upper - lower`` span here; this module is the batch /
+no-key form re-expressed as a Spark hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _span_seconds(df: DataFrame, lower: str, upper: str) -> int:
+    """Seconds between two constant INTERVAL expressions, >= 1."""
+    probe = df.sparkSession.range(1).select(
+        F.expr(
+            f"cast(unix_micros(timestamp_micros(0) + {upper}) - "
+            f"unix_micros(timestamp_micros(0) + {lower}) as double) / 1e6"
+        ).alias("s")
+    )
+    return max(1, int(probe.collect()[0]["s"]))
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 5 MINUTES",
+    band_seconds: int | None = None,
+    extra_on=None,
+) -> DataFrame:
+    """Rows of ``left`` x ``right`` with ``right.right_ts`` in
+    ``[left.left_ts + lower, left.left_ts + upper]`` (string INTERVAL
+    expressions, constant), joined through band equi-keys instead of a
+    nested loop. ``band_seconds`` defaults to the span ``upper - lower``
+    (the width that guarantees <= 2 left bands per row). ``extra_on``
+    optionally adds conjuncts (a Column over the two inputs) evaluated
+    with the range filter. Column name collisions are the caller's
+    problem (alias before joining), as with any raw DataFrame join.
+    """
+    if band_seconds is None:
+        band_seconds = _span_seconds(left, lower, upper)
+    lo = F.expr(f"{left_ts} + {lower}")
+    hi = F.expr(f"{left_ts} + {upper}")
+    l_banded = left.withColumn(
+        "__band",
+        F.explode(
+            F.expr(
+                f"array_distinct(sequence("
+                f"floor(unix_micros({left_ts} + {lower}) / 1e6 / {band_seconds}), "
+                f"floor(unix_micros({left_ts} + {upper}) / 1e6 / {band_seconds})))"
+            )
+        ),
+    )
+    r_banded = right.withColumn(
+        "__band",
+        F.expr(f"floor(unix_micros({right_ts}) / 1e6 / {band_seconds})"),
+    )
+    cond = (
+        (l_banded["__band"] == r_banded["__band"])
+        & (r_banded[right_ts] >= lo)
+        & (r_banded[right_ts] <= hi)
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    return l_banded.join(r_banded, on=cond).drop("__band")

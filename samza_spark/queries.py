@@ -2238,3 +2238,47 @@ ORACLES["mixture_plan"] = (
     "/ 10000) AS BIGINT) AS planned_tokens "
     "FROM cw CROSS JOIN tt"
 )
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """No-equi-key time-range join (operators.rangejoin.
+    banded_range_join): every purchase within 2 minutes AFTER any click,
+    across ALL users — the shape that nested-loops without banding. The
+    banded equi-join is exactly the theta join, so the oracle is the
+    brute-force comparison."""
+    from samza_spark.operators.rangejoin import banded_range_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    out = banded_range_join(
+        clicks,
+        purchases,
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 2 MINUTES",
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("gap_sec"),
+    )
+
+
+QUERIES["range_join"] = q_range_join
+
+ORACLES["range_join"] = (
+    "SELECT c.event_id AS click_id, p.event_id AS purchase_id, "
+    "CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1000000.0 AS gap_sec "
+    "FROM events c JOIN events p ON c.event_type = 'click' "
+    "AND p.event_type = 'purchase' "
+    "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 MINUTE"
+)

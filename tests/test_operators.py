@@ -214,3 +214,58 @@ def test_salted_agg_matches_plain(spark):
         for r in df.groupBy("k").agg(F.countDistinct("u").alias("n_distinct")).collect()
     }
     assert cd == plain_cd
+
+
+def test_banded_range_join_matches_theta(spark):
+    import datetime as dt
+    from samza_spark.operators.rangejoin import banded_range_join
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    lrows = [(i, base + dt.timedelta(seconds=37 * i)) for i in range(60)]
+    rrows = [(1000 + i, base + dt.timedelta(seconds=11 * i)) for i in range(200)]
+    left = spark.createDataFrame(lrows, "lid long, lts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, rts timestamp")
+    banded = banded_range_join(
+        left, right, "lts", "rts",
+        lower="INTERVAL 0 SECONDS", upper="INTERVAL 90 SECONDS",
+    )
+    theta = left.join(
+        right,
+        (right["rts"] >= left["lts"])
+        & (right["rts"] <= left["lts"] + F.expr("INTERVAL 90 SECONDS")),
+    )
+    key = lambda d: {(r.lid, r.rid) for r in d.select("lid", "rid").collect()}
+    assert key(banded) == key(theta)
+    assert banded.count() > 0
+    # plan is a real hash/sort-merge join on the band key, not a nested loop
+    plan = banded._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_banded_range_join_band_boundaries(spark):
+    import datetime as dt
+    from samza_spark.operators.rangejoin import banded_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    # right rows exactly AT window edges and band edges
+    left = spark.createDataFrame([(1, base)], "lid long, lts timestamp")
+    right = spark.createDataFrame(
+        [
+            (10, base),                              # at lower edge -> in
+            (11, base + dt.timedelta(seconds=90)),   # at upper edge -> in
+            (12, base + dt.timedelta(seconds=91)),   # past upper -> out
+            (13, base - dt.timedelta(seconds=1)),    # before lower -> out
+        ],
+        "rid long, rts timestamp",
+    )
+    got = {
+        r.rid
+        for r in banded_range_join(
+            left, right, "lts", "rts",
+            lower="INTERVAL 0 SECONDS", upper="INTERVAL 90 SECONDS",
+        ).collect()
+    }
+    assert got == {10, 11}
