@@ -2282,3 +2282,65 @@ ORACLES["range_join"] = (
     "AND p.event_type = 'purchase' "
     "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 MINUTE"
 )
+
+
+def q_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility (bpe tokens / word) and
+    compression (chars / bpe token) for the corpus-learned BPE — the
+    standard tokenizer-evaluation stats. Exact integer sums per
+    language; the two ratios are single divisions of those integers."""
+    from samza_spark.pipeline import bpe
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe.learn_bpe(docs, n_merges=_BPE_N_MERGES, min_count=2)
+    tok = bpe.bpe_tokenize(docs, merges)
+    joined = tok.join(docs.select("doc_id", "lang"), on="doc_id")
+    return (
+        joined.withColumn(
+            "__chars", F.length(F.replace(F.col("bpe_text"), F.lit(" "), F.lit("")))
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("words"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("__chars").cast("long").alias("chars"),
+        )
+        .select(
+            "lang",
+            "words",
+            "bpe_tokens",
+            (F.col("bpe_tokens").cast("double") / F.col("words").cast("double")).alias(
+                "fertility"
+            ),
+            (F.col("chars").cast("double") / F.col("bpe_tokens").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+QUERIES["bpe_fertility"] = q_bpe_fertility
+
+ORACLES["bpe_fertility"] = (
+    "WITH "
+    + _bpe_learning_ctes(_BPE_N_MERGES)
+    + f", t AS (SELECT doc_id, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "dt AS (SELECT doc_id, i AS pos, w[i] AS word FROM "
+    "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t "
+    "WHERE len(w) >= 1)), "
+    f"sy AS (SELECT word, list_filter(string_split(rep, {_SS}), x -> x <> '') AS syms "
+    f"FROM w{_BPE_N_MERGES}), "
+    "per AS (SELECT dt.doc_id, len(sy.syms) AS nbpe, "
+    "len(array_to_string(sy.syms, '')) AS nchr FROM dt JOIN sy USING (word)), "
+    "agg AS (SELECT doc_id, sum(nbpe) AS nbpe, sum(nchr) AS nchr "
+    "FROM per GROUP BY doc_id) "
+    "SELECT d.lang, CAST(sum(len(t.w)) AS BIGINT) AS words, "
+    "CAST(sum(coalesce(agg.nbpe, 0)) AS BIGINT) AS bpe_tokens, "
+    "CAST(sum(coalesce(agg.nbpe, 0)) AS DOUBLE) / CAST(sum(len(t.w)) AS DOUBLE) "
+    "AS fertility, "
+    "CAST(sum(coalesce(agg.nchr, 0)) AS DOUBLE) / "
+    "CAST(sum(coalesce(agg.nbpe, 0)) AS DOUBLE) AS chars_per_token "
+    "FROM t JOIN documents d ON t.doc_id = d.doc_id "
+    "LEFT JOIN agg ON t.doc_id = agg.doc_id GROUP BY d.lang"
+)
