@@ -131,3 +131,56 @@ def test_udf_vararg_signature_arity(fixed, extra):
     assert sig.matches(tuple(range(fixed + extra)))
     if fixed:
         assert not sig.matches(tuple(range(fixed - 1)))
+
+
+# ---------------------------------------------------------------------------
+# BPE double-separator merge encoding (pipeline.bpe)
+# ---------------------------------------------------------------------------
+
+from samza_spark.pipeline.bpe import SEP
+
+
+def _greedy_merge(syms, l, r):
+    """Reference greedy left-to-right non-overlapping BPE merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+_SYM = st.text(alphabet="abc", min_size=1, max_size=3)
+
+
+@given(
+    syms=st.lists(_SYM, min_size=1, max_size=10),
+    l=_SYM,
+    r=_SYM,
+)
+def test_double_sep_replace_equals_greedy_merge(syms, l, r):
+    # the exact string transformation Spark's replace() and DuckDB's
+    # replace() both perform (str.replace shares their left-to-right
+    # non-overlapping semantics)
+    rep = SEP * 2 + (SEP * 2).join(syms) + SEP * 2
+    merged = rep.replace(SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP)
+    back = [s for s in merged.split(SEP * 2) if s]
+    assert back == _greedy_merge(syms, l, r)
+
+
+@given(
+    syms=st.lists(_SYM, min_size=1, max_size=8),
+    merges=st.lists(st.tuples(_SYM, _SYM), min_size=1, max_size=5),
+)
+def test_double_sep_merge_chain_equals_greedy_chain(syms, merges):
+    rep = SEP * 2 + (SEP * 2).join(syms) + SEP * 2
+    expect = list(syms)
+    for l, r in merges:
+        rep = rep.replace(SEP + l + SEP + SEP + r + SEP, SEP + l + r + SEP)
+        expect = _greedy_merge(expect, l, r)
+    assert [s for s in rep.split(SEP * 2) if s] == expect
+    # concatenation is invariant under merging
+    assert "".join(expect) == "".join(syms)
