@@ -55,10 +55,12 @@ from samza_spark.pipeline.text import normalized
 SEP = "\x1f"  # ASCII unit separator — never appears in whitespace-split words
 
 
-def _word_table(df: DataFrame, text_col: str) -> DataFrame:
+def _word_table(df: DataFrame, text_col: str, eow: "str | None" = None) -> DataFrame:
     """(word, freq, rep) — the corpus collapsed to word frequencies, with
     each word exploded into its double-separator symbol string (initial
-    symbols = characters)."""
+    symbols = characters, plus the optional end-of-word marker symbol —
+    the Sennrich '</w>' convention, which lets merges distinguish
+    word-final from word-internal contexts)."""
     toks = F.filter(
         F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
         lambda x: x != "",
@@ -67,6 +69,8 @@ def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     rep = F.concat(
         F.lit(SEP + SEP), F.regexp_replace(F.col("word"), "(.)", "$1" + SEP + SEP)
     )
+    if eow:
+        rep = F.concat(rep, F.lit(eow + SEP + SEP))
     return (
         df.select(F.explode(toks).alias("word"))
         .groupBy("word")
@@ -110,6 +114,7 @@ def learn_bpe(
     n_merges: int = 8,
     min_count: int = 2,
     checkpoint_every: int = 4,
+    eow: "str | None" = None,
 ) -> "list[tuple[int, str, str, str, int]]":
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     table ``[(step, left, right, merged, pair_count), ...]`` in learned
@@ -120,8 +125,13 @@ def learn_bpe(
     the sequential decision that defines the algorithm. Everything else
     is distributed: corpus-scale work happens once (the word count);
     each iteration touches only the vocabulary-sized word table.
+
+    ``eow`` appends an end-of-word marker symbol to every word (pass a
+    character that cannot appear in the text, e.g. ``"\x17"``) so the
+    model learns word-final merges separately — the Sennrich ``</w>``
+    convention. Tokenization must use the same marker.
     """
-    words = _word_table(df, text_col).localCheckpoint()
+    words = _word_table(df, text_col, eow=eow).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         best = (
@@ -153,6 +163,7 @@ def bpe_tokenize(
     merges: "list[tuple[int, str, str, str, int]]",
     text_col: str = "text",
     id_col: str = "doc_id",
+    eow: "str | None" = None,
 ) -> DataFrame:
     """Tokenize every document with a learned merge list. Returns
     ``(id, n_words, n_bpe_tokens, bpe_text)`` where ``bpe_text`` joins
@@ -172,6 +183,8 @@ def bpe_tokenize(
 
     def word_rep(w):
         rep = F.concat(F.lit(SEP + SEP), F.regexp_replace(w, "(.)", "$1" + SEP + SEP))
+        if eow:
+            rep = F.concat(rep, F.lit(eow + SEP + SEP))
         for _, l, r, _, _ in merges:
             rep = F.replace(
                 rep,

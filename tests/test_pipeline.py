@@ -1159,3 +1159,20 @@ def test_apply_mixture_plan_rates(spark):
     # determinism
     kept2 = governance.apply_mixture_plan(df, plan)
     assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in kept2.collect()}
+
+
+def test_learn_bpe_eow_marker(spark):
+    from samza_spark.pipeline import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower slow slow")], "doc_id long, text string"
+    )
+    eow = "\x17"
+    merges = bpe.learn_bpe(df, n_merges=6, min_count=2, eow=eow)
+    # word-final context is learnable: some merge involves the marker
+    assert any(eow in (l, r) or (l + r).endswith(eow) for _, l, r, _, _ in merges)
+    out = {r.doc_id: r for r in bpe.bpe_tokenize(df, merges, eow=eow).collect()}
+    # every word contributes its marker exactly once
+    assert out[1].bpe_text.count(eow) == out[1].n_words
+    # reconstruction: strip markers, drop spaces -> original normalized text
+    assert out[1].bpe_text.replace(" ", "").replace(eow, "") == "lowlowlowlowerslowslow"
