@@ -422,25 +422,100 @@ class AzureBlobAvroSink:
 @dataclass
 class KinesisSource:
     """AWS Kinesis source descriptor (KinesisSystemConsumer.java analog,
-    samza-aws/ — source only, like the reference). No Kinesis connector jar
-    ships in this environment, so this descriptor validates config and
-    raises with the two supported deployment paths; the stream shape it
-    would produce matches KafkaSource's (key, value, timestamp, ...) so
-    downstream plans are connector-agnostic."""
+    samza-aws/ — source only, like the reference; shard -> partition and
+    sequence number -> offset follow its SystemStreamPartition mapping).
+
+    Three deployment paths:
+    - the spark-sql-kinesis connector jar (format 'aws-kinesis') — not in
+      this environment;
+    - a Kinesis->Kafka bridge consumed via :class:`KafkaSource`;
+    - an **injectable client** (tests, or a lightweight boto3 bridge): an
+      object with ``list_shards(stream)`` and ``get_records(stream,
+      shard_id)`` yielding dicts with ``sequence_number``,
+      ``partition_key``, ``data`` (bytes) and ``approximate_arrival``.
+      Records are spooled to parquet (driver-side — bounded by what the
+      client yields per drain, the consumer-prefetch analog) and served
+      as a file stream with the Kinesis wire columns.
+    """
 
     stream: str
     region: str = "us-east-1"
     startpoint: Startpoint = field(default_factory=Startpoint)
+    client: object | None = None
+    spool_dir: str | None = None
+
+    WIRE_SCHEMA = (
+        "shard_id string, sequence_number string, partition_key string, "
+        "data binary, approximate_arrival timestamp, stream string"
+    )
+
+    def _spool(self, spark: SparkSession) -> str:
+        import tempfile
+
+        spool = self.spool_dir or tempfile.mkdtemp(prefix="ss_kinesis_")
+        rows = [
+            (
+                sid,
+                str(rec["sequence_number"]),
+                rec.get("partition_key", ""),
+                rec["data"],
+                rec.get("approximate_arrival"),
+                self.stream,
+            )
+            for sid in self.client.list_shards(self.stream)
+            for rec in self.client.get_records(self.stream, sid)
+        ]
+        spark.createDataFrame(rows, self.WIRE_SCHEMA).write.mode("append").parquet(
+            f"{spool}/data"
+        )
+        return spool
+
+    def _require_client(self):
+        if self.client is None:
+            raise NotImplementedError(
+                "Kinesis requires the spark-sql-kinesis connector jar "
+                "(format 'aws-kinesis'), a Kinesis->Kafka bridge consumed via "
+                "KafkaSource, or an injectable client; none is configured "
+                "(reference parity: samza-aws is likewise an optional module)"
+            )
 
     def read_stream(self, spark: SparkSession) -> MessageStream:
-        raise NotImplementedError(
-            "Kinesis requires either the spark-sql-kinesis connector jar "
-            "(format 'aws-kinesis') or a Kinesis->Kafka bridge consumed via "
-            "KafkaSource; neither is available in this environment "
-            "(reference parity: samza-aws is likewise an optional module)"
+        self._require_client()
+        spool = self._spool(spark)
+        return MessageStream(
+            spark.readStream.schema(self.WIRE_SCHEMA).parquet(f"{spool}/data")
         )
 
-    read = read_stream
+    def read(self, spark: SparkSession) -> MessageStream:
+        self._require_client()
+        spool = self._spool(spark)
+        return MessageStream(spark.read.parquet(f"{spool}/data"))
+
+    @staticmethod
+    def as_kafka_wire(df: DataFrame) -> DataFrame:
+        """Re-shape Kinesis columns onto the engine's Kafka wire contract
+        (__key__/value/topic/partition/offset/timestamp): partition = the
+        shard's dense index, offset = per-shard arrival rank by sequence
+        number — the KinesisSystemConsumer SSP/offset mapping."""
+        from pyspark.sql import Window
+
+        shard_ix = F.dense_rank().over(Window.orderBy("shard_id")) - 1
+        offset = (
+            F.row_number().over(
+                Window.partitionBy("shard_id").orderBy(
+                    F.col("sequence_number").cast("decimal(38,0)")
+                )
+            )
+            - 1
+        )
+        return df.select(
+            F.col("partition_key").alias("__key__"),
+            F.col("data").alias("value"),
+            F.col("stream").alias("topic"),
+            shard_ix.cast("int").alias("partition"),
+            offset.cast("long").alias("offset"),
+            F.col("approximate_arrival").alias("timestamp"),
+        )
 
 
 @dataclass

@@ -346,3 +346,58 @@ def test_couchbase_table_fake_client_and_gate(spark):
     assert left == 6
     with pytest.raises(NotImplementedError, match="couchbase"):
         CouchbaseTable("users", "uid", "name string")
+
+
+# ---------------------------------------------------------------------------
+# Kinesis injectable-client source (KinesisSystemConsumer wire contract)
+# ---------------------------------------------------------------------------
+
+
+class _FakeKinesis:
+    def __init__(self):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        self._shards = {
+            "shardId-000": [
+                {"sequence_number": 101, "partition_key": "a", "data": b"m1",
+                 "approximate_arrival": t0},
+                {"sequence_number": 102, "partition_key": "b", "data": b"m2",
+                 "approximate_arrival": t0},
+            ],
+            "shardId-001": [
+                {"sequence_number": 555, "partition_key": "c", "data": b"m3",
+                 "approximate_arrival": t0},
+            ],
+        }
+
+    def list_shards(self, stream):
+        return sorted(self._shards)
+
+    def get_records(self, stream, shard_id):
+        return iter(self._shards[shard_id])
+
+
+def test_kinesis_fake_client_wire_contract(spark, tmp_path):
+    from samza_spark.sources.descriptors import KinesisSource
+
+    src = KinesisSource(
+        stream="events", client=_FakeKinesis(), spool_dir=str(tmp_path / "kin")
+    )
+    batch = src.read(spark).df
+    assert batch.count() == 3
+    wire = KinesisSource.as_kafka_wire(batch)
+    rows = {(r.partition, r.offset): r for r in wire.collect()}
+    assert set(rows) == {(0, 0), (0, 1), (1, 0)}
+    assert rows[(0, 0)]["__key__"] == "a" and rows[(0, 0)].value == b"m1"
+    assert rows[(1, 0)].value == b"m3" and rows[(1, 0)].topic == "events"
+    # streaming path drains the same spool
+    stream_df = src.read_stream(spark).df
+    assert stream_df.isStreaming
+
+
+def test_kinesis_without_client_raises(spark):
+    from samza_spark.sources.descriptors import KinesisSource
+
+    with pytest.raises(NotImplementedError, match="Kinesis"):
+        KinesisSource(stream="s").read_stream(spark)
