@@ -2344,3 +2344,30 @@ ORACLES["bpe_fertility"] = (
     "FROM t JOIN documents d ON t.doc_id = d.doc_id "
     "LEFT JOIN agg ON t.doc_id = agg.doc_id GROUP BY d.lang"
 )
+
+
+def q_global_quality_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact global corpus ranking by (quality DESC, doc_id ASC) with NO
+    single-partition window (operators.rank.global_rank: range exchange +
+    per-partition offsets). The oracle is the plain one-partition
+    row_number -- identical output, scalable plan."""
+    from samza_spark.operators.rank import global_rank
+    from samza_spark.pipeline.text import quality_score
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.coalesce(F.col("text"), F.lit(""))).alias("quality")
+    )
+    return global_rank(
+        scored, [F.desc("quality"), F.asc("doc_id")], rank_col="q_rank"
+    )
+
+
+QUERIES["global_quality_rank"] = q_global_quality_rank
+
+ORACLES["global_quality_rank"] = (
+    f"WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS n_tokens FROM documents), "
+    f"p AS (SELECT doc_id, round({_QUALITY_SQL}, 4) AS quality FROM t) "
+    "SELECT doc_id, quality, CAST(row_number() OVER "
+    "(ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS q_rank FROM p"
+)

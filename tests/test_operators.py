@@ -269,3 +269,31 @@ def test_banded_range_join_band_boundaries(spark):
         ).collect()
     }
     assert got == {10, 11}
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    from samza_spark.operators.rank import global_rank
+    from pyspark.sql import Window, functions as F
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(500)], "id long, score double"
+    )
+    out = global_rank(df, [F.desc("score"), F.asc("id")], num_partitions=7)
+    expect = df.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))).cast("long"),
+    )
+    assert {(r.id, r.rank) for r in out.collect()} == {
+        (r.id, r.rank) for r in expect.collect()
+    }
+    # ranks are a permutation of 1..n
+    ranks = sorted(r.rank for r in out.collect())
+    assert ranks == list(range(1, 501))
+    # the scalable plan's window is partitioned (by __pid), never global
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" in plan
+    import re
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip() != ""  # no empty partition spec anywhere
