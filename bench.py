@@ -55,6 +55,8 @@ HEADLINE = [
     "semantic_dedup",
     "bm25_search",
     "funnel_steps",
+    "range_join",
+    "mixture_plan",
 ]
 
 
