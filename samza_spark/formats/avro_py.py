@@ -118,7 +118,11 @@ def _to_logical_int(schema: Any, v: Any) -> int:
     if isinstance(v, dt.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=dt.timezone.utc)
-        epoch_us = round(v.timestamp() * 1_000_000)
+        # integer-exact epoch micros: float .timestamp() loses sub-µs
+        # precision past ~2100 (epoch*1e6 approaches 2^52), which rounds
+        # a stored microsecond off by one
+        delta = v - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        epoch_us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
         if logical == "timestamp-millis":
             return epoch_us // 1000
         return epoch_us  # timestamp-micros (the derived default)
