@@ -1219,3 +1219,31 @@ def test_streaming_corpus_ingest_survives_restart(spark, tmp_path):
         assert got == [1, 2, 11]
     finally:
         q2.stop()
+
+
+def test_bpe_tokenize_on_a_stream(spark, tmp_path):
+    # the zero-shuffle tokenize plan applies unchanged to streaming input
+    from samza_spark.pipeline import bpe
+    from samza_spark.sources import FileSource
+
+    d = tmp_path / "bpe_stream"
+    d.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "low lower"), (2, "slow glow")], schema
+    ).write.parquet(str(d / "f1"))
+    merges = [(1, "l", "o", "lo", 9), (2, "lo", "w", "low", 9)]
+    src = FileSource(f"{d}/*", schema=schema).read_stream(spark).df
+    out = bpe.bpe_tokenize(src, merges)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bpe_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM bpe_stream_out").collect()}
+    assert rows[1].bpe_text == "low low e r"
+    assert rows[2].bpe_text == "s low g low"
