@@ -72,3 +72,24 @@ def global_rank(
         .withColumn(rank_col, (F.row_number().over(w) + F.col("__off")).cast("long"))
         .drop("__pid", "__off")
     )
+
+
+def with_percentile(
+    df: DataFrame,
+    order_by: "list[Column]",
+    rank_col: str = "rank",
+    pct_col: str = "percentile",
+    buckets: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global rank plus the percentile bucket ``ceil(rank * buckets /
+    n)`` (1..buckets) — the corpus-curation selector ("keep the top
+    decile by quality") built on :func:`global_rank`, so the plan stays
+    free of single-partition stages. The bucket arithmetic is integer
+    (exact in any engine)."""
+    ranked = global_rank(df, order_by, rank_col=rank_col, num_partitions=num_partitions)
+    n = ranked.count()
+    return ranked.withColumn(
+        pct_col,
+        F.ceil(F.col(rank_col) * F.lit(buckets) / F.lit(max(n, 1))).cast("int"),
+    )

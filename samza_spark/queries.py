@@ -2371,3 +2371,32 @@ ORACLES["global_quality_rank"] = (
     "SELECT doc_id, quality, CAST(row_number() OVER "
     "(ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS q_rank FROM p"
 )
+
+
+def q_quality_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality percentile buckets (operators.rank.with_percentile):
+    global rank without a single-partition stage, then the integer
+    bucket ceil(rank*100/n) — the 'top decile by quality' selector."""
+    from samza_spark.operators.rank import with_percentile
+    from samza_spark.pipeline.text import quality_score
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.coalesce(F.col("text"), F.lit(""))).alias("quality")
+    )
+    return with_percentile(
+        scored, [F.desc("quality"), F.asc("doc_id")], rank_col="q_rank"
+    )
+
+
+QUERIES["quality_percentiles"] = q_quality_percentiles
+
+ORACLES["quality_percentiles"] = (
+    f"WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS n_tokens FROM documents), "
+    f"p AS (SELECT doc_id, round({_QUALITY_SQL}, 4) AS quality FROM t), "
+    "r AS (SELECT doc_id, quality, CAST(row_number() OVER "
+    "(ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS q_rank FROM p), "
+    "n AS (SELECT count(*) AS n FROM p) "
+    "SELECT doc_id, quality, q_rank, "
+    "CAST(ceil(q_rank * CAST(100.0 AS DOUBLE) / n.n) AS INT) AS percentile FROM r CROSS JOIN n"
+)

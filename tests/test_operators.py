@@ -297,3 +297,17 @@ def test_global_rank_matches_single_partition_window(spark):
     import re
     for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
         assert m.group(1).strip() != ""  # no empty partition spec anywhere
+
+
+def test_with_percentile_buckets(spark):
+    from samza_spark.operators.rank import with_percentile
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(200)], "id long, v double")
+    out = with_percentile(df, [F.desc("v"), F.asc("id")], buckets=10, num_partitions=5)
+    rows = {r.id: r for r in out.collect()}
+    # highest value -> bucket 1; lowest -> bucket 10; 20 ids per decile
+    assert rows[199].percentile == 1 and rows[0].percentile == 10
+    from collections import Counter
+    sizes = Counter(r.percentile for r in rows.values())
+    assert all(sizes[b] == 20 for b in range(1, 11))
