@@ -20,7 +20,7 @@ Scale design (100 TB of events):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _ORIGIN_US = 0  # epoch origin for period arithmetic (UTC)
 
@@ -145,4 +145,41 @@ def retention_cohorts(
             F.col("offset").cast("long").alias("offset"),
             F.col("n_users").cast("long").alias("n_users"),
         )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: assign every event a per-user
+    ``session_id`` (1-based, in time order) that increments whenever the
+    gap since the user's previous event exceeds ``gap``. The row-level
+    counterpart of the session *window* aggregate — downstream joins and
+    sequence features need the id on each event, not just the window
+    summary.
+
+    Classic two-window formulation, both windows PARTITIONED BY user (so
+    every stage is parallel; per-user data is the only sort unit):
+    ``new_session = (ts - lag(ts)) > gap``, ``session_id = running sum of
+    new_session`` — and a deterministic (ts, event-id) order inside ties.
+
+    Returns the input columns plus ``session_id`` and ``is_session_start``.
+    """
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    order = [F.col(ts_col).asc()] + (
+        [F.col("event_id").asc()] if "event_id" in df.columns else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap_expr), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("is_session_start", new_sess == 1).withColumn(
+        "session_id", F.sum(new_sess).over(running).cast("long")
     )

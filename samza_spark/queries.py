@@ -2400,3 +2400,33 @@ ORACLES["quality_percentiles"] = (
     "SELECT doc_id, quality, q_rank, "
     "CAST(ceil(q_rank * CAST(100.0 AS DOUBLE) / n.n) AS INT) AS percentile FROM r CROSS JOIN n"
 )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (pipeline.events.sessionize): per-user
+    session ids via lag + running sum, both windows partitioned by user
+    — every stage parallel. Oracle replays the identical two-window
+    formulation."""
+    from samza_spark.pipeline import events as ev_ops
+
+    ev = load_table(spark, sf, "events")
+    out = ev_ops.sessionize(ev, gap="30 minutes")
+    return out.select(
+        "event_id", "user_id", "session_id", "is_session_start"
+    )
+
+
+QUERIES["sessionize"] = q_sessionize
+
+ORACLES["sessionize"] = (
+    "WITH l AS (SELECT event_id, user_id, ts, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts "
+    "FROM events), "
+    "m AS (SELECT event_id, user_id, ts, "
+    "CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE "
+    "THEN 1 ELSE 0 END AS ns FROM l) "
+    "SELECT event_id, user_id, "
+    "CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id, "
+    "ns = 1 AS is_session_start FROM m"
+)

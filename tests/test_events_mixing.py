@@ -138,3 +138,24 @@ def test_unigram_logprob_hand_computed(spark):
 def test_funnel_rejects_empty_steps(spark, funnel_events):
     with pytest.raises(ValueError):
         E.funnel(funnel_events, [])
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+    from samza_spark.pipeline.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 100, t0),            # session 1
+        (2, 100, t0 + 5 * m),    # gap 5m  -> same session
+        (3, 100, t0 + 40 * m),   # gap 35m -> session 2
+        (4, 100, t0 + 70 * m),   # gap 30m exactly -> SAME session (> gap starts new)
+        (5, 200, t0),            # other user: own session 1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r for r in sessionize(df, gap="30 minutes").collect()}
+    assert [out[i].session_id for i in (1, 2, 3, 4)] == [1, 1, 2, 2]
+    assert out[5].session_id == 1
+    assert out[1].is_session_start and out[3].is_session_start
+    assert not out[2].is_session_start and not out[4].is_session_start
