@@ -57,6 +57,7 @@ HEADLINE = [
     "funnel_steps",
     "range_join",
     "mixture_plan",
+    "sessionize",
 ]
 
 
