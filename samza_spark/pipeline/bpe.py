@@ -115,6 +115,7 @@ def learn_bpe(
     min_count: int = 2,
     checkpoint_every: int = 4,
     eow: "str | None" = None,
+    target_vocab: int | None = None,
 ) -> "list[tuple[int, str, str, str, int]]":
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     table ``[(step, left, right, merged, pair_count), ...]`` in learned
@@ -130,10 +131,25 @@ def learn_bpe(
     character that cannot appear in the text, e.g. ``"\x17"``) so the
     model learns word-final merges separately — the Sennrich ``</w>``
     convention. Tokenization must use the same marker.
+
+    ``target_vocab`` bounds the final vocabulary: each merge adds one
+    symbol to the initial alphabet (distinct characters + the marker),
+    so learning stops once ``alphabet + merges`` reaches the target —
+    the standard way tokenizer training is sized (e.g. "32k vocab").
     """
     words = _word_table(df, text_col, eow=eow).localCheckpoint()
+    budget = n_merges
+    if target_vocab is not None:
+        alphabet = (
+            words.select(
+                F.explode(F.filter(F.split("rep", SEP + SEP), lambda x: x != "")).alias("s")
+            )
+            .distinct()
+            .count()
+        )
+        budget = min(n_merges, max(0, target_vocab - alphabet))
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
+    for step in range(1, budget + 1):
         best = (
             _pair_counts(words)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
@@ -210,3 +226,21 @@ def bpe_tokenize(
             "bpe_text"
         ),
     )
+
+
+def save_merges(
+    spark: SparkSession, merges: "list[tuple[int, str, str, str, int]]", path: str
+) -> None:
+    """Persist a learned merge table as parquet — train once, tokenize
+    everywhere (the artifact a 100 TB tokenization job broadcasts)."""
+    bpe_merge_table(spark, merges).write.mode("overwrite").parquet(path)
+
+
+def load_merges(
+    spark: SparkSession, path: str
+) -> "list[tuple[int, str, str, str, int]]":
+    """Load a persisted merge table in learned (step) order."""
+    rows = spark.read.parquet(path).orderBy("step").collect()
+    return [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"]) for r in rows
+    ]

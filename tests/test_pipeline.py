@@ -1247,3 +1247,20 @@ def test_bpe_tokenize_on_a_stream(spark, tmp_path):
     rows = {r.doc_id: r for r in spark.sql("SELECT * FROM bpe_stream_out").collect()}
     assert rows[1].bpe_text == "low low e r"
     assert rows[2].bpe_text == "s low g low"
+
+
+def test_learn_bpe_target_vocab_stops(spark, tmp_path):
+    from samza_spark.pipeline import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest slow glow below")], "doc_id long, text string"
+    )
+    # alphabet: b,e,g,l,o,r,s,t,w = 9 distinct chars -> target 11 allows 2 merges
+    merges = bpe.learn_bpe(df, n_merges=10, min_count=2, target_vocab=11)
+    assert len(merges) == 2
+    # persistence round-trip preserves order and values
+    p = str(tmp_path / "merges")
+    bpe.save_merges(spark, merges, p)
+    assert bpe.load_merges(spark, p) == merges
+    # target below the alphabet learns nothing
+    assert bpe.learn_bpe(df, n_merges=10, target_vocab=5) == []
