@@ -299,3 +299,43 @@ def test_kafka_wire_contract_via_memory_source(spark):
     assert sent == {("2", "u2", 20), ("3", "u3", 30)}
     # keyless records: value-only producer rows (null-key round-robin topic)
     assert to_kafka_records(out).columns == ["value"]
+
+
+def test_banded_range_join_stream_stream(spark, tmp_path):
+    # bonus property of banding: the band equality key is exactly the
+    # equi-condition Spark's stream-stream join wants — a raw
+    # no-equi-key time-range join would be rejected/unbounded, the
+    # banded form joins with watermark-bounded state
+    import datetime as dt
+    from samza_spark.operators.rangejoin import banded_range_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    (tmp_path / "l").mkdir(), (tmp_path / "r").mkdir()
+    spark.createDataFrame([(1, t0)], "lid long, lts timestamp").write.parquet(
+        str(tmp_path / "l" / "f1")
+    )
+    spark.createDataFrame(
+        [(10, t0 + dt.timedelta(seconds=30)), (11, t0 + dt.timedelta(seconds=200))],
+        "rid long, rts timestamp",
+    ).write.parquet(str(tmp_path / "r" / "f1"))
+    ls = (
+        spark.readStream.schema("lid long, lts timestamp")
+        .parquet(f"{tmp_path}/l/*")
+        .withWatermark("lts", "10 minutes")
+    )
+    rs = (
+        spark.readStream.schema("rid long, rts timestamp")
+        .parquet(f"{tmp_path}/r/*")
+        .withWatermark("rts", "10 minutes")
+    )
+    out = banded_range_join(ls, rs, "lts", "rts", upper="INTERVAL 90 SECONDS")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("srj_test_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.lid, r.rid) for r in spark.sql("SELECT * FROM srj_test_out").collect()}
+    assert rows == {(1, 10)}  # 11 is outside the 90s window
