@@ -967,8 +967,9 @@ def dedup_against_reference(
     Scale shape: the exact arm is one fingerprint aggregation over the
     reference + one hash join. The near arm bands batch+reference
     TOGETHER in the shared single-shuffle LSH stage (the reference's
-    bands are recomputed here; a production deployment persists them once
-    and appends — same plan, one side read from parquet), then expands
+    bands are recomputed here; :class:`CorpusDedupIndex` is the
+    persisted-once-and-append production form — same candidate/verify
+    plan, reference side read from the index tables), then expands
     only CROSS-side pairs inside each bucket: batch x batch and ref x ref
     pairs are never emitted, so candidate volume tracks the true overlap.
     Verification shingles only candidate members (semi-join first). The
@@ -1022,37 +1023,56 @@ def dedup_against_reference(
             ).alias("p")
         )
         .select(
-            F.expr("cast(substr(p.a, 3) as long)").alias("a"),
-            F.expr("cast(substr(p.b, 3) as long)").alias("b"),
+            F.expr("substr(p.a, 3)").alias("a_sid"),
+            F.expr("substr(p.b, 3)").alias("b_sid"),
         )
         .distinct()
     )
-    # verify: shingle candidate members only, per side
+    # verify: shingle candidate members only, per side. Ids travel as their
+    # STRING form through the candidate joins but the original typed values
+    # are carried alongside — casting the stripped sid back to the id type
+    # would silently NULL out non-numeric ids and drop every near-dup pair.
     bsh = (
-        batch.join(cands.select(F.col("a").alias(id_col)).distinct(), on=id_col, how="left_semi")
-        .select(F.col(id_col).alias("a"), _shingle_expr(text_col, shingle_mode, shingle_k).alias("sh_a"))
+        batch.join(
+            cands.select(F.col("a_sid").alias("__csid")).distinct(),
+            F.col(id_col).cast("string") == F.col("__csid"),
+            how="left_semi",
+        )
+        .select(
+            F.col(id_col).cast("string").alias("a_sid"),
+            F.col(id_col).alias("a_id"),
+            _shingle_expr(text_col, shingle_mode, shingle_k).alias("sh_a"),
+        )
     )
     rsh = (
-        reference.join(cands.select(F.col("b").alias(id_col)).distinct(), on=id_col, how="left_semi")
-        .select(F.col(id_col).alias("b"), _shingle_expr(text_col, shingle_mode, shingle_k).alias("sh_b"))
+        reference.join(
+            cands.select(F.col("b_sid").alias("__csid")).distinct(),
+            F.col(id_col).cast("string") == F.col("__csid"),
+            how="left_semi",
+        )
+        .select(
+            F.col(id_col).cast("string").alias("b_sid"),
+            F.col(id_col).alias("b_id"),
+            _shingle_expr(text_col, shingle_mode, shingle_k).alias("sh_b"),
+        )
     )
     verified = (
-        cands.join(bsh, on="a")
-        .join(rsh, on="b")
+        cands.join(bsh, on="a_sid")
+        .join(rsh, on="b_sid")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .groupBy("a")
+        .groupBy("a_id")
         .agg(
-            F.min("b").alias("near_ref_id"),
+            F.min("b_id").alias("near_ref_id"),
             F.max("jaccard").alias("best_jaccard"),
         )
     )
     return (
-        exact.join(verified, exact["__id"] == verified["a"], "left")
+        exact.join(verified, exact["__id"] == verified["a_id"], "left")
         .select(
             F.col("__id").alias(id_col),
             F.col("exact_ref_id").isNotNull().alias("exact_dup"),
@@ -1064,6 +1084,201 @@ def dedup_against_reference(
     )
 
 
+class CorpusDedupIndex:
+    """Persisted exact-fingerprint + LSH-bucket index over a reference
+    corpus, so incremental dedup bands ONLY the incoming batch.
+
+    :func:`dedup_against_reference` recomputes the reference side's
+    MinHash bands on every call — fine for a one-shot batch job, but a
+    streaming ingest loop calling it per micro-batch re-fingerprints the
+    whole accumulated corpus (O(|corpus|) Arrow-UDF hashing per trigger)
+    to admit a few thousand new documents. This class is the production
+    shape that function's docstring promises: band each document exactly
+    once when it is admitted, persist ``(band, bucket, ref_id)`` and
+    ``(fp, ref_id)`` side tables, and dedup a new batch with
+
+    - one fingerprint equi-join against the persisted ``fps`` (exact arm),
+    - banding of the BATCH ONLY plus an equi-join against the persisted
+      ``buckets`` (near arm), Jaccard-verified against just the candidate
+      reference documents (fetched from the corpus by id semi-join).
+
+    Per-batch cost is O(|batch|) hashing plus joins that prune to the
+    candidate buckets — independent of corpus size. With ``path`` set the
+    side tables are :class:`~samza_spark.tables.local.DurableLocalTable`
+    warehouses (changelog + snapshot restore, KeyValueStorageEngine.scala
+    analog), so the index survives restarts next to the corpus and is
+    never rebuilt. Ids keep their original type end-to-end (string ids
+    work; ``near_ref_id``/``exact_ref_id`` minima are lexicographic for
+    string ids, numeric otherwise).
+    """
+
+    def __init__(
+        self,
+        spark,
+        id_type: str = "long",
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 3,
+        shingle_mode: str = "word",
+        impl: str = "pandas",
+        path: str | None = None,
+        compact_every: int = 10,
+    ):
+        from samza_spark.tables.local import DurableLocalTable, LocalTable
+
+        self.num_perm, self.bands = num_perm, bands
+        self.shingle_k, self.shingle_mode, self.impl = shingle_k, shingle_mode, impl
+        fp_schema = f"__fp string, ref_id {id_type}"
+        bk_schema = f"band int, bucket long, ref_id {id_type}"
+        if path:
+            import os
+
+            self.fps = DurableLocalTable.open(
+                spark, os.path.join(path, "fps"), ["__fp"],
+                schema=fp_schema, compact_every=compact_every,
+            )
+            self.buckets = DurableLocalTable.open(
+                spark, os.path.join(path, "buckets"), ["band", "bucket", "ref_id"],
+                schema=bk_schema, compact_every=compact_every,
+            )
+        else:
+            self.fps = LocalTable(
+                spark.createDataFrame([], fp_schema), ["__fp"],
+                compact_every=compact_every,
+            )
+            self.buckets = LocalTable(
+                spark.createDataFrame([], bk_schema), ["band", "bucket", "ref_id"],
+                compact_every=compact_every,
+            )
+
+    def is_empty(self) -> bool:
+        return self.fps.df.isEmpty() and self.buckets.df.isEmpty()
+
+    def add(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> "CorpusDedupIndex":
+        """Index ``docs``: fingerprint + band each document ONCE and append.
+
+        Fingerprints are first-writer-wins (documents admitted through the
+        dedup loop never collide — a colliding doc would have been dropped
+        as an exact dup; for a bootstrap load of a corpus with internal
+        dups the min-id representative wins). Banding output is eagerly
+        checkpointed so the Arrow UDF runs exactly once per document, not
+        once per later read of the growing bucket table."""
+        new_fps = (
+            docs.select(
+                F.md5(normalized(F.coalesce(F.col(text_col), F.lit("")))).alias("__fp"),
+                F.col(id_col).alias("ref_id"),
+            )
+            .groupBy("__fp")
+            .agg(F.min("ref_id").alias("ref_id"))
+            .join(self.fps.df.select("__fp"), on="__fp", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        self.fps.merge_batch(new_fps)
+        banded = _lsh_banded(
+            docs.select(
+                F.col(id_col).alias("ref_id"), F.col(text_col).alias("__text")
+            ),
+            "__text", "ref_id",
+            self.num_perm, self.bands, self.shingle_k, self.shingle_mode, self.impl,
+        ).select("band", "bucket", "ref_id").localCheckpoint(eager=True)
+        self.buckets.merge_batch(banded)
+        return self
+
+    def flags(
+        self,
+        batch: DataFrame,
+        reference: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.8,
+        max_bucket_size: int | None = 1000,
+    ) -> DataFrame:
+        """Same output contract as :func:`dedup_against_reference` —
+        ``(id, exact_dup, exact_ref_id, near_dup, near_ref_id,
+        best_jaccard)`` per batch document — computed against the
+        persisted index instead of re-banding the corpus. ``reference``
+        supplies candidate documents' text for the Jaccard verify; only
+        candidates are shingled (id semi-join fetch)."""
+        norm_fp = F.md5(normalized(F.coalesce(F.col(text_col), F.lit(""))))
+        exact = batch.select(
+            F.col(id_col).alias("__id"), norm_fp.alias("__fp")
+        ).join(
+            self.fps.df.withColumnRenamed("ref_id", "exact_ref_id"),
+            on="__fp", how="left",
+        )
+
+        banded = _lsh_banded(
+            batch.select(
+                F.col(id_col).alias("__bid"), F.col(text_col).alias("__text")
+            ),
+            "__text", "__bid",
+            self.num_perm, self.bands, self.shingle_k, self.shingle_mode, self.impl,
+        )
+        joined = banded.join(self.buckets.df, on=["band", "bucket"], how="inner")
+        if max_bucket_size is not None:
+            # same hot-bucket guard as dedup_against_reference: cap the
+            # per-bucket cross product |batch members| x |ref members|
+            ok = (
+                joined.groupBy("band", "bucket")
+                .agg(
+                    F.countDistinct("__bid").alias("__nb"),
+                    F.countDistinct("ref_id").alias("__nr"),
+                )
+                .filter(F.col("__nb") * F.col("__nr") <= max_bucket_size)
+                .select("band", "bucket")
+            )
+            joined = joined.join(ok, on=["band", "bucket"], how="left_semi")
+        cands = joined.select("__bid", "ref_id").distinct()
+        bsh = (
+            batch.join(
+                cands.select(F.col("__bid").alias(id_col)).distinct(),
+                on=id_col, how="left_semi",
+            )
+            .select(
+                F.col(id_col).alias("__bid"),
+                _shingle_expr(text_col, self.shingle_mode, self.shingle_k).alias("sh_a"),
+            )
+        )
+        rsh = (
+            reference.join(
+                cands.select(F.col("ref_id").alias(id_col)).distinct(),
+                on=id_col, how="left_semi",
+            )
+            .select(
+                F.col(id_col).alias("ref_id"),
+                _shingle_expr(text_col, self.shingle_mode, self.shingle_k).alias("sh_b"),
+            )
+        )
+        verified = (
+            cands.join(bsh, on="__bid")
+            .join(rsh, on="ref_id")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .groupBy("__bid")
+            .agg(
+                F.min("ref_id").alias("near_ref_id"),
+                F.max("jaccard").alias("best_jaccard"),
+            )
+        )
+        return (
+            exact.join(verified, exact["__id"] == verified["__bid"], "left")
+            .select(
+                F.col("__id").alias(id_col),
+                F.col("exact_ref_id").isNotNull().alias("exact_dup"),
+                "exact_ref_id",
+                F.col("near_ref_id").isNotNull().alias("near_dup"),
+                "near_ref_id",
+                "best_jaccard",
+            )
+        )
+
+
 def streaming_corpus_ingest(
     stream,
     reference,
@@ -1073,6 +1288,8 @@ def streaming_corpus_ingest(
     num_perm: int = 64,
     bands: int = 16,
     checkpoint_dir: str | None = None,
+    index: CorpusDedupIndex | None = None,
+    index_path: str | None = None,
 ):
     """Streaming corpus builder: ingest a document stream, dropping every
     batch document that duplicates — exactly or nearly — what the corpus
@@ -1081,12 +1298,20 @@ def streaming_corpus_ingest(
     own parts: per micro-batch (foreachBatch),
 
     1. intra-batch exact dedup (:func:`exact_dedup`, min-id keeps),
-    2. :func:`dedup_against_reference` against the CURRENT reference
-       snapshot (exact fingerprint join + cross-side-only LSH near-dup),
-    3. ``merge_batch`` the survivors into the reference table — with a
-       :class:`~samza_spark.tables.local.DurableLocalTable` the corpus
-       (and therefore the dedup state) survives restarts, the changelog
-       -restore analog.
+    2. :meth:`CorpusDedupIndex.flags` against the PERSISTED index —
+       the batch is fingerprinted and banded, the accumulated corpus is
+       not (it was indexed once, when each document was admitted), so
+       per-trigger cost is O(|batch|) rather than O(|corpus|),
+    3. ``merge_batch`` the survivors into the reference table and
+       :meth:`~CorpusDedupIndex.add` their bands/fingerprints to the
+       index — with a DurableLocalTable corpus and ``index_path`` set,
+       both survive restarts (changelog-restore analog).
+
+    A pre-existing non-empty corpus with an empty index is bootstrapped
+    once at stream start (one O(|corpus|) banding pass — the same work
+    the round-4 shape repeated every trigger). When ``index`` is passed
+    explicitly its num_perm/bands/shingle settings win over this
+    function's arguments.
 
     Note the intentional asymmetry with ``dropDuplicatesWithinWatermark``
     -based :func:`streaming_dedup`: near-dup state here is the corpus
@@ -1096,25 +1321,38 @@ def streaming_corpus_ingest(
     Returns the started StreamingQuery (caller stops it).
     """
     df = getattr(stream, "df", stream)
+    if index is None:
+        id_type = df.schema[id_col].dataType.simpleString()
+        index = CorpusDedupIndex(
+            df.sparkSession, id_type=id_type, num_perm=num_perm, bands=bands,
+            path=index_path,
+        )
+    if index.is_empty():
+        ref_df0 = reference.df
+        if not ref_df0.isEmpty():
+            index.add(ref_df0, text_col=text_col, id_col=id_col)
+    state = {"has": not index.is_empty()}
 
     def process(batch_df, batch_id):
         batch_local = exact_dedup(batch_df, text_col, id_col)
-        ref_df = reference.df
-        if not ref_df.isEmpty():
-            flags = dedup_against_reference(
+        if state["has"]:
+            flags = index.flags(
                 batch_local,
-                ref_df,
+                reference.df,
                 text_col=text_col,
                 id_col=id_col,
                 threshold=threshold,
-                num_perm=num_perm,
-                bands=bands,
             )
             keep_ids = flags.filter(
                 ~F.col("exact_dup") & ~F.col("near_dup")
             ).select(id_col)
             batch_local = batch_local.join(keep_ids, on=id_col, how="left_semi")
-        reference.merge_batch(batch_local.localCheckpoint(eager=True))
+        batch_local = batch_local.localCheckpoint(eager=True)
+        if batch_local.isEmpty():
+            return
+        reference.merge_batch(batch_local)
+        index.add(batch_local, text_col=text_col, id_col=id_col)
+        state["has"] = True
 
     writer = df.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint_dir:

