@@ -52,7 +52,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from samza_spark.pipeline.text import normalized
 
-SEP = "\x1f"  # ASCII unit separator — never appears in whitespace-split words
+SEP = "\x1f"  # ASCII unit separator, stripped from input during normalization
+
+
+def _clean_words(text_col: str, eow: "str | None") -> "F.Column":
+    """Normalized, SEP/eow-stripped word array for a document.
+
+    U+001F is not regex ``\\s``, so :func:`normalized` preserves it — and
+    a web corpus CAN contain stray C0 control chars. Any SEP (or eow
+    marker) surviving into a word would corrupt the double-separator
+    symbol encoding (wrong merges/tokens, silently), so both are deleted
+    up front with ``translate`` (plain char removal, no regex escaping
+    hazards for arbitrary marker chars)."""
+    cleaned = F.translate(
+        normalized(F.coalesce(F.col(text_col), F.lit(""))), SEP + (eow or ""), ""
+    )
+    return F.filter(F.split(cleaned, " "), lambda x: x != "")
 
 
 def _word_table(df: DataFrame, text_col: str, eow: "str | None" = None) -> DataFrame:
@@ -61,10 +76,7 @@ def _word_table(df: DataFrame, text_col: str, eow: "str | None" = None) -> DataF
     symbols = characters, plus the optional end-of-word marker symbol —
     the Sennrich '</w>' convention, which lets merges distinguish
     word-final from word-internal contexts)."""
-    toks = F.filter(
-        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
-        lambda x: x != "",
-    )
+    toks = _clean_words(text_col, eow)
     # '⟂⟂' + every char followed by '⟂⟂' == '⟂⟂c1⟂⟂c2⟂⟂…'
     rep = F.concat(
         F.lit(SEP + SEP), F.regexp_replace(F.col("word"), "(.)", "$1" + SEP + SEP)
@@ -108,6 +120,72 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def _greedy_merge_syms(syms: "list[str]", l: str, r: str) -> "list[str]":
+    """Greedy left-to-right non-overlapping merge of (l, r) in a symbol
+    list — the exact semantics of the double-separator string ``replace``
+    (equivalence property-tested in tests/test_property.py)."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _learn_bpe_driver(
+    word_freqs: "list[tuple[str, int]]",
+    budget: int,
+    min_count: int,
+    eow: "str | None",
+) -> "list[tuple[int, str, str, str, int]]":
+    """In-memory merge loop over the collected word-frequency table, with
+    incrementally maintained pair counts + a pair→word inverted index
+    (the structure of Sennrich et al. 2016's public learn_bpe). Produces
+    bit-identical output to the distributed loop: overlapping adjacent
+    pairs all count, argmax tie-break is (cnt DESC, left ASC, right ASC)
+    — Python's code-point string order equals Spark's UTF8String binary
+    order, since UTF-8 byte order preserves code-point order."""
+    from collections import defaultdict
+
+    vocab: list[list] = []
+    counts: "defaultdict[tuple[str, str], int]" = defaultdict(int)
+    where: "defaultdict[tuple[str, str], set[int]]" = defaultdict(set)
+    for word, freq in word_freqs:
+        syms = list(word) + ([eow] if eow else [])
+        idx = len(vocab)
+        vocab.append([syms, freq])
+        for p in zip(syms, syms[1:]):
+            counts[p] += freq
+            where[p].add(idx)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, budget + 1):
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((step, l, r, l + r, int(cnt)))
+        for idx in list(where[(l, r)]):
+            syms, freq = vocab[idx]
+            for p in zip(syms, syms[1:]):
+                counts[p] -= freq
+                if counts[p] <= 0:
+                    del counts[p]
+                where[p].discard(idx)
+            new = _greedy_merge_syms(syms, l, r)
+            vocab[idx][0] = new
+            for p in zip(new, new[1:]):
+                counts[p] += freq
+                where[p].add(idx)
+    return merges
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -116,28 +194,69 @@ def learn_bpe(
     checkpoint_every: int = 4,
     eow: "str | None" = None,
     target_vocab: int | None = None,
+    impl: str = "auto",
+    driver_local_threshold: int = 2_000_000,
 ) -> "list[tuple[int, str, str, str, int]]":
     """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
     table ``[(step, left, right, merged, pair_count), ...]`` in learned
     order; stops early when the best remaining pair occurs fewer than
     ``min_count`` times.
 
-    Driver traffic is exactly one row per iteration (the argmax pair) —
-    the sequential decision that defines the algorithm. Everything else
-    is distributed: corpus-scale work happens once (the word count);
-    each iteration touches only the vocabulary-sized word table.
+    The corpus-scale work — the word-frequency aggregation — is always
+    distributed and happens ONCE. The merge loop then runs over the
+    word table, which is vocabulary-sized (unique words), and ``impl``
+    picks where:
+
+    - ``'driver'`` (or ``'auto'`` with ≤ ``driver_local_threshold``
+      words, the common case: even a 100 TB web corpus has ~10⁷ unique
+      normalized words): collect the (word, freq) table and run the
+      loop in memory with incrementally-maintained pair counts — zero
+      Spark jobs per merge, so a 32k-vocab training run costs one
+      distributed aggregation + seconds of driver CPU instead of ~2
+      serialized Spark jobs per merge (~60k+ job launches of pure
+      scheduler latency).
+    - ``'distributed'`` (or ``'auto'`` above the threshold): each
+      iteration is a vocabulary-sized pair count + ``LIMIT 1`` argmax
+      (one row to the driver — the sequential decision that defines the
+      algorithm) + a map-only ``replace``.
+
+    Both paths produce bit-identical merge tables (equivalence is
+    property- and corpus-tested); tie-breaking is (count DESC, left ASC,
+    right ASC) in binary string order.
 
     ``eow`` appends an end-of-word marker symbol to every word (pass a
     character that cannot appear in the text, e.g. ``"\x17"``) so the
     model learns word-final merges separately — the Sennrich ``</w>``
-    convention. Tokenization must use the same marker.
+    convention. Tokenization must use the same marker. (SEP and the
+    marker are stripped from input text during normalization — see
+    :func:`_clean_words`.)
 
     ``target_vocab`` bounds the final vocabulary: each merge adds one
     symbol to the initial alphabet (distinct characters + the marker),
     so learning stops once ``alphabet + merges`` reaches the target —
     the standard way tokenizer training is sized (e.g. "32k vocab").
     """
+    if impl not in ("auto", "driver", "distributed"):
+        raise ValueError(f"impl must be auto|driver|distributed, got {impl!r}")
     words = _word_table(df, text_col, eow=eow).localCheckpoint()
+    n_words = words.count()
+    use_driver = impl == "driver" or (
+        impl == "auto" and n_words <= driver_local_threshold
+    )
+
+    if use_driver:
+        word_freqs = [
+            (r["word"], int(r["freq"]))
+            for r in words.select("word", "freq").collect()
+        ]
+        budget = n_merges
+        if target_vocab is not None:
+            alphabet = set().union(*(set(w) for w, _ in word_freqs)) if word_freqs else set()
+            if eow:
+                alphabet.add(eow)
+            budget = min(n_merges, max(0, target_vocab - len(alphabet)))
+        return _learn_bpe_driver(word_freqs, budget, min_count, eow)
+
     budget = n_merges
     if target_vocab is not None:
         alphabet = (
@@ -192,10 +311,7 @@ def bpe_tokenize(
     optimization when the type/token ratio is low; at the typical
     web-corpus ratio the plain map wins by skipping the shuffle.)
     """
-    toks = F.filter(
-        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
-        lambda x: x != "",
-    )
+    toks = _clean_words(text_col, eow)
 
     def word_rep(w):
         rep = F.concat(F.lit(SEP + SEP), F.regexp_replace(w, "(.)", "$1" + SEP + SEP))

@@ -2109,6 +2109,10 @@ ORACLES["bigram_logprob"] = (
 _BPE_N_MERGES = 8
 _SS = "chr(31) || chr(31)"  # double unit separator, SQL form
 _S1 = "chr(31)"
+# BPE normalization additionally strips SEP (chr(31)) — it is not \s
+# whitespace, and a surviving occurrence would corrupt the symbol
+# encoding (mirrors pipeline.bpe._clean_words)
+_BPE_NORM = f"replace({_NORM.format(c='text')}, chr(31), '')"
 
 
 def _bpe_learning_ctes(n: int) -> str:
@@ -2119,7 +2123,7 @@ def _bpe_learning_ctes(n: int) -> str:
     parts = [
         "w0 AS (SELECT word, count(*) AS freq, "
         f"{_SS} || regexp_replace(word, '(.)', '\\1' || {_SS}, 'g') AS rep "
-        f"FROM (SELECT unnest(list_filter(string_split({_NORM.format(c='text')}, ' '), "
+        f"FROM (SELECT unnest(list_filter(string_split({_BPE_NORM}, ' '), "
         "x -> x <> '')) AS word FROM documents) GROUP BY word)"
     ]
     for k in range(1, n + 1):
@@ -2190,7 +2194,7 @@ QUERIES["bpe_tokenize"] = q_bpe_tokenize
 ORACLES["bpe_tokenize"] = (
     "WITH "
     + _bpe_learning_ctes(_BPE_N_MERGES)
-    + f", t AS (SELECT doc_id, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    + f", t AS (SELECT doc_id, list_filter(string_split({_BPE_NORM}, ' '), "
     "x -> x <> '') AS w FROM documents), "
     "dt AS (SELECT doc_id, i AS pos, w[i] AS word FROM "
     "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t "
@@ -2324,7 +2328,7 @@ QUERIES["bpe_fertility"] = q_bpe_fertility
 ORACLES["bpe_fertility"] = (
     "WITH "
     + _bpe_learning_ctes(_BPE_N_MERGES)
-    + f", t AS (SELECT doc_id, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    + f", t AS (SELECT doc_id, list_filter(string_split({_BPE_NORM}, ' '), "
     "x -> x <> '') AS w FROM documents), "
     "dt AS (SELECT doc_id, i AS pos, w[i] AS word FROM "
     "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t "

@@ -1126,6 +1126,50 @@ def test_learn_bpe_matches_reference_impl(spark):
     assert got == expected
 
 
+def test_learn_bpe_driver_matches_distributed(spark):
+    # the in-memory merge loop (auto path for vocab-sized word tables)
+    # must be bit-identical to the per-merge Spark-job loop, eow included
+    from samza_spark.pipeline import bpe
+
+    df = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low new"),
+            (2, "new newer newest new lower widest wide"),
+            (3, "the newest lowest low new wide wider"),
+        ],
+        "doc_id long, text string",
+    )
+    for eow in (None, "\x17"):
+        drv = bpe.learn_bpe(df, n_merges=12, min_count=2, eow=eow, impl="driver")
+        dist = bpe.learn_bpe(df, n_merges=12, min_count=2, eow=eow, impl="distributed")
+        assert drv == dist and len(drv) > 3
+    # target_vocab budgeting agrees too
+    assert bpe.learn_bpe(df, n_merges=10, target_vocab=16, impl="driver") == (
+        bpe.learn_bpe(df, n_merges=10, target_vocab=16, impl="distributed")
+    )
+
+
+def test_bpe_strips_separator_chars(spark):
+    # \x1f is not regex \s, so normalization used to preserve it — input
+    # containing it corrupted the double-separator symbol encoding.
+    # It must now be stripped (and likewise the eow marker char).
+    from samza_spark.pipeline import bpe
+
+    clean = spark.createDataFrame(
+        [(1, "low lower low low")], "doc_id long, text string"
+    )
+    dirty = spark.createDataFrame(
+        [(1, "l\x1fow lo\x1fwer low low")], "doc_id long, text string"
+    )
+    assert bpe.learn_bpe(dirty, n_merges=4, min_count=2) == (
+        bpe.learn_bpe(clean, n_merges=4, min_count=2)
+    )
+    merges = bpe.learn_bpe(clean, n_merges=4, min_count=2)
+    got_clean = {r.doc_id: r for r in bpe.bpe_tokenize(clean, merges).collect()}
+    got_dirty = {r.doc_id: r for r in bpe.bpe_tokenize(dirty, merges).collect()}
+    assert got_clean == got_dirty
+
+
 def test_learn_bpe_overlapping_runs(spark):
     from samza_spark.pipeline import bpe
 
