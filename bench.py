@@ -66,6 +66,23 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     bench_t0 = time.perf_counter()
+
+    # Contention guard: a loaded host inflates every sample uniformly
+    # (rounds 2 and 4 both recorded phantom regressions with load_avg > 3
+    # stamped in the artifact itself). Spin-wait for the 1-minute load to
+    # drop below the threshold before measuring — bounded, so a driver on
+    # a busy box still gets an artifact (the stamp then self-identifies).
+    idle_load = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.5"))
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+    waited = 0.0
+    while os.getloadavg()[0] > idle_load and waited < idle_wait:
+        print(
+            f"# load_avg {os.getloadavg()[0]:.2f} > {idle_load}; waiting for idle"
+            f" ({waited:.0f}/{idle_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
     load_start = os.getloadavg()
 
     from samza_spark import SessionConfig, get_session
@@ -117,6 +134,23 @@ def main() -> None:
             t0 = time.perf_counter()
             rows[name] = QUERIES[name](spark, sf_dir).count()
             all_samples[name].append(time.perf_counter() - t0)
+    # a query whose samples spread more than 2x its median caught a
+    # contention burst in >1 pass — take extra samples so the median
+    # reflects steady state, not the burst
+    resamples = int(os.environ.get("SPARK_GRAFT_BENCH_RESAMPLE", "2"))
+    for name in HEADLINE:
+        samples = all_samples[name]
+        med = statistics.median(samples)
+        if med > 0 and (max(samples) - min(samples)) > 2 * med:
+            print(
+                f"# {name}: spread {max(samples) - min(samples):.3f}s > 2x median"
+                f" {med:.3f}s — taking {resamples} extra sample(s)",
+                file=sys.stderr,
+            )
+            for _ in range(resamples):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         samples = all_samples[name]
@@ -269,6 +303,57 @@ def main() -> None:
             f"# stream_sustained_window_1m: {secs:.3f}s ({n_replay} msgs)",
             file=sys.stderr,
         )
+
+        # sustained stream-stream TTL join over the same replay — the
+        # reference's PartialJoinOperatorImpl workload shape (equi-join,
+        # both sides buffered with a TTL, emit on match; /root/reference
+        # samza-core/.../operators/impl/PartialJoinOperatorImpl.java:73-96)
+        # expressed as a watermarked interval join: each side holds ~TTL
+        # of state, every left row meets exactly its right twin (1:1,
+        # the ad click/impression-join benchmark shape). Throughput
+        # counts BOTH consumed sides, like the reference's consumed-msgs
+        # metric.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+        def join_side(prefix):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, replicas // 5))
+                .parquet(replay_dir)
+                .transform(normalize_event_ts)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts").alias(f"{prefix}_ts"),
+                )
+                .withWatermark(f"{prefix}_ts", "30 minutes")
+            )
+
+        t0 = time.perf_counter()
+        q = (
+            join_side("l")
+            .join(
+                join_side("r"),
+                (F.col("l_id") == F.col("r_id"))
+                & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 MINUTES"))
+                & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES")),
+                "inner",
+            )
+            .writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = round(time.perf_counter() - t0, 3)
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        per_query["stream_sustained_join_1m"] = secs
+        streaming["stream_sustained_join_msgs_per_sec"] = round(2 * n_replay / secs)
+        streaming["stream_sustained_join_messages"] = 2 * n_replay
+        print(
+            f"# stream_sustained_join_1m: {secs:.3f}s ({2 * n_replay} msgs both sides)",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
 
@@ -283,6 +368,7 @@ def main() -> None:
                 "queries": per_query,
                 "streaming": streaming,
                 "repeats": repeats,
+                "waited_for_idle_sec": round(waited, 1),
                 "wall_clock_sec": round(time.perf_counter() - bench_t0, 3),
                 "load_avg": {
                     "start": [round(x, 2) for x in load_start],
