@@ -142,13 +142,19 @@ def token_mixture_plan(
     parts of ``granularity`` (e.g. 4000 = 40%), find the largest total
     token budget T every source can serve WITHOUT upsampling,
 
-        T = min_g floor(tokens_g * granularity / w_g),
+        T = min_g (tokens_g * granularity) div w_g,
 
-    and each source's keep rate ``rate_bp = floor(w_g * T / tokens_g)``.
-    All arithmetic is integer, so the plan is bit-reproducible across
-    engines. Returns one row per targeted source:
+    and each source's keep rate ``rate_bp = (w_g * T) div tokens_g``.
+    All arithmetic uses true INTEGER division (Spark ``div``, DuckDB
+    ``//`` in the oracle — ``floor(a/b)`` on bigints is double division
+    first, which can diverge from exact integer division beyond ~2^53),
+    so the plan is bit-reproducible across engines while every
+    intermediate product fits in int64: n_tokens * granularity < 2^63,
+    i.e. ~9e14 tokens at the default granularity — three orders of
+    magnitude above a 100 TB corpus (~2.5e13 tokens). Returns one row
+    per targeted source:
     ``(source, n_docs, n_tokens, target_bp, rate_bp, planned_tokens)``
-    with ``planned_tokens = floor(n_tokens * rate_bp / granularity)``
+    with ``planned_tokens = (n_tokens * rate_bp) div granularity``
     (the expected token yield of hash-sampling at that rate).
 
     Scale: one groupBy shuffle on the source key; the output is
@@ -176,7 +182,7 @@ def token_mixture_plan(
     )
     total = counts.agg(
         F.min(
-            F.floor(F.col("n_tokens") * F.lit(granularity) / F.col("target_bp"))
+            F.expr(f"(n_tokens * {int(granularity)}) div target_bp")
         ).alias("__t")
     )
     return counts.join(F.broadcast(total)).select(
@@ -184,13 +190,9 @@ def token_mixture_plan(
         "n_docs",
         "n_tokens",
         "target_bp",
-        F.floor(F.col("target_bp") * F.col("__t") / F.col("n_tokens"))
-        .cast("long")
-        .alias("rate_bp"),
-        F.floor(
-            F.col("n_tokens")
-            * F.floor(F.col("target_bp") * F.col("__t") / F.col("n_tokens"))
-            / F.lit(granularity)
+        F.expr("(target_bp * __t) div n_tokens").cast("long").alias("rate_bp"),
+        F.expr(
+            f"(n_tokens * ((target_bp * __t) div n_tokens)) div {int(granularity)}"
         )
         .cast("long")
         .alias("planned_tokens"),

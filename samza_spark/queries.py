@@ -2235,11 +2235,13 @@ ORACLES["mixture_plan"] = (
     "c AS (SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(ntok) AS BIGINT) AS n_tokens FROM t GROUP BY t.source), "
     "cw AS (SELECT c.*, CAST(w.tbp AS BIGINT) AS target_bp FROM c JOIN w USING (source)), "
-    "tt AS (SELECT min(CAST(floor(n_tokens * 10000 / target_bp) AS BIGINT)) AS T FROM cw) "
+    # true integer division (//) on both engines — floor(a/b) on bigints
+    # is double division first and can diverge beyond ~2^53
+    "tt AS (SELECT min((n_tokens * 10000) // target_bp) AS T FROM cw) "
     "SELECT source, n_docs, n_tokens, target_bp, "
-    "CAST(floor(target_bp * tt.T / n_tokens) AS BIGINT) AS rate_bp, "
-    "CAST(floor(n_tokens * CAST(floor(target_bp * tt.T / n_tokens) AS BIGINT) "
-    "/ 10000) AS BIGINT) AS planned_tokens "
+    "CAST((target_bp * tt.T) // n_tokens AS BIGINT) AS rate_bp, "
+    "CAST((n_tokens * ((target_bp * tt.T) // n_tokens)) // 10000 AS BIGINT) "
+    "AS planned_tokens "
     "FROM cw CROSS JOIN tt"
 )
 

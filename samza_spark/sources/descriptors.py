@@ -443,6 +443,7 @@ class KinesisSource:
     startpoint: Startpoint = field(default_factory=Startpoint)
     client: object | None = None
     spool_dir: str | None = None
+    _spooled: str | None = field(default=None, repr=False, compare=False)
 
     WIRE_SCHEMA = (
         "shard_id string, sequence_number string, partition_key string, "
@@ -452,6 +453,11 @@ class KinesisSource:
     def _spool(self, spark: SparkSession) -> str:
         import tempfile
 
+        # one drain per descriptor instance: read()/read_stream() share the
+        # first drain's spool — mode('append') into a fixed spool_dir would
+        # otherwise duplicate every record on the second call
+        if self._spooled is not None:
+            return self._spooled
         spool = self.spool_dir or tempfile.mkdtemp(prefix="ss_kinesis_")
         rows = [
             (
@@ -468,6 +474,7 @@ class KinesisSource:
         spark.createDataFrame(rows, self.WIRE_SCHEMA).write.mode("append").parquet(
             f"{spool}/data"
         )
+        self._spooled = spool
         return spool
 
     def _require_client(self):
@@ -500,10 +507,14 @@ class KinesisSource:
         from pyspark.sql import Window
 
         shard_ix = F.dense_rank().over(Window.orderBy("shard_id")) - 1
+        # real Kinesis sequence numbers are ~56-digit integers — casting to
+        # any decimal overflows to NULL (non-ANSI) and scrambles offsets.
+        # length-then-lexicographic ordering equals numeric ordering for
+        # non-negative integer strings of any size.
         offset = (
             F.row_number().over(
                 Window.partitionBy("shard_id").orderBy(
-                    F.col("sequence_number").cast("decimal(38,0)")
+                    F.length("sequence_number"), F.col("sequence_number")
                 )
             )
             - 1

@@ -396,6 +396,46 @@ def test_kinesis_fake_client_wire_contract(spark, tmp_path):
     assert stream_df.isStreaming
 
 
+def test_kinesis_real_size_sequence_numbers_and_spool_once(spark, tmp_path):
+    # real Kinesis sequence numbers are ~56-digit integers: decimal(38,0)
+    # overflowed them to NULL and scrambled offset assignment. Also:
+    # read() + read_stream() on one descriptor must share ONE spool drain
+    # (append into a fixed spool_dir used to duplicate every record).
+    import datetime as dt
+
+    from samza_spark.sources.descriptors import KinesisSource
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    big = 49_590_338_271_490_256_608_559_692_538_361_571_095_921_575_989_136_588_898
+    client = _FakeKinesis()
+    client._shards = {
+        "shardId-000": [
+            {"sequence_number": big + 10, "partition_key": "y", "data": b"m2",
+             "approximate_arrival": t0},
+            {"sequence_number": big, "partition_key": "x", "data": b"m1",
+             "approximate_arrival": t0},
+            # shorter string but numerically between the others if compared
+            # lexicographically-with-padding wrong; also exercises mixed length
+            {"sequence_number": 7, "partition_key": "z", "data": b"m0",
+             "approximate_arrival": t0},
+        ],
+    }
+    src = KinesisSource(
+        stream="events", client=client, spool_dir=str(tmp_path / "kin2")
+    )
+    batch = src.read(spark).df
+    assert batch.count() == 3
+    wire = KinesisSource.as_kafka_wire(batch)
+    by_offset = {r.offset: r for r in wire.collect()}
+    # numeric order: 7 < big < big+10
+    assert by_offset[0].value == b"m0"
+    assert by_offset[1].value == b"m1"
+    assert by_offset[2].value == b"m2"
+    # second read reuses the first drain — still 3 records, not 6
+    assert src.read(spark).df.count() == 3
+    assert src.read_stream(spark).df.isStreaming
+
+
 def test_kinesis_without_client_raises(spark):
     from samza_spark.sources.descriptors import KinesisSource
 
