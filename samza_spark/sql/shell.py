@@ -194,10 +194,68 @@ class ShellSession:
         """Poll a live view started by a streaming SELECT."""
         return self.spark.sql(f"SELECT * FROM shell_view_{exec_id}").collect()
 
+    # -- tab completion ----------------------------------------------------
+
+    COMMANDS = (
+        "SELECT", "INSERT", "SHOW", "DESCRIBE", "LS", "STOP", "RM", "SET",
+        "EXIT",
+    )
+    SQL_KEYWORDS = (
+        "FROM", "WHERE", "GROUP BY", "ORDER BY", "HAVING", "JOIN", "ON",
+        "LIMIT", "AS", "AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE",
+        "END", "LIKE", "DISTINCT", "UNION", "EXCEPT", "INTERSECT",
+    )
+
+    def completions(self, buffer: str, prefix: str) -> "list[str]":
+        """Candidates for the word ``prefix`` being typed at the end of
+        ``buffer`` — CliShell.java tab-completion parity (the reference
+        shell completes commands and catalog names via jline): command
+        keywords at line start, table names after FROM/INTO/JOIN/
+        DESCRIBE, TABLES/FUNCTIONS after SHOW, and functions + tables +
+        SQL keywords inside a SELECT/INSERT body. Pure function of the
+        session catalog — ``repl()`` wires it to readline."""
+        before = (
+            buffer[: len(buffer) - len(prefix)]
+            if prefix and buffer.endswith(prefix)
+            else buffer
+        )
+        words = before.split()
+        lowpref = prefix.lower()
+
+        def match(cands):
+            return sorted(c for c in cands if c.lower().startswith(lowpref))
+
+        if not words and not self._buffer:
+            return match(self.COMMANDS)
+        head = (self._buffer[0].split()[0].upper() if self._buffer else
+                (words[0].upper() if words else ""))
+        prev = words[-1].upper() if words else ""
+        if prev in ("FROM", "INTO", "JOIN", "DESCRIBE"):
+            return match(t.name for t in self.spark.catalog.listTables())
+        if head == "SHOW" or prev == "SHOW":
+            return match(("TABLES", "FUNCTIONS"))
+        if head in ("SELECT", "INSERT"):
+            tables = [t.name for t in self.spark.catalog.listTables()]
+            functions = [r[0] for r in self._show_functions().rows]
+            return match(list(self.SQL_KEYWORDS) + tables + functions)
+        return []
+
 
 def repl(spark: SparkSession, app: SqlApplication | None = None) -> None:
     """Minimal stdin REPL over ShellSession."""
     sess = ShellSession(spark, app)
+    try:  # tab completion (CliShell jline parity); absent readline is fine
+        import readline
+
+        def _complete(text: str, state: int):
+            cands = sess.completions(readline.get_line_buffer(), text)
+            return cands[state] if state < len(cands) else None
+
+        readline.set_completer_delims(" \t\n;,()=")
+        readline.set_completer(_complete)
+        readline.parse_and_bind("tab: complete")
+    except ImportError:
+        pass
     print("samza-spark sql shell — SELECT / INSERT INTO / SHOW TABLES / "
           "SHOW FUNCTIONS / DESCRIBE <t> / LS / STOP <id> / RM <id> / SET k=v / EXIT")
     while True:

@@ -104,3 +104,26 @@ def test_multiline_statement_buffering(shell):
     assert [row[0] for row in r2.rows] == ["bob"]
     # meta command never buffers
     assert shell.feed("SHOW TABLES").kind == "rows"
+
+
+def test_tab_completion(shell):
+    # command keywords at line start
+    assert shell.completions("", "S") == ["SELECT", "SET", "SHOW", "STOP"]
+    assert shell.completions("", "de") == ["DESCRIBE"]
+    # table names after FROM / INTO / JOIN / DESCRIBE
+    assert "people" in shell.completions("SELECT * FROM ", "pe")
+    assert "people" in shell.completions("DESCRIBE ", "")
+    assert "people" in shell.completions("SELECT a FROM t JOIN ", "peo")
+    # SHOW completes its two objects
+    assert shell.completions("SHOW ", "T") == ["TABLES"]
+    assert shell.completions("SHOW ", "") == ["FUNCTIONS", "TABLES"]
+    # inside a SELECT body: keywords, tables, and registered functions
+    body = shell.completions("SELECT name ", "FR")
+    assert body == ["FROM"]
+    assert "RegexMatch" in shell.completions("SELECT ", "Reg")
+    assert "people" in shell.completions("SELECT ", "peop")
+    # completion is buffer-aware across multi-line statements
+    assert shell.feed("SELECT name") is None
+    assert shell.completions("", "WHER") == ["WHERE"]
+    assert "people" in shell.completions("FROM ", "")
+    shell.feed("FROM people;")  # close the statement
