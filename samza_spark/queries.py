@@ -2438,6 +2438,28 @@ ORACLES["sessionize"] = (
 )
 
 
+def q_indexed_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup through the PERSISTED LSH index (pipeline.dedup.
+    CorpusDedupIndex): the reference half is fingerprinted + banded ONCE
+    into (fp, ref_id) and (band, bucket, ref_id) side tables; the batch
+    half is banded alone and equi-joined against the index — the
+    O(|batch|)-per-trigger production shape behind
+    streaming_corpus_ingest. Same output contract as incremental_dedup,
+    and the SAME oracle: the index path must reproduce the
+    band-everything-together recompute path value-for-value."""
+    from samza_spark.pipeline.dedup import CorpusDedupIndex
+
+    docs = load_table(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = CorpusDedupIndex(spark, num_perm=64, bands=16).add(reference)
+    return idx.flags(batch, reference, threshold=0.8)
+
+
+QUERIES["indexed_dedup"] = q_indexed_dedup
+ORACLES["indexed_dedup"] = ORACLES["incremental_dedup"]
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
@@ -2450,7 +2472,8 @@ ORACLES["sessionize"] = (
 # load-bearing core rows (joins, windows, triggered panes, LSH families);
 # everything else follows and stays covered by the local gate.
 _DRIVER_WINDOW = [
-    # -- 29 never-driver-checked (rounds 2-4 additions) --
+    # -- 29 never-driver-checked (rounds 2-4 additions) + round-5-new
+    #    indexed_dedup --
     "avro_roundtrip", "approx_sketches", "embedding_quantize",
     "quantized_rerank", "exists_subquery", "boilerplate_removal",
     "decontaminate", "doc_chunks", "bm25_search", "posting_lists",
@@ -2459,12 +2482,12 @@ _DRIVER_WINDOW = [
     "source_stats", "source_caps", "incremental_dedup", "bigram_logprob",
     "bpe_merges", "bpe_tokenize", "mixture_plan", "range_join",
     "bpe_fertility", "global_quality_rank", "quality_percentiles",
-    "sessionize",
-    # -- 21 load-bearing core rows --
+    "sessionize", "indexed_dedup",
+    # -- 20 load-bearing core rows (driver-green in every prior round) --
     "stream_table_join", "join_left_outer", "multiway_join_revenue",
     "interval_join", "asof_join", "remote_table_join", "groupby_count",
     "tumbling_window", "sliding_window", "session_window",
-    "triggered_window", "triggered_window_acc", "tpch_q1", "dedup_exact",
+    "triggered_window", "triggered_window_acc", "tpch_q1",
     "minhash_pairs", "minhash_dedup", "simhash_pairs", "simhash_dedup",
     "cosine_topk", "ann_topk", "ivf_topk",
 ]
