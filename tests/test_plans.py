@@ -55,3 +55,13 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan
     # pruned read schema: the lineitem scan must not read all 16 columns
     assert "l_comment" not in plan
+
+
+def test_indexed_dedup_plan_is_equi_join_only(spark, sf_dir):
+    # the persisted-index dedup path: candidate generation must be plain
+    # equi-joins against the index tables (hash/sort-merge on band,bucket
+    # and on __fp) — no cartesian blowup, no row-wise Python; the only
+    # Python is the Arrow-batched banding UDF over the BATCH side
+    plan = _plan(spark, "indexed_dedup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
