@@ -312,13 +312,15 @@ def main() -> None:
         # of state, every left row meets exactly its right twin (1:1,
         # the ad click/impression-join benchmark shape). Throughput
         # counts BOTH consumed sides, like the reference's consumed-msgs
-        # metric.
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # metric. 16 state partitions measured best for the two-sided
+        # state store (8 leaves cores idle, 32 pays per-partition commit
+        # overhead); larger triggers amortize state-store commits.
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
 
         def join_side(prefix):
             return (
                 spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", max(1, replicas // 5))
+                .option("maxFilesPerTrigger", max(1, replicas // 2))
                 .parquet(replay_dir)
                 .transform(normalize_event_ts)
                 .select(
