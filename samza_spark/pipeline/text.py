@@ -523,3 +523,113 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: int = 1,
+    hash_buckets: "int | None" = None,
+) -> DataFrame:
+    """Importance weights for Data Selection via Importance Resampling
+    (DSIR — Xie et al. 2023, a public data-selection method: estimate a
+    target-domain and a raw n-gram distribution, weight every raw
+    example by p_target(x)/p_raw(x), then resample by weight). Rows
+    where ``is_target`` is true define the target distribution; every
+    other (raw) document gets a log importance weight
+
+        sum over tokens of  ln p_t(tok) - ln p_r(tok)
+
+    with Laplace add-``smoothing`` estimates over the shared (union)
+    vocabulary, so both distributions are defined on every observed
+    token. High-weight raw documents "look like" the target domain —
+    compose the output with :func:`~samza_spark.operators.rank.
+    global_rank` or a weight threshold for the selection step.
+
+    ``hash_buckets`` switches tokens to DSIR's hashed features
+    (md5-bucket of the token, cross-engine reproducible): fixes the
+    feature-table size regardless of vocabulary — the knob that keeps
+    the broadcast bounded at 100 TB. ``None`` uses raw unigrams.
+
+    Scores are fixed-point micro-nats exactly like
+    :func:`bigram_logprob`: each ln floored to 1e-6 nats before the
+    integer sum — cross-engine exact and shuffle-order-free.
+
+    Returns one row per raw document:
+    ``(id, n_tokens, logweight_micro, avg_logweight)``.
+
+    Scale: ONE token-explode groupBy builds both distributions in the
+    same pass (vocab- or bucket-sized output); the per-feature log-ratio
+    table is broadcastable; scoring is a map-side join plus one
+    doc-keyed integer sum. O(corpus tokens), no per-document state.
+    """
+    toks = F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), is_target.alias("__t"), toks.alias("__toks")
+    )
+    feature = (
+        F.expr(
+            f"cast(conv(substr(md5(token), 1, 8), 16, 10) as bigint) "
+            f"% {int(hash_buckets)}"
+        )
+        if hash_buckets
+        else F.col("token")
+    )
+    tok_rows = base.select(
+        "__id", "__t", F.explode("__toks").alias("token")
+    ).select("__id", "__t", feature.alias("__f"))
+    vocab = tok_rows.groupBy("__f").agg(
+        F.sum(F.when(F.col("__t"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__tc"),
+        F.sum(F.when(F.col("__t"), F.lit(0)).otherwise(F.lit(1)))
+        .cast("long")
+        .alias("__rc"),
+    )
+    totals = vocab.agg(
+        F.sum("__tc").alias("__tt"),
+        F.sum("__rc").alias("__rt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    s = int(smoothing)
+
+    def micro(num, den):
+        return F.floor(
+            F.log(num.cast("double") / den.cast("double")) * F.lit(1000000.0)
+        ).cast("long")
+
+    ratios = vocab.join(F.broadcast(totals)).select(
+        "__f",
+        (
+            micro(F.col("__tc") + F.lit(s), F.col("__tt") + F.lit(s) * F.col("__v"))
+            - micro(F.col("__rc") + F.lit(s), F.col("__rt") + F.lit(s) * F.col("__v"))
+        ).alias("__d"),
+    )
+    scored = (
+        tok_rows.filter(~F.col("__t"))
+        .join(ratios, on="__f")
+        .groupBy("__id")
+        .agg(F.sum("__d").alias("__w"))
+    )
+    total = F.coalesce("__w", F.lit(0)).cast("long")
+    return (
+        base.filter(~F.col("__t"))
+        .select("__id", F.size("__toks").cast("long").alias("n_tokens"))
+        .join(scored, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            total.alias("logweight_micro"),
+            F.when(
+                F.col("n_tokens") > 0,
+                total.cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_tokens").cast("double"),
+            ).alias("avg_logweight"),
+        )
+    )

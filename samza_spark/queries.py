@@ -2460,6 +2460,45 @@ QUERIES["indexed_dedup"] = q_indexed_dedup
 ORACLES["indexed_dedup"] = ORACLES["incremental_dedup"]
 
 
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weighting (pipeline.text.dsir_importance — Xie et
+    al. 2023's public data-selection method): docs from source 'src0'
+    define the target distribution; every other document is scored
+    ln p_target/p_raw over md5-hashed unigram buckets (the bounded-
+    feature-table form), fixed-point micro-nats. Oracle replays the
+    same counts, buckets, and ln floors."""
+    from samza_spark.pipeline.text import dsir_importance
+
+    docs = load_table(spark, sf, "documents")
+    return dsir_importance(
+        docs, F.col("source") == "src0", hash_buckets=4096
+    )
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+
+ORACLES["dsir_weights"] = (
+    f"WITH t AS (SELECT doc_id, source, list_filter(string_split("
+    f"{_NORM.format(c='text')}, ' '), x -> x <> '') AS w FROM documents), "
+    "ex AS (SELECT doc_id, tgt, ('0x' || substr(md5(u), 1, 8))::BIGINT % 4096 AS f "
+    "FROM (SELECT doc_id, source = 'src0' AS tgt, unnest(w) AS u FROM t)), "
+    "vocab AS (SELECT f, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc, "
+    "sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS rc FROM ex GROUP BY f), "
+    "tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt, count(*) AS v FROM vocab), "
+    "ratio AS (SELECT f, "
+    "CAST(floor(ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) * 1000000.0) AS BIGINT) "
+    "- CAST(floor(ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + v AS DOUBLE)) * 1000000.0) AS BIGINT) "
+    "AS d FROM vocab CROSS JOIN tot), "
+    "sc AS (SELECT ex.doc_id, sum(ratio.d) AS w FROM ex JOIN ratio USING (f) "
+    "WHERE NOT ex.tgt GROUP BY ex.doc_id) "
+    "SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(sc.w, 0) AS BIGINT) AS logweight_micro, "
+    "CASE WHEN len(t.w) > 0 THEN CAST(coalesce(sc.w, 0) AS DOUBLE) / 1000000.0 "
+    "/ CAST(len(t.w) AS DOUBLE) END AS avg_logweight "
+    "FROM t LEFT JOIN sc USING (doc_id) WHERE t.source <> 'src0'"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
@@ -2482,13 +2521,13 @@ _DRIVER_WINDOW = [
     "source_stats", "source_caps", "incremental_dedup", "bigram_logprob",
     "bpe_merges", "bpe_tokenize", "mixture_plan", "range_join",
     "bpe_fertility", "global_quality_rank", "quality_percentiles",
-    "sessionize", "indexed_dedup",
-    # -- 20 load-bearing core rows (driver-green in every prior round) --
+    "sessionize", "indexed_dedup", "dsir_weights",
+    # -- 19 load-bearing core rows (driver-green in every prior round) --
     "stream_table_join", "join_left_outer", "multiway_join_revenue",
     "interval_join", "asof_join", "remote_table_join", "groupby_count",
     "tumbling_window", "sliding_window", "session_window",
     "triggered_window", "triggered_window_acc", "tpch_q1",
-    "minhash_pairs", "minhash_dedup", "simhash_pairs", "simhash_dedup",
+    "minhash_pairs", "minhash_dedup", "simhash_dedup",
     "cosine_topk", "ann_topk", "ivf_topk",
 ]
 

@@ -1451,3 +1451,38 @@ def test_learn_bpe_target_vocab_stops(spark, tmp_path):
     assert bpe.load_merges(spark, p) == merges
     # target below the alphabet learns nothing
     assert bpe.learn_bpe(df, n_merges=10, target_vocab=5) == []
+
+
+def test_dsir_importance_hand_model(spark):
+    # target "a a b", raw "a b b": tc={a:2,b:1}, rc={a:1,b:2}, tt=rt=3, V=2
+    # d(a) = floor(1e6*ln(3/5)) - floor(1e6*ln(2/5)) = -510826 - (-916291)
+    #      = 405465; d(b) = -405465 by symmetry
+    # raw doc "a b b" -> 405465 - 405465 - 405465 = -405465
+    from samza_spark.pipeline.text import dsir_importance
+
+    df = spark.createDataFrame(
+        [(1, "a a b", "tgt"), (2, "a b b", "raw")],
+        "doc_id long, text string, source string",
+    )
+    out = dsir_importance(df, F.col("source") == "tgt").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 2 and r.n_tokens == 3
+    assert r.logweight_micro == -405465
+    assert abs(r.avg_logweight - (-405465 / 1e6 / 3)) < 1e-12
+    # hashed-feature path agrees when buckets don't collide
+    hashed = dsir_importance(
+        df, F.col("source") == "tgt", hash_buckets=1 << 30
+    ).collect()
+    assert [tuple(x) for x in hashed] == [tuple(x) for x in out]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from samza_spark.pipeline.text import dsir_importance
+
+    rows = [(i, "physics quantum energy field theory", "tgt") for i in range(5)]
+    rows += [(10, "physics energy quantum notes", "raw"),
+             (11, "cooking recipes butter flour sugar", "raw")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in dsir_importance(df, F.col("source") == "tgt").collect()}
+    assert out[10].avg_logweight > out[11].avg_logweight
