@@ -109,12 +109,17 @@ def cosine_topk(
         .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
         .select("query_id", "neighbor_id", "cosine")
     )
-    # partition-local top-k BEFORE the shuffle: selection only (the cosine
-    # doubles are untouched, so the result stays bit-identical to a full
-    # sort); the global rank then sees nparts*k rows per query instead of
-    # the whole corpus — the difference between shuffling ~everything and
-    # shuffling nothing at 100 TB.
-    import pandas as pd
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Partition-local top-k BEFORE the shuffle: selection only (the
+    cosine doubles are untouched, so the result stays bit-identical to a
+    full sort); the global rank then sees nparts*k rows per query instead
+    of the whole corpus — the difference between shuffling ~everything
+    and shuffling nothing at 100 TB. ``scored`` must have columns
+    (query_id, neighbor_id, cosine)."""
+    import pandas as pd  # noqa: F401
 
     def partial_topk(batches):
         for pdf in batches:
@@ -140,6 +145,54 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str | None = None,
+    query_label_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training
+    (the public DPR recipe, Karpukhin et al. 2020: the most similar
+    items with a DIFFERENT label are the hardest, most informative
+    negatives): for each query vector, the exact top-k most cosine-
+    similar corpus vectors whose label differs from the query's.
+
+    Same scale shape as :func:`cosine_topk` — queries broadcast, corpus
+    never shuffled, the label-mismatch filter applied BEFORE selection
+    (filtering after a plain top-k would under-fill k), partition-local
+    top-k then a rank over nparts*k survivors. Output:
+    ``(query_id, neighbor_id, cosine, rank)``, ties broken by
+    neighbor_id — total-ordered and oracle-comparable."""
+    query_id_col = query_id_col or id_col
+    query_label_col = query_label_col or label_col
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_label_col).alias("__ql"),
+            F.col(vec_col).alias("__qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("__cl") != F.col("__ql"))
+        )
+        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_per_query(scored, k)
 
 
 def hyperplane_buckets(

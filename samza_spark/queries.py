@@ -2477,6 +2477,32 @@ def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["dsir_weights"] = q_dsir_weights
 
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (pipeline.similarity.hard_negatives, the DPR
+    contrastive-training recipe): for each query vector the exact top-k
+    most-similar corpus vectors with a DIFFERENT label — label-mismatch
+    filter BEFORE selection, queries broadcast, partition-local top-k.
+    Oracle is the brute-force windowed SQL with the same filter."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.hard_negatives(emb, queries, k=10)
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+
+ORACLES["hard_negatives"] = (
+    "WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv "
+    "FROM embeddings WHERE vec_id < 5), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    + _cos("e.embedding", "q.qv")
+    + " AS cosine FROM embeddings e, q "
+    "WHERE e.vec_id <> q.query_id AND e.label <> q.ql) "
+    "SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank "
+    "FROM scored QUALIFY rank <= 10"
+)
+
 ORACLES["dsir_weights"] = (
     f"WITH t AS (SELECT doc_id, source, list_filter(string_split("
     f"{_NORM.format(c='text')}, ' '), x -> x <> '') AS w FROM documents), "
@@ -2521,14 +2547,14 @@ _DRIVER_WINDOW = [
     "source_stats", "source_caps", "incremental_dedup", "bigram_logprob",
     "bpe_merges", "bpe_tokenize", "mixture_plan", "range_join",
     "bpe_fertility", "global_quality_rank", "quality_percentiles",
-    "sessionize", "indexed_dedup", "dsir_weights",
-    # -- 19 load-bearing core rows (driver-green in every prior round) --
+    "sessionize", "indexed_dedup", "dsir_weights", "hard_negatives",
+    # -- 18 load-bearing core rows (driver-green in every prior round) --
     "stream_table_join", "join_left_outer", "multiway_join_revenue",
     "interval_join", "asof_join", "remote_table_join", "groupby_count",
     "tumbling_window", "sliding_window", "session_window",
     "triggered_window", "triggered_window_acc", "tpch_q1",
     "minhash_pairs", "minhash_dedup", "simhash_dedup",
-    "cosine_topk", "ann_topk", "ivf_topk",
+    "ann_topk", "ivf_topk",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

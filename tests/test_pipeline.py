@@ -1486,3 +1486,25 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = {r.doc_id: r for r in dsir_importance(df, F.col("source") == "tgt").collect()}
     assert out[10].avg_logweight > out[11].avg_logweight
+
+
+def test_hard_negatives_label_filter(spark):
+    from samza_spark.pipeline import similarity
+
+    # query [1,0] with label 0: nearest overall is id 2 (same label —
+    # must be excluded); hardest negatives are the different-label vecs
+    # ordered by cosine
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.14], 0),   # same label: never a negative
+        (3, [0.9, 0.44], 1),    # hard negative (closest different-label)
+        (4, [0.0, 1.0], 1),     # easy negative
+        (5, [-1.0, 0.0], 2),    # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.hard_negatives(emb, emb.filter(F.col("vec_id") == 1), k=2).collect()
+    got = [(r.query_id, r.neighbor_id, r.rank) for r in out]
+    assert got == [(1, 3, 1), (1, 4, 2)]
+    # with k above the negative count, same-label ids still never appear
+    all_out = similarity.hard_negatives(emb, emb.filter(F.col("vec_id") == 1), k=10).collect()
+    assert {r.neighbor_id for r in all_out} == {3, 4, 5}
