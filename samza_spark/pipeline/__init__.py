@@ -15,6 +15,7 @@ from samza_spark.pipeline import (  # noqa: F401
     dedup,
     events,
     governance,
+    linkage,
     multimodal,
     retrieval,
     sampling,
@@ -30,6 +31,7 @@ __all__ = [
     "dedup",
     "events",
     "governance",
+    "linkage",
     "multimodal",
     "retrieval",
     "sampling",

@@ -130,3 +130,57 @@ def remove_frequent_segments(
         F.count(F.lit(1)).cast("int").alias("n_segments"),
         F.sum(F.col("__hot").isNotNull().cast("int")).cast("int").alias("n_removed"),
     )
+
+
+def dedup_segments_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 5,
+    segmenter: str = "words",
+) -> DataFrame:
+    """CCNet-style exact segment dedup, *keep-first*: every segment that
+    occurs in more than one place keeps only its globally first occurrence
+    (ordered by (id, seg_idx)); all later occurrences are dropped.
+
+    This complements :func:`remove_frequent_segments` (which removes hot
+    segments from EVERY document): CCNet §3.1 deduplicates identical
+    paragraphs across shards keeping one copy, so common strings survive
+    exactly once in the corpus.
+
+    Returns one row per input document:
+    ``(id, clean_text, n_segments, n_removed)``.
+
+    Scale design (100 TB): segmentation is map-only; the owner of each
+    segment is ONE min(struct(id, seg_idx)) aggregation on the segment
+    key; the occurrence check joins back on the same key (the exchange is
+    reused — both sides are hash-partitioned by segment), then a doc-keyed
+    reassembly bounded by document size. No broadcast of corpus-sized
+    state, no driver materialization.
+    """
+    if segmenter == "words":
+        segs = word_segments(df, text_col, id_col, seg_words)
+    elif segmenter == "lines":
+        segs = line_segments(df, text_col, id_col)
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"unknown segmenter: {segmenter!r}")
+
+    owner = segs.groupBy("segment").agg(
+        F.min(F.struct(F.col(id_col).alias("__oid"), F.col("seg_idx").alias("__oseg"))).alias("__own")
+    )
+    marked = segs.join(owner, "segment").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col("__own.__oid"))
+        & (F.col("seg_idx") == F.col("__own.__oseg")),
+    )
+    kept_struct = F.when(F.col("__keep"), F.struct("seg_idx", "segment"))
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["segment"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.sum((~F.col("__keep")).cast("int")).cast("int").alias("n_removed"),
+    )

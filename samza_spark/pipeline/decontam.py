@@ -100,3 +100,104 @@ def decontaminate(
     )
     keep = flags.where(F.col("n_overlap") <= max_overlap).select(id_col)
     return train_df.join(keep, on=id_col, how="left_semi")
+
+
+def _positional_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gram_hash) for every length-``n`` token window of the
+    normalized text (1-based ``pos``; docs shorter than n emit none).
+    Map-only: explode + slice + md5, no Python."""
+    toks = F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    return base.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.expr(f"sequence(1, size(__toks) - {n - 1})"),
+            ).otherwise(F.expr("array()"))
+        ).alias("pos"),
+        F.col("__toks").alias("__t2"),
+    ).select(
+        "__id",
+        "pos",
+        F.md5(F.expr(f"array_join(slice(__t2, pos, {n}), ' ')")).alias("__h"),
+    )
+
+
+def contaminated_span_stats(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Span-level decontamination (Lee et al. ACL'22 §4 applied cross-corpus;
+    the GPT-3/C4 recipes drop whole documents — this removes only the
+    overlapping spans, keeping the rest of the document).
+
+    A token position of a train document is *contaminated* when some
+    length-``n`` token window containing it also occurs verbatim in the
+    benchmark corpus. Returns one row per train document:
+    ``(id, n_tokens, n_contam_grams, contam_tokens, contam_frac,
+    clean_text)`` where ``clean_text`` is the document with contaminated
+    positions dropped.
+
+    Scale design (100 TB train, small benchmark): benchmark window hashes
+    are distinct + BROADCAST, so the train side joins map-side — the only
+    train shuffles are the per-doc re-aggregation (bounded by doc length)
+    and none on the gram key at all. For a benchmark too large to
+    broadcast, ``broadcast_bench=False`` falls back to a hash join on the
+    gram hash. Mirrors substring.duplicate_ngram_stats' coverage algebra so
+    the DuckDB oracle replays it bit-for-bit.
+    """
+    bench = _positional_grams(bench_df, text_col, id_col, n).select("__h").distinct()
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    grams = _positional_grams(train_df, text_col, id_col, n)
+    hits = grams.join(bench, "__h").select("__id", "pos")
+    per_doc = hits.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_contam_grams"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.expr(f"sequence(pos, pos + {n - 1})")))
+            )
+        ).alias("__cov"),
+    )
+    toks = F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = train_df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    joined = base.join(per_doc, "__id", "left")
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce("n_contam_grams", F.lit(0)).cast("long").alias("n_contam_grams"),
+        F.size(F.coalesce(F.col("__cov"), F.expr("array()")))
+        .cast("long")
+        .alias("contam_tokens"),
+        F.when(
+            F.size("__toks") > 0,
+            F.size(F.coalesce(F.col("__cov"), F.expr("array()"))).cast("double")
+            / F.size("__toks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contam_frac"),
+        F.array_join(
+            F.transform(
+                F.expr(
+                    "array_except("
+                    "if(size(__toks) >= 1, sequence(1, size(__toks)), array()), "
+                    "coalesce(__cov, array()))"
+                ),
+                lambda p: F.element_at("__toks", p),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

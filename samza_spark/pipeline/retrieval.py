@@ -151,3 +151,67 @@ def posting_lists(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.array_sort(F.collect_list("doc")).alias("postings"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` keywords per document by TF-IDF over the whole vocabulary.
+
+    score(t, d) = tf(t, d) * idf(t),  idf(t) = ln(N / df(t))
+
+    Stopword-ish tokens are suppressed the statistical way — high-df terms
+    get idf ~ 0 — plus a ``min_token_len`` character floor. The idf is
+    fixed-pointed to integer micro-nats (floor(ln(N/df) * 1e6)) so the
+    per-term score ``tf * idf_micro`` is exact integer arithmetic: JVM
+    Math.log and C ln can disagree in the last ulp, and a cross-engine
+    oracle must replay ties identically (see NOTES.md on unigram_logprob).
+
+    Returns (id, term, tf, score_micro, rank), rank 1..k per document,
+    ties broken by term ascending.
+
+    Scale design (100 TB): ONE shuffle on (id, term) for tf with map-side
+    partial counts; ONE vocab-keyed shuffle for df; the idf join is on the
+    term key (vocab-sized side, hash join — broadcastable when the
+    vocabulary fits); per-doc top-k is a window partitioned by id over
+    rows already co-located by the tf aggregation. No global sort, no
+    driver state.
+    """
+    toks = _tokens(F.col(text_col))
+    terms = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("term")
+    ).where(F.length("term") >= min_token_len)
+    tf = terms.groupBy("__id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    doc_freq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.floor(
+                F.log(F.col("__n").cast("double") / F.col("df").cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(doc_freq, "term").select(
+        F.col("__id").alias(id_col),
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("score_micro").desc(), F.col("term").asc()
+        )
+    )
+    return scored.withColumn("rank", w.cast("int")).where(F.col("rank") <= k)

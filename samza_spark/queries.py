@@ -2526,6 +2526,155 @@ ORACLES["dsir_weights"] = (
 
 
 # ---------------------------------------------------------------------------
+# round 5: exact set-similarity join, TF-IDF keywords, span decontamination,
+# keep-first segment dedup
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact set-similarity self-join via AllPairs/PPJoin prefix filtering
+    (pipeline.linkage.similarity_join): df-ordered prefixes generate
+    candidates losslessly, exact Jaccard verifies. The oracle is the
+    BRUTE-FORCE all-pairs join — equality checks the prefix filter's
+    zero-recall-loss theorem, not just plausibility."""
+    from samza_spark.pipeline import linkage
+
+    docs = load_table(spark, sf, "documents")
+    return linkage.similarity_join(docs, n=3, threshold=0.6)
+
+
+QUERIES["similarity_join"] = q_similarity_join
+
+_SIMJOIN_J = (
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)"
+)
+ORACLES["similarity_join"] = (
+    f"WITH t AS (SELECT doc_id, {_grams_duck(3)} AS s FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common, "
+    f"{_SIMJOIN_J} AS jaccard "
+    "FROM t a JOIN t b ON a.doc_id < b.doc_id "
+    f"WHERE {_SIMJOIN_J} >= 0.6"
+)
+
+
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-5 keywords by TF-IDF (pipeline.retrieval.
+    tfidf_keywords). idf is fixed-pointed to integer micro-nats before the
+    tf multiply so both engines rank on exact integers (JVM Math.log vs C
+    ln can differ in the last ulp — see NOTES.md)."""
+    from samza_spark.pipeline import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    return retrieval.tfidf_keywords(docs, k=5, min_token_len=3)
+
+
+QUERIES["tfidf_topk"] = q_tfidf_topk
+
+ORACLES["tfidf_topk"] = (
+    f"WITH tok AS (SELECT doc_id, u AS term FROM (SELECT doc_id, "
+    f"unnest(string_split({_NORM.format(c='text')}, ' ')) AS u FROM documents) "
+    "WHERE len(u) >= 3), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok "
+    "GROUP BY doc_id, term), "
+    "n AS (SELECT count(*) AS nd FROM documents), "
+    "idf AS (SELECT term, CAST(floor(ln(CAST(n.nd AS DOUBLE) / "
+    "CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS idf_micro "
+    "FROM tf, n GROUP BY term, n.nd), "
+    "s AS (SELECT tf.doc_id, tf.term, tf.tf, "
+    "CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro "
+    "FROM tf JOIN idf USING (term)) "
+    "SELECT doc_id, term, tf, score_micro, "
+    "CAST(row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY score_micro DESC, term ASC) AS INT) AS rank "
+    "FROM s QUALIFY rank <= 5"
+)
+
+
+def q_decontam_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level benchmark decontamination (pipeline.decontam.
+    contaminated_span_stats): benchmark 6-gram hashes broadcast against the
+    train side's positional grams; covered token positions are dropped.
+    Same train/bench split (doc_id % 17) as the doc-level `decontaminate`
+    query, same coverage algebra as `dup_spans`."""
+    from samza_spark.pipeline import decontam
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.where("doc_id % 17 = 0")
+    train = docs.where("doc_id % 17 <> 0")
+    return decontam.contaminated_span_stats(train, bench, n=6)
+
+
+QUERIES["decontam_spans"] = q_decontam_spans
+
+ORACLES["decontam_spans"] = (
+    f"WITH t AS (SELECT doc_id, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "b AS (SELECT doc_id, w, len(w) AS ntok FROM t WHERE doc_id % 17 <> 0), "
+    "bh AS (SELECT DISTINCT md5(array_to_string(w[i:i+5], ' ')) AS h "
+    "FROM (SELECT w, unnest(generate_series(1, len(w) - 5)) AS i FROM t "
+    "WHERE doc_id % 17 = 0 AND len(w) >= 6)), "
+    "g AS (SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+5], ' ')) AS h "
+    "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 5)) AS i FROM b "
+    "WHERE len(w) >= 6)), "
+    "o AS (SELECT g.doc_id, g.pos FROM g JOIN bh ON g.h = bh.h), "
+    "covd AS (SELECT DISTINCT doc_id, cpos FROM "
+    "(SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS cpos FROM o)), "
+    "a1 AS (SELECT doc_id, count(*) AS n_contam_grams FROM o GROUP BY doc_id), "
+    "a2 AS (SELECT doc_id, count(*) AS contam_tokens FROM covd GROUP BY doc_id), "
+    "tok AS (SELECT doc_id, i AS pos, w[i] AS tk FROM "
+    "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM b)), "
+    "keep AS (SELECT tok.doc_id, tok.pos, tok.tk FROM tok LEFT JOIN covd "
+    "ON tok.doc_id = covd.doc_id AND tok.pos = covd.cpos WHERE covd.cpos IS NULL), "
+    "ct AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text "
+    "FROM keep GROUP BY doc_id) "
+    "SELECT b.doc_id, CAST(b.ntok AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(a1.n_contam_grams, 0) AS BIGINT) AS n_contam_grams, "
+    "CAST(coalesce(a2.contam_tokens, 0) AS BIGINT) AS contam_tokens, "
+    "CASE WHEN b.ntok > 0 THEN CAST(coalesce(a2.contam_tokens, 0) AS DOUBLE) / b.ntok "
+    "ELSE CAST(0.0 AS DOUBLE) END AS contam_frac, "
+    "coalesce(ct.clean_text, '') AS clean_text "
+    "FROM b LEFT JOIN a1 ON b.doc_id = a1.doc_id "
+    "LEFT JOIN a2 ON b.doc_id = a2.doc_id "
+    "LEFT JOIN ct ON b.doc_id = ct.doc_id"
+)
+
+
+def q_segment_dedup_first(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style keep-first exact segment dedup (pipeline.boilerplate.
+    dedup_segments_keep_first): each duplicated 2-word segment keeps only
+    its globally-first occurrence (min (doc_id, seg_idx)); later
+    occurrences are dropped. Complements boilerplate_removal, which drops
+    hot segments from EVERY document."""
+    from samza_spark.pipeline import boilerplate
+
+    docs = load_table(spark, sf, "documents")
+    return boilerplate.dedup_segments_keep_first(docs, seg_words=2)
+
+
+QUERIES["segment_dedup_first"] = q_segment_dedup_first
+
+ORACLES["segment_dedup_first"] = (
+    f"WITH t AS (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents), "
+    "segs AS (SELECT doc_id, i - 1 AS seg_idx, "
+    "array_to_string(list_slice(w, (i - 1) * 2 + 1, (i - 1) * 2 + 2), ' ') AS segment "
+    "FROM (SELECT doc_id, w, unnest(generate_series(1, "
+    "greatest(CAST(ceil(len(w) / 2.0) AS INT), 1))) AS i FROM t)), "
+    "r AS (SELECT doc_id, seg_idx, segment, row_number() OVER "
+    "(PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn FROM segs), "
+    "re AS (SELECT doc_id, string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text "
+    "FROM r WHERE rn = 1 GROUP BY doc_id), "
+    "tot AS (SELECT doc_id, count(*) AS n_segments, "
+    "sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed FROM r GROUP BY doc_id) "
+    "SELECT tot.doc_id, coalesce(re.clean_text, '') AS clean_text, "
+    "CAST(tot.n_segments AS INT) AS n_segments, "
+    "CAST(tot.n_removed AS INT) AS n_removed "
+    "FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id"
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
@@ -2548,11 +2697,17 @@ _DRIVER_WINDOW = [
     "bpe_merges", "bpe_tokenize", "mixture_plan", "range_join",
     "bpe_fertility", "global_quality_rank", "quality_percentiles",
     "sessionize", "indexed_dedup", "dsir_weights", "hard_negatives",
-    # -- 18 load-bearing core rows (driver-green in every prior round) --
-    "stream_table_join", "join_left_outer", "multiway_join_revenue",
-    "interval_join", "asof_join", "remote_table_join", "groupby_count",
-    "tumbling_window", "sliding_window", "session_window",
-    "triggered_window", "triggered_window_acc", "tpch_q1",
+    # -- round-5-new operators (never driver-checked) --
+    "similarity_join", "tfidf_topk", "decontam_spans",
+    "segment_dedup_first",
+    # -- 14 load-bearing core rows (driver-green in every prior round;
+    #    join_left_outer / remote_table_join / sliding_window /
+    #    triggered_window_acc rotated out after four green rounds — still
+    #    covered by the local gate) --
+    "stream_table_join", "multiway_join_revenue",
+    "interval_join", "asof_join", "groupby_count",
+    "tumbling_window", "session_window",
+    "triggered_window", "tpch_q1",
     "minhash_pairs", "minhash_dedup", "simhash_dedup",
     "ann_topk", "ivf_topk",
 ]
