@@ -58,6 +58,11 @@ HEADLINE = [
     "range_join",
     "mixture_plan",
     "sessionize",
+    # round-5 additions
+    "similarity_join",
+    "tfidf_topk",
+    "decontam_spans",
+    "segment_dedup_first",
 ]
 
 

@@ -184,3 +184,42 @@ def test_double_sep_merge_chain_equals_greedy_chain(syms, merges):
     assert [s for s in rep.split(SEP * 2) if s] == expect
     # concatenation is invariant under merging
     assert "".join(expect) == "".join(syms)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter theorem (pipeline/linkage.py relies on it for lossless
+# candidate generation)
+# ---------------------------------------------------------------------------
+
+_ELEMS = st.lists(
+    st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(_ELEMS, st.sampled_from([0.3, 0.5, 0.6, 0.8, 0.9]))
+def test_prefix_filter_theorem(records, t):
+    """Any pair with Jaccard >= t must share an element within BOTH
+    records' (df ASC, elem ASC)-ordered prefixes of length
+    |x| - ceil(t*|x|) + 1 — the property linkage.similarity_join's
+    candidate join depends on for exact recall."""
+    import math
+
+    df = {}
+    for r in records:
+        for e in r:
+            df[e] = df.get(e, 0) + 1
+    prefixes = []
+    for r in records:
+        ordered = sorted(r, key=lambda e: (df[e], e))
+        p = len(r) - math.ceil(t * len(r)) + 1
+        prefixes.append(set(ordered[:p]))
+    for i in range(len(records)):
+        for j in range(i + 1, len(records)):
+            a, b = records[i], records[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefixes[i] & prefixes[j], (
+                    f"pair ({i},{j}) J={jac} missed by prefix filter"
+                )
