@@ -51,11 +51,22 @@ def _shingle_sets(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
     """(id, shingles, sz): distinct word n-gram set per record and its
-    size. Map-only."""
-    return df.select(
-        F.col(id_col).alias("__id"),
-        word_ngrams(text_col, n).alias("__sh"),
-    ).select("__id", "__sh", F.size("__sh").alias("__sz"))
+    size. Shingling is the dominant cost (higher-order array expressions
+    are interpreted, not codegen'd), so spread it across the cluster
+    first — a single input file otherwise pins the whole expression run
+    to one task (same repartition-before-shingling as dedup.lsh_banded)."""
+    spark = df.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+    )
+    return (
+        df.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("__id"),
+            word_ngrams(text_col, n).alias("__sh"),
+        )
+        .select("__id", "__sh", F.size("__sh").alias("__sz"))
+    )
 
 
 def ordered_prefixes(
@@ -105,32 +116,45 @@ def similarity_join(
     """
     sets_df = _shingle_sets(df, text_col, id_col, n)
     pref = ordered_prefixes(sets_df, threshold)
-    a = pref.select(
-        F.col("__id").alias("__ida"),
-        F.col("__sz").alias("__sza"),
-        F.col("__e").alias("__ea"),
-    )
-    b = pref.select(
-        F.col("__id").alias("__idb"),
-        F.col("__sz").alias("__szb"),
-        F.col("__e").alias("__eb"),
-    )
     t = float(threshold)
+    # In-bucket pair expansion instead of a two-sided self-join: a DataFrame
+    # self-join would evaluate the whole prefix subtree (two shuffles + a
+    # collect_list aggregation) TWICE — Spark's ReuseExchange doesn't fire
+    # across the alias-renamed sides. Grouping by element and expanding
+    # sorted pairs per bucket computes the prefixes ONCE and costs one
+    # element-keyed shuffle (the same idiom as dedup._expand_bucket_pairs).
+    # Buckets are small by construction: rarest-first ordering puts only
+    # LOW-df elements into prefixes.
+    agged = pref.groupBy("__e").agg(
+        F.collect_list(F.struct("__id", "__sz")).alias("ms")
+    )
+    pair_expr = (
+        # gate on size >= 2: Spark sequence(1, 0) DESCENDS
+        "if(size(ms2) >= 2, "
+        "flatten(transform(sequence(1, size(ms2) - 1), i -> "
+        "transform(sequence(0, i - 1), j -> "
+        "struct(ms2[j].__id AS ida, ms2[j].__sz AS sza, "
+        "ms2[i].__id AS idb, ms2[i].__sz AS szb)))), "
+        "array())"
+    )
     cand = (
-        a.join(
-            b,
-            # distinct alias names on the two sides: a self-join on the raw
-            # shared column resolves both references to ONE attribute and
-            # silently degenerates to a cartesian-with-filter
-            (F.col("__ea") == F.col("__eb"))
-            & (F.col("__ida") < F.col("__idb"))
-            # length filter: t*|a| <= |b| and t*|b| <= |a|
-            & (F.col("__szb") * F.lit(t) <= F.col("__sza"))
-            & (F.col("__sza") * F.lit(t) <= F.col("__szb")),
+        agged.withColumn("ms2", F.array_sort("ms"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        # length filter: t*|a| <= |b| and t*|b| <= |a|
+        .where(
+            (F.col("p.szb") * F.lit(t) <= F.col("p.sza"))
+            & (F.col("p.sza") * F.lit(t) <= F.col("p.szb"))
         )
-        .select("__ida", "__idb")
+        .select(F.col("p.ida").alias("__ida"), F.col("p.idb").alias("__idb"))
         .distinct()
     )
+    # The verify side re-shingles the corpus (map-only) rather than
+    # semi-joining down to candidate members first: a semi-join on ids
+    # derived from `cand` would put the whole prefix+expansion pipeline on
+    # BOTH sides of the verify join and evaluate it twice (measured 2x
+    # slower at sf0.1). Callers verifying against an already-materialized
+    # candidate table should persist `cand` and use the semi-join shape
+    # (dedup.ngram verify does exactly that with LSH candidates).
     sa = sets_df.select(
         F.col("__id").alias("__ida"), F.col("__sh").alias("__sha")
     )
