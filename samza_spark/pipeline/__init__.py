@@ -20,6 +20,7 @@ from samza_spark.pipeline import (  # noqa: F401
     retrieval,
     sampling,
     similarity,
+    stats,
     substring,
     text,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "retrieval",
     "sampling",
     "similarity",
+    "stats",
     "substring",
     "text",
 ]

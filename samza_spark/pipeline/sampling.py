@@ -227,3 +227,35 @@ def write_training_shards(
         .parquet(path)
     )
     return packed
+
+
+def uniform_sample_exact_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample0",
+) -> DataFrame:
+    """Exactly-``k``-row uniform sample, deterministic and engine-
+    reproducible: rank every row by the md5 hash of (salt, id) and keep
+    the ``k`` smallest (id as tiebreaker for duplicate ids).
+
+    ``DataFrame.sample`` gives a BINOMIAL sample (±√n rows) and depends
+    on partition layout; reservoir sampling needs a sequential pass.
+    Hash-ranking gives exact cardinality, stability under reruns and
+    repartitioning, and a DuckDB-replayable decision for every row.
+
+    Plan shape: TakeOrderedAndProject — per-partition top-k then a k-row
+    merge; no global sort, no driver state beyond k rows. Changing
+    ``salt`` draws an independent sample.
+    """
+    h = F.md5(
+        F.concat(
+            F.lit(salt), F.lit("|"), F.col(id_col).cast("string")
+        )
+    ).alias("__h")
+    return (
+        df.select("*", h)
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(int(k))
+        .drop("__h")
+    )

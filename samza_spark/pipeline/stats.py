@@ -1,0 +1,101 @@
+"""Exact distributed statistics: OLS linear fit and Zipf's-law slope.
+
+Ordinary least squares reduces to five sufficient statistics
+(n, Σx, Σy, Σx², Σxy) — a single aggregation pass, embarrassingly
+map-side-combinable, the textbook distributed regression. The trap at
+scale is floating-point: cross-row double sums are shuffle-order-
+dependent, so two runs (or two engines) disagree in the last ulps. Here
+the inputs are INTEGER micro-units and the sums run in DECIMAL(38,0)
+(exact integer arithmetic in both Spark and DuckDB/hugeint); only the
+two final divisions touch doubles, each a single IEEE op on identical
+operands — bit-reproducible anywhere.
+
+    slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+``zipf_fit`` composes it with the corpus term-frequency table: Zipf's
+law (freq ∝ rank^s, s ≈ −1 for natural language; Piantadosi 2014 review)
+fits ln(freq) against ln(rank). Term ranking uses operators.rank.
+global_rank — range exchange + broadcast offsets, NO single-partition
+sort — so the fit holds its plan shape on a 100 TB corpus vocabulary.
+
+Reference anchor: apache/samza has no statistics operators; this is
+corpus-analytics surface (vocabulary health checks, tokenizer sizing,
+quality drift monitoring) built on the engine's aggregation shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from samza_spark.operators.rank import global_rank
+from samza_spark.pipeline.text import normalized
+
+_DEC = "decimal(38,0)"
+
+
+def linear_fit(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One-row OLS fit of integer columns ``y_col ~ x_col``:
+    (n, slope, intercept). Exact decimal sufficient statistics; the two
+    output doubles are single divisions of exactly-computed integers."""
+    x = F.col(x_col).cast(_DEC)
+    y = F.col(y_col).cast(_DEC)
+    sums = df.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    denom = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    s_num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    i_num = (
+        F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")
+    )
+    return sums.select(
+        F.col("__n").cast("long").alias("n"),
+        (s_num.cast("double") / denom.cast("double")).alias("slope"),
+        (i_num.cast("double") / denom.cast("double")).alias("intercept"),
+    )
+
+
+def term_rank_table(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(term, cnt, rank): corpus term frequencies ranked 1..V by
+    (cnt DESC, term ASC). One token shuffle for the counts; the global
+    rank is the scalable range-exchange form (no single-partition
+    window)."""
+    toks = F.split(normalized(F.col(text_col)), " ")
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    return global_rank(
+        counts, [F.col("cnt").desc(), F.col("term").asc()], rank_col="rank"
+    )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """One-row Zipf's-law fit over the corpus vocabulary:
+    (n, slope, intercept) of ln(freq) ~ ln(rank), both fixed-pointed to
+    integer micro-nats (floor(ln·1e6)) before the exact-decimal OLS.
+    slope ≈ -1 indicates a natural-language-like frequency distribution;
+    a flat slope flags synthetic/templated corpora."""
+    ranked = term_rank_table(df, text_col, min_count)
+    micro = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("__lx"),
+        F.floor(F.log(F.col("cnt").cast("double")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("__ly"),
+    )
+    return linear_fit(micro, "__lx", "__ly")

@@ -2674,6 +2674,55 @@ ORACLES["segment_dedup_first"] = (
 )
 
 
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus Zipf's-law fit (pipeline.stats.zipf_fit): term counts ->
+    scalable global rank -> fixed-point ln -> exact-DECIMAL OLS. The two
+    output doubles are single divisions of exactly-summed integers, so
+    both engines produce them bit-for-bit."""
+    from samza_spark.pipeline import stats
+
+    docs = load_table(spark, sf, "documents")
+    return stats.zipf_fit(docs)
+
+
+QUERIES["zipf_fit"] = q_zipf_fit
+
+ORACLES["zipf_fit"] = (
+    f"WITH tok AS (SELECT unnest(string_split({_NORM.format(c='text')}, ' ')) AS u "
+    "FROM documents), "
+    "c AS (SELECT u AS term, count(*) AS cnt FROM tok WHERE u <> '' GROUP BY u), "
+    "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank FROM c), "
+    "m AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS HUGEINT) AS lx, "
+    "CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS HUGEINT) AS ly FROM r), "
+    "s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(lx) AS sx, sum(ly) AS sy, "
+    "sum(lx * lx) AS sxx, sum(lx * ly) AS sxy FROM m) "
+    "SELECT CAST(n AS BIGINT) AS n, "
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope, "
+    "CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept "
+    "FROM s"
+)
+
+
+def q_uniform_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic exactly-k uniform sample (pipeline.sampling.
+    uniform_sample_exact_k): md5-hash rank, TakeOrderedAndProject plan
+    (per-partition top-k + k-row merge, no global sort). The oracle
+    replays every row's hash rank."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.uniform_sample_exact_k(docs, 100, salt="sample0")
+
+
+QUERIES["uniform_sample"] = q_uniform_sample
+
+ORACLES["uniform_sample"] = (
+    "SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "ORDER BY md5('sample0' || '|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC "
+    "LIMIT 100"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

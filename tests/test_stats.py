@@ -1,0 +1,111 @@
+"""Exact distributed OLS / Zipf fit and the deterministic exact-k
+sampler."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from samza_spark.catalog import load_table
+from samza_spark.pipeline import sampling, stats
+
+
+def test_linear_fit_exact_line(spark):
+    # y = 3x + 7 exactly: slope/intercept must come out exact
+    df = spark.createDataFrame(
+        [(x, 3 * x + 7) for x in range(0, 50, 5)], "x long, y long"
+    )
+    r = stats.linear_fit(df, "x", "y").collect()[0]
+    assert r["n"] == 10
+    assert r["slope"] == 3.0
+    assert r["intercept"] == 7.0
+
+
+def test_linear_fit_matches_closed_form(spark):
+    pts = [(1, 10), (2, 8), (3, 9), (4, 4), (5, 3), (6, 1)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = stats.linear_fit(df, "x", "y").collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    assert r["slope"] == (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["intercept"] == (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+
+
+def test_term_rank_table_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    rows = {
+        r["term"]: (r["cnt"], r["rank"])
+        for r in stats.term_rank_table(df).collect()
+    }
+    assert rows == {"aa": (3, 1), "bb": (2, 2), "cc": (1, 3)}
+
+
+def test_zipf_fit_recovers_synthetic_slope(spark):
+    # freq(rank) = round(1000 * rank^-1): slope must land near -1
+    docs = []
+    did = 0
+    for rank in range(1, 30):
+        freq = max(round(1000 / rank), 1)
+        docs.append((did, " ".join([f"t{rank:03d}"] * freq)))
+        did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = stats.zipf_fit(df).collect()[0]
+    assert r["n"] == 29
+    assert abs(r["slope"] - (-1.0)) < 0.02
+    # intercept in micro-nats: exp(intercept/1e6) ~ top frequency
+    assert abs(math.exp(r["intercept"] / 1e6) - 1000) < 60
+
+
+def test_uniform_sample_exact_k(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    s = sampling.uniform_sample_exact_k(docs, 17)
+    assert s.count() == 17
+    assert s.columns == docs.columns
+    # deterministic across invocations
+    a = sorted(r["doc_id"] for r in s.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.uniform_sample_exact_k(docs, 17).collect()
+    )
+    assert a == b
+    # a different salt draws a different sample (overwhelmingly likely)
+    c = sorted(
+        r["doc_id"]
+        for r in sampling.uniform_sample_exact_k(
+            docs, 17, salt="other"
+        ).collect()
+    )
+    assert a != c
+    # k >= n degenerates to the full table
+    assert sampling.uniform_sample_exact_k(docs, total + 5).count() == total
+
+
+def test_uniform_sample_plan_is_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        sampling.uniform_sample_exact_k(docs, 17)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_uniform_sample_is_prefix_stable(spark, sf_dir):
+    """Growing k only ADDS rows (hash order is a fixed permutation) —
+    the property that makes samples reusable as nested subsets."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = {
+        r["doc_id"]
+        for r in sampling.uniform_sample_exact_k(docs, 10).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sampling.uniform_sample_exact_k(docs, 40).collect()
+    }
+    assert small <= big
