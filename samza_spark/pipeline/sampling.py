@@ -259,3 +259,48 @@ def uniform_sample_exact_k(
         .limit(int(k))
         .drop("__h")
     )
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: "Sequence[str]",
+    mode: str = "overwrite",
+    dynamic: bool = False,
+    target_files_per_partition: int = 1,
+) -> None:
+    """Hive-layout partitioned parquet sink (``col=value`` directories).
+
+    The 100 TB layout contract: readers filtering on ``partition_cols``
+    must PRUNE at the directory level (PartitionFilters in the scan, zero
+    bytes read for excluded partitions) — see test_stats for the plan
+    assertion. Rows are pre-shuffled onto their partition keys so each
+    output partition is written by ``target_files_per_partition`` tasks:
+    without that, every one of the N writing tasks can emit a file into
+    every partition directory (N x P small files — the classic export
+    mistake at scale).
+
+    ``dynamic=True`` + overwrite replaces ONLY the partitions present in
+    ``df`` (Spark's dynamic partition overwrite), the idempotent shape
+    for re-running one day/source of a backfill without clobbering the
+    rest of the table.
+    """
+    cols = [F.col(c) for c in partition_cols]
+    n_files = max(int(target_files_per_partition), 1)
+    if n_files == 1:
+        # hash-shuffle on the partition keys: each key value lands in ONE
+        # task, so the partitionBy writer emits one file per directory
+        writer = df.repartition(*cols)
+    else:
+        # deterministic row salt widens each partition value to n_files
+        # writing tasks (bigger partitions, parallel write)
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_files)
+        )
+        writer = df.withColumn("__salt", salt).repartition(
+            *cols, F.col("__salt")
+        ).drop("__salt")
+    w = writer.write.partitionBy(*partition_cols).mode(mode)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)

@@ -109,3 +109,53 @@ def test_uniform_sample_is_prefix_stable(spark, sf_dir):
         for r in sampling.uniform_sample_exact_k(docs, 40).collect()
     }
     assert small <= big
+
+
+# ---------------------------------------------------------------------------
+# partitioned-table sink: layout, pruning, dynamic overwrite
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_sink_layout_and_pruning(spark, sf_dir, tmp_path):
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "by_lang")
+    sampling.write_partitioned_table(docs, out, ["lang"])
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert dirs == {f"lang={l}" for l in langs}
+    # one file per partition directory (the anti-small-files shuffle)
+    for d in dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    pruned = back.where(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # directory-level pruning: the predicate lands in PartitionFilters,
+    # NOT in PushedFilters/data filters
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert pruned.count() == docs.where("lang = 'en'").count()
+
+
+def test_partitioned_sink_dynamic_overwrite(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "dyn")
+    sampling.write_partitioned_table(docs, out, ["lang"])
+    before = spark.read.parquet(out).count()
+    # rewrite ONLY the 'en' partition with a 1-row replacement
+    one = docs.where("lang = 'en'").limit(1)
+    sampling.write_partitioned_table(
+        one, out, ["lang"], mode="overwrite", dynamic=True
+    )
+    after = spark.read.parquet(out)
+    n_en_before = docs.where("lang = 'en'").count()
+    assert after.where("lang = 'en'").count() == 1
+    # every other partition untouched
+    assert after.count() == before - n_en_before + 1
