@@ -2723,6 +2723,34 @@ ORACLES["uniform_sample"] = (
 )
 
 
+def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (operators.bloomjoin.bloom_semi_join):
+    the big side is bit-checked map-side against a relationally-built
+    128 KiB filter of the selective key set BEFORE its join exchange; the
+    final semi join removes false positives, so the result is exactly the
+    plain semi-join — which is the oracle."""
+    from samza_spark.operators import bloomjoin
+
+    li = load_table(spark, sf, "lineitem")
+    keys = (
+        load_table(spark, sf, "orders")
+        .where("o_totalprice > 400000")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return bloomjoin.bloom_semi_join(li, keys, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+QUERIES["bloom_semi_join"] = q_bloom_semi_join
+
+ORACLES["bloom_semi_join"] = (
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+    "FROM lineitem WHERE l_orderkey IN "
+    "(SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
