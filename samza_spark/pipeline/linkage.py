@@ -113,8 +113,20 @@ def similarity_join(
     Returns ``(id_a, id_b, n_common, jaccard)`` with ``id_a < id_b``;
     provably identical to the brute-force all-pairs join (prefix filtering
     is lossless — see module docstring).
+
+    The shingle-set table is referenced three times (prefix generation +
+    both verify sides); without a persist Spark recomputes the expensive
+    interpreted shingling per reference (measured 11-12.7s vs 7s at
+    sf0.1). The sets are persisted spill-safe (MEMORY_AND_DISK), the
+    pair output — many orders of magnitude smaller than the corpus — is
+    materialized eagerly, and the corpus-sized cache is dropped before
+    returning, so repeated calls leak nothing.
     """
-    sets_df = _shingle_sets(df, text_col, id_col, n)
+    from pyspark import StorageLevel
+
+    sets_df = _shingle_sets(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pref = ordered_prefixes(sets_df, threshold)
     t = float(threshold)
     # In-bucket pair expansion instead of a two-sided self-join: a DataFrame
@@ -163,7 +175,7 @@ def similarity_join(
     )
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size("__sha") + F.size("__shb") - inter
-    return (
+    out = (
         cand.join(sa, "__ida")
         .join(sb, "__idb")
         .select(
@@ -173,7 +185,11 @@ def similarity_join(
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= F.lit(t))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()  # materialize while the shingle cache is live
+    sets_df.unpersist()
+    return out
 
 
 def similarity_join_bruteforce(
