@@ -23,6 +23,7 @@ from samza_spark.pipeline import (  # noqa: F401
     stats,
     substring,
     text,
+    versioning,
 )
 
 __all__ = [
@@ -40,4 +41,5 @@ __all__ = [
     "stats",
     "substring",
     "text",
+    "versioning",
 ]

@@ -201,3 +201,71 @@ def contaminated_span_stats(
             " ",
         ).alias("clean_text"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    weights=(("train", 4), ("test", 1)),
+    salt: str = "split0",
+) -> DataFrame:
+    """Cross-split near-duplicate audit: pairs of documents assigned to
+    DIFFERENT splits whose n-gram Jaccard is >= ``threshold`` — i.e.
+    test-set content leaking into train through near-duplicates, which a
+    per-document split assignment cannot see (Lee et al. 2022 §6.2 found
+    eval-train overlap in every corpus they deduplicated).
+
+    Scale shape — strictly cheaper than a full dedup pass:
+
+    1. MinHash-LSH banding over the WHOLE corpus (one explode + one
+       (band, bucket) shuffle — dedup.minhash_lsh_candidates).
+    2. The split of each pair side is recomputed MAP-SIDE from the id
+       hash (sampling.assign_split is a pure function of the id), so
+       same-split pairs are discarded with a filter before the expensive
+       Jaccard verify — no join against a split table, no extra shuffle.
+    3. Exact verify (jaccard_verify) touches only surviving cross-split
+       candidates.
+
+    Returns (a, b, split_a, split_b, jaccard), a < b.
+    """
+    from samza_spark.pipeline import dedup as _dedup
+    from samza_spark.pipeline.sampling import _hash_bucket
+
+    total = sum(w for _, w in weights)
+
+    def split_of(col: str):
+        bucket = _hash_bucket(col, salt, total)
+        acc = 0
+        conds = []
+        for name, w in weights[:-1]:
+            acc += w
+            conds.append((acc, name))
+        expr = F.lit(weights[-1][0])
+        for acc_val, name in reversed(conds):
+            expr = F.when(bucket < acc_val, F.lit(name)).otherwise(expr)
+        return expr
+
+    pairs = _dedup.minhash_lsh_candidates(
+        df, text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands
+    )
+    cross = (
+        pairs.withColumn("split_a", split_of("a"))
+        .withColumn("split_b", split_of("b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    verified = _dedup.jaccard_verify(
+        df,
+        cross.select("a", "b"),
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle_k=3,
+        shingle_mode="word",
+    )
+    return verified.join(cross, on=["a", "b"]).select(
+        "a", "b", "split_a", "split_b", "jaccard"
+    )

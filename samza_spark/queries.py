@@ -2751,6 +2751,124 @@ ORACLES["bloom_semi_join"] = (
 )
 
 
+def q_changelog_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-wins changelog compaction (tables.compaction.
+    compact_changelog): the batch form of the reference's changelog
+    restore (samza-kv KeyValueStorageEngine restore loop — last write
+    per key wins, delete markers drop the key; the broker-side analog is
+    Kafka topic compaction). ONE max_by aggregate with map-side partial
+    combine — shuffle volume is O(#keys), not O(#log records); the
+    oracle replays it as the row_number()=1 window, which is the shape
+    this operator deliberately avoids at scale."""
+    from samza_spark.tables.compaction import compact_changelog
+
+    ev = load_table(spark, sf, "events")
+    state = compact_changelog(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_type", "value"],
+        tombstone=F.col("event_type") == "error",
+    )
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+QUERIES["changelog_compact"] = q_changelog_compact
+
+ORACLES["changelog_compact"] = (
+    "WITH r AS (SELECT user_id, event_type, value, ts, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events) "
+    "SELECT user_id, event_type AS last_type, value AS last_value, "
+    "epoch_us(ts) AS last_ts_us, event_id AS last_event_id "
+    "FROM r WHERE rn = 1 AND event_type <> 'error'"
+)
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus snapshot diff (pipeline.versioning.snapshot_diff): md5
+    row fingerprints map-side, ONE full-outer join on the id — the
+    bodies never shuffle. Two synthetic snapshots are derived
+    deterministically from `documents`: old drops doc_id%7==0 (those
+    become 'added'), new drops doc_id%13==0 ('removed') and rewrites
+    the text of doc_id%11==0 ('changed')."""
+    from samza_spark.pipeline import versioning
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    return versioning.snapshot_diff(
+        old, new, id_col="doc_id", cmp_cols=("text", "lang", "source")
+    )
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+
+_FP_DUCK = "md5(concat_ws(chr(30), text, lang, source))"
+ORACLES["snapshot_diff"] = (
+    f"WITH o AS (SELECT doc_id, {_FP_DUCK} AS old_fp FROM documents "
+    "WHERE doc_id % 7 <> 0), "
+    "n0 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' "
+    "ELSE text END AS text, lang, source FROM documents WHERE doc_id % 13 <> 0), "
+    f"n AS (SELECT doc_id, {_FP_DUCK} AS new_fp FROM n0) "
+    "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+    "CASE WHEN o.old_fp IS NULL THEN 'added' "
+    "WHEN n.new_fp IS NULL THEN 'removed' "
+    "WHEN o.old_fp <> n.new_fp THEN 'changed' "
+    "ELSE 'unchanged' END AS status, o.old_fp, n.new_fp "
+    "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"
+)
+
+
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-split near-duplicate audit (pipeline.decontam.
+    split_leakage): LSH banding over the corpus, splits recomputed
+    MAP-SIDE from the id hash on the pair rows (no split-table join),
+    exact word-3-gram Jaccard verify on surviving cross-split
+    candidates. Oracle = brute-force cross join restricted to
+    differing splits — the same r=4/b=16 S-curve recall-1 guarantee as
+    incremental_dedup (every >=0.8 pair of this corpus collides in
+    some band), so the output matches value-for-value."""
+    from samza_spark.pipeline import decontam
+
+    docs = load_table(spark, sf, "documents")
+    return decontam.split_leakage(
+        docs,
+        threshold=0.8,
+        num_perm=64,
+        bands=16,
+        weights=(("train", 4), ("test", 1)),
+    )
+
+
+QUERIES["split_leakage"] = q_split_leakage
+
+_SPLIT5 = (
+    "CASE WHEN ('0x' || substr(md5('split0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 5 < 4 THEN 'train' ELSE 'test' END"
+)
+ORACLES["split_leakage"] = (
+    f"WITH n AS (SELECT doc_id, {_NORM.format(c='text')} AS nt, "
+    f"{_SPLIT5} AS split FROM documents), "
+    f"sh AS (SELECT doc_id, split, {_grams3_of_norm('nt')} AS g FROM n) "
+    "SELECT x.doc_id AS a, y.doc_id AS b, x.split AS split_a, "
+    f"y.split AS split_b, {_jaccard('x.g', 'y.g')} AS jaccard "
+    "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
+    f"WHERE x.split <> y.split AND {_jaccard('x.g', 'y.g')} >= CAST(0.8 AS DOUBLE)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
@@ -2776,17 +2894,19 @@ _DRIVER_WINDOW = [
     "sessionize", "indexed_dedup", "dsir_weights", "hard_negatives",
     # -- round-5-new operators (never driver-checked) --
     "similarity_join", "tfidf_topk", "decontam_spans",
-    "segment_dedup_first",
-    # -- 14 load-bearing core rows (driver-green in every prior round;
+    "segment_dedup_first", "zipf_fit", "uniform_sample",
+    "bloom_semi_join", "changelog_compact", "snapshot_diff",
+    "split_leakage",
+    # -- 8 load-bearing core rows (driver-green in every prior round;
     #    join_left_outer / remote_table_join / sliding_window /
-    #    triggered_window_acc rotated out after four green rounds — still
-    #    covered by the local gate) --
+    #    triggered_window_acc / interval_join / session_window /
+    #    minhash_dedup / simhash_dedup / ann_topk / ivf_topk rotated out
+    #    after four green rounds — still covered by the local gate) --
     "stream_table_join", "multiway_join_revenue",
-    "interval_join", "asof_join", "groupby_count",
-    "tumbling_window", "session_window",
+    "asof_join", "groupby_count",
+    "tumbling_window",
     "triggered_window", "tpch_q1",
-    "minhash_pairs", "minhash_dedup", "simhash_dedup",
-    "ann_topk", "ivf_topk",
+    "minhash_pairs",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
