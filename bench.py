@@ -63,6 +63,9 @@ HEADLINE = [
     "tfidf_topk",
     "decontam_spans",
     "segment_dedup_first",
+    "changelog_compact",
+    "snapshot_diff",
+    "split_leakage",
 ]
 
 
@@ -237,77 +240,86 @@ def main() -> None:
                 "event_id", F.col("event_id") + F.lit(i * 10_000_000)
             ).write.mode("overwrite" if i == 0 else "append").parquet(replay_dir)
         n_replay = replicas * n_events
-        t0 = time.perf_counter()
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max(1, replicas // 5))
-            .parquet(replay_dir)
-            .filter(F.col("event_type") != "")
-            .select("event_id", "user_id", "event_type")
-            .writeStream.format("noop")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+
+        def run_sustained(name, start_query, reps=repeats):
+            # median-of-reps like the batch queries: the first sustained
+            # run in a session pays one-time sink/WAL/codegen init (~2.4s
+            # vs 1.3s warm measured at sf0.1), and a single-shot number
+            # is also contention-exposed — exactly what medians fix.
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                q = start_query()
+                q.awaitTermination()
+                samples.append(time.perf_counter() - t0)
+            secs = round(statistics.median(samples), 3)
+            per_query[name] = secs
+            print(
+                f"# {name}: median {secs:.3f}s of {[round(s, 3) for s in samples]}"
+                f" ({n_replay} msgs)",
+                file=sys.stderr,
+            )
+            return secs
+
+        secs = run_sustained(
+            "stream_sustained_1m",
+            lambda: (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, replicas // 5))
+                .parquet(replay_dir)
+                .filter(F.col("event_type") != "")
+                .select("event_id", "user_id", "event_type")
+                .writeStream.format("noop")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            ),
         )
-        q.awaitTermination()
-        secs = round(time.perf_counter() - t0, 3)
-        per_query["stream_sustained_1m"] = secs
         streaming["stream_sustained_msgs_per_sec"] = round(n_replay / secs)
         streaming["stream_sustained_messages"] = n_replay
-        print(f"# stream_sustained_1m: {secs:.3f}s ({n_replay} msgs)", file=sys.stderr)
 
         # throughput-tuned variant: same workload, bigger triggers (2
         # batches instead of ~5). The reference's bench puts no batch-size
         # constraint on its container either — this is the configuration a
         # throughput-focused user runs; the conservative multi-batch number
         # above is kept for round-over-round comparability.
-        t0 = time.perf_counter()
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max(1, replicas // 2))
-            .parquet(replay_dir)
-            .filter(F.col("event_type") != "")
-            .select("event_id", "user_id", "event_type")
-            .writeStream.format("noop")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        secs = run_sustained(
+            "stream_sustained_1m_tuned",
+            lambda: (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, replicas // 2))
+                .parquet(replay_dir)
+                .filter(F.col("event_type") != "")
+                .select("event_id", "user_id", "event_type")
+                .writeStream.format("noop")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            ),
         )
-        q.awaitTermination()
-        secs = round(time.perf_counter() - t0, 3)
-        per_query["stream_sustained_1m_tuned"] = secs
         streaming["stream_sustained_tuned_msgs_per_sec"] = round(n_replay / secs)
-        print(
-            f"# stream_sustained_1m_tuned: {secs:.3f}s ({n_replay} msgs)",
-            file=sys.stderr,
-        )
 
         # the stateful counterpart (BASELINE.md #3/#4: windowed counts with
         # durable state) over the same 1M-message replay
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        t0 = time.perf_counter()
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max(1, replicas // 5))
-            .parquet(replay_dir)
-            .transform(normalize_event_ts)
-            .withWatermark("ts", "1 hour")
-            .groupBy("event_type", F.window("ts", "1 hour"))
-            .count()
-            .writeStream.format("noop")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+        secs = run_sustained(
+            "stream_sustained_window_1m",
+            lambda: (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, replicas // 5))
+                .parquet(replay_dir)
+                .transform(normalize_event_ts)
+                .withWatermark("ts", "1 hour")
+                .groupBy("event_type", F.window("ts", "1 hour"))
+                .count()
+                .writeStream.format("noop")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            ),
         )
-        q.awaitTermination()
-        secs = round(time.perf_counter() - t0, 3)
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
-        per_query["stream_sustained_window_1m"] = secs
         streaming["stream_sustained_window_msgs_per_sec"] = round(n_replay / secs)
-        print(
-            f"# stream_sustained_window_1m: {secs:.3f}s ({n_replay} msgs)",
-            file=sys.stderr,
-        )
 
         # sustained stream-stream TTL join over the same replay — the
         # reference's PartialJoinOperatorImpl workload shape (equi-join,
@@ -336,31 +348,30 @@ def main() -> None:
                 .withWatermark(f"{prefix}_ts", "30 minutes")
             )
 
-        t0 = time.perf_counter()
-        q = (
-            join_side("l")
-            .join(
-                join_side("r"),
-                (F.col("l_id") == F.col("r_id"))
-                & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 MINUTES"))
-                & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES")),
-                "inner",
-            )
-            .writeStream.format("noop")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        secs = run_sustained(
+            "stream_sustained_join_1m",
+            lambda: (
+                join_side("l")
+                .join(
+                    join_side("r"),
+                    (F.col("l_id") == F.col("r_id"))
+                    & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 MINUTES"))
+                    & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 MINUTES")),
+                    "inner",
+                )
+                .writeStream.format("noop")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            ),
+            # the heaviest workload (~9.5s/run at sf0.1): two samples bound
+            # the added wall clock; the min is the idle-machine number and
+            # the spread is visible in the log line
+            reps=min(2, repeats),
         )
-        q.awaitTermination()
-        secs = round(time.perf_counter() - t0, 3)
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
-        per_query["stream_sustained_join_1m"] = secs
         streaming["stream_sustained_join_msgs_per_sec"] = round(2 * n_replay / secs)
         streaming["stream_sustained_join_messages"] = 2 * n_replay
-        print(
-            f"# stream_sustained_join_1m: {secs:.3f}s ({2 * n_replay} msgs both sides)",
-            file=sys.stderr,
-        )
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
 
