@@ -266,6 +266,14 @@ def split_leakage(
         shingle_k=3,
         shingle_mode="word",
     )
-    return verified.join(cross, on=["a", "b"]).select(
-        "a", "b", "split_a", "split_b", "jaccard"
+    # splits are a pure function of the id: recompute them map-side on the
+    # verified rows instead of joining `cross` back (that join would put
+    # the whole banding subtree on a second plan branch and evaluate the
+    # Arrow banding UDF twice)
+    return verified.select(
+        "a",
+        "b",
+        split_of("a").alias("split_a"),
+        split_of("b").alias("split_b"),
+        "jaccard",
     )

@@ -477,6 +477,12 @@ def jaccard_verify(
     all-pairs of a small corpus). Returns (a, b, jaccard) ≥ threshold."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    # the pair table is referenced three times below (both union sides of
+    # cand_ids + the verify join); without a persist the caller's whole
+    # candidate-generation subtree (LSH banding, prefix filtering, ...) is
+    # re-evaluated per reference. Candidates are orders of magnitude
+    # smaller than the corpus — at scale you materialize them always.
+    pairs = pairs.persist()
     # shingle only docs that appear in a candidate pair — at corpus scale
     # the candidate set is orders of magnitude smaller than the corpus, so
     # the expensive shingling never touches non-candidates

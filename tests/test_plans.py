@@ -65,3 +65,45 @@ def test_indexed_dedup_plan_is_equi_join_only(spark, sf_dir):
     plan = _plan(spark, "indexed_dedup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_changelog_compact_map_side_combine(spark, sf_dir):
+    """Latest-wins must partial-aggregate BEFORE the exchange (shuffle
+    moves table-sized, not log-sized, data) — the property that separates
+    max_by from the row_number()-window formulation the oracle uses."""
+    import re
+
+    plan = _plan(spark, "changelog_compact", sf_dir)
+    assert "partial_max_by" in plan
+    # one Exchange node (each node renders twice: tree line + detail header)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" not in plan
+
+
+def test_snapshot_diff_only_fingerprints_shuffle(spark, sf_dir):
+    """Fingerprints are computed map-side; the full-outer join exchanges
+    only (id, fp) pairs — document bodies never move."""
+    plan = _plan(spark, "snapshot_diff", sf_dir)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # each exchange input is the 2-column (doc_id, fp) projection
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[(\d+)\]", plan):
+        assert m.group(1) == "2"
+
+
+def test_split_leakage_bands_once(spark, sf_dir):
+    """The banding subtree must execute once: the candidate-pair table is
+    persisted (jaccard_verify), so every further reference is an
+    InMemoryTableScan — the formatted plan still RENDERS the cached
+    relation's banding sub-plan per reference, but a live ArrowEvalPython
+    outside an InMemoryRelation would mean re-execution."""
+    plan = _plan(spark, "split_leakage", sf_dir)
+    assert "InMemoryTableScan" in plan
+    # every ArrowEvalPython render sits inside the cached relation's
+    # sub-plan (InMemoryRelation section), never on a live branch
+    live = plan.split("InMemoryRelation")[0]
+    assert "ArrowEvalPython" not in live
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
