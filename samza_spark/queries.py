@@ -2869,6 +2869,32 @@ ORACLES["split_leakage"] = (
 )
 
 
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed top-3 heavy hitters per hour (streaming.topk.
+    top_k_exact_batch — the exact batch analog of the bounded-state
+    space-saving stream): partial-aggregated (window, key) count shuffle
+    + a rank window over k-bounded groups, deterministic (count desc,
+    key asc) tie-break."""
+    from samza_spark.streaming.topk import top_k_exact_batch
+
+    ev = load_table(spark, sf, "events")
+    out = top_k_exact_batch(ev, key_col="event_type", ts_col="ts", window="1 hour", k=3)
+    return out.select(
+        F.unix_micros("window_start").alias("ws_us"), "rank", "key", "count"
+    )
+
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+
+ORACLES["heavy_hitters"] = (
+    "WITH c AS (SELECT epoch_us(ts) - (epoch_us(ts) % (3600 * CAST(1000000 AS BIGINT))) AS ws_us, "
+    "event_type AS key, count(*) AS count FROM events GROUP BY 1, 2), "
+    "r AS (SELECT ws_us, key, count, row_number() OVER "
+    "(PARTITION BY ws_us ORDER BY count DESC, key ASC) AS rank FROM c) "
+    "SELECT ws_us, CAST(rank AS INT) AS rank, key, count FROM r WHERE rank <= 3"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
