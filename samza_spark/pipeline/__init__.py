@@ -13,6 +13,7 @@ from samza_spark.pipeline import (  # noqa: F401
     bpe,
     decontam,
     dedup,
+    embedding_stats,
     events,
     governance,
     linkage,
@@ -31,6 +32,7 @@ __all__ = [
     "bpe",
     "decontam",
     "dedup",
+    "embedding_stats",
     "events",
     "governance",
     "linkage",

@@ -2895,6 +2895,32 @@ ORACLES["heavy_hitters"] = (
 )
 
 
+def q_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Gram-matrix cells over the embedding column
+    (pipeline.embedding_stats.gram_cells_exact): per-element double
+    products fixed-pointed to integer 1e-12 units, ONE (i, j)-keyed
+    aggregate with map-side partial combine — the sufficient-statistics
+    pass behind distributed PCA (the eigensolve is a driver-side d x d
+    numpy call; the production float path is gram_cells_pandas)."""
+    from samza_spark.pipeline import embedding_stats
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_stats.gram_cells_exact(emb)
+
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+
+ORACLES["embedding_covariance"] = (
+    "WITH ix AS (SELECT embedding AS e, "
+    "unnest(generate_series(1, len(embedding))) AS i FROM embeddings), "
+    "pr AS (SELECT e, i, unnest(generate_series(i, len(e))) AS j FROM ix) "
+    "SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j, count(*) AS n, "
+    "CAST(sum(CAST(floor((CAST(e[i] AS DOUBLE) * CAST(e[j] AS DOUBLE)) "
+    "* 1000000000000.0) AS HUGEINT)) AS BIGINT) AS s_e12 "
+    "FROM pr GROUP BY 1, 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
@@ -2922,14 +2948,14 @@ _DRIVER_WINDOW = [
     "similarity_join", "tfidf_topk", "decontam_spans",
     "segment_dedup_first", "zipf_fit", "uniform_sample",
     "bloom_semi_join", "changelog_compact", "snapshot_diff",
-    "split_leakage",
+    "split_leakage", "heavy_hitters", "embedding_covariance",
     # -- 8 load-bearing core rows (driver-green in every prior round;
     #    join_left_outer / remote_table_join / sliding_window /
     #    triggered_window_acc / interval_join / session_window /
     #    minhash_dedup / simhash_dedup / ann_topk / ivf_topk rotated out
     #    after four green rounds — still covered by the local gate) --
-    "stream_table_join", "multiway_join_revenue",
-    "asof_join", "groupby_count",
+    "stream_table_join",
+    "asof_join",
     "tumbling_window",
     "triggered_window", "tpch_q1",
     "minhash_pairs",

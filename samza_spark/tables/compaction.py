@@ -99,3 +99,48 @@ def compact_changelog_stream(
         .agg(F.max_by(payload, order).alias("__latest"))
         .select(*key_cols, "__latest.*")
     )
+
+
+def changelog_history(
+    log: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Type-2 history of a changelog: one row per key VERSION with its
+    validity interval — the warehouse-side "slowly changing dimension"
+    view of the same log :func:`compact_changelog` reduces to current
+    state (Kimball SCD2; the reference's changelog topic holds exactly
+    this history before Kafka compaction garbage-collects it).
+
+    Returns ``key_cols + value_cols + order_cols + (version,
+    is_current)`` where ``version`` numbers a key's updates from 1 in
+    changelog order and ``is_current`` marks its newest record. The
+    interval end of version N is version N+1's order columns — callers
+    join consecutive versions or use a lead() as needed.
+
+    Scale shape: ONE key-partitioned window (row_number ascending +
+    count over the partition) — a single exchange of the log, sorted
+    within keys. Unlike compaction this is inherently log-sized output,
+    so there is no partial-aggregate shortcut; per-key skew is bounded
+    by a key's update count.
+    """
+    from pyspark.sql import Window
+
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    if value_cols is None:
+        value_cols = [c for c in log.columns if c not in key_cols and c not in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    w_all = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return log.select(
+        *key_cols,
+        *list(value_cols),
+        *order_cols,
+        F.row_number().over(w).alias("version"),
+        (F.row_number().over(w) == F.count(F.lit(1)).over(w_all)).alias("is_current"),
+    )

@@ -137,3 +137,32 @@ def test_split_leakage_finds_cross_split_pair(spark):
     for r in leaks:
         assert r["split_a"] != r["split_b"]
         assert r["jaccard"] >= 0.8
+
+
+def test_changelog_history_versions(spark):
+    from samza_spark.tables.compaction import changelog_history, compact_changelog
+
+    hist = changelog_history(_log(spark), ["key"], ["ts", "off"])
+    rows = sorted(
+        ((r["key"], r["version"], r["val"], r["is_current"]) for r in hist.collect())
+    )
+    assert rows == [
+        ("a", 1, "v1", False),
+        ("a", 2, "v2", False),
+        ("a", 3, "v3", True),
+        ("b", 1, "b1", True),
+        ("c", 1, "c1", False),
+        ("c", 2, "__del__", True),
+        ("d", 1, "__del__", False),
+        ("d", 2, "alive", True),
+    ]
+    # the is_current slice equals compaction (without tombstone filtering)
+    cur = {
+        r["key"]: (r["val"], r["ts"], r["off"])
+        for r in hist.where("is_current").collect()
+    }
+    want = {
+        r["key"]: (r["val"], r["ts"], r["off"])
+        for r in compact_changelog(_log(spark), ["key"], ["ts", "off"]).collect()
+    }
+    assert cur == want
