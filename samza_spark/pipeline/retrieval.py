@@ -85,7 +85,10 @@ def bm25_scores(
     The score sums per-term contributions left-to-right in the order of
     ``terms`` so the IEEE-754 result is reproducible across engines.
     """
-    tf = term_frequencies(df, terms, text_col, id_col)
+    # tf feeds BOTH the corpus-stats aggregate and the scoring join;
+    # without a persist the tokenizing projection runs the corpus twice.
+    # The tf table is a few longs per document — spill-safe to keep.
+    tf = term_frequencies(df, terms, text_col, id_col).persist()
     stats = corpus_stats(tf, terms)
     joined = tf.join(F.broadcast(stats))
 
@@ -185,9 +188,12 @@ def tfidf_keywords(
     terms = df.select(
         F.col(id_col).alias("__id"), F.explode(toks).alias("term")
     ).where(F.length("term") >= min_token_len)
+    # tf feeds both the df aggregate and the final score join — persist so
+    # the (id, term) explode+count shuffle happens once (this IS the
+    # inverted-index build; materializing it is the production shape)
     tf = terms.groupBy("__id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).persist()
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     doc_freq = (
         tf.groupBy("term")
