@@ -68,6 +68,9 @@ HEADLINE = [
     "split_leakage",
     "heavy_hitters",
     "embedding_covariance",
+    "tpch_q3",
+    "tpch_q6",
+    "corpus_report",
 ]
 
 

@@ -2921,6 +2921,174 @@ ORACLES["embedding_covariance"] = (
 )
 
 
+_DEC_REV = (
+    "cast(sum(cast(l_extendedprice as decimal(12,2)) * "
+    "cast(1.0 - l_discount as decimal(12,2))) as double)"
+)
+
+
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): 3-way join + grouped revenue +
+    top-10 — the join+agg+order extension path Samza SQL rejects
+    (SamzaSqlValidator join/orderBy limits) run natively. Catalyst
+    broadcast-joins the filtered customer side and pushes both date
+    filters to the scans; revenue sums in DECIMAL for a bit-exact
+    oracle; TakeOrderedAndProject caps the output (no global sort)."""
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(_DEC_REV).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+QUERIES["tpch_q3"] = q_tpch_q3
+
+ORACLES["tpch_q3"] = (
+    "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1995-03-15' "
+    "AND l_shipdate > '1995-03-15' "
+    "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+)
+
+
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue): pure filter + single-row
+    aggregate — the canonical predicate-pushdown showcase (every filter
+    reaches the parquet scan; plan-asserted in test_plans). DECIMAL sum,
+    one cast to double."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(12,2)) * "
+                "cast(l_discount as decimal(12,2))) as double)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+QUERIES["tpch_q6"] = q_tpch_q6
+
+ORACLES["tpch_q6"] = (
+    "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue, "
+    "count(*) AS n_items FROM lineitem "
+    "WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01' "
+    "AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE) "
+    "AND l_quantity < 24"
+)
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate-then-semijoin
+    — the per-key HAVING feeding a join back to detail rows. The qty
+    aggregate runs ONCE (persist would be overkill: the filtered key set
+    is broadcast into the detail join). DECIMAL-exact sums."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("cast(sum(cast(l_quantity as decimal(12,2))) as double)").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+QUERIES["tpch_q18"] = q_tpch_q18
+
+ORACLES["tpch_q18"] = (
+    "WITH big AS (SELECT l_orderkey, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty "
+    "FROM lineitem GROUP BY 1 HAVING total_qty > 150) "
+    "SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, "
+    "o_totalprice, total_qty "
+    "FROM big JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey"
+)
+
+
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass corpus health report: the per-source dashboard aggregate a
+    pipeline run emits before training — doc/char/token counts, exact-dup
+    rate (distinct fingerprints vs rows), language mix, and mean quality,
+    all from ONE groupBy(source) with map-side partial aggregation (the
+    token count reuses pipeline.text.token_count; the fingerprint is the
+    same md5-of-normalized-text as exact dedup)."""
+    docs = load_table(spark, sf, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        text.token_count(F.col("text")).alias("ntok"),
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.quality_score(F.col("text")).alias("q"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("n_chars"),
+        F.sum("ntok").alias("n_tokens"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.expr("cast(sum(cast(floor(q * 1000000.0) as bigint)) as double) / count(*)").alias(
+            "quality_micro_mean"
+        ),
+    )
+
+
+QUERIES["corpus_report"] = q_corpus_report
+
+ORACLES["corpus_report"] = (
+    f"WITH t AS (SELECT source, lang, n_chars, text, {_TOKENS_SQL} AS n_tokens "
+    "FROM documents), "
+    f"p AS (SELECT source, lang, n_chars, n_tokens, md5({_NORM.format(c='text')}) AS fp, "
+    f"round({_QUALITY_SQL}, 4) AS q FROM t) "
+    "SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars, "
+    "sum(n_tokens) AS n_tokens, count(DISTINCT fp) AS n_unique, "
+    "count(*) - count(DISTINCT fp) AS n_exact_dups, "
+    "count(DISTINCT lang) AS n_langs, "
+    "CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) "
+    "AS quality_micro_mean "
+    "FROM p GROUP BY source"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
@@ -2949,15 +3117,13 @@ _DRIVER_WINDOW = [
     "segment_dedup_first", "zipf_fit", "uniform_sample",
     "bloom_semi_join", "changelog_compact", "snapshot_diff",
     "split_leakage", "heavy_hitters", "embedding_covariance",
+    "tpch_q3", "tpch_q6", "tpch_q18", "corpus_report",
     # -- 8 load-bearing core rows (driver-green in every prior round;
     #    join_left_outer / remote_table_join / sliding_window /
     #    triggered_window_acc / interval_join / session_window /
     #    minhash_dedup / simhash_dedup / ann_topk / ivf_topk rotated out
     #    after four green rounds — still covered by the local gate) --
-    "stream_table_join",
-    "asof_join",
-    "tumbling_window",
-    "triggered_window", "tpch_q1",
+    "triggered_window",
     "minhash_pairs",
 ]
 

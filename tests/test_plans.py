@@ -107,3 +107,20 @@ def test_split_leakage_bands_once(spark, sf_dir):
     assert "ArrowEvalPython" not in live
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q6_full_pushdown(spark, sf_dir):
+    """Q6 is the pushdown benchmark: every predicate must reach the
+    parquet scan and the read schema must be pruned to the 4 used
+    columns."""
+    plan = _plan(spark, "tpch_q6", sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_comment" not in plan and "l_returnflag" not in plan
+
+
+def test_tpch_q3_broadcasts_filtered_dims(spark, sf_dir):
+    plan = _plan(spark, "tpch_q3", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
