@@ -71,6 +71,16 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q6",
     "corpus_report",
+    # round-5 third-session additions
+    "weighted_sample",
+    "perplexity_buckets",
+    "pagerank",
+    "kmeans_assign",
+    "ngram_diversity",
+    "tpch_q5",
+    "containment_pairs",
+    "length_outliers",
+    "tpch_q10",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Link-graph centrality operators for corpus curation.
+
+Public pipelines weight sources by link-graph importance (PageRank over
+the web host graph — Page et al. 1999; e.g. host-level quality priors in
+public crawl-curation writeups). The reference engine has no graph
+operator at all (its closest shape is an iterated stream-table join);
+here PageRank is expressed as the classic Spark iteration — per round
+ONE equi-join of ranks against the edge list plus ONE destination-keyed
+aggregation — with the edge list hash-partitioned once and reused so
+every iteration's join is Exchange-free on the edge side.
+
+Determinism contract: ranks are integers in micro-units and every update
+uses integer multiply + integer division only (``div``), so the result
+is bit-reproducible across engines and partitionings — a DuckDB oracle
+replays each iteration as a WITH chain. (Float PageRank sums in shuffle
+order and is NOT reproducible; fixed-point is the price of an exact
+oracle and costs nothing at runtime.)
+
+Scale notes (100 TB graph):
+- The per-iteration shuffle is keyed by node id — skewed in-degree
+  (a hub host) concentrates one reducer; production mitigation is the
+  same two-phase salted aggregation as ``governance.source_caps``
+  (partial-sum on (dst, salt), then final sum on dst), which plugs in
+  here untouched because integer sums are associative.
+- Dangling nodes (no out-edges) leak their mass — the standard
+  simplification when ranks are only consumed as relative weights; the
+  redistribution term would be one extra scalar aggregate per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+MICRO = 1_000_000
+
+
+def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer-supplier interaction graph from the order
+    tables, stored as two directed arcs per distinct pair: an order by
+    customer c containing a line from supplier s yields c:-s: and s:-c:
+    arcs. Node ids are prefixed strings ('c:123' / 's:45') so the two key
+    spaces cannot collide. One join + one distinct — both on the order
+    key / pair key, broadcast-eligible on the orders side when small."""
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    rank_col: str = "pr_micro",
+) -> DataFrame:
+    """Fixed-point integer PageRank: ``n_iters`` rounds of
+
+        r'(v) = (1 - d) * MICRO  +  d * sum over in-edges of r(u) div deg(u)
+
+    with d = damping_num/damping_den applied as ``(x * num) div den`` —
+    all-integer, so the output is independent of shuffle order and
+    engine. Initial rank is MICRO (1.0) per node; ranks are relative
+    weights summing to ~N*MICRO (minus dangling/rounding loss).
+
+    Returns (node, ``rank_col``) for every node that appears in
+    ``edges``. The edge list (with out-degrees attached) is computed
+    once, persisted, and re-joined each round — the join side that does
+    not change never re-shuffles.
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = (
+        edges.join(deg, on="src")
+        .select("src", "dst", "deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = MICRO - (MICRO * damping_num) // damping_den
+    ranks = nodes.select("node", F.lit(MICRO).cast("long").alias("r"))
+    for _ in range(n_iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"(coalesce(s, 0) * {damping_num}) div {damping_den}")
+            ).cast("long").alias("r"),
+        )
+    out = ranks.select("node", F.col("r").alias(rank_col))
+    return out

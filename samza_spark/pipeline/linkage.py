@@ -192,6 +192,88 @@ def similarity_join(
     return out
 
 
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All record pairs where either direction's shingle-set CONTAINMENT
+    ``|A ∩ B| / |A|`` meets ``threshold`` — the asymmetric near-dup
+    measure (a document quoted wholesale inside a longer one has high
+    containment but low Jaccard, so symmetric joins miss it; cf. the
+    containment variant of the prefix filter in the AllPairs/PPJoin
+    literature and Broder's containment resemblance).
+
+    Prefix filter, containment form: C(x→y) >= t implies
+    ``|x ∩ y| >= ceil(t*|x|)``, so x must share one of its first
+    ``|x| - ceil(t*|x|) + 1`` canonical-order elements with y — but y
+    gets NO prefix (it may be an arbitrary superset). Candidates are
+    therefore the equi-join of x-prefix elements against ALL y elements;
+    running that one directed join catches both directions after pair
+    normalization (a's prefix hitting any of b's elements covers
+    C(a→b); b's prefix hitting a's covers C(b→a) — both land in the
+    same element buckets).
+
+    Returns ``(id_a, id_b, n_common, cont_a_in_b, cont_b_in_a)`` with
+    ``id_a < id_b`` and ``max(cont) >= threshold``; exactly equal to the
+    brute-force all-pairs join (lossless candidates).
+
+    Scale: prefix side is small (rarest-first elements); the full-element
+    side is the corpus's distinct shingles — the join is element-keyed
+    hash equi-join, and hot (stopword) shingles only explode if they
+    enter a PREFIX, which rarest-first ordering prevents unless a record
+    is almost entirely hot."""
+    from pyspark import StorageLevel
+
+    t = float(threshold)
+    sets_df = _shingle_sets(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pref = ordered_prefixes(sets_df, t).select(
+        F.col("__id").alias("__pid"), F.col("__e")
+    )
+    full = sets_df.select(
+        F.col("__id").alias("__fid"), F.explode("__sh").alias("__e")
+    )
+    cand = (
+        pref.join(full, "__e")
+        .where(F.col("__pid") != F.col("__fid"))
+        .select(
+            F.least("__pid", "__fid").alias("__ida"),
+            F.greatest("__pid", "__fid").alias("__idb"),
+        )
+        .distinct()
+    )
+    sa = sets_df.select(F.col("__id").alias("__ida"), F.col("__sh").alias("__sha"))
+    sb = sets_df.select(F.col("__id").alias("__idb"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    out = (
+        cand.join(sa, "__ida")
+        .join(sb, "__idb")
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            inter.cast("int").alias("n_common"),
+            (inter.cast("double") / F.size("__sha").cast("double")).alias(
+                "cont_a_in_b"
+            ),
+            (inter.cast("double") / F.size("__shb").cast("double")).alias(
+                "cont_b_in_a"
+            ),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= F.lit(t))
+            | (F.col("cont_b_in_a") >= F.lit(t))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()  # materialize while the shingle cache is live
+    sets_df.unpersist()
+    return out
+
+
 def similarity_join_bruteforce(
     df: DataFrame,
     text_col: str = "text",

@@ -261,6 +261,49 @@ def uniform_sample_exact_k(
     )
 
 
+def weighted_sample_exact_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample0",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Exactly-``k`` weighted sample without replacement — sequential
+    Poisson / priority sampling (Ohlsson 1998; Duffield-Lund-Thorup 2007,
+    both public): each row draws a deterministic uniform u from the md5
+    hash of (salt, id) and is ranked by ``priority = u / weight``; the k
+    smallest priorities win, so inclusion probability is ~proportional to
+    weight (the classic weighted-reservoir shape, e.g. upsampling long
+    documents or high-quality sources).
+
+    Determinism contract: u is the first 13 md5 hex chars as an integer
+    (52 bits, exactly representable in a double) + 1, and the priority is
+    ONE IEEE double division of exact integers — bit-identical in any
+    engine, unlike ln-based exponential keys (A-ES) whose transcendental
+    differs in the last ulp between libm and the JVM. Rows with NULL or
+    non-positive weight are excluded (they can never be sampled).
+
+    Plan shape: map-only scoring + TakeOrderedAndProject (per-partition
+    top-k, k-row merge) — no global sort, no RNG state, rerun-stable
+    under any partitioning. Changing ``salt`` draws an independent
+    sample.
+    """
+    u = (
+        F.expr(
+            f"cast(conv(substr(md5(concat('{salt}', '|', "
+            f"cast({id_col} as string))), 1, 13), 16, 10) as bigint) + 1"
+        )
+    )
+    pr = (u.cast("double") / F.col(weight_col).cast("double")).alias(priority_col)
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .select("*", pr)
+        .orderBy(F.col(priority_col).asc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
 def write_partitioned_table(
     df: DataFrame,
     path: str,

@@ -727,6 +727,120 @@ def ivf_topk_exact(
     )
 
 
+def centroids_fixedpoint(
+    assigned: DataFrame,
+    cluster_col: str = "list_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Cluster centroids via exact fixed-point sufficient statistics:
+    element sums accumulate ``floor(x * scale)`` integers in
+    DECIMAL(38,0) (no overflow, no float fold order), centroid element =
+    one IEEE division of exact integers — bit-reproducible across
+    engines AND shuffle orders, unlike ``ivf_centroids_relational``'s
+    id-ordered fold (which pays an order-sensitive collect_list).
+
+    This is the scale-preferred centroid update: the (cluster, dim)
+    aggregate gets map-side partial combine (integer sums are
+    associative), so shuffle volume is n_clusters*dim cells regardless
+    of corpus size. Returns (cluster_col, cv: array<double>).
+    """
+    e = assigned.select(
+        F.col(cluster_col),
+        F.posexplode(
+            F.expr(f"transform({vec_col}, x -> cast(x as double))")
+        ).alias("d", "val"),
+    )
+    percell = e.groupBy(cluster_col, "d").agg(
+        F.sum(
+            F.expr(f"cast(floor(val * {scale}.0) as decimal(38,0))")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cell = percell.select(
+        cluster_col,
+        "d",
+        (
+            F.col("s").cast("double")
+            / (F.col("cnt") * F.lit(scale)).cast("double")
+        ).alias("cval"),
+    )
+    return cell.groupBy(cluster_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, cval))), s -> s.cval)"
+        ).alias("cv")
+    )
+
+
+def kmeans_assign_exact(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means (the clustering stage behind SemDeDup
+    and IVF index training), fully deterministic and oracle-checkable:
+
+    - seed assignment = ``id % n_clusters`` (no RNG),
+    - each iteration recomputes centroids from EXACT fixed-point
+      sufficient statistics (:func:`centroids_fixedpoint` — map-side
+      combinable integer sums, one (cluster, dim)-cell shuffle) and
+      reassigns every vector to its max-cosine centroid via the
+      zero-Exchange broadcast-array argmax of ``ivf_topk_exact``
+      (sequential-fold cosine, (sim DESC, cluster ASC) tie-break).
+
+    Returns (id_col, cluster, sim) after ``n_iters`` rounds. Clusters
+    that lose all members simply disappear from the next round's
+    centroid table (standard Lloyd's behavior; seeding by id-hash makes
+    initial clusters balanced, so this only occurs at tiny k*dim).
+
+    Scale: per iteration ONE corpus-scan aggregate + ONE map-only
+    assignment pass; nothing is quadratic and no stage is
+    single-partition. The iteration count is fixed and small (Lloyd's at
+    corpus scale is always capped; public practice is 5-25 rounds on a
+    sample, then one full assignment pass).
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    work = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    )
+    assigned = work.withColumn(
+        "cluster", (F.col("__id") % n_clusters).cast("int")
+    )
+    out = None
+    for _ in range(n_iters):
+        cent1 = F.broadcast(
+            centroids_fixedpoint(assigned, "cluster", "__v").agg(
+                F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias(
+                    "__cents"
+                )
+            )
+        )
+        ranked = (
+            f"reverse(array_sort(transform(__cents, s -> "
+            f"struct({_cosine_sql('__v', 's.cv')} as sim, -s.cluster as nc))))"
+        )
+        out = (
+            work.join(cent1)
+            .select(
+                "__id",
+                "__v",
+                F.expr(f"{ranked}[0]").alias("__t"),
+            )
+            .select(
+                "__id",
+                "__v",
+                (-F.col("__t.nc")).cast("int").alias("cluster"),
+                F.col("__t.sim").alias("sim"),
+            )
+        )
+        assigned = out
+    return out.select(F.col("__id").alias(id_col), "cluster", "sim")
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",

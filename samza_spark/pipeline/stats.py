@@ -99,3 +99,63 @@ def zipf_fit(
         .alias("__ly"),
     )
     return linear_fit(micro, "__lx", "__ly")
+
+
+def group_zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group z-score outlier flags over an integer metric column —
+    the corpus-audit stage that surfaces anomalous documents (a 100x-
+    length doc in a chat-log source is usually boilerplate or binary
+    junk; cf. the length/character heuristics of C4/Gopher applied
+    distributionally instead of with fixed cutoffs).
+
+    Exactness contract: mean and variance come from the integer
+    sufficient statistics (n, Σv, Σv²) summed in DECIMAL(38,0) —
+    population variance = (n·Σv² − (Σv)²) / n², computed as one integer
+    numerator, then ONE IEEE division, ONE sqrt, and per-row
+    (v − mean) / std — every double derived from exact integers by
+    exactly-rounded IEEE ops, so any engine reproduces the bits.
+
+    Returns all input columns plus (mean, std, z, is_outlier). Groups
+    with a single row or zero variance get std = 0 and z = NULL (never
+    flagged). ONE group aggregate (map-side combinable) broadcast back
+    onto the rows; the row pass is map-only.
+    """
+    v = F.col(value_col).cast("decimal(38,0)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    var_num = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__ss")
+        - F.col("__s") * F.col("__s")
+    )
+    var = var_num.cast("double") / (
+        F.col("__n").cast("double") * F.col("__n").cast("double")
+    )
+    per_group = stats.select(
+        group_col,
+        mean.alias("mean"),
+        F.sqrt(var).alias("std"),
+    )
+    z = F.when(
+        F.col("std") > 0,
+        (F.col(value_col).cast("double") - F.col("mean")) / F.col("std"),
+    )
+    return (
+        df.join(F.broadcast(per_group), on=group_col)
+        .withColumn("z", z)
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                F.abs(F.col("z")) > F.lit(float(z_threshold)), F.lit(False)
+            ),
+        )
+    )

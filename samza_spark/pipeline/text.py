@@ -271,6 +271,56 @@ def unigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (public technique: Wenzek et al.
+    2020 split a corpus into head/middle/tail thirds by LM perplexity;
+    the LM here is the corpus unigram model of :func:`unigram_logprob`,
+    the exactly-SQL-computable stand-in for KenLM).
+
+    Every non-empty document gets ``score_micro`` (avg ln-prob in
+    fixed-point micro-nats — higher = more "natural" text), a global
+    ``rank`` (1 = lowest score, i.e. most surprising), and
+    ``bucket`` in 1..n_buckets via the integer formula
+    ``1 + (rank-1)*n_buckets div n`` — bucket 1 is the worst-scoring
+    (tail) slice, bucket n_buckets the best (head).
+
+    Scale: the LM pass is one vocab shuffle + one doc regroup
+    (:func:`unigram_logprob`); the global rank uses the range-exchange
+    distributed ranking of ``operators.rank`` — NO single-partition
+    window anywhere. The bucket arithmetic is pure integers, so a DuckDB
+    oracle replays every assignment (the plain ``row_number()`` window
+    is rank-identical to the distributed form for any total order).
+    """
+    from samza_spark.operators.rank import global_rank
+
+    scored = (
+        unigram_logprob(df, text_col=text_col, id_col=id_col)
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("avg_logprob") * 1_000_000).cast("long").alias(
+                "score_micro"
+            ),
+        )
+    )
+    ranked = global_rank(
+        scored, [F.col("score_micro").asc(), F.col(id_col).asc()], rank_col="rank"
+    )
+    n = ranked.count()
+    return ranked.withColumn(
+        "bucket",
+        F.expr(
+            f"cast(1 + ((rank - 1) * {int(n_buckets)}) div {max(int(n), 1)} as int)"
+        ),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -316,6 +366,56 @@ def chunk_documents(
             "chunk_idx",
             F.array_join(chunk_toks, " ").alias("chunk_text"),
             F.size(chunk_toks).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-group n-gram diversity — the type/token ratio over word
+    n-grams that corpus-quality audits track (a collapsing ratio flags
+    templated or machine-generated slices; cf. the distinct-n-grams
+    diversity metrics of public text-generation evaluation).
+
+    Returns (group, n_ngrams, n_distinct, diversity_micro) where
+    ``diversity_micro = n_distinct * 1_000_000 div n_ngrams`` — integer
+    arithmetic, bit-reproducible.
+
+    Scale: one map-only explode of per-row n-gram arrays, one
+    (group, gram) distinct-aggregate shuffle with map-side partials. No
+    Python, no driver state.
+    """
+    toks = F.filter(
+        F.split(normalized(F.col(text_col)), " "), lambda x: x != ""
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+    grams = F.expr(
+        f"case when size(__t) >= {int(n)} then "
+        f"transform(sequence(1, size(__t) - {int(n) - 1}), "
+        f"i -> array_join(slice(__t, i, {int(n)}), ' ')) "
+        f"else array() end"
+    )
+    g = (
+        df.select(F.col(group_col).alias("grp"), toks.alias("__t"))
+        .select("grp", F.explode(grams).alias("gram"))
+    )
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.countDistinct("gram").alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ngrams",
+            "n_distinct",
+            F.expr("cast(n_distinct * 1000000 div n_ngrams as bigint)").alias(
+                "diversity_micro"
+            ),
         )
     )
 

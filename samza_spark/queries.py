@@ -3090,6 +3090,375 @@ ORACLES["corpus_report"] = (
 
 
 # ---------------------------------------------------------------------------
+# round 5 (third session): weighted sampling, perplexity bucketing, graph
+# centrality, k-means, n-gram diversity, TPC-H Q4/Q5 extension shapes
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-k weighted sample without replacement (pipeline.sampling.
+    weighted_sample_exact_k — sequential Poisson / priority sampling):
+    deterministic md5-uniform div weight, k smallest priorities win.
+    Map-only scoring + TakeOrderedAndProject; the oracle replays every
+    row's priority (one IEEE division of exact integers — no
+    transcendental, so cross-engine bit-identical)."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.weighted_sample_exact_k(
+        docs, 100, weight_col="n_chars", salt="wsample0"
+    )
+
+
+QUERIES["weighted_sample"] = q_weighted_sample
+
+ORACLES["weighted_sample"] = (
+    "SELECT doc_id, text, lang, source, n_chars, "
+    "CAST((('0x' || substr(md5('wsample0' || '|' || CAST(doc_id AS VARCHAR)), 1, 13))"
+    "::BIGINT + 1) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority "
+    "FROM documents WHERE CAST(n_chars AS DOUBLE) > 0 "
+    "ORDER BY priority ASC, doc_id ASC LIMIT 100"
+)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing
+    (pipeline.text.perplexity_buckets): corpus unigram LM score in
+    micro-nats, distributed global rank (range exchange + broadcast
+    offsets — operators.rank, no single-partition window), integer
+    tertile assignment. The oracle's plain row_number() window is
+    rank-identical by the total order (score_micro, doc_id)."""
+    docs = load_table(spark, sf, "documents")
+    return text.perplexity_buckets(docs, n_buckets=3)
+
+
+QUERIES["perplexity_buckets"] = q_perplexity_buckets
+
+ORACLES["perplexity_buckets"] = (
+    f"WITH t AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w "
+    "FROM documents), "
+    "ex AS (SELECT doc_id, i AS pos, w[i] AS token FROM "
+    "(SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t) "
+    "WHERE w[i] <> ''), "
+    "vocab AS (SELECT token, count(*) AS cnt FROM ex GROUP BY token), "
+    "tot AS (SELECT sum(cnt) AS total FROM vocab), "
+    "scored AS (SELECT ex.doc_id, ex.pos, "
+    "ln(CAST(vocab.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS logp "
+    "FROM ex JOIN vocab ON ex.token = vocab.token, tot), "
+    "agg AS (SELECT doc_id, count(*) AS n_tokens, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)), "
+    "(a, b) -> a + b) AS s FROM scored GROUP BY doc_id), "
+    "sc AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(floor((s / CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS score_micro "
+    "FROM agg WHERE n_tokens > 0), "
+    "n AS (SELECT count(*) AS total FROM sc), "
+    "r AS (SELECT sc.*, CAST(row_number() OVER "
+    "(ORDER BY score_micro ASC, doc_id ASC) AS BIGINT) AS rank FROM sc) "
+    "SELECT doc_id, n_tokens, score_micro, rank, "
+    "CAST(1 + ((rank - 1) * 3) // n.total AS INT) AS bucket FROM r, n"
+)
+
+
+def _pagerank_duck(n_iters: int = 3) -> str:
+    """DuckDB WITH-chain replay of pipeline.graph.pagerank_exact over the
+    customer-supplier order graph: identical integer micro-unit updates
+    (r div deg contributions, *17 div 20 damping, base 150000)."""
+    parts = [
+        "WITH pairs AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a, "
+        "'s:' || CAST(l_suppkey AS VARCHAR) AS b "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "edges AS (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b AS src, a AS dst FROM pairs), "
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst AS node FROM edges), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.dst, sum(r.r // d.deg) AS s "
+            f"FROM edges e JOIN deg d ON e.src = d.src "
+            f"JOIN r{i-1} r ON e.src = r.node GROUP BY e.dst), "
+            f"r{i} AS (SELECT n.node, CAST(150000 + (COALESCE(c{i}.s, 0) * 17) // 20 "
+            f"AS BIGINT) AS r FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.dst)"
+        )
+    parts.append(f" SELECT node, r AS pr_micro FROM r{n_iters}")
+    return "".join(parts)
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point integer PageRank over the customer-supplier order
+    graph (pipeline.graph.pagerank_exact, 3 iterations): per round one
+    rank-edge equi-join + one dst-keyed integer aggregate, edge list
+    with out-degrees persisted once. All-integer updates make the result
+    shuffle-order-free; the oracle replays every iteration."""
+    from samza_spark.pipeline import graph
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = graph.bipartite_order_edges(orders, li)
+    return graph.pagerank_exact(edges, n_iters=3)
+
+
+QUERIES["pagerank"] = q_pagerank
+
+ORACLES["pagerank"] = _pagerank_duck(3)
+
+
+def _kmeans_duck(n_clusters: int = 8, n_iters: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of similarity.kmeans_assign_exact: id%k seeding,
+    exact fixed-point centroid sums (HUGEINT), fold-order cosine
+    reassignment with (sim DESC, cluster ASC) tie-break."""
+    sql = (
+        "WITH w AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"a0 AS (SELECT id, v, CAST(id % {n_clusters} AS INT) AS cluster FROM w)"
+    )
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        sql += (
+            f", e{i} AS (SELECT cluster, i - 1 AS d, "
+            f"CAST(floor(v[i] * 1000000000.0) AS HUGEINT) AS fx "
+            f"FROM a{p} CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) dims), "
+            f"pc{i} AS (SELECT cluster, d, sum(fx) AS s, count(*) AS cnt "
+            f"FROM e{i} GROUP BY 1, 2), "
+            f"cell{i} AS (SELECT cluster, d, CAST(s AS DOUBLE) / "
+            f"CAST(cnt * CAST(1000000000 AS BIGINT) AS DOUBLE) AS cval FROM pc{i}), "
+            f"cent{i} AS (SELECT cluster, list(cval ORDER BY d) AS cv "
+            f"FROM cell{i} GROUP BY cluster), "
+            f"sc{i} AS (SELECT w.id, w.v, c.cluster, "
+            + _cos("w.v", "c.cv")
+            + f" AS sim FROM w CROSS JOIN cent{i} c), "
+            f"a{i} AS (SELECT id, v, cluster, sim FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY id "
+            f"ORDER BY sim DESC, cluster ASC) AS rn FROM sc{i}) WHERE rn = 1)"
+        )
+    sql += (
+        f" SELECT id AS vec_id, CAST(cluster AS INT) AS cluster, sim FROM a{n_iters}"
+    )
+    return sql
+
+
+def q_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means, 2 iterations at k=8
+    (pipeline.similarity.kmeans_assign_exact): per iteration one
+    map-side-combinable fixed-point (cluster, dim) sufficient-statistics
+    aggregate + one zero-Exchange broadcast-array cosine argmax (the
+    ivf_topk_exact assignment pattern). Every double the oracle replays
+    is either an exact-integer cast or a fold-order cosine."""
+    from samza_spark.pipeline import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.kmeans_assign_exact(emb, n_clusters=8, n_iters=2)
+
+
+QUERIES["kmeans_assign"] = q_kmeans_assign
+
+ORACLES["kmeans_assign"] = _kmeans_duck(8, 2, 64)
+
+
+def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source bigram type/token diversity (pipeline.text.
+    ngram_diversity): one map-only gram explode + one (source, gram)
+    distinct-aggregate with map-side partials; integer micro-ratio."""
+    docs = load_table(spark, sf, "documents")
+    return text.ngram_diversity(docs, group_col="source", n=2)
+
+
+QUERIES["ngram_diversity"] = q_ngram_diversity
+
+ORACLES["ngram_diversity"] = (
+    f"WITH t AS (SELECT source, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "g AS (SELECT source, array_to_string(w[i:i+1], ' ') AS gram "
+    "FROM (SELECT source, w, unnest(generate_series(1, len(w) - 1)) AS i "
+    "FROM t WHERE len(w) >= 2)) "
+    "SELECT source, count(*) AS n_ngrams, count(DISTINCT gram) AS n_distinct, "
+    "CAST((count(DISTINCT gram) * 1000000) // count(*) AS BIGINT) AS diversity_micro "
+    "FROM g GROUP BY source"
+)
+
+
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): quarter-filtered orders
+    with an EXISTS semi-join against lineitem on an equi key PLUS a
+    non-equi date predicate (l_shipdate > o_orderdate), grouped priority
+    counts. Catalyst runs the semi-join as a hash join with the range
+    predicate as join residual — no NestedLoop."""
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+QUERIES["tpch_q4"] = q_tpch_q4
+
+ORACLES["tpch_q4"] = (
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority"
+)
+
+
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the 6-table star join —
+    region/nation broadcast into customer, orders year-filtered,
+    lineitem joined on the order key, supplier co-located by the
+    customer's nation (c_nationkey = s_nationkey). DECIMAL-exact
+    revenue per nation. Catalyst broadcast-joins every dimension and
+    pushes both filters to the scans."""
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .join(cust, nation.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.expr(_DEC_REV).alias("revenue"))
+    )
+
+
+QUERIES["tpch_q5"] = q_tpch_q5
+
+ORACLES["tpch_q5"] = (
+    "SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue "
+    "FROM region JOIN nation ON r_regionkey = n_regionkey "
+    "JOIN customer ON n_nationkey = c_nationkey "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01' "
+    "AND o_orderdate < '1997-01-01' "
+    "GROUP BY n_name"
+)
+
+
+def q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment near-dup join (pipeline.linkage.
+    containment_join): |A∩B|/|A| >= t in either direction — catches a
+    short doc quoted wholesale inside a longer one, which symmetric
+    Jaccard misses. Lossless prefix-filter candidates (x-prefix vs ALL
+    y elements); the oracle is the brute-force all-pairs join."""
+    from samza_spark.pipeline import linkage
+
+    docs = load_table(spark, sf, "documents")
+    return linkage.containment_join(docs, threshold=0.8)
+
+
+QUERIES["containment_pairs"] = q_containment_pairs
+
+_CONT_I = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+ORACLES["containment_pairs"] = (
+    f"WITH t AS (SELECT doc_id, {_grams_duck(3)} AS s FROM documents) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common, "
+    f"{_CONT_I} / CAST(len(a.s) AS DOUBLE) AS cont_a_in_b, "
+    f"{_CONT_I} / CAST(len(b.s) AS DOUBLE) AS cont_b_in_a "
+    "FROM t a JOIN t b ON a.doc_id < b.doc_id "
+    f"WHERE {_CONT_I} / CAST(len(a.s) AS DOUBLE) >= CAST(0.8 AS DOUBLE) "
+    f"OR {_CONT_I} / CAST(len(b.s) AS DOUBLE) >= CAST(0.8 AS DOUBLE)"
+)
+
+
+def q_length_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source z-score outlier audit on document length
+    (pipeline.stats.group_zscore_outliers): integer sufficient
+    statistics in DECIMAL(38,0), one IEEE division + sqrt per group —
+    every compared double derived from exact integers, so the oracle
+    replays the bits. ONE map-side-combinable aggregate broadcast back;
+    the row pass is map-only."""
+    from samza_spark.pipeline import stats as pstats
+
+    docs = load_table(spark, sf, "documents")
+    return pstats.group_zscore_outliers(
+        docs, "n_chars", group_col="source", z_threshold=2.0
+    ).select("source", "doc_id", "n_chars", "mean", "std", "z", "is_outlier")
+
+
+QUERIES["length_outliers"] = q_length_outliers
+
+ORACLES["length_outliers"] = (
+    "WITH s AS (SELECT source, CAST(count(*) AS HUGEINT) AS n, "
+    "sum(CAST(n_chars AS HUGEINT)) AS sv, "
+    "sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS ss "
+    "FROM documents GROUP BY source), "
+    "g AS (SELECT source, CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+    "sqrt(CAST(n * ss - sv * sv AS DOUBLE) / "
+    "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std FROM s), "
+    "r AS (SELECT d.source, d.doc_id, d.n_chars, g.mean, g.std, "
+    "CASE WHEN g.std > 0 THEN (CAST(d.n_chars AS DOUBLE) - g.mean) / g.std END AS z "
+    "FROM documents d JOIN g ON d.source = g.source) "
+    "SELECT source, doc_id, n_chars, mean, std, z, "
+    "COALESCE(abs(z) > CAST(2.0 AS DOUBLE), FALSE) AS is_outlier FROM r"
+)
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter-filtered
+    orders x returned lineitems x customer x nation, DECIMAL-exact
+    revenue per customer, top 20 — join+agg+top-k with broadcast dims
+    and TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_DEC_REV).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+QUERIES["tpch_q10"] = q_tpch_q10
+
+ORACLES["tpch_q10"] = (
+    "SELECT c_custkey, c_name, c_acctbal, n_name, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01' "
+    "AND l_returnflag = 'R' "
+    "GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``

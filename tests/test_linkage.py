@@ -188,3 +188,63 @@ def test_tfidf_min_token_len_floor(spark):
     )
     out = retrieval.tfidf_keywords(df, k=5, min_token_len=3).collect()
     assert {r["term"] for r in out} <= {"efgh", "wxyz"}
+
+
+# ---------------------------------------------------------------------------
+# containment_join
+# ---------------------------------------------------------------------------
+
+
+def _containment_bruteforce(spark, df, n=3, threshold=0.8):
+    from samza_spark.pipeline.linkage import _shingle_sets
+
+    sets_df = _shingle_sets(df, "text", "doc_id", n)
+    a = sets_df.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sets_df.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    ca = inter.cast("double") / F.size("__sha").cast("double")
+    cb = inter.cast("double") / F.size("__shb").cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("int").alias("n_common"),
+            ca.alias("cont_a_in_b"),
+            cb.alias("cont_b_in_a"),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.6, 0.8, 0.95])
+def test_containment_prefix_filter_is_lossless(spark, sf_dir, threshold):
+    docs = load_table(spark, sf_dir, "documents")
+    fast = _rows(
+        linkage.containment_join(docs, threshold=threshold), "id_a", "id_b"
+    )
+    brute = _rows(
+        _containment_bruteforce(spark, docs, threshold=threshold), "id_a", "id_b"
+    )
+    assert fast == brute
+    assert all(max(ca, cb) >= threshold for (_, _, _, ca, cb) in fast)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc 2 is doc 1's text verbatim inside a much longer page: containment
+    # of 2 in 1 is 1.0 while jaccard is far below any dedup threshold
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, "unrelated content of another page wholly")],
+        "doc_id long, text string",
+    )
+    out = _rows(linkage.containment_join(df, threshold=0.95), "id_a", "id_b")
+    assert [(a, b) for (a, b, *_rest) in out] == [(1, 2)]
+    _, _, _, ca, cb = out[0]
+    assert cb == 1.0  # the short doc is fully contained
+    sym = _rows(linkage.similarity_join(df, threshold=0.6), "id_a", "id_b")
+    assert sym == []  # jaccard-based join misses it

@@ -124,3 +124,72 @@ def test_tpch_q3_broadcasts_filtered_dims(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_topk_merge(spark, sf_dir):
+    """Priority sampling must be map-only scoring + TakeOrderedAndProject
+    (per-partition top-k, k-row merge) — no global sort, no window."""
+    plan = _plan(spark, "weighted_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q4_semi_join_is_hash_not_nestedloop(spark, sf_dir):
+    """The equi key + non-equi residual EXISTS must run as a hash semi
+    join with the date predicate as join condition — never NestedLoop."""
+    plan = _plan(spark, "tpch_q4", sf_dir)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "tpch_q5", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # both pushed filters reach their scans
+    assert "PushedFilters: [" in plan
+
+
+def test_kmeans_assignment_stays_relational(spark, sf_dir):
+    """Assignment is the broadcast-one-row array argmax (BNLJ on a
+    single centroid row is the designed shape); sufficient statistics
+    aggregate map-side — no Python anywhere, no cartesian blowup."""
+    plan = _plan(spark, "kmeans_assign", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark, sf_dir):
+    plan = _plan(spark, "pagerank", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_diversity_single_aggregate(spark, sf_dir):
+    plan = _plan(spark, "ngram_diversity", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_containment_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "containment_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_length_outliers_one_aggregate_broadcast_back(spark, sf_dir):
+    plan = _plan(spark, "length_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan  # tiny per-group stats join
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q10_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, "tpch_q10", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

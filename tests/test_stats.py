@@ -159,3 +159,44 @@ def test_partitioned_sink_dynamic_overwrite(spark, sf_dir, tmp_path):
     assert after.where("lang = 'en'").count() == 1
     # every other partition untouched
     assert after.count() == before - n_en_before + 1
+
+
+# ---------------------------------------------------------------------------
+# group_zscore_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_group_zscore_matches_python(spark):
+    import math
+
+    from samza_spark.pipeline.stats import group_zscore_outliers
+
+    rows = [(i, "a", 10) for i in range(8)] + [(100, "a", 1000)] + [
+        (200, "b", 5),
+        (201, "b", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = {
+        r["doc_id"]: r
+        for r in group_zscore_outliers(
+            df, "n", group_col="source", id_col="doc_id"
+        ).collect()
+    }
+    vals = [10] * 8 + [1000]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = (n * sum(v * v for v in vals) - sum(vals) ** 2) / (n * n)
+    std = math.sqrt(var)
+    assert out[100]["is_outlier"] is True
+    assert abs(out[100]["z"] - (1000 - mean) / std) < 1e-12
+    assert all(not out[i]["is_outlier"] for i in range(8))
+    # zero-variance group: z NULL, never flagged
+    assert out[200]["z"] is None and out[200]["is_outlier"] is False
+
+
+def test_group_zscore_single_row_group(spark):
+    from samza_spark.pipeline.stats import group_zscore_outliers
+
+    df = spark.createDataFrame([(1, "solo", 42)], "doc_id long, source string, n long")
+    r = group_zscore_outliers(df, "n", group_col="source").collect()[0]
+    assert r["z"] is None and r["is_outlier"] is False
