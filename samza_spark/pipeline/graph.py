@@ -18,10 +18,14 @@ oracle and costs nothing at runtime.)
 
 Scale notes (100 TB graph):
 - The per-iteration shuffle is keyed by node id — skewed in-degree
-  (a hub host) concentrates one reducer; production mitigation is the
-  same two-phase salted aggregation as ``governance.source_caps``
-  (partial-sum on (dst, salt), then final sum on dst), which plugs in
-  here untouched because integer sums are associative.
+  (a hub host) concentrates one reducer; ``n_salts > 1`` switches on
+  the two-phase salted aggregation (partial-sum on (dst, salt-of-src),
+  then final sum on dst — the ``governance.source_caps`` pattern),
+  bit-identical because integer sums are associative.
+- Unrolled iterative plans grow linearly in lineage; ``checkpoint_every``
+  truncates with an eager localCheckpoint so a 20-iteration run doesn't
+  re-analyze a 20-deep join chain per job (the standard iterative-Spark
+  hygiene; results unchanged — the arithmetic is integer-exact).
 - Dangling nodes (no out-edges) leak their mass — the standard
   simplification when ranks are only consumed as relative weights; the
   redistribution term would be one extra scalar aggregate per round.
@@ -52,9 +56,16 @@ def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # both arcs from ONE pass over the distinct pairs (a unionByName of
+    # two selects evaluates the join+distinct subtree twice — plan-checked)
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank_exact(
@@ -63,6 +74,8 @@ def pagerank_exact(
     damping_num: int = 17,
     damping_den: int = 20,
     rank_col: str = "pr_micro",
+    n_salts: int = 1,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-point integer PageRank: ``n_iters`` rounds of
 
@@ -74,9 +87,14 @@ def pagerank_exact(
     weights summing to ~N*MICRO (minus dangling/rounding loss).
 
     Returns (node, ``rank_col``) for every node that appears in
-    ``edges``. The edge list (with out-degrees attached) is computed
-    once, persisted, and re-joined each round — the join side that does
-    not change never re-shuffles.
+    ``edges``. The edge list (with out-degrees attached) and the node
+    table are computed once, persisted, and re-joined each round — the
+    join sides that do not change never re-shuffle.
+
+    ``n_salts > 1`` aggregates contributions in two phases —
+    (dst, xxhash(src) % n_salts) partials first, then dst — spreading a
+    hub's in-edge sum over ``n_salts`` reducers; output identical
+    (integer sums are associative; asserted in tests).
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
@@ -90,16 +108,25 @@ def pagerank_exact(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     base = MICRO - (MICRO * damping_num) // damping_den
     ranks = nodes.select("node", F.lit(MICRO).cast("long").alias("r"))
-    for _ in range(n_iters):
-        contrib = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select("dst", F.expr("r div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+    for i in range(n_iters):
+        joined = ed.join(ranks, ed.src == ranks.node).select(
+            "src", "dst", F.expr("r div deg").alias("c")
         )
+        if n_salts > 1:
+            partial = (
+                joined.withColumn(
+                    "__salt", F.pmod(F.xxhash64("src"), F.lit(int(n_salts)))
+                )
+                .groupBy("dst", "__salt")
+                .agg(F.sum("c").alias("cp"))
+            )
+            contrib = partial.groupBy("dst").agg(F.sum("cp").alias("s"))
+        else:
+            contrib = joined.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             (
@@ -107,5 +134,6 @@ def pagerank_exact(
                 + F.expr(f"(coalesce(s, 0) * {damping_num}) div {damping_den}")
             ).cast("long").alias("r"),
         )
-    out = ranks.select("node", F.col("r").alias(rank_col))
-    return out
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias(rank_col))

@@ -221,3 +221,20 @@ def test_ngram_diversity_hand_counts(spark):
     assert out["a"]["n_distinct"] == 2
     assert out["a"]["diversity_micro"] == 500_000
     assert "b" not in out  # zero bigrams -> no row (oracle-matched shape)
+
+
+def test_pagerank_salted_and_checkpointed_identical(spark):
+    # hub-heavy graph: salted two-phase aggregation and per-iteration
+    # checkpointing must be bit-identical to the plain path
+    arcs = [("hub", f"n{i}") for i in range(20)] + [
+        (f"n{i}", "hub") for i in range(20)
+    ]
+    edges = spark.createDataFrame(arcs, "src string, dst string")
+    plain = sorted(graph.pagerank_exact(edges, n_iters=6).collect())
+    salted = sorted(
+        graph.pagerank_exact(edges, n_iters=6, n_salts=4).collect()
+    )
+    chk = sorted(
+        graph.pagerank_exact(edges, n_iters=6, checkpoint_every=2).collect()
+    )
+    assert plain == salted == chk
