@@ -81,6 +81,7 @@ HEADLINE = [
     "containment_pairs",
     "length_outliers",
     "tpch_q10",
+    "triangle_count",
 ]
 
 

@@ -68,6 +68,96 @@ def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     ).select("e.src", "e.dst")
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int = 1000,
+) -> DataFrame:
+    """Undirected co-occurrence edge list: items sharing a group key
+    (suppliers sharing an order, terms sharing a document...) become an
+    (a, b) edge with a < b, distinct across groups. One group-keyed
+    collect_set + in-group pair expansion — the same bounded-bucket
+    idiom as LSH pair generation, with ``max_group_size`` guarding the
+    quadratic blowup of a degenerate hub group (capped groups are
+    SKIPPED and counted; raise the cap or pre-filter if the census
+    matters)."""
+    groups = df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("ms")
+    )
+    pair_expr = (
+        "if(size(ms) between 2 and {cap}, "
+        "flatten(transform(sequence(1, size(ms) - 1), i -> "
+        "transform(sequence(0, i - 1), j -> struct(ms[j] AS a, ms[i] AS b)))), "
+        "array())"
+    ).format(cap=int(max_group_size))
+    return (
+        groups.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected (a < b) edge list —
+    the clustering-coefficient numerator used in graph-quality audits.
+
+    Degree-ordered orientation (the classic O(m^1.5) trick — cf.
+    Suri & Vassilvitskii WWW'11 MapReduce triangle counting): every edge
+    is directed from its LOWER-(degree, id) endpoint, making wedge
+    fan-out per vertex at most its oriented out-degree (~sqrt(m) after
+    orientation), so a celebrity node never expands deg^2 wedges. Each
+    triangle then has exactly ONE vertex with out-edges to the other
+    two, so it is generated exactly once; the wedge list is closed by an
+    equi-join back against the undirected edge set.
+
+    Returns (node, n_triangles) for every node in at least one triangle.
+    Plan: two equi-joins + one aggregate — no cartesian anywhere.
+    """
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "u").where(F.col("v") < F.col("w"))
+    # v < w and the edge list is (a < b)-normalized, so the closure is a
+    # plain two-key equi semi-join
+    closed = wedges.join(
+        edges,
+        (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")),
+        "left_semi",
+    )
+    tri_nodes = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("v").alias("node")))
+        .unionByName(closed.select(F.col("w").alias("node")))
+    )
+    return tri_nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def pagerank_exact(
     edges: DataFrame,
     n_iters: int = 3,

@@ -3458,6 +3458,44 @@ ORACLES["tpch_q10"] = (
 )
 
 
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts on the supplier co-occurrence graph
+    (pipeline.graph.cooccurrence_edges + triangle_counts): bounded
+    in-group pair expansion, degree-ordered edge orientation (Suri &
+    Vassilvitskii WWW'11 — celebrity nodes never expand deg^2 wedges),
+    wedge join + two-key closure semi-join. The edge list feeds three
+    plan references and is persisted. Oracle = the direct three-way
+    relational triangle join."""
+    from pyspark import StorageLevel
+
+    from samza_spark.pipeline import graph
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return graph.triangle_counts(edges)
+
+
+QUERIES["triangle_count"] = q_triangle_count
+
+ORACLES["triangle_count"] = (
+    "WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'), "
+    "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM li x "
+    "JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey), "
+    "t AS (SELECT p.a AS x, p.b AS y, q.b AS z FROM e p "
+    "JOIN e q ON p.a = q.a AND p.b < q.b "
+    "JOIN e r ON r.a = p.b AND r.b = q.b), "
+    "n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t "
+    "UNION ALL SELECT z FROM t) "
+    "SELECT node, count(*) AS n_triangles FROM n GROUP BY node"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

@@ -238,3 +238,59 @@ def test_pagerank_salted_and_checkpointed_identical(spark):
         graph.pagerank_exact(edges, n_iters=6, checkpoint_every=2).collect()
     )
     assert plain == salted == chk
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence edges / triangle counts
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_edges_hand_graph(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (3, "a"), (3, "a")],
+        "grp long, item string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in graph.cooccurrence_edges(df, "grp", "item").collect()
+    )
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_cooccurrence_hub_group_capped(spark):
+    rows = [(1, f"i{k}") for k in range(50)] + [(2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, "grp long, item string")
+    got = sorted(
+        tuple(r)
+        for r in graph.cooccurrence_edges(
+            df, "grp", "item", max_group_size=10
+        ).collect()
+    )
+    assert got == [("x", "y")]  # the 50-item group is skipped, not expanded
+
+
+def test_triangle_counts_hand_graph(spark):
+    # K4 on {a,b,c,d} minus edge (c,d): triangles abc and abd ->
+    # a:2 b:2 c:1 d:1; node e in no triangle
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("d", "e")],
+        "a string, b string",
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in graph.triangle_counts(edges).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_counts_degree_tie_orientation(spark):
+    # a 3-cycle where every node has degree 2 (all ties) must still count
+    # exactly one triangle per node
+    edges = spark.createDataFrame(
+        [("x", "y"), ("x", "z"), ("y", "z")], "a string, b string"
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in graph.triangle_counts(edges).collect()
+    }
+    assert got == {"x": 1, "y": 1, "z": 1}

@@ -193,3 +193,10 @@ def test_tpch_q10_topk_no_global_sort(spark, sf_dir):
     plan = _plan(spark, "tpch_q10", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "triangle_count", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # the two-key closure join
