@@ -219,3 +219,49 @@ def apply_mixture_plan(
         df.join(F.broadcast(plan.select(source_col, "rate_bp")), on=source_col)
         .where(bucket < F.col("rate_bp"))
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the report to run BEFORE
+    keying a 100 TB shuffle on a column: per-key row counts for the
+    ``top_n`` heaviest keys with integer parts-per-million share and
+    cumulative share (a key with share_ppm > ~1e6/num_partitions will
+    straggle one reducer; the mitigation is salting — see
+    ``cap_per_source``/``graph.pagerank_exact(n_salts=...)``).
+
+    Plan shape: ONE map-side-combinable count aggregate, a scalar total
+    broadcast, TakeOrderedAndProject for the top-N (no global sort), and
+    a window over the N surviving rows only. All arithmetic integer —
+    engine-reproducible.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        .limit(int(top_n))
+        .join(F.broadcast(total))
+        .select(
+            key_col,
+            "cnt",
+            F.expr("cast(cnt * 1000000 div __total as bigint)").alias("share_ppm"),
+            "__total",
+        )
+    )
+    # the global window runs over the <= top_n post-limit rows only (the
+    # same benign shape as bm25's final rank) — never over the corpus
+    return (
+        top.withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        ).cast("int"))
+        .withColumn(
+            "cum_share_ppm",
+            F.expr("cast(sum(cnt) over (order by cnt desc, {k} asc "
+                   "rows between unbounded preceding and current row) "
+                   "* 1000000 div __total as bigint)".format(k=key_col)),
+        )
+        .drop("__total")
+    )

@@ -772,6 +772,119 @@ def centroids_fixedpoint(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Map-only assignment of every vector to its max-cosine centroid:
+    all centroids fold into ONE broadcast row, the argmax is a single
+    array expression ((sim DESC, cluster ASC) tie-break) — zero
+    Exchange, zero Window, the ``ivf_topk_exact`` pattern. ``centroids``
+    is (cluster_col, cv: array<double>) — typically
+    :func:`centroids_fixedpoint` output or :func:`load_centroids`.
+    Returns (id_col, cluster, sim)."""
+    cent1 = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(cluster_col), F.col("cv")))
+            ).alias("__cents")
+        )
+    )
+    ranked = (
+        f"reverse(array_sort(transform(__cents, s -> "
+        f"struct({_cosine_sql('__v', 's.cv')} as sim, -s.{cluster_col} as nc))))"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+        )
+        .join(cent1)
+        .select("__id", "__v", F.expr(f"{ranked}[0]").alias("__t"))
+        .select(
+            F.col("__id").alias(id_col),
+            (-F.col("__t.nc")).cast("int").alias("cluster"),
+            F.col("__t.sim").alias("sim"),
+        )
+    )
+
+
+def _kmeans_loop(work: DataFrame, n_clusters: int, n_iters: int):
+    """Shared Lloyd's loop over ``work`` = (__id, __v): returns
+    (final_assignment, final_centroids) where the assignment was made
+    against exactly those centroids — so
+    ``assign_to_centroids(corpus, cents) == assignment`` by
+    construction. The vector rides through the assignment select (no
+    id join-back per iteration)."""
+    assigned = work.withColumn(
+        "cluster", (F.col("__id") % n_clusters).cast("int")
+    )
+    out = None
+    cents = None
+    for _ in range(n_iters):
+        cents = centroids_fixedpoint(assigned, "cluster", "__v")
+        cent1 = F.broadcast(
+            cents.agg(
+                F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias(
+                    "__cents"
+                )
+            )
+        )
+        ranked = (
+            f"reverse(array_sort(transform(__cents, s -> "
+            f"struct({_cosine_sql('__v', 's.cv')} as sim, -s.cluster as nc))))"
+        )
+        out = (
+            work.join(cent1)
+            .select("__id", "__v", F.expr(f"{ranked}[0]").alias("__t"))
+            .select(
+                "__id",
+                "__v",
+                (-F.col("__t.nc")).cast("int").alias("cluster"),
+                F.col("__t.sim").alias("sim"),
+            )
+        )
+        assigned = out
+    return out, cents
+
+
+def kmeans_centroids_exact(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's centroid table after ``n_iters`` rounds — the model the
+    "train once, assign many" workflow persists (:func:`save_centroids`):
+    the final assignment of :func:`kmeans_assign_exact` is exactly
+    ``assign_to_centroids(corpus, these_centroids)``. Returns
+    (cluster, cv: array<double>)."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    work = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    )
+    _, cents = _kmeans_loop(work, n_clusters, n_iters)
+    return cents
+
+
+def save_centroids(centroids: DataFrame, path: str) -> None:
+    """Persist a (cluster, cv) centroid table as parquet — the k-means /
+    IVF model artifact a production pipeline trains once and reuses for
+    every subsequent assignment pass (retraining per batch would pay the
+    corpus-scan statistics aggregate every time)."""
+    centroids.write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def kmeans_assign_exact(
     corpus: DataFrame,
     n_clusters: int = 8,
@@ -807,37 +920,7 @@ def kmeans_assign_exact(
         F.col(id_col).alias("__id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
     )
-    assigned = work.withColumn(
-        "cluster", (F.col("__id") % n_clusters).cast("int")
-    )
-    out = None
-    for _ in range(n_iters):
-        cent1 = F.broadcast(
-            centroids_fixedpoint(assigned, "cluster", "__v").agg(
-                F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias(
-                    "__cents"
-                )
-            )
-        )
-        ranked = (
-            f"reverse(array_sort(transform(__cents, s -> "
-            f"struct({_cosine_sql('__v', 's.cv')} as sim, -s.cluster as nc))))"
-        )
-        out = (
-            work.join(cent1)
-            .select(
-                "__id",
-                "__v",
-                F.expr(f"{ranked}[0]").alias("__t"),
-            )
-            .select(
-                "__id",
-                "__v",
-                (-F.col("__t.nc")).cast("int").alias("cluster"),
-                F.col("__t.sim").alias("sim"),
-            )
-        )
-        assigned = out
+    out, _ = _kmeans_loop(work, n_clusters, n_iters)
     return out.select(F.col("__id").alias(id_col), "cluster", "sim")
 
 

@@ -3496,6 +3496,34 @@ ORACLES["triangle_count"] = (
 )
 
 
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnostic (pipeline.governance.key_skew_report)
+    on the orders-side customer key: one map-side-combinable count
+    aggregate, scalar total broadcast, TakeOrderedAndProject top-N, and
+    a window over the N surviving rows only. Integer ppm shares."""
+    from samza_spark.pipeline import governance
+
+    orders = load_table(spark, sf, "orders")
+    return governance.key_skew_report(orders, "o_custkey", top_n=15)
+
+
+QUERIES["skew_report"] = q_skew_report
+
+ORACLES["skew_report"] = (
+    "WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1), "
+    "t AS (SELECT sum(cnt) AS total FROM c), "
+    "top AS (SELECT o_custkey, cnt FROM c "
+    "ORDER BY cnt DESC, o_custkey ASC LIMIT 15) "
+    "SELECT o_custkey, cnt, "
+    "CAST(cnt * 1000000 // t.total AS BIGINT) AS share_ppm, "
+    "CAST(row_number() OVER (ORDER BY cnt DESC, o_custkey ASC) AS INT) AS rank, "
+    "CAST(sum(cnt) OVER (ORDER BY cnt DESC, o_custkey ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // t.total "
+    "AS BIGINT) AS cum_share_ppm "
+    "FROM top, t"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

@@ -294,3 +294,41 @@ def test_triangle_counts_degree_tie_orientation(spark):
         for r in graph.triangle_counts(edges).collect()
     }
     assert got == {"x": 1, "y": 1, "z": 1}
+
+
+def test_kmeans_model_persist_roundtrip(spark, tmp_path):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = sorted(
+        tuple(r)
+        for r in similarity.kmeans_assign_exact(df, n_clusters=3, n_iters=2).collect()
+    )
+    cents = similarity.kmeans_centroids_exact(df, n_clusters=3, n_iters=2)
+    similarity.save_centroids(cents, str(tmp_path / "model"))
+    loaded = similarity.load_centroids(spark, str(tmp_path / "model"))
+    got = sorted(
+        tuple(r)
+        for r in similarity.assign_to_centroids(df, loaded).collect()
+    )
+    assert got == want  # train-once model replays the in-loop assignment
+
+
+def test_assign_to_centroids_is_map_only(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cluster int, cv array<double>"
+    )
+    out = similarity.assign_to_centroids(df, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # only the one-row centroid broadcast; no hash Exchange, no Window
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 0, 2: 1}
