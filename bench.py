@@ -82,6 +82,9 @@ HEADLINE = [
     "length_outliers",
     "tpch_q10",
     "triangle_count",
+    "skew_report",
+    "stratified_topk_sample",
+    "trailing_agg",
 ]
 
 

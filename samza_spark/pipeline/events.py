@@ -183,3 +183,44 @@ def sessionize(
     return df.withColumn("is_session_start", new_sess == 1).withColumn(
         "session_id", F.sum(new_sess).over(running).cast("long")
     )
+
+
+def trailing_window_agg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Per-event trailing aggregate over a true event-time RANGE frame —
+    "each event with its key's count/sum over the preceding hour"
+    (rate-limit audits, rolling engagement features). This is the
+    RANGE-interval window Samza SQL has no analog for (its GROUP BY is
+    fixed tumbling panes; SamzaSqlValidator rejects OVER entirely —
+    samza-sql/.../planner/SamzaSqlValidator.java:116-127): a sliding
+    window YOUR event anchors, not a pane grid.
+
+    Integer micro-second bounds and an integer micro-unit sum keep every
+    output engine-reproducible. ONE key-partitioned window, ordered by
+    event time WITHIN each key — parallel across keys, no global sort;
+    a hot key is a key_skew_report finding, not a plan flaw.
+
+    Returns the input keys plus (trailing_n, trailing_sum_micro).
+    """
+    from samza_spark.streaming.stateful import _duration_ms
+
+    look_us = _duration_ms(lookback) * 1000
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us.cast("long"))
+        .rangeBetween(-look_us, 0)
+    )
+    vmicro = F.expr(f"cast(floor({value_col} * 1000000.0) as bigint)")
+    return df.select(
+        key_col,
+        F.col("event_id"),
+        us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(vmicro).over(w).alias("trailing_sum_micro"),
+    )

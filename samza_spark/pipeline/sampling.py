@@ -304,6 +304,41 @@ def weighted_sample_exact_k(
     )
 
 
+def stratified_sample_exact_k(
+    df: DataFrame,
+    k_per_stratum: int,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strat0",
+) -> DataFrame:
+    """Exactly ``k_per_stratum`` rows from EVERY stratum (fewer only if
+    the stratum is smaller) — the eval-set construction shape ("200 docs
+    per language, reproducibly"), complementing the rate-based
+    :func:`stratified_sample` (binomial per stratum) and the global
+    :func:`uniform_sample_exact_k`.
+
+    Same determinism contract as the other samplers: rank within each
+    stratum by the md5 hash of (salt, id), keep the k smallest —
+    rerun/engine/partitioning stable, and nested (k'-per-stratum < k is
+    a subset of k-per-stratum).
+
+    Plan: ONE stratum-partitioned rank window — groups rank in parallel
+    across the cluster; no global sort, no driver state. A stratum so
+    hot it swamps one task is exactly what :func:`key_skew_report`
+    flags; pre-split such strata or use the rate-based sampler."""
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k_per_stratum))
+        .drop("__rn")
+    )
+
+
 def write_partitioned_table(
     df: DataFrame,
     path: str,

@@ -3524,6 +3524,54 @@ ORACLES["skew_report"] = (
 )
 
 
+def q_stratified_topk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-k-per-stratum sample (pipeline.sampling.
+    stratified_sample_exact_k): md5-hash rank within each language, ONE
+    stratum-partitioned window — parallel across strata, no global
+    sort. The eval-set construction shape; oracle replays every rank."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.stratified_sample_exact_k(
+        docs, 20, stratum_col="lang", salt="strat0"
+    )
+
+
+QUERIES["stratified_topk_sample"] = q_stratified_topk_sample
+
+ORACLES["stratified_topk_sample"] = (
+    "WITH r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+    "ORDER BY md5('strat0' || '|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) "
+    "AS rn FROM documents) "
+    "SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= 20"
+)
+
+
+def q_trailing_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time RANGE-frame trailing aggregate (pipeline.events.
+    trailing_window_agg): each event with its user's count/sum over the
+    preceding hour — the sliding event-anchored window Samza SQL cannot
+    express (OVER rejected; GROUP BY is fixed panes). Key-partitioned
+    window, integer micro bounds/sums."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.trailing_window_agg(ev, lookback="1 hour")
+
+
+QUERIES["trailing_agg"] = q_trailing_agg
+
+ORACLES["trailing_agg"] = (
+    "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+    "count(*) OVER w AS trailing_n, "
+    "CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS BIGINT) "
+    "AS trailing_sum_micro "
+    "FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

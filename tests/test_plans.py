@@ -200,3 +200,22 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan  # the two-key closure join
+
+
+def test_skew_report_window_only_after_limit(spark, sf_dir):
+    plan = _plan(spark, "skew_report", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_topk_parallel_rank(spark, sf_dir):
+    plan = _plan(spark, "stratified_topk_sample", sf_dir)
+    # the rank window must be PARTITIONED (no single-partition sort)
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_trailing_agg_key_partitioned_range_frame(spark, sf_dir):
+    plan = _plan(spark, "trailing_agg", sf_dir)
+    assert "RangeFrame" in plan
+    assert "Exchange SinglePartition" not in plan
