@@ -85,6 +85,7 @@ HEADLINE = [
     "skew_report",
     "stratified_topk_sample",
     "trailing_agg",
+    "pivot_counts",
 ]
 
 

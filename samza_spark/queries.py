@@ -3572,6 +3572,39 @@ ORACLES["trailing_agg"] = (
 )
 
 
+def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT breadth probe: per-user event-type count matrix via
+    ``groupBy().pivot(values=...).count()`` with an EXPLICIT value list
+    (no extra distinct-scan job, deterministic schema — the form that
+    scales; valueless pivot pays a full pass to discover columns).
+    Oracle = conditional aggregation. One combinable aggregate."""
+    ev = load_table(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    # pivot leaves NULL for absent combinations; report 0 (and make the
+    # oracle trivially mirrorable)
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds],
+    )
+
+
+QUERIES["pivot_counts"] = q_pivot_counts
+
+ORACLES["pivot_counts"] = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{k}') AS n_{k}"
+        for k in ["click", "error", "purchase", "signup", "view"]
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
