@@ -115,8 +115,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Plan: two equi-joins + one aggregate — no cartesian anywhere.
     """
     deg = (
-        edges.select(F.col("a").alias("n"))
-        .unionByName(edges.select(F.col("b").alias("n")))
+        edges.select(F.explode(F.array("a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -148,10 +147,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")),
         "left_semi",
     )
-    tri_nodes = (
-        closed.select(F.col("u").alias("node"))
-        .unionByName(closed.select(F.col("v").alias("node")))
-        .unionByName(closed.select(F.col("w").alias("node")))
+    # one pass: a 3-branch union would re-run the whole wedge+closure
+    # pipeline per branch (measured 3x the work)
+    tri_nodes = closed.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     return tri_nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -195,8 +194,7 @@ def pagerank_exact(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
