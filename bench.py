@@ -86,6 +86,7 @@ HEADLINE = [
     "stratified_topk_sample",
     "trailing_agg",
     "pivot_counts",
+    "graph_components",
 ]
 
 

@@ -3605,6 +3605,42 @@ ORACLES["pivot_counts"] = (
 )
 
 
+def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the supplier co-occurrence graph —
+    the generic min-label propagation of pipeline.dedup.
+    connected_components (per round ONE edge-keyed join+min aggregate,
+    lineage checkpointed, early exit on convergence) applied as a
+    first-class graph operator. Oracle = DuckDB recursive-CTE closure."""
+    from pyspark import StorageLevel
+
+    from samza_spark.pipeline import graph
+    from samza_spark.pipeline.dedup import connected_components
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return connected_components(edges, id_col="node")
+
+
+QUERIES["graph_components"] = q_graph_components
+
+ORACLES["graph_components"] = (
+    "WITH RECURSIVE li AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'), "
+    "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM li x "
+    "JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey), "
+    "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a), "
+    "comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id) "
+    "SELECT id AS node, component FROM comp"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
