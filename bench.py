@@ -87,6 +87,7 @@ HEADLINE = [
     "trailing_agg",
     "pivot_counts",
     "graph_components",
+    "gap_fill",
 ]
 
 

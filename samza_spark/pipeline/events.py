@@ -224,3 +224,61 @@ def trailing_window_agg(
         F.count(F.lit(1)).over(w).alias("trailing_n"),
         F.sum(vmicro).over(w).alias("trailing_sum_micro"),
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series resampling with forward fill: a regular ``step`` grid
+    per key spanning the key's observed range, each bucket carrying the
+    bucket's LAST observation (deterministic (ts, event_id) pick) or the
+    most recent earlier value (``is_gap`` marks filled rows) — the
+    gap-fill/LOCF stage of metric pipelines and feature backfills.
+
+    Scale: one (key, bucket) aggregate with map-side max_by combine, a
+    tiny per-key span row exploded into its grid (bounded by
+    span/step — a pathological span is a data bug this surfaces), one
+    left join on (key, bucket), and ONE key-partitioned forward-fill
+    window. Nothing global, no Python.
+    """
+    from samza_spark.streaming.stateful import _duration_ms
+
+    step_us = _duration_ms(step) * 1000
+    # integer division (div), NOT '/': bigint '/' is double division, and
+    # a quotient just under an integer can round UP before the cast
+    bucket = F.expr(f"unix_micros({ts_col}) div {step_us}")
+    per_bucket = (
+        df.select(
+            F.col(key_col),
+            bucket.alias("bucket"),
+            F.col(value_col).alias("__v"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            F.col("event_id").alias("__eid"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.expr("max_by(__v, struct(__us, __eid))").alias("__v")
+        )
+    )
+    span = per_bucket.groupBy(key_col).agg(
+        F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
+    )
+    grid = span.select(
+        key_col, F.explode(F.expr("sequence(__b0, __b1)")).alias("bucket")
+    )
+    joined = grid.join(per_bucket, on=[key_col, "bucket"], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        (F.col("bucket") * F.lit(step_us)).alias("bucket_us"),
+        F.last("__v", ignorenulls=True).over(w).alias(value_col),
+        F.col("__v").isNull().alias("is_gap"),
+    )

@@ -3641,6 +3641,39 @@ ORACLES["graph_components"] = (
 )
 
 
+def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resampling + forward fill (pipeline.events.gap_fill):
+    per-user hourly grid over the observed span, last-observation-
+    carried-forward through empty buckets. One combinable (key, bucket)
+    aggregate, per-key grid explode, one left join, ONE key-partitioned
+    fill window."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.gap_fill(ev, step="1 hour")
+
+
+QUERIES["gap_fill"] = q_gap_fill
+
+_GF_B = "epoch_us(ts) // 3600000000"
+ORACLES["gap_fill"] = (
+    f"WITH pb AS (SELECT user_id, bucket, v FROM (SELECT user_id, "
+    f"{_GF_B} AS bucket, value AS v, row_number() OVER (PARTITION BY user_id, "
+    f"{_GF_B} ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) "
+    "WHERE rn = 1), "
+    "span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 "
+    "FROM pb GROUP BY 1), "
+    "grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket "
+    "FROM span), "
+    "j AS (SELECT g.user_id, g.bucket, pb.v FROM grid g LEFT JOIN pb "
+    "ON g.user_id = pb.user_id AND g.bucket = pb.bucket) "
+    "SELECT user_id, bucket * 3600000000 AS bucket_us, "
+    "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value, "
+    "v IS NULL AS is_gap FROM j"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

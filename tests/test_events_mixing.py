@@ -159,3 +159,42 @@ def test_sessionize_gap_semantics(spark):
     assert out[5].session_id == 1
     assert out[1].is_session_start and out[3].is_session_start
     assert not out[2].is_session_start and not out[4].is_session_start
+
+
+# ---------------------------------------------------------------------------
+# gap_fill
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_grid_and_locf(spark):
+    from datetime import datetime
+
+    from samza_spark.pipeline.events import gap_fill
+
+    rows = [
+        # user 1: values at hours 0, 0 (later event wins), 3
+        (1, 1, datetime(2024, 1, 1, 0, 10), 10.0),
+        (2, 1, datetime(2024, 1, 1, 0, 50), 11.0),
+        (3, 1, datetime(2024, 1, 1, 3, 5), 12.0),
+        # user 2: single observation
+        (4, 2, datetime(2024, 1, 1, 5, 0), 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        (r["user_id"], r["bucket_us"]): (r["value"], r["is_gap"])
+        for r in gap_fill(df, step="1 hour").collect()
+    }
+    h = 3_600_000_000
+    base = 1_704_067_200 * 1_000_000  # 2024-01-01 UTC in micros
+    # user 1: 4 buckets, hours 1-2 forward-filled with the LAST hour-0 value
+    assert out[(1, base + 0 * h)] == (11.0, False)
+    assert out[(1, base + 1 * h)] == (11.0, True)
+    assert out[(1, base + 2 * h)] == (11.0, True)
+    assert out[(1, base + 3 * h)] == (12.0, False)
+    # user 2: exactly one bucket, no fills
+    u2 = [k for k in out if k[0] == 2]
+    assert u2 == [(2, base + 5 * h)]
+    assert out[u2[0]] == (99.0, False)
+    assert len(out) == 5
