@@ -206,7 +206,10 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def unigram_logprob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_tokens: bool = False,
 ) -> DataFrame:
     """Corpus-trained unigram language-model score per document — the
     cheap stand-in for perplexity-based quality filtering (the KenLM
@@ -232,6 +235,16 @@ def unigram_logprob(
     exploded = base.select(
         id_col, F.posexplode("__toks").alias("pos", "token")
     ).where(F.col("token") != "")
+    if persist_tokens:
+        # the token table feeds BOTH the vocab count and the scoring join.
+        # Opt-in only: for THIS corpus shape recomputing the map-only
+        # explode per branch measured FASTER than caching it (PERF.md) —
+        # persist pays off only when normalization dominates (very long
+        # documents, heavy regex). Callers must unpersist via the
+        # ``_token_cache`` attribute once downstream materializes.
+        from pyspark import StorageLevel
+
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     vocab = exploded.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
     totals = vocab.agg(F.sum("__cnt").alias("__total"))
     scored = (
@@ -256,7 +269,7 @@ def unigram_logprob(
             lambda acc, x: acc + x,
         ).alias("logprob_sum"),
     )
-    return (
+    out = (
         df.select(id_col)
         .join(per_doc, on=id_col, how="left")
         .select(
@@ -269,6 +282,10 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+    if persist_tokens:
+        # handle for the caller to unpersist once downstream materializes
+        out._token_cache = exploded
+    return out
 
 
 def perplexity_buckets(
@@ -298,8 +315,12 @@ def perplexity_buckets(
     """
     from samza_spark.operators.rank import global_rank
 
+    # persist_tokens measured SLOWER here (4.9s vs 2.9s at sf0.1): the
+    # token explode is a map-only projection, cheaper to recompute per
+    # branch than to materialize — see PERF.md round-5 third session
+    lm = unigram_logprob(df, text_col=text_col, id_col=id_col)
     scored = (
-        unigram_logprob(df, text_col=text_col, id_col=id_col)
+        lm
         .filter(F.col("n_tokens") > 0)
         .select(
             id_col,
@@ -312,7 +333,14 @@ def perplexity_buckets(
     ranked = global_rank(
         scored, [F.col("score_micro").asc(), F.col(id_col).asc()], rank_col="rank"
     )
+    # global_rank localCheckpoints the ranged rows eagerly, so the LM
+    # subtree has fully evaluated by the time it returns — drop the token
+    # cache (stashed on the scored lineage by unigram_logprob) so the
+    # corpus-sized intermediate can't leak past this call
     n = ranked.count()
+    cache = getattr(lm, "_token_cache", None)
+    if cache is not None:
+        cache.unpersist()
     return ranked.withColumn(
         "bucket",
         F.expr(

@@ -219,3 +219,17 @@ def test_trailing_agg_key_partitioned_range_frame(spark, sf_dir):
     plan = _plan(spark, "trailing_agg", sf_dir)
     assert "RangeFrame" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_gap_fill_single_fill_window(spark, sf_dir):
+    plan = _plan(spark, "gap_fill", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pivot_counts_single_aggregate(spark, sf_dir):
+    plan = _plan(spark, "pivot_counts", sf_dir)
+    assert "BatchEvalPython" not in plan
+    # pivot with explicit values lowers to one pivot aggregate pipeline
+    assert "CartesianProduct" not in plan
