@@ -88,6 +88,8 @@ HEADLINE = [
     "pivot_counts",
     "graph_components",
     "gap_fill",
+    "session_stats",
+    "shard_manifest",
 ]
 
 

@@ -282,3 +282,34 @@ def gap_fill(
         F.last("__v", ignorenulls=True).over(w).alias(value_col),
         F.col("__v").isNull().alias("is_gap"),
     )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-session summary on top of :func:`sessionize` — the aggregate
+    view (duration, event count, value sum) session analytics consume,
+    composed end-to-end: two user-partitioned windows for the session
+    ids, then ONE (user, session) aggregate with map-side combine.
+    Value sums are fixed-point micro-units (shuffle-order-free).
+
+    Returns (user, session_id, n_events, start_us, end_us, duration_us,
+    value_sum_micro).
+    """
+    sess = sessionize(df, user_col=user_col, ts_col=ts_col, gap=gap)
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros(F.col(ts_col))).alias("start_us"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("end_us"),
+            F.sum(
+                F.expr(f"cast(floor({value_col} * 1000000.0) as bigint)")
+            ).alias("value_sum_micro"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )

@@ -339,6 +339,39 @@ def stratified_sample_exact_k(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    cost_col: str,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    salt: str = "manifest0",
+) -> DataFrame:
+    """Per-shard export manifest: row count, total cost, and a
+    content-derived checksum — the artifact a training run pins so a
+    re-export is verifiable without re-reading the shards.
+
+    The checksum is the SUM of per-row md5-derived 60-bit integers
+    (mod 2^62) — COMMUTATIVE, so it needs no per-shard ordering or
+    collect_list: one aggregate with map-side combine, exact in any
+    engine (DECIMAL/HUGEINT sums), and any dropped/duplicated/substituted
+    row changes it. An ordered md5-of-concatenation would hash the same
+    set more strongly but requires materializing each shard's id list in
+    one task — the non-scalable shape this deliberately avoids.
+    """
+    return (
+        df.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(cost_col).cast("long")).alias("total_cost"),
+            F.expr(
+                f"cast(sum(cast(conv(substr(md5(concat('{salt}', '|', "
+                f"cast({id_col} as string))), 1, 15), 16, 10) as decimal(38,0))) "
+                f"% 4611686018427387904 as bigint)"
+            ).alias("id_checksum"),
+        )
+    )
+
+
 def write_partitioned_table(
     df: DataFrame,
     path: str,

@@ -3674,6 +3674,72 @@ ORACLES["gap_fill"] = (
 )
 
 
+def q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session summary aggregates composed on gap sessionization
+    (pipeline.events.session_stats): two user-partitioned windows for
+    the ids, one (user, session) aggregate with map-side combine;
+    value sums in fixed-point micro-units."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.session_stats(ev, gap="30 minutes")
+
+
+QUERIES["session_stats"] = q_session_stats
+
+ORACLES["session_stats"] = (
+    "WITH l AS (SELECT event_id, user_id, ts, value, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts "
+    "FROM events), "
+    "m AS (SELECT event_id, user_id, ts, value, "
+    "CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE "
+    "THEN 1 ELSE 0 END AS ns FROM l), "
+    "s AS (SELECT user_id, ts, value, "
+    "CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
+    "FROM m) "
+    "SELECT user_id, session_id, count(*) AS n_events, "
+    "min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us, "
+    "CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) "
+    "AS value_sum_micro, "
+    "max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us "
+    "FROM s GROUP BY 1, 2"
+)
+
+
+def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Export manifest over packed training shards (pipeline.sampling.
+    pack_contiguous + shard_manifest): per-shard row count, token cost,
+    and a commutative md5-sum checksum — one combinable aggregate, no
+    per-shard ordering or list materialization (the scale trap an
+    ordered concat-hash would be)."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    packed = sampling.pack_contiguous(
+        docs, cost_col="n_chars", budget=4096, n_shards=8, salt="pack0"
+    )
+    return sampling.shard_manifest(packed, cost_col="n_chars")
+
+
+QUERIES["shard_manifest"] = q_shard_manifest
+
+# ::BIGINT then widen — DuckDB's hex-string cast exists for BIGINT only
+_MANI_H = (
+    "('0x' || substr(md5('manifest0' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT"
+)
+ORACLES["shard_manifest"] = (
+    "WITH p AS (SELECT doc_id, n_chars, "
+    "('0x' || substr(md5('pack0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 8 AS shard FROM documents) "
+    "SELECT shard, count(*) AS n_rows, sum(n_chars) AS total_cost, "
+    f"CAST(sum({_MANI_H}) % CAST(4611686018427387904 AS HUGEINT) AS BIGINT) "
+    "AS id_checksum "
+    "FROM p GROUP BY shard"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

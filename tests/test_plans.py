@@ -233,3 +233,16 @@ def test_pivot_counts_single_aggregate(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # pivot with explicit values lowers to one pivot aggregate pipeline
     assert "CartesianProduct" not in plan
+
+
+def test_session_stats_user_partitioned_only(spark, sf_dir):
+    plan = _plan(spark, "session_stats", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_shard_manifest_single_combinable_aggregate(spark, sf_dir):
+    plan = _plan(spark, "shard_manifest", sf_dir)
+    assert "partial_" in plan  # map-side combine
+    assert "Window" not in plan
+    assert "collect_list" not in plan  # no per-shard list materialization
