@@ -90,6 +90,7 @@ HEADLINE = [
     "gap_fill",
     "session_stats",
     "shard_manifest",
+    "ewma",
 ]
 
 

@@ -313,3 +313,51 @@ def session_stats(
         )
         .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
     )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the classic
+    recency-weighted engagement/load feature. EWMA is inherently
+    sequential (e_i = a*v_i + (1-a)*e_{i-1}, seeded with the first
+    value), so it folds the key's time-ordered value list inside ONE
+    aggregate: collect is bounded by events-per-key (the same per-key
+    boundedness contract as funnel/sessionize), and nothing shuffles
+    twice.
+
+    Determinism: with ``alpha`` a binary fraction (0.25, 0.5...) every
+    step is exactly-rounded IEEE arithmetic in a fixed order — DuckDB's
+    ``list_reduce`` (first element as seed) replays it bit-for-bit.
+    Returns (key, n_events, last_us, ewma).
+    """
+    a = float(alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    vals = F.expr(
+        f"transform(array_sort(collect_list(struct("
+        f"unix_micros({ts_col}) as us, event_id as eid, "
+        f"cast({value_col} as double) as v))), s -> s.v)"
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("last_us"),
+            vals.alias("__vals"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            "last_us",
+            F.expr(
+                f"aggregate(slice(__vals, 2, size(__vals) - 1), __vals[0], "
+                f"(acc, x) -> cast({a} as double) * x + "
+                f"cast({1.0 - a} as double) * acc)"
+            ).alias("ewma"),
+        )
+    )

@@ -3740,6 +3740,27 @@ ORACLES["shard_manifest"] = (
 )
 
 
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA of event values (pipeline.events.ewma_per_key,
+    alpha=0.25 — a binary fraction, so every sequential IEEE step is
+    engine-reproducible): one bounded per-key fold inside a single
+    aggregate. Oracle = DuckDB list_reduce (first element seeds)."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.ewma_per_key(ev, alpha=0.25)
+
+
+QUERIES["ewma"] = q_ewma
+
+ORACLES["ewma"] = (
+    "SELECT user_id, count(*) AS n_events, max(epoch_us(ts)) AS last_us, "
+    "list_reduce(list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id), "
+    "(acc, x) -> CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc) AS ewma "
+    "FROM events GROUP BY user_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
