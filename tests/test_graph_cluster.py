@@ -332,3 +332,35 @@ def test_assign_to_centroids_is_map_only(spark):
     assert "Window" not in plan
     got = {r["vec_id"]: r["cluster"] for r in out.collect()}
     assert got == {1: 0, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# sampler nesting properties
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_nested_subset(spark):
+    # the k smallest priorities are a prefix of the k' smallest (k < k'):
+    # growing a sample never swaps out earlier picks
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 13) % 29) for i in range(300)], "doc_id long, w long"
+    )
+    small = {r["doc_id"] for r in sampling.weighted_sample_exact_k(df, 10, "w").collect()}
+    big = {r["doc_id"] for r in sampling.weighted_sample_exact_k(df, 40, "w").collect()}
+    assert small < big
+
+
+def test_stratified_exact_k_nested_and_exact(spark):
+    rows = [(i, "s%d" % (i % 4)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    k5 = sampling.stratified_sample_exact_k(df, 5, "stratum").collect()
+    k9 = sampling.stratified_sample_exact_k(df, 9, "stratum").collect()
+    by5 = {}
+    for r in k5:
+        by5.setdefault(r["stratum"], set()).add(r["doc_id"])
+    by9 = {}
+    for r in k9:
+        by9.setdefault(r["stratum"], set()).add(r["doc_id"])
+    for s in by5:
+        assert len(by5[s]) == 5 and len(by9[s]) == 9
+        assert by5[s] < by9[s]  # nested per stratum
