@@ -91,6 +91,7 @@ HEADLINE = [
     "session_stats",
     "shard_manifest",
     "ewma",
+    "user_similarity",
 ]
 
 

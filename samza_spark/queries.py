@@ -3761,6 +3761,70 @@ ORACLES["ewma"] = (
 )
 
 
+def q_user_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral similarity search (the time-series-similarity shape):
+    each user's 24-dim hour-of-day activity profile is built with ONE
+    (user, hour) count aggregate + a map-backed dense array, then the
+    profile table — tiny relative to the event log — feeds the same
+    fold-order cosine machinery as the embedding family (at larger user
+    counts the ANN/IVF paths apply to these profiles unchanged). Top-3
+    most-similar users per user, integer profiles so every cosine is
+    engine-reproducible."""
+    ev = load_table(spark, sf, "events")
+    per_hour = (
+        ev.select("user_id", F.hour("ts").alias("h"))
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prof = per_hour.groupBy("user_id").agg(
+        F.expr(
+            "transform(sequence(0, 23), i -> cast(coalesce("
+            "map_from_entries(collect_list(struct(h, c)))[i], 0) as double))"
+        ).alias("pv")
+    )
+    a = prof.select(F.col("user_id").alias("ua"), F.col("pv").alias("va"))
+    b = F.broadcast(
+        prof.select(F.col("user_id").alias("ub"), F.col("pv").alias("vb"))
+    )
+    from samza_spark.pipeline.similarity import _cosine_sql
+
+    scored = (
+        a.join(b, F.col("ua") != F.col("ub"))
+        .withColumn("cosine", F.expr(_cosine_sql("va", "vb")))
+        .select("ua", "ub", "cosine")
+    )
+    w = Window.partitionBy("ua").orderBy(F.desc("cosine"), F.asc("ub"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("ua").alias("user_id"),
+            F.col("ub").alias("similar_user"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+QUERIES["user_similarity"] = q_user_similarity
+
+_PV24 = ", ".join(
+    f"CAST(sum(CASE WHEN h = {i} THEN c ELSE 0 END) AS DOUBLE)" for i in range(24)
+)
+ORACLES["user_similarity"] = (
+    "WITH ph AS (SELECT user_id, extract(hour FROM ts) AS h, count(*) AS c "
+    "FROM events GROUP BY 1, 2), "
+    f"prof AS (SELECT user_id, list_value({_PV24}) AS pv "
+    "FROM ph GROUP BY user_id), "
+    "sc AS (SELECT a.user_id AS ua, b.user_id AS ub, "
+    + _cos("a.pv", "b.pv")
+    + " AS cosine FROM prof a JOIN prof b ON a.user_id <> b.user_id) "
+    "SELECT ua AS user_id, ub AS similar_user, cosine, "
+    "CAST(row_number() OVER (PARTITION BY ua ORDER BY cosine DESC, ub ASC) "
+    "AS INT) AS rank FROM sc QUALIFY rank <= 3"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
