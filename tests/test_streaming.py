@@ -339,3 +339,62 @@ def test_banded_range_join_stream_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r.lid, r.rid) for r in spark.sql("SELECT * FROM srj_test_out").collect()}
     assert rows == {(1, 10)}  # 11 is outside the 90s window
+
+
+def test_stream_stream_left_outer_ttl_join(spark):
+    """LEFT OUTER streaming TTL join — the superset Samza's DSL join
+    (inner-only, PartialJoinOperatorImpl) cannot express: unmatched left
+    rows emit null-padded once the watermark passes their join window.
+    Null emission requires the watermark to ADVANCE past expiry, so both
+    sides carry late sentinel rows in a second file processed in a later
+    micro-batch."""
+    d = tempfile.mkdtemp(prefix="ss_loj_")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    late = base + dt.timedelta(hours=3)
+    try:
+        clicks1 = [("u1", "c1", base), ("u2", "c2", base)]
+        clicks2 = [("w", "cw", late)]  # watermark pusher
+        buys1 = [("u1", "p1", base + dt.timedelta(minutes=2))]
+        buys2 = [("w2", "pw", late)]  # watermark pusher (no match)
+        spark.createDataFrame(
+            clicks1, "user_id string, click_id string, cts timestamp"
+        ).coalesce(1).write.parquet(f"{d}/clicks")
+        spark.createDataFrame(
+            buys1, "user_id string, buy_id string, bts timestamp"
+        ).coalesce(1).write.parquet(f"{d}/buys")
+        cs = FileSource(
+            f"{d}/clicks", schema="user_id string, click_id string, cts timestamp"
+        )
+        bs = FileSource(
+            f"{d}/buys", schema="user_id string, buy_id string, bts timestamp"
+        )
+        cs.max_files_per_trigger = 1
+        bs.max_files_per_trigger = 1
+        joined = cs.read_stream(spark).join(
+            bs.read_stream(spark),
+            on="user_id",
+            how="left_outer",
+            ttl="5 minutes",
+            left_ts="cts",
+            right_ts="bts",
+        )
+        sink = MemorySink("loj_out", output_mode="append")
+        q = joined.map("user_id", "click_id", "buy_id").send_to(sink)
+        q.processAllAvailable()
+        # append the watermark pushers as a SECOND file each; the next
+        # micro-batches advance the watermark past base+ttl, releasing the
+        # unmatched left row as null-padded
+        spark.createDataFrame(
+            clicks2, "user_id string, click_id string, cts timestamp"
+        ).coalesce(1).write.mode("append").parquet(f"{d}/clicks")
+        spark.createDataFrame(
+            buys2, "user_id string, buy_id string, bts timestamp"
+        ).coalesce(1).write.mode("append").parquet(f"{d}/buys")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        rows = {tuple(r) for r in sink.collect(spark)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert ("u1", "c1", "p1") in rows          # matched pair
+    assert ("u2", "c2", None) in rows          # released null-padded
