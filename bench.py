@@ -92,6 +92,7 @@ HEADLINE = [
     "shard_manifest",
     "ewma",
     "user_similarity",
+    "hybrid_search",
 ]
 
 

@@ -221,3 +221,47 @@ def tfidf_keywords(
         )
     )
     return scored.withColumn("rank", w.cast("int")).where(F.col("rank") <= k)
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09 — the standard
+    hybrid-retrieval combiner): fused score = sum over input rankings of
+    ``1 / (k0 + rank)``, items missing from a list contribute nothing.
+    Inputs are (id, rank) DataFrames (rank 1-based, k-bounded — i.e.
+    top-k lists, so every join here is tiny regardless of corpus size).
+
+    Determinism: each reciprocal is ONE IEEE division of exact integers
+    and the fused sum adds the lists in argument order — engine-
+    reproducible, no float ambiguity. Returns (id, rank_0.., rrf, rank)
+    ordered by (rrf DESC, id ASC).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    out = None
+    for i, r in enumerate(rankings):
+        contrib = r.select(
+            F.col(id_col),
+            F.col("rank").cast("int").alias(f"rank_{i}"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k0)) + F.col("rank").cast("double"))
+            ).alias(f"__c{i}"),
+        )
+        out = (
+            contrib
+            if out is None
+            else out.join(contrib, on=id_col, how="full_outer")
+        )
+    rrf = F.lit(0.0)
+    for i in range(len(rankings)):
+        rrf = rrf + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        out.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .drop(*[f"__c{i}" for i in range(len(rankings))])
+    )

@@ -3848,6 +3848,64 @@ ORACLES["user_similarity"] = (
 )
 
 
+def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (pipeline.retrieval.
+    rrf_fuse, Cormack et al. SIGIR'09): BM25 top-20 fused with a raw
+    term-frequency top-20 for the same query terms. Both input lists are
+    k-bounded, so the fusion joins/window run on <= 40 rows regardless
+    of corpus size; every reciprocal is one IEEE division of exact
+    integers and the fused sum adds lists in fixed order — the oracle
+    replays it bit-for-bit."""
+    from samza_spark.pipeline import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    bm = retrieval.bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "rank")
+    toks = F.split(
+        F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " "
+    )
+    tf_total = None
+    for t in _BM25_TERMS:
+        c = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        tf_total = c if tf_total is None else (tf_total + c)
+    tf_ranked = (
+        docs.select("doc_id", tf_total.cast("long").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+        .select("doc_id", "rank")
+    )
+    return retrieval.rrf_fuse([bm, tf_ranked], id_col="doc_id", k0=60)
+
+
+QUERIES["hybrid_search"] = q_hybrid_search
+
+_RRF_TFSUM = " + ".join(
+    f"len(list_filter(w, x -> x = '{t}'))" for t in _BM25_TERMS
+)
+ORACLES["hybrid_search"] = (
+    f"WITH bm AS ({_bm25_duck(_BM25_TERMS)}), "
+    f"t AS (SELECT doc_id, CASE WHEN {_NORM.format(c='text')} = '' "
+    f"THEN CAST([] AS VARCHAR[]) ELSE string_split({_NORM.format(c='text')}, ' ') "
+    "END AS w FROM documents), "
+    f"tfr0 AS (SELECT doc_id, CAST({_RRF_TFSUM} AS BIGINT) AS tf FROM t "
+    "ORDER BY tf DESC, doc_id ASC LIMIT 20), "
+    "tfr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id ASC) "
+    "AS INT) AS rank FROM tfr0), "
+    "f AS (SELECT COALESCE(bm.doc_id, tfr.doc_id) AS doc_id, "
+    "bm.rank AS rank_0, tfr.rank AS rank_1, "
+    "COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(bm.rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) "
+    "+ COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(tfr.rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) "
+    "AS rrf FROM bm FULL OUTER JOIN tfr ON bm.doc_id = tfr.doc_id) "
+    "SELECT doc_id, rank_0, rank_1, rrf, "
+    "CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank FROM f"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
