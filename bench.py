@@ -93,6 +93,7 @@ HEADLINE = [
     "ewma",
     "user_similarity",
     "hybrid_search",
+    "distribution_drift",
 ]
 
 

@@ -3906,6 +3906,58 @@ ORACLES["hybrid_search"] = (
 )
 
 
+def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical distribution drift between two time windows — the
+    monitoring aggregate that catches a source/event-mix shift before it
+    poisons a training run: per event type, reference vs current counts
+    and integer parts-per-million shares with their delta. ONE scan,
+    conditional map-side-combinable sums, a scalar totals broadcast; all
+    arithmetic integer so any engine reproduces it."""
+    ev = load_table(spark, sf, "events")
+    split_ts = F.lit("2024-01-16")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.col("ts") < split_ts, 1).otherwise(0).alias("is_ref"),
+    )
+    counts = tagged.groupBy("event_type").agg(
+        F.sum("is_ref").cast("long").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("cur_n"),
+    )
+    totals = counts.agg(
+        F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "event_type",
+            "ref_n",
+            "cur_n",
+            F.expr("cast(ref_n * 1000000 div __rt as bigint)").alias("ref_ppm"),
+            F.expr("cast(cur_n * 1000000 div __ct as bigint)").alias("cur_ppm"),
+            F.expr(
+                "cast(cur_n * 1000000 div __ct - ref_n * 1000000 div __rt "
+                "as bigint)"
+            ).alias("delta_ppm"),
+        )
+    )
+
+
+QUERIES["distribution_drift"] = q_distribution_drift
+
+ORACLES["distribution_drift"] = (
+    "WITH c AS (SELECT event_type, "
+    "sum(CASE WHEN ts < '2024-01-16' THEN 1 ELSE 0 END) AS ref_n, "
+    "sum(CASE WHEN ts < '2024-01-16' THEN 0 ELSE 1 END) AS cur_n "
+    "FROM events GROUP BY 1), "
+    "t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM c) "
+    "SELECT event_type, ref_n, cur_n, "
+    "CAST(ref_n * 1000000 // t.rt AS BIGINT) AS ref_ppm, "
+    "CAST(cur_n * 1000000 // t.ct AS BIGINT) AS cur_ppm, "
+    "CAST(cur_n * 1000000 // t.ct - ref_n * 1000000 // t.rt AS BIGINT) "
+    "AS delta_ppm FROM c, t"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
