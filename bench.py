@@ -94,6 +94,7 @@ HEADLINE = [
     "user_similarity",
     "hybrid_search",
     "distribution_drift",
+    "classifier_confusion",
 ]
 
 

@@ -1364,3 +1364,48 @@ def streaming_corpus_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def lsh_plan(
+    threshold: float,
+    num_perm: int = 64,
+    target_recall: float = 0.95,
+    fp_similarity: float | None = None,
+):
+    """Choose MinHash-LSH banding parameters from the S-curve
+    (Leskovec-Rajaraman-Ullman, Mining of Massive Datasets ch. 3):
+    collision probability at Jaccard s is ``1 - (1 - s^r)^b`` with
+    ``r = num_perm / b``. Among band counts dividing ``num_perm`` whose
+    recall at ``threshold`` meets ``target_recall``, pick the one with
+    the LOWEST false-candidate probability at ``fp_similarity``
+    (default threshold/2) — fewer bands means fewer hot buckets and less
+    verify work, so this is the work-minimizing feasible plan.
+
+    Pure driver-side arithmetic (no Spark); returns
+    ``(bands, rows, candidates)`` where candidates lists every divisor's
+    ``(bands, rows, recall_at_threshold, fp_at_low)`` for audit.
+    Raises if no divisor meets the target (raise num_perm).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    s_lo = fp_similarity if fp_similarity is not None else threshold / 2.0
+
+    def curve(s: float, r: int, b: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    candidates = []
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        candidates.append(
+            (b, r, curve(threshold, r, b), curve(s_lo, r, b))
+        )
+    feasible = [c for c in candidates if c[2] >= target_recall]
+    if not feasible:
+        raise ValueError(
+            f"no banding of {num_perm} permutations reaches recall "
+            f"{target_recall} at threshold {threshold}; increase num_perm"
+        )
+    best = min(feasible, key=lambda c: (c[3], c[0]))
+    return (best[0], best[1], candidates)

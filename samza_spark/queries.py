@@ -3958,6 +3958,25 @@ ORACLES["distribution_drift"] = (
 )
 
 
+def q_classifier_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-evaluation aggregate: the NB language classifier's
+    confusion matrix (actual x predicted counts) — the quality gate a
+    pipeline runs on its own labelers before trusting them. One extra
+    combinable aggregate over the classifier's relational DAG."""
+    docs = load_table(spark, sf, "documents")
+    nb = text.nb_lang_classifier(docs)
+    return nb.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+QUERIES["classifier_confusion"] = q_classifier_confusion
+
+ORACLES["classifier_confusion"] = (
+    "SELECT lang, pred, count(*) AS n_docs FROM ("
+    + ORACLES["nb_classifier"]
+    + ") GROUP BY 1, 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

@@ -1508,3 +1508,22 @@ def test_hard_negatives_label_filter(spark):
     # with k above the negative count, same-label ids still never appear
     all_out = similarity.hard_negatives(emb, emb.filter(F.col("vec_id") == 1), k=10).collect()
     assert {r.neighbor_id for r in all_out} == {3, 4, 5}
+
+
+def test_lsh_plan_s_curve_choice():
+    from samza_spark.pipeline.dedup import lsh_plan
+
+    bands, rows, cands = lsh_plan(0.8, num_perm=64, target_recall=0.95)
+    assert bands * rows == 64
+    chosen = next(c for c in cands if c[0] == bands)
+    assert chosen[2] >= 0.95  # recall at threshold
+    # the repo's default r=4/b=16 is feasible at 0.8 (recall ~0.9998);
+    # the planner must pick a plan at least as selective at low sim
+    b16 = next(c for c in cands if c[0] == 16)
+    assert b16[2] > 0.99
+    assert chosen[3] <= b16[3] + 1e-12
+    # infeasible ask raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_plan(0.95, num_perm=2, target_recall=0.9999)
