@@ -95,6 +95,7 @@ HEADLINE = [
     "hybrid_search",
     "distribution_drift",
     "classifier_confusion",
+    "source_signatures",
 ]
 
 

@@ -3977,6 +3977,52 @@ ORACLES["classifier_confusion"] = (
 )
 
 
+def q_source_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source top-5 bigrams (the templated-source fingerprint that
+    pairs with ngram_diversity: a source whose signature is dominated by
+    one boilerplate phrase needs segment dedup): one map-only gram
+    explode, one (source, gram) count with map-side combine, then a
+    rank window over the COUNT table (vocab-sized per source — corpus
+    rows never enter the window; a pathological source vocabulary is a
+    key_skew_report finding)."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " "),
+        lambda x: x != "",
+    )
+    grams = F.expr(
+        "case when size(__t) >= 2 then transform(sequence(1, size(__t) - 1), "
+        "i -> array_join(slice(__t, i, 2), ' ')) else array() end"
+    )
+    counted = (
+        docs.select("source", toks.alias("__t"))
+        .select("source", F.explode(grams).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("source", "rank", "gram", "n")
+    )
+
+
+QUERIES["source_signatures"] = q_source_signatures
+
+ORACLES["source_signatures"] = (
+    f"WITH t AS (SELECT source, list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "g AS (SELECT source, array_to_string(w[i:i+1], ' ') AS gram "
+    "FROM (SELECT source, w, unnest(generate_series(1, len(w) - 1)) AS i "
+    "FROM t WHERE len(w) >= 2)), "
+    "c AS (SELECT source, gram, count(*) AS n FROM g GROUP BY 1, 2) "
+    "SELECT source, CAST(row_number() OVER (PARTITION BY source "
+    "ORDER BY n DESC, gram ASC) AS INT) AS rank, gram, n FROM c "
+    "QUALIFY rank <= 5"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
