@@ -96,6 +96,7 @@ HEADLINE = [
     "distribution_drift",
     "classifier_confusion",
     "source_signatures",
+    "graph_components_star",
 ]
 
 

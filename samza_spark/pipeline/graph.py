@@ -225,3 +225,94 @@ def pagerank_exact(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias(rank_col))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — converges in O(log n) rounds versus the component
+    DIAMETER rounds of min-label propagation
+    (``dedup.connected_components``), which silently under-converges on
+    long chains once its iteration cap is hit. This is the CC to use
+    when components can be elongated (citation chains, link paths);
+    near-dup clusters are dense, so either works there.
+
+    Per round each star operation is ONE node-keyed min aggregate +
+    ONE equi-join back to the edges (no adjacency lists are ever
+    collected — hub nodes stay distributed), then a distinct. The edge
+    set monotonically contracts toward stars around each component's
+    minimum; convergence is detected by edge-set stability and verified
+    (raises if ``max_rounds`` was insufficient — 2^12 ~ 4096-fold label
+    shortening covers any realistic graph).
+
+    Returns (id_col, component) — identical contract and values to
+    ``dedup.connected_components``.
+    """
+    sym = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        mins = edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = edges.join(mins, on="u")
+        if large:
+            kept = joined.where(F.col("v") > F.col("u"))
+        else:
+            kept = joined.where(F.col("v") <= F.col("u"))
+        out = (
+            kept.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+            )
+            .distinct()
+        )
+        # re-symmetrize for the next round's per-node neighborhoods
+        return (
+            out.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            .unionByName(out.select(F.col("y").alias("u"), F.col("x").alias("v")))
+            .localCheckpoint(eager=True)
+        )
+
+    edges = sym
+    prev_fp = None
+    converged = False
+    for _ in range(max_rounds):
+        edges = star(star(edges, large=True), large=False)
+        fp = (
+            edges.select(
+                # bit_xor, not sum: ANSI mode overflows on summed 64-bit
+                # hashes; xor is order-free and can't overflow
+                F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            ).first()
+        )
+        fp = (fp["s"], fp["c"])
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"star CC did not converge in {max_rounds} rounds — "
+            "raise max_rounds (graph has astronomically long chains?)"
+        )
+    # the fixed point is a star forest: every node's min neighbor is its
+    # component representative; centers map to themselves
+    labels = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    )
+    return labels.select(F.col("u").alias(id_col), "component")

@@ -4023,6 +4023,33 @@ ORACLES["source_signatures"] = (
 )
 
 
+def q_graph_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (pipeline.graph.connected_components_star, Kiveris et
+    al. 2014): O(log n) rounds versus min-label propagation's
+    diameter-many — the CC that stays correct on elongated components
+    once the propagation cap would silently under-converge (chain test
+    in test_graph_cluster). Identical labels; same recursive-CTE
+    oracle as graph_components."""
+    from pyspark import StorageLevel
+
+    from samza_spark.pipeline import graph
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return graph.connected_components_star(edges, id_col="node")
+
+
+QUERIES["graph_components_star"] = q_graph_components_star
+
+ORACLES["graph_components_star"] = ORACLES["graph_components"]
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

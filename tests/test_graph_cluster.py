@@ -364,3 +364,47 @@ def test_stratified_exact_k_nested_and_exact(spark):
     for s in by5:
         assert len(by5[s]) == 5 and len(by9[s]) == 9
         assert by5[s] < by9[s]  # nested per stratum
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star connected components
+# ---------------------------------------------------------------------------
+
+
+def test_star_cc_matches_propagation_on_random_graph(spark):
+    import random
+
+    from samza_spark.pipeline.dedup import connected_components
+
+    rng = random.Random(3)
+    pairs = list(
+        {
+            tuple(sorted(rng.sample(range(60), 2)))
+            for _ in range(70)
+        }
+    )
+    df = spark.createDataFrame(pairs, "a long, b long")
+    star = {
+        r["doc_id"]: r["component"]
+        for r in graph.connected_components_star(df).collect()
+    }
+    prop = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert star == prop
+
+
+def test_star_cc_converges_on_long_chain(spark):
+    # a 64-node path: min-label propagation moves the label ONE hop per
+    # round (needs 63 rounds — over dedup.connected_components' default
+    # cap), while star contraction needs O(log n) rounds
+    n = 64
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in graph.connected_components_star(df).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
