@@ -875,6 +875,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # propagation moves a label ONE hop per round: a component whose
+        # diameter exceeds max_iter would get silently-stale labels here.
+        # Near-dup clusters are dense (tiny diameters), but elongated
+        # graphs should use graph.connected_components_star (O(log n)
+        # rounds, hard-fails instead of under-converging).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components hit max_iter=%d without converging — "
+            "labels may be stale; use graph.connected_components_star "
+            "for elongated components",
+            max_iter,
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("component"))
 
 
