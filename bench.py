@@ -97,6 +97,7 @@ HEADLINE = [
     "classifier_confusion",
     "source_signatures",
     "graph_components_star",
+    "pagerank_weighted",
 ]
 
 

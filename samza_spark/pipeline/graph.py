@@ -165,6 +165,8 @@ def pagerank_exact(
     rank_col: str = "pr_micro",
     n_salts: int = 1,
     checkpoint_every: int = 5,
+    weight_col: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank: ``n_iters`` rounds of
 
@@ -184,25 +186,54 @@ def pagerank_exact(
     (dst, xxhash(src) % n_salts) partials first, then dst — spreading a
     hub's in-edge sum over ``n_salts`` reducers; output identical
     (integer sums are associative; asserted in tests).
+
+    ``weight_col`` names an INTEGER edge-weight column (e.g. co-order
+    counts): each round splits a node's rank proportionally —
+    ``(r * w) div W_u`` with W_u the node's total out-weight — still
+    all-integer, still bit-reproducible. ``seeds`` (a one-column
+    ``node`` DataFrame) switches to PERSONALIZED PageRank: the
+    teleport/base mass lands only on the seed set (Haveliwala 2002
+    topic-sensitive PR), ranking nodes by proximity to the seeds.
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    deg = (
+        edges.select("src", w.alias("__w"))
+        .groupBy("src")
+        .agg(F.sum("__w").alias("deg"))
+    )
     ed = (
-        edges.join(deg, on="src")
-        .select("src", "dst", "deg")
+        edges.select("src", "dst", w.alias("__w"))
+        .join(deg, on="src")
+        .select("src", "dst", "__w", "deg")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
         edges.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if seeds is not None:
+        nodes = nodes.join(
+            F.broadcast(seeds.select(F.col("node").alias("__sn"))),
+            nodes.node == F.col("__sn"),
+            "left",
+        ).select("node", F.col("__sn").isNotNull().alias("__is_seed"))
+    else:
+        nodes = nodes.select("node", F.lit(True).alias("__is_seed"))
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     base = MICRO - (MICRO * damping_num) // damping_den
-    ranks = nodes.select("node", F.lit(MICRO).cast("long").alias("r"))
+    base_expr = F.when(F.col("__is_seed"), F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("__is_seed"), F.lit(MICRO))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
     for i in range(n_iters):
         joined = ed.join(ranks, ed.src == ranks.node).select(
-            "src", "dst", F.expr("r div deg").alias("c")
+            "src", "dst", F.expr("(r * __w) div deg").alias("c")
         )
         if n_salts > 1:
             partial = (
@@ -218,7 +249,7 @@ def pagerank_exact(
         ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
             "node",
             (
-                F.lit(base)
+                base_expr
                 + F.expr(f"(coalesce(s, 0) * {damping_num}) div {damping_den}")
             ).cast("long").alias("r"),
         )

@@ -4050,6 +4050,75 @@ QUERIES["graph_components_star"] = q_graph_components_star
 ORACLES["graph_components_star"] = ORACLES["graph_components"]
 
 
+def _pagerank_w_duck(n_iters: int = 3) -> str:
+    """Weighted-PageRank oracle: interaction multiplicity as integer edge
+    weight, contributions (r * w) // W_u — mirrors pagerank_exact
+    (weight_col=...) round for round."""
+    parts = [
+        "WITH pairs AS (SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a, "
+        "'s:' || CAST(l_suppkey AS VARCHAR) AS b, count(*) AS w "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), "
+        "edges AS (SELECT a AS src, b AS dst, w FROM pairs "
+        "UNION ALL SELECT b AS src, a AS dst, w FROM pairs), "
+        "deg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst AS node FROM edges), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.dst, sum((r.r * e.w) // d.deg) AS s "
+            f"FROM edges e JOIN deg d ON e.src = d.src "
+            f"JOIN r{i-1} r ON e.src = r.node GROUP BY e.dst), "
+            f"r{i} AS (SELECT n.node, CAST(150000 + (COALESCE(c{i}.s, 0) * 17) // 20 "
+            f"AS BIGINT) AS r FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.dst)"
+        )
+    parts.append(f" SELECT node, r AS pr_micro FROM r{n_iters}")
+    return "".join(parts)
+
+
+def q_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank (pipeline.graph.pagerank_exact with
+    weight_col): interaction multiplicity — how many orders connect a
+    customer-supplier pair — splits each node's rank proportionally,
+    (r * w) div W_u, still all-integer and bit-reproducible. Same
+    iteration machinery as the unweighted query."""
+    from samza_spark.pipeline import graph
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w")
+                ),
+                F.struct(
+                    F.col("b").alias("src"), F.col("a").alias("dst"), F.col("w")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    return graph.pagerank_exact(edges, n_iters=3, weight_col="w")
+
+
+QUERIES["pagerank_weighted"] = q_pagerank_weighted
+
+ORACLES["pagerank_weighted"] = _pagerank_w_duck(3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

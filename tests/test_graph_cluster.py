@@ -408,3 +408,63 @@ def test_star_cc_converges_on_long_chain(spark):
         for r in graph.connected_components_star(df).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def _pagerank_py_ext(arcs, n_iters=3, weights=None, seeds=None):
+    """Weighted/personalized replay of pagerank_exact's integer updates."""
+    from collections import defaultdict
+
+    weights = weights or {a: 1 for a in arcs}
+    W = defaultdict(int)
+    for a in arcs:
+        W[a[0]] += weights[a]
+    nodes = sorted({n for e in arcs for n in e})
+    seed_set = set(seeds) if seeds is not None else set(nodes)
+    r = {n: (1_000_000 if n in seed_set else 0) for n in nodes}
+    base = 1_000_000 - (1_000_000 * 17) // 20
+    for _ in range(n_iters):
+        s = defaultdict(int)
+        for a in arcs:
+            s[a[1]] += (r[a[0]] * weights[a]) // W[a[0]]
+        r = {
+            n: (base if n in seed_set else 0) + (s[n] * 17) // 20
+            for n in nodes
+        }
+    return r
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    arcs = [("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("c", "a", 2)]
+    edges = spark.createDataFrame(arcs, "src string, dst string, w long")
+    got = {
+        r["node"]: r["pr_micro"]
+        for r in graph.pagerank_exact(edges, n_iters=4, weight_col="w").collect()
+    }
+    want = _pagerank_py_ext(
+        [(a, b) for a, b, _ in arcs],
+        4,
+        weights={(a, b): w for a, b, w in arcs},
+    )
+    assert got == want
+    # 3x weight toward b must outrank c
+    assert got["b"] > got["c"]
+
+
+def test_pagerank_personalized_ranks_near_seed(spark):
+    # chain a-b-c-d (undirected arcs); personalize on {a}: rank decays
+    # with distance from the seed
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    arcs = pairs + [(y, x) for x, y in pairs]
+    edges = spark.createDataFrame(arcs, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["pr_micro"]
+        for r in graph.pagerank_exact(edges, n_iters=6, seeds=seeds).collect()
+    }
+    assert got == _pagerank_py_ext(arcs, 6, seeds={"a"})
+    # per-node ordering on a path OSCILLATES with iteration parity
+    # (bipartite structure sloshes mass between the even/odd sides), so
+    # assert the parity-stable property: the seed half of the chain
+    # holds more mass than the far half
+    assert got["a"] + got["b"] > got["c"] + got["d"]
+    assert got["d"] < max(got.values())
