@@ -98,6 +98,7 @@ HEADLINE = [
     "source_signatures",
     "graph_components_star",
     "pagerank_weighted",
+    "pagerank_personalized",
 ]
 
 

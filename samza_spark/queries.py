@@ -4119,6 +4119,66 @@ QUERIES["pagerank_weighted"] = q_pagerank_weighted
 ORACLES["pagerank_weighted"] = _pagerank_w_duck(3)
 
 
+def _pagerank_p_duck(n_iters: int = 3) -> str:
+    """Personalized-PageRank oracle: teleport/base mass only on the seed
+    set (customers with any order over 450k)."""
+    parts = [
+        "WITH pairs AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a, "
+        "'s:' || CAST(l_suppkey AS VARCHAR) AS b "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "edges AS (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b AS src, a AS dst FROM pairs), "
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+        "seeds AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS node "
+        "FROM orders WHERE o_totalprice > 450000), "
+        "nodes AS (SELECT n.node, s.node IS NOT NULL AS is_seed FROM "
+        "(SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst AS node FROM edges) n "
+        "LEFT JOIN seeds s ON n.node = s.node), "
+        "r0 AS (SELECT node, CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END "
+        "AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.dst, sum(r.r // d.deg) AS s "
+            f"FROM edges e JOIN deg d ON e.src = d.src "
+            f"JOIN r{i-1} r ON e.src = r.node GROUP BY e.dst), "
+            f"r{i} AS (SELECT n.node, CAST(CASE WHEN n.is_seed THEN 150000 ELSE 0 END "
+            f"+ (COALESCE(c{i}.s, 0) * 17) // 20 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.dst)"
+        )
+    parts.append(f" SELECT node, r AS pr_micro FROM r{n_iters}")
+    return "".join(parts)
+
+
+def q_pagerank_personalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank (Haveliwala 2002 topic-sensitive PR):
+    teleport mass restricted to high-value customers, so ranks measure
+    proximity to the seed set — the 'quality neighborhood' weighting a
+    curation pipeline derives from a trusted whitelist. Same integer
+    machinery (pipeline.graph.pagerank_exact(seeds=...))."""
+    from samza_spark.pipeline import graph
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = graph.bipartite_order_edges(orders, li)
+    seeds = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    return graph.pagerank_exact(edges, n_iters=3, seeds=seeds)
+
+
+QUERIES["pagerank_personalized"] = q_pagerank_personalized
+
+ORACLES["pagerank_personalized"] = _pagerank_p_duck(3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
