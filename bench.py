@@ -99,6 +99,7 @@ HEADLINE = [
     "graph_components_star",
     "pagerank_weighted",
     "pagerank_personalized",
+    "stratified_weighted_sample",
 ]
 
 

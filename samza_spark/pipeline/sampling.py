@@ -339,6 +339,38 @@ def stratified_sample_exact_k(
     )
 
 
+def stratified_weighted_sample_exact_k(
+    df: DataFrame,
+    k_per_stratum: int,
+    weight_col: str,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wstrat0",
+) -> DataFrame:
+    """Exactly ``k_per_stratum`` rows per stratum with inclusion odds
+    proportional to ``weight_col`` — per-stratum priority sampling
+    (the composition of :func:`weighted_sample_exact_k` and
+    :func:`stratified_sample_exact_k`): rank ``u/weight`` priorities
+    WITHIN each stratum, keep the k smallest. One stratum-partitioned
+    window, map-only scoring, non-positive weights excluded; same
+    determinism contract as both parents."""
+    u = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', '|', "
+        f"cast({id_col} as string))), 1, 13), 16, 10) as bigint) + 1"
+    )
+    pr = (u.cast("double") / F.col(weight_col).cast("double")).alias("priority")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .select("*", pr)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k_per_stratum))
+        .drop("__rn")
+    )
+
+
 def shard_manifest(
     df: DataFrame,
     cost_col: str,

@@ -4179,6 +4179,32 @@ QUERIES["pagerank_personalized"] = q_pagerank_personalized
 ORACLES["pagerank_personalized"] = _pagerank_p_duck(3)
 
 
+def q_stratified_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language weighted sample, exactly 15 docs per language with
+    length-proportional odds (pipeline.sampling.
+    stratified_weighted_sample_exact_k) — the balanced-AND-weighted
+    eval-set draw; one stratum-partitioned priority-rank window."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.stratified_weighted_sample_exact_k(
+        docs, 15, weight_col="n_chars", stratum_col="lang", salt="wstrat0"
+    )
+
+
+QUERIES["stratified_weighted_sample"] = q_stratified_weighted_sample
+
+ORACLES["stratified_weighted_sample"] = (
+    "WITH p AS (SELECT doc_id, text, lang, source, n_chars, "
+    "CAST((('0x' || substr(md5('wstrat0' || '|' || CAST(doc_id AS VARCHAR)), 1, 13))"
+    "::BIGINT + 1) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority "
+    "FROM documents WHERE CAST(n_chars AS DOUBLE) > 0), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY lang "
+    "ORDER BY priority ASC, doc_id ASC) AS rn FROM p) "
+    "SELECT doc_id, text, lang, source, n_chars, priority FROM r WHERE rn <= 15"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
