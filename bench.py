@@ -100,6 +100,7 @@ HEADLINE = [
     "pagerank_weighted",
     "pagerank_personalized",
     "stratified_weighted_sample",
+    "hits",
 ]
 
 

@@ -347,3 +347,83 @@ def connected_components_star(
         F.least(F.min("v"), F.first("u")).alias("component")
     )
     return labels.select(F.col("u").alias(id_col), "component")
+
+
+def hits_exact(
+    edges: DataFrame,
+    n_iters: int = 2,
+    hub_col: str = "hub_micro",
+    auth_col: str = "auth_micro",
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999 hubs-and-authorities) on
+    a DIRECTED edge list: per round
+
+        a'(v) = sum over u->v of h(u),    rescaled to max = MICRO
+        h'(u) = sum over u->v of a'(v),   rescaled to max = MICRO
+
+    The max-rescale replaces HITS' L2 normalization with an integer
+    ``x * MICRO div max(x)`` — one scalar aggregate per half-round —
+    keeping every value engine- and shuffle-order-reproducible (L2
+    would make every score an order-sensitive float). On a bipartite
+    interaction graph hubs score the pointing side and authorities the
+    pointed-to side.
+
+    Scale shape per half-round: one edge-keyed equi-join + one
+    destination-keyed integer aggregate (map-side combinable) + a
+    broadcast scalar — the PageRank machinery with a second score
+    vector. Returns (node, hub_micro, auth_micro).
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    ed = edges.select("src", "dst").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        ed.select(F.explode(F.array("src", "dst")).alias("node"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h = nodes.select("node", F.lit(MICRO).cast("long").alias("x"))
+    a = None
+    for _ in range(n_iters):
+        a_raw = (
+            ed.join(h, ed.src == h.node)
+            .groupBy("dst")
+            .agg(F.sum("x").alias("s"))
+        )
+        amax = a_raw.agg(F.max("s").alias("__m"))
+        a = (
+            nodes.join(a_raw, nodes.node == a_raw.dst, "left")
+            .join(F.broadcast(amax))
+            .select(
+                "node",
+                F.expr("coalesce(s, 0) * 1000000 div greatest(__m, 1)")
+                .cast("long")
+                .alias("x"),
+            )
+        )
+        h_raw = (
+            ed.join(a, ed.dst == a.node)
+            .groupBy("src")
+            .agg(F.sum("x").alias("s"))
+        )
+        hmax = h_raw.agg(F.max("s").alias("__m"))
+        h = (
+            nodes.join(h_raw, nodes.node == h_raw.src, "left")
+            .join(F.broadcast(hmax))
+            .select(
+                "node",
+                F.expr("coalesce(s, 0) * 1000000 div greatest(__m, 1)")
+                .cast("long")
+                .alias("x"),
+            )
+        )
+    return (
+        nodes.join(
+            h.select(F.col("node").alias("__hn"), F.col("x").alias(hub_col)),
+            nodes.node == F.col("__hn"),
+        )
+        .join(
+            a.select(F.col("node").alias("__an"), F.col("x").alias(auth_col)),
+            nodes.node == F.col("__an"),
+        )
+        .select("node", hub_col, auth_col)
+    )

@@ -4205,6 +4205,71 @@ ORACLES["stratified_weighted_sample"] = (
 )
 
 
+def _hits_duck(n_iters: int = 2) -> str:
+    """HITS oracle: integer max-rescaled hub/authority rounds over the
+    directed customer->supplier graph — mirrors graph.hits_exact."""
+    sql = (
+        "WITH e AS (SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'s:' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst AS node FROM e), "
+        "h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes)"
+    )
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        sql += (
+            f", a{i}r AS (SELECT e.dst, sum(h.x) AS s FROM e "
+            f"JOIN h{p} h ON e.src = h.node GROUP BY e.dst), "
+            f"a{i}m AS (SELECT max(s) AS m FROM a{i}r), "
+            f"a{i} AS (SELECT n.node, CAST(COALESCE(r.s, 0) * 1000000 // "
+            f"greatest(m, 1) AS BIGINT) AS x FROM nodes n "
+            f"LEFT JOIN a{i}r r ON n.node = r.dst, a{i}m), "
+            f"h{i}r AS (SELECT e.src, sum(a.x) AS s FROM e "
+            f"JOIN a{i} a ON e.dst = a.node GROUP BY e.src), "
+            f"h{i}m AS (SELECT max(s) AS m FROM h{i}r), "
+            f"h{i} AS (SELECT n.node, CAST(COALESCE(r.s, 0) * 1000000 // "
+            f"greatest(m, 1) AS BIGINT) AS x FROM nodes n "
+            f"LEFT JOIN h{i}r r ON n.node = r.src, h{i}m)"
+        )
+    sql += (
+        f" SELECT n.node, h.x AS hub_micro, a.x AS auth_micro FROM nodes n "
+        f"JOIN h{n_iters} h ON n.node = h.node "
+        f"JOIN a{n_iters} a ON n.node = a.node"
+    )
+    return sql
+
+
+def q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Hubs and authorities (pipeline.graph.hits_exact, Kleinberg 1999)
+    on the DIRECTED customer->supplier order graph: customers score as
+    hubs, suppliers as authorities. Integer max-rescale replaces the L2
+    normalization so every value is engine-reproducible; two rounds,
+    same join+aggregate machinery as PageRank."""
+    from samza_spark.pipeline import graph
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.hits_exact(edges, n_iters=2)
+
+
+QUERIES["hits"] = q_hits
+
+ORACLES["hits"] = _hits_duck(2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

@@ -468,3 +468,22 @@ def test_pagerank_personalized_ranks_near_seed(spark):
     # holds more mass than the far half
     assert got["a"] + got["b"] > got["c"] + got["d"]
     assert got["d"] < max(got.values())
+
+
+def test_hits_bipartite_hand_graph(spark):
+    # c1 -> {s1, s2}, c2 -> {s1}: s1 is the stronger authority, c1 the
+    # stronger hub; sources have zero authority, sinks zero hub score
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s1")], "src string, dst string"
+    )
+    out = {r["node"]: (r["hub_micro"], r["auth_micro"])
+           for r in graph.hits_exact(edges, n_iters=2).collect()}
+    assert out["s1"][1] == 1_000_000          # max authority (rescaled)
+    assert out["s1"][1] > out["s2"][1] > 0
+    assert out["c1"][0] == 1_000_000          # max hub
+    assert out["c1"][0] > out["c2"][0] > 0
+    assert out["c1"][1] == 0 and out["s1"][0] == 0  # pure sides
+    # partitioning invariance (integer arithmetic)
+    again = {r["node"]: (r["hub_micro"], r["auth_micro"])
+             for r in graph.hits_exact(edges.repartition(7), n_iters=2).collect()}
+    assert again == out
