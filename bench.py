@@ -101,6 +101,8 @@ HEADLINE = [
     "pagerank_personalized",
     "stratified_weighted_sample",
     "hits",
+    "grouping_sets",
+    "edit_distance",
 ]
 
 

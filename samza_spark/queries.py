@@ -4270,6 +4270,65 @@ QUERIES["hits"] = q_hits
 ORACLES["hits"] = _hits_duck(2)
 
 
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS probe — the general form of the ROLLUP extension
+    (arbitrary aggregation-level combinations in ONE pass over the
+    data): per-flag, per-status, and grand-total revenue with grouping
+    ids. DECIMAL-exact sums; Catalyst expands the sets into a single
+    Expand + aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status, "
+        "cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS revenue, "
+        "count(*) AS n_items "
+        "FROM __gs_lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+QUERIES["grouping_sets"] = q_grouping_sets
+
+ORACLES["grouping_sets"] = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(grouping(l_returnflag) AS INT) AS g_flag, "
+    "CAST(grouping(l_linestatus) AS INT) AS g_status, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue, "
+    "count(*) AS n_items "
+    "FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+)
+
+
+def q_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance probe (record-linkage surface): Levenshtein
+    distance from every customer name to a probe key, nearest-first
+    top-25. Integer distances — JVM and DuckDB implement the same
+    textbook DP — with TakeOrderedAndProject for the k smallest."""
+    cust = load_table(spark, sf, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.levenshtein(F.col("c_name"), F.lit("Customer#000000100")).alias(
+                "dist"
+            ),
+        )
+        .orderBy(F.col("dist").asc(), F.col("c_custkey").asc())
+        .limit(25)
+    )
+
+
+QUERIES["edit_distance"] = q_edit_distance
+
+ORACLES["edit_distance"] = (
+    "SELECT c_custkey, c_name, "
+    "CAST(levenshtein(c_name, 'Customer#000000100') AS INT) AS dist "
+    "FROM customer ORDER BY dist ASC, c_custkey ASC LIMIT 25"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
