@@ -103,6 +103,7 @@ HEADLINE = [
     "hits",
     "grouping_sets",
     "edit_distance",
+    "source_overlap",
 ]
 
 

@@ -4329,6 +4329,67 @@ ORACLES["edit_distance"] = (
 )
 
 
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source vocabulary overlap — the redundancy audit that
+    flags near-duplicate sources before doc-level dedup even runs:
+    Jaccard of distinct-token sets per source pair. Relational shape:
+    ONE distinct (source, token) projection, a token-keyed self-join
+    whose fan-out is bounded by sources-per-token (<= n_sources, tiny),
+    one pair-keyed count, sizes broadcast back; the Jaccard is one
+    division of exact integers."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " "),
+        lambda x: x != "",
+    )
+    st = (
+        docs.select("source", F.explode(toks).alias("token"))
+        .distinct()
+        .persist()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("sa"), "token")
+    b = st.select(F.col("source").alias("sb"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            "sa",
+            "sb",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+QUERIES["source_overlap"] = q_source_overlap
+
+ORACLES["source_overlap"] = (
+    f"WITH st AS (SELECT DISTINCT source, unnest(list_filter("
+    f"string_split({_NORM.format(c='text')}, ' '), x -> x <> '')) AS token "
+    "FROM documents), "
+    "sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source), "
+    "i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_common "
+    "FROM st a JOIN st b ON a.token = b.token AND a.source < b.source "
+    "GROUP BY 1, 2) "
+    "SELECT sa, sb, n_common, CAST(n_common AS DOUBLE) / "
+    "CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard "
+    "FROM i JOIN sizes na ON i.sa = na.source "
+    "JOIN sizes nb ON i.sb = nb.source"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------
