@@ -104,6 +104,25 @@ HEADLINE = [
     "grouping_sets",
     "edit_distance",
     "source_overlap",
+    # round-5 TPC-H completion (all 22 shapes now covered; q1/q3/q5/q6/q10
+    # were already above — the rest of the set follows)
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 
