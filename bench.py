@@ -123,6 +123,10 @@ HEADLINE = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    # round-5 session-2 additions
+    "jl_project",
+    "phrase_search",
+    "entity_clusters",
 ]
 
 

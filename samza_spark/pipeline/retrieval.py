@@ -265,3 +265,51 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .drop(*[f"__c{i}" for i in range(len(rankings))])
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact positional phrase search: documents containing the (normalized,
+    whitespace-tokenized) words of ``phrase`` consecutively, with the
+    occurrence count.
+
+    The IR-textbook plan intersects positional posting lists (see
+    :func:`posting_lists`); per-document that is exactly "positions of
+    word m line up at offset m", which collapses to a single array scan —
+    ``filter(sequence(1, n-m+1), p -> tok[p]=w1 AND tok[p+1]=w2 ...)`` —
+    so the Spark plan is a bare FileScan + projection: zero shuffle, no
+    explode, no join, whole corpus streamed once. At 100 TB this is the
+    right plan whenever the phrase set is small (query-time search over a
+    posting-list index is the other regime — that index already exists in
+    :func:`posting_lists`).
+
+    Returns ``(id_col, n_matches)`` for documents with >= 1 occurrence.
+    """
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase must contain at least one word")
+    m = len(words)
+    toks = f"filter(split({_norm_sql(text_col)}, ' '), x -> x <> '')"
+    conds = " AND ".join(
+        f"element_at(t, p + {off}) = '{w}'" for off, w in enumerate(words)
+    )
+    # sequence(1, 0) DESCENDS in Spark (NOTES.md) — guard short docs.
+    n_matches = (
+        f"CASE WHEN size(t) >= {m} THEN "
+        f"size(filter(sequence(1, size(t) - {m} + 1), p -> {conds})) "
+        f"ELSE 0 END"
+    )
+    return (
+        df.select(F.col(id_col), F.expr(toks).alias("t"))
+        .select(id_col, F.expr(n_matches).cast("int").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def _norm_sql(text_col: str) -> str:
+    """SQL spelling of text.normalized for expression composition."""
+    return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"

@@ -1024,3 +1024,71 @@ def semantic_dedup(
             F.col("max_dup_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+
+def _jl_sign_case(i_expr: str, j_expr: str, term: str) -> str:
+    """Catalyst CASE expression: +term or -term by the deterministic
+    Rademacher sign for (dimension ``i_expr``, output axis ``j_expr``).
+
+    The sign is a multiplicative-hash LCG over exact BIGINT arithmetic —
+    ``((i*1000003 + j*7919 + 12345) * 2654435761) mod 2^32 < 2^31`` —
+    chosen because every engine computes it bit-identically (no float,
+    no engine-specific hash function), so a DuckDB oracle can replay the
+    projection exactly. seed < 1e8, so the product stays < 2^63."""
+    lcg = (
+        f"((cast({i_expr} as bigint) * 1000003 + cast({j_expr} as bigint) * 7919 "
+        f"+ 12345) * 2654435761) % 4294967296"
+    )
+    return f"(CASE WHEN {lcg} < 2147483648 THEN {term} ELSE -{term} END)"
+
+
+def jl_project(
+    df: DataFrame,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project ``emb_col`` (array<float>, dim d) onto ``k`` random ±1
+    Rademacher axes (Achlioptas'01 database-friendly JL transform) —
+    the standard pre-ANN dimensionality reduction: pairwise distances are
+    preserved within (1±eps) w.h.p. for k = O(log n / eps^2), and the
+    reduced vectors make every downstream cosine/LSH pass d/k times
+    cheaper.
+
+    Spark shape: one map-only pass — ``explode(sequence(0, k-1))`` fans
+    each row into its k output coordinates and a single fold over the
+    input dimensions accumulates ±emb[i] (the sign matrix is never
+    materialized — it's a closed-form integer expression, so the operator
+    ships zero state and repartitions nothing). Scale: at 100 TB this
+    stays embarrassingly parallel; output size is k/d of the input.
+
+    Determinism: each term is an exact float→double cast, negation is
+    exact, the fold runs in ascending-i order in both engines, and the
+    final 1/sqrt(k) is one correctly-rounded IEEE op — bit-identical to
+    the DuckDB oracle.
+
+    Returns ``(id_col, axis, v)`` — one row per output coordinate.
+    """
+    fold = (
+        f"aggregate(sequence(0, size({emb_col}) - 1), cast(0.0 as double), "
+        f"(acc, i) -> acc + "
+        + _jl_sign_case("i", "axis", f"cast(element_at({emb_col}, i + 1) as double)")
+        + ")"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(emb_col),
+            F.explode(F.expr(f"sequence(0, {int(k) - 1})")).alias("axis"),
+        )
+        .select(
+            id_col,
+            "axis",
+            F.expr(f"{fold} / sqrt(cast({int(k)} as double))").alias("v"),
+        )
+    )

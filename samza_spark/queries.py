@@ -4390,6 +4390,105 @@ ORACLES["source_overlap"] = (
 )
 
 
+def q_jl_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection of the embedding table
+    onto 16 axes (pipeline.similarity.jl_project) — the standard pre-ANN
+    dimensionality reduction. Map-only (zero shuffle); the Rademacher
+    sign matrix is a closed-form integer-LCG expression, so the oracle
+    replays the projection bit-identically."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.jl_project(emb, k=16)
+
+
+QUERIES["jl_project"] = q_jl_project
+
+_JL_SIGN_DUCK = (
+    "CASE WHEN ((CAST(i - 1 AS BIGINT) * 1000003 + CAST(axis AS BIGINT) * 7919 "
+    "+ 12345) * 2654435761) % 4294967296 < 2147483648 "
+    "THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END"
+)
+ORACLES["jl_project"] = (
+    "SELECT vec_id, CAST(axis AS INT) AS axis, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len(embedding)), "
+    f"i -> {_JL_SIGN_DUCK})), (a, b) -> a + b) "
+    "/ sqrt(CAST(16 AS DOUBLE)) AS v "
+    "FROM embeddings, unnest(generate_series(0, 15)) AS t(axis)"
+)
+
+
+def q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact positional phrase search (pipeline.retrieval.phrase_match):
+    per-document positional posting-list intersection collapsed to one
+    array scan — bare FileScan + projection, zero shuffle."""
+    from samza_spark.pipeline import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    return retrieval.phrase_match(docs, "table hash")
+
+
+QUERIES["phrase_search"] = q_phrase_search
+
+ORACLES["phrase_search"] = (
+    f"WITH tok AS (SELECT doc_id, list_filter(string_split("
+    f"{_NORM.format(c='text')}, ' '), x -> x <> '') AS t FROM documents) "
+    "SELECT doc_id, CAST(len(list_filter(generate_series(1, len(t) - 1), "
+    "p -> t[p] = 'table' AND t[p + 1] = 'hash')) AS INT) AS n_matches "
+    "FROM tok WHERE len(t) >= 2 "
+    "AND len(list_filter(generate_series(1, len(t) - 1), "
+    "p -> t[p] = 'table' AND t[p + 1] = 'hash')) > 0"
+)
+
+
+def q_entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end entity resolution: prefix-filtered similarity self-join
+    (linkage.similarity_join — lossless AllPairs candidates, exact
+    Jaccard verify) -> min-label connected components over the match
+    graph -> every record resolved to an entity (singletons resolve to
+    themselves), with per-entity record counts. The oracle recomputes the
+    edge set BRUTE-FORCE and closes it with a recursive CTE — equality
+    proves both the prefix filter's zero recall loss and the label-
+    propagation closure at once."""
+    from samza_spark.pipeline import linkage
+    from samza_spark.pipeline.dedup import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    edges = (
+        linkage.similarity_join(docs, n=3, threshold=0.6)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(edges, id_col="doc_id")
+    resolved = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("doc_id", "__cid"), F.col("doc_id") == F.col("__cid"), "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("entity_id")
+        )
+    )
+    return resolved.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.max("doc_id").alias("max_record_id"),
+    )
+
+
+QUERIES["entity_clusters"] = q_entity_clusters
+
+ORACLES["entity_clusters"] = (
+    f"WITH RECURSIVE t AS (SELECT doc_id, {_grams_duck(3)} AS s FROM documents), "
+    "e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b "
+    f"ON a.doc_id < b.doc_id WHERE {_SIMJOIN_J} >= 0.6), "
+    "sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a), "
+    "comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id), "
+    "resolved AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS entity_id "
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id) "
+    "SELECT entity_id, count(*) AS n_records, max(doc_id) AS max_record_id "
+    "FROM resolved GROUP BY 1"
+)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H completion: the 15 remaining query shapes (q2 q7 q8 q9 q11 q12 q13
 # q14 q15 q16 q17 q19 q20 q21 q22), adapted where the synthetic schema lacks

@@ -246,3 +246,44 @@ def test_shard_manifest_single_combinable_aggregate(spark, sf_dir):
     assert "partial_" in plan  # map-side combine
     assert "Window" not in plan
     assert "collect_list" not in plan  # no per-shard list materialization
+
+
+def test_jl_project_is_map_only(spark, sf_dir):
+    plan = _plan(spark, "jl_project", sf_dir)
+    # explode + closed-form sign fold: bare scan, no shuffle, no Python
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_phrase_search_is_map_only(spark, sf_dir):
+    plan = _plan(spark, "phrase_search", sf_dir)
+    # positional intersection collapsed to one array scan: zero shuffle
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode — filter counts in place
+    assert "BatchEvalPython" not in plan
+
+
+def test_tpch_q2_windowgrouplimit_pushdown(spark, sf_dir):
+    plan = _plan(spark, "tpch_q2", sf_dir)
+    # per-part argmin: top-1 window must push a partial WindowGroupLimit
+    # below the exchange (no full per-part sort of all offers)
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan  # all dims broadcast
+
+
+def test_tpch_q21_no_correlated_rescan(spark, sf_dir):
+    plan = _plan(spark, "tpch_q21", sf_dir)
+    # EXISTS/NOT-EXISTS rewritten as per-order stats: hash joins only,
+    # top-20 via TakeOrderedAndProject (no global sort)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q19_disjunction_stays_hash_join(spark, sf_dir):
+    plan = _plan(spark, "tpch_q19", sf_dir)
+    # OR'd conjunct groups must not demote the equi-join to nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
