@@ -1423,3 +1423,53 @@ def lsh_plan(
         )
     best = min(feasible, key=lambda c: (c[3], c[0]))
     return (best[0], best[1], candidates)
+
+
+def minhash_dedup_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 1000,
+    on_capped: str = "log",
+) -> DataFrame:
+    """Near-dup dedup keeping the BEST document per duplicate cluster —
+    what production pipelines actually want: when a boilerplate-laden
+    copy and a clean copy of the same page collide, keep the clean one,
+    not whichever has the smaller id. Same candidate/verify/components
+    machinery as :func:`minhash_dedup_cc`; the survivor per connected
+    component is argmax(``quality_col``) with min-id tie-break (use an
+    integer quality column for a hash-exact oracle).
+
+    Extra cost over min-id CC dedup: one quality join (on the id key)
+    over only the docs that appear in some verified pair + one
+    components-keyed argmax — both tiny relative to the LSH pass.
+    """
+    if max_bucket_size is not None and on_capped != "ignore":
+        pairs, census = minhash_lsh_candidates_with_census(
+            df, text_col, id_col, num_perm, bands, max_bucket_size=max_bucket_size
+        )
+        _report_capped(census, "minhash_dedup_keep_best", on_capped)
+    else:
+        pairs = minhash_lsh_candidates(
+            df, text_col, id_col, num_perm, bands, max_bucket_size=max_bucket_size
+        )
+    dups = jaccard_verify(
+        df, pairs, text_col, id_col, threshold, shingle_k=3, shingle_mode="word"
+    )
+    comp = connected_components(dups.select("a", "b"), id_col)
+    members = comp.join(
+        df.select(F.col(id_col), F.col(quality_col).alias("__q")), on=id_col
+    )
+    best = members.groupBy("component").agg(
+        F.max(F.struct(F.col("__q"), (-F.col(id_col)).alias("__ni"))).alias("__b")
+    ).select(F.col("component"), (-F.col("__b.__ni")).alias("__keep"))
+    to_drop = (
+        members.join(best, on="component")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+    )
+    return df.join(to_drop, on=id_col, how="left_anti")

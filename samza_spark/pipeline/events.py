@@ -361,3 +361,66 @@ def ewma_per_key(
             ).alias("ewma"),
         )
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_cols: "list[str] | None" = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    stream: one row per (key, change) with its validity interval
+    ``[valid_from, valid_to)`` — ``valid_to`` NULL for the current row —
+    plus a 1-based ``version``. The standard warehouse shape for
+    dimension tables fed by CDC/changelog streams (the batch analog of
+    the engine's Durable table changelog).
+
+    One partitioned window per key (lead/row_number over ``ts`` with an
+    optional unique ``order_tiebreak`` column for same-timestamp
+    changes): no global sort, no self-join — scale-safe at any key
+    cardinality.
+    """
+    attr_cols = attr_cols if attr_cols is not None else []
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return changes.select(
+        F.col(key_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        *[F.col(c) for c in attr_cols],
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the dimension version that was valid AT its
+    timestamp: equi-join on the key with the interval containment as a
+    residual filter (``valid_from <= ts < valid_to``), so Catalyst plans
+    a plain hash join on ``key_col`` — per-key version counts are small
+    (that's what SCD2 compaction is for), so the residual scan per probe
+    is bounded; nothing quadratic, no window over facts.
+
+    ``dim`` is :func:`scd2_intervals` output. Facts before the first
+    version match nothing (inner) or survive with NULL dim columns
+    (``how='left'``).
+    """
+    f, d = facts.alias("__f"), dim.alias("__d")
+    cond = (
+        (F.col(f"__f.{key_col}") == F.col(f"__d.{key_col}"))
+        & (F.col(f"__f.{ts_col}") >= F.col("__d.valid_from"))
+        & (
+            F.col("__d.valid_to").isNull()
+            | (F.col(f"__f.{ts_col}") < F.col("__d.valid_to"))
+        )
+    )
+    return f.join(d, cond, how=how).drop(F.col(f"__d.{key_col}"))

@@ -265,3 +265,55 @@ def key_skew_report(
         )
         .drop("__total")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source weighting at alpha = 1/2 (the
+    multilingual-LM sampling rule p_g ∝ n_g^alpha — upweights tail
+    sources relative to their natural share; alpha=1/2 is the common
+    default and the one exponent whose power, ``sqrt``, is an IEEE
+    correctly-rounded op, so the plan is bit-reproducible without a
+    transcendental ``pow``).
+
+    Determinism: per-source token counts are integer; ``w_g = sqrt(n_g)``
+    is one exact-rounded op; the denominator folds the (few) per-source
+    weights in SOURCE ORDER via a sequential array fold (a cross-row
+    double ``sum()`` would be shuffle-order-dependent); each share is
+    then one division + one floor to integer ppm.
+
+    Scale: one token aggregate keyed by source (map-side combinable) —
+    the output is sources-sized and broadcastable. Returns
+    ``(source, n_tokens, natural_ppm, temp_ppm)`` contrasting the natural
+    share with the temperature share.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(t)).cast("long").alias("n_tokens")
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_tokens").alias("__tot"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(source, n_tokens))), "
+                "s -> sqrt(cast(s.n_tokens as double))), cast(0.0 as double), "
+                "(acc, v) -> acc + v)"
+            ).alias("__wsum"),
+        )
+    )
+    g = int(granularity)
+    return (
+        per.join(tot)
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(f"n_tokens * {g} div __tot").alias("natural_ppm"),
+            F.expr(
+                f"cast(floor({g}.0 * (sqrt(cast(n_tokens as double)) / __wsum)) as bigint)"
+            ).alias("temp_ppm"),
+        )
+    )

@@ -427,3 +427,94 @@ def hits_exact(
         )
         .select("node", hub_col, auth_col)
     )
+
+
+def symmetric_arcs(edges: DataFrame) -> DataFrame:
+    """Both directed arcs of an undirected (a, b) edge list, from ONE
+    pass (explode of a 2-struct array, not a union re-evaluating the
+    edge subtree twice)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """``rounds`` rounds of k-core peeling: repeatedly delete every node
+    of degree < ``k`` (with its edges) — the standard dense-subgraph /
+    spam-farm extraction primitive. A fixed round count keeps the job a
+    bounded DAG (production peeling caps rounds too; each round can only
+    shrink the graph, and most graphs stabilize in a handful).
+
+    Per round: one degree aggregate (map-side combinable count) + two
+    hash semi-joins of the arc list against the surviving-node set —
+    all equi-joins on the node key, nothing quadratic, no global sort.
+    Lineage is truncated via localCheckpoint every other round so the
+    plan doesn't deepen linearly with ``rounds``.
+
+    Input ``edges`` is an undirected distinct (a, b) list; returns
+    ``(node, degree)`` — the degree *within the peeled subgraph* after
+    the final round.
+    """
+    sym = symmetric_arcs(edges)
+    for r in range(rounds):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("src")
+        sym = (
+            sym.join(keep, on="src", how="left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), on="dst", how="left_semi"
+            )
+        )
+        if checkpoint and r % 2 == 1:
+            sym = sym.localCheckpoint(eager=False)
+    return (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )
+
+
+def n_hop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 2,
+) -> DataFrame:
+    """Multi-source BFS to a bounded depth: every node reachable from
+    ``seeds`` (a one-column ``node`` frame) within ``hops`` undirected
+    hops, labeled with its MINIMUM hop distance — the expansion primitive
+    behind contamination blast-radius and graph feature extraction.
+
+    Per hop: one hash join frontier->arcs + distinct + one anti-join
+    against the visited set — all equi-joins on the node key; the
+    frontier can only touch each node once, so total work is O(edges *
+    hops) worst case and usually far less. Returns ``(node, hop)``.
+    """
+    sym = symmetric_arcs(edges)
+    visited = seeds.select(F.col("node"), F.lit(0).alias("hop"))
+    frontier = seeds.select("node")
+    for h in range(1, hops + 1):
+        nxt = (
+            sym.join(
+                frontier.select(F.col("node").alias("src")),
+                on="src",
+                how="left_semi",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(h).alias("hop"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

@@ -1092,3 +1092,245 @@ def jl_project(
             F.expr(f"{fold} / sqrt(cast({int(k)} as double))").alias("v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path for billion-vector ANN
+# ---------------------------------------------------------------------------
+
+
+def _l2fx_sql(a: str, b: str, scale: int = 1_000_000_000) -> str:
+    """Squared-L2 distance between two double arrays as an exact
+    fixed-point BIGINT (``floor(scale * sum_i (a_i-b_i)^2)``) — the fold
+    is sequential (list order, 0.0 seed), so the double it floors is
+    bit-identical across engines, and everything summed *across* rows
+    afterwards is integer arithmetic (shuffle-order-free)."""
+    return (
+        f"cast(floor({scale}.0 * aggregate(zip_with({_as_double(a)}, {_as_double(b)}, "
+        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)) "
+        f"as bigint)"
+    )
+
+
+def _pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int
+) -> DataFrame:
+    """(id, m, sv) rows: the vector cut into ``m`` contiguous ``dsub``-dim
+    subvectors — one generate-and-explode, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice({_as_double(vec_col)}, j * {dsub} + 1, {dsub}))"
+            )
+        ).alias("__m", "__sv"),
+    )
+
+
+def pq_train_codebook(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Train a product-quantization codebook (Jegou et al., PAMI'11): the
+    vector space is split into ``m`` contiguous subspaces of ``dim/m``
+    dims and each gets its own ``k``-centroid codebook via the
+    deterministic Lloyd's of :func:`kmeans_centroids_exact` (seed
+    assignment ``id % k``, exact fixed-point centroid statistics).
+
+    All ``m`` subspace trainings run as ONE relational DAG keyed by
+    ``(m, cluster)`` — per iteration one map-side-combinable integer
+    aggregate over ``(m, cluster, d)`` cells plus one broadcast-argmin
+    reassignment; nothing is per-subspace sequential.
+
+    Returns ``(m, cluster, cv: array<double>)`` — m*k rows, the model a
+    production pipeline trains once on a sample and broadcasts for every
+    encode pass.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    sub = _pq_subvectors(corpus, id_col, vec_col, m, dsub)
+    assigned = sub.withColumn("__c", (F.col("__id") % k).cast("int"))
+    cents = None
+    for it in range(n_iters):
+        e = assigned.select(
+            "__m",
+            "__c",
+            F.posexplode("__sv").alias("d", "val"),
+        )
+        percell = e.groupBy("__m", "__c", "d").agg(
+            F.sum(
+                F.expr(f"cast(floor(val * {scale}.0) as decimal(38,0))")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        cents = (
+            percell.select(
+                "__m",
+                "__c",
+                "d",
+                (
+                    F.col("s").cast("double")
+                    / (F.col("cnt") * F.lit(scale)).cast("double")
+                ).alias("cval"),
+            )
+            .groupBy("__m", "__c")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, cval))), s -> s.cval)"
+                ).alias("cv")
+            )
+        )
+        if it + 1 < n_iters:
+            assigned = _pq_assign(sub, cents).join(
+                sub, on=["__id", "__m"]
+            ).select("__id", "__m", "__sv", "__c")
+    return cents.select(
+        F.col("__m").alias("m"), F.col("__c").alias("cluster"), "cv"
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin-L2 code per (id, subspace): ALL m*k centroids fold into one
+    broadcast row; the per-row argmin is a filter + array_sort expression
+    ((dist ASC, cluster ASC) tie-break) — zero Exchange on the corpus."""
+    cent1 = F.broadcast(
+        cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__m", "__c", "cv"))
+            ).alias("__cents")
+        )
+    )
+    pick = (
+        "array_sort(transform(filter(__cents, s -> s.__m = __m), "
+        f"s -> struct({_l2fx_sql('__sv', 's.cv')} as dfx, s.__c as c)))[0].c"
+    )
+    return (
+        sub.join(cent1)
+        .select("__id", "__m", F.expr(pick).cast("int").alias("__c"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte-ish codes (its nearest
+    centroid per subspace): map-only against the broadcast codebook —
+    the 256x compression step that lets a 100 TB embedding corpus fit a
+    serving tier. Returns ``(id_col, codes: array<int>)`` in subspace
+    order."""
+    dsub = dim // m
+    sub = _pq_subvectors(corpus, id_col, vec_col, m, dsub)
+    codes = _pq_assign(
+        sub,
+        codebook.select(
+            F.col("m").alias("__m"), F.col("cluster").alias("__c"), "cv"
+        ),
+    )
+    return codes.groupBy("__id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(__m, __c))), s -> s.__c)"
+        ).alias("codes")
+    ).select(F.col("__id").alias(id_col), "codes")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes: score(q, x) = sum_m ||q_m - codebook[m][code_m(x)]||^2 — the
+    query stays exact, the corpus is its codes.
+
+    Scale shape: codebook AND queries broadcast; the corpus-side scan is
+    map-only (codes + one integer-fold expression per query), followed by
+    partition-local top-k and a rank shuffle of nparts*k rows per query —
+    the same never-move-the-big-side plan as :func:`cosine_topk`, but
+    reading m ints per vector instead of ``dim`` floats.
+
+    Determinism: each per-subspace distance is floored to BIGINT
+    nano-units (:func:`_l2fx_sql`); the sum over subspaces is integer —
+    shuffle-order-free and DuckDB-reproducible. Returns
+    ``(query_id, neighbor_id, adc_nano, rank)``.
+    """
+    dsub = dim // m
+    if codebook is None:
+        codebook = pq_train_codebook(
+            corpus, m=m, k=n_codes, dim=dim, n_iters=1,
+            id_col=id_col, vec_col=vec_col,
+        )
+    codes = pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    cent1 = F.broadcast(
+        codebook.agg(
+            F.array_sort(
+                F.collect_list(F.struct("m", "cluster", "cv"))
+            ).alias("__cents")
+        )
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_as_double(vec_col)).alias("__qv"),
+        )
+    )
+    # sum over subspaces of the floored per-subspace distance: integer fold
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), (acc, j) -> acc + "
+        f"{_l2fx_sql(f'slice(__qv, j * {dsub} + 1, {dsub})', 'filter(__cents, s -> s.m = j AND s.cluster = element_at(codes, j + 1))[0].cv')})"
+    )
+    scored = (
+        codes.join(cent1)
+        .join(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(adc).alias("adc_nano"),
+        )
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "adc_nano", "neighbor_id"],
+                        ascending=[True, True, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk,
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_nano"), F.asc("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_nano", "rank")
+    )

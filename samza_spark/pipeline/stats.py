@@ -26,7 +26,7 @@ quality drift monitoring) built on the engine's aggregation shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from samza_spark.operators.rank import global_rank
 from samza_spark.pipeline.text import normalized
@@ -158,4 +158,68 @@ def group_zscore_outliers(
                 F.abs(F.col("z")) > F.lit(float(z_threshold)), F.lit(False)
             ),
         )
+    )
+
+
+def group_robust_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group EXACT median and MAD (median absolute deviation) — the
+    robust center/spread pair quality filters should prefer over
+    mean/stddev on heavy-tailed web data (one 10 MB outlier document
+    moves a mean; it cannot move a median).
+
+    Everything stays integer: with the doubled-median trick
+    ``med_x2 = x_low + x_high`` (the two middle order statistics; equal
+    for odd n) is exact BIGINT, deviations ``|2*x - med_x2|`` are exact,
+    and ``mad_x4`` doubles again — so the result hashes identically on
+    any engine, no float division anywhere.
+
+    Plan: two partitioned rank windows (value rank within group, then
+    deviation rank within group) + per-group joins on the group key — no
+    global sort, no quadratic step; each window sorts only its group's
+    partition. Returns ``(group, n, med_x2, mad_x4)``.
+    """
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"), v.alias("x"), F.col(id_col).alias("i")
+    )
+    wv = Window.partitionBy("g").orderBy(F.asc("x"), F.asc("i"))
+    ranked = base.select(
+        "g",
+        "x",
+        F.row_number().over(wv).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    mid = ranked.filter(F.expr("r = (n + 1) div 2 OR r = (n + 2) div 2"))
+    med = mid.groupBy("g").agg(
+        F.max("n").alias("n"),
+        # odd n: the single middle row counts twice (x_low == x_high)
+        (F.sum("x") * (F.lit(3) - F.count(F.lit(1)))).alias("med_x2"),
+    )
+    dev = (
+        base.join(med.select("g", "med_x2"), on="g")
+        .select(
+            "g",
+            F.abs(F.lit(2) * F.col("x") - F.col("med_x2")).alias("dx"),
+            "i",
+        )
+    )
+    wd = Window.partitionBy("g").orderBy(F.asc("dx"), F.asc("i"))
+    dranked = dev.select(
+        "g",
+        "dx",
+        F.row_number().over(wd).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    dmid = dranked.filter(F.expr("r = (n + 1) div 2 OR r = (n + 2) div 2"))
+    mad = dmid.groupBy("g").agg(
+        (F.sum("dx") * (F.lit(3) - F.count(F.lit(1)))).alias("mad_x4")
+    )
+    return (
+        med.join(mad, on="g")
+        .select(F.col("g").alias(group_col), "n", "med_x2", "mad_x4")
     )

@@ -5255,3 +5255,301 @@ QUERIES = {
     **{n: f for n, f in QUERIES.items() if n not in set(_DRIVER_WINDOW)},
 }
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# round 5 additions: PQ/ADC, k-core, bounded BFS, SCD2 point-in-time,
+# temperature mixture, robust group stats, keep-best dedup
+# ---------------------------------------------------------------------------
+
+_L2FX_DUCK = (
+    "CAST(floor(1000000000.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, {d}), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+    "(x, y) -> x + y)) AS BIGINT)"
+)
+
+
+def _pq_duck(m: int = 4, k: int = 16, dim: int = 64, topk: int = 10) -> str:
+    """DuckDB replay of similarity.pq_topk (train 1 iter from id%k seed,
+    argmin-L2 encode, integer-ADC score): every cross-row sum is integer
+    (HUGEINT cast back to BIGINT), every double is a sequential fold —
+    bit-identical to the Spark plan."""
+    dsub = dim // m
+    l2 = _L2FX_DUCK
+    return (
+        "WITH w AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        f"ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m), "
+        f"sub AS (SELECT id, m, list_slice(v, m * {dsub} + 1, (m + 1) * {dsub}) AS sv "
+        "FROM w CROSS JOIN ms), "
+        f"a0 AS (SELECT id, m, sv, CAST(id % {k} AS INT) AS c FROM sub), "
+        "e1 AS (SELECT m, c, i - 1 AS d, CAST(floor(sv[i] * 1000000000.0) AS HUGEINT) AS fx "
+        f"FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS i) dims), "
+        "pc AS (SELECT m, c, d, sum(fx) AS s, count(*) AS cnt FROM e1 GROUP BY 1, 2, 3), "
+        "cent AS (SELECT m, c, list(CAST(s AS DOUBLE) / "
+        "CAST(cnt * CAST(1000000000 AS BIGINT) AS DOUBLE) ORDER BY d) AS cv "
+        "FROM pc GROUP BY m, c), "
+        "dist AS (SELECT a.id, a.m, c.c, "
+        + l2.format(a="a.sv", b="c.cv", d=dsub)
+        + " AS dfx FROM sub a JOIN cent c ON a.m = c.m), "
+        "codes AS (SELECT id, m, c FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY id, m ORDER BY dfx ASC, c ASC) AS rn FROM dist) WHERE rn = 1), "
+        "q AS (SELECT id AS qid, v AS qv FROM w WHERE id % 100 = 0), "
+        f"qsub AS (SELECT qid, m, list_slice(qv, m * {dsub} + 1, (m + 1) * {dsub}) AS qsv "
+        "FROM q CROSS JOIN ms), "
+        "pdist AS (SELECT qs.qid, co.id AS nid, "
+        + l2.format(a="qs.qsv", b="ct.cv", d=dsub)
+        + " AS dfx FROM codes co JOIN cent ct ON ct.m = co.m AND ct.c = co.c "
+        "JOIN qsub qs ON qs.m = co.m WHERE co.id <> qs.qid), "
+        "adc AS (SELECT qid, nid, CAST(sum(dfx) AS BIGINT) AS adc_nano "
+        "FROM pdist GROUP BY qid, nid) "
+        "SELECT qid AS query_id, nid AS neighbor_id, adc_nano, "
+        "CAST(rank AS INT) AS rank FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY qid ORDER BY adc_nano ASC, nid ASC) AS rank FROM adc) "
+        f"WHERE rank <= {topk}"
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (Jegou PAMI'11): train m=4 sub-codebooks
+    (deterministic fixed-point Lloyd's), encode the corpus to 4 codes,
+    score queries by integer-ADC — codebook and queries broadcast, the
+    corpus-side pass map-only with partition-local top-k, so the big
+    side never shuffles and the serving scan reads 4 ints per vector
+    instead of 64 floats."""
+    from samza_spark.pipeline import similarity as sim
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.pq_topk(emb, queries, k=10, m=4, n_codes=16, dim=64)
+
+
+QUERIES["pq_topk"] = q_pq_topk
+ORACLES["pq_topk"] = _pq_duck(4, 16, 64, 10)
+
+
+_COOC_EDGES_DUCK = (
+    "li AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'), "
+    "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM li x "
+    "JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey), "
+    "s0 AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e)"
+)
+
+
+def _kcore_duck(k: int = 3, rounds: int = 3) -> str:
+    sql = "WITH " + _COOC_EDGES_DUCK
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        sql += (
+            f", d{i} AS (SELECT src, count(*) AS c FROM {prev} GROUP BY src), "
+            f"k{i} AS (SELECT src FROM d{i} WHERE c >= {k}), "
+            f"s{i} AS (SELECT s.src, s.dst FROM {prev} s "
+            f"JOIN k{i} x ON s.src = x.src JOIN k{i} y ON s.dst = y.src)"
+        )
+        prev = f"s{i}"
+    sql += (
+        f" SELECT src AS node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM {prev} GROUP BY src"
+    )
+    return sql
+
+
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """3 rounds of k=3 core peeling over the supplier co-occurrence
+    graph (pipeline.graph.kcore_peel): per round one map-side-combinable
+    degree count + two node-keyed hash semi-joins; lineage checkpointed.
+    Prunes 97 -> 33 nodes at sf0.01 — real structure, not a no-op."""
+    from samza_spark.pipeline import graph
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    return graph.kcore_peel(edges, k=3, rounds=3)
+
+
+QUERIES["kcore"] = q_kcore
+ORACLES["kcore"] = _kcore_duck(3, 3)
+
+
+def q_n_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS to depth 2 (pipeline.graph.n_hop_reachability):
+    per hop one frontier equi-join + distinct + anti-join vs visited —
+    min-hop labels, no node touched twice."""
+    from samza_spark.pipeline import graph
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    seeds = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_suppkey") % 50 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return graph.n_hop_reachability(edges, seeds, hops=2)
+
+
+QUERIES["n_hop_reach"] = q_n_hop_reach
+ORACLES["n_hop_reach"] = (
+    "WITH " + _COOC_EDGES_DUCK + ", "
+    "r0 AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 50 = 0), "
+    "f1 AS (SELECT DISTINCT s.dst AS node FROM s0 s JOIN r0 ON s.src = r0.node "
+    "WHERE s.dst NOT IN (SELECT node FROM r0)), "
+    "f2 AS (SELECT DISTINCT s.dst AS node FROM s0 s JOIN f1 ON s.src = f1.node "
+    "WHERE s.dst NOT IN (SELECT node FROM r0) AND s.dst NOT IN (SELECT node FROM f1)) "
+    "SELECT node, 0 AS hop FROM r0 UNION ALL SELECT node, 1 FROM f1 "
+    "UNION ALL SELECT node, 2 FROM f2"
+)
+
+
+def q_scd2_pit(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension build + point-in-time join (pipeline.events.
+    scd2_intervals / point_in_time_join): signup events become versioned
+    validity intervals via one partitioned lead/row_number window (no
+    global sort), purchases join the version active at their timestamp —
+    an equi-join on user with the interval residual, the warehouse-
+    standard CDC shape (the batch analog of the Durable table
+    changelog)."""
+    from samza_spark.pipeline import events as ev
+
+    e = load_table(spark, sf, "events")
+    dim = ev.scd2_intervals(
+        e.filter(F.col("event_type") == "signup").select(
+            "user_id", "ts", "event_id", F.col("value").alias("dim_value")
+        ),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["dim_value"],
+        order_tiebreak="event_id",
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), "user_id", "ts", F.col("value").alias("fact_value")
+    )
+    return ev.point_in_time_join(facts, dim, "user_id", "ts").select(
+        "event_id", "user_id", "version", "dim_value", "fact_value"
+    )
+
+
+QUERIES["scd2_pit"] = q_scd2_pit
+ORACLES["scd2_pit"] = (
+    "WITH ch AS (SELECT user_id, ts, event_id, value AS dim_value FROM events "
+    "WHERE event_type = 'signup'), "
+    "dim AS (SELECT user_id, ts AS valid_from, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to, "
+    "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS INT) "
+    "AS version, dim_value FROM ch), "
+    "f AS (SELECT event_id, user_id, ts, value AS fact_value FROM events "
+    "WHERE event_type = 'purchase') "
+    "SELECT f.event_id, f.user_id, d.version, d.dim_value, f.fact_value "
+    "FROM f JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.valid_from "
+    "AND (d.valid_to IS NULL OR f.ts < d.valid_to)"
+)
+
+
+_NTOK_DUCK = (
+    "CASE WHEN regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+    "ELSE len(string_split_regex(regexp_replace(coalesce(text, ''), "
+    "'^\\s+|\\s+$', '', 'g'), '\\s+')) END"
+)
+
+
+def q_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature (alpha=1/2) source weighting (pipeline.governance.
+    temperature_mixture): one source-keyed token aggregate; the weight
+    denominator folds per-source sqrt weights in source order (a
+    cross-row double sum would be shuffle-order-dependent), shares land
+    as floored integer ppm."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    return governance.temperature_mixture(docs)
+
+
+QUERIES["temperature_mixture"] = q_temperature_mixture
+ORACLES["temperature_mixture"] = (
+    f"WITH d AS (SELECT source, {_NTOK_DUCK} AS nt FROM documents), "
+    "per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM d GROUP BY source), "
+    "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list(n_tokens ORDER BY source), x -> sqrt(CAST(x AS DOUBLE)))), "
+    "(a, b) -> a + b) AS wsum FROM per) "
+    "SELECT source, n_tokens, n_tokens * 1000000 // t AS natural_ppm, "
+    "CAST(floor(1000000.0 * (sqrt(CAST(n_tokens AS DOUBLE)) / wsum)) AS BIGINT) "
+    "AS temp_ppm FROM per CROSS JOIN tot"
+)
+
+
+def q_robust_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source exact median/MAD in pure integers (pipeline.stats.
+    group_robust_stats): doubled-median trick keeps every compared value
+    BIGINT; two partitioned rank windows, no global sort."""
+    from samza_spark.pipeline import stats
+
+    docs = load_table(spark, sf, "documents")
+    return stats.group_robust_stats(docs, "source", "n_chars", "doc_id")
+
+
+QUERIES["robust_stats"] = q_robust_stats
+ORACLES["robust_stats"] = (
+    "WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x, doc_id AS i "
+    "FROM documents), "
+    "r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x ASC, i ASC) AS r, "
+    "count(*) OVER (PARTITION BY g) AS n FROM b), "
+    "m AS (SELECT g, x, n FROM r WHERE r = (n + 1) // 2 OR r = (n + 2) // 2), "
+    "med AS (SELECT g, CAST(max(n) AS BIGINT) AS n, "
+    "CAST(sum(x) * (3 - count(*)) AS BIGINT) AS med_x2 FROM m GROUP BY g), "
+    "d AS (SELECT b.g, abs(2 * b.x - med.med_x2) AS dx, b.i FROM b "
+    "JOIN med ON b.g = med.g), "
+    "dr AS (SELECT g, dx, row_number() OVER (PARTITION BY g ORDER BY dx ASC, i ASC) AS r, "
+    "count(*) OVER (PARTITION BY g) AS n FROM d), "
+    "dm AS (SELECT g, dx FROM dr WHERE r = (n + 1) // 2 OR r = (n + 2) // 2), "
+    "mad AS (SELECT g, CAST(sum(dx) * (3 - count(*)) AS BIGINT) AS mad_x4 "
+    "FROM dm GROUP BY g) "
+    "SELECT med.g AS source, med.n, med.med_x2, mad.mad_x4 "
+    "FROM med JOIN mad ON med.g = mad.g"
+)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup dedup keeping the BEST (longest, min-id tie-break) doc
+    per duplicate component (pipeline.dedup.minhash_dedup_keep_best) —
+    LSH candidates + Jaccard verify + min-label components + one
+    component-keyed argmax. Oracle is the brute-force closure, so
+    equality re-proves the 16x4-band recall-1 invariant at 0.8."""
+    docs = load_table(spark, sf, "documents")
+    out = dedup.minhash_dedup_keep_best(
+        docs, quality_col="n_chars", threshold=0.8
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = (
+    "WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), "
+    "'\\s+', ' ', 'g')), ' ')) - 2, 1)), i -> array_to_string(list_slice("
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+    "i, i + 2), ' '))) AS s FROM documents), "
+    "p AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l JOIN sh r "
+    "ON l.doc_id < r.doc_id WHERE (len(list_intersect(l.s, r.s)) / "
+    "len(list_distinct(list_concat(l.s, r.s)))) >= CAST(0.8 AS DOUBLE)), "
+    "sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a), "
+    "comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id), "
+    "memb AS (SELECT c.id, c.component, d.n_chars FROM comp c "
+    "JOIN documents d ON d.doc_id = c.id), "
+    "best AS (SELECT component, id AS keep FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY component ORDER BY n_chars DESC, id ASC) AS rn FROM memb) "
+    "WHERE rn = 1), "
+    "dropped AS (SELECT memb.id FROM memb JOIN best "
+    "ON memb.component = best.component WHERE memb.id <> best.keep) "
+    "SELECT doc_id, source, n_chars FROM documents "
+    "WHERE doc_id NOT IN (SELECT id FROM dropped)"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1,0 +1,246 @@
+"""Round-5 additions: product quantization, k-core peeling, bounded BFS,
+SCD2 point-in-time joins, temperature mixture weighting, robust group
+stats, keep-best dedup — pinned on adversarial small inputs (the DuckDB
+oracle covers the sf0.01 corpus)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from samza_spark.pipeline import dedup, events, governance, graph, similarity, stats
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_py(vecs, m, k, dsub):
+    """Pure-Python replay of pq_train(1 iter) + pq_encode + ADC."""
+    SCALE = 1_000_000_000
+    # centroids from id % k seed assignment, exact fixed-point means
+    cents = {}
+    for mi in range(m):
+        for c in range(k):
+            members = [v[mi * dsub:(mi + 1) * dsub] for i, v in vecs.items() if i % k == c]
+            if not members:
+                continue
+            cv = []
+            for d in range(dsub):
+                s = sum(math.floor(x[d] * float(SCALE)) for x in members)
+                cv.append(float(s) / float(len(members) * SCALE))
+            cents[(mi, c)] = cv
+
+    def l2fx(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return math.floor(SCALE * acc)
+
+    codes = {}
+    for i, v in vecs.items():
+        codes[i] = [
+            min(
+                (c for c in range(k) if (mi, c) in cents),
+                key=lambda c: (l2fx(v[mi * dsub:(mi + 1) * dsub], cents[(mi, c)]), c),
+            )
+            for mi in range(m)
+        ]
+
+    def adc(qv, i):
+        return sum(
+            l2fx(qv[mi * dsub:(mi + 1) * dsub], cents[(mi, codes[i][mi])])
+            for mi in range(m)
+        )
+
+    return cents, codes, adc
+
+
+def test_pq_matches_python_replay(spark):
+    dim, m, k, dsub = 4, 2, 2, 2
+    vecs = {
+        0: [0.1, 0.2, 0.9, 0.8],
+        1: [0.11, 0.19, 0.88, 0.79],
+        2: [0.9, 0.85, 0.1, 0.2],
+        3: [0.92, 0.81, 0.12, 0.18],
+        4: [0.5, 0.5, 0.5, 0.5],
+        5: [0.48, 0.52, 0.51, 0.49],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: replay must quantize through float32 like parquet does
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    vecs32 = {i: [f32(x) for x in v] for i, v in vecs.items()}
+
+    cb = similarity.pq_train_codebook(df, m=m, k=k, dim=dim, n_iters=1)
+    assert cb.count() == m * k
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(df, cb, m=m, dim=dim).collect()
+    }
+    cents_py, codes_py, adc_py = _pq_py(vecs32, m, k, dsub)
+    assert codes == codes_py
+
+    out = similarity.pq_topk(
+        df, df.filter(F.col("vec_id") == 0), k=3, m=m, n_codes=k, dim=dim
+    ).collect()
+    got = [(r["neighbor_id"], r["adc_nano"]) for r in sorted(out, key=lambda r: r["rank"])]
+    want = sorted(
+        ((i, adc_py(vecs32[0], i)) for i in vecs if i != 0),
+        key=lambda t: (t[1], t[0]),
+    )[:3]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# k-core / BFS
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_pendant_chain(spark):
+    # triangle a-b-c plus chain c-d-e: k=2 peeling removes e then d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "a string, b string",
+    )
+    out = {r["node"]: r["degree"] for r in graph.kcore_peel(edges, k=2, rounds=3).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_whole_graph_survives_when_k_small(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "a string, b string"
+    )
+    out = {r["node"]: r["degree"] for r in graph.kcore_peel(edges, k=1, rounds=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_n_hop_reachability_min_hop(spark):
+    # path a-b-c-d-e, seed a: hops: a=0 b=1 c=2; d,e unreached at hops=2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], "a string, b string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["hop"] for r in graph.n_hop_reachability(edges, seeds, hops=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_n_hop_reachability_cycle_keeps_min(spark):
+    # square a-b-c-d-a, seed a: b and d at hop 1, c at hop 2 (via either)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "a string, b string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["hop"] for r in graph.n_hop_reachability(edges, seeds, hops=3).collect()}
+    assert out == {"a": 0, "b": 1, "d": 1, "c": 2}
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_point_in_time_semantics(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "v1"),
+            (1, "2024-01-10 00:00:00", 11, "v2"),
+            (2, "2024-01-05 00:00:00", 20, "w1"),
+        ],
+        "user_id long, ts string, event_id long, attr string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dim = events.scd2_intervals(
+        changes, "user_id", "ts", ["attr"], order_tiebreak="event_id"
+    )
+    rows = {(r["user_id"], r["version"]): r for r in dim.collect()}
+    assert rows[(1, 1)]["attr"] == "v1" and rows[(1, 1)]["valid_to"] is not None
+    assert rows[(1, 2)]["attr"] == "v2" and rows[(1, 2)]["valid_to"] is None
+
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-02 00:00:00"),  # inside v1
+            (101, 1, "2024-01-10 00:00:00"),  # exactly at change -> v2
+            (102, 1, "2023-12-31 00:00:00"),  # before first version
+            (103, 2, "2024-02-01 00:00:00"),  # open-ended current version
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["event_id"]: r["attr"]
+        for r in events.point_in_time_join(facts, dim, "user_id", "ts").collect()
+    }
+    assert out == {100: "v1", 101: "v2", 103: "w1"}
+    left = {
+        r["event_id"]: r["attr"]
+        for r in events.point_in_time_join(facts, dim, "user_id", "ts", how="left").collect()
+    }
+    assert left[102] is None and len(left) == 4
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture / robust stats
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_sqrt_weighting(spark):
+    docs = spark.createDataFrame(
+        [("s1", "a " * 100), ("s2", "b " * 400)],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in governance.temperature_mixture(docs).collect()}
+    assert out["s1"]["n_tokens"] == 100 and out["s2"]["n_tokens"] == 400
+    assert out["s1"]["natural_ppm"] == 200_000
+    # sqrt weighting: 10 vs 20 -> 1/3 vs 2/3
+    assert out["s1"]["temp_ppm"] == 333_333
+    assert out["s2"]["temp_ppm"] == 666_666
+
+
+def test_group_robust_stats_median_mad(spark):
+    import statistics
+
+    data = {"g1": [1, 5, 2, 8, 100], "g2": [4, 4, 10, 2]}
+    rows = [(g, v, i) for g, vs in data.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "g string, x long, i long")
+    out = {r["g"]: r for r in stats.group_robust_stats(df, "g", "x", "i").collect()}
+    for g, vs in data.items():
+        med = statistics.median(vs)
+        mad = statistics.median([abs(v - med) for v in vs])
+        assert out[g]["n"] == len(vs)
+        assert out[g]["med_x2"] == int(2 * med)
+        assert out[g]["mad_x4"] == int(4 * mad)
+
+
+# ---------------------------------------------------------------------------
+# keep-best dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_keep_best_prefers_quality(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base, 10),
+            (2, base + " extra", 99),  # near-dup of 1, higher quality
+            (3, "completely different text about distributed query engines", 5),
+        ],
+        "doc_id long, text string, q long",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup_keep_best(
+            docs, quality_col="q", threshold=0.6
+        ).collect()
+    )
+    assert out == [2, 3]
+    # contrast: min-id CC dedup keeps doc 1
+    cc = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup_cc(docs, threshold=0.6).collect()
+    )
+    assert cc == [1, 3]
