@@ -127,6 +127,14 @@ HEADLINE = [
     "jl_project",
     "phrase_search",
     "entity_clusters",
+    # round-6 additions
+    "pq_topk",
+    "kcore",
+    "n_hop_reach",
+    "scd2_pit",
+    "temperature_mixture",
+    "robust_stats",
+    "dedup_keep_best",
 ]
 
 
@@ -441,6 +449,31 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
         streaming["stream_sustained_join_msgs_per_sec"] = round(2 * n_replay / secs)
         streaming["stream_sustained_join_messages"] = 2 * n_replay
+
+        # sustained exact streaming dedup over the same replay — the
+        # stateful family with per-key state but no windows/aggregation
+        # (dropDuplicatesWithinWatermark: ~1M distinct keys of state,
+        # watermark-bounded; the pipeline.dedup.streaming_dedup path).
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        secs = run_sustained(
+            "stream_sustained_dedup_1m",
+            lambda: (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, replicas // 2))
+                .parquet(replay_dir)
+                .transform(normalize_event_ts)
+                .withWatermark("ts", "30 minutes")
+                .dropDuplicatesWithinWatermark(["event_id"])
+                .select("event_id", "user_id", "event_type")
+                .writeStream.format("noop")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            ),
+            reps=min(2, repeats),
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+        streaming["stream_sustained_dedup_msgs_per_sec"] = round(n_replay / secs)
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
 

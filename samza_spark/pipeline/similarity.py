@@ -1227,23 +1227,29 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every vector as ``m`` one-byte-ish codes (its nearest
-    centroid per subspace): map-only against the broadcast codebook —
+    centroid per subspace): strictly map-only against the broadcast
+    codebook — all m argmins evaluate in ONE row expression (no
+    explode, no per-id re-group, ZERO corpus Exchange; plan-asserted),
     the 256x compression step that lets a 100 TB embedding corpus fit a
     serving tier. Returns ``(id_col, codes: array<int>)`` in subspace
     order."""
     dsub = dim // m
-    sub = _pq_subvectors(corpus, id_col, vec_col, m, dsub)
-    codes = _pq_assign(
-        sub,
-        codebook.select(
-            F.col("m").alias("__m"), F.col("cluster").alias("__c"), "cv"
-        ),
+    cent1 = F.broadcast(
+        codebook.agg(
+            F.array_sort(
+                F.collect_list(F.struct("m", "cluster", "cv"))
+            ).alias("__cents")
+        )
     )
-    return codes.groupBy("__id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(__m, __c))), s -> s.__c)"
-        ).alias("codes")
-    ).select(F.col("__id").alias(id_col), "codes")
+    sub = f"slice({_as_double(vec_col)}, j * {dsub} + 1, {dsub})"
+    codes = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        "array_sort(transform(filter(__cents, s -> s.m = j), "
+        f"s -> struct({_l2fx_sql(sub, 's.cv')} as dfx, s.cluster as c)))[0].c)"
+    )
+    return corpus.join(cent1).select(
+        F.col(id_col), F.expr(codes).cast("array<int>").alias("codes")
+    )
 
 
 def pq_topk(

@@ -57,3 +57,50 @@ def snapshot_diff(
 def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
     """(status, n) census of a :func:`snapshot_diff` result."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Relational MERGE INTO: apply a CDC batch of inserts/updates/
+    deletes (``op_col`` in 'I'/'U'/'D') to a snapshot — the batch form
+    of the engine's Durable-table changelog apply (tables/local.py) and
+    the op every warehouse sink (Delta/Iceberg MERGE) performs on
+    ingest.
+
+    Semantics: per key the LAST change wins (ordered by ``order_cols``,
+    e.g. a change sequence number — required when a batch can carry
+    multiple ops per key); 'D' removes the row, 'I'/'U' both upsert
+    (idempotent under replay, matching UpdateOptions.UPDATE_WITH_DEFAULTS
+    semantics). Untouched snapshot rows pass through.
+
+    Plan: one partitioned window over the CHANGE batch only (deltas are
+    small relative to the snapshot), one anti hash join keyed on the id
+    to drop superseded snapshot rows, one unionByName — the snapshot is
+    never sorted or windowed. At 100 TB snapshot/changes bucketed on the
+    id makes the anti-join exchange-free.
+    """
+    from pyspark.sql import Window
+
+    cols = [c for c in snapshot.columns]
+    if order_cols:
+        w = (
+            Window.partitionBy(id_col)
+            .orderBy(*[F.desc(c) for c in order_cols])
+        )
+        last = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        last = changes
+    kept = snapshot.join(
+        last.select(id_col).distinct(), on=id_col, how="left_anti"
+    )
+    upserts = last.filter(F.col(op_col) != F.lit("D")).select(*cols)
+    return kept.unionByName(upserts)

@@ -5553,3 +5553,110 @@ ORACLES["dedup_keep_best"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO / CDC apply (pipeline.versioning.merge_upsert): a
+    deterministic change batch (updates for doc_id%7==0, deletes for
+    doc_id%11==3, inserts above the id range; two ops on %21==0 keys so
+    last-wins ordering is exercised) applied to the documents snapshot —
+    one window over the delta, one anti hash join on the snapshot, no
+    snapshot sort."""
+    from samza_spark.pipeline import versioning
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    upd = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            "source",
+            (F.col("n_chars") + 1).alias("n_chars"),
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+    )
+    # a second, later op on the %21 keys: seq=2 must win
+    upd2 = (
+        docs.filter(F.col("doc_id") % 21 == 0)
+        .select(
+            "doc_id",
+            "source",
+            (F.col("n_chars") + 2).alias("n_chars"),
+            F.lit("U").alias("op"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    # deletes carry the highest seq: a key hit by both an update and a
+    # delete (doc_id = 14 mod 77 matches %7 and %11) must resolve
+    # deterministically - last-wins needs a total order per key
+    dels = docs.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    ins = docs.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        "n_chars",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = upd.unionByName(upd2).unionByName(dels).unionByName(ins)
+    return versioning.merge_upsert(
+        docs, changes, id_col="doc_id", op_col="op", order_cols=("seq",)
+    )
+
+
+QUERIES["merge_upsert"] = q_merge_upsert
+ORACLES["merge_upsert"] = (
+    "WITH docs AS (SELECT doc_id, source, n_chars FROM documents), "
+    "changes AS ("
+    "SELECT doc_id, source, n_chars + 1 AS n_chars, 'U' AS op, 1 AS seq "
+    "FROM docs WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id, source, n_chars + 2, 'U', 2 FROM docs WHERE doc_id % 21 = 0 "
+    "UNION ALL SELECT doc_id, source, n_chars, 'D', 3 FROM docs WHERE doc_id % 11 = 3 "
+    "UNION ALL SELECT doc_id + 1000000, source, n_chars, 'I', 1 FROM docs WHERE doc_id % 13 = 5), "
+    "last AS (SELECT doc_id, source, n_chars, op FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY seq DESC) AS rn FROM changes) WHERE rn = 1) "
+    "SELECT doc_id, source, n_chars FROM docs "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM last) "
+    "UNION ALL SELECT doc_id, source, n_chars FROM last WHERE op <> 'D'"
+)
+
+
+def q_rank_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-function SQL surface beyond analytic_window: rank,
+    dense_rank, ntile, percent_rank, cume_dist over per-customer order
+    sequences — one partitioned window, deterministic under the unique
+    (o_orderdate, o_orderkey) order; percent_rank/cume_dist are single
+    divisions of exact integers, bit-stable cross-engine."""
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+QUERIES["rank_funcs"] = q_rank_funcs
+ORACLES["rank_funcs"] = (
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(rank() OVER w AS INT) AS rnk, "
+    "CAST(dense_rank() OVER w AS INT) AS drnk, "
+    "CAST(ntile(4) OVER w AS INT) AS quartile, "
+    "percent_rank() OVER w AS prank, "
+    "cume_dist() OVER w AS cdist "
+    "FROM orders WHERE o_custkey < 200 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

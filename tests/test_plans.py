@@ -287,3 +287,55 @@ def test_tpch_q19_disjunction_stays_hash_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_is_map_only(spark, sf_dir):
+    from samza_spark.catalog import load_table
+    from samza_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train_codebook(emb, m=4, k=16, dim=64, n_iters=1)
+    plan = (
+        similarity.pq_encode(emb, cb, m=4, dim=64)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    # corpus side: scan -> broadcast-join the one-row codebook -> project;
+    # the only Exchanges allowed belong to the (m*k)-row codebook subtree
+    corpus_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_topk_corpus_never_shuffles_before_topk(spark, sf_dir):
+    plan = _plan(spark, "pq_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one rank window, fed by the partition-local top-k prune
+    assert plan.count("Window") >= 1
+    assert "MapInPandas" in plan
+
+
+def test_kcore_rounds_are_semi_joins(spark, sf_dir):
+    plan = _plan(spark, "kcore", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_scd2_pit_is_keyed_hash_join(spark, sf_dir):
+    plan = _plan(spark, "scd2_pit", sf_dir)
+    # the interval containment must ride as a residual on a hash join,
+    # never a nested-loop over facts x versions
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robust_stats_partitioned_windows_only(spark, sf_dir):
+    plan = _plan(spark, "robust_stats", sf_dir)
+    # every Sort is within a hash-partitioned group - no global sort
+    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+    assert "CartesianProduct" not in plan
