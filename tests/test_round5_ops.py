@@ -244,3 +244,86 @@ def test_dedup_keep_best_prefers_quality(spark):
         for r in dedup.minhash_dedup_cc(docs, threshold=0.6).collect()
     )
     assert cc == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / CDC
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_semantics(spark):
+    from samza_spark.pipeline import versioning
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),
+            (2, "b3", "U", 2),  # later seq wins
+            (3, "c", "D", 1),
+            (4, "d", "I", 1),
+        ],
+        "id long, v string, op string, seq int",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in versioning.merge_upsert(
+            snap, changes, id_col="id", op_col="op", order_cols=("seq",)
+        ).collect()
+    }
+    assert out == {1: "a", 2: "b3", 4: "d"}
+
+
+def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
+    """A CDC stream applied per micro-batch through foreachBatch routing
+    (D -> delete, I/U -> upsert into a LocalTable) must land the same
+    final state as one batch merge_upsert - the exactly-once replayable
+    sink shape of SURVEY.md §2.8 over the §2.7 table API."""
+    from samza_spark.pipeline import versioning
+    from samza_spark.tables.local import LocalTable
+
+    snap_rows = [(1, "a"), (2, "b"), (3, "c")]
+    change_rows = [
+        (2, "b2", "U", 1),
+        (3, "c", "D", 2),
+        (4, "d", "I", 3),
+        (4, "d2", "U", 4),
+    ]
+    snap = spark.createDataFrame(snap_rows, "id long, v string")
+    changes = spark.createDataFrame(change_rows, "id long, v string, op string, seq int")
+    want = {
+        (r["id"], r["v"])
+        for r in versioning.merge_upsert(
+            snap, changes, id_col="id", op_col="op", order_cols=("seq",)
+        ).collect()
+    }
+
+    src_dir = str(tmp_path / "cdc_src")
+    # one file per change: micro-batches replay the ops in seq order
+    for i, row in enumerate(change_rows):
+        spark.createDataFrame([row], "id long, v string, op string, seq int").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    table = LocalTable(spark.createDataFrame(snap_rows, "id long, v string"), ["id"])
+
+    def apply_batch(batch, _epoch):
+        for r in batch.orderBy("seq").collect():  # tiny batch: op routing
+            one = spark.createDataFrame([(r["id"], r["v"])], "id long, v string")
+            if r["op"] == "D":
+                table.merge_batch(one, mode="delete")
+            else:
+                table.merge_batch(one, mode="upsert")
+
+    q = (
+        spark.readStream.schema("id long, v string, op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["id"], r["v"]) for r in table.df.collect()}
+    assert got == want
