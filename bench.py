@@ -135,6 +135,9 @@ HEADLINE = [
     "temperature_mixture",
     "robust_stats",
     "dedup_keep_best",
+    "merge_upsert",
+    "rank_funcs",
+    "ivfpq_topk",
 ]
 
 

@@ -1225,6 +1225,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` one-byte-ish codes (its nearest
     centroid per subspace): strictly map-only against the broadcast
@@ -1248,7 +1249,9 @@ def pq_encode(
         f"s -> struct({_l2fx_sql(sub, 's.cv')} as dfx, s.cluster as c)))[0].c)"
     )
     return corpus.join(cent1).select(
-        F.col(id_col), F.expr(codes).cast("array<int>").alias("codes")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.expr(codes).cast("array<int>").alias("codes"),
     )
 
 
@@ -1310,6 +1313,168 @@ def pq_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
+            F.expr(adc).alias("adc_nano"),
+        )
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "adc_nano", "neighbor_id"],
+                        ascending=[True, True, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk,
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_nano"), F.asc("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_nano", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with residual encoding — the FAISS-style index actually
+    deployed at billion-vector scale: a coarse inverted file prunes the
+    search to ``n_probe`` of ``n_lists`` cells, and within a cell each
+    vector is only its ``m`` PQ codes over the RESIDUAL (v - coarse
+    centroid), so the fine codebook spends its bits on the within-cell
+    distribution instead of re-describing cell positions.
+
+    Deterministic end to end: coarse centroids are the id-ordered
+    relational folds of :func:`ivf_centroids_relational`; coarse
+    assignment is the zero-Exchange broadcast-argmax; residuals are
+    exact per-element subtractions; the fine codebook is the
+    fixed-point Lloyd's of :func:`pq_train_codebook`; ADC distances are
+    floored per-subspace BIGINTs summed as integers.
+
+    Scale shape: every corpus pass is map-only against broadcast
+    centroid/codebook rows (plan-asserted: no corpus Exchange before
+    the rank stage); candidate scoring is an equi-join on ``list_id``
+    against the broadcast probed-query table — candidate volume is
+    ~corpus * n_probe / n_lists and each candidate is m ints, not dim
+    floats. Returns (query_id, neighbor_id, adc_nano, rank).
+
+    Recall is bounded by the coarse prune (measured on the synthetic
+    sf0.01 embeddings: candidate ceiling 0.34@n_probe=4, 0.74@n_probe=8
+    — identical under cosine or L2 coarse assignment) and further cut
+    by the m*log2(n_codes)-bit code budget. Production composes this
+    with an exact rerank of the ADC shortlist (request k' = 4-10x k,
+    join the survivors back to their full vectors — the
+    ``quantized_topk`` -> rerank pattern), which restores recall to the
+    coarse ceiling while still scanning only codes.
+    """
+    from pyspark import StorageLevel
+
+    dsub = dim // m
+    # model artifacts are tiny and reused across the corpus/query branches
+    # — persist so coarse training runs ONCE, not once per consumer (a
+    # production deployment writes them to parquet: save_centroids)
+    cc = ivf_centroids_relational(corpus, id_col, vec_col, n_lists).persist()
+    cc1 = F.broadcast(
+        cc.agg(
+            F.array_sort(F.collect_list(F.struct("list_id", "cv"))).alias("__cc")
+        )
+    )
+    ranked = (
+        "reverse(array_sort(transform(__cc, s -> "
+        f"struct({_cosine_sql('__v', 's.cv')} as sim, -s.list_id as nlid))))"
+    )
+    lid_cv = "filter(__cc, s -> s.list_id = __lid)[0].cv"
+    resid = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.expr(_as_double(vec_col)).alias("__v"),
+        )
+        .join(cc1)
+        .select(
+            "__id",
+            "__v",
+            "__cc",
+            F.expr(f"(-{ranked}[0].nlid)").cast("int").alias("__lid"),
+        )
+        .select(
+            "__id",
+            "__lid",
+            F.expr(f"zip_with(__v, {lid_cv}, (x, y) -> x - y)").alias("__r"),
+        )
+        # residuals feed BOTH codebook training and encoding — compute the
+        # corpus-scale pass once (spills to disk past memory)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    codebook = pq_train_codebook(
+        resid, m=m, k=n_codes, dim=dim, n_iters=1, id_col="__id", vec_col="__r"
+    ).persist()
+    codes = pq_encode(
+        resid, codebook, m=m, dim=dim, id_col="__id", vec_col="__r",
+        keep_cols=("__lid",),
+    )
+    # queries: probe n_probe coarse lists, residual PER PROBED LIST
+    qprobe = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_as_double(vec_col)).alias("__v"),
+        )
+        .join(cc1)
+        .select(
+            "query_id",
+            "__v",
+            "__cc",
+            F.explode(F.expr(f"slice({ranked}, 1, {n_probe})")).alias("__t"),
+        )
+        .select(
+            "query_id",
+            "__v",
+            "__cc",
+            (-F.col("__t.nlid")).cast("int").alias("__lid"),
+        )
+        .select(
+            "query_id",
+            "__lid",
+            F.expr(f"zip_with(__v, {lid_cv}, (x, y) -> x - y)").alias("__qr"),
+        )
+    )
+    cb1 = F.broadcast(
+        codebook.agg(
+            F.array_sort(
+                F.collect_list(F.struct("m", "cluster", "cv"))
+            ).alias("__cents")
+        )
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), (acc, j) -> acc + "
+        f"{_l2fx_sql(f'slice(__qr, j * {dsub} + 1, {dsub})', 'filter(__cents, s -> s.m = j AND s.cluster = element_at(codes, j + 1))[0].cv')})"
+    )
+    scored = (
+        codes.join(qprobe, on="__lid")
+        .filter(F.col("__id") != F.col("query_id"))
+        .join(cb1)
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
             F.expr(adc).alias("adc_nano"),
         )
     )

