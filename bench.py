@@ -138,6 +138,9 @@ HEADLINE = [
     "merge_upsert",
     "rank_funcs",
     "ivfpq_topk",
+    "ngram_novelty",
+    "quality_calibration",
+    "dup_matrix",
 ]
 
 

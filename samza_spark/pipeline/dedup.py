@@ -1473,3 +1473,47 @@ def minhash_dedup_keep_best(
         .select(id_col)
     )
     return df.join(to_drop, on=id_col, how="left_anti")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction (integer ppm) of a doc's
+    distinct word n-grams that NO earlier document (smaller id —
+    ingestion order) contains. The incremental-crawl diagnostic between
+    exact dedup and near-dedup: a doc can evade both while being 95%
+    recycled text; novelty ranks exactly that.
+
+    Plan: one distinct-gram explode, one map-side-combinable min(id) per
+    gram, one gram-keyed join back (the aggregate's key — Catalyst
+    reuses the partitioning), one doc-keyed count. Nothing quadratic;
+    short docs yield their single degenerate shingle (the minhash
+    convention) so every doc gets a row. Returns
+    ``(id_col, n_grams, novel_grams, novelty_ppm)``.
+    """
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(text_col, n)).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("__id").alias("__first"))
+    per_doc = (
+        grams.join(first, on="g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__first") == F.col("__id")).cast("long")).alias(
+                "novel_grams"
+            ),
+        )
+    )
+    g = int(granularity)
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "novel_grams",
+        F.expr(f"novel_grams * {g} div n_grams").alias("novelty_ppm"),
+    )

@@ -317,3 +317,98 @@ def temperature_mixture(
             ).alias("temp_ppm"),
         )
     )
+
+
+def quality_calibration(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Per-source quality percentile (integer ppm): rank each document's
+    quality WITHIN its source — the calibration step before applying one
+    global quality threshold to heterogeneous sources (a fixed cutoff
+    keeps 90% of clean encyclopedia text and 4% of forum text; per-source
+    percentiles make "drop the worst decile of each source" expressible).
+
+    Only the rank crosses engines — the score's doubles never need to be
+    compared, just totally ordered, and both engines order identical
+    doubles identically ((score ASC, id ASC) tie-break). One
+    source-partitioned rank window + count — no global sort. Returns
+    ``(id_col, source, pctile_ppm)`` where
+    ``pctile_ppm = (rank - 1) * granularity div (n - 1)`` (0 for
+    singleton sources).
+    """
+    q = quality_score(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy(source_col).orderBy(q.asc(), F.col(id_col).asc())
+    g = int(granularity)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            F.row_number().over(w).alias("__r"),
+            F.count(F.lit(1)).over(Window.partitionBy(source_col)).alias("__n"),
+        )
+        .select(
+            id_col,
+            "source",
+            F.expr(
+                f"if(__n > 1, (__r - 1) * {g} div (__n - 1), 0)"
+            ).alias("pctile_ppm"),
+        )
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_sources_per_fp: int = 64,
+    prefix_words: "int | None" = None,
+) -> DataFrame:
+    """Cross-source duplicate matrix: for every source pair (a < b), how
+    many distinct content fingerprints occur in BOTH — the syndication/
+    mirror audit that decides which source to keep when two feeds carry
+    the same articles (complements ``source_overlap``'s vocabulary
+    Jaccard with document-identity evidence). ``prefix_words`` coarsens
+    the fingerprint to the first N normalized words (the lede — catches
+    syndicated copies whose bodies diverge after the opening); ``None``
+    fingerprints the full text.
+
+    One fingerprint projection, one fp-keyed distinct + collect_set (the
+    same bounded in-group pair expansion as LSH buckets, capped at
+    ``max_sources_per_fp``), one pair-keyed count — shuffle volume is
+    fingerprints, not documents. Returns ``(src_a, src_b, n_dup_fps)``.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    if prefix_words is not None:
+        content = F.array_join(
+            F.slice(F.split(norm, " "), 1, int(prefix_words)), " "
+        )
+    else:
+        content = norm
+    fps = (
+        df.select(
+            F.md5(content).alias("fp"),
+            F.col(source_col).alias("s"),
+        )
+        .distinct()
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("s")).alias("ss"))
+    )
+    pair_expr = (
+        "if(size(ss) between 2 and {cap}, "
+        "flatten(transform(sequence(1, size(ss) - 1), i -> "
+        "transform(sequence(0, i - 1), j -> struct(ss[j] AS a, ss[i] AS b)))), "
+        "array())"
+    ).format(cap=int(max_sources_per_fp))
+    return (
+        fps.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_dup_fps"))
+    )

@@ -761,3 +761,4 @@ def dsir_importance(
             ).alias("avg_logweight"),
         )
     )
+

@@ -5756,3 +5756,87 @@ QUERIES["ivfpq_topk"] = q_ivfpq_topk
 ORACLES["ivfpq_topk"] = _ivfpq_duck(16, 4, 4, 16, 64, 10)
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc novel-trigram fraction vs all earlier docs
+    (pipeline.dedup.ngram_novelty): one distinct-gram explode + one
+    combinable min(id) per gram + the gram-keyed join back + one
+    doc-keyed count; integer ppm output."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_novelty(docs, n=3)
+
+
+QUERIES["ngram_novelty"] = q_ngram_novelty
+ORACLES["ngram_novelty"] = (
+    "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+    "'\\s+', ' ', 'g')), ' ') AS ws FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, greatest(len(ws) - 2, 1)), "
+    "i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS g FROM w), "
+    "f AS (SELECT g, min(doc_id) AS fst FROM g GROUP BY g), "
+    "p AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(sum(CASE WHEN f.fst = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams "
+    "FROM g JOIN f USING (g) GROUP BY g.doc_id) "
+    "SELECT doc_id, n_grams, novel_grams, "
+    "novel_grams * 1000000 // n_grams AS novelty_ppm FROM p"
+)
+
+
+_QSCORE_DUCK = (
+    "round((CAST(0.4 AS DOUBLE) * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+    "/ greatest(length(text), 1)) + CAST(0.4 AS DOUBLE) * "
+    "least(({ntok}) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) + "
+    "CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - least((length(regexp_replace(text, "
+    "'[^.!?,;:]', '', 'g')) / greatest(length(text), 1)) * 10, CAST(1.0 AS DOUBLE)))), 4)"
+)
+
+
+def q_quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality percentile in integer ppm
+    (pipeline.governance.quality_calibration): one source-partitioned
+    rank window — only the RANK crosses engines, the score doubles just
+    need identical total order."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    return governance.quality_calibration(docs)
+
+
+QUERIES["quality_calibration"] = q_quality_calibration
+ORACLES["quality_calibration"] = (
+    "WITH t AS (SELECT doc_id, source, coalesce(text, '') AS text FROM documents), "
+    "s AS (SELECT doc_id, source, "
+    + _QSCORE_DUCK.format(ntok=_NTOK_DUCK)
+    + " AS q FROM t), "
+    "r AS (SELECT doc_id, source, row_number() OVER "
+    "(PARTITION BY source ORDER BY q ASC, doc_id ASC) AS r, "
+    "count(*) OVER (PARTITION BY source) AS n FROM s) "
+    "SELECT doc_id, source, CAST(CASE WHEN n > 1 THEN (r - 1) * 1000000 // (n - 1) "
+    "ELSE 0 END AS BIGINT) AS pctile_ppm FROM r"
+)
+
+
+def q_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source syndication matrix on 8-word lede fingerprints
+    (pipeline.governance.cross_source_dup_matrix): fp-keyed distinct +
+    bounded in-group pair expansion + pair count — shuffle volume is
+    fingerprints, not documents."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    return governance.cross_source_dup_matrix(docs, prefix_words=8)
+
+
+QUERIES["dup_matrix"] = q_dup_matrix
+ORACLES["dup_matrix"] = (
+    "WITH f AS (SELECT DISTINCT md5(array_to_string(list_slice(string_split("
+    "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '), 1, 8), ' ')) AS fp, "
+    "source AS s FROM documents), "
+    "p AS (SELECT a.s AS src_a, b.s AS src_b FROM f a "
+    "JOIN f b ON a.fp = b.fp AND a.s < b.s) "
+    "SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_dup_fps "
+    "FROM p GROUP BY src_a, src_b"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

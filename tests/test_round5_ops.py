@@ -356,3 +356,59 @@ def test_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
         dists = [r[1] for r in rows]
         assert dists == sorted(dists)
         assert all(r[2] != qid for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# novelty / calibration / dup matrix
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_flags_recycled_text(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " iota kappa"), (3, "totally fresh words here now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.ngram_novelty(docs, n=3).collect()}
+    assert out[1]["novelty_ppm"] == 1_000_000  # first doc: everything novel
+    assert out[3]["novelty_ppm"] == 1_000_000  # disjoint vocabulary
+    # doc 2 recycles doc 1's 6 trigrams and adds 2 new ones (8 total)
+    assert out[2]["n_grams"] == 8 and out[2]["novel_grams"] == 2
+    assert out[2]["novelty_ppm"] == 250_000
+
+
+def test_quality_calibration_percentiles(spark):
+    docs = spark.createDataFrame(
+        [
+            ("s1", 1, "short"),
+            ("s1", 2, "a much longer cleaner document with many proper words " * 4),
+            ("s1", 3, "!!! ??? ;;; ,,, ..."),
+            ("s2", 4, "only doc in this source"),
+        ],
+        "source string, doc_id long, text string",
+    )
+    from samza_spark.pipeline import governance
+
+    out = {r["doc_id"]: r["pctile_ppm"] for r in governance.quality_calibration(docs).collect()}
+    assert out[4] == 0  # singleton source
+    assert out[3] == 0  # worst in s1
+    assert out[2] == 1_000_000  # best in s1
+    assert out[1] == 500_000
+
+
+def test_cross_source_dup_matrix_lede(spark):
+    lede = "breaking news the quick brown fox jumped today"
+    docs = spark.createDataFrame(
+        [
+            ("wire", 1, lede + " with original details"),
+            ("mirror", 2, lede + " with copied details"),
+            ("blog", 3, "an unrelated post about cooking pasta nicely"),
+        ],
+        "source string, doc_id long, text string",
+    )
+    from samza_spark.pipeline import governance
+
+    out = governance.cross_source_dup_matrix(docs, prefix_words=8).collect()
+    assert [(r["src_a"], r["src_b"], r["n_dup_fps"]) for r in out] == [
+        ("mirror", "wire", 1)
+    ]
