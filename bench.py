@@ -141,6 +141,7 @@ HEADLINE = [
     "ngram_novelty",
     "quality_calibration",
     "dup_matrix",
+    "salted_join",
 ]
 
 

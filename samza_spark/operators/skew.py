@@ -91,3 +91,35 @@ def skew_safe_count_distinct(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(out_name))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join: salt the BIG side's join key into ``n_salts``
+    sub-keys and replicate the SMALL side once per salt, so a key that
+    owns billions of rows spreads over ``n_salts`` reducers instead of
+    serializing into one straggler task. The explicit form of what AQE's
+    skew-join does for sort-merge partitions — needed when the small
+    side is too large to broadcast but the big side's key histogram has
+    a hot head (``key_skew_report`` is the diagnostic that says so).
+
+    The salt is a deterministic hash of the big row's full content (no
+    ``rand()`` — task retries must route identically), and it only
+    affects ROUTING: the (key, salt) equi-join produces exactly the
+    plain join's rows, which is the property the oracle checks.
+    Replication cost: small side scanned once, exploded n_salts-fold
+    into the shuffle — the price of unserializing the hot key.
+    """
+    salt = (
+        F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % n_salts
+    ).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.expr(f"sequence(0, {int(n_salts) - 1})"))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return b.join(s, on=[on, "__salt"], how=how).drop("__salt")

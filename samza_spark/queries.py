@@ -5840,3 +5840,29 @@ ORACLES["dup_matrix"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted hot-key join (operators.skew.salted_join): big side's key
+    salted by a deterministic row hash, small side replicated per salt —
+    the (key, salt) equi-join spreads a hot key over n_salts reducers.
+    The oracle is the PLAIN join: equality proves salting is pure
+    routing."""
+    from samza_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderstatus"
+    )
+    return salted_join(li, orders, on="l_orderkey", n_salts=8)
+
+
+QUERIES["salted_join"] = q_salted_join
+ORACLES["salted_join"] = (
+    "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey, o.o_orderstatus "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

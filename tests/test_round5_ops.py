@@ -412,3 +412,40 @@ def test_cross_source_dup_matrix_lede(spark):
     assert [(r["src_a"], r["src_b"], r["n_dup_fps"]) for r in out] == [
         ("mirror", "wire", 1)
     ]
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join_on_skewed_keys(spark):
+    from samza_spark.operators.skew import salted_join
+
+    # 97% of big-side rows on one hot key
+    big = spark.createDataFrame(
+        [(1 if i % 100 else 2, i) for i in range(3000)], "k long, payload long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "miss")], "k long, v string")
+    got = sorted(
+        (r["k"], r["payload"], r["v"])
+        for r in salted_join(big, small, on="k", n_salts=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["v"]) for r in big.join(small, on="k").collect()
+    )
+    assert got == want
+
+
+def test_salted_join_salt_is_in_join_keys(spark):
+    from samza_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10)], "k long, payload long")
+    small = spark.createDataFrame([(1, "x")], "k long, v string")
+    plan = (
+        salted_join(big, small, on="k", n_salts=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "__salt" in plan  # the shuffle spreads on (key, salt)
