@@ -142,6 +142,7 @@ HEADLINE = [
     "quality_calibration",
     "dup_matrix",
     "salted_join",
+    "window_distinct",
 ]
 
 

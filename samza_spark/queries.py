@@ -5866,3 +5866,39 @@ ORACLES["salted_join"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_window_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct users per tumbling hour x event type — the
+    cardinality workload every engagement dashboard runs. Spark plans
+    countDistinct as a two-phase expand/aggregate (partials on
+    (window, type, user), then the count) — the exact analog of
+    operators.skew.skew_safe_count_distinct, no hot reducer assembles a
+    full distinct set. Timestamps compared as epoch seconds."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+QUERIES["window_distinct"] = q_window_distinct
+ORACLES["window_distinct"] = (
+    "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start, event_type, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1, 2"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -449,3 +449,56 @@ def test_salted_join_salt_is_in_join_keys(spark):
         .toString()
     )
     assert "__salt" in plan  # the shuffle spreads on (key, salt)
+
+
+def test_streaming_pit_enrichment_matches_batch(spark, tmp_path):
+    """A purchase stream enriched per micro-batch against a static SCD2
+    dimension (stream-table PIT join in foreachBatch) must produce the
+    batch point_in_time_join's rows exactly."""
+    changes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "v1"),
+            (1, "2024-01-10 00:00:00", 11, "v2"),
+        ],
+        "user_id long, ts string, event_id long, attr string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dim = events.scd2_intervals(changes, "user_id", "ts", ["attr"], "event_id")
+
+    fact_rows = [
+        (100, 1, "2024-01-02 00:00:00"),
+        (101, 1, "2024-01-11 00:00:00"),
+        (102, 1, "2024-01-09 23:59:59"),
+    ]
+    facts = spark.createDataFrame(
+        fact_rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        (r["event_id"], r["attr"])
+        for r in events.point_in_time_join(facts, dim, "user_id", "ts").collect()
+    }
+
+    src = str(tmp_path / "facts")
+    for row in fact_rows:
+        spark.createDataFrame([row], "event_id long, user_id long, ts string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    got = []
+
+    def enrich(batch, _epoch):
+        b = batch.withColumn("ts", F.to_timestamp("ts"))
+        got.extend(
+            (r["event_id"], r["attr"])
+            for r in events.point_in_time_join(b, dim, "user_id", "ts").collect()
+        )
+
+    q = (
+        spark.readStream.schema("event_id long, user_id long, ts string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert set(got) == want and len(got) == len(want)
