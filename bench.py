@@ -143,6 +143,7 @@ HEADLINE = [
     "dup_matrix",
     "salted_join",
     "window_distinct",
+    "quality_report",
 ]
 
 

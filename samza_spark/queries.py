@@ -5902,3 +5902,53 @@ ORACLES["window_distinct"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style declarative constraint suite (pipeline.quality.
+    quality_report): six rules over documents compiled into ONE
+    aggregation pass (conditional combinable sums + one two-phase
+    distinct), unpivoted to a fixed-schema report — the per-ingest gate
+    a training pipeline runs on every refresh."""
+    from samza_spark.pipeline import quality
+
+    docs = load_table(spark, sf, "documents")
+    rules = [
+        {"name": "text_complete", "kind": "completeness", "col": "text", "min_ppm": 1_000_000},
+        {"name": "id_unique", "kind": "uniqueness", "col": "doc_id", "min_ppm": 1_000_000},
+        {"name": "chars_in_range", "kind": "in_range", "col": "n_chars", "lo": 1, "hi": 100_000, "min_ppm": 990_000},
+        {"name": "lang_known", "kind": "in_set", "col": "lang", "values": ["en", "de", "fr", "es"], "min_ppm": 500_000},
+        {"name": "source_wellformed", "kind": "matches", "col": "source", "pattern": "^[a-z0-9._-]+$", "min_ppm": 1_000_000},
+        {"name": "chars_non_negative", "kind": "non_negative", "col": "n_chars", "min_ppm": 1_000_000},
+    ]
+    return quality.quality_report(docs, rules)
+
+
+QUERIES["quality_report"] = q_quality_report
+ORACLES["quality_report"] = (
+    "WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m0, "
+    "CAST(count(DISTINCT doc_id) AS BIGINT) AS m1, "
+    "CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 1 AND n_chars <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS m2, "
+    "CAST(sum(CASE WHEN lang IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END) AS BIGINT) AS m3, "
+    "CAST(sum(CASE WHEN source IS NOT NULL AND regexp_matches(source, '^[a-z0-9._-]+$') THEN 1 ELSE 0 END) AS BIGINT) AS m4, "
+    "CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS m5 "
+    "FROM documents), "
+    "r AS (SELECT * FROM (VALUES "
+    "('text_complete', 'completeness', 'text', 0, CAST(1000000 AS BIGINT)), "
+    "('id_unique', 'uniqueness', 'doc_id', 1, CAST(1000000 AS BIGINT)), "
+    "('chars_in_range', 'in_range', 'n_chars', 2, CAST(990000 AS BIGINT)), "
+    "('lang_known', 'in_set', 'lang', 3, CAST(500000 AS BIGINT)), "
+    "('source_wellformed', 'matches', 'source', 4, CAST(1000000 AS BIGINT)), "
+    "('chars_non_negative', 'non_negative', 'n_chars', 5, CAST(1000000 AS BIGINT))"
+    ") AS t(rule, kind, col, ix, min_ppm)) "
+    "SELECT rule, kind, col, "
+    "(CASE ix WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2 WHEN 3 THEN m3 "
+    "WHEN 4 THEN m4 ELSE m5 END) * 1000000 // greatest(n, 1) AS metric_ppm, "
+    "min_ppm, "
+    "(CASE ix WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2 WHEN 3 THEN m3 "
+    "WHEN 4 THEN m4 ELSE m5 END) * 1000000 // greatest(n, 1) >= min_ppm AS passed "
+    "FROM a CROSS JOIN r"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -502,3 +502,23 @@ def test_streaming_pit_enrichment_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     assert set(got) == want and len(got) == len(want)
+
+
+def test_quality_report_rules(spark):
+    from samza_spark.pipeline import quality
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, -1), (2, "c", 50)],
+        "id long, txt string, v long",
+    )
+    rules = [
+        {"name": "txt_c", "kind": "completeness", "col": "txt", "min_ppm": 900_000},
+        {"name": "id_u", "kind": "uniqueness", "col": "id", "min_ppm": 1_000_000},
+        {"name": "v_pos", "kind": "non_negative", "col": "v", "min_ppm": 1_000_000},
+        {"name": "v_rng", "kind": "in_range", "col": "v", "lo": 0, "hi": 10, "min_ppm": 300_000},
+    ]
+    out = {r["rule"]: r for r in quality.quality_report(df, rules).collect()}
+    assert out["txt_c"]["metric_ppm"] == 666_666 and not out["txt_c"]["passed"]
+    assert out["id_u"]["metric_ppm"] == 666_666 and not out["id_u"]["passed"]
+    assert out["v_pos"]["metric_ppm"] == 666_666 and not out["v_pos"]["passed"]
+    assert out["v_rng"]["metric_ppm"] == 333_333 and out["v_rng"]["passed"]
