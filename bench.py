@@ -144,6 +144,8 @@ HEADLINE = [
     "salted_join",
     "window_distinct",
     "quality_report",
+    "twap",
+    "zorder",
 ]
 
 

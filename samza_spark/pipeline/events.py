@@ -424,3 +424,61 @@ def point_in_time_join(
         )
     )
     return f.join(d, cond, how=how).drop(F.col(f"__d.{key_col}"))
+
+
+def twap_per_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_us: int = 86_400_000_000,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Time-weighted average value per (key, time bucket) over
+    irregularly-sampled observations — the metric that makes a value
+    held for 10 hours count 10x one held for an hour (billing meters,
+    position exposure, resource utilization; a plain AVG is wrong the
+    moment sampling is irregular).
+
+    Step-function semantics: each observation's value holds until the
+    next one; the final observation closes the integral (zero holding
+    time). Arithmetic is exact end-to-end: timestamps as epoch micros,
+    values in fixed-point ``value_scale`` units (``floor(v * scale)`` —
+    exact given identical doubles), the integral a DECIMAL(38,0) sum of
+    value x holding-duration products (map-partition-order free), and
+    the division integral ``div`` elapsed — one BIGINT out. Keys with a
+    single observation in a bucket have no elapsed time and are
+    excluded (documented, not NaN).
+
+    Plan: one key+bucket-partitioned lead window + one combinable
+    aggregate — no global sort. Returns
+    ``(key, bucket, n_obs, twap_scaled)``.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    base = df.select(
+        F.col(key_col).alias("k"),
+        us.alias("t"),
+        F.expr(f"cast(floor({value_col} * {int(value_scale)}.0) as bigint)").alias(
+            "v"
+        ),
+    ).withColumn("bucket", F.expr(f"t div {int(bucket_us)}"))
+    w = Window.partitionBy("k", "bucket").orderBy(F.asc("t"), F.asc("v"))
+    stepped = base.withColumn("nxt", F.lead("t").over(w))
+    out = (
+        stepped.groupBy("k", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(
+                F.expr("cast(v as decimal(38,0)) * cast(nxt - t as decimal(38,0))")
+            ).alias("__num"),
+            (F.max("t") - F.min("t")).alias("__den"),
+        )
+        .filter(F.col("__den") > 0)
+        .select(
+            F.col("k").alias(key_col),
+            "bucket",
+            "n_obs",
+            F.expr("cast(__num div __den as bigint)").alias("twap_scaled"),
+        )
+    )
+    return out

@@ -447,3 +447,47 @@ def write_partitioned_table(
     if dynamic:
         w = w.option("partitionOverwriteMode", "dynamic")
     w.parquet(path)
+
+
+def zorder_value(col_a: str, col_b: str, bits: int = 16) -> "F.Column":
+    """Morton/Z-order interleave of two non-negative integer keys (bit i
+    of a -> bit 2i, bit i of b -> bit 2i+1): rows close in BOTH
+    dimensions land close on the single z axis, so range-partitioning by
+    z clusters multi-dimensional locality into the same files — the
+    public Delta/Iceberg OPTIMIZE ZORDER layout trick that lets min/max
+    file statistics prune scans filtered on either column.
+
+    One integer fold per row (pure Catalyst, map-only), exact in any
+    engine. Keys are masked to ``bits`` low bits; z fits 2*bits <= 62.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    mask = (1 << bits) - 1
+    a = f"(cast({col_a} as bigint) & {mask})"
+    b = f"(cast({col_b} as bigint) & {mask})"
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
+        f"acc + shiftleft(shiftright({a}, i) & 1, cast(2 * i as int)) "
+        f"+ shiftleft(shiftright({b}, i) & 1, cast(2 * i + 1 as int)))"
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_buckets: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Assign each row its z-value and target layout bucket
+    (``bucket = z * n_buckets div 2^(2*bits)`` — fixed-width z ranges,
+    no sampling pass, deterministic). Writing with
+    ``write_partitioned_table(..., ['zbucket'])`` — or
+    ``repartitionByRange('z')`` for file-level clustering — gives scans
+    filtered on EITHER column a bounded bucket range to prune against.
+    """
+    z = zorder_value(col_a, col_b, bits)
+    span = 1 << (2 * bits)
+    return df.withColumn("z", z).withColumn(
+        "zbucket", F.expr(f"z * {int(n_buckets)} div {span}").cast("int")
+    )

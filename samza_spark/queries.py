@@ -5952,3 +5952,61 @@ ORACLES["quality_report"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily time-weighted average value
+    (pipeline.events.twap_per_key): step-function integral in exact
+    fixed-point (DECIMAL products, integer div) over one key+bucket
+    lead window + one combinable aggregate."""
+    from samza_spark.pipeline import events as ev
+
+    e = load_table(spark, sf, "events")
+    return ev.twap_per_key(e)
+
+
+QUERIES["twap"] = q_twap
+ORACLES["twap"] = (
+    "WITH b AS (SELECT user_id AS k, CAST(epoch_us(ts) AS BIGINT) AS t, "
+    "CAST(floor(value * 100.0) AS BIGINT) AS v FROM events), "
+    "b2 AS (SELECT k, t, v, t // 86400000000 AS bucket FROM b), "
+    "s AS (SELECT *, lead(t) OVER (PARTITION BY k, bucket ORDER BY t ASC, v ASC) AS nxt FROM b2), "
+    "g AS (SELECT k, bucket, CAST(count(*) AS BIGINT) AS n_obs, "
+    "sum(CAST(v AS HUGEINT) * CAST(nxt - t AS HUGEINT)) AS num, "
+    "max(t) - min(t) AS den FROM s GROUP BY k, bucket) "
+    "SELECT k AS user_id, bucket, n_obs, CAST(num // den AS BIGINT) AS twap_scaled "
+    "FROM g WHERE den > 0"
+)
+
+
+def q_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout assignment (pipeline.sampling.
+    zorder_layout): bit-interleave of (user_id, value-cents) onto one
+    clustering axis + fixed-width bucket - the OPTIMIZE ZORDER data
+    layout that lets file min/max stats prune scans on either column.
+    Map-only integer fold, exact in any engine."""
+    from samza_spark.pipeline import sampling
+
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(floor(value * 100.0) as bigint)").alias("v_cents"),
+    )
+    return sampling.zorder_layout(e, "user_id", "v_cents", n_buckets=16, bits=16)
+
+
+QUERIES["zorder"] = q_zorder
+ORACLES["zorder"] = (
+    "WITH e AS (SELECT event_id, user_id, "
+    "CAST(floor(value * 100.0) AS BIGINT) AS v_cents FROM events), "
+    "z AS (SELECT event_id, user_id, v_cents, "
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(0, 15), i -> "
+    "((((user_id & 65535) >> i) & 1) << (2 * i)) "
+    "| ((((v_cents & 65535) >> i) & 1) << (2 * i + 1)))), "
+    "(a, b) -> a | b) AS BIGINT) AS z FROM e) "
+    "SELECT event_id, user_id, v_cents, z, "
+    "CAST(z * 16 // 4294967296 AS INT) AS zbucket FROM z"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -522,3 +522,36 @@ def test_quality_report_rules(spark):
     assert out["id_u"]["metric_ppm"] == 666_666 and not out["id_u"]["passed"]
     assert out["v_pos"]["metric_ppm"] == 666_666 and not out["v_pos"]["passed"]
     assert out["v_rng"]["metric_ppm"] == 333_333 and out["v_rng"]["passed"]
+
+
+def test_twap_step_integral(spark):
+    from samza_spark.pipeline import events as ev
+
+    # user 1: value 10 held 3us, then 20 held 1us -> (10*3 + 20*1)/4 = 12.5
+    rows = [
+        (1, 0, 10.0),
+        (1, 3, 20.0),
+        (1, 4, 99.0),  # final obs: zero holding time
+        (2, 0, 5.0),  # singleton: excluded (no elapsed time)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, value double").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    out = {r["user_id"]: r for r in ev.twap_per_key(df).collect()}
+    assert 2 not in out
+    # cents scale: (1000*3 + 2000*1) div 4 = 1250
+    assert out[1]["twap_scaled"] == 1250 and out[1]["n_obs"] == 3
+
+
+def test_zorder_locality(spark):
+    from samza_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 1), (3, 65535, 65535), (4, 0, 65535)],
+        "id long, a long, b long",
+    )
+    out = {r["id"]: (r["z"], r["zbucket"]) for r in sampling.zorder_layout(df, "a", "b").collect()}
+    assert out[1] == (0, 0)
+    assert out[2][0] == 3  # interleave(1,1) = 0b11
+    assert out[3][0] == (1 << 32) - 1 and out[3][1] == 15
+    assert out[4][0] == int("10" * 16, 2)  # only odd bits set
