@@ -146,6 +146,7 @@ HEADLINE = [
     "quality_report",
     "twap",
     "zorder",
+    "matview_merge",
 ]
 
 

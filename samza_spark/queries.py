@@ -6010,3 +6010,43 @@ ORACLES["zorder"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_matview_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view refresh (pipeline.matview): the
+    events history split at a cutoff into a prior view state and a
+    delta; two independent partial aggregations merged by one key-keyed
+    combine. The oracle aggregates FROM SCRATCH - equality proves
+    merge(state(A), state(B)) == state(A u B), the invariant that lets a
+    100 TB view refresh pay only the delta."""
+    from samza_spark.pipeline import matview
+
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr("cast(floor(value * 100.0) as bigint)").alias("v_cents"),
+    )
+    cutoff = "2024-02-01 00:00:00"
+    specs = {
+        "n_events": ("count", None),
+        "sum_cents": ("sum", "v_cents"),
+        "min_cents": ("min", "v_cents"),
+        "max_cents": ("max", "v_cents"),
+    }
+    keys = ["user_id", "event_type"]
+    prev = matview.agg_state(e.filter(F.col("ts") < F.lit(cutoff)), keys, specs)
+    delta = matview.agg_state(e.filter(F.col("ts") >= F.lit(cutoff)), keys, specs)
+    return matview.merge_agg_states(prev, delta, keys, specs)
+
+
+QUERIES["matview_merge"] = q_matview_merge
+ORACLES["matview_merge"] = (
+    "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents, "
+    "min(CAST(floor(value * 100.0) AS BIGINT)) AS min_cents, "
+    "max(CAST(floor(value * 100.0) AS BIGINT)) AS max_cents "
+    "FROM events GROUP BY user_id, event_type"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -555,3 +555,29 @@ def test_zorder_locality(spark):
     assert out[2][0] == 3  # interleave(1,1) = 0b11
     assert out[3][0] == (1 << 32) - 1 and out[3][1] == 15
     assert out[4][0] == int("10" * 16, 2)  # only odd bits set
+
+
+def test_matview_merge_equals_full_recompute(spark):
+    from samza_spark.pipeline import matview
+
+    rows = [(i % 3, i, i * 7 % 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, seq long, v long")
+    specs = {
+        "n": ("count", None),
+        "s": ("sum", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    full = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in matview.agg_state(df, ["k"], specs).collect()
+    }
+    # split three ways, merge pairwise (associativity across refreshes)
+    a = matview.agg_state(df.filter("seq < 20"), ["k"], specs)
+    b = matview.agg_state(df.filter("seq >= 20 and seq < 45"), ["k"], specs)
+    c = matview.agg_state(df.filter("seq >= 45"), ["k"], specs)
+    inc = matview.merge_agg_states(
+        matview.merge_agg_states(a, b, ["k"], specs), c, ["k"], specs
+    )
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in inc.collect()}
+    assert got == full
