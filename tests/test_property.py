@@ -223,3 +223,75 @@ def test_prefix_filter_theorem(records, t):
                 assert prefixes[i] & prefixes[j], (
                     f"pair ({i},{j}) J={jac} missed by prefix filter"
                 )
+
+
+# ---------------------------------------------------------------------------
+# round-5 pure-Python invariants (no SparkSession)
+# ---------------------------------------------------------------------------
+
+
+def _morton_py(a, b, bits=16):
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _demorton_py(z, bits=16):
+    a = b = 0
+    for i in range(bits):
+        a |= ((z >> (2 * i)) & 1) << i
+        b |= ((z >> (2 * i + 1)) & 1) << i
+    return a, b
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_morton_interleave_is_bijective(a, b):
+    z = _morton_py(a, b)
+    assert 0 <= z < 1 << 32
+    assert _demorton_py(z) == (a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 100)), min_size=1, max_size=60
+    )
+)
+def test_merge_upsert_last_wins_model(changes):
+    """Pure-Python model of merge_upsert's last-wins rule: applying ops
+    sequentially == the windowed last-per-key resolution."""
+    seq_changes = [
+        (k, v, "D" if v % 7 == 0 else "U", i) for i, (k, v) in enumerate(changes)
+    ]
+    state = {}
+    for k, v, op, _i in seq_changes:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    last = {}
+    for k, v, op, i in seq_changes:
+        if k not in last or i > last[k][2]:
+            last[k] = (v, op, i)
+    windowed = {k: v for k, (v, op, _i) in last.items() if op != "D"}
+    assert windowed == state
+
+
+@given(st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=50))
+def test_doubled_median_trick_is_exact(xs):
+    """med_x2/mad_x4 integers from group_robust_stats' middle-rank rule
+    equal 2*median and 4*MAD for any int list."""
+    import statistics
+
+    s = sorted(xs)
+    n = len(s)
+    lo, hi = s[(n + 1) // 2 - 1], s[(n + 2) // 2 - 1]
+    med_x2 = lo + hi
+    assert med_x2 == int(2 * statistics.median(xs))
+    devs = sorted(abs(2 * x - med_x2) for x in xs)
+    dlo, dhi = devs[(n + 1) // 2 - 1], devs[(n + 2) // 2 - 1]
+    assert dlo + dhi == int(4 * statistics.median([abs(x - statistics.median(xs)) for x in xs]))
