@@ -280,3 +280,161 @@ def test_scalar_functions_in_statement_form(app):
         "FROM pageviews WHERE pageKey = 'home'"
     )
     assert rows(df) == [("HOME", 4, "us", 1), ("HOME", 4, "xx", 1)]
+
+
+# ---------------------------------------------------------------------------
+# round-5 corpus expansion: the remaining TestSamzaSqlEndToEnd shapes
+# ---------------------------------------------------------------------------
+
+
+def test_null_value_records_pass_through(app):
+    """Records with null fields survive projection with nulls intact
+    (TestSamzaSqlEndToEnd.java:134 testEndToEndWithNullRecords)."""
+    [df] = app.run("SELECT pageKey, country, profileId FROM pageviews")
+    got = {tuple(r) for r in df.collect()}
+    assert ("home", None, 3) in got
+    assert ("about", "fr", None) in got
+    assert len(got) == 5
+
+
+def test_boolean_is_true_filter(app, spark):
+    """WHERE flag IS TRUE (TestSamzaSqlEndToEnd.java:313
+    testEndToEndWithBooleanCheck)."""
+    app.add_stream(
+        "flags",
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, None)], "id int, flag boolean"
+        ),
+    )
+    [df] = app.run("SELECT id FROM flags WHERE flag IS TRUE")
+    assert rows(df) == [(1,)]
+
+
+def test_compound_boolean_check(app, spark):
+    """Boolean field ANDed with a comparison — the shape the reference
+    needed a Calcite workaround for (TestSamzaSqlEndToEnd.java:333-376
+    testEndToEndCompoundBooleanCheck/Workaround); native Catalyst takes
+    it directly."""
+    app.add_stream(
+        "flags",
+        spark.createDataFrame(
+            [(1, True), (2, True), (3, False)], "id int, flag boolean"
+        ),
+    )
+    [df] = app.run("SELECT id FROM flags WHERE flag AND id >= 2")
+    assert rows(df) == [(2,)]
+
+
+def test_float_to_string_conversion(app, spark):
+    """CAST(real AS VARCHAR) (TestSamzaSqlEndToEnd.java:494
+    testEndToEndWithFloatToStringConversion)."""
+    app.add_stream(
+        "scores", spark.createDataFrame([(1, 0.5), (2, 2.25)], "id int, s double")
+    )
+    [df] = app.run("SELECT id, CAST(s AS STRING) AS s_str FROM scores")
+    assert rows(df) == [(1, "0.5"), (2, "2.25")]
+
+
+def test_complex_record_arrays_and_maps(app, spark):
+    """Array/map-valued record fields projected and indexed
+    (TestSamzaSqlEndToEnd.java:471 testEndToEndComplexRecord)."""
+    from pyspark.sql import functions as F
+
+    df_in = spark.createDataFrame(
+        [(1, ["a", "b"], [("k1", "v1")]), (2, ["c"], [("k2", "v2")])],
+        "id int, tags array<string>, kvs array<struct<k:string,v:string>>",
+    ).withColumn("m", F.map_from_entries(F.expr("transform(kvs, x -> struct(x.k, x.v))")))
+    app.add_stream("complexrec", df_in)
+    [df] = app.run(
+        "SELECT id, tags[0] AS first_tag, element_at(m, 'k1') AS v1 FROM complexrec"
+    )
+    assert rows(df) == [(1, "a", "v1"), (2, "c", None)]
+
+
+def test_flatten_with_udf(app, spark):
+    """Flatten combined with a scalar UDF on the exploded values
+    (TestSamzaSqlEndToEnd.java:543 testEndToEndFlattenWithUdf)."""
+    from samza_spark.functions import UdfRegistry
+
+    reg = UdfRegistry()
+    reg.register("MyShout", lambda s: s.str.upper(), "string", params=["string"])
+    reg.attach(spark)
+    app.add_stream(
+        "multi",
+        spark.createDataFrame(
+            [(1, ["x", "y"]), (2, ["z"])], "id int, vals array<string>"
+        ),
+    )
+    [df] = app.run(
+        "SELECT id, MyShout(v) AS shouted FROM (SELECT id, explode(vals) AS v FROM multi)"
+    )
+    assert rows(df) == [(1, "X"), (1, "Y"), (2, "Z")]
+
+
+def test_join_key_via_udf(app, spark):
+    """Stream-table join whose key passes through a UDF
+    (TestSamzaSqlEndToEnd.java:866 testEndToEndStreamTableInnerJoinWithUdf)."""
+    from samza_spark.functions import UdfRegistry
+
+    reg = UdfRegistry()
+    reg.register("MyIdent", lambda i: i, "int", params=["int"])
+    reg.attach(spark)
+    [df] = app.run(
+        "SELECT p.pageKey, pr.name FROM pageviews p "
+        "JOIN profiles pr ON MyIdent(p.profileId) = pr.id"
+    )
+    assert rows(df) == [
+        ("blank", "bob"),
+        ("home", "alice"),
+        ("home", "carol"),
+        ("search", "alice"),
+    ]
+
+
+def test_join_on_nested_field(app, spark):
+    """Join key read from a nested record field
+    (TestSamzaSqlEndToEnd.java:898
+    testEndToEndStreamTableInnerJoinWithNestedRecord)."""
+    from pyspark.sql import functions as F
+
+    nested = spark.createDataFrame(
+        PAGEVIEWS, "pageKey string, profileId int, country string, regionId int"
+    ).select(
+        "pageKey", F.struct(F.col("profileId").alias("pid")).alias("meta")
+    )
+    app.add_stream("nestedpv", nested)
+    [df] = app.run(
+        "SELECT n.pageKey, pr.name FROM nestedpv n "
+        "JOIN profiles pr ON n.meta.pid = pr.id"
+    )
+    assert rows(df) == [
+        ("blank", "bob"),
+        ("home", "alice"),
+        ("home", "carol"),
+        ("search", "alice"),
+    ]
+
+
+def test_join_with_filter(app):
+    """Stream-table join combined with a residual WHERE
+    (TestSamzaSqlEndToEnd.java:935
+    testEndToEndStreamTableInnerJoinWithFilter)."""
+    [df] = app.run(
+        "SELECT p.pageKey, pr.name FROM pageviews p "
+        "JOIN profiles pr ON p.profileId = pr.id WHERE pr.company = 'acme'"
+    )
+    assert rows(df) == [("home", "alice"), ("home", "carol"), ("search", "alice")]
+
+
+def test_same_stream_as_input_and_output(app, spark):
+    """A sink written by statement 1 read back by statement 2 in the same
+    job (TestSamzaSqlEndToEnd.java:212
+    testEndToEndMultiSqlStmtsWithSameSystemStreamAsInputAndOutput)."""
+    from samza_spark.sources import MemorySink
+
+    app.add_sink("stage", MemorySink("corpus_stage"))
+    app.run("INSERT INTO stage SELECT pageKey FROM pageviews WHERE pageKey = 'home'")
+    # second statement consumes the staged stream
+    app.add_stream("staged", spark.sql("SELECT * FROM corpus_stage"))
+    [df] = app.run("SELECT pageKey FROM staged")
+    assert rows(df) == [("home",), ("home",)]
