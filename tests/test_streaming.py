@@ -413,12 +413,13 @@ def test_emitter_joiner_checker_restart(spark, tmp_path):
     out = {}
 
     def emit(phase, ids):
-        for i in ids:
+        ids = list(ids)
+        for chunk in (ids[: len(ids) // 2], ids[len(ids) // 2 :]):
             spark.createDataFrame(
-                [(i, f"l{i}", phase)], "id long, lv string, phase int"
+                [(i, f"l{i}", phase) for i in chunk], "id long, lv string, phase int"
             ).coalesce(1).write.mode("append").parquet(left_dir)
             spark.createDataFrame(
-                [(i, f"r{i}", phase)], "id long, rv string, phase int"
+                [(i, f"r{i}", phase) for i in chunk], "id long, rv string, phase int"
             ).coalesce(1).write.mode("append").parquet(right_dir)
 
     def checker_sink(batch, _epoch):
