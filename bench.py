@@ -147,6 +147,8 @@ HEADLINE = [
     "twap",
     "zorder",
     "matview_merge",
+    "trending",
+    "session_funnel",
 ]
 
 

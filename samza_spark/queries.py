@@ -6050,3 +6050,99 @@ ORACLES["matview_merge"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_trending(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending items per hour: (window, event_type) counts + a rank
+    window over the tiny per-hour type list — the per-pane top-k every
+    activity dashboard runs; the rank partition is the hour, so no
+    stage ever sees more than types-per-hour rows."""
+    e = load_table(spark, sf, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+    w = Window.partitionBy("w_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("w_start", "event_type", "n", "rank")
+    )
+
+
+QUERIES["trending"] = q_trending
+ORACLES["trending"] = (
+    "WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start, "
+    "event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+    "SELECT w_start, event_type, n, CAST(rank AS INT) AS rank FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY w_start ORDER BY n DESC, "
+    "event_type ASC) AS rank FROM c) WHERE rank <= 3"
+)
+
+
+def q_session_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-session ordered funnel view -> click -> purchase
+    (sessionize composed with the funnel min-forward scan): sessions
+    from the gap rule, then ONE (user, session) aggregate whose sorted
+    event list resolves the step chain with array expressions — the
+    composition shows the row-level sessionizer feeding a second
+    aggregate without any extra shuffle key."""
+    from samza_spark.pipeline import events as ev
+
+    e = load_table(spark, sf, "events")
+    s = ev.sessionize(e, gap="30 minutes")
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(F.unix_micros(F.col("ts")).alias("us"), F.col("event_type").alias("et"))
+        )
+    )
+    agged = s.groupBy("user_id", "session_id").agg(evs.alias("__evs"))
+    t_view = F.expr("array_min(transform(filter(__evs, e -> e.et = 'view'), e -> e.us))")
+    agged = agged.withColumn("t_view", t_view)
+    t_click = F.expr(
+        "array_min(transform(filter(__evs, e -> e.et = 'click' AND e.us >= t_view), e -> e.us))"
+    )
+    agged = agged.withColumn("t_click", t_click)
+    t_buy = F.expr(
+        "array_min(transform(filter(__evs, e -> e.et = 'purchase' AND e.us >= t_click), e -> e.us))"
+    )
+    agged = agged.withColumn("t_buy", t_buy)
+    return agged.select(
+        "user_id",
+        "session_id",
+        F.size("__evs").alias("n_events"),
+        F.when(F.col("t_buy").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("step_reached"),
+    )
+
+
+QUERIES["session_funnel"] = q_session_funnel
+ORACLES["session_funnel"] = (
+    "WITH l AS (SELECT user_id, event_id, ts, event_type, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts FROM events), "
+    "m AS (SELECT user_id, event_id, ts, event_type, CASE WHEN prev_ts IS NULL "
+    "OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns FROM l), "
+    "s AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, "
+    "CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m), "
+    "g AS (SELECT user_id, session_id, CAST(count(*) AS INT) AS n_events, "
+    "min(CASE WHEN event_type = 'view' THEN us END) AS t_view FROM s GROUP BY 1, 2), "
+    "g2 AS (SELECT g.*, (SELECT min(us) FROM s WHERE s.user_id = g.user_id "
+    "AND s.session_id = g.session_id AND s.event_type = 'click' AND s.us >= g.t_view) AS t_click FROM g), "
+    "g3 AS (SELECT g2.*, (SELECT min(us) FROM s WHERE s.user_id = g2.user_id "
+    "AND s.session_id = g2.session_id AND s.event_type = 'purchase' AND s.us >= g2.t_click) AS t_buy FROM g2) "
+    "SELECT user_id, session_id, n_events, "
+    "CAST(CASE WHEN t_buy IS NOT NULL THEN 3 WHEN t_click IS NOT NULL THEN 2 "
+    "WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS step_reached FROM g3"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
