@@ -581,3 +581,13 @@ def test_matview_merge_equals_full_recompute(spark):
     )
     got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in inc.collect()}
     assert got == full
+
+
+def test_ngram_novelty_hash_impl_equals_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} shares some words with doc {i-1} sometimes") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = {tuple(r) for r in dedup.ngram_novelty(docs, impl="hash").collect()}
+    b = {tuple(r) for r in dedup.ngram_novelty(docs, impl="exact").collect()}
+    assert a == b
