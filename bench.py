@@ -149,6 +149,8 @@ HEADLINE = [
     "matview_merge",
     "trending",
     "session_funnel",
+    "set_ops_all",
+    "event_transitions",
 ]
 
 

@@ -6146,3 +6146,79 @@ ORACLES["session_funnel"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_set_ops_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-semantics set operations INTERSECT ALL / EXCEPT ALL (the
+    multiset forms Samza SQL lacks entirely): customers with orders in
+    BOTH years keep their multiplicity min, 1995-only multiplicities
+    subtract — Spark plans both as aggregate+generate, no join blowup."""
+    o = load_table(spark, sf, "orders")
+    y95 = o.filter(F.expr("year(o_orderdate) = 1995")).select("o_custkey")
+    y96 = o.filter(F.expr("year(o_orderdate) = 1996")).select("o_custkey")
+    both = y95.intersectAll(y96).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    only95 = y95.exceptAll(y96).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_only95")
+    )
+    return both.join(only95, on="o_custkey", how="full").select(
+        "o_custkey",
+        F.coalesce("n_both", F.lit(0)).alias("n_both"),
+        F.coalesce("n_only95", F.lit(0)).alias("n_only95"),
+    )
+
+
+QUERIES["set_ops_all"] = q_set_ops_all
+ORACLES["set_ops_all"] = (
+    "WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995), "
+    "y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996), "
+    "b AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_both FROM "
+    "(SELECT o_custkey FROM y95 INTERSECT ALL SELECT o_custkey FROM y96) GROUP BY 1), "
+    "e AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_only95 FROM "
+    "(SELECT o_custkey FROM y95 EXCEPT ALL SELECT o_custkey FROM y96) GROUP BY 1) "
+    "SELECT coalesce(b.o_custkey, e.o_custkey) AS o_custkey, "
+    "coalesce(n_both, 0) AS n_both, coalesce(n_only95, 0) AS n_only95 "
+    "FROM b FULL JOIN e ON b.o_custkey = e.o_custkey"
+)
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov counts
+    + integer ppm rates): one user-partitioned lag window + one
+    (from, to)-keyed combinable count — the sequence-mining shape behind
+    next-action models and anomalous-flow detection."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return pairs.join(tot, on="from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div __t").alias("rate_ppm"),
+    )
+
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLES["event_transitions"] = (
+    "WITH l AS (SELECT user_id, event_type AS to_type, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS from_type "
+    "FROM events), "
+    "p AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM l "
+    "WHERE from_type IS NOT NULL GROUP BY 1, 2), "
+    "t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tt FROM p GROUP BY 1) "
+    "SELECT p.from_type, p.to_type, p.n, p.n * 1000000 // t.tt AS rate_ppm "
+    "FROM p JOIN t ON p.from_type = t.from_type"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
