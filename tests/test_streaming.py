@@ -447,3 +447,34 @@ def test_emitter_joiner_checker_restart(spark, tmp_path):
     # checker: every id exactly once with the matched payload
     assert sorted(out) == list(range(40))
     assert all(len(v) == 1 and v[0] == f"l{k}|r{k}" for k, v in out.items())
+
+
+def test_progress_summary_metrics(spark, tmp_path):
+    """SamzaContainerMetrics parity surface: rows, batch timings, state
+    size, and watermark from the query's own progress telemetry."""
+    import datetime as dt
+
+    from samza_spark.streaming.metrics import progress_summary
+
+    src = str(tmp_path / "m_src")
+    rows = [("k", dt.datetime(2024, 1, 1, 10, 0, i), float(i)) for i in range(20)]
+    spark.createDataFrame(rows, "k string, t timestamp, v double").write.parquet(src)
+    q = (
+        spark.readStream.schema("k string, t timestamp, v double")
+        .parquet(src)
+        .withWatermark("t", "10 seconds")
+        .groupBy("k", F.window("t", "1 minute"))
+        .count()
+        .writeStream.format("noop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = progress_summary(q)
+    assert m["batches"] >= 1
+    assert m["input_rows"] == 20
+    assert m["state_rows"] >= 1
+    assert m["rows_per_sec"] > 0 and m["max_batch_ms"] > 0
+    assert m["watermark"] is not None
+    assert m["dropped_late_rows"] == 0
