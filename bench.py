@@ -151,6 +151,8 @@ HEADLINE = [
     "session_funnel",
     "set_ops_all",
     "event_transitions",
+    "vocab_coverage",
+    "dup_cluster_sizes",
 ]
 
 

@@ -6222,3 +6222,104 @@ ORACLES["event_transitions"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-vocabulary coverage curve: the fraction (ppm) of all corpus
+    tokens covered by the top-N most frequent words, for N in {100, 500,
+    2000} — the tokenizer-budget diagnostic behind vocabulary sizing
+    (complements zipf_fit with the cumulative view). One word-count
+    aggregate; the head of the vocab comes from orderBy+limit —
+    TakeOrderedAndProject, partition-local top-k then a merge of
+    nparts*2000 rows — so the rank window only ever sees 2000 rows and
+    NO stage sorts the full vocab (a bare row_number over a 10^8-word
+    vocab at corpus scale would be a single-partition sort)."""
+    docs = load_table(spark, sf, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("w")).limit(2000)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("w")))
+    )
+    head = ranked.agg(
+        *[
+            F.sum(F.when(F.col("r") <= lim, F.col("n")).otherwise(0)).alias(
+                f"__c{lim}"
+            )
+            for lim in (100, 500, 2000)
+        ]
+    )
+    tot = F.broadcast(counts.agg(F.sum("n").alias("__tot")))
+    return head.join(tot).select(
+        F.expr(
+            "stack(3, 100, __c100 * 1000000 div __tot, "
+            "500, __c500 * 1000000 div __tot, "
+            "2000, __c2000 * 1000000 div __tot) as (top_n, coverage_ppm)"
+        )
+    )
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+ORACLES["vocab_coverage"] = (
+    "WITH w AS (SELECT unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), "
+    "'\\s+', ' ', 'g')), ' ')) AS w FROM documents), "
+    "c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w WHERE w <> '' GROUP BY w), "
+    "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) AS r FROM c), "
+    "a AS (SELECT CAST(sum(n) AS BIGINT) AS tot, "
+    "CAST(sum(CASE WHEN r <= 100 THEN n ELSE 0 END) AS BIGINT) AS c100, "
+    "CAST(sum(CASE WHEN r <= 500 THEN n ELSE 0 END) AS BIGINT) AS c500, "
+    "CAST(sum(CASE WHEN r <= 2000 THEN n ELSE 0 END) AS BIGINT) AS c2000 FROM r) "
+    "SELECT 100 AS top_n, c100 * 1000000 // tot AS coverage_ppm FROM a "
+    "UNION ALL SELECT 500, c500 * 1000000 // tot FROM a "
+    "UNION ALL SELECT 2000, c2000 * 1000000 // tot FROM a"
+)
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster size distribution: how many duplicate components
+    of each size the corpus contains — the dedup-yield report that says
+    whether duplication is pairwise noise or systematic mirroring. One
+    component count over the verified-pair closure + one size histogram
+    aggregate. Oracle = brute-force closure (recall-1 re-proof)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    dups = dedup.jaccard_verify(docs, pairs, threshold=0.8)
+    comp = dedup.connected_components(dups.select("a", "b"), "doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select("size", "n_clusters")
+    )
+
+
+QUERIES["dup_cluster_sizes"] = q_dup_cluster_sizes
+ORACLES["dup_cluster_sizes"] = (
+    "WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(string_split(trim(regexp_replace(lower(text), "
+    "'\\s+', ' ', 'g')), ' ')) - 2, 1)), i -> array_to_string(list_slice("
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), "
+    "i, i + 2), ' '))) AS s FROM documents), "
+    "p AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l JOIN sh r "
+    "ON l.doc_id < r.doc_id WHERE (len(list_intersect(l.s, r.s)) / "
+    "len(list_distinct(list_concat(l.s, r.s)))) >= CAST(0.8 AS DOUBLE)), "
+    "sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a), "
+    "comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id), "
+    "sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY component) "
+    "SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY size"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
