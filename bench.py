@@ -228,13 +228,39 @@ def main() -> None:
     # the identical query would silently re-read the previous sample's cache
     # and the median would measure cache hits, not computation. (OS page
     # cache / parquet footers stay warm — that's storage warmth, fine.)
+    # per-query watchdog: one pathological hang must cost one sample, not
+    # the whole artifact (SIGALRM interrupts the py4j wait; the sample is
+    # recorded at the cap and the run continues)
+    import signal
+
+    query_cap = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT", "180"))
+
+    class _QueryTimeout(Exception):
+        pass
+
+    def _timed_count(name):
+        def _raise(_sig, _frm):
+            raise _QueryTimeout()
+
+        old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(query_cap)
+        try:
+            return QUERIES[name](spark, sf_dir).count()
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     all_samples: dict[str, list] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     for _ in range(repeats):
         for name in HEADLINE:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            rows[name] = QUERIES[name](spark, sf_dir).count()
+            try:
+                rows[name] = QUERIES[name](spark, sf_dir).count() if query_cap <= 0 else _timed_count(name)
+            except _QueryTimeout:
+                rows[name] = -1
+                print(f"# {name}: TIMED OUT at {query_cap}s", file=sys.stderr)
             all_samples[name].append(time.perf_counter() - t0)
     # a query whose samples spread more than 2x its median caught a
     # contention burst in >1 pass — take extra samples so the median
