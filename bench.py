@@ -153,6 +153,7 @@ HEADLINE = [
     "event_transitions",
     "vocab_coverage",
     "dup_cluster_sizes",
+    "fk_integrity",
 ]
 
 

@@ -6323,3 +6323,66 @@ ORACLES["dup_cluster_sizes"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_fk_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse FKs (lineitem ->
+    orders/part/supplier, orders -> customer, customer -> nation): one
+    anti-join count per relationship stacked into a fixed-schema report
+    - the relational complement of the per-column quality_report gate.
+    Each check is a left-anti hash join on the key; nothing scans twice."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+
+    def orphans(child, fk, parent, pk):
+        return child.select(F.col(fk).alias("__k")).join(
+            parent.select(F.col(pk).alias("__k")), on="__k", how="left_anti"
+        ).count()
+
+    checks = [
+        ("lineitem.l_orderkey", orphans(li, "l_orderkey", o, "o_orderkey"), li.count()),
+        ("lineitem.l_partkey", orphans(li, "l_partkey", p, "p_partkey"), li.count()),
+        ("lineitem.l_suppkey", orphans(li, "l_suppkey", s, "s_suppkey"), li.count()),
+        ("orders.o_custkey", orphans(o, "o_custkey", c, "c_custkey"), o.count()),
+        ("customer.c_nationkey", orphans(c, "c_nationkey", n, "n_nationkey"), c.count()),
+    ]
+    return spark.createDataFrame(
+        [(fk, int(bad), int(total), bad == 0) for fk, bad, total in checks],
+        "fk string, orphans bigint, n_child bigint, intact boolean",
+    )
+
+
+QUERIES["fk_integrity"] = q_fk_integrity
+ORACLES["fk_integrity"] = (
+    "SELECT 'lineitem.l_orderkey' AS fk, CAST((SELECT count(*) FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS orphans, "
+    "CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child, "
+    "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_orderkey = l.l_orderkey)) = 0 AS intact "
+    "UNION ALL SELECT 'lineitem.l_partkey', CAST((SELECT count(*) FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT), "
+    "CAST((SELECT count(*) FROM lineitem) AS BIGINT), "
+    "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p "
+    "WHERE p.p_partkey = l.l_partkey)) = 0 "
+    "UNION ALL SELECT 'lineitem.l_suppkey', CAST((SELECT count(*) FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT), "
+    "CAST((SELECT count(*) FROM lineitem) AS BIGINT), "
+    "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s "
+    "WHERE s.s_suppkey = l.l_suppkey)) = 0 "
+    "UNION ALL SELECT 'orders.o_custkey', CAST((SELECT count(*) FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT), "
+    "CAST((SELECT count(*) FROM orders) AS BIGINT), "
+    "(SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c "
+    "WHERE c.c_custkey = o.o_custkey)) = 0 "
+    "UNION ALL SELECT 'customer.c_nationkey', CAST((SELECT count(*) FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT), "
+    "CAST((SELECT count(*) FROM customer) AS BIGINT), "
+    "(SELECT count(*) FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n "
+    "WHERE n.n_nationkey = c.c_nationkey)) = 0"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
