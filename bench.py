@@ -154,6 +154,7 @@ HEADLINE = [
     "vocab_coverage",
     "dup_cluster_sizes",
     "fk_integrity",
+    "padding_waste",
 ]
 
 

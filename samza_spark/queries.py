@@ -6386,3 +6386,59 @@ ORACLES["fk_integrity"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_padding_waste(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-waste audit for batch assembly: for three bucketing
+    strategies — none (pad every doc to max_len), power-of-two length
+    buckets, fine 64-token buckets — the fraction of computed tokens
+    that would be padding (integer ppm). The training-efficiency
+    estimate that justifies length-bucketed batching / packing; ONE
+    aggregate pass with conditional integer sums, token counts clamped
+    to max_len=2048."""
+    docs = load_table(spark, sf, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    from samza_spark.pipeline.text import token_count
+
+    toks = F.least(token_count(t), F.lit(2048)).alias("n")
+    base = docs.select(toks)
+    # pow2 bucket ceiling: 2^ceil(log2(n)) via the bit trick on n-1;
+    # integer-only (shiftrights + ors), exact in both engines
+    pow2 = (
+        "cast(n as bigint) - 1"
+    )
+    # fold: p |= p >> 1 .. >> 16, then p + 1
+    p2 = "(({b}) | (({b}) >> 1) | (({b}) >> 2) | (({b}) >> 4) | (({b}) >> 8) | (({b}) >> 16))"
+    pow2ceil = f"(CASE WHEN n <= 1 THEN 1 ELSE {p2.format(b=pow2)} + 1 END)"
+    fine = "((n + 63) div 64) * 64"
+    agg = base.agg(
+        F.sum("n").alias("__real"),
+        F.sum(F.lit(2048)).alias("__none"),
+        F.sum(F.expr(pow2ceil)).alias("__pow2"),
+        F.sum(F.expr(fine)).alias("__fine"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'none', (__none - __real) * 1000000 div __none, "
+            "'pow2', (__pow2 - __real) * 1000000 div __pow2, "
+            "'fine64', (__fine - __real) * 1000000 div __fine"
+            ") as (strategy, waste_ppm)"
+        )
+    )
+
+
+QUERIES["padding_waste"] = q_padding_waste
+ORACLES["padding_waste"] = (
+    f"WITH d AS (SELECT least({_NTOK_DUCK}, 2048) AS n FROM documents), "
+    "b AS (SELECT n, CASE WHEN n <= 1 THEN 1 ELSE "
+    "(((n - 1) | ((n - 1) >> 1) | ((n - 1) >> 2) | ((n - 1) >> 4) | ((n - 1) >> 8) "
+    "| ((n - 1) >> 16)) + 1) END AS p2, ((n + 63) // 64) * 64 AS f64 FROM d), "
+    "a AS (SELECT CAST(sum(n) AS BIGINT) AS real, CAST(count(*) * 2048 AS BIGINT) AS none, "
+    "CAST(sum(p2) AS BIGINT) AS pow2, CAST(sum(f64) AS BIGINT) AS fine FROM b) "
+    "SELECT 'none' AS strategy, (none - real) * 1000000 // none AS waste_ppm FROM a "
+    "UNION ALL SELECT 'pow2', (pow2 - real) * 1000000 // pow2 FROM a "
+    "UNION ALL SELECT 'fine64', (fine - real) * 1000000 // fine FROM a"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
