@@ -155,6 +155,7 @@ HEADLINE = [
     "dup_cluster_sizes",
     "fk_integrity",
     "padding_waste",
+    "assoc_lift",
 ]
 
 

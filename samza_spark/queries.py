@@ -6442,3 +6442,72 @@ ORACLES["padding_waste"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_assoc_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association lift over co-purchased part brands
+    (baskets = orders): lift(a, b) = P(ab) / (P(a) P(b)) in integer ppm
+    — the association-mining family, with LIFT instead of PMI so no
+    transcendental enters the plan (ln is the one op whose last ulp can
+    differ between libm and the JVM). Products run in DECIMAL(38,0) so
+    n_ab * N * 10^6 cannot overflow at any corpus size.
+
+    Plan: one FK join to part, one distinct (basket, brand) projection,
+    bounded in-basket pair expansion (brands-per-order <= lines), and
+    one pair-keyed count — the cooccurrence_edges idiom with counts.
+    Only pairs supported by >= 5 baskets are reported (min-support)."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it"))
+        .distinct()
+    )
+    n_total = baskets.select("bk").distinct().count()
+    per_item = baskets.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
+    groups = baskets.groupBy("bk").agg(F.array_sort(F.collect_set("it")).alias("ms"))
+    pair_expr = (
+        "if(size(ms) between 2 and 1000, "
+        "flatten(transform(sequence(1, size(ms) - 1), i -> "
+        "transform(sequence(0, i - 1), j -> struct(ms[j] AS a, ms[i] AS b)))), "
+        "array())"
+    )
+    pairs = (
+        groups.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    na = per_item.select(F.col("it").alias("a"), F.col("n_it").alias("n_a"))
+    nb = per_item.select(F.col("it").alias("b"), F.col("n_it").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), on="a")
+        .join(F.broadcast(nb), on="b")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.expr(
+                f"cast(cast(n_ab as decimal(38,0)) * {n_total} * 1000000 "
+                "div (cast(n_a as decimal(38,0)) * n_b) as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+QUERIES["assoc_lift"] = q_assoc_lift
+ORACLES["assoc_lift"] = (
+    "WITH bsk AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), "
+    "tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM bsk), "
+    "per AS (SELECT it, CAST(count(*) AS BIGINT) AS n_it FROM bsk GROUP BY it), "
+    "pr AS (SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS n_ab "
+    "FROM bsk x JOIN bsk y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2), "
+    "f AS (SELECT * FROM pr WHERE n_ab >= 5) "
+    "SELECT f.a, f.b, f.n_ab, "
+    "CAST(CAST(f.n_ab AS HUGEINT) * tot.n * 1000000 // "
+    "(CAST(pa.n_it AS HUGEINT) * pb.n_it) AS BIGINT) AS lift_ppm "
+    "FROM f JOIN per pa ON f.a = pa.it JOIN per pb ON f.b = pb.it CROSS JOIN tot"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
