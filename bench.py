@@ -156,6 +156,8 @@ HEADLINE = [
     "fk_integrity",
     "padding_waste",
     "assoc_lift",
+    "tvd_drift",
+    "staleness_report",
 ]
 
 

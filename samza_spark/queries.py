@@ -6511,3 +6511,85 @@ ORACLES["assoc_lift"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_tvd_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric distribution drift between time windows: events.value
+    bucketed (width 5), per-bucket reference/current shares in integer
+    ppm and their delta — the numeric-histogram counterpart of the
+    categorical distribution_drift monitor (sum(|delta|)/2 is the total
+    variation distance, left to the consumer so every emitted number
+    stays an exact integer). Two conditional combinable counts + scalar
+    totals broadcast; one scan."""
+    e = load_table(spark, sf, "events")
+    b = e.select(
+        F.expr("cast(floor(value / 5.0) as bigint)").alias("bucket"),
+        (F.col("ts") < F.lit("2024-01-08 00:00:00")).alias("is_ref"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+        )
+    )
+    return per.join(tot).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.expr("n_ref * 1000000 div __tr").alias("ref_ppm"),
+        F.expr("n_cur * 1000000 div __tc").alias("cur_ppm"),
+        F.expr("n_cur * 1000000 div __tc - n_ref * 1000000 div __tr").alias(
+            "delta_ppm"
+        ),
+    )
+
+
+QUERIES["tvd_drift"] = q_tvd_drift
+ORACLES["tvd_drift"] = (
+    "WITH b AS (SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket, "
+    "ts < TIMESTAMP '2024-01-08 00:00:00' AS is_ref FROM events), "
+    "per AS (SELECT bucket, CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, "
+    "CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur FROM b GROUP BY bucket), "
+    "tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM per) "
+    "SELECT bucket, n_ref, n_cur, n_ref * 1000000 // tr AS ref_ppm, "
+    "n_cur * 1000000 // tc AS cur_ppm, "
+    "n_cur * 1000000 // tc - n_ref * 1000000 // tr AS delta_ppm "
+    "FROM per CROSS JOIN tot"
+)
+
+
+def q_staleness_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-entity freshness audit: the 20 users whose latest event lags
+    the stream head the most (lag in exact epoch micros) — the CDC/
+    ingestion staleness monitor. One per-user max aggregate, the global
+    head broadcast, TakeOrderedAndProject for the top-20."""
+    e = load_table(spark, sf, "events")
+    per = e.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts"))).alias("last_us")
+    )
+    head = F.broadcast(per.agg(F.max("last_us").alias("__head")))
+    return (
+        per.join(head)
+        .select(
+            "user_id",
+            "last_us",
+            (F.col("__head") - F.col("last_us")).alias("lag_us"),
+        )
+        .orderBy(F.desc("lag_us"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+QUERIES["staleness_report"] = q_staleness_report
+ORACLES["staleness_report"] = (
+    "WITH per AS (SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_us "
+    "FROM events GROUP BY user_id), "
+    "h AS (SELECT max(last_us) AS head FROM per) "
+    "SELECT user_id, last_us, head - last_us AS lag_us FROM per CROSS JOIN h "
+    "ORDER BY lag_us DESC, user_id ASC LIMIT 20"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
