@@ -523,6 +523,53 @@ def main() -> None:
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
         streaming["stream_sustained_dedup_msgs_per_sec"] = round(n_replay / secs)
+
+        # many-input-stream fan-in — BASELINE.md's container-scalability
+        # workload (1,000 input streams on one container): N independent
+        # file streams unioned into one query; throughput counts all
+        # consumed messages. N=64 keeps single-JVM planning sane while
+        # exercising the same per-stream bookkeeping scaling.
+        n_streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "64"))
+        fan_dir = tempfile.mkdtemp(prefix="bench_fanin_")
+        try:
+            events_raw.withColumn(
+                "shard", F.pmod(F.col("event_id"), F.lit(n_streams))
+            ).write.partitionBy("shard").mode("overwrite").parquet(fan_dir)
+
+            def fan_in_query():
+                streams = [
+                    spark.readStream.schema(schema).parquet(f"{fan_dir}/shard={i}")
+                    for i in range(n_streams)
+                ]
+                u = streams[0]
+                for s in streams[1:]:
+                    u = u.unionByName(s)
+                return (
+                    u.select("event_id", "user_id", "event_type")
+                    .writeStream.format("noop")
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+
+            samples = []
+            for _ in range(min(2, repeats)):
+                t0 = time.perf_counter()
+                q = fan_in_query()
+                q.awaitTermination()
+                samples.append(time.perf_counter() - t0)
+            secs = round(statistics.median(samples), 3)
+            per_query["stream_fan_in_64"] = secs
+            streaming["stream_fan_in_streams"] = n_streams
+            streaming["stream_fan_in_msgs_per_sec"] = round(n_events / secs)
+            print(
+                f"# stream_fan_in_64: median {secs:.3f}s of "
+                f"{[round(s, 3) for s in samples]} ({n_events} msgs, "
+                f"{n_streams} streams)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(fan_dir, ignore_errors=True)
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
 
