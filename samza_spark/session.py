@@ -74,6 +74,11 @@ def get_session(cfg: SessionConfig | None = None) -> SparkSession:
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.sql.shuffle.sortBeforeRepartition": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # a contended host can stretch a broadcast build past the 300s
+        # default and fail an otherwise-correct query (observed when two
+        # full suites shared one box); correctness gates should wait, not
+        # error
+        "spark.sql.broadcastTimeout": "1200",
     }
     if cfg.use_rocksdb_state:
         conf["spark.sql.streaming.stateStore.providerClass"] = (
