@@ -158,6 +158,7 @@ HEADLINE = [
     "assoc_lift",
     "tvd_drift",
     "staleness_report",
+    "ts_pattern_search",
 ]
 
 

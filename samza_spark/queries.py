@@ -6593,3 +6593,68 @@ ORACLES["staleness_report"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_ts_pattern_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series subsequence search (the distributed similarity-search
+    workload of the streaming-TS literature): every length-4 window of
+    each user's value series scored against a query pattern by exact
+    fixed-point squared-L2; global top-20 windows. Per-user series are
+    bounded (the sessionize/funnel per-key collect idiom), window
+    expansion is an in-row transform, scoring is map-only vs the inline
+    pattern, and the top-k is TakeOrderedAndProject — nothing global
+    sorts."""
+    e = load_table(spark, sf, "events")
+    w = 4
+    pattern = [10.0, 20.0, 30.0, 20.0]
+    pat = "array(" + ", ".join(f"cast({v} as double)" for v in pattern) + ")"
+    series = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+            "s -> cast(s.value as double))"
+        ).alias("vs")
+    )
+    wins = series.select(
+        "user_id",
+        F.posexplode(
+            F.expr(
+                f"if(size(vs) >= {w}, transform(sequence(1, size(vs) - {w} + 1), "
+                f"i -> slice(vs, i, {w})), array())"
+            )
+        ).alias("pos", "win"),
+    )
+    dist = (
+        f"cast(floor(1000000000.0 * aggregate(zip_with(win, {pat}, "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)) "
+        "as bigint)"
+    )
+    return (
+        wins.select(
+            "user_id",
+            (F.col("pos") + 1).alias("start_idx"),
+            F.expr(dist).alias("dist_nano"),
+        )
+        .orderBy(F.asc("dist_nano"), F.asc("user_id"), F.asc("start_idx"))
+        .limit(20)
+    )
+
+
+QUERIES["ts_pattern_search"] = q_ts_pattern_search
+ORACLES["ts_pattern_search"] = (
+    "WITH s AS (SELECT user_id, list_transform(list({'t': ts, 'e': event_id, 'v': value} "
+    "ORDER BY ts, event_id), r -> CAST(r.v AS DOUBLE)) AS vs "
+    "FROM events GROUP BY user_id), "
+    "w AS (SELECT user_id, i AS start_idx, list_slice(vs, i, i + 3) AS win "
+    "FROM s CROSS JOIN LATERAL unnest(CASE WHEN len(vs) >= 4 THEN "
+    "generate_series(1, len(vs) - 3) ELSE [] END) AS t(i)), "
+    "d AS (SELECT user_id, start_idx, CAST(floor(1000000000.0 * "
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform("
+    "generate_series(1, 4), j -> (win[j] - ([CAST(10.0 AS DOUBLE), CAST(20.0 AS DOUBLE), "
+    "CAST(30.0 AS DOUBLE), CAST(20.0 AS DOUBLE)][j])) * (win[j] - ([CAST(10.0 AS DOUBLE), "
+    "CAST(20.0 AS DOUBLE), CAST(30.0 AS DOUBLE), CAST(20.0 AS DOUBLE)][j])))), "
+    "(x, y) -> x + y)) AS BIGINT) AS dist_nano FROM w) "
+    "SELECT user_id, CAST(start_idx AS INT) AS start_idx, dist_nano FROM d "
+    "ORDER BY dist_nano ASC, user_id ASC, start_idx ASC LIMIT 20"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
