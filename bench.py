@@ -159,6 +159,7 @@ HEADLINE = [
     "tvd_drift",
     "staleness_report",
     "ts_pattern_search",
+    "latency_percentiles",
 ]
 
 

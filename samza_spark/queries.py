@@ -6658,3 +6658,66 @@ ORACLES["ts_pattern_search"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_latency_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order month — exact p50/
+    p90/p99 WITHOUT sorting any rows: the latency domain is small
+    (days, bounded by contract), so one (month, days) count + a
+    cumulative sum over the tiny domain + smallest-value-reaching-the-
+    rank selection gives exact percentiles from a combinable aggregate.
+    The pattern for exact latency SLO reporting at any event volume
+    (counting sort beats rank windows when the value domain is small)."""
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01")
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    base = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    counts = base.groupBy("month", "days").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("month").orderBy("days")
+    cum = counts.select(
+        "month",
+        "days",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("month")).alias("n"),
+    )
+    out = None
+    for p_name, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        # exact rank-th order statistic: rank = ceil(p * n)
+        pick = (
+            cum.filter(F.expr(f"cum >= (n * {num} + {den} - 1) div {den}"))
+            .groupBy("month")
+            .agg(F.min("days").alias(p_name))
+        )
+        out = pick if out is None else out.join(pick, on="month")
+    n_per = counts.groupBy("month").agg(F.sum("c").alias("n_lines"))
+    return out.join(n_per, on="month").select(
+        "month", "n_lines", "p50", "p90", "p99"
+    )
+
+
+QUERIES["latency_percentiles"] = q_latency_percentiles
+ORACLES["latency_percentiles"] = (
+    "WITH b AS (SELECT strftime(o.o_orderdate, '%Y-%m') AS month, "
+    "date_diff('day', o.o_orderdate, l.l_shipdate) AS days FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "WHERE o.o_orderdate >= '1996-01-01'), "
+    "c AS (SELECT month, days, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2), "
+    "cc AS (SELECT month, days, CAST(sum(c) OVER (PARTITION BY month ORDER BY days) AS BIGINT) AS cum, "
+    "CAST(sum(c) OVER (PARTITION BY month) AS BIGINT) AS n FROM c), "
+    "p50 AS (SELECT month, CAST(min(days) AS INT) AS p50 FROM cc "
+    "WHERE cum >= (n * 1 + 1) // 2 GROUP BY month), "
+    "p90 AS (SELECT month, CAST(min(days) AS INT) AS p90 FROM cc "
+    "WHERE cum >= (n * 9 + 9) // 10 GROUP BY month), "
+    "p99 AS (SELECT month, CAST(min(days) AS INT) AS p99 FROM cc "
+    "WHERE cum >= (n * 99 + 99) // 100 GROUP BY month), "
+    "np AS (SELECT month, CAST(sum(c) AS BIGINT) AS n_lines FROM c GROUP BY month) "
+    "SELECT np.month, np.n_lines, p50.p50, p90.p90, p99.p99 FROM np "
+    "JOIN p50 ON np.month = p50.month JOIN p90 ON np.month = p90.month "
+    "JOIN p99 ON np.month = p99.month"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
