@@ -74,6 +74,54 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_by: "list[Column]",
+    sum_cols: "list[str]",
+    prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running totals of ``sum_cols`` in ``order_by`` order —
+    ``sum(col) OVER (ORDER BY ...)`` without the single-partition window
+    that expression plans to. Same shape as :func:`global_rank`: range
+    exchange, per-partition window cumsum (parallel), then a broadcast of
+    per-partition totals supplies each partition's starting offset. The
+    offsets job is one row per partition. Results are byte-identical to
+    the global window for any total order (integer inputs assumed — the
+    repo's fixed-point convention keeps the sums shuffle-order-free)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    totals = (
+        with_pid.groupBy("__pid")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+        .collect()
+    )
+    by_pid = {r["__pid"]: r for r in totals}
+    offsets, acc = [], {c: 0 for c in sum_cols}
+    for pid in sorted(by_pid):
+        offsets.append((pid, *[acc[c] for c in sum_cols]))
+        for c in sum_cols:
+            acc[c] += by_pid[pid][c] or 0
+    schema = "__pid int, " + ", ".join(f"__off_{c} long" for c in sum_cols)
+    off_df = F.broadcast(df.sparkSession.createDataFrame(offsets, schema))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = with_pid.join(off_df, on="__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            prefix + c,
+            (F.sum(c).over(w) + F.col(f"__off_{c}")).cast("long"),
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])
+
+
 def with_percentile(
     df: DataFrame,
     order_by: "list[Column]",

@@ -482,3 +482,57 @@ def twap_per_key(
         )
     )
     return out
+
+
+def hysteresis_alerts(
+    df: DataFrame,
+    hi,
+    lo,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Threshold alerting with hysteresis (the monitoring-pipeline
+    pattern that stops alert flapping): per key, state switches ON when
+    the value exceeds ``hi`` and OFF only when it drops below ``lo`` —
+    values in the dead band (lo..hi) keep the previous state. Emits one
+    row per OFF→ON transition (the alert-raising edge).
+
+    The running state is ``last(crossing) IGNORE NULLS`` over a
+    key-partitioned, time-ordered window — Spark evaluates the frame
+    incrementally, so this is a single parallel window pass, no
+    self-join, no state blowup; the alert edge is a ``lag`` on the same
+    window ordering. Keys partition the work (the sessionize shape), so
+    the plan holds at any event volume. Deterministic given a unique
+    (key, ts, tiebreak) ordering.
+
+    Reference anchor: threshold monitors are the canonical low-level
+    Samza task (process() + local state per key,
+    samza-api/.../task/StreamTask.java:38); here the whole history
+    replays as one declarative window plan.
+    """
+    hi_l = F.lit(hi)
+    lo_l = F.lit(lo)
+    order = [F.asc(ts_col), F.asc(tiebreak_col)]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crossing = (
+        F.when(F.col(value_col) > hi_l, F.lit("on"))
+        .when(F.col(value_col) < lo_l, F.lit("off"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    with_state = df.withColumn(
+        "state", F.coalesce(F.last(crossing, ignorenulls=True).over(w), F.lit("off"))
+    )
+    wl = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        with_state.withColumn(
+            "prev_state", F.coalesce(F.lag("state").over(wl), F.lit("off"))
+        )
+        .filter((F.col("state") == "on") & (F.col("prev_state") == "off"))
+        .drop("prev_state")
+    )

@@ -412,3 +412,108 @@ def cross_source_dup_matrix(
         .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_dup_fps"))
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    col: str,
+    exact: "DataFrame | list | None" = None,
+    patterns: "list[str] | None" = None,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Blocklist curation (the C4/RefinedWeb domain-exclusion stage):
+    drop rows whose ``col`` matches a blocklist, split into the two
+    shapes real blocklists have:
+
+    - **exact entries** (potentially millions of domains): a broadcast
+      hash ANTI join — the list ships once per executor, the corpus
+      side stays map-only, no corpus shuffle;
+    - **wildcard patterns** (a handful, e.g. ``ads.*``): compiled into
+      ONE anchored regex alternation evaluated map-side (``*`` matches
+      any run, everything else is escaped literally). An OR-of-LIKEs
+      join would plan as a nested loop; a single RE2-safe alternation
+      is a constant-cost row filter.
+
+    ``flag_col`` switches from filtering to annotating (a ``blocked``
+    boolean) so audits can count what WOULD drop.
+    """
+    import re as _re
+
+    spark = df.sparkSession
+    blocked = F.lit(False)
+    out = df
+    if patterns:
+        parts = []
+        for p in patterns:
+            parts.append("".join(".*" if ch == "*" else _re.escape(ch) for ch in p))
+        rx = "^(?:" + "|".join(parts) + ")$"
+        blocked = blocked | F.col(col).rlike(rx)
+    if exact is not None:
+        if not isinstance(exact, DataFrame):
+            exact = spark.createDataFrame([(e,) for e in exact], f"__bl string")
+        else:
+            exact = exact.select(F.col(exact.columns[0]).alias("__bl"))
+        if flag_col is None and not patterns:
+            # pure exact case: let Catalyst plan the anti join directly
+            return df.join(
+                F.broadcast(exact), df[col] == F.col("__bl"), "left_anti"
+            )
+        out = df.join(
+            F.broadcast(exact), df[col] == F.col("__bl"), "left"
+        )
+        blocked = blocked | F.col("__bl").isNotNull()
+    if flag_col is not None:
+        return out.withColumn(flag_col, blocked).drop("__bl") if exact is not None \
+            else out.withColumn(flag_col, blocked)
+    out = out.filter(~blocked)
+    return out.drop("__bl") if exact is not None else out
+
+
+def mixing_schedule(
+    weights: DataFrame,
+    n_steps: int,
+    source_col: str = "source",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Deterministic interleaved training-mix schedule: turn per-source
+    mixture weights into an explicit (step, source, k) sequence of
+    ``n_steps`` draws where source ``s`` receives ``c_s = (w_s *
+    n_steps) div Σw`` slots spread EVENLY through the run (the
+    low-discrepancy interleave a data loader wants — not front-loaded,
+    not random). Slot k of source s sits at fractional position
+    (2k-1)/(2c_s); ordering those positions is done on the integer key
+
+        key = ((2k-1) * 1_000_000_000) div c_s
+
+    (ties broken by source, k) so the schedule is bit-identical in any
+    engine. The global step number is operators.rank.global_rank —
+    range exchange + broadcast offsets, no single-partition sort — so a
+    multi-billion-step schedule materializes scalably. Rounding slack
+    (Σc_s ≤ n_steps) is reported by the caller comparing max(step) to
+    n_steps; weights-sized inputs mean the expansion is the only big
+    stage and it is embarrassingly parallel.
+
+    Returns (step, source, k) with step 1..Σc_s.
+    """
+    from samza_spark.operators.rank import global_rank
+
+    total = weights.agg(F.sum(F.col(weight_col)).alias("t")).collect()[0]["t"]
+    slots = weights.select(
+        F.col(source_col).alias("source"),
+        F.expr(f"(cast({weight_col} as bigint) * {int(n_steps)}) div {int(total)}").alias(
+            "__c"
+        ),
+    ).filter(F.col("__c") > 0)
+    expanded = slots.select(
+        "source",
+        "__c",
+        F.explode(F.expr("sequence(1, __c)")).alias("k"),
+    ).select(
+        "source",
+        "k",
+        F.expr("((2 * k - 1) * 1000000000) div __c").alias("__key"),
+    )
+    ranked = global_rank(
+        expanded, [F.asc("__key"), F.asc("source"), F.asc("k")], rank_col="step"
+    )
+    return ranked.select("step", "source", F.col("k").cast("long").alias("k"))

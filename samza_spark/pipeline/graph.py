@@ -518,3 +518,99 @@ def n_hop_reachability(
         ).localCheckpoint(eager=False)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 3,
+    label_col: str = "label",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) made DETERMINISTIC: every node starts labeled with its own
+    id; each round it adopts the most frequent label among its
+    neighbors, ties broken by the smallest label. The classic
+    formulation updates asynchronously in random order (results vary
+    run-to-run); the synchronous min-tie-break variant is a pure
+    function of the graph, so a SQL oracle can replay it round for
+    round. Every node also casts ONE vote for its own current label —
+    the standard damping that stops the 2-cycle oscillation synchronous
+    LPA exhibits on bipartite structures (a bare edge flips labels
+    forever without it).
+
+    Per round: ONE edge-keyed join (labels shuffled on node id), a
+    (node, label) count aggregate (map-side-combinable), and an argmax
+    via ``min(struct(-count, label))`` — no windows, no per-node row
+    explosion beyond the adjacency itself. Nodes with no in-arcs keep
+    their label via the self vote. ``edges`` are (src, dst) arcs; pass a
+    symmetrized list (graph.symmetric_arcs) for undirected semantics.
+
+    Returns (node, ``label_col``). Lineage is checkpointed every few
+    rounds like pagerank_exact.
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    arcs = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        arcs.select(F.explode(F.array("src", "dst")).alias("node"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select("node", F.col("node").alias("lb"))
+    for i in range(n_iters):
+        votes = arcs.join(labels, arcs.src == labels.node).select(
+            F.col("dst").alias("__n"), "lb"
+        ).unionByName(labels.select(F.col("node").alias("__n"), "lb"))
+        counts = votes.groupBy("__n", "lb").agg(F.count(F.lit(1)).alias("c"))
+        best = counts.groupBy("__n").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lb").alias("lb"))).alias(
+                "b"
+            )
+        )
+        labels = best.select(F.col("__n").alias("node"), F.col("b.lb").alias("lb"))
+        if (i + 1) % 3 == 0 and i + 1 < n_iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lb").alias(label_col))
+
+
+def sssp_bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int = 4,
+    weight_col: str = "w",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Single/multi-source shortest paths over INTEGER edge weights:
+    ``n_rounds`` of distributed Bellman-Ford relaxation. Nodes absent
+    from the frontier are at infinity (simply not present) — state stays
+    proportional to the reached set, and each round is one edge-keyed
+    join plus a min aggregate (map-side-combinable, all-integer, so
+    engine- and shuffle-order-independent). After ``n_rounds`` the
+    result is exact for every node within ``n_rounds`` hops — the
+    bounded-round form that a 100 TB graph actually runs (full
+    convergence composes by re-feeding the output as ``sources`` with
+    its distances).
+
+    ``edges`` = (src, dst, ``weight_col``) directed arcs; ``sources`` =
+    one-column ``node`` DataFrame (distance 0). Returns (node,
+    ``dist_col``) for all reached nodes.
+    """
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    arcs = edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("__w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dist = sources.select(
+        "node", F.lit(0).cast("long").alias("d")
+    ).distinct()
+    for i in range(n_rounds):
+        relaxed = arcs.join(dist, arcs.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("__w")).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        if (i + 1) % 3 == 0 and i + 1 < n_rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select("node", F.col("d").alias(dist_col))

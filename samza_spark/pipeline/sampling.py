@@ -491,3 +491,42 @@ def zorder_layout(
     return df.withColumn("z", z).withColumn(
         "zbucket", F.expr(f"z * {int(n_buckets)} div {span}").cast("int")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[tuple] = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split0",
+    out_col: str = "split",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Train/test split that cannot leak near-duplicates across splits:
+    documents are first grouped by the connected components of the
+    near-dup pair graph (``pairs`` = (a, b) verified duplicate pairs,
+    e.g. from minhash_lsh_candidates + jaccard_verify), then the WHOLE
+    component is assigned one split by hashing the component root — so
+    two near-identical documents can never land in train and test
+    (the eval-contamination failure mode hash-splitting on raw doc ids
+    has; Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" documents the effect).
+
+    Documents in no pair are their own singleton component (left join +
+    coalesce — no extra shuffle beyond the component join). Split
+    assignment is the same md5(salt|id) band arithmetic as
+    :func:`assign_split` — deterministic, engine-reproducible, stable
+    under corpus growth as long as component roots are stable.
+    """
+    from samza_spark.pipeline.dedup import connected_components
+
+    comps = connected_components(pairs, id_col=id_col)
+    out = (
+        df.join(comps, on=id_col, how="left")
+        .withColumn(comp_col, F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    if comp_col != "component":
+        out = out.drop("component")
+    return assign_split(
+        out, id_col=comp_col, weights=weights, salt=salt, out_col=out_col
+    )

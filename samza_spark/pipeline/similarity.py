@@ -1505,3 +1505,89 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_nano", "rank")
     )
+
+
+def bitext_margin(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    top: int = 20,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (the bitext-mining scorer of
+    Artetxe & Schwenk 2019: a pair is strong when its similarity beats
+    the average of each side's k nearest neighbors, penalizing hub
+    vectors every candidate matches). Returns the global ``top``
+    (a, b, cos_shift_nano, margin_ppm) pairs.
+
+        margin = sim(x, y) / mean(kNN(x) ∪ kNN(y))
+
+    computed here on SHIFTED fixed-point cosines (cos + 1, in nano
+    units, so every quantity is a nonnegative BIGINT and the one
+    division is integer ``div`` — floor == truncate on nonnegatives,
+    bit-identical in any engine; the float variant would be
+    shuffle-order-dependent).
+
+    Plan shape: side A is broadcast against B (A is the smaller "query"
+    side — the cosine_topk convention); the scored pair table is
+    persisted once and re-read for both kNN denominators; per-side kNN
+    windows are PARTITIONED by that side's id (parallel); the final
+    top-k is TakeOrderedAndProject. At 100 TB the pair table comes from
+    an ANN shortlist (ann_topk / ivfpq_topk candidates) instead of the
+    dense product — the margin scoring below is unchanged.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    a = df_a.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
+    )
+    b = df_b.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        b.join(F.broadcast(a))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                f"cast(floor(({_cosine_sql('__va', '__vb')} + 1.0) * 1000000000.0) "
+                "as bigint)"
+            ).alias("cos_shift_nano"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wa = Window.partitionBy("a").orderBy(
+        F.desc("cos_shift_nano"), F.asc("b")
+    )
+    knn_a = (
+        pairs.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") <= k)
+        .groupBy("a")
+        .agg(F.sum("cos_shift_nano").alias("__ka"))
+    )
+    wb = Window.partitionBy("b").orderBy(
+        F.desc("cos_shift_nano"), F.asc("a")
+    )
+    knn_b = (
+        pairs.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= k)
+        .groupBy("b")
+        .agg(F.sum("cos_shift_nano").alias("__kb"))
+    )
+    scored = (
+        pairs.join(knn_a, on="a")
+        .join(knn_b, on="b")
+        .select(
+            "a",
+            "b",
+            "cos_shift_nano",
+            F.expr(
+                f"(cos_shift_nano * {2 * k} * 1000000) div (__ka + __kb)"
+            ).alias("margin_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("margin_ppm"), F.asc("a"), F.asc("b")
+    ).limit(top)

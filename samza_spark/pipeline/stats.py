@@ -223,3 +223,61 @@ def group_robust_stats(
         med.join(mad, on="g")
         .select(F.col("g").alias(group_col), "n", "med_x2", "mad_x4")
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney U) over an integer score column —
+    one row ``(n_pos, n_neg, auc_num_x2, auc)``, no per-pair expansion
+    and no single-partition window.
+
+    The pair count factors through the per-distinct-score histogram
+    (map-side-combinable: positives ``p_s`` and negatives ``n_s`` per
+    score), a distributed prefix sum of negatives in ascending score
+    order (operators.rank.global_cumsum — range exchange + broadcast
+    offsets), and the closed-form tie correction:
+
+        2·U = Σ_s p_s · (2·cumneg_≤s − n_s)
+        AUC = 2·U / (2·P·N)
+
+    (ties contribute the ``+ n_s/2`` midrank term — kept doubled so
+    everything stays integer). ``auc`` is the only double: a single IEEE
+    division of exactly-computed BIGINTs, bit-reproducible cross-engine.
+
+    Reference anchor: the reference has no evaluation operators; this is
+    the model-eval surface (classifier/quality-score validation) a
+    training-data pipeline runs at corpus scale, built on the engine's
+    aggregation + prefix-sum shapes.
+    """
+    from samza_spark.operators.rank import global_cumsum
+
+    lab = F.col(label_col).cast("boolean") if isinstance(label_col, str) else label_col
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    hist = (
+        df.select(sc.cast("long").alias("s"), lab.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("p"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("n"),
+        )
+    )
+    cum = global_cumsum(hist, [F.asc("s")], ["n"])
+    agg = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (F.lit(2) * F.col("cum_n") - F.col("n")))
+        .cast("long")
+        .alias("auc_num_x2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num_x2",
+        (
+            F.col("auc_num_x2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

@@ -6721,3 +6721,338 @@ ORACLES["latency_percentiles"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney with midrank tie handling) of the
+    first embedding coordinate as a detector for labels 0-4 — the
+    model-eval reduction to a per-score histogram + distributed prefix
+    sum (operators.rank.global_cumsum: range exchange + broadcast
+    offsets, no single-partition window) + closed-form tie term. All
+    integer until one final IEEE division."""
+    from samza_spark.pipeline import stats
+
+    emb = load_table(spark, sf, "embeddings")
+    score = F.expr(
+        "cast(floor(cast(embedding[0] as double) * 1000000.0) as bigint)"
+    )
+    return stats.roc_auc(emb, score, F.col("label") < 5)
+
+
+QUERIES["roc_auc"] = q_roc_auc
+ORACLES["roc_auc"] = (
+    "WITH b AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) "
+    "AS BIGINT) AS s, (label < 5) AS y FROM embeddings), "
+    "h AS (SELECT s, CAST(count(*) FILTER (WHERE y) AS BIGINT) AS p, "
+    "CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS n FROM b GROUP BY s), "
+    "c AS (SELECT s, p, n, CAST(sum(n) OVER (ORDER BY s) AS BIGINT) AS cum_n FROM h) "
+    "SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg, "
+    "CAST(sum(p * (2 * cum_n - n)) AS BIGINT) AS auc_num_x2, "
+    "CAST(sum(p * (2 * cum_n - n)) AS DOUBLE) / "
+    "CAST(2 * sum(p) * sum(n) AS DOUBLE) AS auc FROM c"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds, majority
+    label, min tie-break) over the supplier co-occurrence graph — the
+    community-detection member of the graph family. Per round ONE
+    edge-keyed join + combinable (node, label) counts + struct-min
+    argmax; the oracle replays each round declaratively."""
+    from samza_spark.pipeline import graph
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    arcs = graph.symmetric_arcs(edges)
+    return graph.label_propagation(arcs, n_iters=3)
+
+
+QUERIES["label_propagation"] = q_label_propagation
+
+_LPA_PRE = (
+    "WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'), "
+    "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM li x "
+    "JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey), "
+    "sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e), "
+    "nodes AS (SELECT DISTINCT src AS node FROM sym), "
+    "l0 AS (SELECT node, node AS lb FROM nodes), "
+)
+_LPA_ROUNDS = "".join(
+    (
+        f"c{i} AS (SELECT node, lb, count(*) AS c FROM ("
+        f"SELECT s.dst AS node, l.lb AS lb FROM sym s JOIN l{i - 1} l "
+        f"ON s.src = l.node UNION ALL SELECT node, lb FROM l{i - 1}) v "
+        f"GROUP BY 1, 2), "
+        f"l{i} AS (SELECT node, lb FROM (SELECT node, lb, row_number() OVER "
+        f"(PARTITION BY node ORDER BY c DESC, lb ASC) AS rn FROM c{i}) t "
+        f"WHERE rn = 1), "
+    )
+    for i in (1, 2, 3)
+)
+ORACLES["label_propagation"] = (
+    _LPA_PRE
+    + _LPA_ROUNDS[:-2]
+    + " SELECT node, lb AS label FROM l3"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_sssp(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source weighted shortest paths: 4 rounds of distributed
+    Bellman-Ford over the supplier co-occurrence graph, edge weight
+    1000 div co-order-count + 1 (stronger ties = shorter hops) —
+    all-integer relaxation, state proportional to the reached set. The
+    oracle replays every round as a min-aggregate fixpoint step."""
+    from samza_spark.pipeline import graph
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    x = li.alias("x")
+    y = li.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(
+            F.col("x.l_orderkey").alias("ok"),
+            F.col("x.l_suppkey").alias("a"),
+            F.col("y.l_suppkey").alias("b"),
+        )
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    arcs = graph.symmetric_arcs(e.select("a", "b")).join(
+        e.select(
+            "a", "b", F.expr("1000 div cnt + 1").alias("w")
+        ),
+        (
+            (F.least(F.col("src"), F.col("dst")) == F.col("a"))
+            & (F.greatest(F.col("src"), F.col("dst")) == F.col("b"))
+        ),
+    ).select("src", "dst", "w")
+    sources = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    return graph.sssp_bellman_ford(arcs, sources, n_rounds=4, weight_col="w")
+
+
+QUERIES["sssp"] = q_sssp
+
+_SSSP_PRE = (
+    "WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'), "
+    "ee AS (SELECT DISTINCT x.l_orderkey AS ok, x.l_suppkey AS a, y.l_suppkey AS b "
+    "FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey "
+    "AND x.l_suppkey < y.l_suppkey), "
+    "w AS (SELECT a, b, 1000 // CAST(count(*) AS BIGINT) + 1 AS w "
+    "FROM ee GROUP BY a, b), "
+    "sym AS (SELECT a AS src, b AS dst, w FROM w "
+    "UNION ALL SELECT b, a, w FROM w), "
+    "d0 AS (SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS d "
+    "FROM (VALUES (1), (2), (3)) v(node)), "
+)
+_SSSP_ROUNDS = "".join(
+    (
+        f"d{i} AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM ("
+        f"SELECT node, d FROM d{i - 1} UNION ALL "
+        f"SELECT s.dst AS node, p.d + s.w AS d FROM d{i - 1} p "
+        f"JOIN sym s ON p.node = s.src) u GROUP BY node), "
+    )
+    for i in (1, 2, 3, 4)
+)
+ORACLES["sssp"] = (
+    _SSSP_PRE + _SSSP_ROUNDS[:-2] + " SELECT node, d AS dist FROM d4"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_bitext_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019): top
+    20 cross-side pairs by ratio margin over shifted fixed-point
+    cosines, kNN denominators k=4 per side. Side A (30 vectors) is
+    broadcast; the pair table persists once and feeds both kNN windows
+    (each partitioned by its own side — parallel); final top-k is
+    TakeOrderedAndProject. All-integer after the cosine fold."""
+    from samza_spark.pipeline import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") < 30)
+    b = emb.filter(F.col("vec_id") >= 30)
+    return similarity.bitext_margin(a, b, k=4, top=20)
+
+
+QUERIES["bitext_margin"] = q_bitext_margin
+ORACLES["bitext_margin"] = (
+    "WITH a AS (SELECT vec_id AS a, embedding AS va FROM embeddings WHERE vec_id < 30), "
+    "b AS (SELECT vec_id AS b, embedding AS vb FROM embeddings WHERE vec_id >= 30), "
+    "p AS (SELECT a.a, b.b, CAST(floor(("
+    + _cos("a.va", "b.vb")
+    + " + 1.0) * 1000000000.0) AS BIGINT) AS cos_shift_nano FROM a, b), "
+    "ka AS (SELECT a, CAST(sum(cos_shift_nano) AS BIGINT) AS ka FROM ("
+    "SELECT a, cos_shift_nano, row_number() OVER (PARTITION BY a "
+    "ORDER BY cos_shift_nano DESC, b ASC) AS rn FROM p) t WHERE rn <= 4 GROUP BY a), "
+    "kb AS (SELECT b, CAST(sum(cos_shift_nano) AS BIGINT) AS kb FROM ("
+    "SELECT b, cos_shift_nano, row_number() OVER (PARTITION BY b "
+    "ORDER BY cos_shift_nano DESC, a ASC) AS rn FROM p) t WHERE rn <= 4 GROUP BY b) "
+    "SELECT p.a, p.b, p.cos_shift_nano, "
+    "CAST((p.cos_shift_nano * 8 * 1000000) // (ka.ka + kb.kb) AS BIGINT) AS margin_ppm "
+    "FROM p JOIN ka ON p.a = ka.a JOIN kb ON p.b = kb.b "
+    "ORDER BY margin_ppm DESC, p.a ASC, p.b ASC LIMIT 20"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocklist curation stage: exact entries (src3, src7) drop via a
+    broadcast hash ANTI join (the million-domain path — the list ships
+    once, corpus side map-only) and the wildcard pattern src1* compiles
+    to ONE anchored RE2-safe alternation evaluated map-side (an
+    OR-of-LIKEs join would nest-loop). Output = surviving per-source
+    profile."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    kept = governance.blocklist_filter(
+        docs, "source", exact=["src3", "src7"], patterns=["src1*"]
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+QUERIES["blocklist_filter"] = q_blocklist_filter
+ORACLES["blocklist_filter"] = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS chars FROM documents "
+    "WHERE source NOT IN ('src3', 'src7') "
+    "AND NOT regexp_matches(source, '^(?:src1.*)$') GROUP BY source"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup-aware train/test split: verified MinHash pairs (recall
+    1 on this corpus) -> connected components -> the WHOLE component
+    hash-assigned one split, so near-identical docs can never straddle
+    train/test (the eval-contamination mode of raw id splitting). The
+    oracle replays the closure as a recursive CTE and the split as the
+    same md5 band arithmetic."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    cands = dedup.minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    pairs = dedup.jaccard_verify(
+        docs, cands, threshold=0.8, shingle_k=3, shingle_mode="word"
+    )
+    return sampling.leakage_safe_split(docs, pairs).select(
+        "doc_id", "component", "split"
+    )
+
+
+QUERIES["leakage_safe_split"] = q_leakage_safe_split
+ORACLES["leakage_safe_split"] = (
+    f"WITH RECURSIVE sh AS (SELECT doc_id, {_grams3_of_norm(_NORM.format(c='text'))} AS s "
+    "FROM documents), "
+    f"pr AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l "
+    "JOIN sh r ON l.doc_id < r.doc_id "
+    f"WHERE {_jaccard('l.s', 'r.s')} >= CAST(0.8 AS DOUBLE)), "
+    "sym AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr), "
+    "reach AS (SELECT a AS id, b AS r FROM sym "
+    "UNION SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a), "
+    "comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id), "
+    "d AS (SELECT doc_id, coalesce(c.component, doc_id) AS component "
+    "FROM documents LEFT JOIN comp c ON documents.doc_id = c.id), "
+    "bk AS (SELECT doc_id, component, "
+    "('0x' || substr(md5('split0' || '|' || CAST(component AS VARCHAR)), 1, 8))::BIGINT "
+    "% 100 AS bucket FROM d) "
+    "SELECT doc_id, component, CASE WHEN bucket < 98 THEN 'train' "
+    "WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split FROM bk"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_mixing_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic low-discrepancy training-mix schedule: 5 source
+    weights -> 200 interleaved (step, source, k) draws, slot positions
+    ((2k-1)*1e9) div c_s ranked via operators.rank.global_rank (range
+    exchange + broadcast offsets — no single-partition sort even at
+    billions of steps). All-integer, bit-identical cross-engine."""
+    from samza_spark.pipeline import governance
+
+    weights = spark.createDataFrame(
+        [("src0", 50), ("src1", 25), ("src2", 15), ("src3", 7), ("src4", 3)],
+        "source string, weight int",
+    )
+    return governance.mixing_schedule(weights, n_steps=200)
+
+
+QUERIES["mixing_schedule"] = q_mixing_schedule
+ORACLES["mixing_schedule"] = (
+    "WITH w AS (SELECT * FROM (VALUES ('src0', 50), ('src1', 25), ('src2', 15), "
+    "('src3', 7), ('src4', 3)) t(source, weight)), "
+    "tot AS (SELECT sum(weight) AS t FROM w), "
+    "slots AS (SELECT source, CAST((CAST(weight AS BIGINT) * 200) // t AS BIGINT) AS c "
+    "FROM w, tot), "
+    "e AS (SELECT source, k, ((2 * k - 1) * 1000000000) // c AS key "
+    "FROM slots CROSS JOIN LATERAL unnest(generate_series(1, c)) t(k) "
+    "WHERE c > 0) "
+    "SELECT CAST(row_number() OVER (ORDER BY key, source, k) AS BIGINT) AS step, "
+    "source, CAST(k AS BIGINT) AS k FROM e"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_hysteresis_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Alerting with hysteresis over the events stream: state ON above
+    80, OFF below 20, dead band holds — one key-partitioned window pass
+    (last-ignore-nulls running state + lag edge detect), emitting the
+    OFF->ON edges. No self-join, no flapping."""
+    from samza_spark.pipeline import events as ev
+
+    e = load_table(spark, sf, "events")
+    out = ev.hysteresis_alerts(e, hi=80.0, lo=20.0)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "state",
+    )
+
+
+QUERIES["hysteresis_alerts"] = q_hysteresis_alerts
+ORACLES["hysteresis_alerts"] = (
+    "WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, "
+    "coalesce(last_value(CASE WHEN value > CAST(80.0 AS DOUBLE) THEN 'on' "
+    "WHEN value < CAST(20.0 AS DOUBLE) THEN 'off' END IGNORE NULLS) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'off') AS state "
+    "FROM events), "
+    "p AS (SELECT user_id, event_id, ts_us, value, state, "
+    "coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), "
+    "'off') AS prev FROM s) "
+    "SELECT user_id, event_id, ts_us, value, state FROM p "
+    "WHERE state = 'on' AND prev = 'off'"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

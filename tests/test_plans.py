@@ -394,3 +394,43 @@ def test_assoc_lift_bounded_pair_expansion(spark, sf_dir):
     plan = _plan(spark, "assoc_lift", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_roc_auc_no_global_window(spark, sf_dir):
+    # the prefix sum must be pid-partitioned (global_cumsum), never a
+    # bare ORDER BY window over the whole score domain
+    plan = _plan(spark, "roc_auc", sf_dir)
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in m.group(1) or "partition" in m.group(1).lower()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bitext_margin_broadcast_and_takeordered(spark, sf_dir):
+    plan = _plan(spark, "bitext_margin", sf_dir)
+    # side A ships broadcast; final top-k never globally sorts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_blocklist_filter_is_anti_join_plus_filter(spark, sf_dir):
+    plan = _plan(spark, "blocklist_filter", sf_dir)
+    # exact entries: broadcast anti join; pattern: map-side RLIKE filter
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sssp_rounds_shuffle_edges_only(spark, sf_dir):
+    plan = _plan(spark, "sssp", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_leakage_safe_split_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, "leakage_safe_split", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
