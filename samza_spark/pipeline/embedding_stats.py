@@ -145,3 +145,75 @@ def project_embeddings(
         return pd.Series(list(Y))
 
     return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding centroid drift between two corpus snapshots
+    — the embedding-space analog of the scalar distribution-drift
+    monitors (tvd_drift): for each group, the squared L2 distance
+    between snapshot A's and snapshot B's centroid, ALL-INTEGER so the
+    number is engine- and shuffle-order-exact.
+
+    One (group, dim)-keyed aggregate per side (map-side combinable
+    fixed-point sums in DECIMAL(38,0) — the centroids_fixedpoint
+    shape: shuffle volume is groups×dims cells regardless of corpus
+    size), centroid cells by exact integer division, one cell join, one
+    final combinable sum. Returns
+    ``(group, n_a, n_b, dist2_scaled)`` with
+    ``dist2_scaled = Σ_d (ca_d − cb_d)²`` in squared ``1/scale`` units
+    (centroid cells are floor(Σ floor(x·scale) / n)). Groups present in
+    only one snapshot are dropped (inner cell join) — their drift is
+    undefined.
+
+    Division detail: Spark's integer ``div`` truncates while DuckDB's
+    ``//`` floors, so negative element sums would disagree by one unit.
+    Values are therefore shifted by +2.0 BEFORE fixed-pointing (x+2.0
+    is exact for float32-upcast inputs, keeping every sum nonnegative,
+    where truncate == floor). Both snapshots quantize identically, so
+    the shift cancels in the centroid difference up to the fixed-point
+    quantization itself — the reported number is the exact drift of the
+    quantized shifted space, identical in both engines.
+    """
+
+    def cells(df: DataFrame, n_alias: str) -> DataFrame:
+        e = df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(
+                F.expr(f"transform({vec_col}, x -> cast(x as double))")
+            ).alias("d", "val"),
+        )
+        return e.groupBy("g", "d").agg(
+            F.sum(
+                F.expr(f"cast(floor((val + 2.0) * {scale}.0) as decimal(38,0))")
+            ).alias("s"),
+            F.count(F.lit(1)).alias(n_alias),
+        ).select(
+            "g",
+            "d",
+            F.expr(f"cast(s div {n_alias} as bigint)").alias("c"),
+            n_alias,
+        )
+
+    ca = cells(df_a, "n_a")
+    cb = cells(df_b, "n_b")
+    joined = ca.alias("a").join(
+        cb.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.d") == F.col("b.d"))
+    )
+    return (
+        joined.select(
+            F.col("a.g").alias(group_col),
+            F.col("a.n_a").alias("n_a"),
+            F.col("b.n_b").alias("n_b"),
+            ((F.col("a.c") - F.col("b.c")) * (F.col("a.c") - F.col("b.c"))).alias(
+                "dd"
+            ),
+        )
+        .groupBy(group_col, "n_a", "n_b")
+        .agg(F.sum("dd").cast("long").alias("dist2_scaled"))
+    )

@@ -303,3 +303,55 @@ def similarity_join_bruteforce(
         )
         .where(F.col("jaccard") >= F.lit(float(threshold)))
     )
+
+
+def blocking_eval(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_docs: int,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Blocking-scheme quality audit (the two standard record-linkage
+    metrics, Christen 2012): given the candidate pair set a blocking
+    key produced and the ground-truth match set,
+
+    - **reduction ratio** RR = 1 − |candidates| / (n·(n−1)/2) — how much
+      of the quadratic comparison space the blocking avoided;
+    - **pairs completeness** PC = |candidates ∩ truth| / |truth| — how
+      many real matches survived blocking (recall of the candidate
+      generator).
+
+    Both reported in integer parts-per-million (one ``div`` each —
+    engine-exact). Inputs are (a, b) pair frames with a < b normalized;
+    the intersection is one equi-join on the pair key. Output is a
+    single row ``(n_docs, n_cand, n_true, n_hit, rr_ppm, pc_ppm)``.
+
+    At scale both pair sets are blocking outputs (bounded by bucket
+    caps), never materialized cross products; the audit itself is two
+    counts and a join on (a, b).
+    """
+    c = candidates.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    t = truth.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    hit = c.join(t, on=["a", "b"], how="inner")
+    total_pairs = int(n_docs) * (int(n_docs) - 1) // 2
+    counts = (
+        c.agg(F.count(F.lit(1)).alias("n_cand"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.col("n_cand").cast("long"),
+        F.col("n_true").cast("long"),
+        F.col("n_hit").cast("long"),
+        F.expr(
+            f"cast({ppm} - (n_cand * {ppm}) div {total_pairs} as bigint)"
+        ).alias("rr_ppm"),
+        F.expr(
+            f"cast(if(n_true = 0, {ppm}, (n_hit * {ppm}) div n_true) as bigint)"
+        ).alias("pc_ppm"),
+    )

@@ -530,3 +530,29 @@ def leakage_safe_split(
     return assign_split(
         out, id_col=comp_col, weights=weights, salt=salt, out_col=out_col
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    k: int = 5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "fold0",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Stratified k-fold assignment for cross-validation: within each
+    stratum, rows are ordered by a deterministic md5 shuffle key and
+    dealt round-robin into folds 0..k-1 — every (stratum, fold) cell is
+    balanced to within one row BY CONSTRUCTION (plain hash-mod gives
+    only expected balance; small strata can skew badly). One window
+    partitioned by the stratum (parallel across strata — the skew
+    ceiling is the largest stratum, same as any per-stratum rank), no
+    RNG, reproducible in any engine from the md5 formula.
+    """
+    key = F.md5(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return df.withColumn(
+        out_col, ((F.row_number().over(w) - 1) % k).cast("int")
+    )

@@ -7056,3 +7056,105 @@ ORACLES["hysteresis_alerts"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_stratified_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified 5-fold CV assignment: within each language, docs are
+    md5-shuffled then dealt round-robin, so every (lang, fold) cell is
+    balanced within one row by construction. One lang-partitioned
+    window, no RNG."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.stratified_kfold(docs, k=5).select("doc_id", "lang", "fold")
+
+
+QUERIES["stratified_kfold"] = q_stratified_kfold
+ORACLES["stratified_kfold"] = (
+    "SELECT doc_id, lang, CAST((row_number() OVER (PARTITION BY lang "
+    "ORDER BY md5('fold0' || '|' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 "
+    "AS INT) AS fold FROM documents"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroid drift between two snapshot halves
+    (vec_id parity): exact squared-L2 of fixed-point centroids from
+    (group, dim)-keyed DECIMAL sums — shuffle volume groups*dims
+    regardless of corpus size, all-integer output."""
+    from samza_spark.pipeline import embedding_stats
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_stats.centroid_drift(a, b, group_col="label")
+
+
+QUERIES["centroid_drift"] = q_centroid_drift
+ORACLES["centroid_drift"] = (
+    "WITH e AS (SELECT label, vec_id % 2 AS h, i AS d, "
+    "CAST(floor((CAST(embedding[i] AS DOUBLE) + 2.0) * 1000000.0) AS BIGINT) AS fv "
+    "FROM embeddings CROSS JOIN LATERAL "
+    "unnest(generate_series(1, len(embedding))) t(i)), "
+    "cells AS (SELECT label, h, d, CAST(sum(fv) // count(*) AS BIGINT) AS c, "
+    "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2, 3), "
+    "j AS (SELECT a.label AS label, a.n AS n_a, b.n AS n_b, "
+    "(a.c - b.c) * (a.c - b.c) AS dd FROM cells a JOIN cells b "
+    "ON a.label = b.label AND a.d = b.d AND a.h = 0 AND b.h = 1) "
+    "SELECT label, n_a, n_b, CAST(sum(dd) AS BIGINT) AS dist2_scaled "
+    "FROM j GROUP BY 1, 2, 3"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_blocking_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage blocking audit: candidates from a 16-char lede
+    block key vs ground-truth word-3-gram Jaccard >= 0.8 matches ->
+    reduction ratio + pairs completeness in integer ppm. The truth side
+    reuses the recall-1 LSH+verify chain; the candidate side is one
+    block-keyed self-join."""
+    from samza_spark.pipeline import linkage, text as tx
+
+    docs = load_table(spark, sf, "documents")
+    blocked = docs.select(
+        "doc_id", F.md5(F.substring(tx.normalized(F.col("text")), 1, 16)).alias("bk")
+    )
+    l = blocked.alias("l")
+    r = blocked.alias("r")
+    cands = l.join(
+        r,
+        (F.col("l.bk") == F.col("r.bk")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    lsh = dedup.minhash_lsh_candidates(docs, num_perm=64, bands=16)
+    truth = dedup.jaccard_verify(
+        docs, lsh, threshold=0.8, shingle_k=3, shingle_mode="word"
+    ).select("a", "b")
+    n_docs = docs.count()
+    return linkage.blocking_eval(cands, truth, n_docs=n_docs)
+
+
+QUERIES["blocking_eval"] = q_blocking_eval
+ORACLES["blocking_eval"] = (
+    f"WITH t AS (SELECT doc_id, {_NORM.format(c='text')} AS n FROM documents), "
+    "bk AS (SELECT doc_id, md5(substr(n, 1, 16)) AS bk FROM t), "
+    "cand AS (SELECT l.doc_id AS a, r.doc_id AS b FROM bk l JOIN bk r "
+    "ON l.bk = r.bk AND l.doc_id < r.doc_id), "
+    f"sh AS (SELECT doc_id, {_grams3_of_norm(_NORM.format(c='text'))} AS s FROM documents), "
+    "tr AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sh l "
+    "JOIN sh r ON l.doc_id < r.doc_id "
+    f"WHERE {_jaccard('l.s', 'r.s')} >= CAST(0.8 AS DOUBLE)), "
+    "nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents), "
+    "cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand), "
+    "tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tr), "
+    "hh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM cand "
+    "JOIN tr ON cand.a = tr.a AND cand.b = tr.b) "
+    "SELECT nd AS n_docs, n_cand, n_true, n_hit, "
+    "CAST(1000000 - (n_cand * 1000000) // (nd * (nd - 1) // 2) AS BIGINT) AS rr_ppm, "
+    "CAST(CASE WHEN n_true = 0 THEN 1000000 ELSE (n_hit * 1000000) // n_true END "
+    "AS BIGINT) AS pc_ppm FROM nn, cc, tt, hh"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

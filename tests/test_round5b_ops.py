@@ -329,3 +329,48 @@ def test_hysteresis_dead_band_and_edges(spark):
     # alerts only at the two OFF->ON edges: event 1 (90.0) and event 7 (99.0)
     assert sorted(r["event_id"] for r in out) == [1, 7]
     # band values (85, 95 while ON; 40 after ON) never alert or reset
+
+
+# ---------------------------------------------------------------------------
+# stratified_kfold / centroid_drift / blocking_eval
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_kfold_balanced_within_one(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(1, 48)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_kfold(df, k=5).collect()
+    from collections import Counter
+
+    for lang in ("en", "de"):
+        c = Counter(r["fold"] for r in out if r["lang"] == lang)
+        n = sum(c.values())
+        assert set(c) <= set(range(5))
+        assert max(c.values()) - min(c[f] for f in range(5)) <= 1 or n < 5
+
+
+def test_centroid_drift_hand_values(spark):
+    from samza_spark.pipeline.embedding_stats import centroid_drift
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [1.0, 1.0])], "label int, embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [(0, [0.0, 0.5])], "label int, embedding array<float>"
+    )
+    row = centroid_drift(a, b, group_col="label").collect()[0]
+    # centroids: a = (1.0, 0.5), b = (0.0, 0.5) -> dist2 = 1.0 in 1e-6 units^2
+    assert (row["n_a"], row["n_b"]) == (2, 1)
+    assert row["dist2_scaled"] == 1_000_000**2
+
+
+def test_blocking_eval_counts_and_ppm(spark):
+    from samza_spark.pipeline.linkage import blocking_eval
+
+    cand = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "a long, b long")
+    # truth: (1,2) caught, (2,7) missed; (4,3) tests pair normalization
+    truth = spark.createDataFrame([(2, 1), (7, 2), (4, 3)], "a long, b long")
+    row = blocking_eval(cand, truth, n_docs=10).collect()[0]
+    assert (row["n_cand"], row["n_true"], row["n_hit"]) == (3, 3, 2)
+    assert row["rr_ppm"] == 1_000_000 - (3 * 1_000_000) // 45
+    assert row["pc_ppm"] == (2 * 1_000_000) // 3
