@@ -838,12 +838,20 @@ def connected_components(
 
     Returns (id_col, component) — component = min id reachable.
     """
+    from pyspark import StorageLevel
+
+    # the union references ``pairs`` twice; when the caller hands us an
+    # expensive subtree (LSH + verify), an unpersisted plan would shingle
+    # the corpus once per reference — persist for the single checkpoint
+    # job, then drop (edges are materialized after it)
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     edges = (
         pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
         .union(pairs.select(F.col("b").alias("s"), F.col("a").alias("d")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()

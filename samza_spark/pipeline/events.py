@@ -536,3 +536,178 @@ def hysteresis_alerts(
         .filter((F.col("state") == "on") & (F.col("prev_state") == "off"))
         .drop("prev_state")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Downsample a value stream into OHLC bars (open/high/low/close +
+    count) per ``(key, time bucket)`` — the classic time-series
+    compaction every metrics/market pipeline runs before charting or
+    modeling (the batch analog of a Samza windowed aggregate emitting
+    one summary row per pane, cf. WindowOperatorImpl fold semantics).
+
+    Open/close are the values at the FIRST and LAST row of the bucket
+    under the total order ``(ts, tiebreak)`` — the tiebreaker makes the
+    bars deterministic when timestamps collide (real event streams
+    collide constantly at ms resolution).
+
+    Plan: one bucket+key-partitioned window (row_number ascending and
+    descending over the same ordering — Catalyst evaluates both in a
+    single Window node since they share the partition spec modulo sort
+    direction) followed by one combinable groupBy. No self-join, no
+    global sort; each bucket sorts only its own rows, so the shape holds
+    at any event volume and any key cardinality.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        b,
+        F.col(value_col).alias("v"),
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    w_asc = Window.partitionBy("k", "bucket").orderBy(F.asc("t"), F.asc("tb"))
+    w_desc = Window.partitionBy("k", "bucket").orderBy(F.desc("t"), F.desc("tb"))
+    ranked = base.select(
+        "k",
+        "bucket",
+        "v",
+        F.row_number().over(w_asc).alias("ra"),
+        F.row_number().over(w_desc).alias("rd"),
+    )
+    return (
+        ranked.groupBy("k", "bucket")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("v"))).alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max(F.when(F.col("rd") == 1, F.col("v"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "bucket",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
+def interval_audit(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Integrity audit for per-key validity intervals (SCD2 histories,
+    session spans, booking calendars): per key, order intervals by
+    ``(start, end)`` and compare each interval's end to the next
+    interval's start. Emits one row per adjacent pair that violates
+    half-open tiling — ``kind='overlap'`` when ``end > next_start``
+    (two versions claim the same instant) and ``kind='gap'`` when
+    ``end < next_start`` (uncovered time), with the discrepancy in
+    exact microseconds. Clean histories return zero rows, which is what
+    a data-quality gate asserts.
+
+    A NULL ``end`` (open/current interval) overlaps any later start —
+    two open rows for one key is the classic double-current SCD2 bug.
+
+    Plan: one key-partitioned lead window — the sessionize shape; no
+    self-join, no global sort, scale-safe at any key cardinality.
+    """
+    order = [F.asc(start_col), F.asc_nulls_last(end_col)]
+    if tiebreak_col:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(start_col).over(w)
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    delta = F.when(
+        F.col(end_col).isNull(), F.lit(None).cast("long")
+    ).otherwise(us(nxt) - us(F.col(end_col)))
+    audited = intervals.select(
+        F.col(key_col),
+        F.col(start_col),
+        F.col(end_col),
+        nxt.alias("next_start"),
+        delta.alias("delta_us"),
+    ).filter(F.col("next_start").isNotNull())
+    return audited.select(
+        key_col,
+        start_col,
+        end_col,
+        "next_start",
+        F.when(F.col(end_col).isNull() | (F.col("delta_us") < 0), F.lit("overlap"))
+        .when(F.col("delta_us") > 0, F.lit("gap"))
+        .otherwise(F.lit("ok"))
+        .alias("kind"),
+        F.coalesce(F.abs("delta_us"), F.lit(-1)).alias("discrepancy_us"),
+    ).filter(F.col("kind") != "ok")
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    season: str = "hour",
+    k_mad: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: build a robust (median/MAD)
+    baseline per ``(key, season-of-day)`` cell — e.g. error rates at
+    3 AM have a different normal than at noon — then flag every event
+    whose value deviates from its cell's median by more than
+    ``k_mad`` MADs. The robust pair shrugs off the outliers it is
+    hunting (a mean/stddev baseline gets dragged by them).
+
+    Exactness: values are fixed-pointed to ``scale`` micro-units, and
+    the test uses the doubled-median trick from
+    :func:`~samza_spark.pipeline.stats.group_robust_stats` — with
+    ``med_x2 = x_lo + x_hi`` and ``mad_x4`` both exact BIGINTs, the flag
+    condition ``|x - med| > k * MAD`` is evaluated as the integer
+    inequality ``2 * |2x - med_x2| > k * mad_x4`` (both sides are the
+    original times 4). No float comparison anywhere, so the verdict
+    hashes identically on any engine.
+
+    Plan: the baseline is two season-partitioned rank windows (the
+    robust-stats shape) over the ~keys×24 cell grid; the flagging join
+    is an equi-join against that tiny baseline table (broadcast at any
+    corpus size). One scan, no quadratic step.
+    """
+    from samza_spark.pipeline.stats import group_robust_stats
+
+    cell = F.concat_ws(
+        "|", F.col(key_col), F.date_part(F.lit(season), F.col(ts_col)).cast("string")
+    )
+    fixed = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(ts_col),
+        cell.alias("__cell"),
+        F.round(F.col(value_col) * F.lit(scale)).cast("long").alias("__x"),
+    )
+    baseline = group_robust_stats(fixed, "__cell", "__x", id_col)
+    joined = fixed.join(F.broadcast(baseline), on="__cell")
+    dev4 = F.lit(2) * F.abs(F.lit(2) * F.col("__x") - F.col("med_x2"))
+    return (
+        joined.filter(dev4 > F.lit(int(k_mad)) * F.col("mad_x4"))
+        .select(
+            id_col,
+            key_col,
+            ts_col,
+            (F.col("__x").cast("double") / F.lit(float(scale))).alias("value"),
+            F.col("med_x2"),
+            F.col("mad_x4"),
+        )
+    )

@@ -517,3 +517,117 @@ def mixing_schedule(
         expanded, [F.asc("__key"), F.asc("source"), F.asc("k")], rank_col="step"
     )
     return ranked.select("step", "source", F.col("k").cast("long").alias("k"))
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile-normalize a per-group value onto the GLOBAL value
+    distribution: each row's within-group percentile rank is mapped to
+    the global order statistic at the same percentile, so every group
+    ends up with an identical (the corpus-wide) distribution. The
+    standard cross-source score-calibration transform when sources
+    score on incomparable scales — stronger than
+    :func:`quality_calibration` (which only emits the percentile) in
+    that it returns an actual calibrated VALUE usable downstream.
+
+    Exactness: ranks are integers; the target order statistic index is
+    ``1 + ((r - 1) * (N - 1)) div (n_g - 1)`` with INTEGER division
+    (single-row groups map to the global median index), and the
+    normalized value is fetched by an equi-join on that index — no
+    interpolation, no float arithmetic, hashes identically cross-engine.
+
+    Plan: one group-partitioned rank window; the GLOBAL order
+    statistics come from :func:`samza_spark.operators.rank.global_rank`
+    (range exchange + broadcast offsets — no single-partition sort
+    anywhere); the final fetch is an equi-join on the integer index.
+    Scale-safe at any corpus size and any group cardinality.
+    """
+    from samza_spark.operators.rank import global_rank
+
+    base = df.select(
+        F.col(id_col), F.col(group_col), F.col(value_col).cast("long").alias("__v")
+    )
+    wg = Window.partitionBy(group_col).orderBy(F.asc("__v"), F.asc(id_col))
+    within = base.select(
+        id_col,
+        group_col,
+        "__v",
+        F.row_number().over(wg).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__ng"),
+    )
+    glob = global_rank(
+        base.select(F.col("__v").alias("__gv"), F.col(id_col).alias("__gid")),
+        [F.asc("__gv"), F.asc("__gid")],
+        rank_col="__gr",
+    ).select("__gv", "__gr")
+    n_total = base.count()  # one count job; the scalar parameterizes the map
+    target = F.when(
+        F.col("__ng") > 1,
+        F.lit(1) + F.expr(f"((__r - 1) * {int(n_total) - 1}) div (__ng - 1)"),
+    ).otherwise(F.lit(1) + F.lit((int(n_total) - 1) // 2)).cast("long")
+    return (
+        within.withColumn("__t", target)
+        .join(glob, F.col("__t") == F.col("__gr"))
+        .select(
+            id_col,
+            group_col,
+            F.col("__v").alias(value_col),
+            F.col("__r").alias("group_rank"),
+            F.col("__gv").alias("normalized"),
+        )
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: "list[str]",
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: group
+    by the QI tuple and report every equivalence class with its size and
+    a ``suppressed`` flag for classes smaller than ``k`` — the rows a
+    privacy-preserving release must generalize or drop, since a QI
+    combination shared by fewer than k individuals re-identifies them.
+    The governance gate run before exporting any event-level dataset.
+
+    One combinable groupBy on the QI tuple — map-side partial counts,
+    no window, no join; the class table is at most the QI-domain size.
+    """
+    counts = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    return counts.select(
+        *qi_cols,
+        "class_size",
+        (F.col("class_size") < F.lit(int(k))).alias("suppressed"),
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: "list[str]",
+    k: int = 5,
+) -> DataFrame:
+    """One-row summary of :func:`k_anonymity`: class counts, suppressed
+    class/row counts, and the suppression rate in exact basis points
+    (integer div — no float division, hashes identically cross-engine).
+    """
+    classes = k_anonymity(df, qi_cols, k)
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("suppressed"), 1).otherwise(0)).alias(
+            "suppressed_classes"
+        ),
+        F.sum("class_size").alias("n_rows"),
+        F.sum(F.when(F.col("suppressed"), F.col("class_size")).otherwise(0)).alias(
+            "suppressed_rows"
+        ),
+    ).select(
+        "n_classes",
+        "suppressed_classes",
+        "n_rows",
+        "suppressed_rows",
+        F.expr("(suppressed_rows * 10000) div n_rows").alias("suppression_bp"),
+    )

@@ -762,3 +762,68 @@ def dsir_importance(
         )
     )
 
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining: rank adjacent word pairs by pointwise mutual
+    information over the corpus co-occurrence table — the classic
+    phrase-detection pass (word2vec's phrase pass, Gensim Phrases) that
+    finds "new york"-style units whose joint frequency beats chance.
+
+    PMI = ln( c_ab * N / (c_a* * c_*b) ) with marginals taken from the
+    bigram table itself. ln is monotone, so ranking by the RATIO equals
+    ranking by PMI — and the ratio is emitted as exact integer ppm,
+    ``(c_ab * N * 1e6) div (c_a* * c_*b)``, computed in DECIMAL(38,0)
+    (the product is bounded by N² * 1e6, inside 38 digits up to
+    N ≈ 1e15 bigrams; DuckDB mirrors it in HUGEINT). No float anywhere,
+    so top-k order and values hash identically cross-engine.
+
+    Plan: bigrams come straight off each document's token array
+    (map-side transform — no position self-join), ONE corpus-scale
+    shuffle aggregates (prev, cur) counts; both marginals reduce the
+    already-aggregated bigram table (vocab-sized); the ppm join keys on
+    single tokens against vocab-sized marginal tables, and the final
+    top-k is TakeOrderedAndProject. Holds at any corpus size.
+    """
+    toks = F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    bi = df.select(toks.alias("__toks")).select(
+        F.explode(
+            F.expr(
+                "transform("
+                "if(size(__toks) >= 2, sequence(1, size(__toks) - 1), array()), "
+                "i -> struct(__toks[i - 1] AS prev, __toks[i] AS cur))"
+            )
+        ).alias("g")
+    ).select("g.prev", "g.cur")
+    bi_counts = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_ab"))
+    prev_marg = bi_counts.groupBy("prev").agg(F.sum("c_ab").alias("c_a"))
+    cur_marg = bi_counts.groupBy("cur").agg(F.sum("c_ab").alias("c_b"))
+    total = bi_counts.agg(F.sum("c_ab").alias("__n"))
+    scored = (
+        bi_counts.filter(F.col("c_ab") >= F.lit(int(min_count)))
+        .join(prev_marg, on="prev")
+        .join(cur_marg, on="cur")
+        .join(F.broadcast(total))
+        .select(
+            "prev",
+            "cur",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST((CAST(c_ab AS DECIMAL(38,0)) * __n * 1000000) "
+                "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("pmi_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ppm"), F.asc("prev"), F.asc("cur")
+    ).limit(int(top_k))

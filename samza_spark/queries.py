@@ -7158,3 +7158,215 @@ ORACLES["blocking_eval"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): time-series bars, interval integrity, seasonal anomalies,
+# collocations, quantile normalization, k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(event_type, day) OHLC downsampling bars
+    (pipeline.events.ohlc_bars): one bucket-partitioned window for the
+    deterministic first/last rows + one combinable groupBy. Open/close
+    tie-break on (ts, event_id) — a total order."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    bars = pevents.ohlc_bars(ev, bucket="day")
+    return bars.select(
+        "event_type",
+        F.unix_seconds("bucket").alias("bucket_s"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+    )
+
+
+QUERIES["ohlc_bars"] = q_ohlc_bars
+ORACLES["ohlc_bars"] = (
+    "WITH b AS (SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) "
+    "AS bucket_s, value, ts, event_id FROM events), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_s "
+    "ORDER BY ts, event_id) AS ra, "
+    "row_number() OVER (PARTITION BY event_type, bucket_s "
+    "ORDER BY ts DESC, event_id DESC) AS rd FROM b) "
+    "SELECT event_type, bucket_s, max(CASE WHEN ra = 1 THEN value END) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    "max(CASE WHEN rd = 1 THEN value END) AS close, "
+    "CAST(count(*) AS BIGINT) AS n FROM r GROUP BY event_type, bucket_s"
+)
+
+
+def q_interval_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key interval tiling audit (pipeline.events.interval_audit):
+    each event claims [ts, ts + value seconds); adjacent claims per user
+    are checked for overlap/gap with exact microsecond discrepancies via
+    one key-partitioned lead window."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.round(F.col("value") * 1e6).cast("long")
+        ).alias("valid_to"),
+        "event_id",
+    )
+    audit = pevents.interval_audit(iv, key_col="user_id", tiebreak_col="event_id")
+    return audit.select(
+        "user_id",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.unix_micros("next_start").alias("next_start_us"),
+        "kind",
+        "discrepancy_us",
+    )
+
+
+QUERIES["interval_audit"] = q_interval_audit
+ORACLES["interval_audit"] = (
+    "WITH iv AS (SELECT user_id, ts AS vf, "
+    "ts + to_microseconds(CAST(round(value * 1000000) AS BIGINT)) AS vt, "
+    "event_id FROM events), "
+    "w AS (SELECT *, lead(vf) OVER (PARTITION BY user_id "
+    "ORDER BY vf, vt, event_id) AS ns FROM iv), "
+    "d AS (SELECT user_id, epoch_us(vf) AS valid_from_us, "
+    "epoch_us(vt) AS valid_to_us, epoch_us(ns) AS next_start_us, "
+    "epoch_us(ns) - epoch_us(vt) AS delta FROM w WHERE ns IS NOT NULL) "
+    "SELECT user_id, valid_from_us, valid_to_us, next_start_us, "
+    "CASE WHEN delta < 0 THEN 'overlap' ELSE 'gap' END AS kind, "
+    "abs(delta) AS discrepancy_us FROM d WHERE delta <> 0"
+)
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal robust-baseline anomaly flags
+    (pipeline.events.seasonal_anomaly): per (event_type, hour-of-day)
+    exact median/MAD baseline (doubled-median integer trick), events
+    beyond 3 MADs flagged via the all-integer inequality
+    2*|2x - med_x2| > 3*mad_x4."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    out = pevents.seasonal_anomaly(ev, k_mad=3)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "med_x2",
+        "mad_x4",
+    )
+
+
+QUERIES["seasonal_anomaly"] = q_seasonal_anomaly
+ORACLES["seasonal_anomaly"] = (
+    "WITH f AS (SELECT event_id, event_type, ts, "
+    "CAST(round(value * 1000000) AS BIGINT) AS x, "
+    "event_type || '|' || CAST(date_part('hour', ts) AS VARCHAR) AS cell "
+    "FROM events), "
+    "rv AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY x, event_id) "
+    "AS r, count(*) OVER (PARTITION BY cell) AS n FROM f), "
+    "med AS (SELECT cell, sum(x) * (3 - count(*)) AS med_x2 FROM rv "
+    "WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY cell), "
+    "dev AS (SELECT f.cell, abs(2 * x - med_x2) AS dx, event_id FROM f "
+    "JOIN med USING (cell)), "
+    "dr AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY dx, event_id) "
+    "AS r, count(*) OVER (PARTITION BY cell) AS n FROM dev), "
+    "mad AS (SELECT cell, sum(dx) * (3 - count(*)) AS mad_x4 FROM dr "
+    "WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY cell) "
+    "SELECT event_id, event_type, epoch_us(ts) AS ts_us, "
+    "CAST(x AS DOUBLE) / 1000000.0 AS value, med_x2, mad_x4 "
+    "FROM f JOIN med USING (cell) JOIN mad USING (cell) "
+    "WHERE 2 * abs(2 * x - med_x2) > 3 * mad_x4"
+)
+
+
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 collocations by PMI (pipeline.text.pmi_collocations):
+    bigram counts off the token arrays map-side, one corpus shuffle,
+    vocab-sized marginal joins, integer-ppm ratio (ln is monotone, so
+    ppm ranking == PMI ranking), TakeOrderedAndProject top-k."""
+    docs = load_table(spark, sf, "documents")
+    return text.pmi_collocations(docs, min_count=5, top_k=50)
+
+
+QUERIES["pmi_collocations"] = q_pmi_collocations
+ORACLES["pmi_collocations"] = (
+    f"WITH t AS (SELECT list_filter(string_split({_NORM.format(c='text')}, ' '), "
+    "x -> x <> '') AS w FROM documents), "
+    "bi AS (SELECT w[i] AS prev, w[i + 1] AS cur FROM "
+    "(SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t "
+    "WHERE len(w) >= 2)), "
+    "bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_ab FROM bi "
+    "GROUP BY 1, 2), "
+    "pm AS (SELECT prev, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bc GROUP BY 1), "
+    "cm AS (SELECT cur, CAST(sum(c_ab) AS BIGINT) AS c_b FROM bc GROUP BY 1), "
+    "tot AS (SELECT sum(c_ab) AS n FROM bc) "
+    "SELECT prev, cur, c_ab, c_a, c_b, "
+    "CAST((CAST(c_ab AS HUGEINT) * n * 1000000) "
+    "// (CAST(c_a AS HUGEINT) * c_b) AS BIGINT) AS pmi_ppm "
+    "FROM bc JOIN pm USING (prev) JOIN cm USING (cur) CROSS JOIN tot "
+    "WHERE c_ab >= 5 ORDER BY pmi_ppm DESC, prev ASC, cur ASC LIMIT 50"
+)
+
+
+def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source quantile normalization
+    (pipeline.governance.quantile_normalize): within-source rank window
+    + range-exchange global order statistics (operators.rank.global_rank
+    — no single-partition sort) + integer-index equi-join fetch. Every
+    source's n_chars distribution maps onto the corpus-wide one."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    return governance.quantile_normalize(docs)
+
+
+QUERIES["quantile_normalize"] = q_quantile_normalize
+ORACLES["quantile_normalize"] = (
+    "WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v "
+    "FROM documents), "
+    "w AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY v, doc_id) "
+    "AS r, count(*) OVER (PARTITION BY source) AS ng FROM base), "
+    "g AS (SELECT v AS gv, row_number() OVER (ORDER BY v, doc_id) AS gr "
+    "FROM base), "
+    "n AS (SELECT count(*) AS nt FROM base) "
+    "SELECT doc_id, source, v AS n_chars, CAST(r AS INT) AS group_rank, "
+    "gv AS normalized FROM w CROSS JOIN n JOIN g ON "
+    "(CASE WHEN ng > 1 THEN 1 + ((r - 1) * (nt - 1)) // (ng - 1) "
+    "ELSE 1 + (nt - 1) // 2 END) = gr"
+)
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over event quasi-identifiers
+    (pipeline.governance.k_anonymity): equivalence-class sizes for the
+    (event_type, day, user-bucket) QI tuple with the suppressed flag for
+    classes below k=5. One combinable groupBy."""
+    from samza_spark.pipeline import governance
+
+    ev = load_table(spark, sf, "events")
+    qi = ev.select(
+        "event_type",
+        F.unix_seconds(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+        F.expr("user_id div 25").alias("user_bucket"),
+    )
+    return governance.k_anonymity(qi, ["event_type", "day_s", "user_bucket"], k=5)
+
+
+QUERIES["k_anonymity"] = q_k_anonymity
+ORACLES["k_anonymity"] = (
+    "WITH qi AS (SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT) "
+    "AS day_s, user_id // 25 AS user_bucket FROM events) "
+    "SELECT event_type, day_s, user_bucket, CAST(count(*) AS BIGINT) "
+    "AS class_size, count(*) < 5 AS suppressed "
+    "FROM qi GROUP BY event_type, day_s, user_bucket"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1,0 +1,222 @@
+"""Round-5 (cont.) additions: OHLC bars, interval audit, seasonal
+anomalies, PMI collocations, quantile normalization, k-anonymity —
+semantics pinned on small hand-checkable inputs (the DuckDB oracle
+covers the sf0.01 corpus shapes)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from samza_spark.pipeline import events as pevents
+from samza_spark.pipeline import governance, text
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# ohlc_bars
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_bars_basic(spark):
+    rows = [
+        (1, _ts(0), "a", 10.0),
+        (2, _ts(5), "a", 30.0),
+        (3, _ts(9), "a", 20.0),
+        (4, _ts(1), "b", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    bars = {
+        r["event_type"]: r
+        for r in pevents.ohlc_bars(df, bucket="hour").collect()
+    }
+    a = bars["a"]
+    assert (a["open"], a["high"], a["low"], a["close"], a["n"]) == (
+        10.0,
+        30.0,
+        10.0,
+        20.0,
+        3,
+    )
+    b = bars["b"]
+    assert (b["open"], b["close"], b["n"]) == (5.0, 5.0, 1)
+
+
+def test_ohlc_bars_tiebreak_on_id(spark):
+    # identical timestamps: open/close decided by event_id, not luck
+    rows = [
+        (2, _ts(0), "a", 7.0),
+        (1, _ts(0), "a", 3.0),
+        (3, _ts(0), "a", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    bar = pevents.ohlc_bars(df, bucket="hour").collect()[0]
+    assert bar["open"] == 3.0 and bar["close"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# interval_audit
+# ---------------------------------------------------------------------------
+
+
+def test_interval_audit_flags_gap_and_overlap(spark):
+    rows = [
+        # key 1: [0,10) [10,20) clean; [20,35) then [30,..) overlaps 5s
+        (1, _ts(0, 0), _ts(0, 10), 1),
+        (1, _ts(0, 10), _ts(0, 20), 2),
+        (1, _ts(0, 20), _ts(0, 35), 3),
+        (1, _ts(0, 30), _ts(0, 40), 4),
+        # key 2: gap of 60s
+        (2, _ts(0, 0), _ts(0, 30), 5),
+        (2, _ts(1, 30), _ts(2, 0), 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, valid_from timestamp, valid_to timestamp, event_id long"
+    )
+    out = pevents.interval_audit(df, tiebreak_col="event_id").collect()
+    by_kind = {(r["user_id"], r["kind"]): r["discrepancy_us"] for r in out}
+    assert by_kind == {(1, "overlap"): 5_000_000, (2, "gap"): 60_000_000}
+
+
+def test_interval_audit_open_interval_overlaps(spark):
+    # two "current" rows for one key: the double-current SCD2 bug
+    rows = [(1, _ts(0, 0), None, 1), (1, _ts(0, 30), None, 2)]
+    df = spark.createDataFrame(
+        rows, "user_id long, valid_from timestamp, valid_to timestamp, event_id long"
+    )
+    out = pevents.interval_audit(df, tiebreak_col="event_id").collect()
+    assert len(out) == 1 and out[0]["kind"] == "overlap"
+
+
+def test_interval_audit_clean_scd2_is_empty(spark):
+    changes = spark.createDataFrame(
+        [(1, _ts(0), 10), (1, _ts(5), 11), (2, _ts(1), 20)],
+        "user_id long, ts timestamp, v long",
+    )
+    dim = pevents.scd2_intervals(changes, attr_cols=["v"])
+    closed = dim.filter(F.col("valid_to").isNotNull())
+    assert pevents.interval_audit(closed).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# seasonal_anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_flags_only_outlier(spark):
+    # hour-0 baseline is tight around 10; one wild point sticks out
+    rows = [(i, _ts(i), "x", 10.0 + (i % 3) * 0.01) for i in range(1, 20)]
+    rows.append((99, _ts(20), "x", 500.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = pevents.seasonal_anomaly(df, k_mad=3).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert abs(out[0]["value"] - 500.0) < 1e-9
+
+
+def test_seasonal_anomaly_constant_cell_no_flags(spark):
+    # zero MAD + zero deviation: nothing flagged
+    rows = [(i, _ts(i), "x", 7.0) for i in range(1, 10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    assert pevents.seasonal_anomaly(df, k_mad=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_collocations_exclusive_pair_beats_promiscuous(spark):
+    # (a b) always adjacent; c and d both frequent but mostly with OTHER
+    # partners — PMI must rank the exclusive pair above the incidental one
+    docs = [
+        ("a b " * 5).strip(),
+        "c x c y c z d p d q d r c d c d c d",
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    out = text.pmi_collocations(df, min_count=3, top_k=10).collect()
+    ppm = {(r["prev"], r["cur"]): r["pmi_ppm"] for r in out}
+    assert ppm[("a", "b")] > ppm[("c", "d")]
+    scores = [r["pmi_ppm"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # hand-check: c_ab=5, prev-marginal(a)=5, cur-marginal(b)=5, N=26
+    assert ppm[("a", "b")] == (5 * 26 * 1_000_000) // (5 * 5)
+
+
+def test_pmi_collocations_min_count_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "rare pair here"), (2, "common common common common")],
+        "doc_id long, text string",
+    )
+    out = text.pmi_collocations(df, min_count=3, top_k=10).collect()
+    assert all(r["c_ab"] >= 3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_maps_extremes_and_median(spark):
+    # source a: 1..5 (global min..max interleaved), source b: 10..50
+    rows = [(i, "a", v) for i, v in enumerate([1, 2, 3, 4, 5])] + [
+        (10 + i, "b", v) for i, v in enumerate([10, 20, 30, 40, 50])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["doc_id"]: r for r in governance.quantile_normalize(df).collect()}
+    glob = sorted([1, 2, 3, 4, 5, 10, 20, 30, 40, 50])
+    # min of each source -> global min; max -> global max
+    assert out[0]["normalized"] == glob[0]
+    assert out[4]["normalized"] == glob[-1]
+    assert out[10]["normalized"] == glob[0]
+    assert out[14]["normalized"] == glob[-1]
+    # within-source rank 3 of 5 -> global index 1 + (2*9)//4 = 5 -> glob[4]
+    assert out[2]["normalized"] == glob[4]
+    assert out[12]["normalized"] == glob[4]
+    # every source now has the identical (sub)distribution support
+    a_vals = sorted(r["normalized"] for r in out.values() if r["source"] == "a")
+    b_vals = sorted(r["normalized"] for r in out.values() if r["source"] == "b")
+    assert a_vals == b_vals
+
+
+def test_quantile_normalize_singleton_group_maps_to_median(spark):
+    rows = [(1, "solo", 999), (2, "big", 1), (3, "big", 2), (4, "big", 3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["doc_id"]: r for r in governance.quantile_normalize(df).collect()}
+    # N=4 -> median index 1 + (4-1)//2 = 2 -> second smallest global value
+    assert out[1]["normalized"] == sorted([999, 1, 2, 3])[1]
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "qa string, qb long")
+    out = {
+        (r["qa"], r["qb"]): (r["class_size"], r["suppressed"])
+        for r in governance.k_anonymity(df, ["qa", "qb"], k=3).collect()
+    }
+    assert out == {("a", 1): (5, False), ("a", 2): (2, True), ("b", 1): (1, True)}
+
+
+def test_k_anonymity_report_bp(spark):
+    rows = [("a",)] * 8 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "qa string")
+    r = governance.k_anonymity_report(df, ["qa"], k=5).collect()[0]
+    assert (r["n_classes"], r["suppressed_classes"]) == (2, 1)
+    assert (r["n_rows"], r["suppressed_rows"]) == (10, 2)
+    assert r["suppression_bp"] == 2000
