@@ -434,3 +434,41 @@ def test_leakage_safe_split_no_global_sort(spark, sf_dir):
     plan = _plan(spark, "leakage_safe_split", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ohlc_bars",
+        "interval_audit",
+        "seasonal_anomaly",
+        "pmi_collocations",
+        "quantile_normalize",
+        "k_anonymity",
+    ],
+)
+def test_round5c_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantile_normalize_no_single_partition_sort(spark, sf_dir):
+    # global order statistics must come from the range-exchange rank,
+    # never a plan-wide Exchange SinglePartition + Sort
+    plan = _plan(spark, "quantile_normalize", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ohlc_bars_single_window_node(spark, sf_dir):
+    # both row_numbers share the (key, bucket) partition spec: Catalyst
+    # must not add a second shuffle for the descending ordering
+    plan = _plan(spark, "ohlc_bars", sf_dir)
+    assert plan.count("Exchange") <= 2  # one for the window, one for the agg
+
+
+def test_k_anonymity_is_one_aggregate(spark, sf_dir):
+    plan = _plan(spark, "k_anonymity", sf_dir)
+    # formatted explain names each node in the tree AND in the details
+    assert plan.count("Exchange") <= 2
+    assert "Window" not in plan and "Join" not in plan
