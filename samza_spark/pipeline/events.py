@@ -711,3 +711,101 @@ def seasonal_anomaly(
             F.col("mad_x4"),
         )
     )
+
+
+def sequence_patterns(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Sequential pattern mining over per-key event streams: count every
+    length-3 consecutive event-type sequence (trigram) across all keys
+    and return the ``top_k`` with exact integer-ppm support — the
+    behavioral-motif workload (what do users do right before
+    purchasing?) that sits between the funnel (fixed steps) and the
+    transition matrix (order 1).
+
+    Plan: trigrams come from two ``lead`` columns on ONE key-partitioned
+    time-ordered window (no self-joins on position), then one combinable
+    (e1, e2, e3) count over the tiny type³ domain; the scalar total
+    broadcasts back and the top-k is TakeOrderedAndProject. Holds at any
+    event volume — nothing ever sorts or pairs the raw stream.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    tri = (
+        df.select(
+            F.col(type_col).alias("e1"),
+            F.lead(type_col, 1).over(w).alias("e2"),
+            F.lead(type_col, 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    )
+    counts = tri.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n",
+            F.expr("(n * 1000000) div __t").alias("support_ppm"),
+        )
+        .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(int(top_k))
+    )
+
+
+def periodicity(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_gaps: int = 4,
+) -> DataFrame:
+    """Per-key periodicity / regularity detection: the robust
+    (median, MAD) profile of inter-event gaps. A key whose MAD is small
+    relative to its median gap fires on a regular cadence (cron-like
+    bots, heartbeats); a bursty human has MAD on the order of the
+    median. ``regularity_ppm = (mad_x4 * 1e6) div (2 * med_x2)`` is the
+    exact integer MAD/median ratio in ppm — 0 for perfect periodicity.
+
+    Gaps are one key-partitioned lag window (exact microseconds); the
+    median/MAD pair reuses the all-integer doubled-median machinery of
+    :func:`samza_spark.pipeline.stats.group_robust_stats`. Keys with
+    fewer than ``min_gaps`` gaps are excluded (a 2-event key is trivially
+    "periodic"). No float arithmetic anywhere.
+    """
+    from samza_spark.pipeline.stats import group_robust_stats
+
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    gaps = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(tiebreak_col).alias("i"),
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    stats = group_robust_stats(gaps, "k", "gap_us", "i")
+    return (
+        stats.filter(F.col("n") >= F.lit(int(min_gaps)))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n").alias("n_gaps"),
+            "med_x2",
+            "mad_x4",
+            F.when(
+                F.col("med_x2") > 0,
+                F.expr("(mad_x4 * 1000000) div (2 * med_x2)"),
+            )
+            .otherwise(F.lit(None).cast("long"))
+            .alias("regularity_ppm"),
+        )
+    )

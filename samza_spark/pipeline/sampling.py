@@ -556,3 +556,69 @@ def stratified_kfold(
     return df.withColumn(
         out_col, ((F.row_number().over(w) - 1) % k).cast("int")
     )
+
+
+def greedy_max_coverage(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Submodular data selection by greedy maximum coverage: pick ``k``
+    documents that together cover the most distinct word n-grams — the
+    classic facility-location/coverage objective used to choose compact,
+    diverse fine-tuning subsets (greedy is (1 - 1/e)-optimal, Nemhauser
+    et al. 1978, and in practice near-exact).
+
+    Each of the bounded ``k`` rounds is fully distributed: gains are one
+    combinable count over the remaining (doc, gram) pairs, the winner is
+    a 1-row ``orderBy().limit(1)`` (TakeOrderedAndProject — nothing
+    sorts the corpus), and coverage removal is one gram-keyed anti-join.
+    The per-round ``collect()`` moves exactly one row; lineage is
+    truncated per round with an eager localCheckpoint so round r's plan
+    never replays rounds 1..r-1. Driver round-trips are O(k) — the
+    selection budget, not the corpus — the same bounded-iteration
+    contract as k-core peeling and the BPE merge loop.
+
+    Returns one row per selection round:
+    ``(round, id, gain, covered_total)`` with the marginal-gain
+    monotonicity guarantee (gains are non-increasing).
+    """
+    from samza_spark.pipeline.dedup import word_ngrams
+
+    spark = df.sparkSession
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, ngram_n)).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = grams
+    out, covered_total = [], 0
+    for rnd in range(1, int(k) + 1):
+        top = (
+            remaining.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        did, gain = top[0]["id"], top[0]["gain"]
+        covered_total += gain
+        out.append((rnd, did, gain, covered_total))
+        if rnd < k:
+            sel = remaining.filter(F.col("id") == did).select("g")
+            remaining = (
+                remaining.filter(F.col("id") != did)
+                .join(sel, on="g", how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+    id_type = dict(df.dtypes)[id_col]
+    return spark.createDataFrame(
+        out, f"round int, {id_col} {id_type}, gain long, covered_total long"
+    )

@@ -281,3 +281,64 @@ def roc_auc(
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+def changepoint_cusum(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Change-point detection per key via exact integer CUSUM over
+    bucketed counts: with per-bucket counts ``c_t`` over ``D`` buckets
+    totalling ``T``, the scaled deviation ``c_t * D - T`` (the per-bucket
+    count minus the mean, multiplied through by D to stay integer)
+    accumulates into ``S_t``; the bucket where ``|S_t|`` peaks is the
+    maximum-likelihood single change point of a mean-shift model (Page
+    1954). All arithmetic is BIGINT — no float, engine-exact.
+
+    Plan: ONE corpus-scale combinable (key, bucket) count; everything
+    after runs on the tiny key×bucket grid (two windows partitioned by
+    key). Scale-safe at any event volume.
+
+    Returns ``(key, bucket_s, cusum_scaled, n_buckets, total)`` — one
+    row per key: the peak-|CUSUM| bucket (earliest on ties).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(
+            F.col(key_col).alias("k"),
+            F.unix_seconds(F.date_trunc(bucket, F.col(ts_col))).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wk = Window.partitionBy("k")
+    wo = Window.partitionBy("k").orderBy(F.asc("b"))
+    enriched = counts.select(
+        "k",
+        "b",
+        "c",
+        F.count(F.lit(1)).over(wk).alias("nd"),
+        F.sum("c").over(wk).alias("t"),
+    ).select(
+        "k",
+        "b",
+        "nd",
+        "t",
+        F.sum(F.col("c") * F.col("nd") - F.col("t")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s"),
+    )
+    wr = Window.partitionBy("k").orderBy(F.desc(F.abs(F.col("s"))), F.asc("b"))
+    return (
+        enriched.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("b").alias("bucket_s"),
+            F.col("s").alias("cusum_scaled"),
+            F.col("nd").alias("n_buckets"),
+            F.col("t").alias("total"),
+        )
+    )

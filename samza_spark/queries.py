@@ -7370,3 +7370,145 @@ ORACLES["k_anonymity"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): submodular selection, sequence mining, changepoints,
+# periodicity
+# ---------------------------------------------------------------------------
+
+
+def q_greedy_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy max-coverage data selection
+    (pipeline.sampling.greedy_max_coverage): k=5 bounded rounds, each one
+    combinable gain count + TakeOrdered(1) + gram-keyed anti-join.
+    Oracle = the same greedy unrolled as a 5-round WITH chain."""
+    from samza_spark.pipeline import sampling
+
+    docs = load_table(spark, sf, "documents")
+    return sampling.greedy_max_coverage(docs, k=5)
+
+
+QUERIES["greedy_coverage"] = q_greedy_coverage
+
+
+def _gmc_oracle(k: int = 5) -> str:
+    parts = [
+        "WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' ') AS ws FROM documents), "
+        "g0 AS (SELECT doc_id AS id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(len(ws) - 2, 1)), "
+        "i -> array_to_string(list_slice(ws, i, i + 2), ' ')))) AS g FROM w)"
+    ]
+    for i in range(1, k + 1):
+        prev = f"g{i - 1}"
+        parts.append(
+            f", r{i} AS (SELECT id, CAST(count(*) AS BIGINT) AS gain "
+            f"FROM {prev} GROUP BY id)"
+            f", p{i} AS (SELECT CAST({i} AS INT) AS round, id, gain FROM r{i} "
+            f"ORDER BY gain DESC, id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f", c{i} AS (SELECT DISTINCT g FROM {prev} JOIN p{i} USING (id))"
+                f", g{i} AS (SELECT {prev}.* FROM {prev} "
+                f"WHERE id NOT IN (SELECT id FROM p{i}) "
+                f"AND g NOT IN (SELECT g FROM c{i}))"
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    parts.append(
+        f", sel AS ({union}) "
+        "SELECT round, id AS doc_id, gain, "
+        "CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total "
+        "FROM sel"
+    )
+    return "".join(parts)
+
+
+ORACLES["greedy_coverage"] = _gmc_oracle(5)
+
+
+def q_seq_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 event-type trigram motifs
+    (pipeline.events.sequence_patterns): two leads on ONE user-partitioned
+    window, combinable type^3 count, scalar-total broadcast, integer-ppm
+    support, TakeOrderedAndProject."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.sequence_patterns(ev, top_k=20)
+
+
+QUERIES["seq_patterns"] = q_seq_patterns
+ORACLES["seq_patterns"] = (
+    "WITH s AS (SELECT event_type AS e1, "
+    "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "c AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n FROM s "
+    "WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3), "
+    "t AS (SELECT sum(n) AS tt FROM c) "
+    "SELECT e1, e2, e3, n, CAST((n * 1000000) // tt AS BIGINT) AS support_ppm "
+    "FROM c CROSS JOIN t ORDER BY n DESC, e1, e2, e3 LIMIT 20"
+)
+
+
+def q_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type mean-shift change point via exact integer CUSUM
+    (pipeline.stats.changepoint_cusum): one corpus (key, day) count, then
+    two key-partitioned windows over the tiny key x day grid."""
+    from samza_spark.pipeline import stats as pstats
+
+    ev = load_table(spark, sf, "events")
+    return pstats.changepoint_cusum(ev)
+
+
+QUERIES["changepoint_cusum"] = q_changepoint_cusum
+ORACLES["changepoint_cusum"] = (
+    "WITH c AS (SELECT event_type AS k, "
+    "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS b, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "e AS (SELECT k, b, cnt, CAST(count(*) OVER (PARTITION BY k) AS BIGINT) "
+    "AS nd, CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS t FROM c), "
+    "s AS (SELECT k, b, nd, t, CAST(sum(cnt * nd - t) OVER (PARTITION BY k "
+    "ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s FROM e), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY abs(s) DESC, b) "
+    "AS rr FROM s) "
+    "SELECT k AS event_type, b AS bucket_s, s AS cusum_scaled, "
+    "nd AS n_buckets, t AS total FROM r WHERE rr = 1"
+)
+
+
+def q_periodicity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user cadence regularity (pipeline.events.periodicity): lag-gap
+    microseconds + the all-integer robust median/MAD machinery; MAD/median
+    ratio in exact ppm."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.periodicity(ev, min_gaps=4)
+
+
+QUERIES["periodicity"] = q_periodicity
+ORACLES["periodicity"] = (
+    "WITH g AS (SELECT user_id AS k, event_id AS i, "
+    "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS gap_us FROM events), "
+    "f AS (SELECT * FROM g WHERE gap_us IS NOT NULL), "
+    "rv AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY gap_us, i) "
+    "AS r, count(*) OVER (PARTITION BY k) AS n FROM f), "
+    "med AS (SELECT k, CAST(max(n) AS BIGINT) AS n, "
+    "CAST(sum(gap_us) * (3 - count(*)) AS BIGINT) AS med_x2 FROM rv "
+    "WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY k), "
+    "dev AS (SELECT f.k, abs(2 * gap_us - med_x2) AS dx, i FROM f "
+    "JOIN med USING (k)), "
+    "dr AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY dx, i) AS r, "
+    "count(*) OVER (PARTITION BY k) AS n FROM dev), "
+    "mad AS (SELECT k, CAST(sum(dx) * (3 - count(*)) AS BIGINT) AS mad_x4 "
+    "FROM dr WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY k) "
+    "SELECT med.k AS user_id, med.n AS n_gaps, med_x2, mad_x4, "
+    "CASE WHEN med_x2 > 0 THEN CAST((mad_x4 * 1000000) // (2 * med_x2) "
+    "AS BIGINT) END AS regularity_ppm "
+    "FROM med JOIN mad USING (k) WHERE med.n >= 4"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -220,3 +220,141 @@ def test_k_anonymity_report_bp(spark):
     assert (r["n_classes"], r["suppressed_classes"]) == (2, 1)
     assert (r["n_rows"], r["suppressed_rows"]) == (10, 2)
     assert r["suppression_bp"] == 2000
+
+
+# ---------------------------------------------------------------------------
+# greedy_max_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_greedy_coverage_prefers_broad_then_complement(spark):
+    from samza_spark.pipeline import sampling
+
+    # doc 1 covers grams of "a b c d e" (3 grams); doc 2 overlaps it almost
+    # fully; doc 3 is disjoint with 2 grams. Greedy must pick 1 then 3.
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d"),
+        (3, "x y z w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sampling.greedy_max_coverage(df, k=2).collect()
+    assert [(r["round"], r["doc_id"], r["gain"]) for r in out] == [
+        (1, 1, 3),
+        (2, 3, 2),
+    ]
+    assert out[-1]["covered_total"] == 5
+
+
+def test_greedy_coverage_gains_non_increasing(spark):
+    from samza_spark.pipeline import sampling
+
+    docs = [(i, f"tok{i} " * 3 + "shared common words here") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sampling.greedy_max_coverage(df, k=4).collect()
+    gains = [r["gain"] for r in sorted(out, key=lambda r: r["round"])]
+    assert gains == sorted(gains, reverse=True)
+
+
+def test_greedy_coverage_stops_when_exhausted(spark):
+    from samza_spark.pipeline import sampling
+
+    df = spark.createDataFrame([(1, "only doc here")], "doc_id long, text string")
+    out = sampling.greedy_max_coverage(df, k=5).collect()
+    assert len(out) == 1
+
+
+# ---------------------------------------------------------------------------
+# sequence_patterns
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_patterns_counts_and_support(spark):
+    from samza_spark.pipeline import events as pevents
+
+    # user 1: v c p v c p -> trigrams (v,c,p) x2, (c,p,v), (p,v,c)
+    rows = []
+    seq = ["view", "click", "buy", "view", "click", "buy"]
+    for i, t in enumerate(seq):
+        rows.append((i, _ts(i), 1, t))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = pevents.sequence_patterns(df, top_k=10).collect()
+    top = out[0]
+    assert (top["e1"], top["e2"], top["e3"], top["n"]) == (
+        "view",
+        "click",
+        "buy",
+        2,
+    )
+    assert top["support_ppm"] == 2 * 1_000_000 // 4
+    # trigrams never cross user boundaries
+    rows.append((100, _ts(30), 2, "buy"))
+    df2 = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert (
+        pevents.sequence_patterns(df2, top_k=10)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        == 4
+    )
+
+
+# ---------------------------------------------------------------------------
+# changepoint_cusum
+# ---------------------------------------------------------------------------
+
+
+def test_changepoint_cusum_finds_level_shift(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import stats as pstats
+
+    rows = []
+    eid = 0
+    # 6 days at 2/day then 6 days at 10/day: the shift is after day 5
+    for day in range(12):
+        n = 2 if day < 6 else 10
+        for j in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 3, 1 + day, 8, j), "x"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = pstats.changepoint_cusum(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # peak |CUSUM| lands on the last low day (2024-03-06)
+    assert r["bucket_s"] == int(dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc).timestamp())
+    assert r["n_buckets"] == 12 and r["total"] == 72
+    # S at day 6 = 6 * (2*12 - 72) = -288
+    assert r["cusum_scaled"] == -288
+
+
+# ---------------------------------------------------------------------------
+# periodicity
+# ---------------------------------------------------------------------------
+
+
+def test_periodicity_regular_vs_bursty(spark):
+    from samza_spark.pipeline import events as pevents
+
+    rows = []
+    # user 1: perfect 60s cadence -> MAD 0 -> regularity 0
+    for i in range(6):
+        rows.append((i, _ts(i), 1))
+    # user 2: gaps 10, 100, 10, 400, 20 seconds -> wildly irregular
+    bursty = [0, 10, 110, 120, 520, 540]
+    for j, s in enumerate(bursty):
+        rows.append((100 + j, _ts(s // 60, s % 60), 2))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["user_id"]: r for r in pevents.periodicity(df, min_gaps=4).collect()}
+    assert out[1]["regularity_ppm"] == 0
+    assert out[1]["med_x2"] == 2 * 60_000_000
+    assert out[2]["regularity_ppm"] > 300_000  # MAD comparable to median
+    # below-min-gaps keys are excluded
+    few = spark.createDataFrame(
+        [(1, _ts(0), 9), (2, _ts(1), 9), (3, _ts(2), 9)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    assert pevents.periodicity(few, min_gaps=4).count() == 0
