@@ -160,6 +160,17 @@ HEADLINE = [
     "staleness_report",
     "ts_pattern_search",
     "latency_percentiles",
+    # round-5 continuation (this session)
+    "ohlc_bars",
+    "seasonal_anomaly",
+    "pmi_collocations",
+    "quantile_normalize",
+    "k_anonymity",
+    "seq_patterns",
+    "changepoint_cusum",
+    "periodicity",
+    "greedy_coverage",
+    "leakage_safe_split",
 ]
 
 

@@ -809,3 +809,47 @@ def periodicity(
             .alias("regularity_ppm"),
         )
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT rolling N-day active-user counts (the WAU/MAU curve): for
+    each day ``w``, the number of distinct users active in
+    ``(w - N, w]``. Spark windows cannot COUNT(DISTINCT) over a frame,
+    and approximate sketches change the answer — the exact distributed
+    formulation is contribution explosion: reduce to distinct
+    ``(user, active_day)`` pairs (corpus-scale dedup, ONE shuffle),
+    explode each pair to the ≤N window-ends it contributes to (grid
+    rows, not event rows), distinct again on ``(user, window_end)``
+    (a user active twice inside one window counts once), then one
+    combinable count per window end. Shuffle volume after the first
+    dedup is |users| × N — independent of event volume.
+
+    Windows are calendar days; only window ends that fall inside the
+    observed day span are emitted (no partial-future windows).
+    """
+    day = F.unix_seconds(F.date_trunc("day", F.col(ts_col)))
+    ud = df.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    n = int(window_days)
+    contrib = (
+        ud.join(F.broadcast(bounds))
+        .select(
+            "u",
+            F.explode(
+                F.expr(
+                    f"sequence(d, least(d + {n - 1} * 86400L, hi), 86400)"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(F.col("w").alias("window_end_s"), "active_users")
+    )

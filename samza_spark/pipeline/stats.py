@@ -342,3 +342,72 @@ def changepoint_cusum(
             F.col("t").alias("total"),
         )
     )
+
+
+def leadlag_xcorr(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lags: "Sequence[int]" = (-2, -1, 0, 1, 2),
+) -> DataFrame:
+    """Lead-lag cross-correlation scaffold between two event-type daily
+    count series: for each lag L, pair day d of series A with day d+L of
+    series B and emit the EXACT integer Pearson numerators —
+    ``cov_num = n*Σxy - Σx*Σy``, ``varx_num = n*Σx² - (Σx)²``,
+    ``vary_num`` likewise. The correlation is
+    ``cov_num / sqrt(varx_num * vary_num)``; the square root is left to
+    the consumer so no irrational float is ever emitted and the result
+    hashes identically cross-engine (comparing lags by |cov_num|² ×
+    cross variances stays exact too). The which-metric-leads-which
+    diagnostic behind alerting and mix-planning dashboards.
+
+    Plan: ONE corpus-scale (type, day) count; the lag pairing replicates
+    the tiny per-day series once per lag (|lags| × days rows) and joins
+    day-to-day; the final aggregate runs per lag. Scale-safe at any
+    event volume — only the bucketed grid is ever joined.
+    """
+    day = F.unix_seconds(F.date_trunc("day", F.col(ts_col)))
+    counts = (
+        df.filter(F.col(type_col).isin([type_a, type_b]))
+        .groupBy(F.col(type_col).alias("t"), day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = counts.filter(F.col("t") == type_a).select(
+        F.col("d").alias("da"), F.col("c").alias("x")
+    )
+    b = counts.filter(F.col("t") == type_b).select(
+        F.col("d").alias("db"), F.col("c").alias("y")
+    )
+    lag_df = a.sparkSession.createDataFrame(
+        [(int(x),) for x in lags], "lag int"
+    )
+    paired = (
+        a.crossJoin(F.broadcast(lag_df))
+        .join(b, F.col("db") == F.col("da") + F.col("lag").cast("long") * 86400)
+    )
+    return (
+        paired.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .select(
+            "lag",
+            "n_days",
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+                "cov_num"
+            ),
+            (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+                "varx_num"
+            ),
+            (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+                "vary_num"
+            ),
+        )
+    )

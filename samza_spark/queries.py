@@ -7512,3 +7512,94 @@ ORACLES["periodicity"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured property extraction + profile: pull the integer
+    ``k`` out of the JSON ``props`` column (regexp extraction — the
+    engine-portable fast path; Samza SQL's nested-field access analog
+    over serialized payloads) and profile it per event type with exact
+    integer aggregates. One scan, one combinable groupBy."""
+    ev = load_table(spark, sf, "events")
+    k = F.expr(
+        "CAST(nullif(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?[0-9]+)', 1), '') "
+        "AS BIGINT)"
+    )
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
+
+
+QUERIES["json_props_stats"] = q_json_props_stats
+ORACLES["json_props_stats"] = (
+    "WITH e AS (SELECT event_type, CAST(nullif(regexp_extract(props, "
+    "'\"k\"\\s*:\\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k FROM events) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, "
+    "min(k) AS k_min, max(k) AS k_max, CAST(sum(k) AS BIGINT) AS k_sum, "
+    "CAST(count(DISTINCT k) AS BIGINT) AS k_distinct "
+    "FROM e GROUP BY event_type"
+)
+
+
+def q_leadlag_xcorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag cross-correlation numerators between the click and
+    purchase daily series (pipeline.stats.leadlag_xcorr): exact integer
+    Pearson numerators per lag — sqrt left to the consumer."""
+    from samza_spark.pipeline import stats as pstats
+
+    ev = load_table(spark, sf, "events")
+    return pstats.leadlag_xcorr(ev, "click", "purchase")
+
+
+QUERIES["leadlag_xcorr"] = q_leadlag_xcorr
+ORACLES["leadlag_xcorr"] = (
+    "WITH c AS (SELECT event_type AS t, "
+    "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d, "
+    "CAST(count(*) AS BIGINT) AS c FROM events "
+    "WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2), "
+    "a AS (SELECT d AS da, c AS x FROM c WHERE t = 'click'), "
+    "b AS (SELECT d AS db, c AS y FROM c WHERE t = 'purchase'), "
+    "l AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag), "
+    "p AS (SELECT lag, x, y FROM a CROSS JOIN l "
+    "JOIN b ON db = da + CAST(lag AS BIGINT) * 86400) "
+    "SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_days, "
+    "CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num, "
+    "CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS varx_num, "
+    "CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT) AS vary_num "
+    "FROM p GROUP BY lag"
+)
+
+
+def q_rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact rolling 7-day active users
+    (pipeline.events.rolling_active_users): distinct (user, day) ->
+    bounded contribution explode -> distinct (user, window) -> one
+    combinable count. No sketch, no window COUNT DISTINCT."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.rolling_active_users(ev, window_days=7)
+
+
+QUERIES["rolling_active_users"] = q_rolling_active_users
+ORACLES["rolling_active_users"] = (
+    "WITH ud AS (SELECT DISTINCT user_id AS u, "
+    "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d FROM events), "
+    "bounds AS (SELECT max(d) AS hi FROM ud), "
+    "contrib AS (SELECT DISTINCT u, unnest(generate_series(d, "
+    "least(d + 6 * 86400, hi), 86400)) AS w FROM ud CROSS JOIN bounds) "
+    "SELECT w AS window_end_s, CAST(count(*) AS BIGINT) AS active_users "
+    "FROM contrib GROUP BY w"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

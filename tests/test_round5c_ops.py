@@ -358,3 +358,78 @@ def test_periodicity_regular_vs_bursty(spark):
         "event_id long, ts timestamp, user_id long",
     )
     assert pevents.periodicity(few, min_gaps=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# leadlag_xcorr
+# ---------------------------------------------------------------------------
+
+
+def test_leadlag_xcorr_detects_shifted_copy(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import stats as pstats
+
+    rows, eid = [], 0
+    # clicks on day d: pattern [1,5,2,8,3]; purchases = same pattern one
+    # day later -> lag +1 aligns perfectly (cov_num == varx_num == vary_num)
+    pattern = [1, 5, 2, 8, 3]
+    for day, n in enumerate(pattern):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 5, 1 + day, 9), "click"))
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 5, 2 + day, 9), "purchase"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {
+        r["lag"]: r
+        for r in pstats.leadlag_xcorr(df, "click", "purchase", lags=(0, 1)).collect()
+    }
+    r1 = out[1]
+    assert r1["n_days"] == 5
+    assert r1["cov_num"] == r1["varx_num"] == r1["vary_num"] > 0
+    # at lag 0 the alignment is broken: correlation strictly weaker
+    r0 = out[0]
+    assert r0["cov_num"] ** 2 * r1["varx_num"] * r1["vary_num"] < (
+        r1["cov_num"] ** 2 * r0["varx_num"] * r0["vary_num"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_active_users
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_active_users_exact_window(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    day = lambda d: dt.datetime(2024, 6, d, 12)  # noqa: E731
+    rows = [
+        # user 1 active day 1 and day 2 (counts ONCE per window)
+        (1, day(1), 1),
+        (2, day(2), 1),
+        # user 2 active day 1 only; user 3 active day 5
+        (3, day(1), 2),
+        (4, day(5), 3),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {
+        r["window_end_s"]: r["active_users"]
+        for r in pevents.rolling_active_users(df, window_days=3).collect()
+    }
+    epoch = lambda d: int(  # noqa: E731
+        dt.datetime(2024, 6, d, tzinfo=dt.timezone.utc).timestamp()
+    )
+    # window ending day1: users {1,2}; day2: {1,2}; day3: {1,2};
+    # day4: {1} (user2's day-1 activity aged out at day4? window=(d-2..d):
+    # day4 covers days 2..4 -> user1 only); day5: {1? no (day2<3)} -> {3}
+    assert out[epoch(1)] == 2
+    assert out[epoch(2)] == 2
+    assert out[epoch(3)] == 2
+    assert out[epoch(4)] == 1
+    assert out[epoch(5)] == 1
+    # no windows past the observed span
+    assert max(out) == epoch(5)
