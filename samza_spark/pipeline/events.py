@@ -853,3 +853,62 @@ def rolling_active_users(
         .agg(F.count(F.lit(1)).alias("active_users"))
         .select(F.col("w").alias("window_end_s"), "active_users")
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    lookback: str = "7 days",
+) -> DataFrame:
+    """Last-touch marketing attribution: credit each conversion event to
+    the key's most recent ``touch_type`` event strictly before it and
+    within ``lookback``; conversions with no qualifying touch are
+    emitted unattributed (NULL touch columns). The canonical
+    click→purchase credit assignment behind ad-spend reporting.
+
+    One key-partitioned time-ordered window does all the work:
+    ``last(touch_id IGNORE NULLS)`` over the rows-preceding frame finds
+    the latest prior touch without a self-join or per-conversion scan
+    (the asof-join collapsed into a window because both sides live in
+    one stream). The lookback check is exact microsecond arithmetic.
+    Deterministic under the (ts, id) total order; keys partition the
+    work, so the plan holds at any event volume.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc(ts_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_id = F.when(F.col(type_col) == touch_type, F.col(id_col))
+    touch_us = F.when(F.col(type_col) == touch_type, us)
+    # interval -> exact µs via epoch arithmetic (Spark has no
+    # extract(epoch FROM interval))
+    lb_us = F.expr(
+        f"unix_micros(timestamp'1970-01-01 00:00:00Z' + INTERVAL {lookback})"
+    )
+    enriched = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(type_col),
+        us.alias("__us"),
+        F.last(touch_id, ignorenulls=True).over(w).alias("__tid"),
+        F.last(touch_us, ignorenulls=True).over(w).alias("__tus"),
+    )
+    conv = enriched.filter(F.col(type_col) == conversion_type)
+    in_window = F.col("__tus").isNotNull() & (
+        F.col("__us") - F.col("__tus") <= lb_us
+    )
+    return conv.select(
+        F.col(key_col),
+        F.col(id_col).alias("conversion_id"),
+        F.col("__us").alias("conversion_us"),
+        F.when(in_window, F.col("__tid")).alias("touch_id"),
+        F.when(in_window, F.col("__tus")).alias("touch_us"),
+        F.when(in_window, F.col("__us") - F.col("__tus")).alias("delay_us"),
+    )

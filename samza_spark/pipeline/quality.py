@@ -89,3 +89,97 @@ def quality_report(
         "min_ppm",
         (F.col("metric_ppm") >= F.col("min_ppm")).alias("passed"),
     )
+
+
+def join_fanout_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pre-join cardinality audit: per join key, both sides' row counts
+    and the exact output-row contribution ``n_left * n_right`` — the
+    planning check that catches many-to-many key explosions BEFORE a
+    join materializes 10^12 rows (the classic accidental-cross-join
+    production incident). Returns the ``top_k`` heaviest keys.
+
+    Both sides reduce to vocab-sized per-key count tables first (two
+    combinable aggregates), so the audit join is counts-to-counts —
+    never row-to-row; the top-k is TakeOrderedAndProject. Cost is two
+    scans + two count shuffles regardless of fanout.
+    """
+    lc = left.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    return (
+        lc.join(rc, on="k", how="outer")
+        .select(
+            F.col("k").alias(key_col),
+            F.coalesce("n_left", F.lit(0)).alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).alias("n_right"),
+            (
+                F.coalesce("n_left", F.lit(0)) * F.coalesce("n_right", F.lit(0))
+            ).alias("out_rows"),
+        )
+        .orderBy(F.desc("out_rows"), F.asc(key_col))
+        .limit(int(top_k))
+    )
+
+
+# log10(1 + 1/d) in exact ppm, d = 1..9 — the Benford first-digit law.
+# Integer constants so both engines compare identical literals.
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str = "value",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Benford's-law first-digit audit over a positive numeric column —
+    the fraud/fabrication screen (naturally occurring multi-scale values
+    follow P(d) = log10(1 + 1/d); fabricated or truncated data doesn't).
+    Emits per digit: observed count, observed share in exact ppm, the
+    Benford expectation in ppm (integer constants), and the signed
+    delta.
+
+    Exactness: values fixed-point to ``scale`` micro-units; the first
+    significant digit is pure integer arithmetic —
+    ``x div 10^(len(x) - 1)`` on the BIGINT — no log10 anywhere near the
+    data. One combinable 9-bucket aggregate; the shares divide by a
+    broadcast scalar total. Engine-exact, one scan.
+    """
+    x = F.round(F.col(value_col) * F.lit(int(scale))).cast("long")
+    digits = (
+        df.select(x.alias("x"))
+        .filter(F.col("x") > 0)
+        .select(
+            # pow(10, e) is double but exact for e <= 15; µ-scaled BIGINTs
+            # stay far below 10^15 digits of headroom
+            F.expr("x div cast(pow(10, length(cast(x as string)) - 1) as long)")
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    expect = df.sparkSession.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(BENFORD_PPM)],
+        "digit int, expected_ppm long",
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .join(F.broadcast(expect), on="digit")
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) div __t").alias("obs_ppm"),
+            "expected_ppm",
+            (F.expr("(n * 1000000) div __t") - F.col("expected_ppm")).alias(
+                "delta_ppm"
+            ),
+        )
+    )

@@ -411,3 +411,57 @@ def leadlag_xcorr(
             ),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group EXACT lower weighted median: the smallest value v such
+    that the cumulative weight of rows ≤ v reaches half the group's
+    total weight (``2 * cumw >= totw`` in pure integer arithmetic). The
+    importance-weighted center quality pipelines need when documents
+    carry token counts or sampling weights — an unweighted median
+    over-represents short documents.
+
+    One group-partitioned ordered window builds the running weight, one
+    flagged filter + row_number picks the crossing row; weights and the
+    inequality stay BIGINT throughout. No global sort, no float.
+
+    Returns ``(group, wmedian, totw, n)``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("wt"),
+        F.col(id_col).alias("i"),
+    )
+    wo = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("i"))
+    wg = Window.partitionBy("g")
+    cum = base.select(
+        "g",
+        "v",
+        "i",
+        F.sum("wt").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cumw"),
+        F.sum("wt").over(wg).alias("totw"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    flagged = cum.filter(F.lit(2) * F.col("cumw") >= F.col("totw"))
+    wr = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("i"))
+    return (
+        flagged.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("v").alias("wmedian"),
+            "totw",
+            "n",
+        )
+    )

@@ -7603,3 +7603,130 @@ ORACLES["rolling_active_users"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_join_fanout_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-join cardinality explosion audit
+    (pipeline.quality.join_fanout_audit): per-key counts on both sides
+    reduced first, counts-to-counts join, top-20 heaviest keys by exact
+    output-row contribution."""
+    from samza_spark.pipeline import quality
+
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("key")
+    )
+    return quality.join_fanout_audit(orders, li, "key", top_k=20)
+
+
+QUERIES["join_fanout_audit"] = q_join_fanout_audit
+ORACLES["join_fanout_audit"] = (
+    "WITH lc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_left "
+    "FROM orders GROUP BY 1), "
+    "rc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_right "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT coalesce(lc.k, rc.k) AS key, coalesce(n_left, 0) AS n_left, "
+    "coalesce(n_right, 0) AS n_right, "
+    "coalesce(n_left, 0) * coalesce(n_right, 0) AS out_rows "
+    "FROM lc FULL OUTER JOIN rc ON lc.k = rc.k "
+    "ORDER BY out_rows DESC, key ASC LIMIT 20"
+)
+
+
+def q_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution (pipeline.events.last_touch_attribution):
+    each purchase credited to the user's latest prior click within 7
+    days via one IGNORE-NULLS window over the rows-preceding frame — the
+    asof join collapsed into a window."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.last_touch_attribution(ev, lookback="7 days")
+
+
+QUERIES["last_touch_attribution"] = q_last_touch_attribution
+ORACLES["last_touch_attribution"] = (
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, "
+    "last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) "
+    "OVER w AS tid, "
+    "last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END "
+    "IGNORE NULLS) OVER w AS tus "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+    "SELECT user_id, event_id AS conversion_id, us AS conversion_us, "
+    "CASE WHEN tus IS NOT NULL AND us - tus <= 604800000000 THEN tid END "
+    "AS touch_id, "
+    "CASE WHEN tus IS NOT NULL AND us - tus <= 604800000000 THEN tus END "
+    "AS touch_us, "
+    "CASE WHEN tus IS NOT NULL AND us - tus <= 604800000000 THEN us - tus END "
+    "AS delay_us "
+    "FROM e WHERE event_type = 'purchase'"
+)
+
+
+def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit (pipeline.quality.benford_audit): pure
+    integer first-digit extraction on µ-scaled values, 9-bucket
+    combinable count, integer-ppm shares vs the Benford constants."""
+    from samza_spark.pipeline import quality
+
+    ev = load_table(spark, sf, "events")
+    return quality.benford_audit(ev, "value")
+
+
+QUERIES["benford_audit"] = q_benford_audit
+ORACLES["benford_audit"] = (
+    "WITH x AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS x FROM events "
+    "WHERE CAST(round(value * 1000000) AS BIGINT) > 0), "
+    "d AS (SELECT CAST(x // CAST(pow(10, length(CAST(x AS VARCHAR)) - 1) "
+    "AS BIGINT) AS INT) AS digit FROM x), "
+    "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), "
+    "t AS (SELECT sum(n) AS tt FROM c), "
+    "exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), "
+    "(4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)) "
+    "AS v(digit, expected_ppm)) "
+    "SELECT c.digit, n, CAST((n * 1000000) // tt AS BIGINT) AS obs_ppm, "
+    "CAST(expected_ppm AS BIGINT) AS expected_ppm, "
+    "CAST((n * 1000000) // tt - expected_ppm AS BIGINT) AS delta_ppm "
+    "FROM c CROSS JOIN t JOIN exp ON c.digit = exp.digit"
+)
+
+
+def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type exact lower weighted median of µ-scaled values weighted
+    by the JSON props.k (pipeline.stats.weighted_median): running-weight
+    window + integer crossing rule 2*cumw >= totw."""
+    from samza_spark.pipeline import stats as pstats
+
+    ev = load_table(spark, sf, "events")
+    k = F.expr(
+        "coalesce(CAST(nullif(regexp_extract(props, "
+        "'\"k\"\\\\s*:\\\\s*(-?[0-9]+)', 1), '') AS BIGINT), 1)"
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1e6).cast("long").alias("v_us"),
+        k.alias("wt"),
+    )
+    return pstats.weighted_median(base, "event_type", "v_us", "wt", "event_id")
+
+
+QUERIES["weighted_median"] = q_weighted_median
+ORACLES["weighted_median"] = (
+    "WITH base AS (SELECT event_type AS g, event_id AS i, "
+    "CAST(round(value * 1000000) AS BIGINT) AS v, "
+    "coalesce(CAST(nullif(regexp_extract(props, '\"k\"\\s*:\\s*(-?[0-9]+)', 1), "
+    "'') AS BIGINT), 1) AS wt FROM events), "
+    "cum AS (SELECT g, v, i, CAST(sum(wt) OVER (PARTITION BY g ORDER BY v, i "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw, "
+    "CAST(sum(wt) OVER (PARTITION BY g) AS BIGINT) AS totw, "
+    "CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM base), "
+    "fl AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v, i) AS r "
+    "FROM cum WHERE 2 * cumw >= totw) "
+    "SELECT g AS event_type, v AS wmedian, totw, n FROM fl WHERE r = 1"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

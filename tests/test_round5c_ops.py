@@ -433,3 +433,72 @@ def test_rolling_active_users_exact_window(spark):
     assert out[epoch(5)] == 1
     # no windows past the observed span
     assert max(out) == epoch(5)
+
+
+# ---------------------------------------------------------------------------
+# join_fanout_audit / benford_audit / weighted_median / last_touch
+# ---------------------------------------------------------------------------
+
+
+def test_join_fanout_audit_products(spark):
+    from samza_spark.pipeline import quality
+
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame([(1,), (1,), (1,), (4,)], "k long")
+    out = {r["k"]: r for r in quality.join_fanout_audit(left, right, "k").collect()}
+    assert (out[1]["n_left"], out[1]["n_right"], out[1]["out_rows"]) == (2, 3, 6)
+    assert out[2]["out_rows"] == 0 and out[4]["n_left"] == 0
+
+
+def test_benford_first_digit_extraction(spark):
+    from samza_spark.pipeline import quality
+
+    # values whose µ-scaled first digits are known; 0/negatives excluded
+    vals = [1.0, 19.5, 0.000002, 300.0, 9.99, -5.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = {r["digit"]: r["n"] for r in quality.benford_audit(df, "value").collect()}
+    assert out == {1: 2, 2: 1, 3: 1, 9: 1}
+
+
+def test_weighted_median_crossing_rule(spark):
+    from samza_spark.pipeline import stats as pstats
+
+    # values 1..4 with weights 1,1,1,7 -> weighted median is 4;
+    # unweighted median would be 2
+    rows = [("g", 1, 1, 1), ("g", 2, 2, 1), ("g", 3, 3, 1), ("g", 4, 4, 7)]
+    df = spark.createDataFrame(rows, "g string, i long, v long, wt long")
+    r = pstats.weighted_median(df, "g", "v", "wt", "i").collect()[0]
+    assert (r["wmedian"], r["totw"], r["n"]) == (4, 10, 4)
+    # equal weights degrade to the plain lower median
+    rows2 = [("h", i, v, 1) for i, v in enumerate([10, 20, 30, 40])]
+    df2 = spark.createDataFrame(rows2, "g string, i long, v long, wt long")
+    assert pstats.weighted_median(df2, "g", "v", "wt", "i").collect()[0][
+        "wmedian"
+    ] == 20
+
+
+def test_last_touch_attribution_window_and_lookback(spark):
+    from samza_spark.pipeline import events as pevents
+
+    rows = [
+        (1, _ts(0), 1, "click"),
+        (2, _ts(5), 1, "click"),      # latest prior click
+        (3, _ts(10), 1, "purchase"),  # attributed to 2
+        (4, _ts(11), 1, "purchase"),  # still 2 (clicks only before)
+        (5, _ts(0), 2, "view"),
+        (6, _ts(3), 2, "purchase"),   # no click -> unattributed
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["conversion_id"]: r
+        for r in pevents.last_touch_attribution(df).collect()
+    }
+    assert out[3]["touch_id"] == 2 and out[3]["delay_us"] == 5 * 60_000_000
+    assert out[4]["touch_id"] == 2
+    assert out[6]["touch_id"] is None and out[6]["delay_us"] is None
+    # lookback: a click 10 minutes before with lookback of 1 minute -> null
+    short = pevents.last_touch_attribution(df, lookback="1 minute").collect()
+    short = {r["conversion_id"]: r for r in short}
+    assert short[3]["touch_id"] is None
