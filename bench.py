@@ -171,6 +171,13 @@ HEADLINE = [
     "periodicity",
     "greedy_coverage",
     "leakage_safe_split",
+    "json_props_stats",
+    "leadlag_xcorr",
+    "rolling_active_users",
+    "join_fanout_audit",
+    "last_touch_attribution",
+    "benford_audit",
+    "weighted_median",
 ]
 
 

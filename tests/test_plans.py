@@ -472,3 +472,43 @@ def test_k_anonymity_is_one_aggregate(spark, sf_dir):
     # formatted explain names each node in the tree AND in the details
     assert plan.count("Exchange") <= 2
     assert "Window" not in plan and "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "seq_patterns",
+        "changepoint_cusum",
+        "periodicity",
+        "json_props_stats",
+        "leadlag_xcorr",
+        "rolling_active_users",
+        "join_fanout_audit",
+        "last_touch_attribution",
+        "benford_audit",
+        "weighted_median",
+    ],
+)
+def test_round5cd_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_last_touch_attribution_single_window_no_join(spark, sf_dir):
+    # the asof collapsed into a window: no self-join may reappear
+    plan = _plan(spark, "last_touch_attribution", sf_dir)
+    assert "Join" not in plan
+
+
+def test_join_fanout_audit_counts_before_join(spark, sf_dir):
+    # the audit join must be counts-to-counts: both join inputs aggregate
+    # (HashAggregate) before any SortMergeJoin/ShuffledHashJoin
+    plan = _plan(spark, "join_fanout_audit", sf_dir)
+    join_pos = min(
+        (plan.find(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") if plan.find(j) != -1),
+        default=-1,
+    )
+    assert join_pos != -1
+    assert plan[:join_pos].count("HashAggregate") == 0  # aggregates are BELOW the join in tree order
+    assert plan.count("HashAggregate") >= 2
