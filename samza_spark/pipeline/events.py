@@ -912,3 +912,119 @@ def last_touch_attribution(
         F.when(in_window, F.col("__tus")).alias("touch_us"),
         F.when(in_window, F.col("__us") - F.col("__tus")).alias("delay_us"),
     )
+
+
+def conversion_delay_ecdf(
+    df: DataFrame,
+    start_type: str = "signup",
+    end_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert ECDF at day granularity: per key, the delay from
+    its FIRST ``start_type`` event to its FIRST ``end_type`` event; keys
+    whose first end precedes their first start are excluded (ambiguous
+    attribution — they "converted" before entering). The exact
+    cumulative distribution over whole-day delay buckets follows —
+    ``cum_ppm`` of converters who converted within d days. The
+    survival-analysis view (Kaplan-Meier without censoring) behind
+    activation dashboards and cohort SLAs.
+
+    ONE key-keyed aggregate computes both firsts (conditional min —
+    no self-join between the two event subsets); the ECDF runs on the
+    tiny day-bucket domain (combinable count + one cumulative window +
+    a broadcast scalar). Integer arithmetic throughout.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_key = (
+        df.filter(F.col(type_col).isin([start_type, end_type]))
+        .groupBy(key_col)
+        .agg(
+            F.min(F.when(F.col(type_col) == start_type, us)).alias("__s"),
+            F.min(F.when(F.col(type_col) == end_type, us)).alias("__e_any"),
+        )
+    )
+    # first-end-before-first-start keys drop (docstring contract)
+    delays = per_key.filter(
+        F.col("__s").isNotNull()
+        & F.col("__e_any").isNotNull()
+        & (F.col("__e_any") >= F.col("__s"))
+    ).select(
+        F.expr("(__e_any - __s) div 86400000000").alias("delay_days")
+    )
+    counts = delays.groupBy("delay_days").agg(F.count(F.lit(1)).alias("n_users"))
+    total = counts.agg(F.sum("n_users").alias("__t"))
+    w = Window.orderBy(F.asc("delay_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the cumulative window runs on the day-bucket domain (≤ observation
+    # span in days) — a bounded single-partition stage by construction
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "delay_days",
+            "n_users",
+            F.sum("n_users").over(w).alias("cum_users"),
+            "__t",
+        )
+        .select(
+            "delay_days",
+            "n_users",
+            "cum_users",
+            F.expr("(cum_users * 1000000) div __t").alias("cum_ppm"),
+        )
+    )
+
+
+def ab_test_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    salt: str = "exp0",
+) -> DataFrame:
+    """Deterministic A/B experiment readout: users hash into arm A or B
+    by the cross-engine md5 bucket (same machinery as
+    :func:`samza_spark.pipeline.sampling.assign_split` — a user's arm
+    never changes as data grows), conversion = at least one
+    ``conversion_type`` event. One row: per-arm user and converter
+    counts, per-arm conversion in exact ppm, and the relative lift of B
+    over A in ppm (integer division — the sqrt-free exact part of the
+    readout; significance testing needs floats and is left downstream).
+
+    ONE user-keyed aggregate (arm is a map-side expression on the
+    already-grouped key), then a two-row arm rollup pivoted into the
+    summary. Scale-safe: nothing but the per-user reduction touches the
+    event volume.
+    """
+    from samza_spark.pipeline.sampling import _hash_bucket
+
+    per_user = df.groupBy(F.col(key_col).alias("u")).agg(
+        F.max((F.col(type_col) == conversion_type).cast("long")).alias("conv")
+    )
+    armed = per_user.select(
+        _hash_bucket("u", salt, 2).alias("arm"), "conv"
+    )
+    arms = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("c"),
+    )
+    pivoted = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("conv_b"),
+    )
+    return pivoted.select(
+        "n_a",
+        "conv_a",
+        F.expr("(conv_a * 1000000) div n_a").alias("rate_a_ppm"),
+        "n_b",
+        "conv_b",
+        F.expr("(conv_b * 1000000) div n_b").alias("rate_b_ppm"),
+        F.expr(
+            "CASE WHEN conv_a > 0 THEN "
+            "((conv_b * n_a - conv_a * n_b) * 1000000) div (conv_a * n_b) END"
+        ).alias("lift_ppm"),
+    )

@@ -183,3 +183,39 @@ def benford_audit(
             ),
         )
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    lhs_cols: "Sequence[str]",
+    rhs_col: str,
+    fd_name: str | None = None,
+) -> DataFrame:
+    """Functional-dependency audit: does the LHS column set determine
+    ``rhs_col``? One row summarizing how many LHS keys exist, how many
+    map to MORE than one RHS value (FD violations), the worst key's
+    variant count, and the violation rate in exact ppm. The schema-
+    discovery/data-contract check (Deequ's uniqueness/consistency family)
+    run before declaring a column a reliable join or dedup key.
+
+    Two combinable aggregates: distinct (LHS, RHS) reduction, then the
+    per-LHS variant count, then a one-row summary. Shuffle volume is the
+    distinct pair table — never raw rows twice.
+    """
+    name = fd_name or f"{','.join(lhs_cols)}->{rhs_col}"
+    pairs = df.select(*lhs_cols, rhs_col).distinct()
+    per_key = pairs.groupBy(*lhs_cols).agg(
+        F.count(F.lit(1)).alias("variants")
+    )
+    return per_key.agg(
+        F.lit(name).alias("fd"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("variants") > 1).cast("long")).alias("n_violating"),
+        F.max("variants").alias("max_variants"),
+    ).select(
+        "fd",
+        "n_keys",
+        "n_violating",
+        "max_variants",
+        F.expr("(n_violating * 1000000) div n_keys").alias("violation_ppm"),
+    )

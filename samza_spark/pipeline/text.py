@@ -827,3 +827,40 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi_ppm"), F.asc("prev"), F.asc("cur")
     ).limit(int(top_k))
+
+
+def pii_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source PII exposure report: for each group, how many documents
+    contain each PII pattern family (:data:`PII_PATTERNS` — the same
+    regexes :func:`redact_pii` scrubs with, so the report predicts
+    exactly what redaction will touch) plus exact-ppm document rates.
+    The governance dashboard run BEFORE deciding a source needs
+    scrubbing or exclusion.
+
+    One scan, one combinable groupBy: each pattern is a map-side
+    ``rlike`` flag summed per group. Patterns stay in the common
+    Java-regex/RE2 subset so a DuckDB oracle replays them byte-for-byte.
+    """
+    flags = [
+        F.sum(F.col(text_col).rlike(pat).cast("long")).alias(f"n_{kind.lower()}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    agged = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"), *flags
+    )
+    rates = [
+        F.expr(f"(n_{k.lower()} * 1000000) div n_docs").alias(
+            f"{k.lower()}_ppm"
+        )
+        for k in PII_PATTERNS
+    ]
+    return agged.select(
+        group_col,
+        "n_docs",
+        *[F.col(f"n_{k.lower()}") for k in PII_PATTERNS],
+        *rates,
+    )

@@ -7730,3 +7730,136 @@ ORACLES["weighted_median"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def _fd_oracle(lhs: str, rhs: str, table: str, name: str) -> str:
+    return (
+        f"SELECT '{name}' AS fd, CAST(count(*) AS BIGINT) AS n_keys, "
+        "CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_violating, CAST(max(variants) AS BIGINT) AS max_variants, "
+        "CAST((sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) * 1000000) "
+        "// count(*) AS BIGINT) AS violation_ppm FROM "
+        f"(SELECT {lhs}, CAST(count(*) AS BIGINT) AS variants FROM "
+        f"(SELECT DISTINCT {lhs}, {rhs} FROM {table}) GROUP BY {lhs})"
+    )
+
+
+def q_fd_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audits (pipeline.quality.fd_audit): a clean
+    key FD (event_id -> event_type), a violating one (user_id ->
+    event_type), and the documents source -> lang contract — three
+    one-row summaries unioned."""
+    from samza_spark.pipeline import quality
+
+    ev = load_table(spark, sf, "events")
+    docs = load_table(spark, sf, "documents")
+    return (
+        quality.fd_audit(ev, ["event_id"], "event_type")
+        .union(quality.fd_audit(ev, ["user_id"], "event_type"))
+        .union(quality.fd_audit(docs, ["source"], "lang"))
+    )
+
+
+QUERIES["fd_audit"] = q_fd_audit
+ORACLES["fd_audit"] = (
+    _fd_oracle("event_id", "event_type", "events", "event_id->event_type")
+    + " UNION ALL "
+    + _fd_oracle("user_id", "event_type", "events", "user_id->event_type")
+    + " UNION ALL "
+    + _fd_oracle("source", "lang", "documents", "source->lang")
+)
+
+
+def q_conversion_delay_ecdf(spark: SparkSession, sf: str) -> DataFrame:
+    """Signup->purchase time-to-convert ECDF
+    (pipeline.events.conversion_delay_ecdf): one conditional-min user
+    aggregate, day-bucket counts, bounded cumulative window, exact ppm."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.conversion_delay_ecdf(ev)
+
+
+QUERIES["conversion_delay_ecdf"] = q_conversion_delay_ecdf
+ORACLES["conversion_delay_ecdf"] = (
+    "WITH pk AS (SELECT user_id, "
+    "min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s, "
+    "min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS e "
+    "FROM events WHERE event_type IN ('signup', 'purchase') GROUP BY user_id), "
+    "d AS (SELECT (e - s) // 86400000000 AS delay_days FROM pk "
+    "WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s), "
+    "c AS (SELECT delay_days, CAST(count(*) AS BIGINT) AS n_users FROM d "
+    "GROUP BY 1), t AS (SELECT sum(n_users) AS tt FROM c) "
+    "SELECT delay_days, n_users, "
+    "CAST(sum(n_users) OVER (ORDER BY delay_days ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) AS cum_users, "
+    "CAST((sum(n_users) OVER (ORDER BY delay_days ROWS UNBOUNDED PRECEDING) "
+    "* 1000000) // tt AS BIGINT) AS cum_ppm FROM c CROSS JOIN t"
+)
+
+
+def q_ab_test_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic A/B readout (pipeline.events.ab_test_report):
+    md5-hash arm assignment, one user-keyed aggregate, exact integer
+    rates and relative lift in ppm."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.ab_test_report(ev, salt="exp0")
+
+
+QUERIES["ab_test_report"] = q_ab_test_report
+ORACLES["ab_test_report"] = (
+    "WITH pu AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' "
+    "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY user_id), "
+    "a AS (SELECT ('0x' || substr(md5('exp0' || '|' || "
+    "CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm, conv FROM pu), "
+    "ar AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(conv) AS BIGINT) AS c FROM a GROUP BY arm), "
+    "p AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a, "
+    "max(CASE WHEN arm = 0 THEN c END) AS conv_a, "
+    "max(CASE WHEN arm = 1 THEN n END) AS n_b, "
+    "max(CASE WHEN arm = 1 THEN c END) AS conv_b FROM ar) "
+    "SELECT n_a, conv_a, CAST((conv_a * 1000000) // n_a AS BIGINT) "
+    "AS rate_a_ppm, n_b, conv_b, CAST((conv_b * 1000000) // n_b AS BIGINT) "
+    "AS rate_b_ppm, CASE WHEN conv_a > 0 THEN "
+    "CAST(((conv_b * n_a - conv_a * n_b) * 1000000) // (conv_a * n_b) "
+    "AS BIGINT) END AS lift_ppm FROM p"
+)
+
+
+def q_pii_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source PII exposure report (pipeline.text.pii_report): one
+    combinable groupBy of rlike flags over the same patterns redact_pii
+    scrubs with; exact-ppm document rates."""
+    docs = load_table(spark, sf, "documents")
+    return text.pii_report(docs)
+
+
+QUERIES["pii_report"] = q_pii_report
+
+
+def _pii_oracle() -> str:
+    from samza_spark.pipeline.text import PII_PATTERNS
+
+    flags = ", ".join(
+        "CAST(sum(CASE WHEN regexp_matches(text, '{p}') THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_{k}".format(p=pat.replace("'", "''"), k=kind.lower())
+        for kind, pat in PII_PATTERNS.items()
+    )
+    rates = ", ".join(
+        f"CAST((n_{k.lower()} * 1000000) // n_docs AS BIGINT) AS {k.lower()}_ppm"
+        for k in PII_PATTERNS
+    )
+    return (
+        f"WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, {flags} "
+        "FROM documents GROUP BY source) "
+        f"SELECT source, n_docs, "
+        + ", ".join(f"n_{k.lower()}" for k in PII_PATTERNS)
+        + f", {rates} FROM a"
+    )
+
+
+ORACLES["pii_report"] = _pii_oracle()
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

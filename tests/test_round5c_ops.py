@@ -502,3 +502,93 @@ def test_last_touch_attribution_window_and_lookback(spark):
     short = pevents.last_touch_attribution(df, lookback="1 minute").collect()
     short = {r["conversion_id"]: r for r in short}
     assert short[3]["touch_id"] is None
+
+
+# ---------------------------------------------------------------------------
+# fd_audit / conversion_delay_ecdf / ab_test_report / pii_report
+# ---------------------------------------------------------------------------
+
+
+def test_fd_audit_clean_and_violating(spark):
+    from samza_spark.pipeline import quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"), (2, "c"), (3, "a")],
+        "k long, v string",
+    )
+    r = quality.fd_audit(df, ["k"], "v").collect()[0]
+    assert (r["n_keys"], r["n_violating"], r["max_variants"]) == (3, 1, 3)
+    assert r["violation_ppm"] == 1_000_000 // 3
+    clean = quality.fd_audit(df.select("k", F.lit("x").alias("v")), ["k"], "v")
+    assert clean.collect()[0]["n_violating"] == 0
+
+
+def test_conversion_delay_ecdf_buckets(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    d = lambda day, h=0: dt.datetime(2024, 7, day, h)  # noqa: E731
+    rows = [
+        # user 1: signup day1, purchase day1 (delay 0)
+        (1, d(1), 1, "signup"), (2, d(1, 5), 1, "purchase"),
+        # user 2: signup day1, purchase day3 (delay 2)
+        (3, d(1), 2, "signup"), (4, d(3), 2, "purchase"),
+        # user 3: purchase BEFORE signup -> excluded
+        (5, d(2), 3, "purchase"), (6, d(3), 3, "signup"),
+        # user 4: signup only -> not a converter
+        (7, d(1), 4, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["delay_days"]: r for r in pevents.conversion_delay_ecdf(df).collect()}
+    assert out[0]["n_users"] == 1 and out[0]["cum_ppm"] == 500_000
+    assert out[2]["cum_users"] == 2 and out[2]["cum_ppm"] == 1_000_000
+    assert set(out) == {0, 2}
+
+
+def test_ab_test_report_exact_counts(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+    from samza_spark.pipeline.sampling import _hash_bucket
+
+    rows = []
+    for u in range(40):
+        rows.append((u * 2, dt.datetime(2024, 1, 1), u, "view"))
+        if u % 4 == 0:
+            rows.append((u * 2 + 1, dt.datetime(2024, 1, 2), u, "purchase"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = pevents.ab_test_report(df, salt="t1").collect()[0]
+    assert r["n_a"] + r["n_b"] == 40
+    assert r["conv_a"] + r["conv_b"] == 10
+    assert r["rate_a_ppm"] == r["conv_a"] * 1_000_000 // r["n_a"]
+    # arm assignment is the documented md5 bucket (replayable)
+    arms = {
+        row["u"]: row["arm"]
+        for row in df.select(F.col("user_id").alias("u"))
+        .distinct()
+        .select("u", _hash_bucket("u", "t1", 2).alias("arm"))
+        .collect()
+    }
+    assert r["n_a"] == sum(1 for a in arms.values() if a == 0)
+
+
+def test_pii_report_counts_docs_not_matches(spark):
+    from samza_spark.pipeline import text as ptext
+
+    docs = [
+        (1, "s1", "mail me at a@b.com or c@d.org"),   # 1 doc, 2 emails
+        (2, "s1", "visit https://x.y/z now"),
+        (3, "s1", "clean text"),
+        (4, "s2", "call +1-555-123-4567"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in ptext.pii_report(df).collect()}
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_email"], s1["n_url"]) == (3, 1, 1)
+    assert s1["email_ppm"] == 1_000_000 // 3
+    assert out["s2"]["n_phone"] == 1
