@@ -1028,3 +1028,36 @@ def ab_test_report(
             "((conv_b * n_a - conv_a * n_b) * 1000000) div (conv_a * n_b) END"
         ).alias("lift_ppm"),
     )
+
+
+def ohlc_bars_agg(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """Streaming-compatible OHLC form: open/close via ``min_by/max_by``
+    over the ``(ts, tiebreak)`` struct order — pure COMBINABLE aggregates
+    (partial states merge associatively), so the same expression runs
+    under a watermarked streaming groupBy where the window-function form
+    of :func:`ohlc_bars` cannot (row_number needs the whole pane). Batch
+    output is identical to :func:`ohlc_bars` (property-tested); batch
+    plans prefer the window form only because its DuckDB oracle is
+    simpler — at scale the two shapes cost the same one shuffle.
+    """
+    ordk = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.min_by(F.col(value_col), ordk).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), ordk).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

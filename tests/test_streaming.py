@@ -478,3 +478,78 @@ def test_progress_summary_metrics(spark, tmp_path):
     assert m["rows_per_sec"] > 0 and m["max_batch_ms"] > 0
     assert m["watermark"] is not None
     assert m["dropped_late_rows"] == 0
+
+
+def test_streaming_ohlc_bars_match_batch(spark, tmp_path):
+    """OHLC downsampling runs under Structured Streaming via the
+    combinable min_by/max_by form (pipeline.events.ohlc_bars_agg) —
+    per-pane open/high/low/close from a watermarked windowed groupBy
+    equals the batch window-function form exactly."""
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    src = str(tmp_path / "ohlc_src")
+    rows = []
+    for i in range(48):
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 1, 1 + i // 24, i % 24),
+                "t" + str(i % 2),
+                float((i * 37) % 101),
+            )
+        )
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    agged = (
+        stream.groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    q = (
+        agged.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["event_type"], r["window"].start): (
+            r["open"], r["high"], r["low"], r["close"], r["n"],
+        )
+        for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    }
+    want = {
+        (r["event_type"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"],
+        )
+        for r in pevents.ohlc_bars(batch_df, bucket="day").collect()
+    }
+    assert got == want
+    # and the combinable form equals the window-function form in batch
+    agg_form = {
+        (r["event_type"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"],
+        )
+        for r in pevents.ohlc_bars_agg(batch_df, bucket="day").collect()
+    }
+    assert agg_form == want
