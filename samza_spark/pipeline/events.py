@@ -1061,3 +1061,65 @@ def ohlc_bars_agg(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def nearest_event_join(
+    df: DataFrame,
+    left_type: str,
+    right_type: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bidirectional nearest-in-time join WITHIN one stream: each
+    ``left_type`` event paired with the temporally closest
+    ``right_type`` event of the same key, looking both backward and
+    forward (the symmetric generalization of the asof join, which only
+    looks back). Ties at equal distance resolve backward (the earlier
+    candidate) — deterministic under the (ts, id) total order. Events
+    with no candidate in either direction emit NULLs.
+
+    Plan: NO self-join — the union-stream trick: two ignore-nulls
+    ``last`` windows over the same key partition (one time-ascending for
+    the nearest predecessor, one time-descending for the nearest
+    successor), then a map-side pick of the closer side. Exact signed
+    microsecond deltas. Keys partition all work.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    r_id = F.when(F.col(type_col) == right_type, F.col(id_col))
+    r_us = F.when(F.col(type_col) == right_type, us)
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc(ts_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(F.desc(ts_col), F.desc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(type_col),
+        us.alias("__us"),
+        F.last(r_id, ignorenulls=True).over(wb).alias("__pid"),
+        F.last(r_us, ignorenulls=True).over(wb).alias("__pus"),
+        F.last(r_id, ignorenulls=True).over(wf).alias("__nid"),
+        F.last(r_us, ignorenulls=True).over(wf).alias("__nus"),
+    ).filter(F.col(type_col) == left_type)
+    take_next = F.col("__pus").isNull() | (
+        F.col("__nus").isNotNull()
+        & ((F.col("__nus") - F.col("__us")) < (F.col("__us") - F.col("__pus")))
+    )
+    nid = F.when(take_next, F.col("__nid")).otherwise(F.col("__pid"))
+    nus = F.when(take_next, F.col("__nus")).otherwise(F.col("__pus"))
+    return enriched.select(
+        F.col(key_col),
+        F.col(id_col).alias("left_id"),
+        F.col("__us").alias("left_us"),
+        nid.alias("nearest_id"),
+        nus.alias("nearest_us"),
+        (nus - F.col("__us")).alias("delta_us"),
+    )

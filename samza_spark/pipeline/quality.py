@@ -219,3 +219,43 @@ def fd_audit(
         "max_variants",
         F.expr("(n_violating * 1000000) div n_keys").alias("violation_ppm"),
     )
+
+
+def table_profile(
+    df: DataFrame,
+    cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """One-pass column profiler: for every column, row count, null
+    count, exact distinct count, and lexicographic min/max (values cast
+    to string so the report schema is fixed across column types — note
+    numeric min/max are therefore LEXICOGRAPHIC; exact numeric extremes
+    belong to a typed query). The Deequ-profiler analog that feeds rule
+    authoring for :func:`quality_report`.
+
+    All metrics for all columns compute in ONE aggregation pass
+    (conditional counters + count-distincts planned as the standard
+    expand); the unpivot to per-column rows costs nothing. One scan at
+    any table width.
+    """
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn{i}"),
+            F.countDistinct(F.col(c)).alias(f"__nd{i}"),
+            F.min(s).alias(f"__mn{i}"),
+            F.max(s).alias(f"__mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n, coalesce(__nn{i}, 0), coalesce(__nd{i}, 0), "
+        f"__mn{i}, __mx{i}"
+        for i, c in enumerate(cols)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_rows, n_null, n_distinct, min_str, max_str)"
+        )
+    )

@@ -1591,3 +1591,52 @@ def bitext_margin(
     return scored.orderBy(
         F.desc("margin_ppm"), F.asc("a"), F.asc("b")
     ).limit(top)
+
+
+def knn_label_noise(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise detection by k-NN label disagreement (the Deep-kNN /
+    confident-learning-style audit): for each query vector, take its
+    exact top-k cosine neighbors, majority-vote their labels (ties →
+    smallest label), and flag vectors whose own label disagrees — the
+    candidates a labeling team reviews first.
+
+    Composes :func:`cosine_topk` (broadcast queries, partition-local
+    top-k — the corpus is never shuffled), then joins the tiny
+    queries×k neighbor table to labels and votes with one rank window
+    over ≤k rows per query. Exact integer votes, deterministic ties.
+    """
+    q = queries if queries is not None else emb
+    topk = cosine_topk(emb, q, k=k, id_col=id_col, vec_col=vec_col)
+    nb_labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    own = q.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("label"))
+    votes = (
+        topk.join(nb_labels, on="neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    maj = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "query_id",
+            F.col("n_label").alias("majority_label"),
+            F.col("votes").alias("majority_votes"),
+        )
+    )
+    return own.join(maj, on="query_id").select(
+        F.col("query_id").alias(id_col),
+        "label",
+        "majority_label",
+        "majority_votes",
+        (F.col("label") != F.col("majority_label")).alias("flagged"),
+    )

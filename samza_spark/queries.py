@@ -7863,3 +7863,103 @@ def _pii_oracle() -> str:
 ORACLES["pii_report"] = _pii_oracle()
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profiler (pipeline.quality.table_profile) over the
+    events table's exactly-stringifiable columns (ints + strings; doubles
+    and timestamps format differently across engines, so the generic
+    profile keeps to the portable subset here)."""
+    from samza_spark.pipeline import quality
+
+    ev = load_table(spark, sf, "events")
+    return quality.table_profile(ev, ["event_id", "user_id", "event_type", "props"])
+
+
+QUERIES["table_profile"] = q_table_profile
+
+
+def _profile_oracle(table: str, cols: "list[str]") -> str:
+    parts = []
+    for c in cols:
+        parts.append(
+            f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_null, CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"min(CAST({c} AS VARCHAR)) AS min_str, "
+            f"max(CAST({c} AS VARCHAR)) AS max_str FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["table_profile"] = _profile_oracle(
+    "events", ["event_id", "user_id", "event_type", "props"]
+)
+
+
+def q_nearest_event_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bidirectional nearest-in-time pairing
+    (pipeline.events.nearest_event_join): each view matched to its
+    temporally closest purchase per user via two ignore-nulls windows —
+    no self-join; ties resolve backward."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.nearest_event_join(ev, "view", "purchase")
+
+
+QUERIES["nearest_event_join"] = q_nearest_event_join
+ORACLES["nearest_event_join"] = (
+    "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, "
+    "last_value(CASE WHEN event_type = 'purchase' THEN event_id END "
+    "IGNORE NULLS) OVER wb AS pid, "
+    "last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END "
+    "IGNORE NULLS) OVER wb AS pus, "
+    "last_value(CASE WHEN event_type = 'purchase' THEN event_id END "
+    "IGNORE NULLS) OVER wf AS nid, "
+    "last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END "
+    "IGNORE NULLS) OVER wf AS nus "
+    "FROM events WINDOW "
+    "wb AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "wf AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+    "v AS (SELECT *, (pus IS NULL OR (nus IS NOT NULL AND "
+    "nus - us < us - pus)) AS take_next FROM e WHERE event_type = 'view') "
+    "SELECT user_id, event_id AS left_id, us AS left_us, "
+    "CASE WHEN take_next THEN nid ELSE pid END AS nearest_id, "
+    "CASE WHEN take_next THEN nus ELSE pus END AS nearest_us, "
+    "CASE WHEN take_next THEN nus ELSE pus END - us AS delta_us FROM v"
+)
+
+
+def q_knn_label_noise(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN label-noise audit (pipeline.similarity.knn_label_noise):
+    exact cosine top-10 neighbors for the vec_id<200 slice, majority
+    label vote with deterministic ties, disagreement flags."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.knn_label_noise(emb, emb.filter(F.col("vec_id") < 200), k=10)
+
+
+QUERIES["knn_label_noise"] = q_knn_label_noise
+ORACLES["knn_label_noise"] = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label "
+    "FROM embeddings WHERE vec_id < 200), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    + _cos("e.embedding", "q.qv")
+    + " AS cosine FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+    "tk AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk "
+    "FROM scored) WHERE rnk <= 10), "
+    "v AS (SELECT query_id, e.label AS n_label, CAST(count(*) AS BIGINT) "
+    "AS votes FROM tk JOIN embeddings e ON tk.neighbor_id = e.vec_id "
+    "GROUP BY 1, 2), "
+    "m AS (SELECT query_id, n_label AS majority_label, votes AS "
+    "majority_votes FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY votes DESC, n_label) AS r FROM v) WHERE r = 1) "
+    "SELECT q.query_id AS vec_id, q.label, m.majority_label, "
+    "m.majority_votes, q.label <> m.majority_label AS flagged "
+    "FROM q JOIN m USING (query_id)"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

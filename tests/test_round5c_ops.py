@@ -592,3 +592,69 @@ def test_pii_report_counts_docs_not_matches(spark):
     assert (s1["n_docs"], s1["n_email"], s1["n_url"]) == (3, 1, 1)
     assert s1["email_ppm"] == 1_000_000 // 3
     assert out["s2"]["n_phone"] == 1
+
+
+# ---------------------------------------------------------------------------
+# table_profile / nearest_event_join / knn_label_noise
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_metrics(spark):
+    from samza_spark.pipeline import quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string"
+    )
+    out = {r["col"]: r for r in quality.table_profile(df).collect()}
+    assert (out["k"]["n_rows"], out["k"]["n_null"], out["k"]["n_distinct"]) == (
+        3, 0, 2,
+    )
+    assert (out["s"]["n_null"], out["s"]["n_distinct"]) == (1, 2)
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+
+
+def test_nearest_event_join_directions_and_tie(spark):
+    from samza_spark.pipeline import events as pevents
+
+    rows = [
+        # user 1: purchase at t=10 and t=30; views at 12 (back), 29
+        # (forward), 20 (tie -> backward)
+        (1, _ts(0, 10), 1, "purchase"),
+        (2, _ts(0, 12), 1, "view"),
+        (3, _ts(0, 20), 1, "view"),
+        (4, _ts(0, 29), 1, "view"),
+        (5, _ts(0, 30), 1, "purchase"),
+        # user 2: view with no purchase at all
+        (6, _ts(0, 5), 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["left_id"]: r
+        for r in pevents.nearest_event_join(df, "view", "purchase").collect()
+    }
+    assert out[2]["nearest_id"] == 1 and out[2]["delta_us"] == -2_000_000
+    assert out[4]["nearest_id"] == 5 and out[4]["delta_us"] == 1_000_000
+    assert out[3]["nearest_id"] == 1  # equidistant -> backward
+    assert out[6]["nearest_id"] is None and out[6]["delta_us"] is None
+
+
+def test_knn_label_noise_flags_disagreement(spark):
+    from samza_spark.pipeline import similarity as sim
+
+    # two tight clusters along different axes; vec 99 sits in cluster A
+    # but carries cluster B's label -> flagged
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + i * 0.01, 0.0], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 5.0 + i * 0.01], 1))
+    rows.append((99, [10.0, 0.05], 1))  # mislabeled A-cluster point
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r["vec_id"]: r for r in sim.knn_label_noise(df, k=5).collect()
+    }
+    assert out[99]["flagged"] and out[99]["majority_label"] == 0
+    assert not out[0]["flagged"]
+    assert out[0]["majority_votes"] == 5
