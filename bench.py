@@ -178,6 +178,13 @@ HEADLINE = [
     "last_touch_attribution",
     "benford_audit",
     "weighted_median",
+    "fd_audit",
+    "conversion_delay_ecdf",
+    "ab_test_report",
+    "pii_report",
+    "table_profile",
+    "nearest_event_join",
+    "knn_label_noise",
 ]
 
 

@@ -512,3 +512,33 @@ def test_join_fanout_audit_counts_before_join(spark, sf_dir):
     assert join_pos != -1
     assert plan[:join_pos].count("HashAggregate") == 0  # aggregates are BELOW the join in tree order
     assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "fd_audit",
+        "conversion_delay_ecdf",
+        "ab_test_report",
+        "pii_report",
+        "table_profile",
+        "nearest_event_join",
+        "knn_label_noise",
+    ],
+)
+def test_round5ef_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_nearest_event_join_no_self_join(spark, sf_dir):
+    # the union-stream trick: windows only, never a Join node
+    plan = _plan(spark, "nearest_event_join", sf_dir)
+    assert "Join" not in plan
+
+
+def test_pii_report_single_aggregate(spark, sf_dir):
+    plan = _plan(spark, "pii_report", sf_dir)
+    assert plan.count("Exchange") <= 2  # tree + details render of the one node
+    assert "Join" not in plan and "Window" not in plan
