@@ -1123,3 +1123,59 @@ def nearest_event_join(
         nus.alias("nearest_us"),
         (nus - F.col("__us")).alias("delta_us"),
     )
+
+
+def running_balance(
+    df: DataFrame,
+    delta_col: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    floor_at: int = 0,
+) -> DataFrame:
+    """Per-key clamped running balance: fold each key's time-ordered
+    integer deltas with ``balance = max(floor, balance + delta)`` — the
+    inventory/credit/quota semantics where a balance cannot go below the
+    floor. This fold is NON-associative (clamping loses information), so
+    no window/aggregate combination can express it; it is the canonical
+    arbitrary-stateful-per-key computation (the reference's StreamTask +
+    local store shape, StreamTask.java:38) — and the exact case where
+    the right Spark form is a bounded per-key array fold, not a window.
+
+    ONE groupBy(key) collects each key's (ts, id, delta) triples
+    (per-key data bounded — the sessionize/funnel contract), sorts
+    in-row, and folds with ``aggregate`` entirely JVM-side. Returns
+    ``(key, n_events, final_balance, n_clamps)`` where ``n_clamps``
+    counts how often the raw sum dipped below the floor.
+    """
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                F.col(id_col).alias("i"),
+                F.col(delta_col).cast("long").alias("d"),
+            )
+        )
+    )
+    fl = int(floor_at)
+    fold = F.expr(
+        "aggregate(__arr, struct(CAST({fl} AS BIGINT) AS bal, "
+        "CAST(0 AS BIGINT) AS clamps), (acc, x) -> struct("
+        "greatest(acc.bal + x.d, CAST({fl} AS BIGINT)), "
+        "acc.clamps + IF(acc.bal + x.d < {fl}, 1, 0)))".format(fl=fl)
+    )
+    return (
+        df.groupBy(key_col)
+        .agg(arr.alias("__arr"))
+        .select(
+            key_col,
+            F.size("__arr").cast("long").alias("n_events"),
+            fold.alias("__f"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            F.col("__f.bal").alias("final_balance"),
+            F.col("__f.clamps").alias("n_clamps"),
+        )
+    )

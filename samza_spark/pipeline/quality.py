@@ -259,3 +259,51 @@ def table_profile(
             "(col, n_rows, n_null, n_distinct, min_str, max_str)"
         )
     )
+
+
+def revenue_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """Financial reconciliation audit: recompute each order's total from
+    its line items in EXACT integer arithmetic —
+    ``cents × (100 - disc_pct) × (100 + tax_pct)`` per line, summed —
+    and report the ``top_k`` orders by absolute mismatch against the
+    order header's total (scaled to the same 10⁻⁶-currency unit). The
+    sum-consistency check every billing pipeline runs; float summation
+    would manufacture phantom mismatches at the ulp level, so everything
+    is BIGINT until the final comparison.
+
+    One combinable per-order aggregate over lineitem + a key equi-join
+    to the header + TakeOrderedAndProject. Scale-safe.
+    """
+    line_val = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("long"))
+    )
+    computed = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(line_val).alias("computed_u"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    header = orders.select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000)).alias(
+            "header_u"
+        ),
+    )
+    return (
+        header.join(computed, on="o_orderkey", how="left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            "header_u",
+            F.coalesce("computed_u", F.lit(0)).alias("computed_u"),
+            (
+                F.coalesce("computed_u", F.lit(0)) - F.col("header_u")
+            ).alias("delta_u"),
+        )
+        .orderBy(F.desc(F.abs(F.col("delta_u"))), F.asc("o_orderkey"))
+        .limit(int(top_k))
+    )

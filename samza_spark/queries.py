@@ -7963,3 +7963,70 @@ ORACLES["knn_label_noise"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_running_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Clamped per-user running balance (pipeline.events.running_balance):
+    signed cent deltas (purchases/errors debit, the rest credit), floor-
+    at-zero NON-associative fold done as one bounded per-key array
+    aggregate — the canonical stateful-task semantics no window can
+    express."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    delta = F.when(
+        F.col("event_type").isin(["purchase", "error"]),
+        -F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.round(F.col("value") * 100).cast("long"))
+    return pevents.running_balance(ev.withColumn("__d", delta), "__d")
+
+
+QUERIES["running_balance"] = q_running_balance
+ORACLES["running_balance"] = (
+    "WITH d AS (SELECT user_id, ts, event_id, CASE WHEN event_type IN "
+    "('purchase', 'error') THEN -CAST(round(value * 100) AS BIGINT) "
+    "ELSE CAST(round(value * 100) AS BIGINT) END AS dd FROM events), "
+    "g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+    "array_agg(dd ORDER BY ts, event_id) AS ds FROM d GROUP BY user_id) "
+    "SELECT user_id, n_events, "
+    "CAST(list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)], "
+    "list_transform(ds, x -> [x, CAST(0 AS BIGINT)])), (acc, x) -> "
+    "[greatest(acc[1] + x[1], 0), acc[2] + CASE WHEN acc[1] + x[1] < 0 "
+    "THEN 1 ELSE 0 END])[1] AS BIGINT) AS final_balance, "
+    "CAST(list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)], "
+    "list_transform(ds, x -> [x, CAST(0 AS BIGINT)])), (acc, x) -> "
+    "[greatest(acc[1] + x[1], 0), acc[2] + CASE WHEN acc[1] + x[1] < 0 "
+    "THEN 1 ELSE 0 END])[2] AS BIGINT) AS n_clamps "
+    "FROM g"
+)
+
+
+def q_revenue_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-total reconciliation audit
+    (pipeline.quality.revenue_reconciliation): exact-integer recompute of
+    each order's total from line items vs the header, top-20 mismatches."""
+    from samza_spark.pipeline import quality
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return quality.revenue_reconciliation(orders, li, top_k=20)
+
+
+QUERIES["revenue_reconciliation"] = q_revenue_reconciliation
+ORACLES["revenue_reconciliation"] = (
+    "WITH c AS (SELECT l_orderkey AS o_orderkey, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l_discount * 100) AS BIGINT)) * "
+    "(100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS computed_u, "
+    "CAST(count(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1), "
+    "h AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) "
+    "* 10000 AS header_u FROM orders) "
+    "SELECT h.o_orderkey, coalesce(n_lines, 0) AS n_lines, header_u, "
+    "coalesce(computed_u, 0) AS computed_u, "
+    "coalesce(computed_u, 0) - header_u AS delta_u "
+    "FROM h LEFT JOIN c ON h.o_orderkey = c.o_orderkey "
+    "ORDER BY abs(coalesce(computed_u, 0) - header_u) DESC, h.o_orderkey "
+    "LIMIT 20"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -658,3 +658,49 @@ def test_knn_label_noise_flags_disagreement(spark):
     assert out[99]["flagged"] and out[99]["majority_label"] == 0
     assert not out[0]["flagged"]
     assert out[0]["majority_votes"] == 5
+
+
+# ---------------------------------------------------------------------------
+# running_balance / revenue_reconciliation
+# ---------------------------------------------------------------------------
+
+
+def test_running_balance_clamps_at_floor(spark):
+    from samza_spark.pipeline import events as pevents
+
+    # deltas in time order: +10, -25 (clamp to 0), +5, -2 -> final 3, 1 clamp
+    rows = [
+        (1, _ts(0), 1, 10),
+        (2, _ts(1), 1, -25),
+        (3, _ts(2), 1, 5),
+        (4, _ts(3), 1, -2),
+        # user 2 never clamps
+        (5, _ts(0), 2, 7),
+        (6, _ts(1), 2, -3),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, d long"
+    )
+    out = {r["user_id"]: r for r in pevents.running_balance(df, "d").collect()}
+    assert (out[1]["final_balance"], out[1]["n_clamps"], out[1]["n_events"]) == (
+        3, 1, 4,
+    )
+    assert (out[2]["final_balance"], out[2]["n_clamps"]) == (4, 0)
+    # clamping is NOT the raw sum: -12 raw vs 3 clamped
+    assert out[1]["final_balance"] != 10 - 25 + 5 - 2
+
+
+def test_revenue_reconciliation_detects_planted_mismatch(spark):
+    from samza_spark.pipeline import quality
+
+    orders = spark.createDataFrame(
+        [(1, 100.00), (2, 50.00)], "o_orderkey long, o_totalprice double"
+    )
+    # order 1 reconciles exactly (no disc/tax); order 2 is short 10.00
+    li = spark.createDataFrame(
+        [(1, 60.00, 0.0, 0.0), (1, 40.00, 0.0, 0.0), (2, 40.00, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    out = {r["o_orderkey"]: r for r in quality.revenue_reconciliation(orders, li).collect()}
+    assert out[1]["delta_u"] == 0
+    assert out[2]["delta_u"] == -10_00 * 10000  # 10 currency short, µ-units
