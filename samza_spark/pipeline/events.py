@@ -1179,3 +1179,53 @@ def running_balance(
             F.col("__f.clamps").alias("n_clamps"),
         )
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    value_type: str = "purchase",
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value accumulation: users cohorted by first-
+    activity period (ANY event type — same cohort definition as
+    :func:`retention_cohorts`); each cohort's ``value_type`` revenue is
+    summed per period offset and accumulated — the LTV curve finance
+    reads cohort paybacks from. Revenue is exact integer cents.
+
+    One user aggregate pins cohorts, one equi-join tags revenue events,
+    one (cohort, offset) combinable sum, and ONE cumulative window
+    partitioned by cohort over the tiny cohort×offset grid.
+    """
+    seconds = {"day": 86400, "week": 7 * 86400}[period]
+    p = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(seconds * 1_000_000))
+    cohorts = df.groupBy(user_col).agg(F.min(p).alias("cohort"))
+    rev = (
+        df.filter(F.col(type_col) == value_type)
+        .select(
+            user_col,
+            p.alias("__p"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .join(cohorts, on=user_col)
+        .groupBy("cohort", (F.col("__p") - F.col("cohort")).alias("offset"))
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy(F.asc("offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("offset").cast("long").alias("offset"),
+        "n_purchases",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+    )

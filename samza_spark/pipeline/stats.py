@@ -465,3 +465,93 @@ def weighted_median(
             "n",
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """2-D skyline (Pareto front / maximal-vector) operator: keep every
+    row not DOMINATED by another — q dominates p iff q.x ≥ p.x, q.y ≥
+    p.y and at least one is strict (Börzsönyi et al., ICDE'01 SKYLINE
+    OF). The multi-criteria selection behind "longest AND highest-
+    quality" document picks, where no single score ranks candidates.
+
+    The classic 2-D reduction: a point survives iff its y strictly
+    exceeds every y at strictly greater x, AND it carries the maximal y
+    among its own x (x-ties with smaller y are dominated; exact (x, y)
+    ties are mutually non-dominating and all survive). Both conditions
+    come from the per-x maxima grid: one combinable (x, max y)
+    aggregate, one running-max window over the DISTINCT-x grid (grid
+    rows, not data rows), and one broadcast-size join back. Integer
+    comparisons throughout — no score arithmetic at all.
+    """
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    base = df.select(
+        *gcols, F.col(id_col), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    per_x = base.groupBy(*gcols, "x").agg(F.max("y").alias("max_y_at_x"))
+    w = Window.orderBy(F.desc("x")).rowsBetween(Window.unboundedPreceding, -1)
+    if group_col:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(F.desc("x"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    # grid-sized window: one row per distinct (group, x) — bounded by the
+    # x domain (and partitioned by group when given)
+    grid = per_x.select(
+        *gcols,
+        "x",
+        "max_y_at_x",
+        F.max("max_y_at_x").over(w).alias("max_y_above"),
+    )
+    return (
+        base.join(F.broadcast(grid), on=gcols + ["x"])
+        .filter(
+            (F.col("max_y_above").isNull() | (F.col("y") > F.col("max_y_above")))
+            & (F.col("y") == F.col("max_y_at_x"))
+        )
+        .select(
+            *gcols, F.col(id_col), F.col("x").alias(x_col), F.col("y").alias(y_col)
+        )
+    )
+
+
+def skew_gini(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """One-row Gini coefficient of the per-key row-count distribution —
+    the scalar skew audit (0 = perfectly even keys, →1 = one key owns
+    everything) that tells you whether a shuffle on this key needs
+    salting BEFORE you pay for the job. Exact integer arithmetic via the
+    rank formula ``G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx)`` over
+    ascending-sorted counts, emitted as floored ppm.
+
+    One corpus-scale count shuffle; the rank runs over the KEY-count
+    table with the range-exchange global rank (no single-partition
+    sort), and the final fold is a combinable aggregate.
+    """
+    from samza_spark.operators.rank import global_rank
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ranked = global_rank(counts, [F.asc("c"), F.asc("k")], rank_col="i")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.sum(F.col("i") * F.col("c")).alias("__s"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        F.expr(
+            "((2 * __s - (n_keys + 1) * n_rows) * 1000000) div (n_keys * n_rows)"
+        ).alias("gini_ppm"),
+    )

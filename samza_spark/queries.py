@@ -8030,3 +8030,87 @@ ORACLES["revenue_reconciliation"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_skyline_2d(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D skyline over (n_chars, quality): documents no other document
+    beats on BOTH length and quality (pipeline.stats.skyline_2d — per-x
+    maxima grid + one grid running-max window + broadcast join back).
+    Oracle = the brute-force dominance definition (NOT EXISTS), proving
+    the grid reduction exact."""
+    from samza_spark.pipeline import stats as pstats
+    from samza_spark.pipeline.text import quality_score
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            quality_score(F.coalesce(F.col("text"), F.lit(""))) * 10000
+        ).cast("long").alias("q4"),
+    )
+    return pstats.skyline_2d(scored, "n_chars", "q4", "doc_id", group_col="lang")
+
+
+QUERIES["skyline_2d"] = q_skyline_2d
+ORACLES["skyline_2d"] = (
+    f"WITH t AS (SELECT doc_id, lang, n_chars, text, {_TOKENS_SQL} AS n_tokens "
+    "FROM documents), "
+    f"s AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x, "
+    f"CAST(round(round({_QUALITY_SQL}, 4) * 10000) AS BIGINT) AS y FROM t) "
+    "SELECT p.lang, p.doc_id, p.x AS n_chars, p.y AS q4 FROM s p "
+    "WHERE NOT EXISTS (SELECT 1 FROM s q WHERE q.lang = p.lang "
+    "AND q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))"
+)
+
+
+def q_skew_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of per-user event counts
+    (pipeline.stats.skew_gini): exact rank-formula integers over the
+    key-count table, range-exchange global rank, floored ppm."""
+    from samza_spark.pipeline import stats as pstats
+
+    ev = load_table(spark, sf, "events")
+    return pstats.skew_gini(ev, "user_id")
+
+
+QUERIES["skew_gini"] = q_skew_gini
+ORACLES["skew_gini"] = (
+    "WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c "
+    "FROM events GROUP BY 1), "
+    "r AS (SELECT *, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS i "
+    "FROM c) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) "
+    "AS n_rows, CAST(((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 1000000) "
+    "// (count(*) * sum(c)) AS BIGINT) AS gini_ppm FROM r"
+)
+
+
+def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly-cohort LTV accumulation curve (pipeline.events.cohort_ltv):
+    exact cent revenue per (cohort, offset) + cumulative window over the
+    tiny grid."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.cohort_ltv(ev)
+
+
+QUERIES["cohort_ltv"] = q_cohort_ltv
+ORACLES["cohort_ltv"] = (
+    "WITH p AS (SELECT user_id, event_type, "
+    "CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS per, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "co AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id), "
+    "rev AS (SELECT cohort, per - cohort AS offset, "
+    "CAST(sum(cents) AS BIGINT) AS revenue_cents, "
+    "CAST(count(*) AS BIGINT) AS n_purchases "
+    "FROM p JOIN co USING (user_id) WHERE event_type = 'purchase' "
+    "GROUP BY cohort, per - cohort) "
+    "SELECT cohort, \"offset\", n_purchases, revenue_cents, "
+    "CAST(sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY \"offset\" "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents FROM rev"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -704,3 +704,75 @@ def test_revenue_reconciliation_detects_planted_mismatch(spark):
     out = {r["o_orderkey"]: r for r in quality.revenue_reconciliation(orders, li).collect()}
     assert out[1]["delta_u"] == 0
     assert out[2]["delta_u"] == -10_00 * 10000  # 10 currency short, µ-units
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d / skew_gini / cohort_ltv
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    from samza_spark.pipeline import stats as pstats
+
+    pts = [(i, (i * 7919) % 50, (i * 104729) % 40) for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r["id"] for r in pstats.skyline_2d(df, "x", "y", "id").collect()}
+    want = {
+        i
+        for i, x, y in pts
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for _, x2, y2 in pts
+        )
+    }
+    assert got == want and got
+
+
+def test_skyline_2d_ties_survive_together(spark):
+    from samza_spark.pipeline import stats as pstats
+
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5), (3, 5, 4), (4, 1, 9)], "id long, x long, y long"
+    )
+    got = {r["id"] for r in pstats.skyline_2d(df, "x", "y", "id").collect()}
+    assert got == {1, 2, 4}  # exact-tie pair both survive; (5,4) dominated
+
+
+def test_skew_gini_extremes(spark):
+    from samza_spark.pipeline import stats as pstats
+
+    even = spark.createDataFrame([(k,) for k in range(10) for _ in range(5)], "k long")
+    r = pstats.skew_gini(even, "k").collect()[0]
+    assert r["gini_ppm"] == 0 and r["n_keys"] == 10 and r["n_rows"] == 50
+    skewed = spark.createDataFrame(
+        [(0,)] * 96 + [(1,), (2,), (3,), (4,)], "k long"
+    )
+    r2 = pstats.skew_gini(skewed, "k").collect()[0]
+    assert r2["gini_ppm"] > 700_000  # one key owns 96%
+
+
+def test_cohort_ltv_accumulates(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # user 1 enters week0 (jan 1), buys 10.00 week0 and 5.00 week1
+        (1, d(1), 1, "view", 0.0),
+        (2, d(2), 1, "purchase", 10.0),
+        (3, d(9), 1, "purchase", 5.0),
+        # user 2 enters week1, buys 2.00 week1
+        (4, d(9), 2, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {
+        (r["cohort"], r["offset"]): r for r in pevents.cohort_ltv(df).collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    c0, c1 = cohorts[0], cohorts[-1]
+    assert out[(c0, 0)]["revenue_cents"] == 1000
+    assert out[(c0, 1)]["cum_revenue_cents"] == 1500
+    assert out[(c1, 0)]["revenue_cents"] == 200
