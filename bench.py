@@ -185,6 +185,11 @@ HEADLINE = [
     "table_profile",
     "nearest_event_join",
     "knn_label_noise",
+    "running_balance",
+    "revenue_reconciliation",
+    "skyline_2d",
+    "skew_gini",
+    "cohort_ltv",
 ]
 
 

@@ -542,3 +542,31 @@ def test_pii_report_single_aggregate(spark, sf_dir):
     plan = _plan(spark, "pii_report", sf_dir)
     assert plan.count("Exchange") <= 2  # tree + details render of the one node
     assert "Join" not in plan and "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "running_balance",
+        "revenue_reconciliation",
+        "skyline_2d",
+        "skew_gini",
+        "cohort_ltv",
+    ],
+)
+def test_round5gh_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_running_balance_single_aggregate_no_window(spark, sf_dir):
+    # the whole fold happens inside one per-key aggregate expression
+    plan = _plan(spark, "running_balance", sf_dir)
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_revenue_reconciliation_aggregates_before_join(spark, sf_dir):
+    plan = _plan(spark, "revenue_reconciliation", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
