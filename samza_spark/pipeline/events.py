@@ -1229,3 +1229,59 @@ def cohort_ltv(
         "revenue_cents",
         F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
     )
+
+
+def slo_burn_alerts(
+    df: DataFrame,
+    error_type: str = "error",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    short_hours: int = 1,
+    long_hours: int = 6,
+    short_thr_ppm: int = 250_000,
+    long_thr_ppm: int = 220_000,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    policy): fire only when the error rate exceeds its threshold in BOTH
+    a short and a long trailing window — the short window gives fast
+    detection, the long one suppresses blips. Rates are exact integer
+    ppm over hour buckets; the trailing windows are RANGE frames on the
+    integer epoch-hour axis, so missing hours (no traffic) neither crash
+    nor silently shrink the window.
+
+    ONE corpus-scale (hour) aggregate; everything after runs on the
+    hour grid. Returns one row per alerting hour with both rates.
+    """
+    # integer division — a double quotient could truncate across the
+    # boundary differently than the oracle's floor division
+    hour = F.expr(f"unix_micros({ts_col}) div 3600000000")
+    grid = df.groupBy(hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.sum((F.col(type_col) == error_type).cast("long")).alias("err"),
+    )
+    ws = (
+        Window.orderBy(F.asc("h"))
+        .rangeBetween(-(int(short_hours) - 1), 0)
+    )
+    wl = (
+        Window.orderBy(F.asc("h"))
+        .rangeBetween(-(int(long_hours) - 1), 0)
+    )
+    # hour-grid windows: bounded by the observation span in hours
+    rated = grid.select(
+        "h",
+        F.sum("err").over(ws).alias("err_s"),
+        F.sum("tot").over(ws).alias("tot_s"),
+        F.sum("err").over(wl).alias("err_l"),
+        F.sum("tot").over(wl).alias("tot_l"),
+    ).select(
+        "h",
+        F.expr("(err_s * 1000000) div tot_s").alias("short_ppm"),
+        F.expr("(err_l * 1000000) div tot_l").alias("long_ppm"),
+    )
+    return rated.filter(
+        (F.col("short_ppm") > F.lit(int(short_thr_ppm)))
+        & (F.col("long_ppm") > F.lit(int(long_thr_ppm)))
+    ).select(
+        (F.col("h") * 3600).alias("hour_s"), "short_ppm", "long_ppm"
+    )

@@ -614,3 +614,76 @@ def sssp_bellman_ford(
         if (i + 1) % 3 == 0 and i + 1 < n_rounds:
             dist = dist.localCheckpoint(eager=True)
     return dist.select("node", F.col("d").alias(dist_col))
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "t",
+) -> DataFrame:
+    """Time-respecting reachability over a temporal edge list: a path
+    may only traverse edges whose timestamp is >= the arrival time at
+    the edge's source (Holme & Saramäki's temporal-network reachability
+    — the influence/contagion primitive static BFS gets WRONG, since a
+    static path may use an edge that fired before you arrived).
+
+    Per node the MINIMUM arrival time dominates (an earlier arrival can
+    take every edge a later one can), so the frontier state is one
+    (node, min_arrival) row per node. Each of the bounded ``max_hops``
+    rounds: frontier ⋈ edges on src with the time residual, min-arrival
+    per dst, merge keeping the minimum — all equi-joins + combinable
+    aggregates, lineage truncated per round. Seeds arrive at time
+    -infinity (their own events all count).
+
+    Returns ``(node, arrival_us, hops)`` with hops = the round that
+    first achieved the minimal arrival.
+    """
+    frontier = seeds.select(
+        F.col(src_col).alias("node"),
+        F.lit(-(1 << 62)).cast("long").alias("arrival"),
+        F.lit(0).alias("hops"),
+    ).distinct()
+    reach = frontier.localCheckpoint(eager=True)
+    e = edges.select(
+        F.col(src_col).alias("esrc"),
+        F.col(dst_col).alias("edst"),
+        F.col(ts_col).cast("long").alias("et"),
+    )
+    frontier = reach
+    for hop in range(1, int(max_hops) + 1):
+        steps = (
+            frontier.join(e, frontier["node"] == e["esrc"])
+            .filter(F.col("et") >= F.col("arrival"))
+            .groupBy(F.col("edst").alias("node"))
+            .agg(F.min("et").alias("arrival"))
+            .withColumn("hops", F.lit(hop))
+        )
+        # keep the per-node minimum (earlier arrival, then fewer hops)
+        merged = (
+            reach.unionByName(steps)
+            .groupBy("node")
+            .agg(
+                F.min(F.struct("arrival", "hops")).alias("__best")
+            )
+            .select(
+                "node",
+                F.col("__best.arrival").alias("arrival"),
+                F.col("__best.hops").alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # next frontier: nodes whose best arrival changed this round
+        frontier = merged.join(
+            reach.select("node", F.col("arrival").alias("__old")),
+            on="node",
+            how="left",
+        ).filter(
+            F.col("__old").isNull() | (F.col("arrival") < F.col("__old"))
+        ).select("node", "arrival", "hops")
+        reach = merged
+    return reach.select(
+        "node", F.col("arrival").alias("arrival_us"), "hops"
+    )

@@ -864,3 +864,58 @@ def pii_report(
         *[F.col(f"n_{k.lower()}") for k in PII_PATTERNS],
         *rates,
     )
+
+
+def doc_structure(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source document-structure profile: line, markdown-header,
+    bullet, and code-fence counts plus the ppm of documents containing
+    any code fence — the prose-vs-code-vs-listicle router every
+    curation pipeline runs before choosing filters (code wants different
+    quality rules than prose).
+
+    Map-side line splitting with JVM array filters (no Python), one
+    combinable groupBy. Line predicates use ``ltrim`` so indented
+    markdown still counts.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    n_lines = F.size(lines)
+    headers = F.size(F.filter(lines, lambda x: F.ltrim(x).startswith("#")))
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("- ") | F.ltrim(x).startswith("* "),
+        )
+    )
+    fences = F.size(F.filter(lines, lambda x: F.ltrim(x).startswith("```")))
+    per_doc = df.select(
+        F.col(group_col),
+        n_lines.alias("__l"),
+        headers.alias("__h"),
+        bullets.alias("__b"),
+        fences.alias("__f"),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__l").cast("long").alias("n_lines"),
+            F.sum("__h").cast("long").alias("n_headers"),
+            F.sum("__b").cast("long").alias("n_bullets"),
+            F.sum("__f").cast("long").alias("n_fences"),
+            F.sum((F.col("__f") > 0).cast("long")).alias("docs_with_code"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_lines",
+            "n_headers",
+            "n_bullets",
+            "n_fences",
+            "docs_with_code",
+            F.expr("(docs_with_code * 1000000) div n_docs").alias("code_ppm"),
+        )
+    )

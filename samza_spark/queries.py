@@ -8114,3 +8114,125 @@ ORACLES["cohort_ltv"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_temporal_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-respecting reachability over the customer-supplier temporal
+    contact network (pipeline.graph.temporal_reachability): bounded
+    3-hop rounds of frontier equi-join + min-arrival merge; a path may
+    only use edges at/after its arrival time. Edge times are exact
+    integer order-date days."""
+    from samza_spark.pipeline import graph
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    t = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    base = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+        t.alias("t"),
+    )
+    edges = base.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "t"
+    ).unionByName(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"), "t")
+    )
+    seeds = orders.filter(F.col("o_custkey") < 5).select(
+        (F.col("o_custkey") * 2).alias("src")
+    )
+    return graph.temporal_reachability(edges, seeds, max_hops=3)
+
+
+QUERIES["temporal_reachability"] = q_temporal_reachability
+
+
+def _treach_oracle(max_hops: int = 3) -> str:
+    merge = (
+        "SELECT node, arrival, hops FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY node ORDER BY arrival, hops) AS rr FROM ({u})) "
+        "WHERE rr = 1"
+    )
+    parts = [
+        "WITH b AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s, "
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "e AS (SELECT c AS src, s AS dst, t FROM b "
+        "UNION ALL SELECT s, c, t FROM b), "
+        "r0 AS (SELECT DISTINCT o_custkey * 2 AS node, "
+        "CAST(-4611686018427387904 AS BIGINT) AS arrival, 0 AS hops "
+        "FROM orders WHERE o_custkey < 5)"
+    ]
+    for i in range(1, max_hops + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f", s{i} AS (SELECT e.dst AS node, min(e.t) AS arrival, "
+            f"{i} AS hops FROM {prev} JOIN e ON {prev}.node = e.src "
+            f"AND e.t >= {prev}.arrival GROUP BY e.dst)"
+        )
+        u = f"SELECT * FROM {prev} UNION ALL SELECT * FROM s{i}"
+        parts.append(f", r{i} AS ({merge.format(u=u)})")
+    parts.append(
+        f" SELECT node, arrival AS arrival_us, CAST(hops AS INT) AS hops "
+        f"FROM r{max_hops}"
+    )
+    return "".join(parts)
+
+
+ORACLES["temporal_reachability"] = _treach_oracle(3)
+
+
+def q_doc_structure(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source markdown/code structure profile
+    (pipeline.text.doc_structure): map-side line filters, one combinable
+    groupBy, exact code-fence ppm."""
+    docs = load_table(spark, sf, "documents")
+    return text.doc_structure(docs)
+
+
+QUERIES["doc_structure"] = q_doc_structure
+ORACLES["doc_structure"] = (
+    "WITH p AS (SELECT source, string_split(coalesce(text, ''), chr(10)) "
+    "AS ls FROM documents), "
+    "d AS (SELECT source, len(ls) AS l, "
+    "len(list_filter(ls, x -> starts_with(ltrim(x), '#'))) AS h, "
+    "len(list_filter(ls, x -> starts_with(ltrim(x), '- ') OR "
+    "starts_with(ltrim(x), '* '))) AS b, "
+    "len(list_filter(ls, x -> starts_with(ltrim(x), '```'))) AS f FROM p) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(l) AS BIGINT) AS n_lines, CAST(sum(h) AS BIGINT) AS n_headers, "
+    "CAST(sum(b) AS BIGINT) AS n_bullets, CAST(sum(f) AS BIGINT) AS n_fences, "
+    "CAST(sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_code, "
+    "CAST((sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) * 1000000) // count(*) "
+    "AS BIGINT) AS code_ppm FROM d GROUP BY source"
+)
+
+
+def q_slo_burn_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerts (pipeline.events.slo_burn_alerts):
+    hour-grid error rates, RANGE-frame trailing windows on the integer
+    hour axis, alert only when short AND long rates both breach."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.slo_burn_alerts(ev)
+
+
+QUERIES["slo_burn_alerts"] = q_slo_burn_alerts
+ORACLES["slo_burn_alerts"] = (
+    "WITH g AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+    "CAST(count(*) AS BIGINT) AS tot, CAST(sum(CASE WHEN event_type = 'error' "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS err FROM events GROUP BY 1), "
+    "r AS (SELECT h, CAST(sum(err) OVER ws AS BIGINT) AS err_s, "
+    "CAST(sum(tot) OVER ws AS BIGINT) AS tot_s, "
+    "CAST(sum(err) OVER wl AS BIGINT) AS err_l, "
+    "CAST(sum(tot) OVER wl AS BIGINT) AS tot_l FROM g WINDOW "
+    "ws AS (ORDER BY h RANGE BETWEEN 0 PRECEDING AND CURRENT ROW), "
+    "wl AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)) "
+    "SELECT h * 3600 AS hour_s, "
+    "CAST((err_s * 1000000) // tot_s AS BIGINT) AS short_ppm, "
+    "CAST((err_l * 1000000) // tot_l AS BIGINT) AS long_ppm FROM r "
+    "WHERE (err_s * 1000000) // tot_s > 250000 "
+    "AND (err_l * 1000000) // tot_l > 220000"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -776,3 +776,81 @@ def test_cohort_ltv_accumulates(spark):
     assert out[(c0, 0)]["revenue_cents"] == 1000
     assert out[(c0, 1)]["cum_revenue_cents"] == 1500
     assert out[(c1, 0)]["revenue_cents"] == 200
+
+
+# ---------------------------------------------------------------------------
+# temporal_reachability / doc_structure / slo_burn_alerts
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_reachability_respects_time(spark):
+    from samza_spark.pipeline import graph
+
+    # 1 -t5-> 2 -t3-> 3 : static BFS reaches 3, temporal must NOT
+    # (edge to 3 fired before arrival at 2); 2 -t7-> 4 IS reachable
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 4, 7)], "src long, dst long, t long"
+    )
+    seeds = spark.createDataFrame([(1,)], "src long")
+    out = {r["node"]: r for r in graph.temporal_reachability(edges, seeds, max_hops=3).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[2]["arrival_us"] == 5 and out[2]["hops"] == 1
+    assert out[4]["arrival_us"] == 7 and out[4]["hops"] == 2
+
+
+def test_temporal_reachability_earlier_arrival_wins(spark):
+    from samza_spark.pipeline import graph
+
+    # two paths to node 3: via 2 arriving t=10, direct at t=2; min kept
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 10), (1, 3, 2)], "src long, dst long, t long"
+    )
+    seeds = spark.createDataFrame([(1,)], "src long")
+    out = {r["node"]: r for r in graph.temporal_reachability(edges, seeds, max_hops=2).collect()}
+    assert out[3]["arrival_us"] == 2 and out[3]["hops"] == 1
+
+
+def test_doc_structure_counts(spark):
+    from samza_spark.pipeline import text as ptext
+
+    docs = [
+        (1, "s", "# Title\n- a\n- b\n```\ncode\n```\ntail"),
+        (2, "s", "plain prose only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    r = ptext.doc_structure(df).collect()[0]
+    assert (r["n_docs"], r["n_headers"], r["n_bullets"], r["n_fences"]) == (
+        2, 1, 2, 2,
+    )
+    assert r["docs_with_code"] == 1 and r["code_ppm"] == 500_000
+
+
+def test_slo_burn_alerts_requires_both_windows(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    rows, eid = [], 0
+    # hours 0..5: clean (no errors). hour 6: 100% errors but long window
+    # still diluted below threshold -> depends; hours 7-11 also all
+    # errors -> long window saturates -> alerts fire late hours only
+    for h in range(12):
+        err = h >= 6
+        for j in range(10):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, h, j), 1,
+                 "error" if err else "view")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = sorted(
+        r["hour_s"] for r in pevents.slo_burn_alerts(
+            df, short_thr_ppm=500_000, long_thr_ppm=500_000
+        ).collect()
+    )
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    # long (6h) window crosses 50% once 4 of its 6 hours are all-error
+    assert out and out[0] == base + 9 * 3600
+    assert out == [base + h * 3600 for h in (9, 10, 11)]
