@@ -190,6 +190,9 @@ HEADLINE = [
     "skyline_2d",
     "skew_gini",
     "cohort_ltv",
+    "temporal_reachability",
+    "doc_structure",
+    "slo_burn_alerts",
 ]
 
 

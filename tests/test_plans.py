@@ -570,3 +570,13 @@ def test_revenue_reconciliation_aggregates_before_join(spark, sf_dir):
     plan = _plan(spark, "revenue_reconciliation", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["temporal_reachability", "doc_structure", "slo_burn_alerts"],
+)
+def test_round5i_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
