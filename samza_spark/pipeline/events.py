@@ -1285,3 +1285,59 @@ def slo_burn_alerts(
     ).select(
         (F.col("h") * 3600).alias("hour_s"), "short_ppm", "long_ppm"
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    value_type: str = "purchase",
+    n_tiles: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM customer segmentation: per key, Recency (days since last
+    ``value_type`` event, measured from the stream head), Frequency
+    (count), Monetary (exact cents) — each scored 1..``n_tiles`` by
+    ntile (recency reversed: most recent = highest score), combined
+    into the classic 3-digit segment code. Determinism: every ntile
+    orders with the key as tiebreak, so equal metrics still split
+    reproducibly.
+
+    One key aggregate (corpus-scale) + three ntile windows over the
+    per-key table + a broadcast scalar for the stream head.
+    """
+    base = df.filter(F.col(type_col) == value_type)
+    head = base.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__head"))
+    per_key = base.groupBy(key_col).agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    n = int(n_tiles)
+    enriched = per_key.join(F.broadcast(head)).select(
+        key_col,
+        F.expr("(__head - __last) div 86400000000").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc(key_col))
+    wf = Window.orderBy(F.desc("frequency"), F.asc(key_col))
+    wm = Window.orderBy(F.desc("monetary_cents"), F.asc(key_col))
+    # per-key table windows: bounded by key cardinality, not event volume
+    return enriched.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(n).over(wr).alias("r_score"),
+        F.ntile(n).over(wf).alias("f_score"),
+        F.ntile(n).over(wm).alias("m_score"),
+    ).withColumn(
+        "segment",
+        (F.lit(n + 1) - F.col("r_score")) * 100
+        + (F.lit(n + 1) - F.col("f_score")) * 10
+        + (F.lit(n + 1) - F.col("m_score")),
+    )

@@ -313,3 +313,49 @@ def phrase_match(
 def _norm_sql(text_col: str) -> str:
     """SQL spelling of text.normalized for expression composition."""
     return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+
+
+def standing_queries(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Reverse search / percolation: match a table of STANDING
+    conjunctive term queries against every document — the
+    subscription-alerting workload (saved searches, content routing,
+    compliance watchlists) that is the reference engine's home turf
+    (a standing query over an endless stream, StreamApplication shape);
+    batch and foreachBatch-streaming usable unchanged.
+
+    A document matches a query when it contains EVERY term. Plan:
+    explode docs to DISTINCT (doc, term) pairs once, explode the (tiny)
+    query table to (query, term), ONE term-keyed equi-join, then count
+    matched terms per (doc, query) and keep rows where the count equals
+    the query's term count. Shuffle volume is distinct doc-term pairs —
+    never |docs| × |queries|; the query table broadcasts.
+    """
+    from samza_spark.pipeline.text import normalized
+
+    toks = F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    doc_terms = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term")).distinct()
+    )
+    q_terms = queries.select(
+        F.col(query_id_col),
+        F.size(F.col(terms_col)).alias("__nt"),
+        F.explode(F.col(terms_col)).alias("term"),
+    )
+    matched = (
+        doc_terms.join(F.broadcast(q_terms), on="term")
+        .groupBy(id_col, query_id_col, "__nt")
+        .agg(F.count(F.lit(1)).alias("__hit"))
+    )
+    return matched.filter(F.col("__hit") == F.col("__nt")).select(
+        query_id_col, id_col
+    )

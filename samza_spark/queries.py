@@ -8236,3 +8236,89 @@ ORACLES["slo_burn_alerts"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (pipeline.events.rfm_segments): one
+    purchase aggregate per user, three deterministic ntile windows over
+    the per-key table, classic 3-digit segment code."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.rfm_segments(ev)
+
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = (
+    "WITH b AS (SELECT user_id, epoch_us(ts) AS us, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+    "WHERE event_type = 'purchase'), "
+    "h AS (SELECT max(us) AS head FROM b), "
+    "pk AS (SELECT user_id, max(us) AS last_us, CAST(count(*) AS BIGINT) "
+    "AS frequency, CAST(sum(cents) AS BIGINT) AS monetary_cents FROM b "
+    "GROUP BY user_id), "
+    "e AS (SELECT user_id, (head - last_us) // 86400000000 AS recency_days, "
+    "frequency, monetary_cents FROM pk CROSS JOIN h), "
+    "s AS (SELECT *, CAST(ntile(5) OVER (ORDER BY recency_days, user_id) "
+    "AS INT) AS r_score, CAST(ntile(5) OVER (ORDER BY frequency DESC, "
+    "user_id) AS INT) AS f_score, CAST(ntile(5) OVER (ORDER BY "
+    "monetary_cents DESC, user_id) AS INT) AS m_score FROM e) "
+    "SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, "
+    "frequency, monetary_cents, r_score, f_score, m_score, "
+    "CAST((6 - r_score) * 100 + (6 - f_score) * 10 + (6 - m_score) AS INT) "
+    "AS segment FROM s"
+)
+
+
+_STANDING_QUERIES = [
+    ("q_join_hash", ["join", "hash"]),
+    ("q_scan_filter_column", ["scan", "filter", "column"]),
+    ("q_vector", ["vector"]),
+    ("q_slow_merge", ["slow", "merge"]),
+    ("q_absent", ["join", "zz_no_such_term"]),
+]
+
+
+def q_standing_queries(spark: SparkSession, sf: str) -> DataFrame:
+    """Reverse search / percolation (pipeline.retrieval.standing_queries):
+    five standing conjunctive term queries matched against every
+    document via ONE term-keyed join — the saved-search/alerting
+    workload; the all-terms-required query with a nonexistent term
+    proves the conjunction semantics (zero matches)."""
+    from samza_spark.pipeline import retrieval
+
+    docs = load_table(spark, sf, "documents")
+    qdf = spark.createDataFrame(
+        _STANDING_QUERIES, "query_id string, terms array<string>"
+    )
+    return retrieval.standing_queries(docs, qdf)
+
+
+QUERIES["standing_queries"] = q_standing_queries
+
+
+def _standing_oracle() -> str:
+    vals = ", ".join(
+        "('{qid}', [{terms}])".format(
+            qid=qid, terms=", ".join(f"'{t}'" for t in terms)
+        )
+        for qid, terms in _STANDING_QUERIES
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(trim(regexp_replace("
+        "lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS w "
+        "FROM documents), "
+        "dt AS (SELECT DISTINCT doc_id, unnest(list_filter(w, x -> x <> '')) "
+        "AS term FROM t), "
+        f"q AS (SELECT * FROM (VALUES {vals}) AS v(query_id, terms)), "
+        "qt AS (SELECT query_id, len(terms) AS nt, unnest(terms) AS term "
+        "FROM q), "
+        "m AS (SELECT doc_id, query_id, nt, CAST(count(*) AS BIGINT) AS hit "
+        "FROM dt JOIN qt USING (term) GROUP BY 1, 2, 3) "
+        "SELECT query_id, doc_id FROM m WHERE hit = nt"
+    )
+
+
+ORACLES["standing_queries"] = _standing_oracle()
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

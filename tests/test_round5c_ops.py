@@ -854,3 +854,53 @@ def test_slo_burn_alerts_requires_both_windows(spark):
     # long (6h) window crosses 50% once 4 of its 6 hours are all-error
     assert out and out[0] == base + 9 * 3600
     assert out == [base + h * 3600 for h in (9, 10, 11)]
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments / standing_queries
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_segments_scores(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    rows, eid = [], 0
+    # 5 users: user i purchases (i+1) times, last on day 20-i*4, 10.00 each
+    for u in range(5):
+        for j in range(u + 1):
+            eid += 1
+            rows.append((eid, d(20 - u * 4 + 0), u, "purchase", 10.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["user_id"]: r for r in pevents.rfm_segments(df).collect()}
+    # user 0: most recent (recency 0) -> r_score 1 -> R digit 5;
+    # but lowest frequency/monetary -> F,M digits 1
+    assert out[0]["recency_days"] == 0 and out[0]["segment"] == 511
+    # user 4: oldest but highest freq+monetary -> 155
+    assert out[4]["frequency"] == 5 and out[4]["segment"] == 155
+
+
+def test_standing_queries_conjunction(spark):
+    from samza_spark.pipeline import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha delta"),
+            (3, "beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [("q1", ["alpha", "beta"]), ("q2", ["gamma"]), ("q3", ["alpha", "zzz"])],
+        "query_id string, terms array<string>",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in retrieval.standing_queries(docs, qdf).collect()
+    }
+    assert got == {("q1", 1), ("q2", 1), ("q2", 3)}
