@@ -193,6 +193,10 @@ HEADLINE = [
     "temporal_reachability",
     "doc_structure",
     "slo_burn_alerts",
+    "rfm_segments",
+    "standing_queries",
+    "category_entropy",
+    "peak_concurrency",
 ]
 
 

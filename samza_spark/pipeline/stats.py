@@ -555,3 +555,82 @@ def skew_gini(
             "((2 * __s - (n_keys + 1) * n_rows) * 1000000) div (n_keys * n_rows)"
         ).alias("gini_ppm"),
     )
+
+
+def category_entropy(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical column in fixed-point
+    micro-nats: ``H = Σ (c/N)·ln(N/c)`` computed as the all-integer
+    ``(Σ c · floor(ln(N/c)·1e6)) div N`` — the diversity/imbalance audit
+    (0 = single-category group) using the repo's micro-nat convention
+    (each ln floored to 1e-6 nats before weighting, so cross-engine
+    agreement doesn't ride on last-ulp ln bits).
+
+    One (group, category) combinable count, one group rollup. The
+    category table is grid-sized.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("g"), F.col(cat_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("g").agg(F.sum("n").alias("t"))
+    term = F.col("n") * F.floor(
+        F.log(F.col("t").cast("double") / F.col("n").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        counts.join(tot, on="g")
+        .groupBy("g")
+        .agg(
+            F.max("t").alias("n"),
+            F.sum(term).alias("__s"),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_categories").cast("long").alias("n_categories"),
+            F.expr("__s div n").alias("entropy_micronats"),
+        )
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Maximum-overlap sweep line: the peak number of simultaneously
+    active intervals and the EARLIEST instant it is reached (max
+    concurrent sessions / connections / jobs — the capacity-planning
+    scalar). Half-open ``[start, end)`` semantics: an interval ending
+    exactly when another starts does not overlap it, enforced by
+    ordering end-events before start-events at the same instant.
+
+    The sweep needs a GLOBAL running sum over ±1 boundary events —
+    expressed with :func:`samza_spark.operators.rank.global_cumsum`
+    (range exchange + broadcast offsets), so no single-partition window
+    ever sees the boundary stream. One TakeOrdered(1) finishes it.
+    """
+    from samza_spark.operators.rank import global_cumsum
+
+    starts = intervals.select(
+        F.col(start_col).cast("long").alias("at"), F.lit(1).alias("d")
+    )
+    ends = intervals.select(
+        F.col(end_col).cast("long").alias("at"), F.lit(-1).alias("d")
+    )
+    boundaries = starts.unionByName(ends)
+    swept = global_cumsum(
+        boundaries, [F.asc("at"), F.asc("d")], ["d"], prefix="cum_"
+    )
+    return (
+        swept.orderBy(F.desc("cum_d"), F.asc("at"))
+        .limit(1)
+        .select(
+            F.col("cum_d").alias("peak_concurrency"),
+            F.col("at").alias("at_us"),
+        )
+    )

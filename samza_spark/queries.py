@@ -8322,3 +8322,59 @@ def _standing_oracle() -> str:
 ORACLES["standing_queries"] = _standing_oracle()
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_category_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source language-mix Shannon entropy in fixed-point micro-nats
+    (pipeline.stats.category_entropy): all-integer weighting of floored
+    ln terms — the source-diversity audit."""
+    from samza_spark.pipeline import stats as pstats
+
+    docs = load_table(spark, sf, "documents")
+    return pstats.category_entropy(docs, "source", "lang")
+
+
+QUERIES["category_entropy"] = q_category_entropy
+ORACLES["category_entropy"] = (
+    "WITH c AS (SELECT source AS g, lang AS c, CAST(count(*) AS BIGINT) AS n "
+    "FROM documents GROUP BY 1, 2), "
+    "t AS (SELECT g, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY g), "
+    "j AS (SELECT c.g, n, t, n * CAST(floor(ln(CAST(t AS DOUBLE) / "
+    "CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS term FROM c "
+    "JOIN t ON c.g = t.g) "
+    "SELECT g AS source, max(t) AS n, CAST(count(*) AS BIGINT) "
+    "AS n_categories, CAST(sum(term) // max(t) AS BIGINT) "
+    "AS entropy_micronats FROM j GROUP BY g"
+)
+
+
+def q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep-line maximum overlap over event activity intervals
+    (pipeline.stats.peak_concurrency): ±1 boundary events, GLOBAL
+    running sum via the range-exchange cumsum (no single-partition
+    window), TakeOrdered(1). Half-open interval semantics."""
+    from samza_spark.pipeline import stats as pstats
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 1e6).cast("long")
+        ).alias("end_us"),
+    )
+    return pstats.peak_concurrency(iv)
+
+
+QUERIES["peak_concurrency"] = q_peak_concurrency
+ORACLES["peak_concurrency"] = (
+    "WITH iv AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + "
+    "CAST(round(value * 1000000) AS BIGINT) AS e FROM events), "
+    "b AS (SELECT s AS at, 1 AS d FROM iv UNION ALL SELECT e, -1 FROM iv), "
+    "c AS (SELECT at, sum(d) OVER (ORDER BY at, d ROWS UNBOUNDED PRECEDING) "
+    "AS cum FROM b) "
+    "SELECT CAST(cum AS BIGINT) AS peak_concurrency, at AS at_us FROM c "
+    "ORDER BY cum DESC, at LIMIT 1"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -580,3 +580,19 @@ def test_round5i_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rfm_segments", "standing_queries", "category_entropy", "peak_concurrency"],
+)
+def test_round5jk_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_peak_concurrency_no_single_partition_window(spark, sf_dir):
+    # the sweep cumsum must be the range-exchange form
+    plan = _plan(spark, "peak_concurrency", sf_dir)
+    assert "Exchange SinglePartition" not in plan

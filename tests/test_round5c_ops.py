@@ -904,3 +904,38 @@ def test_standing_queries_conjunction(spark):
         for r in retrieval.standing_queries(docs, qdf).collect()
     }
     assert got == {("q1", 1), ("q2", 1), ("q2", 3)}
+
+
+# ---------------------------------------------------------------------------
+# category_entropy / peak_concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_category_entropy_uniform_vs_single(spark):
+    import math
+
+    from samza_spark.pipeline import stats as pstats
+
+    rows = [("u", c) for c in "abcd" for _ in range(5)] + [("s", "x")] * 8
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in pstats.category_entropy(df, "g", "c").collect()}
+    assert out["s"]["entropy_micronats"] == 0
+    # uniform over 4 -> ln(4) nats (floored micro terms)
+    want = (20 * 5 * math.floor(math.log(4) * 1e6)) // (4 * 5 * 20 // 4) // 5
+    assert abs(out["u"]["entropy_micronats"] - math.log(4) * 1e6) < 5
+    assert out["u"]["n_categories"] == 4
+
+
+def test_peak_concurrency_sweep(spark):
+    from samza_spark.pipeline import stats as pstats
+
+    iv = spark.createDataFrame(
+        [(0, 100), (10, 50), (20, 30), (25, 28), (100, 110)],
+        "start_us long, end_us long",
+    )
+    r = pstats.peak_concurrency(iv).collect()[0]
+    # at t=25: [0,100) [10,50) [20,30) [25,28) all active -> 4
+    assert (r["peak_concurrency"], r["at_us"]) == (4, 25)
+    # half-open: interval ending at 100 does NOT overlap one starting at 100
+    iv2 = spark.createDataFrame([(0, 100), (100, 200)], "start_us long, end_us long")
+    assert pstats.peak_concurrency(iv2).collect()[0]["peak_concurrency"] == 1
