@@ -1341,3 +1341,84 @@ def rfm_segments(
         + (F.lit(n + 1) - F.col("f_score")) * 10
         + (F.lit(n + 1) - F.col("m_score")),
     )
+
+
+def funnel_with_exclusion(
+    df: DataFrame,
+    steps: list[str],
+    excluded: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel with EXCLUSION steps (the Amplitude/Mixpanel
+    "did A then B without doing X in between" query): the funnel
+    completes step k only if no excluded event fires STRICTLY between
+    the previous step's completion and the candidate completion — an
+    intervening excluded event kills the funnel at that step (t_k and
+    everything after become NULL).
+
+    Same one-shuffle shape as :func:`funnel`: one groupBy(user)
+    collecting the sorted (ts, type) list over the relevant types; the
+    sequential min-forward chain WITH the exclusion veto evaluates as
+    array expressions over the bounded per-user list — no per-step
+    joins, no Python.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    relevant = list(steps) + list(excluded)
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                F.col(type_col).alias("et"),
+            )
+        )
+    )
+    agged = (
+        df.where(F.col(type_col).isin(relevant))
+        .groupBy(user_col)
+        .agg(evs.alias("__evs"))
+    )
+    cols = {}
+    prev: Column | None = None
+    for s in steps:
+        if prev is None:
+            t = F.array_min(
+                F.transform(
+                    F.filter(F.col("__evs"), lambda e: e["et"] == F.lit(s)),
+                    lambda e: e["us"],
+                )
+            )
+        else:
+            p = prev
+            cand = F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("__evs"),
+                        lambda e: (e["et"] == F.lit(s)) & (e["us"] >= p),
+                    ),
+                    lambda e: e["us"],
+                )
+            )
+            veto = F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("__evs"),
+                        lambda e: e["et"].isin(excluded)
+                        & (e["us"] > p)
+                        & (e["us"] < cand),
+                    ),
+                    lambda e: e["us"],
+                )
+            )
+            t = F.when(cand.isNotNull() & veto.isNull(), cand)
+        cols[f"t_{s}"] = t
+        prev = t
+    reached = F.lit(0)
+    for i, s in enumerate(steps):
+        reached = F.when(F.col(f"t_{s}").isNotNull(), F.lit(i + 1)).otherwise(
+            reached
+        )
+    out = agged.select(user_col, *(c.alias(n) for n, c in cols.items()))
+    return out.withColumn("step_reached", reached.cast("int"))

@@ -104,3 +104,44 @@ def merge_upsert(
     )
     upserts = last.filter(F.col(op_col) != F.lit("D")).select(*cols)
     return kept.unionByName(upserts)
+
+
+def merkle_manifest(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str = "doc_id",
+    cmp_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Merkle-style dataset manifest: a per-shard content root (md5 of
+    the shard's SORTED row fingerprints concatenated) plus the corpus
+    root (md5 of the sorted shard roots) stamped on every row — two
+    datasets are byte-identical iff the corpus roots match, and a
+    mismatch localizes to the differing shard in one comparison. The
+    reproducibility artifact a dataset card pins (the distributed form
+    of hashing a directory tree).
+
+    Row fingerprints are the same md5 the snapshot-diff machinery uses;
+    each shard's fold sorts only ITS OWN fingerprints (shard-bounded —
+    the per-key boundedness contract), and the corpus fold runs over
+    the shard-count-sized root table.
+    """
+    fp_cols = list(cmp_cols) if cmp_cols is not None else [id_col]
+    fp = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in fp_cols]))
+    shards = (
+        df.select(F.col(shard_col).alias("shard"), fp.alias("__fp"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("__fp")), "")
+            ).alias("shard_root"),
+        )
+    )
+    corpus = shards.agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("shard_root")), "")).alias(
+            "corpus_root"
+        )
+    )
+    return shards.join(F.broadcast(corpus)).select(
+        "shard", "n_rows", "shard_root", "corpus_root"
+    )

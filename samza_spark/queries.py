@@ -8378,3 +8378,72 @@ ORACLES["peak_concurrency"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_merkle_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Merkle dataset manifest (pipeline.versioning.merkle_manifest):
+    per-source content roots over sorted row fingerprints + the corpus
+    root — shard-bounded folds, shard-count-sized corpus fold."""
+    from samza_spark.pipeline import versioning
+
+    docs = load_table(spark, sf, "documents")
+    return versioning.merkle_manifest(
+        docs, "source", cmp_cols=["doc_id", "text"]
+    )
+
+
+QUERIES["merkle_manifest"] = q_merkle_manifest
+ORACLES["merkle_manifest"] = (
+    "WITH fp AS (SELECT source AS shard, md5(CAST(doc_id AS VARCHAR) || '|' "
+    "|| text) AS fp FROM documents), "
+    "s AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows, "
+    "md5(string_agg(fp, '' ORDER BY fp)) AS shard_root FROM fp "
+    "GROUP BY shard), "
+    "c AS (SELECT md5(string_agg(shard_root, '' ORDER BY shard_root)) "
+    "AS corpus_root FROM s) "
+    "SELECT shard, n_rows, shard_root, corpus_root FROM s CROSS JOIN c"
+)
+
+
+def q_funnel_exclusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel with exclusion veto (pipeline.events.funnel_with_exclusion):
+    view -> click -> purchase, killed by an intervening error — the
+    'did A then B without X' product-analytics query; one groupBy(user)
+    + array min-forward chain with the veto."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.funnel_with_exclusion(
+        ev, ["view", "click", "purchase"], ["error"]
+    )
+
+
+QUERIES["funnel_exclusion"] = q_funnel_exclusion
+ORACLES["funnel_exclusion"] = (
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events "
+    "WHERE event_type IN ('view', 'click', 'purchase', 'error')), "
+    "u AS (SELECT DISTINCT user_id FROM e), "
+    "t1 AS (SELECT u.user_id, (SELECT min(us) FROM e WHERE e.user_id = "
+    "u.user_id AND event_type = 'view') AS t_view FROM u), "
+    "t2 AS (SELECT t1.*, CASE WHEN t_view IS NOT NULL THEN ("
+    "SELECT CASE WHEN min(us) IS NOT NULL AND NOT EXISTS ("
+    "SELECT 1 FROM e x WHERE x.user_id = t1.user_id AND x.event_type = "
+    "'error' AND x.us > t_view AND x.us < (SELECT min(us) FROM e c WHERE "
+    "c.user_id = t1.user_id AND c.event_type = 'click' AND c.us >= t_view)) "
+    "THEN min(us) END FROM e c WHERE c.user_id = t1.user_id AND "
+    "c.event_type = 'click' AND c.us >= t_view) END AS t_click FROM t1), "
+    "t3 AS (SELECT t2.*, CASE WHEN t_click IS NOT NULL THEN ("
+    "SELECT CASE WHEN min(us) IS NOT NULL AND NOT EXISTS ("
+    "SELECT 1 FROM e x WHERE x.user_id = t2.user_id AND x.event_type = "
+    "'error' AND x.us > t_click AND x.us < (SELECT min(us) FROM e c WHERE "
+    "c.user_id = t2.user_id AND c.event_type = 'purchase' AND "
+    "c.us >= t_click)) THEN min(us) END FROM e c WHERE c.user_id = "
+    "t2.user_id AND c.event_type = 'purchase' AND c.us >= t_click) END "
+    "AS t_purchase FROM t2) "
+    "SELECT user_id, t_view, t_click, t_purchase, "
+    "CAST(CASE WHEN t_purchase IS NOT NULL THEN 3 WHEN t_click IS NOT NULL "
+    "THEN 2 WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) "
+    "AS step_reached FROM t3"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

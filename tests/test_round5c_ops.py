@@ -939,3 +939,53 @@ def test_peak_concurrency_sweep(spark):
     # half-open: interval ending at 100 does NOT overlap one starting at 100
     iv2 = spark.createDataFrame([(0, 100), (100, 200)], "start_us long, end_us long")
     assert pstats.peak_concurrency(iv2).collect()[0]["peak_concurrency"] == 1
+
+
+# ---------------------------------------------------------------------------
+# merkle_manifest / funnel_with_exclusion
+# ---------------------------------------------------------------------------
+
+
+def test_merkle_manifest_localizes_changes(spark):
+    from samza_spark.pipeline import versioning
+
+    a = spark.createDataFrame(
+        [(1, "s1", "x"), (2, "s1", "y"), (3, "s2", "z")],
+        "doc_id long, source string, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "s1", "x"), (2, "s1", "y"), (3, "s2", "CHANGED")],
+        "doc_id long, source string, text string",
+    )
+    ma = {r["shard"]: r for r in versioning.merkle_manifest(a, "source", cmp_cols=["doc_id", "text"]).collect()}
+    mb = {r["shard"]: r for r in versioning.merkle_manifest(b, "source", cmp_cols=["doc_id", "text"]).collect()}
+    assert ma["s1"]["shard_root"] == mb["s1"]["shard_root"]
+    assert ma["s2"]["shard_root"] != mb["s2"]["shard_root"]
+    assert ma["s1"]["corpus_root"] != mb["s1"]["corpus_root"]
+    # row order inside a shard does not change the root
+    a_shuf = a.orderBy(F.desc("doc_id"))
+    ms = {r["shard"]: r for r in versioning.merkle_manifest(a_shuf, "source", cmp_cols=["doc_id", "text"]).collect()}
+    assert ms["s1"]["corpus_root"] == ma["s1"]["corpus_root"]
+
+
+def test_funnel_exclusion_veto_kills_step(spark):
+    from samza_spark.pipeline import events as pevents
+
+    rows = [
+        # user 1: view(0) click(10) purchase(20) — clean, reaches 3
+        (1, _ts(0), 1, "view"), (2, _ts(10), 1, "click"), (3, _ts(20), 1, "purchase"),
+        # user 2: view(0) ERROR(5) click(10) — error between view and click
+        (4, _ts(0), 2, "view"), (5, _ts(5), 2, "error"), (6, _ts(10), 2, "click"),
+        # user 3: error BEFORE the funnel starts is harmless
+        (7, _ts(0), 3, "error"), (8, _ts(1), 3, "view"), (9, _ts(2), 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["user_id"]: r["step_reached"]
+        for r in pevents.funnel_with_exclusion(
+            df, ["view", "click", "purchase"], ["error"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 2}
