@@ -197,6 +197,10 @@ HEADLINE = [
     "standing_queries",
     "category_entropy",
     "peak_concurrency",
+    "merkle_manifest",
+    "funnel_exclusion",
+    "churn_analysis",
+    "activity_streaks",
 ]
 
 

@@ -1422,3 +1422,91 @@ def funnel_with_exclusion(
         )
     out = agged.select(user_col, *(c.alias(n) for n, c in cols.items()))
     return out.withColumn("step_reached", reached.cast("int"))
+
+
+def churn_analysis(
+    df: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Period-over-period churn accounting: for every consecutive period
+    pair, how many users were retained (active in both), churned
+    (active in p, gone in p+1), and new (absent in p, active in p+1).
+    The week-over-week health triplet product dashboards lead with —
+    complementary to the cohort grid (:func:`retention_cohorts` tracks
+    return offsets; this tracks the period-boundary flux).
+
+    Distinct (user, period) reduction (ONE corpus shuffle), then a
+    self-join on the shifted period key over the users×periods table and
+    a combinable per-period rollup. Only periods with a successor are
+    emitted.
+    """
+    seconds = {"day": 86400, "week": 7 * 86400}[period]
+    p = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(seconds * 1_000_000)).cast(
+        "long"
+    )
+    up = df.select(F.col(user_col).alias("u"), p.alias("p")).distinct()
+    cur = up.withColumn("__c", F.lit(1))
+    nxt = up.select("u", (F.col("p") - 1).alias("p")).withColumn(
+        "__n", F.lit(1)
+    )
+    flux = cur.join(nxt, on=["u", "p"], how="outer")
+    periods = up.agg(F.max("p").alias("__maxp"))
+    return (
+        flux.join(F.broadcast(periods))
+        .filter(F.col("p") < F.col("__maxp"))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                (F.col("__c").isNotNull() & F.col("__n").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("retained"),
+            F.sum(
+                (F.col("__c").isNotNull() & F.col("__n").isNull()).cast("long")
+            ).alias("churned"),
+            F.sum(
+                (F.col("__c").isNull() & F.col("__n").isNotNull()).cast("long")
+            ).alias("new_users"),
+        )
+        .select(F.col("p").alias("period"), "retained", "churned", "new_users")
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user consecutive-day activity streaks — the textbook
+    gaps-and-islands pattern: island id = ``day − dense_rank(day)`` is
+    constant exactly across consecutive runs, so one per-user window +
+    one (user, island) rollup yields every streak; the longest and the
+    CURRENT streak (the one touching the user's last active day) follow
+    from a per-user max. Exact integer day arithmetic.
+
+    Plan: distinct (user, day) reduction, one user-partitioned rank
+    window over per-user day lists (bounded), two combinable rollups.
+    """
+    day = F.expr(f"unix_micros({ts_col}) div 86400000000")
+    ud = df.select(F.col(user_col).alias("u"), day.alias("d")).distinct()
+    w = Window.partitionBy("u").orderBy(F.asc("d"))
+    islands = ud.select(
+        "u", "d", (F.col("d") - F.dense_rank().over(w)).alias("isl")
+    )
+    streaks = islands.groupBy("u", "isl").agg(
+        F.count(F.lit(1)).alias("len"), F.max("d").alias("last_d")
+    )
+    per_user = streaks.groupBy("u").agg(
+        F.max("len").alias("longest_streak"),
+        F.max(F.struct("last_d", "len")).alias("__last"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return per_user.select(
+        F.col("u").alias(user_col),
+        "longest_streak",
+        F.col("__last.len").alias("current_streak"),
+        F.col("__last.last_d").alias("last_active_day"),
+        "n_streaks",
+    )

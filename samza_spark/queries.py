@@ -8447,3 +8447,62 @@ ORACLES["funnel_exclusion"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_churn_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week churn accounting (pipeline.events.churn_analysis):
+    retained/churned/new per period boundary from one distinct
+    (user, week) reduction + a shifted-key outer join over the
+    users x periods table."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.churn_analysis(ev, period="week")
+
+
+QUERIES["churn_analysis"] = q_churn_analysis
+ORACLES["churn_analysis"] = (
+    "WITH up AS (SELECT DISTINCT user_id AS u, "
+    "CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS p FROM events), "
+    "cur AS (SELECT u, p, 1 AS c FROM up), "
+    "nxt AS (SELECT u, p - 1 AS p, 1 AS n FROM up), "
+    "fl AS (SELECT coalesce(cur.u, nxt.u) AS u, coalesce(cur.p, nxt.p) AS p, "
+    "c, n FROM cur FULL OUTER JOIN nxt ON cur.u = nxt.u AND cur.p = nxt.p), "
+    "mx AS (SELECT max(p) AS maxp FROM up) "
+    "SELECT p AS period, "
+    "CAST(sum(CASE WHEN c IS NOT NULL AND n IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS retained, "
+    "CAST(sum(CASE WHEN c IS NOT NULL AND n IS NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS churned, "
+    "CAST(sum(CASE WHEN c IS NULL AND n IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS new_users "
+    "FROM fl CROSS JOIN mx WHERE p < maxp GROUP BY p"
+)
+
+
+def q_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user consecutive-day streaks (pipeline.events.activity_streaks):
+    gaps-and-islands via day - dense_rank, longest + current streak."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.activity_streaks(ev)
+
+
+QUERIES["activity_streaks"] = q_activity_streaks
+ORACLES["activity_streaks"] = (
+    "WITH ud AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 "
+    "AS d FROM events), "
+    "i AS (SELECT u, d, d - dense_rank() OVER (PARTITION BY u ORDER BY d) "
+    "AS isl FROM ud), "
+    "s AS (SELECT u, isl, CAST(count(*) AS BIGINT) AS len, max(d) AS last_d "
+    "FROM i GROUP BY u, isl), "
+    "p AS (SELECT u, max(len) AS longest_streak, "
+    "CAST(count(*) AS BIGINT) AS n_streaks, max(last_d) AS last_active_day "
+    "FROM s GROUP BY u) "
+    "SELECT p.u AS user_id, p.longest_streak, s.len AS current_streak, "
+    "p.last_active_day, p.n_streaks "
+    "FROM p JOIN s ON p.u = s.u AND s.last_d = p.last_active_day"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -596,3 +596,13 @@ def test_peak_concurrency_no_single_partition_window(spark, sf_dir):
     # the sweep cumsum must be the range-exchange form
     plan = _plan(spark, "peak_concurrency", sf_dir)
     assert "Exchange SinglePartition" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["merkle_manifest", "funnel_exclusion", "churn_analysis", "activity_streaks"],
+)
+def test_round5lm_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -989,3 +989,50 @@ def test_funnel_exclusion_veto_kills_step(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# churn_analysis / activity_streaks
+# ---------------------------------------------------------------------------
+
+
+def test_churn_analysis_flux(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    # day-period: users {1,2} day0; {2,3} day1; {3} day2
+    d = lambda day: dt.datetime(1970, 1, 1 + day)  # noqa: E731
+    rows = [
+        (1, d(0), 1), (2, d(0), 2),
+        (3, d(1), 2), (4, d(1), 3),
+        (5, d(2), 3),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["period"]: r for r in pevents.churn_analysis(df, period="day").collect()}
+    assert (out[0]["retained"], out[0]["churned"], out[0]["new_users"]) == (1, 1, 1)
+    assert (out[1]["retained"], out[1]["churned"], out[1]["new_users"]) == (1, 1, 0)
+    assert 2 not in out  # last period has no successor
+
+
+def test_activity_streaks_islands(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    d = lambda day: dt.datetime(1970, 1, 1 + day)  # noqa: E731
+    rows = []
+    eid = 0
+    # user 1: days 0,1,2 then 5,6 -> longest 3, current 2
+    for day in [0, 1, 2, 5, 6]:
+        eid += 1
+        rows.append((eid, d(day), 1))
+    # duplicate events same day must not inflate streaks
+    rows.append((99, d(6), 1))
+    # user 2: single day
+    rows.append((100, d(3), 2))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["user_id"]: r for r in pevents.activity_streaks(df).collect()}
+    assert (out[1]["longest_streak"], out[1]["current_streak"], out[1]["n_streaks"]) == (3, 2, 2)
+    assert out[1]["last_active_day"] == 6
+    assert (out[2]["longest_streak"], out[2]["current_streak"]) == (1, 1)
