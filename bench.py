@@ -201,6 +201,7 @@ HEADLINE = [
     "funnel_exclusion",
     "churn_analysis",
     "activity_streaks",
+    "matryoshka_eval",
 ]
 
 

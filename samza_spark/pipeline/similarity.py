@@ -1640,3 +1640,56 @@ def knn_label_noise(
         "majority_votes",
         (F.col("label") != F.col("majority_label")).alias("flagged"),
     )
+
+
+def matryoshka_eval(
+    emb: DataFrame,
+    queries: DataFrame,
+    prefix_dims: "list[int]" = (16, 32),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (Kusupati et al. 2022:
+    MRL embeddings keep most retrieval quality in a prefix of the
+    dimensions): for each candidate prefix length, recall@k of
+    prefix-dim cosine top-k against the full-dim top-k ground truth —
+    the measurement that decides how many dims the production index
+    actually stores (a 4× dim cut at 0.95 recall is a 4× index-cost
+    cut).
+
+    One full-dim exact top-k (ground truth) + one prefix-dim top-k per
+    candidate length — each the broadcast-queries/partition-local-top-k
+    shape, corpus never shuffled; overlap joins on the tiny queries×k
+    tables. Exact integer overlap counts, floored ppm recall.
+    """
+    truth = cosine_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    n_q = queries.select(id_col).distinct().count()
+    out = None
+    for d in prefix_dims:
+        dd = int(d)
+        pe = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, dd).alias(vec_col)
+        )
+        pq = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, dd).alias(vec_col)
+        )
+        pk = cosine_topk(pe, pq, k=k, id_col=id_col, vec_col=vec_col).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            truth.join(pk, on=["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("overlap"))
+            .select(
+                F.lit(dd).alias("prefix_dim"),
+                F.lit(int(n_q)).cast("long").alias("n_queries"),
+                F.col("overlap").cast("long"),
+                F.expr(f"(overlap * 1000000) div ({int(n_q)} * {int(k)})").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -8506,3 +8506,58 @@ ORACLES["activity_streaks"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka prefix-dim retrieval eval
+    (pipeline.similarity.matryoshka_eval): recall@10 of 16- and 32-dim
+    prefix cosine against the full 64-dim ground truth over the
+    vec_id<20 query slice; exact overlap ppm."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.matryoshka_eval(
+        emb, emb.filter(F.col("vec_id") < 20), prefix_dims=(16, 32), k=10
+    )
+
+
+QUERIES["matryoshka_eval"] = q_matryoshka_eval
+
+
+def _matryoshka_oracle() -> str:
+    def scored(expr_a: str, expr_b: str, name: str) -> str:
+        return (
+            f"{name}s AS (SELECT q.query_id, e.vec_id AS nid, "
+            + _cos(expr_a, expr_b)
+            + f" AS c FROM embeddings e, q WHERE e.vec_id <> q.query_id), "
+            f"{name} AS (SELECT query_id, nid FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS r "
+            f"FROM {name}s) WHERE r <= 10)"
+        )
+
+    parts = [
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+        "FROM embeddings WHERE vec_id < 20), ",
+        scored("e.embedding", "q.qv", "truth"),
+    ]
+    unions = []
+    for d in (16, 32):
+        parts.append(
+            ", "
+            + scored(
+                f"list_slice(e.embedding, 1, {d})",
+                f"list_slice(q.qv, 1, {d})",
+                f"p{d}",
+            )
+        )
+        unions.append(
+            f"SELECT {d} AS prefix_dim, CAST(20 AS BIGINT) AS n_queries, "
+            f"CAST(count(*) AS BIGINT) AS overlap, "
+            f"CAST((count(*) * 1000000) // 200 AS BIGINT) AS recall_ppm "
+            f"FROM truth JOIN p{d} USING (query_id, nid)"
+        )
+    parts.append(" " + " UNION ALL ".join(unions))
+    return "".join(parts)
+
+
+ORACLES["matryoshka_eval"] = _matryoshka_oracle()
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

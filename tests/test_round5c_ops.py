@@ -1036,3 +1036,28 @@ def test_activity_streaks_islands(spark):
     assert (out[1]["longest_streak"], out[1]["current_streak"], out[1]["n_streaks"]) == (3, 2, 2)
     assert out[1]["last_active_day"] == 6
     assert (out[2]["longest_streak"], out[2]["current_streak"]) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_eval
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_full_prefix_is_perfect_recall(spark):
+    from samza_spark.pipeline import similarity as sim
+
+    rows = [
+        (i, [float((i * j * 37) % 11 - 5) for j in range(1, 9)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 5)
+    out = {
+        r["prefix_dim"]: r
+        for r in sim.matryoshka_eval(df, q, prefix_dims=(8, 2), k=5).collect()
+    }
+    # prefix == full dim -> identical ranking -> recall 1
+    assert out[8]["recall_ppm"] == 1_000_000
+    assert out[8]["overlap"] == 25 and out[8]["n_queries"] == 5
+    # 2-dim prefix loses information -> recall <= 1, counts consistent
+    assert 0 <= out[2]["overlap"] <= 25
+    assert out[2]["recall_ppm"] == out[2]["overlap"] * 1_000_000 // 25
