@@ -8561,3 +8561,72 @@ def _matryoshka_oracle() -> str:
 ORACLES["matryoshka_eval"] = _matryoshka_oracle()
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV sink+source roundtrip (Spark-native writer/reader standing in
+    for the reference's flat-file HDFS path): documents — INCLUDING
+    embedded newlines and quotes in text — written with full quoting and
+    read back with multiLine + explicit schema. Oracle reads the
+    original table, so every byte of quoting/escaping is value-checked."""
+    import tempfile
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="ss_csv_q_")
+    docs.write.mode("overwrite").options(
+        header=True, quoteAll=True, escape='"'
+    ).csv(path)
+    back = (
+        spark.read.schema("doc_id long, text string, lang string, n_chars long")
+        .options(header=True, multiLine=True, quote='"', escape='"')
+        .csv(path)
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").cast("int").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+QUERIES["csv_roundtrip"] = q_csv_roundtrip
+ORACLES["csv_roundtrip"] = (
+    "SELECT doc_id, lang, n_chars, CAST(length(text) AS INT) AS text_len, "
+    "md5(text) AS text_md5 FROM documents"
+)
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines sink+source roundtrip (the other flat-file format the
+    reference's HDFS system consumes): schema-pinned read-back; oracle
+    reads the original table — escaping of newlines/quotes/unicode is
+    value-checked byte-for-byte."""
+    import tempfile
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="ss_jsonl_q_")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, n_chars long"
+    ).json(path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").cast("int").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+ORACLES["jsonl_roundtrip"] = (
+    "SELECT doc_id, lang, n_chars, CAST(length(text) AS INT) AS text_len, "
+    "md5(text) AS text_md5 FROM documents"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
