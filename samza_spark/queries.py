@@ -8630,3 +8630,57 @@ ORACLES["jsonl_roundtrip"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_codebook_utilization(spark: SparkSession, sf: str) -> DataFrame:
+    """Codebook/cluster utilization health report: per-centroid load of
+    the k-means assignment rolled into one row — vectors, used/dead
+    centroids, the hottest centroid's share in ppm, and the assignment
+    entropy in micro-nats (the index-health gate before shipping an IVF
+    codebook: dead or red-hot centroids mean retraining). Composes the
+    oracle-proven kmeans assignment with the category-entropy machinery;
+    everything after the assignment runs on the k-row count table."""
+    from samza_spark.pipeline import similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    asg = similarity.kmeans_assign_exact(emb, n_clusters=8, n_iters=2)
+    counts = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    term = F.col("n") * F.floor(
+        F.log(F.col("t").cast("double") / F.col("n").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        counts.join(F.broadcast(tot))
+        .agg(
+            F.max("t").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("used_centroids"),
+            (F.lit(8) - F.count(F.lit(1))).cast("long").alias("dead_centroids"),
+            F.expr("max((n * 1000000) div t)").alias("max_share_ppm"),
+            F.sum(term).alias("__s"),
+        )
+        .select(
+            "n_vectors",
+            "used_centroids",
+            "dead_centroids",
+            "max_share_ppm",
+            F.expr("__s div n_vectors").alias("entropy_micronats"),
+        )
+    )
+
+
+QUERIES["codebook_utilization"] = q_codebook_utilization
+ORACLES["codebook_utilization"] = (
+    "WITH asg AS (SELECT * FROM (" + ORACLES["kmeans_assign"] + ") __k), "
+    "cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM asg "
+    "GROUP BY cluster), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt) "
+    "SELECT max(t) AS n_vectors, CAST(count(*) AS BIGINT) AS used_centroids, "
+    "CAST(8 - count(*) AS BIGINT) AS dead_centroids, "
+    "CAST(max((n * 1000000) // t) AS BIGINT) AS max_share_ppm, "
+    "CAST(sum(n * CAST(floor(ln(CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) "
+    "* 1000000.0) AS BIGINT)) // max(t) AS BIGINT) AS entropy_micronats "
+    "FROM cnt CROSS JOIN t"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
