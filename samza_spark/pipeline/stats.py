@@ -634,3 +634,101 @@ def peak_concurrency(
             F.col("at").alias("at_us"),
         )
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences readout: the 2×2 (treatment × period)
+    cell means and the DiD estimate
+    ``(treat_post − treat_pre) − (control_post − control_pre)`` — the
+    standard pre/post causal comparison when a holdout exists. Values
+    fixed-pointed to ``scale`` units; each cell mean is ONE floored
+    integer division (micro-units), so the estimate is deterministic
+    and engine-exact (the ≤1 µ-unit floor loss is far below any
+    decision threshold; significance testing stays downstream).
+
+    ONE combinable 4-cell aggregate + a map-side pivot. Scale-safe.
+    """
+    v = F.round(F.col(value_col) * F.lit(int(scale))).cast("long")
+    cells = df.groupBy(
+        F.col(treat_col).cast("int").alias("tr"),
+        F.col(post_col).cast("int").alias("po"),
+    ).agg(F.sum(v).alias("s"), F.count(F.lit(1)).alias("n"))
+    mean_u = F.expr("(s * 1000000) div n")
+    wide = cells.select("tr", "po", mean_u.alias("m"), "n").agg(
+        F.max(F.when((F.col("tr") == 1) & (F.col("po") == 1), F.col("m"))).alias("m_t_post"),
+        F.max(F.when((F.col("tr") == 1) & (F.col("po") == 0), F.col("m"))).alias("m_t_pre"),
+        F.max(F.when((F.col("tr") == 0) & (F.col("po") == 1), F.col("m"))).alias("m_c_post"),
+        F.max(F.when((F.col("tr") == 0) & (F.col("po") == 0), F.col("m"))).alias("m_c_pre"),
+        F.sum("n").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        "m_t_pre",
+        "m_t_post",
+        "m_c_pre",
+        "m_c_post",
+        (
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        ).alias("did_micro"),
+    )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group winsorized summary: clamp values to the group's exact
+    [lo_pct, hi_pct] order statistics (rank ``1 + ((n-1)*p) div 100`` —
+    actual data points, no interpolation) and report the clamped sum and
+    floored mean in micro-units — the outlier-robust mean that, unlike
+    trimming, keeps n constant. All-integer selection and arithmetic.
+
+    Two group-partitioned rank windows (value rank + bound fetch by
+    rank) + one combinable rollup. No global sort.
+    """
+    from pyspark.sql import Window
+
+    x = F.round(F.col(value_col) * F.lit(int(scale))).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"), x.alias("x"), F.col(id_col).alias("i")
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("x"), F.asc("i"))
+    ranked = base.select(
+        "g",
+        "x",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("r") == F.expr(f"1 + ((n - 1) * {int(lo_pct)}) div 100"))
+            | (F.col("r") == F.expr(f"1 + ((n - 1) * {int(hi_pct)}) div 100"))
+        )
+        .groupBy("g")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    clamped = base.join(F.broadcast(bounds), on="g").select(
+        "g", F.greatest(F.least(F.col("x"), F.col("hi")), F.col("lo")).alias("cx")
+    )
+    return clamped.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cx").alias("winsorized_sum_u"),
+        F.expr("sum(cx) div count(1)").alias("winsorized_mean_u"),
+    ).select(
+        F.col("g").alias(group_col),
+        "n",
+        "winsorized_sum_u",
+        "winsorized_mean_u",
+    )

@@ -8684,3 +8684,78 @@ ORACLES["codebook_utilization"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences over the deterministic A/B arms
+    (pipeline.stats.diff_in_diff): arm = md5 user bucket, post = second
+    half of the observation window; exact 2x2 cents cell means and the
+    DiD estimate in floored micro-cents."""
+    from samza_spark.pipeline import stats as pstats
+    from samza_spark.pipeline.sampling import _hash_bucket
+
+    ev = load_table(spark, sf, "events")
+    mid = ev.agg(
+        F.expr("min(unix_micros(ts)) + (max(unix_micros(ts)) - "
+               "min(unix_micros(ts))) div 2").alias("m")
+    )
+    tagged = ev.join(F.broadcast(mid)).select(
+        "value",
+        _hash_bucket("user_id", "exp0", 2).alias("tr"),
+        (F.unix_micros("ts") >= F.col("m")).cast("int").alias("po"),
+    )
+    return pstats.diff_in_diff(tagged, "tr", "po", "value")
+
+
+QUERIES["diff_in_diff"] = q_diff_in_diff
+ORACLES["diff_in_diff"] = (
+    "WITH m AS (SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - "
+    "min(epoch_us(ts))) // 2 AS m FROM events), "
+    "t AS (SELECT ('0x' || substr(md5('exp0' || '|' || "
+    "CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS tr, "
+    "CASE WHEN epoch_us(ts) >= m THEN 1 ELSE 0 END AS po, "
+    "CAST(round(value * 100) AS BIGINT) AS v FROM events CROSS JOIN m), "
+    "c AS (SELECT tr, po, CAST(sum(v) AS BIGINT) AS s, "
+    "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tr, po), "
+    "w AS (SELECT max(CASE WHEN tr = 1 AND po = 1 THEN (s * 1000000) // n "
+    "END) AS m_t_post, max(CASE WHEN tr = 1 AND po = 0 THEN "
+    "(s * 1000000) // n END) AS m_t_pre, "
+    "max(CASE WHEN tr = 0 AND po = 1 THEN (s * 1000000) // n END) "
+    "AS m_c_post, max(CASE WHEN tr = 0 AND po = 0 THEN (s * 1000000) // n "
+    "END) AS m_c_pre, CAST(sum(n) AS BIGINT) AS n_total FROM c) "
+    "SELECT n_total, CAST(m_t_pre AS BIGINT) AS m_t_pre, "
+    "CAST(m_t_post AS BIGINT) AS m_t_post, CAST(m_c_pre AS BIGINT) "
+    "AS m_c_pre, CAST(m_c_post AS BIGINT) AS m_c_post, "
+    "CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT) "
+    "AS did_micro FROM w"
+)
+
+
+def q_winsorize_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type winsorized mean (pipeline.stats.winsorize_stats): values
+    clamped to the exact [p5, p95] order statistics, all-integer
+    micro-unit arithmetic."""
+    from samza_spark.pipeline import stats as pstats
+
+    ev = load_table(spark, sf, "events")
+    return pstats.winsorize_stats(ev, "event_type", "value", "event_id")
+
+
+QUERIES["winsorize_stats"] = q_winsorize_stats
+ORACLES["winsorize_stats"] = (
+    "WITH b AS (SELECT event_type AS g, CAST(round(value * 1000000) AS "
+    "BIGINT) AS x, event_id AS i FROM events), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY x, i) AS r, "
+    "count(*) OVER (PARTITION BY g) AS n FROM b), "
+    "bd AS (SELECT g, min(x) AS lo, max(x) AS hi FROM r "
+    "WHERE r = 1 + ((n - 1) * 5) // 100 OR r = 1 + ((n - 1) * 95) // 100 "
+    "GROUP BY g), "
+    "c AS (SELECT b.g, greatest(least(x, hi), lo) AS cx FROM b "
+    "JOIN bd ON b.g = bd.g) "
+    "SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(cx) AS BIGINT) AS winsorized_sum_u, "
+    "CAST(sum(cx) // count(*) AS BIGINT) AS winsorized_mean_u "
+    "FROM c GROUP BY g"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1061,3 +1061,36 @@ def test_matryoshka_full_prefix_is_perfect_recall(spark):
     # 2-dim prefix loses information -> recall <= 1, counts consistent
     assert 0 <= out[2]["overlap"] <= 25
     assert out[2]["recall_ppm"] == out[2]["overlap"] * 1_000_000 // 25
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff / winsorize_stats
+# ---------------------------------------------------------------------------
+
+
+def test_diff_in_diff_cells(spark):
+    from samza_spark.pipeline import stats as pstats
+
+    # control flat at 1.00; treatment 1.00 pre -> 3.00 post: DiD = +2.00
+    rows = (
+        [(0, 0, 1.0)] * 4 + [(0, 1, 1.0)] * 4
+        + [(1, 0, 1.0)] * 4 + [(1, 1, 3.0)] * 4
+    )
+    df = spark.createDataFrame(rows, "tr int, po int, value double")
+    r = pstats.diff_in_diff(df, "tr", "po", "value").collect()[0]
+    assert r["did_micro"] == 200 * 1_000_000
+    assert r["m_c_pre"] == r["m_c_post"] == 100 * 1_000_000
+    assert r["n_total"] == 16
+
+
+def test_winsorize_clamps_outliers(spark):
+    from samza_spark.pipeline import stats as pstats
+
+    # 20 values 1..20 plus one huge outlier; p95 bound tames it
+    rows = [("g", i, float(i)) for i in range(1, 21)] + [("g", 99, 10000.0)]
+    df = spark.createDataFrame(rows, "g string, id long, value double")
+    r = pstats.winsorize_stats(df, "g", "value", "id").collect()[0]
+    # n=21: lo rank = 1 + (20*5)//100 = 2 -> 2.0; hi rank = 1+(20*95)//100=20 -> 20.0
+    want_sum = (2 + sum(range(2, 21)) + 20) * 1_000_000
+    assert r["winsorized_sum_u"] == want_sum
+    assert r["n"] == 21
