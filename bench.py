@@ -202,6 +202,12 @@ HEADLINE = [
     "churn_analysis",
     "activity_streaks",
     "matryoshka_eval",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "codebook_utilization",
+    "diff_in_diff",
+    "winsorize_stats",
+    "interval_audit",
 ]
 
 

@@ -606,3 +606,20 @@ def test_round5lm_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "matryoshka_eval",
+        "csv_roundtrip",
+        "jsonl_roundtrip",
+        "codebook_utilization",
+        "diff_in_diff",
+        "winsorize_stats",
+    ],
+)
+def test_round5npq_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
