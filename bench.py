@@ -208,6 +208,7 @@ HEADLINE = [
     "diff_in_diff",
     "winsorize_stats",
     "interval_audit",
+    "labeler_agreement",
 ]
 
 

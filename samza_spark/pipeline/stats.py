@@ -732,3 +732,57 @@ def winsorize_stats(
         "winsorized_sum_u",
         "winsorized_mean_u",
     )
+
+
+def labeler_agreement(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Inter-annotator agreement: percent agreement and Cohen's kappa
+    between two label columns, all in exact integer ppm — the
+    annotation-QC gate before trusting a labeling pass (raw agreement
+    flatters imbalanced label sets; kappa subtracts the chance-agreement
+    floor p_e = Σ_L p_A(L)·p_B(L)).
+
+    ``kappa_ppm = ((p_o − p_e) · 1e6) div (1e6 − p_e)`` with both
+    probabilities as floored ppm of exact counts. One combinable
+    confusion-matrix count; marginals and the rollup run on the
+    label-grid table.
+    """
+    cm = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    arow = cm.groupBy("a").agg(F.sum("c").alias("ra"))
+    bcol = cm.groupBy("b").agg(F.sum("c").alias("cb"))
+    pe_num = (
+        arow.join(bcol, arow["a"] == bcol["b"])
+        .agg(F.sum(F.col("ra") * F.col("cb")).alias("pe_num"))
+    )
+    tot = cm.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    return (
+        tot.join(F.broadcast(pe_num))
+        .select(
+            "n",
+            "agree",
+            F.expr("(agree * 1000000) div n").alias("po_ppm"),
+            F.expr("(coalesce(pe_num, 0) * 1000000) div (n * n)").alias(
+                "pe_ppm"
+            ),
+        )
+        .select(
+            "n",
+            "agree",
+            "po_ppm",
+            "pe_ppm",
+            F.when(
+                F.col("pe_ppm") < 1_000_000,
+                F.expr("((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)"),
+            ).alias("kappa_ppm"),
+        )
+    )

@@ -8759,3 +8759,37 @@ ORACLES["winsorize_stats"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_labeler_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa between the stored lang labels and the heuristic
+    lang_id annotator (pipeline.stats.labeler_agreement): exact integer
+    ppm agreement + chance-corrected kappa over the oracle-replayable
+    confusion matrix."""
+    from samza_spark.pipeline import stats as pstats
+
+    docs = load_table(spark, sf, "documents")
+    labeled = text.text_profile(docs).select("lang", "lang_pred")
+    return pstats.labeler_agreement(labeled, "lang", "lang_pred")
+
+
+QUERIES["labeler_agreement"] = q_labeler_agreement
+ORACLES["labeler_agreement"] = (
+    "WITH cm AS (SELECT lang AS a, lang_pred AS b, CAST(cnt AS BIGINT) AS c "
+    "FROM (" + ORACLES["lang_id"] + ") __l), "
+    "ar AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cm GROUP BY a), "
+    "bc AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY b), "
+    "pe AS (SELECT CAST(sum(ra * cb) AS BIGINT) AS pe_num FROM ar "
+    "JOIN bc ON ar.a = bc.b), "
+    "t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(CASE WHEN a = b "
+    "THEN c ELSE 0 END) AS BIGINT) AS agree FROM cm), "
+    "w AS (SELECT n, agree, (agree * 1000000) // n AS po_ppm, "
+    "(coalesce(pe_num, 0) * 1000000) // (n * n) AS pe_ppm "
+    "FROM t CROSS JOIN pe) "
+    "SELECT n, agree, CAST(po_ppm AS BIGINT) AS po_ppm, "
+    "CAST(pe_ppm AS BIGINT) AS pe_ppm, "
+    "CASE WHEN pe_ppm < 1000000 THEN CAST(((po_ppm - pe_ppm) * 1000000) "
+    "// (1000000 - pe_ppm) AS BIGINT) END AS kappa_ppm FROM w"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1094,3 +1094,25 @@ def test_winsorize_clamps_outliers(spark):
     want_sum = (2 + sum(range(2, 21)) + 20) * 1_000_000
     assert r["winsorized_sum_u"] == want_sum
     assert r["n"] == 21
+
+
+# ---------------------------------------------------------------------------
+# labeler_agreement
+# ---------------------------------------------------------------------------
+
+
+def test_labeler_agreement_kappa(spark):
+    from samza_spark.pipeline import stats as pstats
+
+    # 8 docs: 6 agree; marginals A: {x:4, y:4}, B: {x:5, y:3}
+    rows = [("x", "x")] * 4 + [("y", "y")] * 2 + [("y", "x")] * 1 + [("x", "y")] * 0 + [("y", "x")] * 1
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = pstats.labeler_agreement(df, "a", "b").collect()[0]
+    n, agree = 8, 6
+    po = agree * 1_000_000 // n
+    pe = (4 * 6 + 4 * 2) * 1_000_000 // (n * n)
+    assert (r["n"], r["agree"], r["po_ppm"], r["pe_ppm"]) == (n, agree, po, pe)
+    assert r["kappa_ppm"] == (po - pe) * 1_000_000 // (1_000_000 - pe)
+    # perfect agreement with >1 label -> kappa 1
+    perfect = spark.createDataFrame([("x", "x")] * 3 + [("y", "y")] * 3, "a string, b string")
+    assert pstats.labeler_agreement(perfect, "a", "b").collect()[0]["kappa_ppm"] == 1_000_000
