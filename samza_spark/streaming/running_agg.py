@@ -133,3 +133,72 @@ def _running_aggregate_apws(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_balance_stream(
+    df: DataFrame,
+    key_col: str,
+    delta_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    floor_at: int = 0,
+) -> DataFrame:
+    """Streaming clamped running balance — the incremental form of
+    :func:`samza_spark.pipeline.events.running_balance`: per-key
+    ``(balance, clamps, n)`` state carried across micro-batches in the
+    state store, each batch's rows folded in (ts, id) order with
+    ``balance = max(floor, balance + delta)``. Because the fold is
+    NON-associative, correctness requires per-key event-time-ordered
+    delivery across batches (the replay/partitioned-log contract the
+    reference engine guarantees per partition); within a batch this
+    implementation sorts, so any intra-batch arrival order is fine.
+
+    Dependency-free ``applyInPandasWithState`` (no protobuf); emits one
+    row per (key, batch) with the post-batch state — Samza's
+    KeyValueStore get/fold/put shape verbatim.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fl = int(floor_at)
+
+    def fn(key, pdf_iter, state: GroupState):
+        bal, clamps, n = state.get if state.exists else (fl, 0, 0)
+        got = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            got = True
+            pdf = pdf.sort_values([ts_col, id_col])
+            for d in pdf[delta_col].astype("int64"):
+                nxt = bal + int(d)
+                if nxt < fl:
+                    clamps += 1
+                    bal = fl
+                else:
+                    bal = nxt
+                n += 1
+        if got:
+            state.update((int(bal), int(clamps), int(n)))
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "final_balance": [int(bal)],
+                    "n_clamps": [int(clamps)],
+                    "n_events": [int(n)],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"key": [], "final_balance": [], "n_clamps": [], "n_events": []}
+            )
+
+    return (
+        df.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fn,
+            "key string, final_balance bigint, n_clamps bigint, n_events bigint",
+            "bal bigint, clamps bigint, n bigint",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -553,3 +553,64 @@ def test_streaming_ohlc_bars_match_batch(spark, tmp_path):
         for r in pevents.ohlc_bars_agg(batch_df, bucket="day").collect()
     }
     assert agg_form == want
+
+
+def test_streaming_running_balance_matches_batch(spark, tmp_path):
+    """Clamped running balance incrementally across TWO micro-batches
+    (streaming.running_agg.running_balance_stream): per-key state carries
+    the fold; the final per-key (balance, clamps) equals the batch
+    array-fold operator on the full history."""
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+    from samza_spark.streaming.running_agg import running_balance_stream
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for i in range(10):
+            eid += 1
+            # deltas swing negative to force clamps
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 0, i), u, (i % 5) * 3 - 6)
+            )
+    schema = "event_id long, ts timestamp, user_id long, d long"
+    full = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "bal_src")
+    # two files = two micro-batches, split mid-history (ts order preserved)
+    spark.createDataFrame(rows[:15], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = running_balance_stream(stream, "user_id", "d")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bal_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bal_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[15:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final state per key = the emission with the highest n_events (memory
+    # sink row order across batches is not defined)
+    got = {}
+    for r in spark.sql("SELECT * FROM bal_stream").collect():
+        cur = got.get(r["key"])
+        if cur is None or r["n_events"] > cur[2]:
+            got[r["key"]] = (r["final_balance"], r["n_clamps"], r["n_events"])
+    want = {
+        str(r["user_id"]): (r["final_balance"], r["n_clamps"], r["n_events"])
+        for r in pevents.running_balance(full, "d").collect()
+    }
+    # keys emitted in both batches keep the LAST row as final
+    finals = {k: got[k] for k in want}
+    assert finals == want
