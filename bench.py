@@ -209,6 +209,7 @@ HEADLINE = [
     "winsorize_stats",
     "interval_audit",
     "labeler_agreement",
+    "concordance",
 ]
 
 

@@ -919,3 +919,53 @@ def doc_structure(
             F.expr("(docs_with_code * 1000000) div n_docs").alias("code_ppm"),
         )
     )
+
+
+def concordance(
+    df: DataFrame,
+    term: str,
+    context: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """KWIC (keyword-in-context) concordance: every occurrence of
+    ``term`` with ``context`` tokens of left/right context — the corpus
+    linguist's (and the prompt-engineer's) primary exploration view, and
+    the spot-check tool for blocklist/PII rule authoring ("show me how
+    this word is actually used").
+
+    Positions come from ``posexplode`` over the token array (map-side,
+    no join back to text); contexts are array slices of the SAME row's
+    token list, so nothing re-scans the corpus. Deterministic top_k by
+    (doc, position) caps the output (TakeOrderedAndProject).
+    """
+    toks = F.filter(
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    hits = base.select(
+        id_col,
+        "__toks",
+        F.posexplode("__toks").alias("pos", "tok"),
+    ).filter(F.col("tok") == F.lit(term))
+    c = int(context)
+    return (
+        hits.select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(
+                F.expr(
+                    f"slice(__toks, greatest(pos - {c} + 1, 1), "
+                    f"least({c}, pos))"
+                ),
+                " ",
+            ).alias("left_ctx"),
+            F.array_join(
+                F.expr(f"slice(__toks, pos + 2, {c})"), " "
+            ).alias("right_ctx"),
+        )
+        .orderBy(F.asc(id_col), F.asc("pos"))
+        .limit(int(top_k))
+    )

@@ -8793,3 +8793,28 @@ ORACLES["labeler_agreement"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_concordance(spark: SparkSession, sf: str) -> DataFrame:
+    """KWIC concordance for 'vector' (pipeline.text.concordance):
+    posexplode positions + same-row array-slice contexts, top-100 by
+    (doc, position)."""
+    docs = load_table(spark, sf, "documents")
+    return text.concordance(docs, "vector", context=3, top_k=100)
+
+
+QUERIES["concordance"] = q_concordance
+ORACLES["concordance"] = (
+    "WITH t AS (SELECT doc_id, list_filter(string_split(trim(regexp_replace("
+    "lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS w "
+    "FROM documents), "
+    "ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t), "
+    "h AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, "
+    "coalesce(array_to_string(list_slice(w, greatest(i - 3, 1), i - 1), ' '), "
+    "'') AS left_ctx, coalesce(array_to_string(list_slice(w, i + 1, i + 3), "
+    "' '), '') AS right_ctx FROM ix WHERE w[i] = 'vector') "
+    "SELECT doc_id, pos, left_ctx, right_ctx FROM h "
+    "ORDER BY doc_id, pos LIMIT 100"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1116,3 +1116,26 @@ def test_labeler_agreement_kappa(spark):
     # perfect agreement with >1 label -> kappa 1
     perfect = spark.createDataFrame([("x", "x")] * 3 + [("y", "y")] * 3, "a string, b string")
     assert pstats.labeler_agreement(perfect, "a", "b").collect()[0]["kappa_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# concordance
+# ---------------------------------------------------------------------------
+
+
+def test_concordance_contexts(spark):
+    from samza_spark.pipeline import text as ptext
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta TARGET gamma delta epsilon TARGET")],
+        "doc_id long, text string",
+    )
+    out = ptext.concordance(df, "target", context=2).collect()
+    assert [(r["pos"], r["left_ctx"], r["right_ctx"]) for r in out] == [
+        (2, "alpha beta", "gamma delta"),
+        (6, "delta epsilon", ""),
+    ]
+    # context clipped at doc start
+    df2 = spark.createDataFrame([(1, "target tail")], "doc_id long, text string")
+    r = ptext.concordance(df2, "target", context=3).collect()[0]
+    assert r["left_ctx"] == "" and r["right_ctx"] == "tail"
