@@ -210,6 +210,8 @@ HEADLINE = [
     "interval_audit",
     "labeler_agreement",
     "concordance",
+    "latency_log2_histogram",
+    "path_deviation",
 ]
 
 

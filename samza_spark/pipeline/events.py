@@ -1510,3 +1510,94 @@ def activity_streaks(
         F.col("__last.last_d").alias("last_active_day"),
         "n_streaks",
     )
+
+
+def latency_log2_histogram(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """HdrHistogram-style inter-arrival latency histogram with
+    power-of-two buckets: per key, gaps between consecutive events land
+    in bucket ``floor(log2(gap_us))`` — computed EXACTLY as
+    ``length(bin(gap)) - 1`` (the bit length of the integer, no float
+    log anywhere), the standard trick that makes log-scale latency
+    observability engine-exact. Emits per (key, bucket): count and the
+    exact min/max gap seen.
+
+    One key-partitioned lag window for gaps + one combinable
+    (key, bucket) count. The bucket domain is ≤ 63 rows per key.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        df.select(
+            F.col(key_col),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us") > 0)
+    )
+    bucket = (F.length(F.expr("bin(gap_us)")) - 1).cast("int")
+    return (
+        gaps.select(key_col, "gap_us", bucket.alias("log2_bucket"))
+        .groupBy(key_col, "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+def path_deviation(
+    df: DataFrame,
+    canonical: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap: str = "30 minutes",
+    top_k: int = 50,
+) -> DataFrame:
+    """Session path alignment: each session's event path (first letters
+    of event types, time-ordered) scored by Levenshtein distance to a
+    canonical path — the UX-flow deviation audit ("how far do real
+    sessions stray from view→click→purchase?"). Integer edit distances;
+    top-k most deviant sessions by (distance DESC, user, session).
+
+    Composes :func:`sessionize` (two user-partitioned windows) with ONE
+    (user, session) aggregate collecting the bounded per-session path;
+    the DP runs JVM-side per session string.
+    """
+    sess = sessionize(df, user_col=user_col, ts_col=ts_col, gap=gap)
+    tiebreak = (
+        F.col("event_id") if "event_id" in df.columns else F.lit(0)
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col(ts_col)).alias("us"),
+                        tiebreak.alias("i"),
+                        F.substring(F.col(type_col), 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda e: e["c"],
+        ),
+        "",
+    )
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(path.alias("path"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            "session_id",
+            "path",
+            "n_events",
+            F.levenshtein(F.col("path"), F.lit(canonical)).alias("distance"),
+        )
+        .orderBy(F.desc("distance"), F.asc(user_col), F.asc("session_id"))
+        .limit(int(top_k))
+    )

@@ -8818,3 +8818,56 @@ ORACLES["concordance"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_latency_log2_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-of-two inter-arrival latency histogram
+    (pipeline.events.latency_log2_histogram): buckets from the exact
+    integer bit length — no float log; per (type, bucket) counts +
+    exact extremes."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.latency_log2_histogram(ev)
+
+
+QUERIES["latency_log2_histogram"] = q_latency_log2_histogram
+ORACLES["latency_log2_histogram"] = (
+    "WITH g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY event_type ORDER BY ts, event_id) AS gap_us FROM events), "
+    "f AS (SELECT event_type, gap_us, CAST(length(bin(gap_us)) - 1 AS INT) "
+    "AS log2_bucket FROM g WHERE gap_us > 0) "
+    "SELECT event_type, log2_bucket, CAST(count(*) AS BIGINT) AS n, "
+    "min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us "
+    "FROM f GROUP BY event_type, log2_bucket"
+)
+
+
+def q_path_deviation(spark: SparkSession, sf: str) -> DataFrame:
+    """Session path deviation from the canonical view->click->purchase
+    flow (pipeline.events.path_deviation): per-session first-letter path
+    + integer Levenshtein, top-50 most deviant."""
+    from samza_spark.pipeline import events as pevents
+
+    ev = load_table(spark, sf, "events")
+    return pevents.path_deviation(ev, "vcp")
+
+
+QUERIES["path_deviation"] = q_path_deviation
+ORACLES["path_deviation"] = (
+    "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+    "CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + "
+    "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, "
+    "event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM o), "
+    "p AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+    "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path, "
+    "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, "
+    "session_id) "
+    "SELECT user_id, session_id, path, n_events, "
+    "CAST(levenshtein(path, 'vcp') AS INT) AS distance FROM p "
+    "ORDER BY distance DESC, user_id, session_id LIMIT 50"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

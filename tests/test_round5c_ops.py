@@ -1139,3 +1139,41 @@ def test_concordance_contexts(spark):
     df2 = spark.createDataFrame([(1, "target tail")], "doc_id long, text string")
     r = ptext.concordance(df2, "target", context=3).collect()[0]
     assert r["left_ctx"] == "" and r["right_ctx"] == "tail"
+
+
+# ---------------------------------------------------------------------------
+# latency_log2_histogram / path_deviation
+# ---------------------------------------------------------------------------
+
+
+def test_log2_histogram_buckets_exact(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import events as pevents
+
+    base = dt.datetime(2024, 1, 1)
+    # gaps: 1s, 2s, 3s -> µs buckets floor(log2(1e6))=19, log2(2e6)=20, log2(3e6)=21
+    offs = [0, 1, 3, 6]
+    rows = [(i, base + dt.timedelta(seconds=offs[i]), "x") for i in range(4)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["log2_bucket"]: r for r in pevents.latency_log2_histogram(df).collect()}
+    assert out[19]["n"] == 1 and out[19]["min_gap_us"] == 1_000_000
+    assert out[20]["n"] == 1 and out[21]["n"] == 1
+    assert (3_000_000).bit_length() - 1 == 21
+
+
+def test_path_deviation_distances(spark):
+    from samza_spark.pipeline import events as pevents
+
+    rows = [
+        # user 1 one session: exact canonical path "vcp" -> distance 0
+        (1, _ts(0), 1, "view"), (2, _ts(1), 1, "click"), (3, _ts(2), 1, "purchase"),
+        # user 2: "vep" -> distance 1 to "vcp"
+        (4, _ts(0), 2, "view"), (5, _ts(1), 2, "error"), (6, _ts(2), 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["user_id"]: r for r in pevents.path_deviation(df, "vcp").collect()}
+    assert out[1]["path"] == "vcp" and out[1]["distance"] == 0
+    assert out[2]["path"] == "vep" and out[2]["distance"] == 1
