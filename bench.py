@@ -212,6 +212,7 @@ HEADLINE = [
     "concordance",
     "latency_log2_histogram",
     "path_deviation",
+    "curation_pipeline",
 ]
 
 

@@ -8871,3 +8871,60 @@ ORACLES["path_deviation"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """FLAGSHIP COMPOSITE: the full training-data curation chain in ONE
+    lazy DAG — profile -> quality/length filter -> exact dedup ->
+    MinHash near-dedup (LSH + verify, recall-1 at this banding) ->
+    per-source quality cap -> deterministic split. Every stage is the
+    same oracle-proven operator registered individually; the point is
+    that they COMPOSE (one scan feeds the whole chain, the only
+    shuffles are the dedup groupBy, the banding shuffle, and the cap
+    rank window). The oracle replays all six stages in SQL."""
+    from samza_spark.pipeline import governance, sampling
+
+    docs = load_table(spark, sf, "documents")
+    profiled = text.text_profile(docs)
+    kept = profiled.filter(
+        (F.col("quality") >= 0.65) & (F.col("n_tokens") >= 20)
+    )
+    d1 = dedup.exact_dedup(kept)
+    d2 = dedup.minhash_dedup(d1, threshold=0.8, on_capped="ignore")
+    # cap_per_source appends its own quality column (same quality_score
+    # over text) — drop the profile's copy to keep the name unambiguous
+    capped = governance.cap_per_source(d2.drop("quality"), max_docs=15)
+    out = sampling.assign_split(capped, "doc_id")
+    return out.select(
+        "doc_id", "source", "lang", "n_tokens", "quality", "split"
+    )
+
+
+QUERIES["curation_pipeline"] = q_curation_pipeline
+ORACLES["curation_pipeline"] = (
+    f"WITH t AS (SELECT doc_id, text, lang, source, {_TOKENS_SQL} AS n_tokens "
+    "FROM documents), "
+    f"p AS (SELECT doc_id, text, lang, source, CAST(n_tokens AS BIGINT) "
+    f"AS n_tokens, round({_QUALITY_SQL}, 4) AS quality, "
+    f"md5({_NORM.format(c='text')}) AS fp FROM t), "
+    "kept AS (SELECT * FROM p WHERE quality >= CAST(0.65 AS DOUBLE) "
+    "AND n_tokens >= 20), "
+    "d1 AS (SELECT * FROM kept WHERE doc_id IN (SELECT min(doc_id) "
+    "FROM kept GROUP BY fp)), "
+    f"sh AS (SELECT doc_id, {_grams3_of_norm(_NORM.format(c='text'))} AS s "
+    "FROM d1), "
+    "dr AS (SELECT DISTINCT r.doc_id AS b FROM sh l JOIN sh r "
+    "ON l.doc_id < r.doc_id "
+    f"WHERE {_jaccard('l.s', 'r.s')} >= CAST(0.8 AS DOUBLE)), "
+    "d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT b FROM dr)), "
+    "rk AS (SELECT *, row_number() OVER (PARTITION BY source "
+    "ORDER BY quality DESC, doc_id) AS src_rank FROM d2), "
+    "cap AS (SELECT * FROM rk WHERE src_rank <= 15), "
+    "sp AS (SELECT *, ('0x' || substr(md5('split0' || '|' || "
+    "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS sb FROM cap) "
+    "SELECT doc_id, source, lang, n_tokens, quality, "
+    "CASE WHEN sb < 98 THEN 'train' WHEN sb < 99 THEN 'val' ELSE 'test' END "
+    "AS split FROM sp"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
