@@ -213,6 +213,7 @@ HEADLINE = [
     "latency_log2_histogram",
     "path_deviation",
     "curation_pipeline",
+    "mmr_select",
 ]
 
 

@@ -1693,3 +1693,86 @@ def matryoshka_eval(
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+def mmr_select(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein '98):
+    greedily pick ``k`` vectors maximizing
+    ``score = sim(cand, query) − λ·max_sel sim(cand, selected)`` — the
+    diversity-aware retrieval that stops a result list collapsing onto
+    near-duplicates. λ=0.5 (a binary fraction, so the one float product
+    is IEEE-exact on identical cosine operands).
+
+    Bounded ``k`` driver rounds (the greedy-coverage contract): each
+    round scores candidates with ONE fold-order cosine against the
+    broadcast query + a max over the ≤k-row selected table (broadcast
+    join + combinable max), then TakeOrdered(1). The corpus is never
+    shuffled; cosines are sequential folds, so an oracle replays them
+    bit-for-bit.
+
+    Returns one row per round: (round, id, sim_to_query, penalty,
+    score) — penalty 0.0 for the first pick.
+    """
+    q = F.broadcast(
+        emb.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__qv")
+        )
+    )
+    cands = (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            cosine_sim_expr(vec_col, "__qv").alias("sq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = emb.sparkSession
+    chosen_rows = []
+    sel_ids: list = []
+    for rnd in range(1, int(k) + 1):
+        pool = cands
+        if sel_ids:
+            sel_df = F.broadcast(
+                cands.filter(F.col("cid").isin(sel_ids)).select(
+                    F.col("cid").alias("sid"), F.col("cv").alias("sv")
+                )
+            )
+            pen = (
+                cands.filter(~F.col("cid").isin(sel_ids))
+                .crossJoin(sel_df)
+                .withColumn("__ps", cosine_sim_expr("cv", "sv"))
+                .groupBy("cid")
+                .agg(F.max("__ps").alias("penalty"))
+            )
+            pool = (
+                cands.filter(~F.col("cid").isin(sel_ids))
+                .join(pen, on="cid")
+                .withColumn(
+                    "score", F.col("sq") - F.lit(float(lam)) * F.col("penalty")
+                )
+            )
+        else:
+            pool = cands.withColumn("penalty", F.lit(0.0)).withColumn(
+                "score", F.col("sq")
+            )
+        top = (
+            pool.orderBy(F.desc("score"), F.asc("cid")).limit(1).collect()[0]
+        )
+        sel_ids.append(top["cid"])
+        chosen_rows.append(
+            (rnd, top["cid"], top["sq"], top["penalty"], top["score"])
+        )
+    return spark.createDataFrame(
+        chosen_rows,
+        f"round int, {id_col} long, sim_to_query double, penalty double, "
+        "score double",
+    )

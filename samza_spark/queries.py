@@ -8928,3 +8928,60 @@ ORACLES["curation_pipeline"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_mmr_select(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversity-aware selection (pipeline.similarity.mmr_select):
+    5 greedy rounds vs query vec 0, lambda=0.5 (binary fraction — the
+    float product is IEEE-exact on identical cosine folds)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.mmr_select(emb, query_id=0, k=5, lam=0.5)
+
+
+QUERIES["mmr_select"] = q_mmr_select
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    parts = [
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "c AS (SELECT e.vec_id AS cid, e.embedding AS cv, "
+        + _cos("e.embedding", "q.qv")
+        + " AS sq FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)"
+    ]
+    sel_names: list = []
+    for i in range(1, k + 1):
+        if not sel_names:
+            parts.append(
+                f", p{i} AS (SELECT cid, cv, sq, CAST(0.0 AS DOUBLE) "
+                "AS penalty, sq AS score FROM c)"
+            )
+        else:
+            # DuckDB forbids subqueries inside lambda bodies (the cosine
+            # folds) — cross-join the 1-row selections in as plain columns
+            pens = ", ".join(
+                _cos("c.cv", f"s{j}.cv") for j in sel_names
+            )
+            joins = " ".join(f"CROSS JOIN s{j}" for j in sel_names)
+            excl = " AND ".join(f"c.cid <> s{j}.cid" for j in sel_names)
+            parts.append(
+                f", p{i} AS (SELECT c.cid, c.cv, c.sq, "
+                f"greatest({pens}) AS penalty, "
+                f"c.sq - 0.5 * greatest({pens}) AS score FROM c {joins} "
+                f"WHERE {excl})"
+            )
+        parts.append(
+            f", s{i} AS (SELECT * FROM p{i} ORDER BY score DESC, cid LIMIT 1)"
+        )
+        sel_names.append(i)
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS round, cid AS vec_id, "
+        f"sq AS sim_to_query, penalty, score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(" " + union)
+    return "".join(parts)
+
+
+ORACLES["mmr_select"] = _mmr_oracle(5)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

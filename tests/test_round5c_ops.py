@@ -1177,3 +1177,29 @@ def test_path_deviation_distances(spark):
     out = {r["user_id"]: r for r in pevents.path_deviation(df, "vcp").collect()}
     assert out[1]["path"] == "vcp" and out[1]["distance"] == 0
     assert out[2]["path"] == "vep" and out[2]["distance"] == 1
+
+
+# ---------------------------------------------------------------------------
+# mmr_select
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    from samza_spark.pipeline import similarity as sim
+
+    # query along x; two mutual near-clones slightly off-axis, and a
+    # diverse candidate that still likes the query (sim 0.8) but points
+    # AWAY from the clones (negative y). Plain top-2 takes both clones;
+    # MMR's second pick must be the diverse one.
+    rows = [
+        (0, [1.0, 0.0]),          # query
+        (1, [0.99, 0.14]),        # clone A
+        (2, [0.99, 0.141]),       # clone B (near-duplicate of A)
+        (3, [0.8, -0.6]),         # diverse: sim_q 0.8, sim_to_A ~0.71
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.mmr_select(df, query_id=0, k=2, lam=0.9).collect()
+    assert out[0]["vec_id"] in (1, 2)
+    assert out[1]["vec_id"] == 3
+    assert out[0]["penalty"] == 0.0
+    assert 0.6 < out[1]["penalty"] < 0.8
