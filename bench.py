@@ -214,6 +214,9 @@ HEADLINE = [
     "path_deviation",
     "curation_pipeline",
     "mmr_select",
+    "trend_slopes",
+    "burstiness",
+    "abc_classification",
 ]
 
 

@@ -631,3 +631,50 @@ def k_anonymity_report(
         "suppressed_rows",
         F.expr("(suppressed_rows * 10000) div n_rows").alias("suppression_bp"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str | None = None,
+    a_bp: int = 8000,
+    b_bp: int = 9500,
+) -> DataFrame:
+    """ABC / Pareto classification of sources by volume: sources sorted
+    by descending weight, classified A while the RUNNING share (in exact
+    basis points, integer division on the cumulative sums) stays within
+    ``a_bp``, B up to ``b_bp``, C after — the 80/15/5 inventory analysis
+    applied to corpus governance ("which sources do 80% of the
+    tokens?"). A source straddling a boundary takes the class of its
+    own cumulative position.
+
+    One corpus-scale per-source aggregate; the cumulative runs on the
+    source-count-sized table via the range-exchange global cumsum (no
+    single-partition window), and the class is a map-side expression.
+    """
+    from samza_spark.operators.rank import global_cumsum
+
+    w = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    )
+    per_src = df.groupBy(F.col(source_col).alias("s")).agg(w.alias("wt"))
+    tot = per_src.agg(F.sum("wt").alias("t"))
+    cum = global_cumsum(
+        per_src, [F.desc("wt"), F.asc("s")], ["wt"], prefix="cum_"
+    )
+    out = cum.join(F.broadcast(tot)).select(
+        F.col("s").alias(source_col),
+        "wt",
+        F.col("cum_wt"),
+        F.expr("(cum_wt * 10000) div t").alias("cum_bp"),
+    )
+    return out.select(
+        source_col,
+        "wt",
+        "cum_wt",
+        "cum_bp",
+        F.when(F.col("cum_bp") <= F.lit(int(a_bp)), F.lit("A"))
+        .when(F.col("cum_bp") <= F.lit(int(b_bp)), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -786,3 +786,90 @@ def labeler_agreement(
             ).alias("kappa_ppm"),
         )
     )
+
+
+def trend_slopes(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-key linear trend over bucketed counts: the OLS slope of
+    count ~ bucket-index from exact integer sufficient statistics
+    (n, Σx, Σy, Σx², Σxy per key — one combinable aggregate over the
+    key×bucket grid), emitted as the exact integer numerator/denominator
+    pair PLUS the one-division double — the metric-trend detector
+    ("is error volume growing?") in the same exactness contract as
+    :func:`linear_fit`, but keyed.
+
+    x is the bucket's index from the key's first bucket (small
+    integers, so products stay far from overflow). One corpus-scale
+    (key, bucket) count; everything else is grid-sized.
+    """
+    from pyspark.sql import Window
+
+    b = F.unix_seconds(F.date_trunc(bucket, F.col(ts_col)))
+    counts = df.groupBy(F.col(key_col).alias("k"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    lo = Window.partitionBy("k")
+    secs = {"day": 86400, "hour": 3600}[bucket]
+    grid = counts.select(
+        "k",
+        ((F.col("b") - F.min("b").over(lo)) / F.lit(secs))
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    agged = grid.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agged.select(
+        F.col("k").alias(key_col),
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope"
+        ),
+    )
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-key burstiness via the Fano factor (index of dispersion) of
+    bucketed counts: ``Var/Mean = (n·Σy² − (Σy)²) div (n·Σy)`` — 1 for a
+    Poisson-like stream, ≫1 for bursty traffic — in exact integer ppm.
+    The traffic-shape audit behind capacity planning and anomaly
+    thresholds. One corpus count + one grid aggregate, all BIGINT.
+
+    Buckets with zero events are EXCLUDED (the observed-bucket
+    convention); a key needs ≥2 observed buckets to report.
+    """
+    b = F.unix_seconds(F.date_trunc(bucket, F.col(ts_col)))
+    counts = df.groupBy(F.col(key_col).alias("k"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    agged = counts.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return agged.filter(F.col("n_buckets") >= 2).select(
+        F.col("k").alias(key_col),
+        "n_buckets",
+        F.col("sy").alias("n_events"),
+        F.expr(
+            "((n_buckets * syy - sy * sy) * 1000000) div (n_buckets * sy)"
+        ).alias("fano_ppm"),
+    )

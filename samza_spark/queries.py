@@ -8985,3 +8985,79 @@ def _mmr_oracle(k: int = 5) -> str:
 ORACLES["mmr_select"] = _mmr_oracle(5)
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_trend_slopes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type daily-count OLS trend (pipeline.stats.trend_slopes):
+    exact integer sufficient statistics per key, numerator/denominator
+    emitted alongside the single-division slope."""
+    from samza_spark.pipeline import stats as pstats
+
+    ev = load_table(spark, sf, "events")
+    return pstats.trend_slopes(ev)
+
+
+QUERIES["trend_slopes"] = q_trend_slopes
+ORACLES["trend_slopes"] = (
+    "WITH c AS (SELECT event_type AS k, CAST(epoch(date_trunc('day', ts)) "
+    "AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "g AS (SELECT k, (b - min(b) OVER (PARTITION BY k)) // 86400 AS x, y "
+    "FROM c), "
+    "a AS (SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) "
+    "AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy FROM g GROUP BY k) "
+    "SELECT k AS event_type, n, CAST(n * sxy - sx * sy AS BIGINT) "
+    "AS slope_num, CAST(n * sxx - sx * sx AS BIGINT) AS slope_den, "
+    "CASE WHEN n * sxx - sx * sx <> 0 THEN "
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) "
+    "END AS slope FROM a"
+)
+
+
+def q_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type Fano-factor burstiness over hourly counts
+    (pipeline.stats.burstiness): exact integer ppm dispersion index."""
+    from samza_spark.pipeline import stats as pstats
+
+    ev = load_table(spark, sf, "events")
+    return pstats.burstiness(ev)
+
+
+QUERIES["burstiness"] = q_burstiness
+ORACLES["burstiness"] = (
+    "WITH c AS (SELECT event_type AS k, CAST(epoch(date_trunc('hour', ts)) "
+    "AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), "
+    "a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_buckets, "
+    "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy "
+    "FROM c GROUP BY k) "
+    "SELECT k AS event_type, n_buckets, sy AS n_events, "
+    "CAST(((n_buckets * syy - sy * sy) * 1000000) // (n_buckets * sy) "
+    "AS BIGINT) AS fano_ppm FROM a WHERE n_buckets >= 2"
+)
+
+
+def q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC/Pareto source classification by character volume
+    (pipeline.governance.abc_classification): range-exchange cumulative
+    shares in exact basis points, 80/95 class boundaries."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    return governance.abc_classification(docs, weight_col="n_chars")
+
+
+QUERIES["abc_classification"] = q_abc_classification
+ORACLES["abc_classification"] = (
+    "WITH p AS (SELECT source AS s, CAST(sum(n_chars) AS BIGINT) AS wt "
+    "FROM documents GROUP BY source), "
+    "t AS (SELECT CAST(sum(wt) AS BIGINT) AS t FROM p), "
+    "c AS (SELECT s, wt, CAST(sum(wt) OVER (ORDER BY wt DESC, s "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_wt FROM p) "
+    "SELECT s AS source, wt, cum_wt, "
+    "CAST((cum_wt * 10000) // t AS BIGINT) AS cum_bp, "
+    "CASE WHEN (cum_wt * 10000) // t <= 8000 THEN 'A' "
+    "WHEN (cum_wt * 10000) // t <= 9500 THEN 'B' ELSE 'C' END AS abc_class "
+    "FROM c CROSS JOIN t"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1203,3 +1203,68 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
     assert out[1]["vec_id"] == 3
     assert out[0]["penalty"] == 0.0
     assert 0.6 < out[1]["penalty"] < 0.8
+
+
+# ---------------------------------------------------------------------------
+# trend_slopes / burstiness / abc_classification
+# ---------------------------------------------------------------------------
+
+
+def test_trend_slopes_detects_growth(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import stats as pstats
+
+    rows, eid = [], 0
+    # 'up' grows 2,4,6,8 per day; 'flat' constant 5
+    for day in range(4):
+        for _ in range(2 * (day + 1)):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 4, 1 + day), "up"))
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 4, 1 + day), "flat"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in pstats.trend_slopes(df).collect()}
+    assert out["up"]["slope"] == 2.0
+    assert out["flat"]["slope"] == 0.0 and out["flat"]["slope_num"] == 0
+
+
+def test_burstiness_poisson_vs_bursty(spark):
+    import datetime as dt
+
+    from samza_spark.pipeline import stats as pstats
+
+    rows, eid = [], 0
+    # 'even': 4 events in each of 5 hours -> Fano = 0 (constant counts)
+    for h in range(5):
+        for _ in range(4):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 4, 1, h), "even"))
+    # 'bursty': 20 events in one hour, 1 in each of 4 others
+    for _ in range(20):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 4, 1, 0), "bursty"))
+    for h in range(1, 5):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 4, 1, h), "bursty"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in pstats.burstiness(df).collect()}
+    assert out["even"]["fano_ppm"] == 0
+    # var=(5*404-576)/25=57.76 mean=4.8 -> fano ~ 12.03
+    assert out["bursty"]["fano_ppm"] == (5 * 404 - 24 * 24) * 1_000_000 // (5 * 24)
+
+
+def test_abc_classification_boundaries(spark):
+    from samza_spark.pipeline import governance
+
+    # weights 80, 15, 4, 1 -> cumulative bp 8000, 9500, 9900, 10000
+    rows = (
+        [("s1", 1)] * 80 + [("s2", 1)] * 15 + [("s3", 1)] * 4 + [("s4", 1)]
+    )
+    df = spark.createDataFrame(rows, "source string, w long")
+    out = {
+        r["source"]: r["abc_class"]
+        for r in governance.abc_classification(df, weight_col="w").collect()
+    }
+    assert out == {"s1": "A", "s2": "B", "s3": "C", "s4": "C"}
