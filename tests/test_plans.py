@@ -623,3 +623,29 @@ def test_round5npq_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "concordance",
+        "latency_log2_histogram",
+        "path_deviation",
+        "curation_pipeline",
+        "mmr_select",
+        "trend_slopes",
+        "burstiness",
+        "abc_classification",
+    ],
+)
+def test_round5tuvw_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    # mmr's banding-free scorer and the curation chain may use Arrow
+    # (minhash banding) but never row-at-a-time Python
+    assert "BatchEvalPython" not in plan
+
+
+def test_abc_classification_no_single_partition_exchange(spark, sf_dir):
+    plan = _plan(spark, "abc_classification", sf_dir)
+    assert "Exchange SinglePartition" not in plan
