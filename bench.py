@@ -217,6 +217,8 @@ HEADLINE = [
     "trend_slopes",
     "burstiness",
     "abc_classification",
+    "concentration_hhi",
+    "schema_evolution_roundtrip",
 ]
 
 

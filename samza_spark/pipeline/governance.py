@@ -678,3 +678,38 @@ def abc_classification(
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def concentration_hhi(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: with member
+    counts ``c_i`` summing to ``T``, ``HHI = Σ (c_i/T)²`` emitted as the
+    exact integer ``(Σ c_i²) · 1e6 div T²`` ppm — 1e6/n for perfectly
+    even n members, 1e6 for a monopoly. The dependency-concentration
+    audit (one supplier owning a customer's volume, one source owning a
+    language) that complements :func:`key_skew_report`'s per-key view
+    with a portfolio-level scalar.
+
+    One corpus-scale (group, member) count; the rollup runs on the
+    grid. All BIGINT.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("g"), F.col(member_col).alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("c").alias("total"),
+            F.sum(F.col("c") * F.col("c")).alias("__ss"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_members",
+            "total",
+            F.expr("(__ss * 1000000) div (total * total)").alias("hhi_ppm"),
+        )
+    )

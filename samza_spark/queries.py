@@ -9061,3 +9061,75 @@ ORACLES["abc_classification"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer supplier-concentration HHI
+    (pipeline.governance.concentration_hhi): exact integer ppm over the
+    order->lineitem supplier mix — the vendor-lock audit."""
+    from samza_spark.pipeline import governance
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    pairs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_suppkey"
+    )
+    return governance.concentration_hhi(pairs, "o_custkey", "l_suppkey")
+
+
+QUERIES["concentration_hhi"] = q_concentration_hhi
+ORACLES["concentration_hhi"] = (
+    "WITH p AS (SELECT o_custkey, l_suppkey FROM orders JOIN lineitem "
+    "ON o_orderkey = l_orderkey), "
+    "c AS (SELECT o_custkey AS g, l_suppkey AS m, CAST(count(*) AS BIGINT) "
+    "AS c FROM p GROUP BY 1, 2), "
+    "a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members, "
+    "CAST(sum(c) AS BIGINT) AS total, CAST(sum(c * c) AS BIGINT) AS ss "
+    "FROM c GROUP BY g) "
+    "SELECT g AS o_custkey, n_members, total, "
+    "CAST((ss * 1000000) // (total * total) AS BIGINT) AS hhi_ppm FROM a"
+)
+
+
+def q_schema_evolution_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution source probe: two parquet generations of the
+    documents table (v1 without, v2 with a quality column) read back
+    through mergeSchema — old rows surface NULL for the added column,
+    new rows keep it; the aggregate proves the merged read loses nothing.
+    Oracle replays the expected union from the source table."""
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    path = tempfile.mkdtemp(prefix="ss_schevo_q_")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") * 2).alias("quality_v2"),
+    )
+    v1.write.mode("overwrite").parquet(path + "/g=1")
+    v2.write.mode("overwrite").parquet(path + "/g=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        path + "/g=1", path + "/g=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("quality_v2").isNull().cast("long")).alias("n_v1"),
+        F.sum("quality_v2").alias("q2_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+    )
+
+
+QUERIES["schema_evolution_roundtrip"] = q_schema_evolution_roundtrip
+ORACLES["schema_evolution_roundtrip"] = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 END) AS BIGINT) "
+    "AS q2_sum, CAST(sum(n_chars) AS BIGINT) AS chars_sum "
+    "FROM documents GROUP BY lang"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -1268,3 +1268,19 @@ def test_abc_classification_boundaries(spark):
         for r in governance.abc_classification(df, weight_col="w").collect()
     }
     assert out == {"s1": "A", "s2": "B", "s3": "C", "s4": "C"}
+
+
+# ---------------------------------------------------------------------------
+# concentration_hhi
+# ---------------------------------------------------------------------------
+
+
+def test_hhi_monopoly_vs_even(spark):
+    from samza_spark.pipeline import governance
+
+    rows = [("mono", "s1")] * 10 + [("even", m) for m in "abcd" for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, m string")
+    out = {r["g"]: r for r in governance.concentration_hhi(df, "g", "m").collect()}
+    assert out["mono"]["hhi_ppm"] == 1_000_000
+    assert out["even"]["hhi_ppm"] == 1_000_000 // 4
+    assert out["even"]["n_members"] == 4
