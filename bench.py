@@ -219,6 +219,7 @@ HEADLINE = [
     "abc_classification",
     "concentration_hhi",
     "schema_evolution_roundtrip",
+    "fair_allocation",
 ]
 
 

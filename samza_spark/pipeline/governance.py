@@ -713,3 +713,78 @@ def concentration_hhi(
             F.expr("(__ss * 1000000) div (total * total)").alias("hhi_ppm"),
         )
     )
+
+
+def fair_allocation(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    demand_col: str | None = None,
+) -> DataFrame:
+    """Max-min fair (water-filling) budget division: give every source
+    as much of its demand as possible under a global ``budget``, never
+    letting a big source starve small ones — ascending by demand, a
+    source is FULLY funded while ``prefix_sum + demand·(n−i)`` fits the
+    budget; everyone after gets the integer water level, with the
+    division remainder spread one unit each to the first unfunded
+    sources so the allocations sum to EXACTLY min(budget, Σdemand).
+    The fair-share scheduler of token budgeting (YARN/DRF's single-
+    resource case) as one relational plan.
+
+    Demands reduce corpus-scale (one combinable aggregate); ranking and
+    the prefix sum ride the range-exchange global rank/cumsum over the
+    source-count-sized table; the level/remainder are one broadcast row.
+    All-integer, deterministic under the (demand, source) order.
+    """
+    from samza_spark.operators.rank import global_cumsum, global_rank
+
+    w = (
+        F.count(F.lit(1)) if demand_col is None else F.sum(F.col(demand_col))
+    )
+    demands = df.groupBy(F.col(source_col).alias("s")).agg(
+        w.cast("long").alias("d")
+    )
+    ranked = global_rank(demands, [F.asc("d"), F.asc("s")], rank_col="i")
+    cum = global_cumsum(ranked, [F.asc("d"), F.asc("s")], ["d"], prefix="p_")
+    n_total = demands.count()
+    b = int(budget)
+    funded = cum.withColumn(
+        "funded",
+        F.col("p_d") + F.col("d") * (F.lit(int(n_total)) - F.col("i"))
+        <= F.lit(b),
+    )
+    sat = funded.filter(F.col("funded")).agg(
+        F.coalesce(F.max("i"), F.lit(0)).alias("k"),
+        F.coalesce(F.max(F.when(F.col("funded"), F.col("p_d"))), F.lit(0)).alias(
+            "pk"
+        ),
+    )
+    level = sat.select(
+        "k",
+        "pk",
+        F.when(
+            F.lit(int(n_total)) > F.col("k"),
+            F.expr(f"({b} - pk) div ({int(n_total)} - k)"),
+        ).otherwise(F.lit(0)).alias("lvl"),
+        F.when(
+            F.lit(int(n_total)) > F.col("k"),
+            F.expr(f"({b} - pk) % ({int(n_total)} - k)"),
+        ).otherwise(F.lit(0)).alias("rem"),
+    )
+    return (
+        funded.join(F.broadcast(level))
+        .select(
+            F.col("s").alias(source_col),
+            F.col("d").alias("demand"),
+            "funded",
+            F.when(F.col("funded"), F.col("d"))
+            .otherwise(
+                F.least(
+                    F.col("d"),
+                    F.col("lvl")
+                    + (F.col("i") - F.col("k") <= F.col("rem")).cast("long"),
+                )
+            )
+            .alias("alloc"),
+        )
+    )

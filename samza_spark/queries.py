@@ -9133,3 +9133,42 @@ ORACLES["schema_evolution_roundtrip"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+def q_fair_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-min fair token-budget division at 60% of corpus volume
+    (pipeline.governance.fair_allocation): water-filling with integer
+    level + remainder spread — allocations conserve the budget exactly."""
+    from samza_spark.pipeline import governance
+
+    docs = load_table(spark, sf, "documents")
+    total = docs.agg(F.sum("n_chars").alias("t")).collect()[0]["t"]
+    budget = int(total) * 6 // 10
+    return governance.fair_allocation(
+        docs, budget, source_col="source", demand_col="n_chars"
+    )
+
+
+QUERIES["fair_allocation"] = q_fair_allocation
+ORACLES["fair_allocation"] = (
+    "WITH bb AS (SELECT CAST(sum(n_chars) * 6 // 10 AS BIGINT) AS b "
+    "FROM documents), "
+    "de AS (SELECT source AS s, CAST(sum(n_chars) AS BIGINT) AS d "
+    "FROM documents GROUP BY source), "
+    "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM de), "
+    "r AS (SELECT *, CAST(row_number() OVER (ORDER BY d, s) AS BIGINT) AS i, "
+    "CAST(sum(d) OVER (ORDER BY d, s ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+    "AS p FROM de), "
+    "f AS (SELECT r.*, p + d * (n - i) <= b AS funded FROM r "
+    "CROSS JOIN nn CROSS JOIN bb), "
+    "st AS (SELECT coalesce(max(CASE WHEN funded THEN i END), 0) AS k, "
+    "coalesce(max(CASE WHEN funded THEN p END), 0) AS pk FROM f), "
+    "lv AS (SELECT k, pk, CASE WHEN n > k THEN (b - pk) // (n - k) ELSE 0 "
+    "END AS lvl, CASE WHEN n > k THEN (b - pk) % (n - k) ELSE 0 END AS rem "
+    "FROM st CROSS JOIN nn CROSS JOIN bb) "
+    "SELECT s AS source, d AS demand, funded, "
+    "CAST(CASE WHEN funded THEN d ELSE least(d, lvl + CASE WHEN i - k <= rem "
+    "THEN 1 ELSE 0 END) END AS BIGINT) AS alloc FROM f CROSS JOIN lv"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

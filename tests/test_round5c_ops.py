@@ -1284,3 +1284,39 @@ def test_hhi_monopoly_vs_even(spark):
     assert out["mono"]["hhi_ppm"] == 1_000_000
     assert out["even"]["hhi_ppm"] == 1_000_000 // 4
     assert out["even"]["n_members"] == 4
+
+
+# ---------------------------------------------------------------------------
+# fair_allocation
+# ---------------------------------------------------------------------------
+
+
+def test_fair_allocation_water_filling(spark):
+    from samza_spark.pipeline import governance
+
+    # demands: a=2, b=5, c=10, d=40; budget 20
+    # a fully funded (2 + 2? check: sorted a(2) b(5) c(10) d(40));
+    # a: 2 + 2*3 = 8 <= 20 funded; b: 7 + 5*2 = 17 <= 20 funded;
+    # c: 17 + 10*1 = 27 > 20 unfunded -> level = (20-7)/2 = 6 rem 1
+    rows = (
+        [("a", 1)] * 2 + [("b", 1)] * 5 + [("c", 1)] * 10 + [("d", 1)] * 40
+    )
+    df = spark.createDataFrame(rows, "source string, w long")
+    out = {
+        r["source"]: r
+        for r in governance.fair_allocation(
+            df, 20, demand_col="w"
+        ).collect()
+    }
+    assert out["a"]["alloc"] == 2 and out["a"]["funded"]
+    assert out["b"]["alloc"] == 5 and out["b"]["funded"]
+    # remainder goes to the first unfunded source (c before d)
+    assert out["c"]["alloc"] == 7 and not out["c"]["funded"]
+    assert out["d"]["alloc"] == 6
+    assert sum(r["alloc"] for r in out.values()) == 20  # exact conservation
+    # budget >= total demand: everyone fully funded
+    out2 = {
+        r["source"]: r["alloc"]
+        for r in governance.fair_allocation(df, 1000, demand_col="w").collect()
+    }
+    assert out2 == {"a": 2, "b": 5, "c": 10, "d": 40}
