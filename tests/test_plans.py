@@ -649,3 +649,13 @@ def test_round5tuvw_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
 def test_abc_classification_no_single_partition_exchange(spark, sf_dir):
     plan = _plan(spark, "abc_classification", sf_dir)
     assert "Exchange SinglePartition" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["concentration_hhi", "schema_evolution_roundtrip", "fair_allocation"],
+)
+def test_round5x_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
