@@ -1316,6 +1316,8 @@ def rfm_segments(
             "monetary_cents"
         ),
     )
+    from samza_spark.operators.rank import global_rank
+
     n = int(n_tiles)
     enriched = per_key.join(F.broadcast(head)).select(
         key_col,
@@ -1323,18 +1325,42 @@ def rfm_segments(
         "frequency",
         "monetary_cents",
     )
-    wr = Window.orderBy(F.asc("recency_days"), F.asc(key_col))
-    wf = Window.orderBy(F.desc("frequency"), F.asc(key_col))
-    wm = Window.orderBy(F.desc("monetary_cents"), F.asc(key_col))
-    # per-key table windows: bounded by key cardinality, not event volume
-    return enriched.select(
+    # ntile via the closed form over range-exchange global ranks — a bare
+    # ntile() window has no PARTITION BY, i.e. a single-partition sort of
+    # the whole per-key table; at 1e9 users that is one straggler task.
+    # Spark's ntile semantics: with c rows and n tiles, the first c % n
+    # tiles hold (c div n)+1 rows. Identical closed form both engines.
+    c = enriched.count()
+
+    def tile(rank_col: str) -> "Column":
+        q, r = c // n, c % n
+        big = r * (q + 1)
+        # integer div end-to-end — a double quotient could truncate wrong
+        # at huge row counts
+        return F.expr(
+            f"CAST(CASE WHEN {rank_col} <= {big} "
+            f"THEN ({rank_col} - 1) div {q + 1} "
+            f"ELSE {r} + ({rank_col} - {big} - 1) div {max(q, 1)} END "
+            "AS INT) + 1"
+        )
+
+    out = global_rank(
+        enriched, [F.asc("recency_days"), F.asc(key_col)], rank_col="__rr"
+    )
+    out = global_rank(
+        out, [F.desc("frequency"), F.asc(key_col)], rank_col="__rf"
+    )
+    out = global_rank(
+        out, [F.desc("monetary_cents"), F.asc(key_col)], rank_col="__rm"
+    )
+    return out.select(
         key_col,
         "recency_days",
         "frequency",
         "monetary_cents",
-        F.ntile(n).over(wr).alias("r_score"),
-        F.ntile(n).over(wf).alias("f_score"),
-        F.ntile(n).over(wm).alias("m_score"),
+        tile("__rr").alias("r_score"),
+        tile("__rf").alias("f_score"),
+        tile("__rm").alias("m_score"),
     ).withColumn(
         "segment",
         (F.lit(n + 1) - F.col("r_score")) * 100

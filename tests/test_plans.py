@@ -659,3 +659,10 @@ def test_round5x_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rfm_segments_no_single_partition_window(spark, sf_dir):
+    # the three ntiles ride range-exchange global ranks, never a bare
+    # unpartitioned window over the per-user table
+    plan = _plan(spark, "rfm_segments", sf_dir)
+    assert "Exchange SinglePartition" not in plan
