@@ -2975,8 +2975,8 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -2997,7 +2997,7 @@ ORACLES["tpch_q6"] = (
     "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * "
     "CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue, "
     "count(*) AS n_items FROM lineitem "
-    "WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01' "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' "
     "AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE) "
     "AND l_quantity < 24"
 )
