@@ -220,6 +220,10 @@ HEADLINE = [
     "concentration_hhi",
     "schema_evolution_roundtrip",
     "fair_allocation",
+    # round-5 session-5 additions
+    "retrieval_eval",
+    "ks_drift",
+    "chi2_independence",
 ]
 
 

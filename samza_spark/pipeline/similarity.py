@@ -1776,3 +1776,127 @@ def mmr_select(
         f"round int, {id_col} long, sim_to_query double, penalty double, "
         "score double",
     )
+
+
+def ndcg_discounts_micro(k: int) -> "tuple[list[int], list[int]]":
+    """Rank-discount constants for NDCG@k in integer micro-billionths:
+    disc[i] = floor(1e9 / log2(i+2)) for rank i+1, plus prefix sums for
+    the ideal DCG. Computed ONCE in Python and baked as literals into
+    both the Spark plan and the DuckDB oracle — the log2 never runs in
+    either engine, so libm-vs-JVM ulp drift can't leak into compared
+    values (the round-2 fixed-point lesson)."""
+    import math
+
+    disc = [int(1_000_000_000 // math.log2(i + 2)) for i in range(k)]
+    cum, acc = [], 0
+    for d in disc:
+        acc += d
+        cum.append(acc)
+    return disc, cum
+
+
+def retrieval_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-relevance retrieval quality per query: exact cosine top-k
+    (cosine_topk — queries broadcast, corpus never shuffled) scored as
+    NDCG@k / MRR / precision / recall against same-label ground truth.
+
+    Output per query: (query_id, n_rel_total, n_rel_topk,
+    first_rel_rank, rr_ppm, dcg_micro, idcg_micro, ndcg,
+    precision_at_k, recall_at_k).
+
+    Exactness: gains are 0/1 label matches; discounts are the baked
+    integer constants from ndcg_discounts_micro, so DCG/IDCG are exact
+    BIGINT sums; MRR is integer ppm (1e6 div rank); ndcg / precision /
+    recall are each ONE IEEE division of exact integers. The ideal DCG
+    uses the label-histogram broadcast (n_rel_total = same-label corpus
+    count minus self), not a second ranking pass.
+
+    Scale: the ranked table is |queries| x k rows; the only corpus-sized
+    work is the one broadcast-join scoring pass inside cosine_topk and
+    the label histogram aggregate.
+    """
+    disc, cum = ndcg_discounts_micro(k)
+    ranked = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    nlab = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(label_col).alias("__nlab")
+    )
+    qlab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__qlab")
+    )
+    hist = corpus.groupBy(F.col(label_col).alias("__qlab")).agg(
+        F.count(F.lit(1)).alias("__lab_total")
+    )
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    cum_arr = F.array(*[F.lit(c) for c in cum])
+    per_rank = (
+        nlab.join(F.broadcast(ranked), nlab.__nid == ranked.neighbor_id)
+        .join(F.broadcast(qlab), "query_id")
+        .withColumn("__rel", (F.col("__nlab") == F.col("__qlab")).cast("int"))
+    )
+    per_q = per_rank.groupBy("query_id", "__qlab").agg(
+        F.sum("__rel").cast("long").alias("n_rel_topk"),
+        F.sum(F.col("__rel") * F.element_at(disc_arr, F.col("rank")))
+        .cast("long")
+        .alias("dcg_micro"),
+        F.min(F.when(F.col("__rel") == 1, F.col("rank")))
+        .cast("int")
+        .alias("first_rel_rank"),
+    )
+    out = (
+        per_q.join(F.broadcast(hist), "__qlab")
+        .withColumn("n_rel_total", (F.col("__lab_total") - 1).cast("long"))
+        .withColumn(
+            "__m", F.least(F.lit(k), F.col("n_rel_total")).cast("int")
+        )
+        .withColumn(
+            "idcg_micro",
+            F.when(F.col("__m") > 0, F.element_at(cum_arr, F.col("__m")))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "rr_ppm",
+            F.coalesce(
+                F.expr("1000000 div first_rel_rank"), F.lit(0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "ndcg",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro").cast("double"),
+            ),
+        )
+        .withColumn(
+            "precision_at_k",
+            F.col("n_rel_topk").cast("double") / F.lit(float(k)),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.when(
+                F.col("n_rel_total") > 0,
+                F.col("n_rel_topk").cast("double")
+                / F.col("n_rel_total").cast("double"),
+            ),
+        )
+    )
+    return out.select(
+        "query_id",
+        "n_rel_total",
+        "n_rel_topk",
+        "first_rel_rank",
+        "rr_ppm",
+        "dcg_micro",
+        "idcg_micro",
+        "ndcg",
+        "precision_at_k",
+        "recall_at_k",
+    )

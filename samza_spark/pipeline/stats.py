@@ -873,3 +873,144 @@ def burstiness(
             "((n_buckets * syy - sy * sy) * 1000000) div (n_buckets * sy)"
         ).alias("fano_ppm"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side: Column,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic, one row
+    ``(n1, n2, d_num, ks_at_value, d)``.
+
+    D = sup_v |F1(v) - F2(v)| computed WITHOUT doubles until the last
+    step: per distinct value the two sample counts aggregate map-side,
+    the joint ECDFs come from operators.rank.global_cumsum (range
+    exchange + broadcast offsets — no single-partition window), and the
+    sup gap is max |cum1*n2 - cum2*n1| over the distinct-value table
+    (cross-multiplied to clear both denominators — exact BIGINT).
+    ``ks_at_value`` is the smallest value attaining the sup (struct-max
+    tie-break, deterministic). ``d`` is the one IEEE division
+    d_num/(n1*n2), bit-reproducible cross-engine.
+
+    Scale: shuffle volume is the distinct-value histogram, not the rows;
+    headroom is cum*n ≤ ~9.2e18 (BIGINT) — fine to ~3e9 rows per side.
+
+    Reference anchor: the reference has no test-statistic operators;
+    this is the drift-detection surface (feature/length distribution
+    shift between snapshots or sources) a data pipeline runs before
+    training, built on the engine's histogram + prefix-sum shapes.
+    """
+    from samza_spark.operators.rank import global_cumsum
+
+    per_v = (
+        df.select(F.col(value_col).alias("v"), side.alias("g"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("g"), 0).otherwise(1)).alias("c2"),
+        )
+    )
+    cum = global_cumsum(per_v, [F.asc("v")], ["c1", "c2"])
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "gap",
+        F.abs(F.col("cum_c1") * F.col("n2") - F.col("cum_c2") * F.col("n1")),
+    )
+    best = gaps.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(
+            F.struct(F.col("gap").alias("g"), (-F.col("v")).alias("nv"))
+        ).alias("b"),
+    )
+    return best.select(
+        "n1",
+        "n2",
+        F.col("b.g").cast("long").alias("d_num"),
+        (-F.col("b.nv")).cast("long").alias("ks_at_value"),
+        (
+            F.col("b.g").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("d"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence for two categorical
+    columns, one row ``(n, n_rows, n_cols, dof, chi2_micro, chi2,
+    cramers_v)``.
+
+    The contingency table is ONE map-side-combinable groupBy (cell count
+    table is |rows|x|cols| regardless of corpus size); marginals are two
+    tiny re-aggregations of the cell table (no second corpus scan). The
+    statistic is fixed-point micro-units end to end:
+
+        e_micro    = (row_total * col_total * 1e6) div n
+        diff_micro = o * 1e6 - e_micro
+        cell       = diff_micro^2 div e_micro        -- micro-chi2
+
+    all in DECIMAL(38,0) (DuckDB HUGEINT) — this formulation keeps the
+    largest intermediate at (n*1e6)^2 ≈ 1e36 even for n ~ 1e12 rows, so
+    it survives trillion-row corpora where the textbook
+    (o*n - rt*ct)^2 form would overflow. ``chi2`` and ``cramers_v`` are
+    the only doubles: single-division casts of exact integers
+    (cramers_v = sqrt((chi2/n) / min(r-1, c-1)) with a fixed op order).
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("r").alias("n_rows"),
+        F.countDistinct("c").alias("n_cols"),
+    )
+    # full r x c grid (tiny: category-product sized) — unobserved cells
+    # still contribute (0-e)^2/e = e to the statistic, so a groupBy over
+    # observed pairs alone would understate chi2.
+    j = (
+        rt.crossJoin(ct)
+        .join(cells, ["r", "c"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    cell = j.withColumn(
+        "e_micro",
+        F.expr(
+            "(cast(rt as decimal(20,0)) * cast(ct as decimal(20,0)) "
+            "* 1000000) div n"
+        ),
+    ).withColumn(
+        "cell_micro",
+        F.expr(
+            "(cast(cast(o as decimal(20,0)) * 1000000 - e_micro as "
+            "decimal(20,0)) * cast(cast(o as decimal(20,0)) * 1000000 "
+            "- e_micro as decimal(20,0))) div e_micro"
+        ),
+    )
+    agg = cell.groupBy("n", "n_rows", "n_cols").agg(
+        F.sum("cell_micro").cast("long").alias("chi2_micro")
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
+        "chi2_micro",
+        (F.col("chi2_micro").cast("double") / F.lit(1000000.0)).alias("chi2"),
+        F.sqrt(
+            (F.col("chi2_micro").cast("double") / F.lit(1000000.0))
+            / (
+                F.col("n")
+                * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+            ).cast("double")
+        ).alias("cramers_v"),
+    )

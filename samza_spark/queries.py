@@ -9172,3 +9172,158 @@ ORACLES["fair_allocation"] = (
 )
 
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-5: evaluation & test-statistic operators
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot_duck(a: str, b: str) -> str:
+    """DuckDB fold-ordered double dot product (mirrors the Spark
+    aggregate fold in similarity.cosine_sim_expr bit-for-bit)."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _fold_cos_duck(a: str, b: str) -> str:
+    return (
+        f"({_fold_dot_duck(a, b)} / (sqrt({_fold_dot_duck(a, a)}) * "
+        f"sqrt({_fold_dot_duck(b, b)})))"
+    )
+
+
+def q_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval quality scorecard (similarity.retrieval_eval): exact
+    cosine top-10 per query scored as NDCG@10 / MRR / P@10 / R@10
+    against same-label relevance — the eval loop run after every
+    embedding/index change. Discount constants are baked integer
+    micro-billionths (no log2 in either engine); every compared double
+    is one IEEE division of exact integers."""
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.retrieval_eval(emb, qs, k=10)
+
+
+QUERIES["retrieval_eval"] = q_retrieval_eval
+
+
+def _retrieval_eval_duck(k: int = 10) -> str:
+    disc, cum = similarity.ndcg_discounts_micro(k)
+    dl = "[" + ", ".join(str(d) for d in disc) + "]"
+    cl = "[" + ", ".join(str(c) for c in cum) + "]"
+    cos = _fold_cos_duck("e.embedding", "q.qv")
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab "
+        "FROM embeddings WHERE vec_id % 10 = 0), "
+        "scored AS (SELECT q.query_id, q.qlab, e.vec_id AS neighbor_id, "
+        f"e.label AS nlab, {cos} AS cosine FROM embeddings e, q "
+        "WHERE e.vec_id <> q.query_id), "
+        "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank FROM scored "
+        f"QUALIFY rank <= {k}), "
+        "hist AS (SELECT label AS qlab, CAST(count(*) AS BIGINT) AS lab_total "
+        "FROM embeddings GROUP BY 1), "
+        "perq AS (SELECT query_id, qlab, "
+        "CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_rel_topk, "
+        f"CAST(sum(CASE WHEN nlab = qlab THEN ({dl})[rank] ELSE 0 END) "
+        "AS BIGINT) AS dcg_micro, "
+        "CAST(min(CASE WHEN nlab = qlab THEN rank END) AS INT) "
+        "AS first_rel_rank FROM ranked GROUP BY 1, 2), "
+        "j AS (SELECT perq.*, CAST(lab_total - 1 AS BIGINT) AS n_rel_total, "
+        f"CAST(least({k}, lab_total - 1) AS INT) AS m "
+        "FROM perq JOIN hist USING (qlab)), "
+        f"j2 AS (SELECT *, CAST(CASE WHEN m > 0 THEN ({cl})[m] ELSE 0 END "
+        "AS BIGINT) AS idcg_micro FROM j) "
+        "SELECT query_id, n_rel_total, n_rel_topk, first_rel_rank, "
+        "CAST(coalesce(1000000 // first_rel_rank, 0) AS BIGINT) AS rr_ppm, "
+        "dcg_micro, idcg_micro, "
+        "CASE WHEN idcg_micro > 0 THEN CAST(dcg_micro AS DOUBLE) / "
+        "CAST(idcg_micro AS DOUBLE) END AS ndcg, "
+        f"CAST(n_rel_topk AS DOUBLE) / {float(k)} AS precision_at_k, "
+        "CASE WHEN n_rel_total > 0 THEN CAST(n_rel_topk AS DOUBLE) / "
+        "CAST(n_rel_total AS DOUBLE) END AS recall_at_k FROM j2"
+    )
+
+
+ORACLES["retrieval_eval"] = _retrieval_eval_duck(10)
+
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-balance drift audit (stats.ks_two_sample): exact two-sample
+    Kolmogorov-Smirnov D between the even/odd doc_id halves' length
+    distributions — the check that a hash split didn't skew a feature.
+    Integer cross-multiplied ECDF gap over the distinct-value histogram
+    via the range-exchange prefix sum; one IEEE division at the end."""
+    from samza_spark.pipeline import stats as pstats
+
+    docs = load_table(spark, sf, "documents")
+    return pstats.ks_two_sample(docs, "n_chars", F.col("doc_id") % 2 == 0)
+
+
+QUERIES["ks_drift"] = q_ks_drift
+
+ORACLES["ks_drift"] = (
+    "WITH pv AS (SELECT n_chars AS v, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c2 "
+    "FROM documents GROUP BY 1), "
+    "cum AS (SELECT v, CAST(sum(c1) OVER w AS BIGINT) AS cum_c1, "
+    "CAST(sum(c2) OVER w AS BIGINT) AS cum_c2 FROM pv "
+    "WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), "
+    "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, "
+    "CAST(sum(c2) AS BIGINT) AS n2 FROM pv), "
+    "g AS (SELECT v, abs(cum_c1 * n2 - cum_c2 * n1) AS gap, n1, n2 "
+    "FROM cum CROSS JOIN tot) "
+    "SELECT n1, n2, CAST(gap AS BIGINT) AS d_num, "
+    "CAST(v AS BIGINT) AS ks_at_value, "
+    "CAST(gap AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d "
+    "FROM g ORDER BY gap DESC, v ASC LIMIT 1"
+)
+
+
+def q_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Source x language independence test (stats.chi2_independence):
+    Pearson chi-square + Cramér's V in fixed-point micro-units — the
+    corpus-mix audit that flags when a source's language distribution
+    shifted. One combinable cell aggregate; marginal re-aggregations of
+    the tiny cell table; unobserved cells included via the marginal
+    cross product."""
+    from samza_spark.pipeline import stats as pstats
+
+    docs = load_table(spark, sf, "documents")
+    return pstats.chi2_independence(docs, "source", "lang")
+
+
+QUERIES["chi2_independence"] = q_chi2_independence
+
+ORACLES["chi2_independence"] = (
+    "WITH cells AS (SELECT source AS r, lang AS c, "
+    "CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2), "
+    "rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1), "
+    "ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, "
+    "CAST(count(DISTINCT r) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT c) AS BIGINT) AS n_cols FROM cells), "
+    "grid AS (SELECT rt.r, ct.c, rt.rt, ct.ct, coalesce(o, 0) AS o "
+    "FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.r = rt.r "
+    "AND cells.c = ct.c), "
+    "cell AS (SELECT n, n_rows, n_cols, "
+    "(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) * 1000000) // n AS e_micro, "
+    "CAST(o AS HUGEINT) * 1000000 AS o_micro FROM grid CROSS JOIN tot), "
+    "s AS (SELECT n, n_rows, n_cols, "
+    "CAST(sum(((o_micro - e_micro) * (o_micro - e_micro)) // e_micro) "
+    "AS BIGINT) AS chi2_micro FROM cell GROUP BY 1, 2, 3) "
+    "SELECT n, n_rows, n_cols, (n_rows - 1) * (n_cols - 1) AS dof, "
+    "chi2_micro, CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2, "
+    "sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0) / "
+    "CAST(n * least(n_rows - 1, n_cols - 1) AS DOUBLE)) AS cramers_v "
+    "FROM s"
+)
+
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

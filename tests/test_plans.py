@@ -666,3 +666,28 @@ def test_rfm_segments_no_single_partition_window(spark, sf_dir):
     # unpartitioned window over the per-user table
     plan = _plan(spark, "rfm_segments", sf_dir)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ks_drift_no_single_partition_window(spark, sf_dir):
+    # the joint-ECDF cumsum must be the range-exchange prefix-sum form,
+    # never sum() OVER (ORDER BY v) on one partition
+    plan = _plan(spark, "ks_drift", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chi2_independence_no_cartesian_no_python(spark, sf_dir):
+    # the r x c grid cross join is marginal-sized (broadcast); the only
+    # corpus-scale stage is the combinable cell aggregate
+    plan = _plan(spark, "chi2_independence", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_retrieval_eval_corpus_side_never_shuffles(spark, sf_dir):
+    # scoring is queries-broadcast into the corpus scan; the only
+    # exchanges may touch the |queries| x k ranked table and the label
+    # histogram — never re-shuffle the full embedding relation by key
+    plan = _plan(spark, "retrieval_eval", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
