@@ -1,0 +1,220 @@
+"""Partitioned replayable log as a Python streaming DataSource.
+
+Reference: Samza's consumption model is ``SystemConsumer`` polling per
+SystemStreamPartition from a checkpointed offset (samza-api/.../system/
+SystemConsumer.java, SystemStreamPartition.java), with ``OffsetManager``
+persisting per-SSP offsets (samza-core/.../checkpoint/OffsetManager.java)
+and startpoints seeding them (samza-api/.../startpoint/*.java).
+
+Spark-native equivalent: a DataSource V2 (Python API, Spark 4) whose
+stream reader exposes exactly that contract —
+
+* the log is a directory of per-partition append-only JSONL files
+  (``part-<k>.jsonl``), each record ``{"key", "value", "timestamp_ms"}``
+  — the Kafka wire shape :func:`samza_spark.sources.descriptors.
+  from_kafka_records` already decodes;
+* offsets are per-partition record ordinals, tracked in a producer-
+  maintained ``_manifest.json`` so ``latestOffset`` is an O(#partitions)
+  manifest read, never a log scan (the role of Kafka's index files —
+  at scale the driver must not re-count a 100 TB log every trigger);
+* ``partitions(start, end)`` emits one InputPartition per SSP with a
+  half-open ordinal range — executors read their file slice in
+  parallel, so parallelism == partition count exactly like the
+  reference's container/task assignment;
+* Spark's own streaming offset log plays OffsetManager: after a restart
+  the engine replays from the checkpointed offset dict, giving the same
+  at-least-once-with-checkpointed-offsets contract (exactly-once into
+  idempotent sinks);
+* the ``startpoint`` option maps Samza startpoints: ``oldest`` (0 per
+  partition), ``upcoming`` (manifest counts at query start),
+  ``specific`` (explicit JSON offsets dict).
+
+The batch reader reads the whole log (bounded source), so the same
+format serves ``spark.read`` and ``spark.readStream``.
+
+Schema (fixed, wire-shaped)::
+
+    partition int, offset long, key string, value string, timestamp_ms long
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SCHEMA = "partition int, offset long, key string, value string, timestamp_ms long"
+
+_MANIFEST = "_manifest.json"
+
+
+# -- producer helpers (the SystemProducer analog) ---------------------------
+
+
+def _manifest_path(log_dir: str) -> str:
+    return os.path.join(log_dir, _MANIFEST)
+
+
+def read_manifest(log_dir: str) -> dict[int, int]:
+    """Per-partition record counts (the high-water marks)."""
+    try:
+        with open(_manifest_path(log_dir)) as f:
+            raw = json.load(f)
+    except FileNotFoundError:
+        return {}
+    return {int(k): int(v) for k, v in raw.items()}
+
+
+def append_records(
+    log_dir: str,
+    partition: int,
+    records: "list[tuple[str | None, str, int]]",
+) -> int:
+    """Append ``(key, value, timestamp_ms)`` records to one partition's
+    log file and advance its manifest high-water mark. Returns the new
+    count. Appends are atomic per call (single write + manifest rewrite)
+    — the single-writer-per-partition discipline the reference's
+    producers follow."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"part-{partition}.jsonl")
+    with open(path, "a", encoding="utf-8") as f:
+        for key, value, ts in records:
+            f.write(
+                json.dumps(
+                    {"key": key, "value": value, "timestamp_ms": int(ts)},
+                    ensure_ascii=True,
+                )
+                + "\n"
+            )
+    counts = read_manifest(log_dir)
+    counts[partition] = counts.get(partition, 0) + len(records)
+    tmp = _manifest_path(log_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({str(k): v for k, v in counts.items()}, f)
+    os.replace(tmp, _manifest_path(log_dir))
+    return counts[partition]
+
+
+# -- readers ----------------------------------------------------------------
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, log_dir: str, partition: int, start: int, end: int):
+        self.log_dir = log_dir
+        self.partition = partition
+        self.start = start
+        self.end = end
+
+
+def _read_range(part: _RangePartition) -> Iterator[tuple]:
+    path = os.path.join(part.log_dir, f"part-{part.partition}.jsonl")
+    if part.end <= part.start or not os.path.exists(path):
+        return
+    with open(path, encoding="utf-8") as f:
+        for off, line in enumerate(f):
+            if off >= part.end:
+                break
+            if off < part.start:
+                continue
+            rec = json.loads(line)
+            yield (
+                part.partition,
+                off,
+                rec.get("key"),
+                rec.get("value"),
+                rec.get("timestamp_ms"),
+            )
+
+
+class SamzaLogBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.log_dir = options["path"]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        counts = read_manifest(self.log_dir)
+        return [
+            _RangePartition(self.log_dir, p, 0, n) for p, n in sorted(counts.items())
+        ] or [_RangePartition(self.log_dir, 0, 0, 0)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        return _read_range(partition)
+
+
+class SamzaLogStreamReader(DataSourceStreamReader):
+    """Per-SSP offset-range micro-batch reader.
+
+    Offsets are dicts ``{str(partition): next_ordinal}`` — JSON-stable,
+    which is what Spark persists in the checkpoint offset log. New
+    partitions appearing mid-stream start at 0 (oldest), matching the
+    reference's handling of repartition-free topic growth (a partition
+    is only ever appended)."""
+
+    def __init__(self, options):
+        self.log_dir = options["path"]
+        self.startpoint = options.get("startpoint", "oldest")
+        self.startpoint_offsets = options.get("startpointoffsets")
+        self.max_per_trigger = int(options.get("maxrecordspertrigger", 0)) or None
+
+    def initialOffset(self) -> dict:
+        counts = read_manifest(self.log_dir)
+        if self.startpoint == "oldest":
+            return {str(p): 0 for p in counts}
+        if self.startpoint == "upcoming":
+            return {str(p): n for p, n in counts.items()}
+        if self.startpoint == "specific":
+            return {
+                str(k): int(v)
+                for k, v in json.loads(self.startpoint_offsets or "{}").items()
+            }
+        raise ValueError(f"unknown startpoint {self.startpoint!r}")
+
+    def latestOffset(self) -> dict:
+        counts = read_manifest(self.log_dir)
+        return {str(p): n for p, n in counts.items()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out = []
+        for p_str, hi in end.items():
+            lo = int(start.get(p_str, 0))
+            hi = int(hi)
+            if self.max_per_trigger is not None:
+                hi = min(hi, lo + self.max_per_trigger)
+            if hi > lo:
+                out.append(_RangePartition(self.log_dir, int(p_str), lo, hi))
+        # Spark requires >= 1 partition per planned batch; an empty range
+        # yields no rows
+        return out or [_RangePartition(self.log_dir, 0, 0, 0)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        return _read_range(partition)
+
+    def commit(self, end: dict) -> None:
+        # Spark's checkpoint offset log is the durable OffsetManager; the
+        # source itself is immutable so there is nothing to acknowledge.
+        pass
+
+
+class SamzaLogDataSource(DataSource):
+    """``spark.dataSource.register(SamzaLogDataSource)`` then
+    ``spark.read.format("samza_log").option("path", d)`` or
+    ``spark.readStream.format("samza_log")...``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "samza_log"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> SamzaLogBatchReader:
+        return SamzaLogBatchReader(self.options)
+
+    def streamReader(self, schema) -> SamzaLogStreamReader:
+        return SamzaLogStreamReader(self.options)
