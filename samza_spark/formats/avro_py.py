@@ -133,9 +133,45 @@ def _to_logical_int(schema: Any, v: Any) -> int:
     return int(v)
 
 
+def _union_members(branches: list) -> "list[tuple[str, int]] | None":
+    """``(member_name, union_index)`` per non-null branch of a MULTI-branch
+    union (>1 non-null), else None. Names mirror
+    :func:`samza_spark.schema._union_to_spark_type` (SURVEY.md §7.3 tagged
+    struct convention)."""
+    non_null = []
+    for i, raw in enumerate(branches):
+        b = _norm_schema(raw)
+        if _type_name(b) == "null":
+            continue
+        name = b if isinstance(b, str) else b.get("name", b.get("type", f"member{len(non_null)}"))
+        non_null.append((f"member_{name}", i))
+    return non_null if len(non_null) > 1 else None
+
+
 def _encode(out: io.BytesIO, schema: Any, v: Any) -> None:
     schema = _norm_schema(schema)
     if isinstance(schema, list):  # union: branch index + value
+        members = _union_members(schema)
+        if (
+            members is not None
+            and isinstance(v, dict)
+            and set(v) <= {n for n, _ in members}
+        ):
+            # tagged-struct value from a Spark row: the one non-None
+            # member selects the branch; all-None means null
+            chosen = [(n, i) for n, i in members if v.get(n) is not None]
+            if len(chosen) > 1:
+                raise ValueError(
+                    f"tagged union value sets multiple members: {v!r}"
+                )
+            if not chosen:
+                idx = _pick_branch(schema, None)
+                _write_long(out, idx)
+                return
+            name, idx = chosen[0]
+            _write_long(out, idx)
+            _encode(out, schema[idx], v[name])
+            return
         idx = _pick_branch(schema, v)
         _write_long(out, idx)
         _encode(out, schema[idx], v)
@@ -188,13 +224,65 @@ def _encode(out: io.BytesIO, schema: Any, v: Any) -> None:
         raise ValueError(f"unsupported avro type for encode: {t!r}")
 
 
+def _branch_matches(schema: Any, v: Any) -> bool:
+    """Does the Python value type-match this (normalized) branch schema?
+    Mirrors AvroRelConverter's union handling (AvroRelConverter.java:81-158):
+    each value is written under the branch whose declared type it carries,
+    so a ``["null","long","string"]`` union round-trips both longs and
+    strings instead of forcing everything through the first non-null
+    branch."""
+    import datetime as dt
+
+    t = _type_name(schema)
+    logical = schema.get("logicalType") if isinstance(schema, dict) else None
+    if t == "null":
+        return v is None
+    if v is None:
+        return False
+    if t == "boolean":
+        return isinstance(v, bool)
+    if t in ("int", "long"):
+        if logical == "date":
+            return isinstance(v, dt.date) and not isinstance(v, dt.datetime)
+        if logical in ("timestamp-millis", "timestamp-micros"):
+            return isinstance(v, dt.datetime)
+        return isinstance(v, int) and not isinstance(v, bool)
+    if t in ("float", "double"):
+        return isinstance(v, float)
+    if t == "string":
+        return isinstance(v, str)
+    if t == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    if t == "fixed":
+        return isinstance(v, (bytes, bytearray)) and len(v) == schema["size"]
+    if t == "enum":
+        return isinstance(v, str) and v in schema["symbols"]
+    if t == "record":
+        return isinstance(v, dict)
+    if t == "map":
+        return isinstance(v, dict)
+    if t == "array":
+        return isinstance(v, (list, tuple))
+    return False
+
+
 def _pick_branch(branches: list, v: Any) -> int:
-    for i, b in enumerate(branches):
-        if _type_name(_norm_schema(b)) == "null" and v is None:
+    normed = [_norm_schema(b) for b in branches]
+    # exact type match first (int before long / float before double is the
+    # declaration order's call — first matching branch wins, per spec)
+    for i, b in enumerate(normed):
+        if _branch_matches(b, v):
             return i
-    for i, b in enumerate(branches):
-        if _type_name(_norm_schema(b)) != "null" and v is not None:
-            return i
+    # tolerant fallbacks for representable widenings: an int value may
+    # ride a float/double branch; otherwise keep the historical
+    # first-non-null behavior (correct for single-non-null unions)
+    if v is not None:
+        for i, b in enumerate(normed):
+            if isinstance(v, int) and _type_name(b) in ("float", "double"):
+                return i
+        for i, b in enumerate(normed):
+            if _type_name(b) != "null":
+                return i
     raise ValueError(f"no union branch for {v!r} in {branches!r}")
 
 
@@ -202,7 +290,14 @@ def _decode(buf: io.BytesIO, schema: Any) -> Any:
     schema = _norm_schema(schema)
     if isinstance(schema, list):
         idx = _read_long(buf)
-        return _decode(buf, schema[idx])
+        val = _decode(buf, schema[idx])
+        members = _union_members(schema)
+        if members is not None:
+            # multi-branch union -> tagged struct (matches avro_to_struct)
+            if val is None and _type_name(_norm_schema(schema[idx])) == "null":
+                return None
+            return {n: (val if i == idx else None) for n, i in members}
+        return val
     t = _type_name(schema)
     if t == "null":
         return None

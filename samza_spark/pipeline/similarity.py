@@ -93,6 +93,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
+    AUDIT TIER — O(N·Q) brute force: every query scores every corpus
+    vector. Right for correctness audits, recall measurement, and small
+    query sets; for serving or corpus-scale query sets use the bounded-
+    candidate paths — :func:`ann_topk` (LSH multi-probe),
+    :func:`ivf_topk`, :func:`pq_topk`, or :func:`ivfpq_topk` — and rerank
+    their shortlists (:func:`quantized_rerank`).
+
     Output: (query_id, neighbor_id, cosine, rank), ties broken by
     neighbor_id so results are total-ordered and oracle-comparable.
     """
@@ -1607,6 +1614,11 @@ def knn_label_noise(
     smallest label), and flag vectors whose own label disagrees — the
     candidates a labeling team reviews first.
 
+    AUDIT TIER — inherits :func:`cosine_topk`'s O(N·Q) brute force; run
+    it on review samples, not the full corpus as queries. At 100× scale
+    substitute an ANN shortlist (:func:`ivfpq_topk` + rerank) for the
+    neighbor stage — the voting stage is unchanged.
+
     Composes :func:`cosine_topk` (broadcast queries, partition-local
     top-k — the corpus is never shuffled), then joins the tiny
     queries×k neighbor table to labels and votes with one rank window
@@ -1806,6 +1818,10 @@ def retrieval_eval(
     """Label-relevance retrieval quality per query: exact cosine top-k
     (cosine_topk — queries broadcast, corpus never shuffled) scored as
     NDCG@k / MRR / precision / recall against same-label ground truth.
+
+    AUDIT TIER — O(N·Q) by construction (the metric definitions need the
+    TRUE top-k). Evaluate on a bounded query sample; to score an ANN
+    index instead, pass its shortlist through the same scoring joins.
 
     Output per query: (query_id, n_rel_total, n_rel_topk,
     first_rel_rank, rr_ppm, dcg_micro, idcg_micro, ndcg,

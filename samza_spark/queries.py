@@ -1585,11 +1585,22 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
     """Inverted-index postings for the same 3 terms: (term, df, sorted doc
-    list). One shuffle on the term key."""
+    list). One shuffle on the term key. The driver-registered shape emits
+    the sorted postings as a CSV string — the driver's pandas
+    canonicalizer cannot hash array columns (r5 `TypeError: unhashable
+    type: 'list'`); the array-typed API stays on
+    :func:`samza_spark.pipeline.retrieval.posting_lists`."""
     from samza_spark.pipeline import retrieval
 
     docs = load_table(spark, sf, "documents")
-    return retrieval.posting_lists(docs, _BM25_TERMS)
+    out = retrieval.posting_lists(docs, _BM25_TERMS)
+    return out.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings_csv"
+        ),
+    )
 
 
 QUERIES["boilerplate_removal"] = q_boilerplate_removal
@@ -1717,7 +1728,8 @@ ORACLES["posting_lists"] = (
         for t in _BM25_TERMS
     )
     + ") SELECT term, CAST(count(*) AS BIGINT) AS df, "
-    "list(doc ORDER BY doc) AS postings FROM m GROUP BY term"
+    "array_to_string(list(doc ORDER BY doc), ',') AS postings_csv "
+    "FROM m GROUP BY term"
 )
 
 
@@ -3049,7 +3061,15 @@ def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     rate (distinct fingerprints vs rows), language mix, and mean quality,
     all from ONE groupBy(source) with map-side partial aggregation (the
     token count reuses pipeline.text.token_count; the fingerprint is the
-    same md5-of-normalized-text as exact dedup)."""
+    same md5-of-normalized-text as exact dedup).
+
+    The quality stat is reported as an EXACT integer micro-unit sum
+    (``quality_micro_sum`` BIGINT, alongside ``n_docs`` — consumers divide
+    themselves): every term is integer division of integer counts, so the
+    value is bit-identical cross-engine. The r5 driver row hash-mismatched
+    because it compared ``floor(round(q, 4) * 1e6)`` of a computed DOUBLE
+    — engines' rounding of identical doubles can disagree at
+    representation boundaries (VERDICT r5 wrong #2)."""
     docs = load_table(spark, sf, "documents")
     d = docs.select(
         "source",
@@ -3057,7 +3077,15 @@ def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("nc"),
         text.token_count(F.col("text")).alias("ntok"),
         text.fingerprint(F.col("text")).alias("fp"),
-        text.quality_score(F.col("text")).alias("q"),
+        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("long").alias("alpha"),
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long").alias("punct"),
+        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("len1"),
+    ).withColumn(
+        "q_micro",
+        F.expr(
+            "(400000 * alpha) div len1 + least(4000 * ntok, 400000) "
+            "+ (200000 - least((2000000 * punct) div len1, 200000))"
+        ),
     )
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3066,9 +3094,7 @@ def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("fp").alias("n_unique"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
         F.countDistinct("lang").alias("n_langs"),
-        F.expr("cast(sum(cast(floor(q * 1000000.0) as bigint)) as double) / count(*)").alias(
-            "quality_micro_mean"
-        ),
+        F.sum("q_micro").cast("long").alias("quality_micro_sum"),
     )
 
 
@@ -3078,14 +3104,19 @@ ORACLES["corpus_report"] = (
     f"WITH t AS (SELECT source, lang, n_chars, text, {_TOKENS_SQL} AS n_tokens "
     "FROM documents), "
     f"p AS (SELECT source, lang, n_chars, n_tokens, md5({_NORM.format(c='text')}) AS fp, "
-    f"round({_QUALITY_SQL}, 4) AS q FROM t) "
+    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha, "
+    "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct, "
+    "CAST(greatest(length(text), 1) AS BIGINT) AS len1 FROM t), "
+    "q AS (SELECT *, (CAST(400000 AS BIGINT) * alpha) // len1 "
+    "+ least(CAST(4000 AS BIGINT) * n_tokens, 400000) "
+    "+ (200000 - least((CAST(2000000 AS BIGINT) * punct) // len1, 200000)) "
+    "AS q_micro FROM p) "
     "SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars, "
     "sum(n_tokens) AS n_tokens, count(DISTINCT fp) AS n_unique, "
     "count(*) - count(DISTINCT fp) AS n_exact_dups, "
     "count(DISTINCT lang) AS n_langs, "
-    "CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) "
-    "AS quality_micro_mean "
-    "FROM p GROUP BY source"
+    "CAST(sum(q_micro) AS BIGINT) AS quality_micro_sum "
+    "FROM q GROUP BY source"
 )
 
 
@@ -5208,53 +5239,6 @@ ORACLES["tpch_q22"] = (
 )
 
 
-# ---------------------------------------------------------------------------
-# Driver-artifact ordering
-# ---------------------------------------------------------------------------
-# The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
-# rows, so iteration order decides which operators get a driver-green row.
-# Rounds 1-4 always led with the 50 oldest queries; the 29 operators added
-# since (BPE, BM25, range join, governance, sessionize, ...) had never
-# appeared in a driver artifact even though all 79 pass the identical local
-# gate (tools/check_correctness.py).  Lead with those 29 plus the 21 most
-# load-bearing core rows (joins, windows, triggered panes, LSH families);
-# everything else follows and stays covered by the local gate.
-_DRIVER_WINDOW = [
-    # -- 29 never-driver-checked (rounds 2-4 additions) + round-5-new
-    #    indexed_dedup --
-    "avro_roundtrip", "approx_sketches", "embedding_quantize",
-    "quantized_rerank", "exists_subquery", "boilerplate_removal",
-    "decontaminate", "doc_chunks", "bm25_search", "posting_lists",
-    "funnel_steps", "retention_cohorts", "mixture_resample",
-    "unigram_logprob", "dup_spans", "semantic_dedup", "nb_classifier",
-    "source_stats", "source_caps", "incremental_dedup", "bigram_logprob",
-    "bpe_merges", "bpe_tokenize", "mixture_plan", "range_join",
-    "bpe_fertility", "global_quality_rank", "quality_percentiles",
-    "sessionize", "indexed_dedup", "dsir_weights", "hard_negatives",
-    # -- round-5-new operators (never driver-checked) --
-    "similarity_join", "tfidf_topk", "decontam_spans",
-    "segment_dedup_first", "zipf_fit", "uniform_sample",
-    "bloom_semi_join", "changelog_compact", "snapshot_diff",
-    "split_leakage", "heavy_hitters", "embedding_covariance",
-    "tpch_q3", "tpch_q6", "tpch_q18", "corpus_report",
-    # -- 8 load-bearing core rows (driver-green in every prior round;
-    #    join_left_outer / remote_table_join / sliding_window /
-    #    triggered_window_acc / interval_join / session_window /
-    #    minhash_dedup / simhash_dedup / ann_topk / ivf_topk rotated out
-    #    after four green rounds — still covered by the local gate) --
-    "triggered_window",
-    "minhash_pairs",
-]
-
-_missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
-assert not _missing, f"_DRIVER_WINDOW names unknown queries: {_missing}"
-assert len(_DRIVER_WINDOW) == len(set(_DRIVER_WINDOW)) == 50
-
-QUERIES = {
-    **{n: QUERIES[n] for n in _DRIVER_WINDOW},
-    **{n: f for n, f in QUERIES.items() if n not in set(_DRIVER_WINDOW)},
-}
-ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
 
 
 # ---------------------------------------------------------------------------
@@ -9326,4 +9310,49 @@ ORACLES["chi2_independence"] = (
     "FROM s"
 )
 
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+
+
+# ---------------------------------------------------------------------------
+# Driver-artifact ordering
+# ---------------------------------------------------------------------------
+# The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
+# rows, so iteration order decides which operators get a driver-green row.
+# r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to
+# prove the fixes; the other 48 are operators that have NEVER had a driver
+# row (155 such as of r6 — the 98 previously-checked rows plus everything
+# rotated out stay covered by the identical local gate,
+# tools/check_correctness.py, run in full at round end).
+_DRIVER_WINDOW = [
+    # -- r6 rotation (VERDICT r5 next #4): the two r5 non-green rows,
+    #    re-registered in canon-safe form, stay IN to prove the fixes --
+    "posting_lists", "corpus_report",
+    # -- flagship composite + VERDICT-named session-4 ops --
+    "curation_pipeline", "mmr_select", "matryoshka_eval",
+    "knn_label_noise", "retrieval_eval", "quantile_normalize",
+    "rfm_segments", "temporal_reachability", "skyline_2d",
+    "merkle_manifest", "fair_allocation", "ks_drift",
+    # -- session-3 backlog (never driver-checked) --
+    "weighted_sample", "perplexity_buckets", "pagerank", "kmeans_assign",
+    "ngram_diversity", "tpch_q4", "tpch_q5", "tpch_q10",
+    "containment_pairs", "length_outliers", "triangle_count",
+    "skew_report", "stratified_topk_sample", "trailing_agg",
+    "pivot_counts", "graph_components", "gap_fill", "session_stats",
+    "shard_manifest", "ewma", "user_similarity", "hybrid_search",
+    "distribution_drift", "classifier_confusion", "source_signatures",
+    # -- session-4 scale-novel shapes --
+    "greedy_coverage", "peak_concurrency", "rolling_active_users",
+    "seasonal_anomaly", "changepoint_cusum", "revenue_reconciliation",
+    "labeler_agreement", "standing_queries", "funnel_exclusion",
+    "running_balance", "slo_burn_alerts",
+]
+
+_missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+assert not _missing, f"_DRIVER_WINDOW names unknown queries: {_missing}"
+assert len(_DRIVER_WINDOW) == len(set(_DRIVER_WINDOW)) == 50
+
+QUERIES = {
+    **{n: QUERIES[n] for n in _DRIVER_WINDOW},
+    **{n: f for n, f in QUERIES.items() if n not in set(_DRIVER_WINDOW)},
+}
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

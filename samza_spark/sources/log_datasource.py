@@ -161,31 +161,52 @@ class SamzaLogStreamReader(DataSourceStreamReader):
         self.startpoint = options.get("startpoint", "oldest")
         self.startpoint_offsets = options.get("startpointoffsets")
         self.max_per_trigger = int(options.get("maxrecordspertrigger", 0)) or None
+        # Last batch-end offsets this reader planned/committed. Pacing is
+        # applied in latestOffset() — the offset Spark COMMITS — never in
+        # partitions(): clamping the read range below the committed end
+        # offset silently skips the records in between, forever.
+        self._last_end: dict[str, int] | None = None
 
     def initialOffset(self) -> dict:
         counts = read_manifest(self.log_dir)
         if self.startpoint == "oldest":
-            return {str(p): 0 for p in counts}
-        if self.startpoint == "upcoming":
-            return {str(p): n for p, n in counts.items()}
-        if self.startpoint == "specific":
-            return {
+            off = {str(p): 0 for p in counts}
+        elif self.startpoint == "upcoming":
+            off = {str(p): n for p, n in counts.items()}
+        elif self.startpoint == "specific":
+            off = {
                 str(k): int(v)
                 for k, v in json.loads(self.startpoint_offsets or "{}").items()
             }
-        raise ValueError(f"unknown startpoint {self.startpoint!r}")
+        else:
+            raise ValueError(f"unknown startpoint {self.startpoint!r}")
+        self._last_end = dict(off)
+        return off
 
     def latestOffset(self) -> dict:
         counts = read_manifest(self.log_dir)
-        return {str(p): n for p, n in counts.items()}
+        latest = {str(p): n for p, n in counts.items()}
+        if self.max_per_trigger is None or self._last_end is None:
+            # No pacing, or first trigger after a checkpoint restart (the
+            # planner worker is fresh and initialOffset is not re-called,
+            # so the committed start is unknown until partitions() runs):
+            # report the true high-water mark — one unpaced batch, but
+            # every record is delivered exactly once.
+            return latest
+        paced = {}
+        for p_str, hi in latest.items():
+            lo = self._last_end.get(p_str, 0)
+            paced[p_str] = min(int(hi), max(lo, 0) + self.max_per_trigger)
+        return paced
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # end is the offset Spark will commit for this batch — read ALL of
+        # [start, end); pacing already happened when end was chosen.
+        self._last_end = {str(k): int(v) for k, v in end.items()}
         out = []
         for p_str, hi in end.items():
             lo = int(start.get(p_str, 0))
             hi = int(hi)
-            if self.max_per_trigger is not None:
-                hi = min(hi, lo + self.max_per_trigger)
             if hi > lo:
                 out.append(_RangePartition(self.log_dir, int(p_str), lo, hi))
         # Spark requires >= 1 partition per planned batch; an empty range
@@ -198,7 +219,9 @@ class SamzaLogStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Spark's checkpoint offset log is the durable OffsetManager; the
         # source itself is immutable so there is nothing to acknowledge.
-        pass
+        # Track the committed end so pacing stays anchored even if a
+        # trigger plans no partitions.
+        self._last_end = {str(k): int(v) for k, v in end.items()}
 
 
 class SamzaLogDataSource(DataSource):

@@ -441,3 +441,52 @@ def test_kinesis_without_client_raises(spark):
 
     with pytest.raises(NotImplementedError, match="Kinesis"):
         KinesisSource(stream="s").read_stream(spark)
+
+
+def test_multi_branch_union_type_matched_round_trip(spark):
+    """``["null","long","string"]`` union: values are written under the
+    branch whose TYPE matches (AvroRelConverter.java:81-158 semantics) and
+    read back as the §7.3 tagged struct — r5's first-non-null pick would
+    have encoded strings under the long branch."""
+    from samza_spark.formats.avro_py import read_avro, read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [{"name": "val", "type": ["null", "long", "string"]}],
+    }
+    rows = [{"val": 5}, {"val": "five"}, {"val": None}, {"val": -9}]
+    buf = io.BytesIO()
+    write_ocf(buf, schema, rows)
+    got = list(read_ocf(buf.getvalue()))
+    assert got == [
+        {"val": {"member_long": 5, "member_string": None}},
+        {"val": {"member_long": None, "member_string": "five"}},
+        {"val": None},
+        {"val": {"member_long": -9, "member_string": None}},
+    ]
+    # tagged-struct values (the Spark row shape) encode equivalently
+    buf2 = io.BytesIO()
+    write_ocf(buf2, schema, got)
+    assert list(read_ocf(buf2.getvalue())) == got
+
+
+def test_multi_branch_union_reads_into_spark(spark, tmp_path):
+    from samza_spark.formats.avro_py import read_avro, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "val", "type": ["null", "long", "string"]},
+        ],
+    }
+    p = tmp_path / "u.avro"
+    with open(p, "wb") as f:
+        write_ocf(f, schema, [{"id": 1, "val": 7}, {"id": 2, "val": "x"}, {"id": 3, "val": None}])
+    df = read_avro(spark, str(tmp_path), schema)
+    got = {r["id"]: r["val"] for r in df.collect()}
+    assert got[1]["member_long"] == 7 and got[1]["member_string"] is None
+    assert got[2]["member_string"] == "x" and got[2]["member_long"] is None
+    assert got[3] is None
