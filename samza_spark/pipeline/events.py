@@ -1627,3 +1627,58 @@ def path_deviation(
         .orderBy(F.desc("distance"), F.asc(user_col), F.asc("session_id"))
         .limit(int(top_k))
     )
+
+
+def dialogue_turns(
+    df: DataFrame,
+    role_of: "dict[str, str] | None" = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Conversation-thread assembly over an event stream — the shape a
+    chat/instruction-data pipeline runs to turn raw interleaved messages
+    into per-thread turn structure before transcript export: sessionize,
+    map each event to a ``role`` (default: view/click -> 'user', all else
+    -> 'assistant'), collapse consecutive same-role runs into TURNS, and
+    emit per-session turn statistics.
+
+    Output per (user, session): ``n_events, n_turns, first_role,
+    last_role, starts_user, strict_alternation`` (every turn is length 1
+    — the well-formed dialogue invariant an SFT exporter enforces).
+
+    Plan: one sessionize (two per-user windows) + one lag window + one
+    groupBy(user, session) — every stage is partitioned by user, no
+    global sort; state per group is O(1) aggregates, never the collected
+    transcript.
+    """
+    role_of = role_of or {"view": "user", "click": "user"}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in role_of.items() for x in kv]
+    )
+    s = sessionize(df, user_col=user_col, ts_col=ts_col, gap=gap)
+    order = [F.col(ts_col).asc()] + (
+        [F.col("event_id").asc()] if "event_id" in df.columns else []
+    )
+    w = Window.partitionBy(user_col, "session_id").orderBy(*order)
+    s = s.withColumn(
+        "__role", F.coalesce(mapping[F.col(type_col)], F.lit("assistant"))
+    ).withColumn(
+        "__new_turn",
+        F.when(
+            F.lag("__role").over(w).isNull()
+            | (F.col("__role") != F.lag("__role").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__new_turn").cast("long").alias("n_turns"),
+        F.expr(f"min_by(__role, struct({ts_col}, event_id))").alias("first_role"),
+        F.expr(f"max_by(__role, struct({ts_col}, event_id))").alias("last_role"),
+        (
+            F.expr(f"min_by(__role, struct({ts_col}, event_id))") == F.lit("user")
+        ).alias("starts_user"),
+        (F.sum("__new_turn") == F.count(F.lit(1))).alias("strict_alternation"),
+    )

@@ -622,3 +622,54 @@ def greedy_max_coverage(
     return spark.createDataFrame(
         out, f"round int, {id_col} {id_type}, gain long, covered_total long"
     )
+
+
+def embargo_split(
+    df: DataFrame,
+    train_end: str,
+    embargo: str = "7 days",
+    ts_col: str = "ts",
+    group_col: "str | None" = None,
+) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap — the leakage-safe
+    split for time-ordered data (financial ML / forecasting evaluation,
+    and the temporal analog of decontamination for training corpora):
+    rows at or before ``train_end`` are ``train``, rows inside
+    ``(train_end, train_end + embargo]`` are ``embargo`` (discarded —
+    they leak label horizon into both sides), later rows are ``test``.
+
+    With ``group_col`` (purged split): any group that has rows in the
+    embargo window is ALSO dropped from train — its trailing context
+    overlaps the gap, the group-level analog of overlapping-sample
+    purging in purged k-fold CV.
+
+    Map-only labeling (two timestamp comparisons); the purge adds one
+    broadcast semi-join against the (tiny) embargoed-group set. Output:
+    input columns + ``split`` ('train' | 'embargo' | 'test' | 'purged').
+    """
+    t_end = F.to_timestamp(F.lit(train_end))
+    gap_end = t_end + F.expr(f"INTERVAL {embargo}")
+    split = (
+        F.when(F.col(ts_col) <= t_end, F.lit("train"))
+        .when(F.col(ts_col) <= gap_end, F.lit("embargo"))
+        .otherwise(F.lit("test"))
+    )
+    out = df.withColumn("split", split)
+    if group_col is not None:
+        embargoed = (
+            out.filter(F.col("split") == "embargo")
+            .select(group_col)
+            .distinct()
+        )
+        out = out.join(
+            F.broadcast(embargoed.withColumn("__purge", F.lit(True))),
+            on=group_col,
+            how="left",
+        ).withColumn(
+            "split",
+            F.when(
+                (F.col("split") == "train") & F.col("__purge").isNotNull(),
+                F.lit("purged"),
+            ).otherwise(F.col("split")),
+        ).drop("__purge")
+    return out

@@ -166,6 +166,28 @@ def quality_score(text: Column) -> Column:
     return F.round(score, 4)
 
 
+def quality_micro(text_col: str = "text") -> Column:
+    """:func:`quality_score` in exact integer micro-units ([0, 1e6] BIGINT):
+    every term is true integer division (``div``) of integer counts, so
+    cross-engine comparisons are bit-identical — use this (never
+    ``round()`` of the double score) whenever the value feeds a compared
+    aggregate or a deterministic ordering. Takes the column NAME (the
+    expression inlines it into one codegen'd SQL expr)."""
+    t = text_col
+    stripped = f"regexp_replace({t}, '^\\\\s+|\\\\s+$', '')"
+    words = (
+        f"(CASE WHEN {stripped} = '' THEN 0 "
+        f"ELSE size(split({stripped}, '\\\\s+')) END)"
+    )
+    return F.expr(
+        f"(400000L * length(regexp_replace({t}, '[^A-Za-z]', ''))) "
+        f"div greatest(length({t}), 1) "
+        f"+ least(4000L * {words}, 400000L) "
+        f"+ (200000L - least((2000000L * length(regexp_replace({t}, '[^.!?,;:]', ''))) "
+        f"div greatest(length({t}), 1), 200000L))"
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-marker language ID: count marker hits per language on the
     lowercased text, pick the argmax (ties -> lexicographic language order,

@@ -9313,6 +9313,238 @@ ORACLES["chi2_independence"] = (
 ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}
 
 
+
+# ---------------------------------------------------------------------------
+# round 6: preference pairs, curriculum order, signal fusion, dialogue
+# turns, embargo split, HLL sketch mergeability
+# ---------------------------------------------------------------------------
+
+_QMICRO_SQL = (
+    "((CAST(400000 AS BIGINT) * length(regexp_replace({c}, '[^A-Za-z]', '', 'g'))) "
+    "// CAST(greatest(length({c}), 1) AS BIGINT) "
+    "+ least(CAST(4000 AS BIGINT) * ({tok}), 400000) "
+    "+ (200000 - least((CAST(2000000 AS BIGINT) * "
+    "length(regexp_replace({c}, '[^.!?,;:]', '', 'g'))) "
+    "// CAST(greatest(length({c}), 1) AS BIGINT), 200000)))"
+)
+
+
+def q_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """RLHF/DPO preference-pair mining (pipeline.preference): per
+    (source, lang) group the best and worst document by exact integer
+    micro-quality become (chosen, rejected). ONE map-side-combinable
+    max_by/min_by aggregation — the shuffle carries one row per group."""
+    from samza_spark.pipeline import preference
+
+    docs = load_table(spark, sf, "documents")
+    return preference.preference_pairs(docs, ("source", "lang"))
+
+
+QUERIES["preference_pairs"] = q_preference_pairs
+
+ORACLES["preference_pairs"] = (
+    f"WITH q AS (SELECT source, lang, doc_id, "
+    f"{_QMICRO_SQL.format(c='text', tok=_TOKENS_SQL)} AS qm FROM documents), "
+    "b AS (SELECT source, lang, doc_id, qm, "
+    "row_number() OVER (PARTITION BY source, lang ORDER BY qm DESC, doc_id ASC) AS rb, "
+    "row_number() OVER (PARTITION BY source, lang ORDER BY qm ASC, doc_id ASC) AS rw, "
+    "count(*) OVER (PARTITION BY source, lang) AS n FROM q) "
+    "SELECT s.source, s.lang, s.doc_id AS chosen_id, w.doc_id AS rejected_id, "
+    "s.qm AS chosen_q_micro, w.qm AS rejected_q_micro, "
+    "s.qm - w.qm AS margin_micro, CAST(s.n AS BIGINT) AS n_docs "
+    "FROM (SELECT * FROM b WHERE rb = 1) s "
+    "JOIN (SELECT * FROM b WHERE rw = 1) w "
+    "ON s.source = w.source AND s.lang = w.lang "
+    "WHERE s.n >= 2 AND s.qm - w.qm > 0"
+)
+
+
+def q_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-learning order (pipeline.preference.curriculum_order):
+    difficulty stage by exact global quality quantile over the
+    range-exchange global rank (no single-partition sort), deterministic
+    md5 order key decorrelating batches within a stage."""
+    from samza_spark.pipeline import preference
+
+    docs = load_table(spark, sf, "documents")
+    return preference.curriculum_order(docs, n_stages=4)
+
+
+QUERIES["curriculum_order"] = q_curriculum_order
+
+ORACLES["curriculum_order"] = (
+    f"WITH q AS (SELECT doc_id, "
+    f"{_QMICRO_SQL.format(c='text', tok=_TOKENS_SQL)} AS qm FROM documents), "
+    "r AS (SELECT doc_id, qm, "
+    "row_number() OVER (ORDER BY qm DESC, doc_id ASC) AS gr, "
+    "count(*) OVER () AS n FROM q) "
+    "SELECT doc_id, qm AS quality_micro, CAST(gr AS BIGINT) AS global_rank, "
+    "CAST((gr - 1) * 4 // n + 1 AS BIGINT) AS stage, "
+    "CAST(('0x' || substr(md5('curriculum0' || '|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT "
+    "AS BIGINT) AS order_key FROM r"
+)
+
+
+def q_signal_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of three quality signals into one curation
+    top-100 (pipeline.preference.signal_fusion). Integer RRF weights
+    floor(1e12/(60+rank)) keep the fused ordering bit-identical
+    cross-engine."""
+    from samza_spark.pipeline import preference
+
+    docs = load_table(spark, sf, "documents")
+    return preference.signal_fusion(docs, k=60, top=100)
+
+
+QUERIES["signal_fusion"] = q_signal_fusion
+
+ORACLES["signal_fusion"] = (
+    f"WITH q AS (SELECT doc_id, "
+    f"{_QMICRO_SQL.format(c='text', tok=_TOKENS_SQL)} AS qm, "
+    f"CAST(n_chars AS BIGINT) AS len, {_TOKENS_SQL} AS tok FROM documents), "
+    "r AS (SELECT doc_id, "
+    "row_number() OVER (ORDER BY qm DESC, doc_id ASC) AS quality_rank, "
+    "row_number() OVER (ORDER BY len DESC, doc_id ASC) AS length_rank, "
+    "row_number() OVER (ORDER BY tok DESC, doc_id ASC) AS token_rank FROM q) "
+    "SELECT doc_id, CAST(quality_rank AS INT) AS quality_rank, "
+    "CAST(length_rank AS INT) AS length_rank, CAST(token_rank AS INT) AS token_rank, "
+    "CAST(1000000000000 // (60 + quality_rank) "
+    "+ 1000000000000 // (60 + length_rank) "
+    "+ 1000000000000 // (60 + token_rank) AS BIGINT) AS fused_score "
+    "FROM r ORDER BY fused_score DESC, doc_id ASC LIMIT 100"
+)
+
+
+def q_dialogue_turns(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-thread assembly (pipeline.events.dialogue_turns):
+    sessionize, role-map event types, collapse consecutive same-role runs
+    into turns, emit per-session turn structure — the SFT transcript
+    export precheck. All stages partitioned by user."""
+    from samza_spark.pipeline import events as E
+
+    ev = load_table(spark, sf, "events")
+    return E.dialogue_turns(ev)
+
+
+QUERIES["dialogue_turns"] = q_dialogue_turns
+
+ORACLES["dialogue_turns"] = (
+    "WITH l AS (SELECT event_id, user_id, ts, "
+    "CASE WHEN event_type IN ('view', 'click') THEN 'user' ELSE 'assistant' END AS role, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts "
+    "FROM events), "
+    "m AS (SELECT event_id, user_id, ts, role, "
+    "CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE "
+    "THEN 1 ELSE 0 END AS ns FROM l), "
+    "s AS (SELECT event_id, user_id, ts, role, "
+    "CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m), "
+    "t AS (SELECT *, CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id "
+    "ORDER BY ts ASC, event_id ASC) IS DISTINCT FROM role THEN 1 ELSE 0 END AS nt, "
+    "row_number() OVER (PARTITION BY user_id, session_id "
+    "ORDER BY ts ASC, event_id ASC) AS rn, "
+    "count(*) OVER (PARTITION BY user_id, session_id) AS cnt "
+    "FROM s) "
+    "SELECT user_id, session_id, count(*) AS n_events, "
+    "CAST(sum(nt) AS BIGINT) AS n_turns, "
+    "max(CASE WHEN rn = 1 THEN role END) AS first_role, "
+    "max(CASE WHEN rn = cnt THEN role END) AS last_role, "
+    "max(CASE WHEN rn = 1 THEN role END) = 'user' AS starts_user, "
+    "sum(nt) = count(*) AS strict_alternation "
+    "FROM t GROUP BY user_id, session_id"
+)
+
+
+def q_embargo_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Purged temporal split with embargo (pipeline.sampling.
+    embargo_split): time-labeled train/embargo/test plus user-level purge
+    of embargo-window groups out of train. Map-only labeling + one
+    broadcast semi-join; the query emits the per-(split, event_type)
+    audit counts."""
+    from samza_spark.pipeline.sampling import embargo_split
+
+    ev = load_table(spark, sf, "events")
+    out = embargo_split(
+        ev, "2024-02-15 00:00:00", embargo="3 days", group_col="user_id"
+    )
+    return out.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+QUERIES["embargo_split"] = q_embargo_split
+
+ORACLES["embargo_split"] = (
+    "WITH base AS (SELECT *, CASE "
+    "WHEN ts <= TIMESTAMP '2024-02-15 00:00:00' THEN 'train' "
+    "WHEN ts <= TIMESTAMP '2024-02-15 00:00:00' + INTERVAL 3 DAY THEN 'embargo' "
+    "ELSE 'test' END AS split0 FROM events), "
+    "purged AS (SELECT DISTINCT user_id FROM base WHERE split0 = 'embargo'), "
+    "lab AS (SELECT base.*, CASE WHEN split0 = 'train' AND user_id IN "
+    "(SELECT user_id FROM purged) THEN 'purged' ELSE split0 END AS split FROM base) "
+    "SELECT split, event_type, count(*) AS n, "
+    "count(DISTINCT user_id) AS n_users, "
+    "min(event_id) AS min_event_id, max(event_id) AS max_event_id "
+    "FROM lab GROUP BY split, event_type"
+)
+
+
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketch distinct-count health check (Spark's DataSketches
+    integration — the mergeable-sketch matview shape at 100 TB: per-shard
+    sketches union into the global answer without rescanning): per
+    event_type, the exact distinct user count, whether the HLL estimate
+    lands within 5%, and whether union(first-half sketch, second-half
+    sketch) reproduces the whole-table estimate EXACTLY (sketch-merge
+    associativity — what makes incremental refresh correct).
+
+    Oracle: exact distinct + TRUE invariants (estimates themselves are
+    engine-specific, so only the invariant crosses engines)."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    whole = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    halves = (
+        ev.withColumn("half", F.pmod("event_id", F.lit(2)))
+        .groupBy("event_type", "half")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("hsk"))
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("hsk").alias("msk"))
+    )
+    return (
+        whole.join(halves, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk").cast("double") - F.col("n_exact")
+                )
+                <= 0.05 * F.col("n_exact")
+            ).alias("estimate_within_5pct"),
+            (
+                F.hll_sketch_estimate("msk") == F.hll_sketch_estimate("sk")
+            ).alias("merge_consistent"),
+        )
+    )
+
+
+QUERIES["hll_distinct"] = q_hll_distinct
+
+ORACLES["hll_distinct"] = (
+    "SELECT event_type, count(DISTINCT user_id) AS n_exact, "
+    "TRUE AS estimate_within_5pct, TRUE AS merge_consistent "
+    "FROM events GROUP BY event_type"
+)
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

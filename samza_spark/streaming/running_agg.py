@@ -202,3 +202,70 @@ def running_balance_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def funnel_stream(
+    df: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ordered funnel — the incremental form of
+    :func:`samza_spark.pipeline.events.funnel`: per-user state is
+    ``(step_reached, t_last_micros)``; each micro-batch runs the same
+    min-forward scan the batch operator uses (for the next step, the
+    earliest matching event at/after the previous step's completion
+    time — repeated until no step advances), so within-batch arrival
+    order never matters and the final state equals the batch answer as
+    long as batches arrive in event-time order per key (the reference's
+    per-partition ordered-delivery contract, as with
+    :func:`running_balance_stream`).
+
+    Samza shape: StreamTask + KeyValueStore per-user funnel tracker
+    (TaskApplication with a store — the canonical Samza example app);
+    emits one row per (user, batch) with post-batch progress.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps_ = list(steps)
+
+    def fn(key, pdf_iter, state: GroupState):
+        reached, last_us = state.get if state.exists else (0, 0)
+        got = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            got = True
+            # dtype-safe epoch-µs (Arrow may hand datetime64[ns] OR [us])
+            us = pd.Series(
+                pdf[ts_col].values.astype("datetime64[us]").astype("int64"),
+                index=pdf.index,
+            )
+            et = pdf[type_col]
+            # min-forward: advance through remaining steps greedily
+            while reached < len(steps_):
+                cand = us[(et == steps_[reached]) & (us >= last_us)]
+                if not len(cand):
+                    break
+                last_us = int(cand.min())
+                reached += 1
+        if got:
+            state.update((int(reached), int(last_us)))
+            yield pd.DataFrame(
+                {
+                    "key": [str(key[0])],
+                    "step_reached": [int(reached)],
+                    "t_last_us": [int(last_us)],
+                }
+            )
+        else:
+            yield pd.DataFrame({"key": [], "step_reached": [], "t_last_us": []})
+
+    return df.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn,
+        "key string, step_reached bigint, t_last_us bigint",
+        "reached bigint, last_us bigint",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,240 @@
+"""Round-6 operators: preference pairs, curriculum order, signal fusion,
+dialogue turns, embargo split, streaming funnel."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_preference_pairs_picks_best_and_worst(spark):
+    from samza_spark.pipeline.preference import preference_pairs
+
+    rows = [
+        # group (s1, en): clear quality spread
+        (1, "Great prose, with many words and structure. " * 5, "en", "s1", 200),
+        (2, "!!!!;;;;....", "en", "s1", 12),
+        (3, "middling text here okay", "en", "s1", 23),
+        # group (s2, en): single doc -> dropped
+        (4, "lonely", "en", "s2", 6),
+        # group (s3, de): two identical-quality docs -> zero margin, dropped
+        (5, "same text", "de", "s3", 9),
+        (6, "same text", "de", "s3", 9),
+    ]
+    out = preference_pairs(_docs(spark, rows), ("source", "lang")).collect()
+    got = {(r["source"], r["lang"]): r for r in out}
+    assert set(got) == {("s1", "en")}
+    r = got[("s1", "en")]
+    assert r["chosen_id"] == 1 and r["rejected_id"] == 2
+    assert r["margin_micro"] > 0 and r["n_docs"] == 3
+
+
+def test_preference_pairs_deterministic_tiebreak(spark):
+    from samza_spark.pipeline.preference import preference_pairs
+
+    # two best-quality ties (ids 7, 3) and two worst ties (ids 9, 5):
+    # chosen -> smaller id of the best, rejected -> smaller id of the worst
+    rows = [
+        (7, "Good sentence with words.", "en", "s", 25),
+        (3, "Good sentence with words.", "en", "s", 25),
+        (9, "!!!!", "en", "s", 4),
+        (5, "!!!!", "en", "s", 4),
+    ]
+    r = preference_pairs(_docs(spark, rows), ("source", "lang")).collect()[0]
+    assert r["chosen_id"] == 3 and r["rejected_id"] == 5
+
+
+def test_curriculum_order_stages_and_determinism(spark):
+    from samza_spark.pipeline.preference import curriculum_order
+
+    rows = [
+        (i, ("word " * (i + 1)).strip() + ".", "en", "s", 6 * (i + 1))
+        for i in range(20)
+    ]
+    out = curriculum_order(_docs(spark, rows), n_stages=4)
+    got = out.collect()
+    assert len(got) == 20
+    stages = sorted((r["global_rank"], r["stage"]) for r in got)
+    # 20 docs / 4 stages -> ranks 1-5 stage 1, ..., 16-20 stage 4
+    for rank, stage in stages:
+        assert stage == (rank - 1) * 4 // 20 + 1
+    # order_key is a pure content hash: stable across runs
+    again = {r["doc_id"]: r["order_key"] for r in curriculum_order(
+        _docs(spark, rows), n_stages=4).collect()}
+    assert {r["doc_id"]: r["order_key"] for r in got} == again
+
+
+def test_signal_fusion_manual_check(spark):
+    from samza_spark.pipeline.preference import signal_fusion
+
+    rows = [
+        (1, "Quality text with several words here.", "en", "s", 100),
+        (2, "ok", "en", "s", 500),
+        (3, "mid text here", "en", "s", 50),
+    ]
+    out = {r["doc_id"]: r for r in signal_fusion(_docs(spark, rows), top=3).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        want = sum(
+            10**12 // (60 + r[c])
+            for c in ("quality_rank", "length_rank", "token_rank")
+        )
+        assert r["fused_score"] == want
+    assert out[2]["length_rank"] == 1  # n_chars 500 is the longest
+
+
+def test_dialogue_turns_structure(spark):
+    from samza_spark.pipeline.events import dialogue_turns
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1, one session: user/assistant strict alternation (4 turns)
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "error", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "click", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "purchase", 0.0, "{}"),
+        # user 2: two consecutive user events collapse into ONE turn
+        (5, t0, 2, "view", 0.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=1), 2, "click", 0.0, "{}"),
+        (7, t0 + dt.timedelta(minutes=2), 2, "error", 0.0, "{}"),
+        # user 2, NEW session after the 30-min gap, assistant-first
+        (8, t0 + dt.timedelta(hours=2), 2, "signup", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r for r in dialogue_turns(df).collect()
+    }
+    s1 = got[(1, 1)]
+    assert s1["n_events"] == 4 and s1["n_turns"] == 4
+    assert s1["strict_alternation"] and s1["starts_user"]
+    assert s1["first_role"] == "user" and s1["last_role"] == "assistant"
+    s2 = got[(2, 1)]
+    assert s2["n_events"] == 3 and s2["n_turns"] == 2  # view+click = one turn
+    assert not s2["strict_alternation"] and s2["starts_user"]
+    s3 = got[(2, 2)]
+    assert s3["n_turns"] == 1 and not s3["starts_user"]
+    assert s3["first_role"] == "assistant"
+
+
+def test_embargo_split_boundaries_and_purge(spark):
+    from samza_spark.pipeline.sampling import embargo_split
+
+    t = dt.datetime(2024, 2, 14, 0, 0, 0)
+    rows = [
+        (1, t, 10, "view", 0.0, "{}"),                          # train
+        (2, t + dt.timedelta(days=1), 11, "view", 0.0, "{}"),   # == train_end
+        (3, t + dt.timedelta(days=2), 12, "view", 0.0, "{}"),   # embargo
+        (4, t + dt.timedelta(days=10), 13, "view", 0.0, "{}"),  # test
+        (5, t, 12, "click", 0.0, "{}"),                         # train but user 12 embargoed -> purged
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = embargo_split(
+        df, "2024-02-15 00:00:00", embargo="3 days", group_col="user_id"
+    )
+    got = {r["event_id"]: r["split"] for r in out.collect()}
+    assert got == {1: "train", 2: "train", 3: "embargo", 4: "test", 5: "purged"}
+    # without a group_col there is no purging
+    got2 = {
+        r["event_id"]: r["split"]
+        for r in embargo_split(df, "2024-02-15 00:00:00", embargo="3 days").collect()
+    }
+    assert got2[5] == "train"
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """funnel_stream across TWO micro-batches == the batch min-forward
+    funnel on the full history (the StreamTask+store shape)."""
+    from samza_spark.pipeline import events as pevents
+    from samza_spark.streaming.running_agg import funnel_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def ev(u, minute, et):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=minute), u, et))
+
+    ev(1, 0, "view"); ev(1, 1, "click"); ev(1, 2, "purchase")   # full funnel
+    ev(2, 0, "click"); ev(2, 1, "view"); ev(2, 2, "click")      # reaches 2
+    ev(3, 0, "view")                                             # reaches 1
+    ev(4, 0, "purchase"); ev(4, 1, "error")                     # reaches 0
+    # user 5 crosses the batch boundary: view in batch 1, click+purchase in 2
+    ev(5, 5, "view")
+    split = len(rows)
+    ev(5, 50, "click"); ev(5, 51, "purchase")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = str(tmp_path / "fun_src")
+    spark.createDataFrame(rows[:split], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    steps = ["view", "click", "purchase"]
+    q = (
+        funnel_stream(stream, steps)
+        .writeStream.format("memory")
+        .queryName("fun_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fun_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[split:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {}
+    for r in spark.sql("SELECT * FROM fun_stream").collect():
+        cur = got.get(r["key"])
+        if cur is None or r["step_reached"] >= cur:
+            got[r["key"]] = r["step_reached"]
+    full = spark.createDataFrame(rows, schema)
+    want = {
+        str(r["user_id"]): r["step_reached"]
+        for r in pevents.funnel(full, steps).collect()
+    }
+    # batch funnel only emits users with at least one step event; user 4's
+    # purchase-without-view still yields a row (step_reached 0)
+    for k, v in want.items():
+        assert got.get(k, 0) == v
+    assert got["5"] == 3  # the cross-batch progression
+
+
+def test_round6_plans(spark):
+    """Plan shape: preference_pairs is one hash aggregate (no window, no
+    cartesian product); signal_fusion has no BatchEvalPython."""
+    from samza_spark.pipeline.preference import preference_pairs, signal_fusion
+
+    rows = [
+        (i, f"text {'word ' * (i % 7)}", "en", f"s{i % 3}", 10 + i)
+        for i in range(50)
+    ]
+    docs = _docs(spark, rows)
+    pp = preference_pairs(docs, ("source", "lang"))
+    plan = pp._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    sf = signal_fusion(docs, top=10)
+    plan2 = sf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan2 and "CartesianProduct" not in plan2
