@@ -1,0 +1,182 @@
+"""``run-app.sh`` / JobRunner analog: launch a job from a Samza
+``.properties`` config.
+
+Reference: the reference deploys with ``bin/run-app.sh
+--config-path=/path/job.properties [--config k=v ...]`` (docs/startup;
+samza-shell/src/main/bash/run-app.sh), where the config names the
+application (``app.class``), its inputs (``task.inputs``), systems, and
+stores; JobRunner materializes the config and starts the
+StreamApplication (samza-core/.../job/JobRunner.java,
+ApplicationRunnerMain.java).
+
+Spark-native equivalent: ``python -m samza_spark.run_app
+--config-path job.properties [--config k=v ...]`` builds a SparkSession,
+resolves ``task.inputs`` through :class:`samza_spark.config.JobConfig`
+(the existing .properties compatibility layer), and dispatches on the
+app kind:
+
+* ``app.class = pkg.module:callable`` — the StreamApplication analog: a
+  Python callable invoked as ``app(spark, config, sources)`` where
+  ``sources`` maps ``"system.stream"`` to the built source descriptors.
+  It may return None (drove everything itself), a DataFrame (written to
+  the first ``task.outputs`` file sink, or displayed), or a list of
+  StreamingQuery handles (awaited until drained).
+* ``samza.sql.stmt`` / ``samza.sql.stmts`` — the SamzaSqlApplication
+  analog (SamzaSqlApplicationConfig.java CFG_SQL_STMT): each input
+  stream is registered as a view under its stream name, INSERT INTO
+  targets resolve to file sinks under the output system's
+  ``stagingDirectory``, and the statements run through
+  :class:`samza_spark.sql.runner.SqlApplication` (compat validation
+  included).
+
+Only ``--operation run`` is supported (kill/status are YARN-RM calls in
+the reference; Spark local mode has no job server to query).
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import sys
+
+from samza_spark.config import JobConfig
+
+
+def _load_app(spec: str):
+    """Resolve ``pkg.module:callable``."""
+    mod_name, _, attr = spec.partition(":")
+    if not attr:
+        raise ValueError(
+            f"app.class {spec!r} must be 'module:callable' "
+            "(the Python analog of a StreamApplication class name)"
+        )
+    mod = importlib.import_module(mod_name)
+    return getattr(mod, attr)
+
+
+def _output_sink(cfg: JobConfig):
+    """First ``task.outputs`` entry as a FileSink (file-system outputs
+    only — the jobs this CLI can complete without a broker)."""
+    from samza_spark.sources.descriptors import FileSink
+
+    outs = cfg.task_outputs()
+    if not outs:
+        return None, None
+    system, stream = outs[0]
+    root = cfg.props.get(f"systems.{system}.stagingDirectory", "")
+    path = f"{root.rstrip('/')}/{stream}" if root else stream
+    fmt = cfg.props.get(f"streams.{stream}.samza.format", "parquet")
+    return FileSink(path, fmt=fmt), f"{system}.{stream}"
+
+
+def run_job(cfg: JobConfig, spark=None) -> dict:
+    """Run one job config to completion. Returns a small result dict
+    (job name, app kind, per-output row counts where knowable)."""
+    if spark is None:
+        from samza_spark.session import get_session
+
+        spark = get_session()
+    result = {"job": cfg.job_name, "outputs": {}}
+
+    sql_stmts = []
+    if cfg.props.get("samza.sql.stmt"):
+        sql_stmts = [cfg.props["samza.sql.stmt"]]
+    elif cfg.props.get("samza.sql.stmts"):
+        sql_stmts = [
+            s.strip() for s in cfg.props["samza.sql.stmts"].split(";") if s.strip()
+        ]
+
+    if sql_stmts:
+        from samza_spark.sources.descriptors import FileSink
+        from samza_spark.sql.runner import SqlApplication
+
+        def out_path_fmt(system, stream):
+            root = cfg.props.get(f"systems.{system}.stagingDirectory", "")
+            path = f"{root.rstrip('/')}/{stream}" if root else stream
+            fmt = cfg.props.get(f"streams.{stream}.samza.format", "parquet")
+            return path, fmt
+
+        app = SqlApplication(spark, compat_mode=False)
+        for system, stream in cfg.task_inputs():
+            src = cfg.build_source(system, stream)
+            app.add_stream(stream, src.read(spark))
+        for system, stream in cfg.task_outputs():
+            path, fmt = out_path_fmt(system, stream)
+            app.add_sink(stream, FileSink(path, fmt=fmt))
+        result["kind"] = "sql"
+        result["statements"] = len(sql_stmts)
+        app.run("; ".join(sql_stmts))
+        for system, stream in cfg.task_outputs():
+            path, fmt = out_path_fmt(system, stream)
+            try:
+                result["outputs"][f"{system}.{stream}"] = (
+                    spark.read.format(fmt).load(path).count()
+                )
+            except Exception:
+                result["outputs"][f"{system}.{stream}"] = None
+        return result
+
+    app_class = cfg.props.get("app.class")
+    if not app_class:
+        raise ValueError(
+            "config defines neither app.class nor samza.sql.stmt(s) — "
+            "nothing to run"
+        )
+    app = _load_app(app_class)
+    sources = cfg.build_sources()
+    result["kind"] = "app"
+    out = app(spark, cfg, sources)
+    if out is None:
+        return result
+    # streaming query handles -> drain (AvailableNow/terminating jobs)
+    if isinstance(out, (list, tuple)):
+        for q in out:
+            q.awaitTermination()
+        return result
+    df = getattr(out, "df", out)
+    sink, name = _output_sink(cfg)
+    if sink is not None:
+        sink.write(df)
+        result["outputs"][name] = None
+    else:
+        result["outputs"]["<stdout>"] = df.count()
+    return result
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="samza_spark.run_app",
+        description="Run a job from a Samza .properties config "
+        "(run-app.sh / JobRunner analog).",
+    )
+    p.add_argument("--config-path", required=True, help="path to .properties")
+    p.add_argument(
+        "--config",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="override/add a config entry (repeatable, highest precedence)",
+    )
+    p.add_argument(
+        "--operation",
+        default="run",
+        choices=["run"],
+        help="only 'run' is supported (kill/status are resource-manager "
+        "operations the local runner has no server for)",
+    )
+    args = p.parse_args(argv)
+    cfg = JobConfig.from_file(args.config_path)
+    for kv in args.config:
+        k, _, v = kv.partition("=")
+        if not _:
+            p.error(f"--config expects K=V, got {kv!r}")
+        cfg.props[k.strip()] = v.strip()
+    result = run_job(cfg)
+    import json
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

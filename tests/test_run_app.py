@@ -1,0 +1,99 @@
+"""run_app CLI — the run-app.sh / JobRunner analog over .properties
+configs (reference: samza-shell run-app.sh + JobRunner.java)."""
+
+import json
+
+import pytest
+
+from samza_spark.config import JobConfig
+from samza_spark.run_app import main, run_job
+
+
+def _write_input(spark, path):
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "id long, k string, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_sql_job_runs_statements_to_file_sink(spark, tmp_path):
+    staging = str(tmp_path / "stage")
+    _write_input(spark, f"{staging}/src")
+    props = tmp_path / "job.properties"
+    props.write_text(
+        "job.name=sqljob\n"
+        "task.inputs=files.src\n"
+        "task.outputs=files.out\n"
+        "systems.files.samza.factory=org.apache.samza.system.hdfs.HdfsSystemFactory\n"
+        f"systems.files.stagingDirectory={staging}\n"
+        "samza.sql.stmt=INSERT INTO out SELECT k, SUM(v) AS total FROM src GROUP BY k\n"
+    )
+    cfg = JobConfig.from_file(str(props))
+    result = run_job(cfg, spark)
+    assert result["kind"] == "sql" and result["job"] == "sqljob"
+    out = spark.read.parquet(f"{staging}/out")
+    got = {(r["k"], r["total"]) for r in out.collect()}
+    assert got == {("a", 40), ("b", 20)}
+    assert result["outputs"]["files.out"] == 2
+
+
+# module-level so app.class can import it by path
+def word_stats_app(spark, cfg, sources):
+    src = sources["files.src"]
+    df = src.read(spark).df
+    from pyspark.sql import functions as F
+
+    return df.groupBy("k").agg(F.count("*").alias("n"))
+
+
+def test_app_class_callable_writes_first_output(spark, tmp_path):
+    staging = str(tmp_path / "stage2")
+    _write_input(spark, f"{staging}/src")
+    props = tmp_path / "app.properties"
+    props.write_text(
+        "job.name=appjob\n"
+        "app.class=tests.test_run_app:word_stats_app\n"
+        "task.inputs=files.src\n"
+        "task.outputs=files.counted\n"
+        "systems.files.samza.factory=org.apache.samza.system.hdfs.HdfsSystemFactory\n"
+        f"systems.files.stagingDirectory={staging}\n"
+    )
+    result = run_job(JobConfig.from_file(str(props)), spark)
+    assert result["kind"] == "app"
+    out = spark.read.parquet(f"{staging}/counted")
+    assert {(r["k"], r["n"]) for r in out.collect()} == {("a", 2), ("b", 1)}
+
+
+def test_cli_overrides_and_output(spark, tmp_path, capsys, monkeypatch):
+    # main() builds its own session via get_session; reuse the test one
+    import samza_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_session", lambda *a, **k: spark)
+    staging = str(tmp_path / "stage3")
+    _write_input(spark, f"{staging}/src")
+    props = tmp_path / "cli.properties"
+    props.write_text(
+        "job.name=clijob\n"
+        "task.inputs=files.src\n"
+        "task.outputs=files.out\n"
+        "systems.files.samza.factory=org.apache.samza.system.hdfs.HdfsSystemFactory\n"
+    )
+    rc = main(
+        [
+            "--config-path",
+            str(props),
+            "--config",
+            f"systems.files.stagingDirectory={staging}",
+            "--config",
+            "samza.sql.stmt=INSERT INTO out SELECT id, v FROM src WHERE v >= 20",
+        ]
+    )
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["job"] == "clijob" and printed["outputs"]["files.out"] == 2
+
+
+def test_missing_app_raises(spark, tmp_path):
+    props = tmp_path / "none.properties"
+    props.write_text("job.name=x\ntask.inputs=\n")
+    with pytest.raises(ValueError, match="neither app.class nor samza.sql"):
+        run_job(JobConfig.from_file(str(props)), spark)
