@@ -27,7 +27,11 @@ stream reader exposes exactly that contract —
   idempotent sinks);
 * the ``startpoint`` option maps Samza startpoints: ``oldest`` (0 per
   partition), ``upcoming`` (manifest counts at query start),
-  ``specific`` (explicit JSON offsets dict).
+  ``specific`` (explicit JSON offsets dict), ``timestamp``
+  (+ ``startpointTimestampMs`` — earliest offset with timestamp >=
+  target per partition, resolved through the block timestamp index the
+  producer maintains: the Kafka ``.timeindex`` / ``offsetsForTimes``
+  analog, so resolution scans one append block, never the log).
 
 The batch reader reads the whole log (bounded source), so the same
 format serves ``spark.read`` and ``spark.readStream``.
@@ -53,6 +57,7 @@ from pyspark.sql.datasource import (
 SCHEMA = "partition int, offset long, key string, value string, timestamp_ms long"
 
 _MANIFEST = "_manifest.json"
+_TS_INDEX = "_ts_index.json"
 
 
 # -- producer helpers (the SystemProducer analog) ---------------------------
@@ -72,6 +77,22 @@ def read_manifest(log_dir: str) -> dict[int, int]:
     return {int(k): int(v) for k, v in raw.items()}
 
 
+def _ts_index_path(log_dir: str) -> str:
+    return os.path.join(log_dir, _TS_INDEX)
+
+
+def read_ts_index(log_dir: str) -> "dict[int, list[list[int]]]":
+    """Per-partition ``[(block_start_ordinal, block_max_ts_ms), ...]`` —
+    the Kafka ``.timeindex`` analog: one entry per producer append, so a
+    timestamp startpoint resolves by scanning ONE block, not the log."""
+    try:
+        with open(_ts_index_path(log_dir)) as f:
+            raw = json.load(f)
+    except FileNotFoundError:
+        return {}
+    return {int(k): [[int(a), int(b)] for a, b in v] for k, v in raw.items()}
+
+
 def append_records(
     log_dir: str,
     partition: int,
@@ -81,7 +102,8 @@ def append_records(
     log file and advance its manifest high-water mark. Returns the new
     count. Appends are atomic per call (single write + manifest rewrite)
     — the single-writer-per-partition discipline the reference's
-    producers follow."""
+    producers follow. Each append also adds a (start_ordinal, max_ts)
+    entry to the timestamp index serving ``startpoint=timestamp``."""
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"part-{partition}.jsonl")
     with open(path, "a", encoding="utf-8") as f:
@@ -94,7 +116,17 @@ def append_records(
                 + "\n"
             )
     counts = read_manifest(log_dir)
-    counts[partition] = counts.get(partition, 0) + len(records)
+    start = counts.get(partition, 0)
+    counts[partition] = start + len(records)
+    if records:
+        idx = read_ts_index(log_dir)
+        idx.setdefault(partition, []).append(
+            [start, max(int(ts) for _, _, ts in records)]
+        )
+        tmp = _ts_index_path(log_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in idx.items()}, f)
+        os.replace(tmp, _ts_index_path(log_dir))
     tmp = _manifest_path(log_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({str(k): v for k, v in counts.items()}, f)
@@ -160,6 +192,7 @@ class SamzaLogStreamReader(DataSourceStreamReader):
         self.log_dir = options["path"]
         self.startpoint = options.get("startpoint", "oldest")
         self.startpoint_offsets = options.get("startpointoffsets")
+        self.startpoint_ts_ms = options.get("startpointtimestampms")
         self.max_per_trigger = int(options.get("maxrecordspertrigger", 0)) or None
         # Last batch-end offsets this reader planned/committed. Pacing is
         # applied in latestOffset() — the offset Spark COMMITS — never in
@@ -178,6 +211,41 @@ class SamzaLogStreamReader(DataSourceStreamReader):
                 str(k): int(v)
                 for k, v in json.loads(self.startpoint_offsets or "{}").items()
             }
+        elif self.startpoint == "timestamp":
+            # StartpointTimestamp (samza-api/.../startpoint/
+            # StartpointTimestamp.java) == Kafka offsetsForTimes: per
+            # partition, the EARLIEST offset whose timestamp >= target.
+            # The block timestamp index narrows the scan to one producer
+            # append (the .timeindex role) — never a full log read.
+            if self.startpoint_ts_ms is None:
+                raise ValueError(
+                    "startpoint=timestamp needs option startpointTimestampMs"
+                )
+            target = int(self.startpoint_ts_ms)
+            idx = read_ts_index(self.log_dir)
+            off = {}
+            for p, n in counts.items():
+                blocks = idx.get(p, [])
+                # first block that can contain a qualifying record
+                # (entries are append-ordered; max_ts is monotone for
+                # monotone producers, the same assumption Kafka's time
+                # index makes)
+                scan_from = None
+                for start_ord, max_ts in blocks:
+                    if max_ts >= target:
+                        scan_from = start_ord
+                        break
+                if scan_from is None:
+                    off[str(p)] = n  # nothing at/after target -> upcoming
+                    continue
+                found = n
+                for row in _read_range(
+                    _RangePartition(self.log_dir, p, scan_from, n)
+                ):
+                    if int(row[4]) >= target:
+                        found = row[1]
+                        break
+                off[str(p)] = found
         else:
             raise ValueError(f"unknown startpoint {self.startpoint!r}")
         self._last_end = dict(off)

@@ -202,3 +202,42 @@ def test_max_records_per_trigger_paces_batches(spark, log_dir, tmp_path):
         assert sink.count() == 6  # paced but complete, no duplicates
     finally:
         q.stop()
+
+
+def test_ts_index_tracks_blocks(log_dir):
+    from samza_spark.sources.log_datasource import read_ts_index
+
+    idx = read_ts_index(log_dir)
+    # fixture: three appends -> one block each
+    assert idx[0] == [[0, 2000]] and idx[1] == [[0, 1500]]
+    assert idx[2] == [[0, 1900]]
+    append_records(log_dir, 0, [("k9", "z", 9000)])
+    assert read_ts_index(log_dir)[0] == [[0, 2000], [2, 9000]]
+
+
+def test_startpoint_timestamp_resolves_per_partition(spark, log_dir, tmp_path):
+    """StartpointTimestamp/offsetsForTimes: earliest offset with
+    timestamp >= target per partition; partitions with nothing at/after
+    the target start upcoming."""
+    _register(spark)
+    # fixture ts: p0=[1000,2000], p1=[1500], p2=[1700,1800,1900]
+    q = (
+        spark.readStream.format("samza_log")
+        .option("path", log_dir)
+        .option("startpoint", "timestamp")
+        .option("startpointTimestampMs", "1800")
+        .load()
+        .writeStream.format("memory")
+        .queryName("log_sink_ts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ts"))
+        .start()
+    )
+    try:
+        sink = spark.sql("SELECT * FROM log_sink_ts")
+        _drain(q, sink, 3)
+        got = sorted((r["partition"], r["offset"], r["value"]) for r in sink.collect())
+        # p0: offset 1 (ts 2000) is the first >= 1800; p1: 1500 < 1800 ->
+        # upcoming, none; p2: offsets 1 (1800) and 2 (1900)
+        assert got == [(0, 1, "b"), (2, 1, "e"), (2, 2, "f")]
+    finally:
+        q.stop()
