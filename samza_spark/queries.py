@@ -9545,6 +9545,94 @@ ORACLES["hll_distinct"] = (
 
 
 
+
+def q_packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence assembly (pipeline.packing.assemble_sequences):
+    one row per packed context window with doc list, segment lengths, and
+    position-id offsets. Shard exchange + per-shard window + one
+    (shard, bin) aggregate; arrays are context-window sized by
+    construction. Driver shape emits arrays as CSV (canon-safe)."""
+    from samza_spark.pipeline.packing import assemble_sequences
+
+    docs = load_table(spark, sf, "documents")
+    out = assemble_sequences(docs, "n_chars", budget=4000, n_shards=8)
+    return out.select(
+        "shard",
+        "bin",
+        "n_docs",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids_csv"),
+        F.array_join(F.col("seg_lengths").cast("array<string>"), ",").alias(
+            "seg_lengths_csv"
+        ),
+        F.array_join(F.col("seg_offsets").cast("array<string>"), ",").alias(
+            "seg_offsets_csv"
+        ),
+        "total_cost",
+        "pad_waste",
+    )
+
+
+QUERIES["packed_sequences"] = q_packed_sequences
+
+_PACK_SHARD = (
+    "('0x' || substr(md5('pack0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8"
+)
+
+ORACLES["packed_sequences"] = (
+    f"WITH sh AS (SELECT doc_id, n_chars, {_PACK_SHARD} AS shard FROM documents), "
+    "b AS (SELECT doc_id, n_chars, shard, "
+    "CAST((sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 4000 AS BIGINT) "
+    "AS bin FROM sh), "
+    "g AS (SELECT shard, bin, count(*) AS n_docs, "
+    "list(doc_id ORDER BY doc_id) AS ids, "
+    "list(n_chars ORDER BY doc_id) AS lens FROM b GROUP BY shard, bin) "
+    "SELECT shard, bin, CAST(n_docs AS INT) AS n_docs, "
+    "array_to_string(ids, ',') AS doc_ids_csv, "
+    "array_to_string(lens, ',') AS seg_lengths_csv, "
+    "array_to_string(list_transform(range(1, len(lens) + 1), "
+    "i -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_slice(lens, 1, i - 1), x -> CAST(x AS BIGINT))), "
+    "(a, x) -> a + x)), ',') AS seg_offsets_csv, "
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(lens, x -> CAST(x AS BIGINT))), (a, x) -> a + x) AS BIGINT) "
+    "AS total_cost, "
+    "CAST(greatest(4000 - list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(lens, x -> CAST(x AS BIGINT))), (a, x) -> a + x), 0) AS BIGINT) "
+    "AS pad_waste "
+    "FROM g"
+)
+
+
+def q_packing_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus packing-efficiency report (pipeline.packing.packing_stats):
+    sequences / payload / padding / overshoot and exact integer ppm
+    utilization for the 4000-char context budget."""
+    from samza_spark.pipeline.packing import packing_stats
+
+    docs = load_table(spark, sf, "documents")
+    return packing_stats(docs, "n_chars", budget=4000, n_shards=8)
+
+
+QUERIES["packing_report"] = q_packing_report
+
+ORACLES["packing_report"] = (
+    f"WITH sh AS (SELECT doc_id, n_chars, {_PACK_SHARD} AS shard FROM documents), "
+    "b AS (SELECT doc_id, n_chars, shard, "
+    "CAST((sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 4000 AS BIGINT) "
+    "AS bin FROM sh), "
+    "g AS (SELECT shard, bin, count(*) AS n_docs, sum(n_chars) AS tot FROM b "
+    "GROUP BY shard, bin) "
+    "SELECT count(*) AS n_sequences, CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+    "CAST(sum(tot) AS BIGINT) AS payload, "
+    "CAST(sum(greatest(4000 - tot, 0)) AS BIGINT) AS padding, "
+    "CAST(sum(greatest(tot - 4000, 0)) AS BIGINT) AS overshoot, "
+    "CAST((sum(tot) * 1000000) // (sum(tot) + sum(greatest(4000 - tot, 0))) AS BIGINT) "
+    "AS utilization_ppm FROM g"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

@@ -238,3 +238,29 @@ def test_round6_plans(spark):
     sf = signal_fusion(docs, top=10)
     plan2 = sf._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2 and "CartesianProduct" not in plan2
+
+
+def test_assemble_sequences_invariants(spark):
+    from samza_spark.pipeline.packing import assemble_sequences, packing_stats
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i % 7) * 5) for i in range(40)], "doc_id long, n_tok long"
+    )
+    seqs = assemble_sequences(df, "n_tok", budget=60, n_shards=2).collect()
+    assert sum(r["n_docs"] for r in seqs) == 40
+    for r in seqs:
+        assert r["doc_ids"] == sorted(r["doc_ids"])  # packing order
+        # offsets are the exclusive prefix sums of lengths
+        want = [0]
+        for c in r["seg_lengths"][:-1]:
+            want.append(want[-1] + c)
+        assert r["seg_offsets"] == want
+        assert r["total_cost"] == sum(r["seg_lengths"])
+        assert r["pad_waste"] == max(60 - r["total_cost"], 0)
+        # boundary-crossing: at most the LAST doc overshoots
+        assert r["total_cost"] - r["seg_lengths"][-1] < 60
+    stats = packing_stats(df, "n_tok", budget=60, n_shards=2).collect()[0]
+    assert stats["payload"] == sum(r["total_cost"] for r in seqs)
+    assert stats["utilization_ppm"] == stats["payload"] * 10**6 // (
+        stats["payload"] + stats["padding"]
+    )
