@@ -224,6 +224,15 @@ HEADLINE = [
     "retrieval_eval",
     "ks_drift",
     "chi2_independence",
+    # round 6: preference/curriculum/fusion + dialogue + packing + sketches
+    "preference_pairs",
+    "curriculum_order",
+    "signal_fusion",
+    "dialogue_turns",
+    "embargo_split",
+    "hll_distinct",
+    "packed_sequences",
+    "packing_report",
 ]
 
 

@@ -141,28 +141,37 @@ def signal_fusion(
 
     Exact integer arithmetic: each signal contributes
     ``floor(1e12 / (k + rank))`` (BIGINT — both engines integer-divide),
-    summed; final order (fused DESC, id ASC) is deterministic. Three rank
-    windows over (signal) integer keys, then one TakeOrderedAndProject for
-    the top slice.
+    summed; final order (fused DESC, id ASC) is deterministic. Each rank
+    is a range-exchange :func:`~samza_spark.operators.rank.global_rank`
+    (NO single-partition window anywhere), and the top slice is a
+    TakeOrderedAndProject.
     """
+    from samza_spark.operators.rank import global_rank
+
     d = df.select(
         F.col(id_col),
         quality_micro("text").alias("__q"),
         F.col("n_chars").cast("long").alias("__len"),
         token_count(F.col("text")).alias("__tok"),
     )
+    rank_names = {
+        "__q": "quality_rank",
+        "__len": "length_rank",
+        "__tok": "token_rank",
+    }
     fused = F.lit(0).cast("long")
-    for sig in ("__q", "__len", "__tok"):
-        w = Window.orderBy(F.col(sig).desc(), F.col(id_col).asc())
-        d = d.withColumn(f"{sig}_rank", F.row_number().over(w))
-        fused = fused + F.expr(f"1000000000000L div ({k} + {sig}_rank)")
+    for sig, rname in rank_names.items():
+        d = global_rank(
+            d, order_by=[F.col(sig).desc(), F.col(id_col).asc()], rank_col=rname
+        )
+        fused = fused + F.expr(f"1000000000000L div ({k} + {rname})")
     return (
         d.withColumn("fused_score", fused)
         .select(
             id_col,
-            F.col("__q_rank").alias("quality_rank"),
-            F.col("__len_rank").alias("length_rank"),
-            F.col("__tok_rank").alias("token_rank"),
+            F.col("quality_rank").cast("int").alias("quality_rank"),
+            F.col("length_rank").cast("int").alias("length_rank"),
+            F.col("token_rank").cast("int").alias("token_rank"),
             "fused_score",
         )
         .orderBy(F.col("fused_score").desc(), F.col(id_col).asc())

@@ -238,6 +238,10 @@ def test_round6_plans(spark):
     sf = signal_fusion(docs, top=10)
     plan2 = sf._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan2 and "CartesianProduct" not in plan2
+    # ranks come from the range-exchange global_rank: the only
+    # SinglePartition exchange allowed is the final top-k collect
+    assert "Exchange SinglePartition" not in plan2.split("TakeOrderedAndProject")[-1]
+    assert "Window" not in plan2 or "windowspecdefinition()" not in plan2
 
 
 def test_assemble_sequences_invariants(spark):
