@@ -3077,15 +3077,7 @@ def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("nc"),
         text.token_count(F.col("text")).alias("ntok"),
         text.fingerprint(F.col("text")).alias("fp"),
-        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("long").alias("alpha"),
-        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long").alias("punct"),
-        F.greatest(F.length("text"), F.lit(1)).cast("long").alias("len1"),
-    ).withColumn(
-        "q_micro",
-        F.expr(
-            "(400000 * alpha) div len1 + least(4000 * ntok, 400000) "
-            "+ (200000 - least((2000000 * punct) div len1, 200000))"
-        ),
+        text.quality_micro("text").alias("q_micro"),
     )
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
