@@ -79,3 +79,114 @@ def parse_statement(sql: str) -> SqlStatement:
 
 def parse_statements(sql: str) -> list[SqlStatement]:
     return [parse_statement(s) for s in split_statements(sql)]
+
+
+# -- MERGE INTO (warehouse-ingest extension beyond the reference's two
+# statement forms; Spark SQL itself only accepts MERGE with a v2/Delta
+# catalog, so the engine provides the relational execution) -------------
+
+_MERGE_RE = re.compile(
+    r"^\s*merge\s+into\s+(?P<target>[A-Za-z_][\w.$]*)"
+    r"(?:\s+(?:as\s+)?(?P<talias>[A-Za-z_]\w*))?"
+    r"\s+using\s+(?P<source>[A-Za-z_][\w.$]*)"
+    r"(?:\s+(?:as\s+)?(?P<salias>[A-Za-z_]\w*))?"
+    r"\s+on\s+(?P<left>[\w.$]+)\s*=\s*(?P<right>[\w.$]+)"
+    r"(?P<clauses>(?:\s+when\b.*)?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_DELETE_RE = re.compile(
+    r"when\s+matched\s+and\s+(?P<cond>.+?)\s+then\s+delete",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_UPDATE_RE = re.compile(
+    r"when\s+matched\s+then\s+update\s+set\s+\*", re.IGNORECASE
+)
+_WHEN_INSERT_RE = re.compile(
+    r"when\s+not\s+matched\s+then\s+insert\s+\*", re.IGNORECASE
+)
+
+
+@dataclass(frozen=True)
+class MergeStatement:
+    """``MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k`` with the
+    CDC-idiom clause set: ``WHEN MATCHED AND <cond> THEN DELETE``,
+    ``WHEN MATCHED THEN UPDATE SET *``, ``WHEN NOT MATCHED THEN INSERT
+    *`` (each optional). The delete condition may reference source
+    columns (qualified by the source alias or not)."""
+
+    target: str
+    source: str
+    target_key: str
+    source_key: str
+    delete_cond: "str | None"
+    has_update: bool
+    has_insert: bool
+    raw: str
+
+
+def _resolve_side(side: str, target: str, talias: str, source: str, salias: str):
+    """('t'|'s', column) for one side of the ON equality."""
+    if "." in side:
+        qual, col = side.rsplit(".", 1)
+        if qual in (talias, target):
+            return "t", col
+        if qual in (salias, source):
+            return "s", col
+        raise ValueError(f"ON references unknown alias {qual!r}")
+    return None, side  # unqualified: same-named key in both
+
+
+def parse_merge(sql: str) -> "MergeStatement | None":
+    m = _MERGE_RE.match(sql)
+    if not m:
+        return None
+    target, source = m.group("target"), m.group("source")
+    talias = m.group("talias") or target
+    salias = m.group("salias") or source
+    l_side = _resolve_side(m.group("left"), target, talias, source, salias)
+    r_side = _resolve_side(m.group("right"), target, talias, source, salias)
+    sides = {s[0]: s[1] for s in (l_side, r_side) if s[0]}
+    if not sides:  # both unqualified -> same name
+        tk = sk = l_side[1]
+        if l_side[1] != r_side[1]:
+            raise ValueError(
+                "unqualified ON with different column names is ambiguous; "
+                "qualify with the table aliases"
+            )
+    else:
+        tk = sides.get("t", l_side[1] if l_side[0] is None else r_side[1])
+        sk = sides.get("s", l_side[1] if l_side[0] is None else r_side[1])
+    clauses = m.group("clauses") or ""
+    leftover = clauses
+    dm = _WHEN_DELETE_RE.search(clauses)
+    delete_cond = None
+    if dm:
+        delete_cond = re.sub(
+            rf"\b(?:{re.escape(salias)}|{re.escape(source)})\.", "", dm.group("cond")
+        ).strip()
+        leftover = leftover.replace(dm.group(0), "")
+    has_update = bool(_WHEN_UPDATE_RE.search(clauses))
+    if has_update:
+        leftover = _WHEN_UPDATE_RE.sub("", leftover)
+    has_insert = bool(_WHEN_INSERT_RE.search(clauses))
+    if has_insert:
+        leftover = _WHEN_INSERT_RE.sub("", leftover)
+    if leftover.strip():
+        raise ValueError(
+            "unsupported MERGE clause(s): "
+            f"{leftover.strip()[:60]!r} (supported: WHEN MATCHED AND c THEN "
+            "DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED "
+            "THEN INSERT *)"
+        )
+    if not (has_update or has_insert or delete_cond):
+        raise ValueError("MERGE needs at least one WHEN clause")
+    return MergeStatement(
+        target=target,
+        source=source,
+        target_key=tk,
+        source_key=sk,
+        delete_cond=delete_cond,
+        has_update=has_update,
+        has_insert=has_insert,
+        raw=sql,
+    )

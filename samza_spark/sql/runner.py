@@ -156,12 +156,72 @@ class SqlApplication:
         ).replace("__w,", f"{win},")
         return rewrite_builtins(rewritten)
 
+    def _execute_merge(self, mg) -> DataFrame:
+        """Relational MERGE INTO over registered views: unmatched target
+        rows pass through; matched rows are deleted / replaced by the
+        source row (SET *); unmatched source rows insert (INSERT *). The
+        merged result re-registers the target view and is returned.
+
+        Plan shape (pipeline.versioning.merge_upsert's contract): windows
+        and filters touch only the CHANGE side; the target contributes
+        hash semi/anti joins on the key — never a sort. Bucketing both
+        sides on the key makes the joins exchange-free at warehouse
+        scale."""
+        target = self.spark.table(mg.target)
+        source = self.spark.table(mg.source)
+        cols = target.columns
+        missing = [c for c in cols if c not in source.columns]
+        if mg.has_update or mg.has_insert:
+            if missing:
+                raise ValueError(
+                    f"MERGE SET */INSERT * needs source columns {missing!r} "
+                    f"(source has {source.columns!r})"
+                )
+        tk, sk = mg.target_key, mg.source_key
+        src_keys = source.select(F.col(sk).alias(tk)).distinct()
+        tgt_keys = target.select(F.col(tk).alias(sk)).distinct()
+        out = target.join(src_keys, on=tk, how="left_anti")
+        m_src = source.join(tgt_keys, on=sk, how="left_semi")
+        not_deleted = (
+            (~F.expr(mg.delete_cond)) if mg.delete_cond else F.lit(True)
+        )
+        if mg.has_update:
+            out = out.unionByName(
+                m_src.filter(not_deleted).select(*[F.col(c) for c in cols])
+            )
+        else:
+            matched_t = target.join(src_keys, on=tk, how="left_semi")
+            if mg.delete_cond:
+                del_keys = (
+                    m_src.filter(F.expr(mg.delete_cond))
+                    .select(F.col(sk).alias(tk))
+                    .distinct()
+                )
+                matched_t = matched_t.join(del_keys, on=tk, how="left_anti")
+            out = out.unionByName(matched_t)
+        if mg.has_insert:
+            new_src = source.join(tgt_keys, on=sk, how="left_anti")
+            out = out.unionByName(
+                new_src.filter(not_deleted).select(*[F.col(c) for c in cols])
+            )
+        out.createOrReplaceTempView(mg.target)
+        return out
+
     def run(self, sql: str) -> list:
         """Execute each statement; INSERTs go to their registered sink
         (returning whatever the sink returns — a StreamingQuery for
-        streaming sinks, None for batch); bare SELECTs return DataFrames."""
+        streaming sinks, None for batch); bare SELECTs return DataFrames;
+        MERGE INTO statements merge into (and re-register) the target
+        view and return the merged DataFrame."""
+        from samza_spark.sql.parser import parse_merge, split_statements
+
         results = []
-        for stmt in parse_statements(sql):
+        for raw in split_statements(sql):
+            mg = parse_merge(raw)
+            if mg is not None:
+                results.append(self._execute_merge(mg))
+                continue
+            stmt = parse_statements(raw)[0]
             df = self._plan(stmt)
             if stmt.sink is None:
                 results.append(df)

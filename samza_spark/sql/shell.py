@@ -71,7 +71,7 @@ class ShellSession:
             if not stripped:
                 return ShellResult("ok")
             head = stripped.split()[0].upper()
-            if head not in ("SELECT", "INSERT") or stripped.endswith(";"):
+            if head not in ("SELECT", "INSERT", "MERGE") or stripped.endswith(";"):
                 return self.execute(stripped)
             self._buffer.append(stripped)
             return None
@@ -110,6 +110,17 @@ class ShellSession:
             return self._set(line[3:].strip())
         if upper.startswith("SELECT") or upper.startswith("INSERT"):
             return self._sql(line)
+        if upper.startswith("MERGE"):
+            from samza_spark.sql.parser import parse_merge
+
+            mg = parse_merge(line)
+            if mg is None:
+                return ShellResult("text", text="malformed MERGE statement")
+            merged = self.app._execute_merge(mg)
+            return ShellResult(
+                "text",
+                text=f"merged into '{mg.target}' ({merged.count()} rows)",
+            )
         return ShellResult("text", text=f"unknown command: {line.split()[0]}")
 
     # -- metadata commands -------------------------------------------------
@@ -197,8 +208,8 @@ class ShellSession:
     # -- tab completion ----------------------------------------------------
 
     COMMANDS = (
-        "SELECT", "INSERT", "SHOW", "DESCRIBE", "LS", "STOP", "RM", "SET",
-        "EXIT",
+        "SELECT", "INSERT", "MERGE", "SHOW", "DESCRIBE", "LS", "STOP", "RM",
+        "SET", "EXIT",
     )
     SQL_KEYWORDS = (
         "FROM", "WHERE", "GROUP BY", "ORDER BY", "HAVING", "JOIN", "ON",

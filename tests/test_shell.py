@@ -127,3 +127,25 @@ def test_tab_completion(shell):
     assert shell.completions("", "WHER") == ["WHERE"]
     assert "people" in shell.completions("FROM ", "")
     shell.feed("FROM people;")  # close the statement
+
+
+def test_shell_merge_statement(spark):
+    from samza_spark.sql.runner import SqlApplication
+    from samza_spark.sql.shell import ShellSession
+
+    app = SqlApplication(spark)
+    app.add_table(
+        "shtgt", spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    )
+    app.add_table(
+        "shchg",
+        spark.createDataFrame([(2, "b2", "U"), (3, "c", "I")], "id long, k string, op string"),
+    )
+    sh = ShellSession(spark, app)
+    res = sh.execute(
+        "MERGE INTO shtgt USING shchg ON shtgt.id = shchg.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert res.kind == "text" and "merged into 'shtgt' (3 rows)" in res.text
+    got = {(r["id"], r["k"]) for r in spark.table("shtgt").collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}

@@ -268,3 +268,68 @@ def test_udf_overload_dispatch_from_sql(spark):
     # no matching overload -> clear TypeError at execution
     with pytest.raises(Exception, match="no overload"):
         spark.sql("SELECT tagit(CAST(1.5 AS DOUBLE)) FROM ov").collect()
+
+
+def test_merge_into_statement_full_cdc(spark):
+    """MERGE INTO with the CDC clause set: delete on s.op='D', update
+    matched, insert unmatched — semantics == pipeline.versioning.
+    merge_upsert on the same batch."""
+    from samza_spark.sql.runner import SqlApplication
+
+    app = SqlApplication(spark)
+    app.add_table(
+        "tgt",
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, k string, v long"
+        ),
+    )
+    app.add_table(
+        "chg",
+        spark.createDataFrame(
+            [
+                (2, "b2", 21, "U"),   # update
+                (3, None, 0, "D"),    # delete
+                (4, "d", 40, "I"),    # insert
+                (9, None, 0, "D"),    # delete of absent key -> no-op
+            ],
+            "id long, k string, v long, op string",
+        ),
+    )
+    (merged,) = app.run(
+        "MERGE INTO tgt AS t USING chg AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r["id"], r["k"], r["v"]) for r in merged.collect()}
+    assert got == {(1, "a", 10), (2, "b2", 21), (4, "d", 40)}
+    # the target view now reflects the merge (re-registered)
+    assert {r["id"] for r in spark.table("tgt").collect()} == {1, 2, 4}
+
+
+def test_merge_into_delete_only_and_validation(spark):
+    from samza_spark.sql.runner import SqlApplication
+
+    app = SqlApplication(spark)
+    app.add_table(
+        "t2", spark.createDataFrame([(1, "x"), (2, "y")], "id long, k string")
+    )
+    app.add_table(
+        "c2",
+        spark.createDataFrame([(1, "D"), (5, "D")], "id long, op string"),
+    )
+    (merged,) = app.run(
+        "MERGE INTO t2 USING c2 ON t2.id = c2.id "
+        "WHEN MATCHED AND c2.op = 'D' THEN DELETE"
+    )
+    assert {r["id"] for r in merged.collect()} == {2}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one WHEN"):
+        app.run("MERGE INTO t2 USING c2 ON t2.id = c2.id")
+    with _pt.raises(ValueError, match="unsupported MERGE clause"):
+        app.run(
+            "MERGE INTO t2 USING c2 ON t2.id = c2.id "
+            "WHEN MATCHED THEN UPDATE SET k = 'z'"
+        )
