@@ -268,3 +268,76 @@ def test_assemble_sequences_invariants(spark):
     assert stats["utilization_ppm"] == stats["payload"] * 10**6 // (
         stats["payload"] + stats["padding"]
     )
+
+
+def test_dialogue_sessions_stream_matches_batch(spark, tmp_path):
+    """Closed-session transcripts from the native session-window stream ==
+    batch dialogue_turns per (user, session-in-time-order). Sessions only
+    emit once the watermark passes their close, so a far-future flush
+    event drives the final emission."""
+    from samza_spark.pipeline.events import dialogue_turns
+    from samza_spark.streaming.sessions import dialogue_sessions_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def ev(u, minute, et):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=minute), u, et, 0.0, "{}"))
+
+    ev(1, 0, "view"); ev(1, 1, "error"); ev(1, 2, "click")   # session 1
+    ev(1, 120, "signup")                                     # session 2
+    ev(2, 0, "view"); ev(2, 5, "click")                      # one session
+    flush_user = 99
+    ev(flush_user, 100000, "view")  # watermark driver, its own session stays open
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dialogue_sessions_stream(stream, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("dlg_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more empty-ish batch lets the advanced watermark close sessions
+        spark.createDataFrame(rows[-1:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_rows = [
+        r
+        for r in spark.sql("SELECT * FROM dlg_sessions").collect()
+        if r["user_id"] != flush_user
+    ]
+    # order sessions per user by start time -> ordinal session ids
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["user_id"], r["session_start"])):
+        sid = sum(1 for k in got if k[0] == r["user_id"]) + 1
+        got[(r["user_id"], sid)] = (
+            r["n_events"], r["n_turns"], r["first_role"], r["last_role"],
+            r["starts_user"], r["strict_alternation"],
+        )
+    batch = spark.createDataFrame(
+        [r for r in rows if r[2] != flush_user], schema
+    )
+    want = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["n_turns"], r["first_role"], r["last_role"],
+            r["starts_user"], r["strict_alternation"],
+        )
+        for r in dialogue_turns(batch).collect()
+    }
+    assert got == want and len(got) == 3
