@@ -1682,3 +1682,86 @@ def dialogue_turns(
         ).alias("starts_user"),
         (F.sum("__new_turn") == F.count(F.lit(1))).alias("strict_alternation"),
     )
+
+
+def sft_transcripts(
+    df: DataFrame,
+    role_of: "dict[str, str] | None" = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Chat-format transcript export — the SFT training artifact: each
+    (user, session) becomes ONE JSON "messages" array in the standard
+    chat shape ``[{"role": ..., "content": ...}, ...]``, with consecutive
+    same-role events merged into a single message (content = the
+    space-joined event payloads in time order), ready for JSONL export.
+
+    Composes :func:`sessionize` + the :func:`dialogue_turns` run-collapse:
+    turn ids come from the running sum of role changes, one aggregate
+    groups (user, session, turn) into messages, one more assembles the
+    ordered message array and serializes with ``to_json`` (whose compact
+    output is byte-identical to DuckDB's ``json_object``, so the export
+    is oracle-checkable end-to-end). Every stage is partitioned by user;
+    message arrays are session-bounded.
+    """
+    role_of = role_of or {"view": "user", "click": "user"}
+    mapping = F.create_map(*[F.lit(x) for kv in role_of.items() for x in kv])
+    s = sessionize(df, user_col=user_col, ts_col=ts_col, gap=gap)
+    order = [F.col(ts_col).asc()] + (
+        [F.col("event_id").asc()] if "event_id" in df.columns else []
+    )
+    w = Window.partitionBy(user_col, "session_id").orderBy(*order)
+    run = Window.partitionBy(user_col, "session_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        s.withColumn(
+            "__role", F.coalesce(mapping[F.col(type_col)], F.lit("assistant"))
+        )
+        .withColumn(
+            "__new_turn",
+            F.when(
+                F.lag("__role").over(w).isNull()
+                | (F.col("__role") != F.lag("__role").over(w)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__turn", F.sum("__new_turn").over(run).cast("long"))
+    )
+    msgs = s.groupBy(user_col, "session_id", "__turn").agg(
+        F.min("__role").alias("role"),  # constant within a turn
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros(F.col(ts_col)).alias("us"),
+                            F.col("event_id").alias("id"),
+                            F.col(type_col).alias("et"),
+                        )
+                    )
+                ),
+                lambda e: e["et"],
+            ),
+            " ",
+        ).alias("content"),
+    )
+    return msgs.groupBy(user_col, "session_id").agg(
+        F.max("__turn").cast("long").alias("n_turns"),
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__turn").alias("t"),
+                            F.col("role").alias("role"),
+                            F.col("content").alias("content"),
+                        )
+                    )
+                ),
+                lambda m: F.struct(m["role"].alias("role"), m["content"].alias("content")),
+            )
+        ).alias("messages_json"),
+    )

@@ -673,3 +673,62 @@ def embargo_split(
             ).otherwise(F.col("split")),
         ).drop("__purge")
     return out
+
+
+def balanced_shards(
+    df: DataFrame,
+    cost_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cost-balanced shard assignment for export: serpentine (folded
+    round-robin) placement over the descending-cost order — the
+    relational approximation of LPT scheduling. Row with global cost
+    rank r goes to shard ``pos`` if ``pos < n`` else ``2n - 1 - pos``
+    where ``pos = (r - 1) mod 2n``: consecutive heavy documents land on
+    DIFFERENT shards and each full serpentine pass adds exactly one doc
+    to every shard from both ends of the cost order, so shard totals
+    track each other to within one document's cost per pass.
+
+    Use over hash sharding when per-shard SIZE balance matters more than
+    content addressing (training shards wanting equal step counts). The
+    rank is the range-exchange :func:`~samza_spark.operators.rank.
+    global_rank` — no single-partition sort.
+    """
+    from samza_spark.operators.rank import global_rank
+
+    ranked = global_rank(
+        df,
+        order_by=[F.col(cost_col).desc(), F.col(id_col).asc()],
+        rank_col="__r",
+    )
+    pos = (F.col("__r") - 1) % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
+    return ranked.withColumn("shard", shard.cast("int")).drop("__r")
+
+
+def shard_balance_report(
+    df: DataFrame,
+    cost_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard doc/cost totals for :func:`balanced_shards` plus each
+    shard's exact-ppm share of the corpus cost — the export-balance
+    audit (ideal share = 1e6 / n_shards)."""
+    shards = balanced_shards(df, cost_col, n_shards, id_col=id_col)
+    per = shards.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(cost_col).cast("long")).alias("total_cost"),
+    )
+    total = per.agg(F.sum("total_cost").alias("__t"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "total_cost",
+            F.expr("(total_cost * 1000000) div __t").alias("share_ppm"),
+        )
+        .orderBy("shard")
+    )

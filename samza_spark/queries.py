@@ -9625,6 +9625,73 @@ ORACLES["packing_report"] = (
 )
 
 
+
+def q_sft_export(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT chat-transcript export (pipeline.events.sft_transcripts): each
+    (user, session) as one standard chat "messages" JSON array with
+    consecutive same-role merge — Spark to_json's compact output is
+    byte-identical to DuckDB json_object, so the serialized artifact
+    itself is oracle-checked."""
+    from samza_spark.pipeline import events as E
+
+    ev = load_table(spark, sf, "events")
+    return E.sft_transcripts(ev)
+
+
+QUERIES["sft_export"] = q_sft_export
+
+ORACLES["sft_export"] = (
+    "WITH l AS (SELECT event_id, user_id, ts, event_type, "
+    "CASE WHEN event_type IN ('view', 'click') THEN 'user' ELSE 'assistant' END AS role, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts "
+    "FROM events), "
+    "m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE "
+    "THEN 1 ELSE 0 END AS ns FROM l), "
+    "s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m), "
+    "t AS (SELECT *, CASE WHEN lag(role) OVER (PARTITION BY user_id, session_id "
+    "ORDER BY ts ASC, event_id ASC) IS DISTINCT FROM role THEN 1 ELSE 0 END AS nt FROM s), "
+    "u AS (SELECT *, CAST(sum(nt) OVER (PARTITION BY user_id, session_id "
+    "ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS turn FROM t), "
+    "msg AS (SELECT user_id, session_id, turn, min(role) AS role, "
+    "string_agg(event_type, ' ' ORDER BY ts, event_id) AS content "
+    "FROM u GROUP BY user_id, session_id, turn) "
+    "SELECT user_id, session_id, max(turn) AS n_turns, "
+    "'[' || string_agg(json_object('role', role, 'content', content)::VARCHAR, "
+    "',' ORDER BY turn) || ']' AS messages_json "
+    "FROM msg GROUP BY user_id, session_id"
+)
+
+
+
+def q_balanced_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Cost-balanced export sharding (pipeline.sampling.balanced_shards):
+    serpentine placement over the range-exchange descending-cost rank —
+    per-shard totals track within one document per pass. Emits the
+    balance audit report."""
+    from samza_spark.pipeline.sampling import shard_balance_report
+
+    docs = load_table(spark, sf, "documents")
+    return shard_balance_report(docs, "n_chars", n_shards=8)
+
+
+QUERIES["balanced_shards"] = q_balanced_shards
+
+ORACLES["balanced_shards"] = (
+    "WITH r AS (SELECT doc_id, n_chars, "
+    "row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents), "
+    "s AS (SELECT *, CASE WHEN (rk - 1) % 16 < 8 THEN (rk - 1) % 16 "
+    "ELSE 15 - ((rk - 1) % 16) END AS shard FROM r), "
+    "per AS (SELECT shard, count(*) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_cost FROM s GROUP BY shard), "
+    "t AS (SELECT CAST(sum(total_cost) AS BIGINT) AS tt FROM per) "
+    "SELECT CAST(shard AS INT) AS shard, n_docs, total_cost, "
+    "CAST((total_cost * 1000000) // tt AS BIGINT) AS share_ppm "
+    "FROM per, t ORDER BY shard"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

@@ -341,3 +341,51 @@ def test_dialogue_sessions_stream_matches_batch(spark, tmp_path):
         for r in dialogue_turns(batch).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_balanced_shards_beats_hash_on_skew(spark):
+    """Serpentine placement bounds shard-cost spread even under a skewed
+    cost distribution where hash sharding is lopsided."""
+    from samza_spark.pipeline.sampling import balanced_shards, shard_balance_report
+
+    rows = [(i, 10 if i < 90 else 5000) for i in range(100)]  # 10 giants
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    n = 4
+    rep = shard_balance_report(df, "n_chars", n_shards=n).collect()
+    totals = [r["total_cost"] for r in rep]
+    assert len(totals) == n and sum(r["n_docs"] for r in rep) == 100
+    # serpentine: every shard gets giants spread from both ends; spread
+    # stays within one giant's cost of even
+    assert max(totals) - min(totals) <= 5000
+    assert sum(r["share_ppm"] for r in rep) <= 10**6
+    # assignment is deterministic
+    a = {(r["doc_id"], r["shard"]) for r in balanced_shards(df, "n_chars", n).collect()}
+    b = {(r["doc_id"], r["shard"]) for r in balanced_shards(df, "n_chars", n).collect()}
+    assert a == b
+
+
+def test_sft_transcripts_shape(spark):
+    import json as _json
+
+    from samza_spark.pipeline.events import sft_transcripts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 0.0, "{}"),   # same role -> merged
+        (3, t0 + dt.timedelta(minutes=2), 1, "error", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = sft_transcripts(df).collect()[0]
+    msgs = _json.loads(r["messages_json"])
+    assert msgs == [
+        {"role": "user", "content": "view click"},
+        {"role": "assistant", "content": "error"},
+        {"role": "user", "content": "view"},
+    ]
+    assert r["n_turns"] == 3
