@@ -233,6 +233,8 @@ HEADLINE = [
     "hll_distinct",
     "packed_sequences",
     "packing_report",
+    "sft_export",
+    "balanced_shards",
 ]
 
 

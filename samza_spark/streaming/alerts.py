@@ -98,3 +98,61 @@ def streaming_hysteresis(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_drift_monitor(
+    df: DataFrame,
+    reference_ppm: "dict[str, int]",
+    cat_col: str = "event_type",
+    threshold_ppm: int = 100_000,
+    on_alert=None,
+    checkpoint: "str | None" = None,
+):
+    """Per-micro-batch distribution drift vs a reference mix — the
+    real-time data-quality monitor a production ingest runs next to the
+    pipeline (the streaming form of the batch ``tvd_drift`` audit):
+    every trigger, the batch's category distribution is compared to
+    ``reference_ppm`` (exact integer ppm shares summing to <= 1e6) by
+    total variation distance; batches past ``threshold_ppm`` raise an
+    alert record (and call ``on_alert`` if given).
+
+    Arithmetic is exact: batch shares are integer ppm of the batch
+    count, TVD = sum(|p - q|) div 2 over the category union. The only
+    driver-side data is the per-batch CATEGORY COUNT table (bounded by
+    category cardinality, never rows). Returns ``(writer, records)``:
+    start the writer (``.start()``), read drift rows from ``records``
+    as batches commit (driver-local telemetry, one dict per trigger).
+    """
+    records: list = []
+
+    def process(batch_df, batch_id: int) -> None:
+        counts = {
+            r[0]: r[1]
+            for r in batch_df.groupBy(cat_col).count().collect()
+            if r[0] is not None
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return
+        cats = set(counts) | set(reference_ppm)
+        tvd_ppm = (
+            sum(
+                abs((counts.get(c, 0) * 1_000_000) // n - reference_ppm.get(c, 0))
+                for c in cats
+            )
+            // 2
+        )
+        rec = {
+            "batch_id": int(batch_id),
+            "n": int(n),
+            "tvd_ppm": int(tvd_ppm),
+            "alert": tvd_ppm > threshold_ppm,
+        }
+        records.append(rec)
+        if on_alert is not None and rec["alert"]:
+            on_alert(rec)
+
+    writer = df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer, records

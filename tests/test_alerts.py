@@ -86,3 +86,39 @@ def test_state_carries_across_triggers(spark):
     # alert at id 1 (first ON) and id 6 (re-arm after dropping below lo);
     # ids 3-4 (dead band / above-lo values while ON) never re-alert
     assert got == [1, 6]
+
+
+def test_streaming_drift_monitor_flags_skewed_batch(spark, tmp_path):
+    import datetime as dt
+
+    from samza_spark.streaming.alerts import streaming_drift_monitor
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "drift_src")
+    # batch 1 matches the 50/50 reference
+    b1 = [(i, t0, "view" if i % 2 == 0 else "click") for i in range(100)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    fired = []
+    writer, records = streaming_drift_monitor(
+        stream,
+        {"view": 500_000, "click": 500_000},
+        threshold_ppm=200_000,
+        on_alert=fired.append,
+        checkpoint=str(tmp_path / "drift_ck"),
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+        # batch 2 is 90/10 plus a category the reference never saw
+        b2 = [(1000 + i, t0, "view" if i < 90 else "error") for i in range(100)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(records) == 2
+    assert records[0]["tvd_ppm"] == 0 and not records[0]["alert"]
+    # batch 2: p = {view: 900k, error: 100k}; TVD = (|900-500| + |0-500| + |100-0|)/2 = 500k
+    assert records[1]["tvd_ppm"] == 500_000 and records[1]["alert"]
+    assert fired == [records[1]]
