@@ -991,3 +991,56 @@ def concordance(
         .orderBy(F.asc(id_col), F.asc("pos"))
         .limit(int(top_k))
     )
+
+
+def repetition_loops(
+    df: DataFrame,
+    n: int = 4,
+    min_repeats: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Degenerate-loop detector — the generation-quality filter a
+    synthetic-data pipeline runs before admitting model outputs: a
+    document whose single most frequent word ``n``-gram occurs
+    ``min_repeats``+ times is looping (the classic repetition failure
+    mode); natural text almost never repeats a 4-gram verbatim that
+    often.
+
+    Output per doc: ``n_grams`` (total n-gram instances), ``max_repeat``
+    (count of the most repeated n-gram), ``top_gram``, and ``looping``.
+    Plan: map-side n-gram explode -> ONE (doc, gram) count aggregate
+    (map-side partials absorb the repeats — a looping doc produces few
+    DISTINCT grams by definition) -> per-doc max_by. Short docs (< n
+    words) emit zero grams and are never flagged.
+    """
+    words = F.split(
+        F.regexp_replace(F.regexp_replace(F.lower(text_col), r"\s+", " "), r"^ | $", ""),
+        " ",
+    )
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    per_gram = exploded.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_grams"),
+        F.max(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("max_repeat"),
+        F.expr("max_by(gram, struct(c, gram))").alias("top_gram"),
+        (
+            F.max(
+                F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(F.lit(0))
+            )
+            >= min_repeats
+        ).alias("looping"),
+    )

@@ -9692,6 +9692,39 @@ ORACLES["balanced_shards"] = (
 )
 
 
+
+def q_repetition_loops(spark: SparkSession, sf: str) -> DataFrame:
+    """Degenerate-loop detector (pipeline.text.repetition_loops): flags
+    documents whose most frequent 4-gram repeats 5+ times — the
+    synthetic-data QC filter. Map-side explode + one (doc, gram) count
+    with map-side partials + per-doc max_by."""
+    docs = load_table(spark, sf, "documents")
+    return text.repetition_loops(docs, n=4, min_repeats=5)
+
+
+QUERIES["repetition_loops"] = q_repetition_loops
+
+ORACLES["repetition_loops"] = (
+    "WITH w AS (SELECT doc_id, "
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws "
+    "FROM documents), "
+    "g AS (SELECT doc_id, CASE WHEN len(ws) >= 4 THEN "
+    "list_transform(generate_series(1, len(ws) - 3), "
+    "i -> array_to_string(list_slice(ws, i, i + 3), ' ')) "
+    "ELSE [] END AS grams FROM w), "
+    "e AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+    "pg AS (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY doc_id, gram), "
+    "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, "
+    "CAST(max(c) AS BIGINT) AS max_repeat, "
+    "max_by(gram, lpad(CAST(c AS VARCHAR), 12, '0') || chr(1) || gram) AS top_gram "
+    "FROM pg GROUP BY doc_id) "
+    "SELECT w.doc_id, coalesce(a.n_grams, 0) AS n_grams, "
+    "coalesce(a.max_repeat, 0) AS max_repeat, a.top_gram, "
+    "coalesce(a.max_repeat, 0) >= 5 AS looping "
+    "FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-artifact ordering
 # ---------------------------------------------------------------------------

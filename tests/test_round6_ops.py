@@ -389,3 +389,19 @@ def test_sft_transcripts_shape(spark):
         {"role": "user", "content": "view"},
     ]
     assert r["n_turns"] == 3
+
+
+def test_repetition_loops_flags_degenerate_output(spark):
+    from samza_spark.pipeline.text import repetition_loops
+
+    rows = [
+        (1, "the same four words " * 8),          # loop: gram repeats 8x
+        (2, "a perfectly normal sentence with unique words throughout here"),
+        (3, "too short"),                          # < n words -> zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_loops(df, n=4, min_repeats=5).collect()}
+    assert got[1]["looping"] and got[1]["max_repeat"] >= 5
+    assert got[1]["top_gram"] is not None
+    assert not got[2]["looping"] and got[2]["max_repeat"] == 1
+    assert not got[3]["looping"] and got[3]["n_grams"] == 0
