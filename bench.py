@@ -235,6 +235,7 @@ HEADLINE = [
     "packing_report",
     "sft_export",
     "balanced_shards",
+    "repetition_loops",
 ]
 
 

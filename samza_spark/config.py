@@ -59,6 +59,8 @@ _FACTORY_KINDS = {
     "HdfsSystemFactory": "file",
     "EventHubSystemFactory": "eventhubs",
     "KinesisSystemFactory": "kinesis",
+    # engine-native replayable partitioned log (sources/log_datasource.py)
+    "SamzaLogSystemFactory": "samzalog",
 }
 
 
@@ -177,6 +179,17 @@ class JobConfig:
                 topic=stream,
                 bootstrap_servers=f"{ns}.servicebus.windows.net:9093",
                 startpoint=self.startpoint(system),
+            )
+        if kind == "samzalog":
+            from samza_spark.sources.descriptors import SamzaLogSource
+
+            root = self.props.get(f"systems.{system}.stagingDirectory", "")
+            path = (
+                self.props.get(f"streams.{stream}.samza.path")
+                or (f"{root.rstrip('/')}/{stream}" if root else stream)
+            )
+            return SamzaLogSource(
+                path=path, startpoint=self.startpoint(system).mode
             )
         if kind == "kinesis":
             region = self.props.get(

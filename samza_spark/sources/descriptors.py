@@ -592,3 +592,54 @@ def bootstrap_table(spark, source, key_cols, schema=None, spool_dir: str | None 
     # well-typed (empty) table
     base = spark.read.schema(schema or stream.df.schema).parquet(f"{spool}/data")
     return LocalTable(base, key_cols)
+
+
+@dataclass
+class SamzaLogSource:
+    """Descriptor over the engine-native replayable partitioned log
+    (:mod:`samza_spark.sources.log_datasource` — the SystemConsumer/
+    offset-manifest DataSource). Batch read scans the whole log; the
+    stream honors startpoints (oldest/upcoming/specific/timestamp) and
+    maxRecordsPerTrigger pacing."""
+
+    path: str
+    startpoint: str = "oldest"
+    startpoint_offsets: "str | None" = None
+    startpoint_timestamp_ms: "int | None" = None
+    max_records_per_trigger: "int | None" = None
+
+    def _register(self, spark: SparkSession) -> None:
+        from samza_spark.sources.log_datasource import SamzaLogDataSource
+
+        try:
+            spark.dataSource.register(SamzaLogDataSource)
+        except Exception:
+            pass  # already registered in this session
+
+    def _options(self, reader):
+        reader = reader.option("path", self.path).option(
+            "startpoint", self.startpoint
+        )
+        if self.startpoint_offsets:
+            reader = reader.option("startpointOffsets", self.startpoint_offsets)
+        if self.startpoint_timestamp_ms is not None:
+            reader = reader.option(
+                "startpointTimestampMs", str(self.startpoint_timestamp_ms)
+            )
+        if self.max_records_per_trigger:
+            reader = reader.option(
+                "maxRecordsPerTrigger", str(self.max_records_per_trigger)
+            )
+        return reader
+
+    def read(self, spark: SparkSession) -> MessageStream:
+        self._register(spark)
+        return MessageStream(
+            self._options(spark.read.format("samza_log")).load()
+        )
+
+    def read_stream(self, spark: SparkSession) -> MessageStream:
+        self._register(spark)
+        return MessageStream(
+            self._options(spark.readStream.format("samza_log")).load()
+        )

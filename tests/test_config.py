@@ -102,3 +102,26 @@ def test_unknown_factory_raises():
     )
     with pytest.raises(ValueError, match="unknown factory"):
         cfg.system_kind("weird")
+
+
+def test_samzalog_system_builds_log_source(spark, tmp_path):
+    """SamzaLogSystemFactory maps to the replayable-log DataSource with
+    the configured startpoint; batch read sees appended records."""
+    from samza_spark.config import JobConfig
+    from samza_spark.sources.log_datasource import append_records
+
+    log_dir = str(tmp_path / "logs" / "orders")
+    append_records(log_dir, 0, [("k1", "a", 1000), ("k2", "b", 2000)])
+    cfg = JobConfig.from_text(
+        "job.name=logjob\n"
+        "task.inputs=wal.orders\n"
+        "systems.wal.samza.factory=org.apache.samza.system.SamzaLogSystemFactory\n"
+        "systems.wal.samza.offset.default=oldest\n"
+        f"systems.wal.stagingDirectory={tmp_path}/logs\n"
+    )
+    src = cfg.build_source("wal", "orders")
+    assert src.startpoint == "oldest"
+    df = src.read(spark).df
+    got = sorted((r["partition"], r["offset"], r["value"]) for r in df.collect())
+    assert got == [(0, 0, "a"), (0, 1, "b")]
+    assert src.read_stream(spark).df.isStreaming
