@@ -643,3 +643,58 @@ class SamzaLogSource:
         return MessageStream(
             self._options(spark.readStream.format("samza_log")).load()
         )
+
+
+def from_debezium_records(
+    df: DataFrame,
+    row_schema,
+    value_col: str = "value",
+) -> DataFrame:
+    """Debezium change-event envelopes -> the engine's CDC change shape.
+
+    Parses the public Debezium JSON envelope ``{"before": ..., "after":
+    ..., "op": "c|u|d|r", "ts_ms": ...}`` (the format every Kafka-Connect
+    CDC source emits; a Samza deployment tails exactly these topics) into
+    rows ``(<row columns>, op, seq)`` where ``op`` is the engine's
+    I/U/D alphabet (``c``/``r`` -> I, ``u`` -> U, ``d`` -> D — snapshot
+    reads are idempotent upserts) and ``seq = ts_ms`` orders changes for
+    last-wins application. Deletes carry the ``before`` image (Debezium
+    puts ``after: null`` on deletes), so the key columns survive.
+
+    The output feeds :func:`samza_spark.pipeline.versioning.merge_upsert`
+    (batch) or the streaming foreachBatch CDC apply unchanged. Pure
+    ``from_json`` projection — streaming-safe, JVM-side.
+    """
+    envelope = (
+        f"struct<before: {row_schema}, after: {row_schema}, "
+        "op: string, ts_ms: bigint>"
+        if isinstance(row_schema, str)
+        else None
+    )
+    if envelope is None:
+        import pyspark.sql.types as T
+
+        envelope = T.StructType(
+            [
+                T.StructField("before", row_schema),
+                T.StructField("after", row_schema),
+                T.StructField("op", T.StringType()),
+                T.StructField("ts_ms", T.LongType()),
+            ]
+        )
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), envelope).alias("__e")
+    )
+    image = F.when(
+        F.col("__e.op") == "d", F.col("__e.before")
+    ).otherwise(F.col("__e.after"))
+    op = (
+        F.when(F.col("__e.op") == "d", F.lit("D"))
+        .when(F.col("__e.op") == "u", F.lit("U"))
+        .otherwise(F.lit("I"))  # c (create) and r (snapshot read)
+    )
+    return parsed.select(
+        image.alias("__row"),
+        op.alias("op"),
+        F.col("__e.ts_ms").alias("seq"),
+    ).select("__row.*", "op", "seq")

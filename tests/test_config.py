@@ -125,3 +125,38 @@ def test_samzalog_system_builds_log_source(spark, tmp_path):
     got = sorted((r["partition"], r["offset"], r["value"]) for r in df.collect())
     assert got == [(0, 0, "a"), (0, 1, "b")]
     assert src.read_stream(spark).df.isStreaming
+
+
+def test_debezium_envelope_to_merge(spark):
+    """from_debezium_records -> merge_upsert: the Kafka-Connect CDC tail
+    applied to a snapshot."""
+    import json as _json
+
+    from samza_spark.pipeline.versioning import merge_upsert
+    from samza_spark.sources.descriptors import from_debezium_records
+
+    def env(before, after, op, ts):
+        return (_json.dumps({"before": before, "after": after, "op": op, "ts_ms": ts}),)
+
+    wire = spark.createDataFrame(
+        [
+            env(None, {"id": 1, "v": "a"}, "r", 10),           # snapshot read
+            env({"id": 1, "v": "a"}, {"id": 1, "v": "a2"}, "u", 20),
+            env({"id": 2, "v": "gone"}, None, "d", 30),
+            env(None, {"id": 3, "v": "c"}, "c", 40),
+        ],
+        "value string",
+    )
+    changes = from_debezium_records(wire, "struct<id: bigint, v: string>")
+    got = {(r["id"], r["v"], r["op"], r["seq"]) for r in changes.collect()}
+    assert got == {
+        (1, "a", "I", 10),
+        (1, "a2", "U", 20),
+        (2, "gone", "D", 30),
+        (3, "c", "I", 40),
+    }
+    snapshot = spark.createDataFrame([(1, "a"), (2, "gone")], "id long, v string")
+    merged = merge_upsert(
+        snapshot, changes, id_col="id", order_cols=("seq",)
+    )
+    assert {(r["id"], r["v"]) for r in merged.collect()} == {(1, "a2"), (3, "c")}
