@@ -97,3 +97,49 @@ def test_missing_app_raises(spark, tmp_path):
     props.write_text("job.name=x\ntask.inputs=\n")
     with pytest.raises(ValueError, match="neither app.class nor samza.sql"):
         run_job(JobConfig.from_file(str(props)), spark)
+
+
+# module-level for app.class import
+def log_tail_app(spark, cfg, sources):
+    """Streaming StreamApplication shape: drain the replayable log into
+    the output directory with AvailableNow; returns the query handles
+    for run_job to await."""
+    stream = sources["wal.orders"].read_stream(spark).df
+    staging = cfg.props["systems.files.stagingDirectory"]
+    q = (
+        stream.selectExpr("partition", "offset", "value")
+        .writeStream.format("parquet")
+        .option("path", f"{staging}/tailed")
+        .option("checkpointLocation", f"{staging}/_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return [q]
+
+
+def test_streaming_app_over_samza_log(spark, tmp_path):
+    """End-to-end: .properties config -> samza_log DataSource stream ->
+    app.class -> parquet out, drained by run_job."""
+    from samza_spark.config import JobConfig
+    from samza_spark.run_app import run_job
+    from samza_spark.sources.log_datasource import append_records
+
+    log_dir = str(tmp_path / "wal" / "orders")
+    append_records(log_dir, 0, [("k1", "a", 1000), ("k2", "b", 2000)])
+    append_records(log_dir, 1, [("k3", "c", 1500)])
+    staging = str(tmp_path / "stage")
+    cfg = JobConfig.from_text(
+        "job.name=tailjob\n"
+        "app.class=tests.test_run_app:log_tail_app\n"
+        "task.inputs=wal.orders\n"
+        "systems.wal.samza.factory=org.apache.samza.system.SamzaLogSystemFactory\n"
+        "systems.wal.samza.offset.default=oldest\n"
+        f"systems.wal.stagingDirectory={tmp_path}/wal\n"
+        "systems.files.samza.factory=org.apache.samza.system.hdfs.HdfsSystemFactory\n"
+        f"systems.files.stagingDirectory={staging}\n"
+    )
+    result = run_job(cfg, spark)
+    assert result["kind"] == "app"
+    out = spark.read.parquet(f"{staging}/tailed")
+    got = sorted((r["partition"], r["offset"], r["value"]) for r in out.collect())
+    assert got == [(0, 0, "a"), (0, 1, "b"), (1, 0, "c")]
