@@ -405,3 +405,31 @@ def test_repetition_loops_flags_degenerate_output(spark):
     assert got[1]["top_gram"] is not None
     assert not got[2]["looping"] and got[2]["max_repeat"] == 1
     assert not got[3]["looping"] and got[3]["n_grams"] == 0
+
+
+@pytest.mark.parametrize(
+    "name,max_single_partition",
+    [
+        ("preference_pairs", 0),
+        ("curriculum_order", 0),
+        ("dialogue_turns", 0),
+        ("embargo_split", 0),
+        ("packed_sequences", 0),
+        ("sft_export", 0),
+        # final orderBy over the n_shards-row report is the one allowed
+        ("balanced_shards", 1),
+        ("repetition_loops", 0),
+        ("hll_distinct", 0),
+        ("signal_fusion", 1),  # top-k collect after TakeOrdered
+    ],
+)
+def test_round6_query_plans_scale_safe(spark, name, max_single_partition):
+    """No CartesianProduct / row-at-a-time Python anywhere; at most the
+    documented post-aggregate SinglePartition exchange."""
+    from samza_spark.queries import QUERIES
+
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange SinglePartition") <= max_single_partition
