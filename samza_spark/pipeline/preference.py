@@ -177,3 +177,149 @@ def signal_fusion(
         .orderBy(F.col("fused_score").desc(), F.col(id_col).asc())
         .limit(top)
     )
+
+
+def pairwise_matches(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    top_m: int = 8,
+) -> DataFrame:
+    """Round-robin pairwise "matches" between the ``top_m``
+    highest-quality documents of each group — the input shape for
+    Bradley–Terry / Elo rating (Chatbot-Arena-style pairwise preference
+    data, derived here deterministically from the integer quality score).
+
+    The winner of a pair is the higher :func:`quality_micro` (ties break
+    to the lower id). Per-group work is bounded by ``top_m`` (the rank
+    window is PARTITIONED by group; the pair expansion is
+    ``top_m*(top_m-1)/2`` rows per group, never corpus-squared).
+
+    Returns ``(group, id_a, id_b, winner)`` with ``id_a < id_b`` by
+    quality rank.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    top = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            quality_micro("text").alias("__q"),
+        )
+        .withColumn("r", F.row_number().over(Window.partitionBy("grp").orderBy(
+            F.col("__q").desc(), F.col("id").asc())))
+        .filter(F.col("r") <= top_m)
+    )
+    a = top.select("grp", F.col("id").alias("id_a"), F.col("__q").alias("q_a"),
+                   F.col("r").alias("r_a"))
+    b = top.select("grp", F.col("id").alias("id_b"), F.col("__q").alias("q_b"),
+                   F.col("r").alias("r_b"))
+    return (
+        a.join(b, "grp")
+        .filter(F.col("r_a") < F.col("r_b"))
+        .select(
+            "grp",
+            "id_a",
+            "id_b",
+            F.when(
+                (F.col("q_a") > F.col("q_b"))
+                | ((F.col("q_a") == F.col("q_b")) & (F.col("id_a") < F.col("id_b"))),
+                F.col("id_a"),
+            ).otherwise(F.col("id_b")).alias("winner"),
+        )
+    )
+
+
+def elo_ratings(
+    matches: DataFrame,
+    iterations: int = 3,
+    scale_micro: int = 1_000_000,
+) -> DataFrame:
+    """Bradley–Terry skill ratings from pairwise match outcomes via the
+    classic minorization-maximization update (Hunter 2004, public), in
+    EXACT integer fixed-point so both engines agree bit-for-bit:
+
+        denom_i = sum_j floor(1e12 / (r_i + r_j))   (one term per match)
+        r_i'    = floor(W_i * 1e12 / denom_i)       (W_i = wins of i)
+        then per-group renormalize so sum(r) == n_players * 1e6.
+
+    ``iterations`` is a FIXED count (the oracle unrolls the same chain).
+    Scale posture: the ratings table is |groups| x top_m rows (bounded by
+    :func:`pairwise_matches`); each iteration is two small self-joins on
+    that bounded table — the corpus is touched only once upstream, in the
+    match-mining aggregate. Undefeated/never-winning players get the
+    natural MM endpoints (renormalized max / exact 0).
+
+    Reference parity: rating/ranking jobs are a canonical Samza stateful
+    aggregation example (store + per-key update task,
+    samza-api/src/main/java/org/apache/samza/task/StreamTask.java); here
+    the whole fixed-point loop is a deterministic batch DAG.
+
+    Returns ``(grp, id, rating_micro, wins, n_matches, rank)``.
+    """
+    m = matches.select("grp", "id_a", "id_b", "winner")
+    # Per-player static tallies: wins and match count.
+    sides = m.select("grp", F.col("id_a").alias("id"), "winner").unionByName(
+        m.select("grp", F.col("id_b").alias("id"), "winner")
+    )
+    tallies = sides.groupBy("grp", "id").agg(
+        F.sum(F.when(F.col("winner") == F.col("id"), 1).otherwise(0))
+        .cast("long")
+        .alias("wins"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    )
+    ratings = tallies.select(
+        "grp", "id", "wins", "n_matches",
+        F.lit(scale_micro).cast("long").alias("rating_micro"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        r_a = ratings.select(F.col("grp").alias("grp"), F.col("id").alias("id_a"),
+                             F.col("rating_micro").alias("ra"))
+        r_b = ratings.select(F.col("grp").alias("grp"), F.col("id").alias("id_b"),
+                             F.col("rating_micro").alias("rb"))
+        pairs = m.join(r_a, ["grp", "id_a"]).join(r_b, ["grp", "id_b"])
+        contrib = pairs.select(
+            "grp", F.col("id_a").alias("id"),
+            F.expr("1000000000000L div greatest(ra + rb, 1L)").alias("c"),
+        ).unionByName(
+            pairs.select(
+                "grp", F.col("id_b").alias("id"),
+                F.expr("1000000000000L div greatest(ra + rb, 1L)").alias("c"),
+            )
+        )
+        denom = contrib.groupBy("grp", "id").agg(
+            F.sum("c").cast("long").alias("denom")
+        )
+        upd = (
+            ratings.drop("rating_micro")
+            .join(denom, ["grp", "id"])
+            .withColumn(
+                "raw", F.expr("(wins * 1000000000000L) div denom").cast("long")
+            )
+        )
+        # Exact renormalize: sum(r) == n_players * scale per group.
+        tot = upd.groupBy("grp").agg(
+            F.sum("raw").cast("long").alias("tot"),
+            F.count(F.lit(1)).cast("long").alias("np"),
+        )
+        ratings = (
+            upd.join(tot, "grp")
+            .withColumn(
+                "rating_micro",
+                F.expr(f"(raw * np * {scale_micro}L) div greatest(tot, 1L)").cast(
+                    "long"
+                ),
+            )
+            .select("grp", "id", "wins", "n_matches", "rating_micro")
+            .localCheckpoint(eager=True)
+        )
+
+    w = Window.partitionBy("grp").orderBy(
+        F.col("rating_micro").desc(), F.col("id").asc()
+    )
+    return ratings.select(
+        "grp", "id", "rating_micro", "wins", "n_matches",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

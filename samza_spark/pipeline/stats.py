@@ -1014,3 +1014,159 @@ def chi2_independence(
             ).cast("double")
         ).alias("cramers_v"),
     )
+
+
+def wilson_ranking(
+    df: DataFrame,
+    item_col,
+    success_pred,
+    trial_pred,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson-score lower-bound ranking (Wilson 1927 / the classic
+    "how not to sort by average rating" fix, public): per item, the
+    lower confidence bound on the success proportion — small-sample
+    items can't outrank well-measured ones.
+
+    Determinism: counts are exact integers from ONE map-side-combinable
+    aggregation; the bound itself is a fixed chain of IEEE double ops
+    written identically in both engines (each +,*,/,sqrt is
+    correctly-rounded, so identical expression trees give bit-identical
+    doubles — the same contract as ``length_outliers``).
+    """
+    agg = (
+        df.select(
+            F.col(item_col).alias("item") if isinstance(item_col, str) else item_col.alias("item"),
+            success_pred.cast("long").alias("__s"),
+            trial_pred.cast("long").alias("__t"),
+        )
+        .groupBy("item")
+        .agg(
+            F.sum("__s").cast("long").alias("successes"),
+            F.sum("__t").cast("long").alias("trials"),
+        )
+        .filter(F.col("trials") > 0)
+    )
+    return agg.select(
+        "item", "trials", "successes", F.expr(wilson_expr(z)).alias("wilson_lb")
+    )
+
+
+def wilson_expr(z: float = 1.96) -> str:
+    """The Wilson lower-bound as ONE SQL expression over ``successes`` /
+    ``trials`` BIGINT columns — shared verbatim by the Spark plan and the
+    DuckDB oracle so the double chain is textually (hence bit-) identical.
+
+    Constants go through STRING -> double casts: a bare numeric literal is
+    DECIMAL in both engines, and DuckDB's DECIMAL(17,16) -> DOUBLE cast
+    rounds through the decimal representation (1.9207999999999998 comes
+    out 1.9208) while string parsing is correctly rounded everywhere.
+    """
+    z2 = z * z
+    return (
+        "((cast(successes AS double) / cast(trials AS double)) "
+        f"+ cast('{z2 / 2.0!r}' AS double) / cast(trials AS double) "
+        f"- cast('{z!r}' AS double) * sqrt((((cast(successes AS double) / cast(trials AS double)) "
+        "* (cast('1.0' AS double) - (cast(successes AS double) / cast(trials AS double)))) "
+        f"+ cast('{z2 / 4.0!r}' AS double) / cast(trials AS double)) / cast(trials AS double))) "
+        f"/ (cast('1.0' AS double) + cast('{z2!r}' AS double) / cast(trials AS double))"
+    )
+
+
+def label_aggregation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    n_annotators: int = 3,
+    alphabet: "list[str] | None" = None,
+) -> DataFrame:
+    """Weighted multi-annotator label aggregation (a one-step
+    Dawid–Skene-style reliability reweighting, public): simulate
+    ``n_annotators`` noisy annotators from the ground label with
+    deterministic md5-derived error flips (annotator ``a`` errs with
+    probability ``a*10%``), take the per-item majority, score each
+    annotator's agreement with the majority (integer ppm), then re-vote
+    with agreement weights to produce the final label.
+
+    Everything is exact integer arithmetic; the flip mask and the wrong
+    label (cyclic successor in the sorted label alphabet) are
+    deterministic — both engines produce identical votes, accuracies,
+    and final labels. Shuffles: two item-keyed aggregations plus one
+    3-row annotator aggregate joined back (broadcast).
+    """
+    # Cyclic "wrong label" map over the label alphabet (sorted). Deriving
+    # it from the data is a bounded (vocab-sized) collect; callers that
+    # need an exact cross-engine mirror pass it explicitly.
+    if alphabet is None:
+        alphabet = [r[0] for r in df.select(label_col).distinct().collect()]
+    alphabet = sorted(a for a in alphabet if a is not None)
+    nxt = {a: alphabet[(i + 1) % len(alphabet)] for i, a in enumerate(alphabet)}
+    wrong = "CASE " + " ".join(
+        f"WHEN {label_col} = '{a}' THEN '{b}'" for a, b in nxt.items()
+    ) + f" ELSE {label_col} END"
+
+    votes = None
+    for a in range(1, n_annotators + 1):
+        flip = (
+            f"(cast(conv(substring(md5(concat(cast({id_col} AS string), ':ann{a}')), "
+            f"1, 8), 16, 10) AS bigint) % 100) < {a * 10}"
+        )
+        v = df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("true_label"),
+            F.lit(a).alias("annotator"),
+            F.expr(f"CASE WHEN {flip} THEN ({wrong}) ELSE {label_col} END").alias(
+                "vote"
+            ),
+        )
+        votes = v if votes is None else votes.unionByName(v)
+    votes = votes  # (id, true_label, annotator, vote)
+
+    w_maj = Window.partitionBy("id").orderBy(
+        F.col("n").desc(), F.col("vote").asc()
+    )
+    majority = (
+        votes.groupBy("id", "vote")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w_maj))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("vote").alias("consensus"))
+    )
+    acc = (
+        votes.join(majority, "id")
+        .groupBy("annotator")
+        .agg(
+            F.expr(
+                "(1000000L * sum(CASE WHEN vote = consensus THEN 1 ELSE 0 END)) "
+                "div count(*)"
+            ).alias("weight")
+        )
+    )
+    weighted = (
+        votes.join(F.broadcast(acc), "annotator")
+        .groupBy("id", "vote")
+        .agg(F.sum("weight").cast("long").alias("vote_weight"))
+    )
+    w_fin = Window.partitionBy("id").orderBy(
+        F.col("vote_weight").desc(), F.col("vote").asc()
+    )
+    tot = Window.partitionBy("id")
+    final = (
+        weighted.withColumn("total_weight", F.sum("vote_weight").over(tot).cast("long"))
+        .withColumn("rn", F.row_number().over(w_fin))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("vote").alias("final_label"), "vote_weight", "total_weight")
+    )
+    truth = votes.groupBy("id").agg(F.max("true_label").alias("true_label"))
+    return (
+        truth.join(majority, "id")
+        .join(final, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "true_label",
+            "consensus",
+            "final_label",
+            "vote_weight",
+            "total_weight",
+        )
+    )

@@ -1044,3 +1044,136 @@ def repetition_loops(
             >= min_repeats
         ).alias("looping"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_pct: int = 15,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, public): mask a
+    deterministic ~``mask_pct``% of whitespace tokens, collapse each
+    consecutive masked run into one ``<extra_id_K>`` sentinel in the
+    input, and emit the masked runs (sentinel-prefixed) as the target —
+    the seq2seq denoising objective's data prep.
+
+    Token selection is content-free and reproducible: token ``i`` of doc
+    ``d`` is masked iff ``md5(d || ':' || i)``'s leading 32 bits mod 100
+    fall under ``mask_pct`` — both engines compute the identical mask.
+
+    Scale posture: the whole operator is ONE map-only per-row fold
+    (``aggregate`` over the token array — zero Exchange, no explode, no
+    window); a 100 TB corpus corrupts at scan speed with no shuffle at
+    all.
+
+    Reference parity: per-message stateless transformation
+    (MessageStream.map, samza-api MessageStream.java:87-99); the fold is
+    what a per-message StreamTask would do in-process.
+
+    Returns ``(id, n_tokens, n_masked, n_spans, input_text,
+    target_text)``.
+    """
+    toks = F.expr(
+        f"CASE WHEN trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')) = '' "
+        f"THEN array() "
+        f"ELSE split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ') END"
+    )
+    d = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    zipped = (
+        f"transform(__toks, (t, i) -> struct(t AS tok, "
+        f"(cast(conv(substring(md5(concat(cast(id AS string), ':', "
+        f"cast(i AS string))), 1, 8), 16, 10) AS bigint) % 100) < {mask_pct} AS m))"
+    )
+    fold = (
+        f"aggregate({zipped}, "
+        "struct(false AS prev, 0 AS k, '' AS inp, '' AS tgt, 0 AS nm), "
+        "(acc, s) -> struct("
+        "s.m AS prev, "
+        "acc.k + (CASE WHEN s.m AND NOT acc.prev THEN 1 ELSE 0 END) AS k, "
+        "CASE WHEN s.m AND acc.prev THEN acc.inp "
+        "WHEN s.m THEN concat(acc.inp, CASE WHEN acc.inp = '' THEN '' ELSE ' ' END, "
+        "'<extra_id_', cast(acc.k AS string), '>') "
+        "ELSE concat(acc.inp, CASE WHEN acc.inp = '' THEN '' ELSE ' ' END, s.tok) "
+        "END AS inp, "
+        "CASE WHEN s.m AND acc.prev THEN concat(acc.tgt, ' ', s.tok) "
+        "WHEN s.m THEN concat(acc.tgt, CASE WHEN acc.tgt = '' THEN '' ELSE ' ' END, "
+        "'<extra_id_', cast(acc.k AS string), '> ', s.tok) "
+        "ELSE acc.tgt END AS tgt, "
+        "acc.nm + (CASE WHEN s.m THEN 1 ELSE 0 END) AS nm), "
+        "acc -> acc)"
+    )
+    return d.select(
+        "id",
+        F.expr("size(__toks)").cast("long").alias("n_tokens"),
+        F.expr(fold).alias("__f"),
+    ).select(
+        "id",
+        "n_tokens",
+        F.col("__f.nm").cast("long").alias("n_masked"),
+        F.col("__f.k").cast("long").alias("n_spans"),
+        F.col("__f.inp").alias("input_text"),
+        F.col("__f.tgt").alias("target_text"),
+    )
+
+
+# Mojibake digraph markers: the classic UTF-8-decoded-as-Latin-1 artifacts.
+_MOJIBAKE_MARKERS = ("Ã", "â€", "Â")
+
+
+def mojibake_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source encoding-health audit: counts of Unicode replacement
+    chars (U+FFFD), stray C0 control chars (excluding tab/newline/CR),
+    classic UTF-8-as-Latin-1 mojibake digraphs, NBSPs, and the non-ASCII
+    character share — the corpus-ingest QA gate that catches a broken
+    decode step before it poisons training data.
+
+    All counts are exact integers from character arithmetic
+    (``length - length(replace(...))`` and regexp strip-counts); ratios
+    are integer ppm — bit-identical cross-engine. ONE aggregation keyed
+    by ``source`` (map-side partials absorb the corpus).
+    """
+    t = F.col(text_col)
+    repl = F.length(t) - F.length(F.regexp_replace(t, "�", ""))
+    ctrl = F.length(
+        F.regexp_replace(t, r"[^\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    moji = None
+    for mk in _MOJIBAKE_MARKERS:
+        hits = (F.length(t) - F.length(F.regexp_replace(t, mk, ""))) / F.lit(len(mk))
+        hits = hits.cast("long")
+        moji = hits if moji is None else moji + hits
+    nbsp = F.length(t) - F.length(F.regexp_replace(t, " ", ""))
+    non_ascii = F.length(F.regexp_replace(t, r"[\x00-\x7F]", ""))
+    agg = df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(t)).cast("long").alias("total_chars"),
+        F.sum(repl).cast("long").alias("replacement_chars"),
+        F.sum(ctrl).cast("long").alias("control_chars"),
+        F.sum(moji).cast("long").alias("mojibake_hits"),
+        F.sum(nbsp).cast("long").alias("nbsp_chars"),
+        F.sum(non_ascii).cast("long").alias("non_ascii_chars"),
+    )
+    bad = (
+        F.col("replacement_chars")
+        + F.col("control_chars")
+        + F.col("mojibake_hits")
+        + F.col("nbsp_chars")
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "replacement_chars",
+        "control_chars",
+        "mojibake_hits",
+        "nbsp_chars",
+        "non_ascii_chars",
+        F.expr(
+            "(1000000L * (replacement_chars + control_chars + mojibake_hits"
+            " + nbsp_chars)) div greatest(total_chars, 1L)"
+        ).alias("bad_ppm"),
+        F.expr(
+            "(1000000L * non_ascii_chars) div greatest(total_chars, 1L)"
+        ).alias("non_ascii_ppm"),
+    )
