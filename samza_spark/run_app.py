@@ -69,6 +69,39 @@ def _output_sink(cfg: JobConfig):
     return FileSink(path, fmt=fmt), f"{system}.{stream}"
 
 
+def _metrics_reporters(cfg: JobConfig) -> list:
+    """Build the configured MetricsSnapshotReporters
+    (MetricsConfig.java:33,42,46: ``metrics.reporters`` names each
+    reporter; ``metrics.reporter.<name>.stream`` is ``system.stream``;
+    ``metrics.reporter.<name>.blacklist`` is the exclusion regex). The
+    stream resolves to a directory under the system's stagingDirectory,
+    same as every other file-backed stream this runner writes."""
+    from samza_spark.streaming.metrics import MetricsSnapshotReporter
+
+    reporters = []
+    names = [
+        n.strip()
+        for n in cfg.props.get("metrics.reporters", "").split(",")
+        if n.strip()
+    ]
+    for name in names:
+        spec = cfg.props.get(f"metrics.reporter.{name}.stream")
+        if not spec:
+            continue
+        system, _, stream = spec.partition(".")
+        root = cfg.props.get(f"systems.{system}.stagingDirectory", "")
+        path = f"{root.rstrip('/')}/{stream}" if root else stream
+        reporters.append(
+            MetricsSnapshotReporter(
+                path,
+                job_name=cfg.job_name,
+                job_id=cfg.props.get("job.id", "1"),
+                blacklist=cfg.props.get(f"metrics.reporter.{name}.blacklist"),
+            )
+        )
+    return reporters
+
+
 def run_job(cfg: JobConfig, spark=None) -> dict:
     """Run one job config to completion. Returns a small result dict
     (job name, app kind, per-output row counts where knowable)."""
@@ -77,6 +110,26 @@ def run_job(cfg: JobConfig, spark=None) -> dict:
 
         spark = get_session()
     result = {"job": cfg.job_name, "outputs": {}}
+    reporters = _metrics_reporters(cfg)
+
+    def _emit_metrics(queries=()):
+        """One snapshot per drained query handle plus one job-level
+        snapshot carrying output row counts (the JobRunner-side summary
+        the reference's reporters attach via registries)."""
+        for rep in reporters:
+            for q in queries:
+                rep.report(q)
+            rep.report(
+                extra_groups={
+                    "samza_spark.run_app.JobMetrics": {
+                        f"output-rows-{k}": (-1 if v is None else v)
+                        for k, v in result["outputs"].items()
+                    }
+                    or {"job-complete": 1}
+                }
+            )
+        if reporters:
+            result["metrics_snapshots"] = sum(r._seq for r in reporters)
 
     sql_stmts = []
     if cfg.props.get("samza.sql.stmt"):
@@ -114,6 +167,7 @@ def run_job(cfg: JobConfig, spark=None) -> dict:
                 )
             except Exception:
                 result["outputs"][f"{system}.{stream}"] = None
+        _emit_metrics()
         return result
 
     app_class = cfg.props.get("app.class")
@@ -127,11 +181,13 @@ def run_job(cfg: JobConfig, spark=None) -> dict:
     result["kind"] = "app"
     out = app(spark, cfg, sources)
     if out is None:
+        _emit_metrics()
         return result
     # streaming query handles -> drain (AvailableNow/terminating jobs)
     if isinstance(out, (list, tuple)):
         for q in out:
             q.awaitTermination()
+        _emit_metrics(out)
         return result
     df = getattr(out, "df", out)
     sink, name = _output_sink(cfg)
@@ -140,6 +196,7 @@ def run_job(cfg: JobConfig, spark=None) -> dict:
         result["outputs"][name] = None
     else:
         result["outputs"]["<stdout>"] = df.count()
+    _emit_metrics()
     return result
 
 

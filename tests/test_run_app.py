@@ -143,3 +143,106 @@ def test_streaming_app_over_samza_log(spark, tmp_path):
     out = spark.read.parquet(f"{staging}/tailed")
     got = sorted((r["partition"], r["offset"], r["value"]) for r in out.collect())
     assert got == [(0, 0, "a"), (0, 1, "b"), (1, 0, "c")]
+
+
+# ---------------------------------------------------------------------------
+# MetricsSnapshotReporter (metrics.reporters config -> snapshot stream)
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_snapshot_layout_and_blacklist(spark, tmp_path):
+    """Snapshot wire layout matches MetricsHeader.java:28-38 keys; the
+    blacklist regex drops matching group#name pairs (MetricsConfig.java:46)."""
+    from samza_spark.streaming.metrics import metrics_snapshot
+
+    snap = metrics_snapshot(
+        None,
+        job_name="j",
+        job_id="7",
+        time_ms=1234,
+        reset_time_ms=1000,
+        extra_groups={"g1": {"rows": 5, "noisy-gauge": 9}, "g2": {"x": 1}},
+    )
+    h = snap["header"]
+    for key in (
+        "job-name", "job-id", "container-name", "exec-env-container-id",
+        "source", "version", "samza-version", "host", "time", "reset-time",
+    ):
+        assert key in h
+    assert h["job-name"] == "j" and h["job-id"] == "7"
+    assert h["time"] == 1234 and h["reset-time"] == 1000
+    assert snap["metrics"]["g1"]["rows"] == 5
+
+    filtered = metrics_snapshot(
+        None,
+        job_name="j",
+        extra_groups={"g1": {"rows": 5, "noisy-gauge": 9}, "g2": {"x": 1}},
+        blacklist="noisy|g2#",
+    )
+    assert filtered["metrics"]["g1"] == {"rows": 5}
+    assert "g2" not in filtered["metrics"]
+
+
+def test_sql_job_emits_metrics_snapshots(spark, tmp_path):
+    """metrics.reporters config wires a snapshot stream next to the job's
+    other file streams; the job-level snapshot carries output row counts."""
+    staging = str(tmp_path / "mstage")
+    _write_input(spark, f"{staging}/src")
+    props = tmp_path / "mjob.properties"
+    props.write_text(
+        "job.name=mjob\n"
+        "job.id=3\n"
+        "task.inputs=files.src\n"
+        "task.outputs=files.out\n"
+        "systems.files.samza.factory=org.apache.samza.system.hdfs.HdfsSystemFactory\n"
+        f"systems.files.stagingDirectory={staging}\n"
+        "samza.sql.stmt=INSERT INTO out SELECT k, SUM(v) AS total FROM src GROUP BY k\n"
+        "metrics.reporters=snapshot\n"
+        "metrics.reporter.snapshot.stream=files.metrics\n"
+    )
+    result = run_job(JobConfig.from_file(str(props)), spark)
+    assert result["metrics_snapshots"] == 1
+    snaps = [
+        json.loads(p.read_text())
+        for p in sorted((tmp_path / "mstage" / "metrics").glob("snapshot-*.json"))
+    ]
+    assert len(snaps) == 1
+    h = snaps[0]["header"]
+    assert h["job-name"] == "mjob" and h["job-id"] == "3"
+    body = snaps[0]["metrics"]["samza_spark.run_app.JobMetrics"]
+    assert body["output-rows-files.out"] == 2
+    # the snapshot stream reads back through the normal file-source path
+    df = spark.read.json(f"{staging}/metrics")
+    assert df.count() == 1
+
+
+def test_streaming_app_reports_query_metrics(spark, tmp_path):
+    """A drained streaming app gets one snapshot per query handle with
+    SamzaContainerMetrics.process-envelopes == rows ingested."""
+    import samza_spark.streaming.metrics as m
+
+    staging = str(tmp_path / "sstage")
+    src_dir = f"{staging}/events_in"
+    spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(50)], "id long, user string"
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    rep = m.MetricsSnapshotReporter(
+        f"{staging}/metrics", job_name="streamjob", reset_time_ms=5
+    )
+    q = (
+        spark.readStream.schema("id long, user string")
+        .parquet(src_dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = rep.report(q)
+    grp = snap["metrics"]["org.apache.samza.container.SamzaContainerMetrics"]
+    assert grp["process-envelopes"] == 50
+    assert snap["metrics"]["samza_spark.streaming.StreamingQueryMetrics"][
+        "input_rows"
+    ] == 50
+    assert rep._seq == 1
