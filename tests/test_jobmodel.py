@@ -1,0 +1,101 @@
+"""JobModel construction: SSP groupers + task placement
+(reference: JobModel/ContainerModel/TaskModel.java, GroupByPartition.java,
+GroupBySystemStreamPartition.java, GroupByContainerCount.java)."""
+
+from samza_spark.config import JobConfig
+from samza_spark.jobmodel import (
+    all_ssps_to_single_task,
+    assign_rendezvous,
+    assign_round_robin,
+    build_job_model,
+    group_by_partition,
+    group_by_ssp,
+    job_model_json,
+    ssp,
+)
+
+
+def _ssps():
+    return [
+        ssp("kafka", "orders", 0), ssp("kafka", "orders", 1),
+        ssp("kafka", "users", 0), ssp("kafka", "users", 1),
+    ]
+
+
+def test_group_by_partition_co_partitions_streams():
+    tasks = group_by_partition(_ssps())
+    assert set(tasks) == {"Partition 0", "Partition 1"}
+    assert {(s["stream"], s["partition"]) for s in tasks["Partition 0"]} == {
+        ("orders", 0), ("users", 0),
+    }
+
+
+def test_group_by_partition_broadcast_joins_every_task():
+    b = ssp("kafka", "config", 0)
+    tasks = group_by_partition(_ssps() + [b], broadcast=[b])
+    for name in ("Partition 0", "Partition 1"):
+        assert b in tasks[name]
+
+
+def test_group_by_partition_elasticity_buckets():
+    tasks = group_by_partition(_ssps(), elasticity_factor=2)
+    assert set(tasks) == {
+        "Partition 0 0", "Partition 0 1", "Partition 1 0", "Partition 1 1",
+    }
+    assert all(s["keyBucket"] in (0, 1) for s in tasks["Partition 0 1"])
+
+
+def test_group_by_ssp_and_single_task():
+    per = group_by_ssp(_ssps())
+    assert len(per) == 4
+    assert "SystemStreamPartition [kafka, orders, 0]" in per
+    single = all_ssps_to_single_task(_ssps())
+    assert list(single) == ["Task-0"] and len(single["Task-0"]) == 4
+
+
+def test_round_robin_balanced_rendezvous_minimal_movement():
+    names = [f"Partition {i}" for i in range(100)]
+    rr = assign_round_robin(names, 4)
+    sizes = sorted(sum(1 for v in rr.values() if v == str(c)) for c in range(4))
+    assert sizes == [25, 25, 25, 25]
+    # round-robin reshuffles nearly everything on N -> N+1 ...
+    rr5 = assign_round_robin(names, 5)
+    moved_rr = sum(1 for t in names if rr[t] != rr5[t])
+    # ... rendezvous moves about 1/(N+1) of tasks
+    rv4, rv5 = assign_rendezvous(names, 4), assign_rendezvous(names, 5)
+    moved_rv = sum(1 for t in names if rv4[t] != rv5[t])
+    assert moved_rv < moved_rr
+    assert moved_rv <= 40  # ~20 expected at 1/5
+    # moved tasks all moved TO the new container (never between old ones)
+    assert all(rv5[t] == "4" for t in names if rv4[t] != rv5[t])
+
+
+def test_build_job_model_from_properties(tmp_path):
+    from samza_spark.sources.log_datasource import append_records
+
+    staging = tmp_path / "stage"
+    log = staging / "clicks"
+    append_records(str(log), 0, [("a", "1", 1)])
+    append_records(str(log), 1, [("b", "2", 2)])
+    append_records(str(log), 2, [("c", "3", 3)])
+    props = tmp_path / "job.properties"
+    props.write_text(
+        "job.name=modeljob\n"
+        "job.container.count=2\n"
+        "task.inputs=logsys.clicks\n"
+        "systems.logsys.samza.factory=samza_spark.sources.SamzaLogSystemFactory\n"
+        f"systems.logsys.stagingDirectory={staging}\n"
+    )
+    cfg = JobConfig.from_file(str(props))
+    model = build_job_model(cfg)
+    assert model["job-name"] == "modeljob"
+    assert set(model["containers"]) == {"0", "1"}
+    all_tasks = {}
+    for c in model["containers"].values():
+        all_tasks.update(c["tasks"])
+    assert set(all_tasks) == {"Partition 0", "Partition 1", "Partition 2"}
+    # changelog partitions are the sorted-task index, unique and stable
+    clp = sorted(t["changelog-partition"] for t in all_tasks.values())
+    assert clp == [0, 1, 2]
+    # stable serialized form
+    assert job_model_json(model) == job_model_json(build_job_model(cfg))
