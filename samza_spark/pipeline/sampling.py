@@ -588,14 +588,12 @@ def greedy_max_coverage(
     from samza_spark.pipeline.dedup import word_ngrams
 
     spark = df.sparkSession
-    grams = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_ngrams(text_col, ngram_n)).alias("g"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # word_ngrams is array_distinct per doc, so the exploded (id, g)
+    # pairs are already unique — no corpus-wide distinct shuffle needed.
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(text_col, ngram_n)).alias("g"),
+    ).localCheckpoint(eager=True)
     remaining = grams
     out, covered_total = [], 0
     for rnd in range(1, int(k) + 1):
@@ -612,7 +610,8 @@ def greedy_max_coverage(
         covered_total += gain
         out.append((rnd, did, gain, covered_total))
         if rnd < k:
-            sel = remaining.filter(F.col("id") == did).select("g")
+            # one doc's gram set — always broadcast-sized
+            sel = F.broadcast(remaining.filter(F.col("id") == did).select("g"))
             remaining = (
                 remaining.filter(F.col("id") != did)
                 .join(sel, on="g", how="left_anti")

@@ -1009,10 +1009,17 @@ def repetition_loops(
 
     Output per doc: ``n_grams`` (total n-gram instances), ``max_repeat``
     (count of the most repeated n-gram), ``top_gram``, and ``looping``.
-    Plan: map-side n-gram explode -> ONE (doc, gram) count aggregate
-    (map-side partials absorb the repeats — a looping doc produces few
-    DISTINCT grams by definition) -> per-doc max_by. Short docs (< n
-    words) emit zero grams and are never flagged.
+
+    Plan: MAP-ONLY, zero shuffle. The per-doc mode is found by sorting
+    the doc's own gram array and folding a run-length max over adjacent
+    equals — per-row work bounded by the doc's word count. The obvious
+    explode -> groupBy(doc, gram) -> groupBy(doc) alternative shuffles
+    the exploded table (≈ word-count × corpus rows) twice; at corpus
+    scale that is tens of times the input volume through the wire for a
+    statistic each row can compute locally. Tie-break matches
+    ``max_by(gram, struct(count, gram))``: highest count, then
+    lexicographically greatest gram. Short docs (< n words) emit zero
+    grams and are never flagged.
     """
     words = F.split(
         F.regexp_replace(F.regexp_replace(F.lower(text_col), r"\s+", " "), r"^ | $", ""),
@@ -1025,24 +1032,33 @@ def repetition_loops(
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
-    per_gram = exploded.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("c")
+    # run-length fold over the sorted gram array: (prev, run, best, top)
+    fold = (
+        "aggregate(array_sort(__grams), "
+        "struct(cast(null as string) as prev, 0L as run, 0L as best, "
+        "cast(null as string) as top), "
+        "(a, g) -> named_struct("
+        "'prev', g, "
+        "'run', IF(a.prev <=> g, a.run + 1L, 1L), "
+        "'best', IF(IF(a.prev <=> g, a.run + 1L, 1L) >= a.best, "
+        "IF(a.prev <=> g, a.run + 1L, 1L), a.best), "
+        "'top', IF(IF(a.prev <=> g, a.run + 1L, 1L) >= a.best, g, a.top)), "
+        "a -> struct(a.best, a.top))"
     )
-    return per_gram.groupBy(id_col).agg(
-        F.sum(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("n_grams"),
-        F.max(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("max_repeat"),
-        F.expr("max_by(gram, struct(c, gram))").alias("top_gram"),
-        (
-            F.max(
-                F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(F.lit(0))
-            )
-            >= min_repeats
-        ).alias("looping"),
+    return (
+        df.select(F.col(id_col), grams.alias("__grams"))
+        .select(
+            id_col,
+            F.size("__grams").cast("long").alias("n_grams"),
+            F.expr(fold).alias("__m"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.col("__m.best").alias("max_repeat"),
+            F.col("__m.top").alias("top_gram"),
+            (F.col("__m.best") >= min_repeats).alias("looping"),
+        )
     )
 
 
