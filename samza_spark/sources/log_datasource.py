@@ -309,3 +309,235 @@ class SamzaLogDataSource(DataSource):
 
     def streamReader(self, schema) -> SamzaLogStreamReader:
         return SamzaLogStreamReader(self.options)
+
+
+# -- producer / sink ---------------------------------------------------------
+
+_TXN = "_txn.json"
+
+
+def _txn_path(log_dir: str) -> str:
+    return os.path.join(log_dir, _TXN)
+
+
+def read_txn(log_dir: str) -> dict:
+    """Sink transaction state: ``committed`` (sink_id -> last committed
+    batch id) and ``intent`` (the write-ahead record of an append in
+    flight: pre-append byte sizes per partition file)."""
+    try:
+        with open(_txn_path(log_dir)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"committed": {}, "intent": None}
+
+
+def _write_txn(log_dir: str, txn: dict) -> None:
+    tmp = _txn_path(log_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(txn, f)
+    os.replace(tmp, _txn_path(log_dir))
+
+
+def recover_log(log_dir: str) -> "dict | None":
+    """Resolve a crashed append. The MANIFEST write is the single commit
+    point: if the manifest already shows the intent's planned new counts,
+    the append committed and recovery rolls FORWARD (clear the intent,
+    fence the batch id); otherwise it rolls BACK — truncate every
+    partition file to its recorded pre-append size and prune ts-index
+    blocks past the manifest. Readers were never exposed to either
+    in-between state (``_read_range`` stops at the planned end and the
+    planner trusts only the manifest). Returns the resolved intent, or
+    None if the log was clean."""
+    txn = read_txn(log_dir)
+    intent = txn.get("intent")
+    if not intent:
+        return None
+    counts = read_manifest(log_dir)
+    committed = all(
+        counts.get(int(p), 0) == n for p, n in intent["new_counts"].items()
+    )
+    if committed:
+        txn["committed"][intent["sink_id"]] = int(intent["batch_id"])
+    else:
+        for p_str, size in intent["sizes"].items():
+            path = os.path.join(log_dir, f"part-{p_str}.jsonl")
+            if os.path.exists(path) and os.path.getsize(path) > size:
+                with open(path, "r+b") as f:
+                    f.truncate(size)
+        idx = read_ts_index(log_dir)
+        pruned = {
+            p: [b for b in blocks if b[0] < counts.get(p, 0)]
+            for p, blocks in idx.items()
+        }
+        tmp = _ts_index_path(log_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in pruned.items() if v}, f)
+        os.replace(tmp, _ts_index_path(log_dir))
+    txn["intent"] = None
+    _write_txn(log_dir, txn)
+    return intent
+
+
+def log_sink(
+    log_dir: str,
+    sink_id: str = "sink",
+    n_partitions: int = 4,
+    key_col: str = "key",
+    value_col: str = "value",
+    ts_col: "str | None" = "timestamp_ms",
+):
+    """Transactional streaming sink onto a samza_log directory — the
+    SystemProducer half of the log system (reference contract:
+    samza-api/.../system/SystemProducer.java ``send`` + ``flush`` with
+    TransactionalStateTaskStorageManager-style exactly-once; Kafka's
+    idempotent producer is the production analog). Returns a
+    ``(batch_df, batch_id) -> None`` callable for
+    ``writeStream.foreachBatch``.
+
+    Exactly-once protocol, batch-id fenced:
+
+    1. replayed batch (id <= last committed for this ``sink_id``) -> no-op;
+    2. executors stage the batch in parallel — each task writes its rows
+       for partition P to a private ``.staging/`` block file plus a row
+       count / max-timestamp meta (no executor ever touches the live
+       log);
+    3. the driver write-ahead logs an INTENT (current byte size of every
+       partition file), concatenates staged blocks onto the partition
+       files in deterministic (partition, stage-file-name) order, then
+       commits by atomically rewriting manifest + ts-index + txn state.
+
+    A crash between 3's steps leaves either invisible bytes past the
+    manifest (rolled back by :func:`recover_log`, which the sink runs at
+    the start of every batch) or a fully committed batch. Records route
+    to ``pmod(xxhash64(key), n_partitions)`` — the reference's key-hash
+    partitioning — with null keys hashed on the value so replay stays
+    deterministic (never round-robin, which isn't).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        os.makedirs(log_dir, exist_ok=True)
+        recover_log(log_dir)  # resolve any crashed append first
+        txn = read_txn(log_dir)
+        if int(txn["committed"].get(sink_id, -1)) >= batch_id:
+            return  # replay of a committed batch -> exactly-once no-op
+
+        stage_dir = os.path.join(log_dir, ".staging", f"{sink_id}-{batch_id}")
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.makedirs(stage_dir, exist_ok=True)
+
+        part_expr = F.pmod(
+            F.xxhash64(F.coalesce(F.col(key_col), F.col(value_col))),
+            F.lit(n_partitions),
+        ).cast("int")
+        ts_expr = (
+            F.col(ts_col).cast("long") if ts_col else F.lit(0).cast("long")
+        )
+        routed = batch_df.select(
+            part_expr.alias("__p"),
+            F.col(key_col).cast("string").alias("__k"),
+            F.col(value_col).cast("string").alias("__v"),
+            ts_expr.alias("__ts"),
+        )
+
+        def stage(rows):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            handles, metas = {}, {}
+            tag = _uuid.uuid4().hex[:12]
+            for r in rows:
+                p = int(r["__p"])
+                if p not in handles:
+                    handles[p] = open(
+                        _os.path.join(stage_dir, f"part-{p}-{tag}.jsonl"),
+                        "w",
+                        encoding="utf-8",
+                    )
+                    metas[p] = {"count": 0, "max_ts": 0}
+                handles[p].write(
+                    _json.dumps(
+                        {
+                            "key": r["__k"],
+                            "value": r["__v"],
+                            "timestamp_ms": int(r["__ts"] or 0),
+                        },
+                        ensure_ascii=True,
+                    )
+                    + "\n"
+                )
+                metas[p]["count"] += 1
+                metas[p]["max_ts"] = max(metas[p]["max_ts"], int(r["__ts"] or 0))
+            for p, h in handles.items():
+                h.close()
+                with open(
+                    _os.path.join(stage_dir, f"part-{p}-{tag}.meta"), "w"
+                ) as mf:
+                    _json.dump(metas[p], mf)
+            return iter(())
+
+        # repartition by target partition so each log partition is staged
+        # by few tasks; the staging write is the only executor-side IO
+        routed.repartition(n_partitions, "__p").rdd.mapPartitions(stage).count()
+
+        blocks: dict[int, list] = {}
+        metas: dict[str, dict] = {}
+        for name in sorted(os.listdir(stage_dir)):
+            if name.endswith(".jsonl"):
+                p = int(name.split("-")[1])
+                blocks.setdefault(p, []).append(name)
+            elif name.endswith(".meta"):
+                with open(os.path.join(stage_dir, name)) as mf:
+                    metas[name] = json.load(mf)
+        counts = read_manifest(log_dir)
+        sizes, new_counts = {}, {}
+        for p, names in blocks.items():
+            path = os.path.join(log_dir, f"part-{p}.jsonl")
+            sizes[str(p)] = os.path.getsize(path) if os.path.exists(path) else 0
+            appended = sum(metas[n[:-6] + ".meta"]["count"] for n in names)
+            new_counts[str(p)] = counts.get(p, 0) + appended
+        # write-ahead intent: pre-append byte sizes + planned manifest
+        txn["intent"] = {
+            "sink_id": sink_id,
+            "batch_id": batch_id,
+            "sizes": sizes,
+            "new_counts": new_counts,
+        }
+        _write_txn(log_dir, txn)
+
+        idx = read_ts_index(log_dir)
+        for p, names in sorted(blocks.items()):
+            path = os.path.join(log_dir, f"part-{p}.jsonl")
+            appended, max_ts = 0, 0
+            with open(path, "a", encoding="utf-8") as dst:
+                for name in names:
+                    with open(os.path.join(stage_dir, name), encoding="utf-8") as src:
+                        shutil.copyfileobj(src, dst)
+                    meta = metas[name[:-6] + ".meta"]
+                    appended += meta["count"]
+                    max_ts = max(max_ts, meta["max_ts"])
+            start = counts.get(p, 0)
+            if appended:
+                counts[p] = start + appended
+                idx.setdefault(p, []).append([start, max_ts])
+
+        tmp = _ts_index_path(log_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in idx.items()}, f)
+        os.replace(tmp, _ts_index_path(log_dir))
+        # COMMIT POINT: the manifest rename makes the batch visible
+        tmp = _manifest_path(log_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in counts.items()}, f)
+        os.replace(tmp, _manifest_path(log_dir))
+        # post-commit bookkeeping (idempotent: recover_log rolls forward
+        # to exactly this state if we crash before it lands)
+        txn["intent"] = None
+        txn["committed"][sink_id] = batch_id
+        _write_txn(log_dir, txn)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    return write_batch
