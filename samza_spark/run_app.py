@@ -55,9 +55,10 @@ def _load_app(spec: str):
 
 
 def _output_sink(cfg: JobConfig):
-    """First ``task.outputs`` entry as a FileSink (file-system outputs
-    only — the jobs this CLI can complete without a broker)."""
-    from samza_spark.sources.descriptors import FileSink
+    """First ``task.outputs`` entry as a sink descriptor: samza_log
+    systems get the transactional log producer, everything else a
+    FileSink (the outputs this CLI can complete without a broker)."""
+    from samza_spark.sources.descriptors import FileSink, SamzaLogSink
 
     outs = cfg.task_outputs()
     if not outs:
@@ -65,6 +66,16 @@ def _output_sink(cfg: JobConfig):
     system, stream = outs[0]
     root = cfg.props.get(f"systems.{system}.stagingDirectory", "")
     path = f"{root.rstrip('/')}/{stream}" if root else stream
+    try:
+        kind = cfg.system_kind(system)
+    except ValueError:
+        kind = "file"
+    if kind == "samzalog":
+        n = int(cfg.props.get(f"streams.{stream}.samza.partitions", "4"))
+        return (
+            SamzaLogSink(path, sink_id=cfg.job_name, n_partitions=n),
+            f"{system}.{stream}",
+        )
     fmt = cfg.props.get(f"streams.{stream}.samza.format", "parquet")
     return FileSink(path, fmt=fmt), f"{system}.{stream}"
 

@@ -645,6 +645,51 @@ class SamzaLogSource:
         )
 
 
+@dataclass
+class SamzaLogSink:
+    """Descriptor over the transactional log producer
+    (:func:`samza_spark.sources.log_datasource.log_sink` — the
+    SystemProducer half: executor-staged blocks, write-ahead intent,
+    manifest-rename commit, batch-id fencing for exactly-once replay).
+
+    Batch writes run as one foreachBatch-shaped transaction with the
+    DataFrame's own epoch (batch id 0 unless given); streaming writes go
+    through ``writeStream.foreachBatch`` so every micro-batch commits
+    atomically and replays are no-ops. The input needs ``key`` /
+    ``value`` (/ optional ``timestamp_ms``) columns — the log's wire
+    schema, same as the source side."""
+
+    path: str
+    sink_id: str = "sink"
+    n_partitions: int = 4
+    checkpoint: "str | None" = None
+    key_col: str = "key"
+    value_col: str = "value"
+    ts_col: "str | None" = "timestamp_ms"
+
+    def _writer(self):
+        from samza_spark.sources.log_datasource import log_sink
+
+        return log_sink(
+            self.path,
+            sink_id=self.sink_id,
+            n_partitions=self.n_partitions,
+            key_col=self.key_col,
+            value_col=self.value_col,
+            ts_col=self.ts_col if self.ts_col else None,
+        )
+
+    def write(self, df: DataFrame, batch_id: int = 0):
+        w = self._writer()
+        if df.isStreaming:
+            writer = df.writeStream.foreachBatch(w)
+            if self.checkpoint:
+                writer = writer.option("checkpointLocation", self.checkpoint)
+            return writer.start()
+        w(df, batch_id)
+        return None
+
+
 def from_debezium_records(
     df: DataFrame,
     row_schema,

