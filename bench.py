@@ -602,6 +602,41 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
         streaming["stream_sustained_dedup_msgs_per_sec"] = round(n_replay / secs)
 
+        # sustained DURABLE write through the transactional log producer
+        # (sources.log_datasource.log_sink): read -> route-by-key ->
+        # exactly-once append onto the partitioned log. The noop rows
+        # above measure consume-side throughput; this is the full
+        # BASELINE.md #1 read->write shape with a real fsync'd sink.
+        from samza_spark.sources.log_datasource import log_sink
+
+        _rep_seq = [0]
+
+        def start_log_sink():
+            _rep_seq[0] += 1
+            dst = tempfile.mkdtemp(prefix=f"bench_logsink_{_rep_seq[0]}_")
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max(1, replicas // 2))
+                .parquet(replay_dir)
+                .select(
+                    F.col("event_id").cast("string").alias("key"),
+                    F.col("event_type").alias("value"),
+                    (F.col("event_id") % 100000).alias("timestamp_ms"),
+                )
+                .writeStream.foreachBatch(
+                    log_sink(f"{dst}/log", n_partitions=cpus)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        secs = run_sustained(
+            "stream_sustained_log_sink_1m", start_log_sink, reps=min(2, repeats)
+        )
+        streaming["stream_sustained_log_sink_msgs_per_sec"] = round(
+            n_replay / secs
+        )
+
         # many-input-stream fan-in — BASELINE.md's container-scalability
         # workload (1,000 input streams on one container): N independent
         # file streams unioned into one query; throughput counts all
