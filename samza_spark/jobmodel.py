@@ -177,3 +177,55 @@ def build_job_model(
 def job_model_json(model: dict) -> str:
     """Stable serialized form (sorted keys) for storage/diffing."""
     return json.dumps(model, sort_keys=True, separators=(",", ":"))
+
+
+def save_job_model(model: dict, path: str) -> None:
+    """Persist a JobModel (the coordinator's metadata-store role:
+    the reference keeps the previous assignment in the coordinator
+    stream via TaskAssignmentManager / LocalityManager so restarts can
+    minimize state restores). Atomic rename."""
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(job_model_json(model))
+    os.replace(tmp, path)
+
+
+def load_job_model(path: str) -> "dict | None":
+    try:
+        with open(path) as f:
+            return json.loads(f.read())
+    except FileNotFoundError:
+        return None
+
+
+def diff_job_models(old: dict, new: dict) -> dict:
+    """Movement audit between two JobModels — what a rebalance costs.
+
+    Every moved task means a full state restore from the changelog on
+    its new container (the exact cost LocalityManager/host-affinity
+    exists to avoid). Returns per-task placements, the moved set, and
+    counts; ``moved_ppm`` is integer parts-per-million for cross-engine
+    comparability with the distributed
+    :func:`samza_spark.operators.assignment.assignment_movement`.
+    """
+
+    def placements(model: dict) -> "dict[str, str]":
+        out = {}
+        for cid, c in model["containers"].items():
+            for t in c["tasks"]:
+                out[t] = cid
+        return out
+
+    p_old, p_new = placements(old), placements(new)
+    common = sorted(set(p_old) & set(p_new))
+    moved = [t for t in common if p_old[t] != p_new[t]]
+    return {
+        "n_tasks": len(common),
+        "n_moved": len(moved),
+        "moved_ppm": (1_000_000 * len(moved)) // len(common) if common else 0,
+        "moved": moved,
+        "added": sorted(set(p_new) - set(p_old)),
+        "removed": sorted(set(p_old) - set(p_new)),
+    }

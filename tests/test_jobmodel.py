@@ -99,3 +99,45 @@ def test_build_job_model_from_properties(tmp_path):
     assert clp == [0, 1, 2]
     # stable serialized form
     assert job_model_json(model) == job_model_json(build_job_model(cfg))
+
+
+def test_model_persistence_and_rebalance_diff(tmp_path):
+    """Locality story: persist the model, grow the container count, and
+    the rendezvous rebalance moves only ~1/(N+1) of tasks — every moved
+    task being one changelog state-restore the diff makes visible."""
+    from samza_spark.jobmodel import (
+        build_job_model, diff_job_models, load_job_model, save_job_model,
+    )
+
+    class _Cfg:
+        job_name = "j"
+        props = {"job.container.count": "4"}
+
+        @staticmethod
+        def task_inputs():
+            return [("s", "t")]
+
+        @staticmethod
+        def system_kind(system):
+            return "file"
+
+    old = build_job_model(
+        _Cfg, partition_counts={("s", "t"): 64}, assigner="rendezvous"
+    )
+    path = str(tmp_path / "jobmodel.json")
+    save_job_model(old, path)
+    assert load_job_model(path) == old
+
+    new = build_job_model(
+        _Cfg, n_containers=5,
+        partition_counts={("s", "t"): 64}, assigner="rendezvous",
+    )
+    d = diff_job_models(old, new)
+    assert d["n_tasks"] == 64 and not d["added"] and not d["removed"]
+    # ~1/5 expected; generous bound, and every move targets container 4
+    assert 0 < d["n_moved"] <= 26
+    new_place = {
+        t: cid for cid, c in new["containers"].items() for t in c["tasks"]
+    }
+    assert all(new_place[t] == "4" for t in d["moved"])
+    assert d["moved_ppm"] == (1_000_000 * d["n_moved"]) // 64
