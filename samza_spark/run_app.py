@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import importlib
+import os
 import sys
 
 from samza_spark.config import JobConfig
@@ -122,6 +123,23 @@ def run_job(cfg: JobConfig, spark=None) -> dict:
         spark = get_session()
     result = {"job": cfg.job_name, "outputs": {}}
     reporters = _metrics_reporters(cfg)
+    # ExecutionPlan visualization (JobPlanner.writePlanJsonFile:141-154:
+    # $EXECUTION_PLAN_DIR/plan.json). Config-level plan up-front; if the
+    # app yields a DataFrame the plan is rewritten with its operator
+    # graph filled in (the OperatorSpecGraph analog).
+    plan_dir = cfg.props.get("job.plan.dir") or os.environ.get("EXECUTION_PLAN_DIR")
+
+    def _write_plan(df=None):
+        if not plan_dir:
+            return
+        from samza_spark.execution import execution_plan, write_plan_json
+
+        try:
+            result["plan"] = write_plan_json(execution_plan(cfg, df), plan_dir)
+        except Exception as e:  # plan output must never fail the job
+            result["plan_error"] = str(e)
+
+    _write_plan()
 
     def _emit_metrics(queries=()):
         """One snapshot per drained query handle plus one job-level
@@ -201,6 +219,7 @@ def run_job(cfg: JobConfig, spark=None) -> dict:
         _emit_metrics(out)
         return result
     df = getattr(out, "df", out)
+    _write_plan(df)
     sink, name = _output_sink(cfg)
     if sink is not None:
         sink.write(df)
