@@ -236,6 +236,12 @@ HEADLINE = [
     "sft_export",
     "balanced_shards",
     "repetition_loops",
+    # round-6 session-3: relational sketches, linkage, stream audits
+    "countmin_freq",
+    "record_linkage",
+    "disorder_audit",
+    "encoding_profile",
+    "cuped_readout",
 ]
 
 

@@ -1765,3 +1765,70 @@ def sft_transcripts(
             )
         ).alias("messages_json"),
     )
+
+
+def disorder_audit(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    late_threshold_us: int = 600_000_000,
+) -> DataFrame:
+    """Event-time disorder audit — the measurement that sizes a
+    watermark delay (and Samza's window close timeout:
+    samza-core/.../operators/impl/WindowOperatorImpl.java keeps panes
+    open exactly as long as late data is still worth admitting).
+
+    Arrival order is ``seq_col`` (the append/offset order of the
+    stream); a record's *lateness* is how far the stream's event-time
+    high-water mark had already advanced past it on arrival:
+    ``max(ts) over arrival-so-far  -  ts``. Per key the audit emits the
+    event count, out-of-order count, maximum and exact p95 lateness
+    (order statistic by rank — no approximate percentile), and the
+    ppm of records later than ``late_threshold_us`` (what a watermark
+    of that delay would drop).
+
+    Scale: ONE shuffle on the stream key; both windows (running max,
+    lateness rank) ride the same partitioning, and per-key sequential
+    scan is exactly how a per-SSP audit would run in the reference.
+    All-integer output (epoch µs), oracle-exact.
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = df.select(
+        F.col(key_col).alias("key"),
+        (F.max(ts_us).over(w_run) - ts_us).alias("late_us"),
+    )
+    w_rank = Window.partitionBy("key").orderBy("late_us")
+    ranked = late.select(
+        "key", "late_us", F.row_number().over(w_rank).alias("rn")
+    )
+    per_key = ranked.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_out_of_order"),
+        F.max("late_us").alias("max_late_us"),
+        F.sum((F.col("late_us") > late_threshold_us).cast("long")).alias("n_beyond"),
+    )
+    # exact p95: the ceil(0.95 * n)-th smallest lateness
+    p95 = (
+        ranked.join(
+            per_key.select("key", "n_events"), "key"
+        )
+        .where(F.expr("rn = greatest(1, (19 * n_events + 19) div 20)"))
+        .select("key", F.col("late_us").alias("p95_late_us"))
+    )
+    return (
+        per_key.join(p95, "key")
+        .select(
+            "key",
+            "n_events",
+            "n_out_of_order",
+            "max_late_us",
+            "p95_late_us",
+            F.expr("(n_beyond * 1000000) div n_events").alias("dropped_ppm"),
+        )
+    )

@@ -355,3 +355,76 @@ def blocking_eval(
             f"cast(if(n_true = 0, {ppm}, (n_hit * {ppm}) div n_true) as bigint)"
         ).alias("pc_ppm"),
     )
+
+
+def fellegi_sunter(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    id_b: str,
+    block_cols,
+    fields,
+    m_permille: dict,
+    u_permille: dict,
+    threshold_ratio: "tuple[int, int]" = (100, 1),
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969; the
+    Splink/RecordLinkage model) in exact integer arithmetic.
+
+    Candidate pairs come from an equi-join on ``block_cols`` (classic
+    blocking — never an all-pairs product); each field comparison
+    contributes the likelihood ratio m/u on agreement and
+    (1-m)/(1-u) on disagreement. With probabilities in **permille**
+    (integers 1-999), the pair's match weight is the exact rational
+
+        W = prod(agree ? m_i : 1000-m_i) / prod(agree ? u_i : 1000-u_i)
+
+    kept as two BIGINT products (``w_num`` / ``w_den`` — up to six
+    fields stay under 2^63), and the match decision
+    ``W >= threshold_ratio`` is an integer cross-multiplication — no
+    logs, no floats, so a SQL oracle reproduces every bit (the
+    textbook log2-weight formulation ranks identically since log is
+    monotone; we skip the transcendental, see NOTES round-4 on
+    cross-engine ``ln``).
+
+    ``fields`` is a list of ``(name, expr_a, expr_b)`` SQL expressions
+    evaluated against the aliased sides ``A`` / ``B``; agreement is
+    null-safe equality. Scale: one blocked hash join + map-only scoring.
+
+    Reference anchor: apache/samza has no linkage operator; this is the
+    data-cleaning surface beside the exact PPJoin above, sharing its
+    blocking discipline.
+    """
+    t_num, t_den = threshold_ratio
+    pa = a.alias("A")
+    pb = b.alias("B")
+    cond = [F.col(f"A.{c}") == F.col(f"B.{c}") for c in block_cols]
+    pairs = pa.join(pb, cond)
+    agrees = [
+        F.expr(f"({ea}) <=> ({eb})").alias(f"agr_{name}")
+        for name, ea, eb in fields
+    ]
+    scored = pairs.select(
+        F.col(f"A.{id_a}").alias("a_id"),
+        F.col(f"B.{id_b}").alias("b_id"),
+        *agrees,
+    )
+    num = F.lit(1).cast("long")
+    den = F.lit(1).cast("long")
+    pattern = F.lit("")
+    for name, _, _ in fields:
+        m = int(m_permille[name])
+        u = int(u_permille[name])
+        assert 0 < m < 1000 and 0 < u < 1000, "permille probabilities only"
+        agr = F.col(f"agr_{name}")
+        num = num * F.when(agr, F.lit(m)).otherwise(F.lit(1000 - m))
+        den = den * F.when(agr, F.lit(u)).otherwise(F.lit(1000 - u))
+        pattern = F.concat(pattern, F.when(agr, F.lit("1")).otherwise(F.lit("0")))
+    return scored.select(
+        "a_id",
+        "b_id",
+        pattern.alias("pattern"),
+        num.alias("w_num"),
+        den.alias("w_den"),
+        (num * F.lit(int(t_den)) >= den * F.lit(int(t_num))).alias("is_match"),
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _rule_condition(rule: Mapping) -> "F.Column":
@@ -306,4 +306,67 @@ def revenue_reconciliation(
         )
         .orderBy(F.desc(F.abs(F.col("delta_u"))), F.asc("o_orderkey"))
         .limit(int(top_k))
+    )
+
+
+def encoding_profile(
+    df: DataFrame,
+    cols: "list[str]",
+    order_col: str,
+    rows_per_block: int = 1000,
+) -> DataFrame:
+    """Storage-encoding advisor: per column, how dictionary- and
+    run-length-friendly the values are in *file order* — the statistics
+    a writer needs to pick parquet encodings (PLAIN vs RLE_DICTIONARY)
+    and that ``zorder_layout`` complements for multi-column pruning.
+
+    Runs are counted within storage blocks of ``rows_per_block``
+    consecutive ``order_col`` values (the row-group analog): a block
+    boundary resets the run, exactly as a parquet page would. Emits per
+    column: rows, distinct values, runs, average run length (×1000,
+    integer), and two advisor booleans (``dict_friendly``: distinct ≤
+    10% of rows; ``rle_friendly``: runs ≤ 50% of rows).
+
+    Scale: values unpivot to (column, block, order, value) ONCE
+    (map-only stack), the run-detection window is partitioned by
+    (column, block) — thousands of independent partitions, never a
+    global sort — and the rollup is one aggregate with map-side
+    partials.
+    """
+    n_c = len(cols)
+    stack_args = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    long_df = df.select(
+        F.col(order_col).alias("ord"),
+        F.expr(f"{order_col} div {rows_per_block}").alias("block"),
+        F.expr(f"stack({n_c}, {stack_args}) as (col_name, val)"),
+    )
+    w = Window.partitionBy("col_name", "block").orderBy("ord")
+    # run starts at the block's first row or on a null-safe value change
+    # (lag-is-null alone would miscount when the previous VALUE is null)
+    runs = long_df.select(
+        "col_name",
+        "val",
+        (
+            (F.row_number().over(w) == 1)
+            | ~F.col("val").eqNullSafe(F.lag("val").over(w))
+        )
+        .cast("long")
+        .alias("run_start"),
+    )
+    return (
+        runs.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.sum("run_start").alias("n_runs"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_distinct",
+            "n_runs",
+            F.expr("(n_rows * 1000) div n_runs").alias("avg_run_len_x1000"),
+            F.expr("n_distinct * 10 <= n_rows").alias("dict_friendly"),
+            F.expr("n_runs * 2 <= n_rows").alias("rle_friendly"),
+        )
     )

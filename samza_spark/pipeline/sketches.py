@@ -1,0 +1,102 @@
+"""Mergeable frequency sketches as *relational* state.
+
+Count-min (Cormode & Muthukrishnan 2005) kept as a (depth, bucket, c)
+table instead of an opaque binary blob: construction, merge, and point
+estimation are all plain integer relational algebra, so
+
+* the sketch is **exactly mergeable** — ``sketch(A ∪ B)`` equals the
+  cell-wise sum of ``sketch(A)`` and ``sketch(B)`` (count-min is linear),
+  which is what makes per-shard sketches roll up into a corpus sketch
+  with no rescan (the matview/incremental-refresh shape at 100 TB);
+* every estimate is **deterministic cross-engine** — bucket hashing is
+  the first-8-md5-hex-chars integer used across this codebase, so a SQL
+  oracle replays the sketch bit-for-bit (unlike Spark's built-in binary
+  ``count_min_sketch`` whose serialized form is engine-private).
+
+Reference framing: Samza jobs keep exactly this kind of bounded
+aggregate state in a KeyValueStore updated per message
+(samza-kv/.../KeyValueStore.java); the d×w cell table IS that store,
+and the streaming form increments it per micro-batch.
+
+Scale posture: the corpus-sized pass is ONE exact (key, count)
+aggregation with map-side partial combine — the same shuffle any
+distinct-count pays; the ×depth explosion happens on the *key table*,
+never the raw rows, and the sketch itself is d·w rows (constant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _bucket(key_expr: str, depth_expr: str, width: int, salt: str) -> Column:
+    """Row-level bucket for hash row ``depth_expr``: first 8 md5 hex
+    chars of 'salt|d|key' as an integer mod width (DuckDB mirror:
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT % width``)."""
+    return F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', '|', cast({depth_expr} as string), "
+        f"'|', cast({key_expr} as string))), 1, 8), 16, 10) as bigint) % {width}"
+    )
+
+
+def count_min_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 128,
+    salt: str = "cm0",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the d×w count-min cell table ``(depth, bucket, c)``.
+
+    Exact key counts first (the only corpus-sized job), then the tiny
+    key-count table fans out ×depth.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        (
+            F.sum(weight_col) if weight_col else F.count(F.lit(1))
+        ).alias("c_key")
+    )
+    fanned = counts.select(
+        "k", "c_key", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("depth")
+    )
+    return (
+        fanned.select(
+            "depth",
+            _bucket("k", "depth", width, salt).alias("bucket"),
+            "c_key",
+        )
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c_key").alias("c"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — count-min linearity. ``merge(sk(A), sk(B)) ==
+    sk(A ∪ B)`` exactly (both are integer sums of the same terms)."""
+    it = iter(sketches)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy("depth", "bucket").agg(F.sum("c").alias("c"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 128,
+    salt: str = "cm0",
+) -> DataFrame:
+    """Point estimates for ``probes[key_col]``: min over the d cells each
+    key hashes into. The sketch is d·w rows — broadcast it; the probe
+    pass is then shuffle-free on the probe side."""
+    keyed = probes.select(F.col(key_col).alias("k")).distinct()
+    fanned = keyed.select(
+        "k", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("depth")
+    ).select("k", "depth", _bucket("k", "depth", width, salt).alias("bucket"))
+    joined = fanned.join(F.broadcast(sketch), ["depth", "bucket"], "left").select(
+        "k", F.coalesce("c", F.lit(0)).alias("cell")
+    )
+    return joined.groupBy("k").agg(F.min("cell").alias("cm_estimate"))

@@ -1170,3 +1170,73 @@ def label_aggregation(
             "total_weight",
         )
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    split_expr: str = "ts >= timestamp'1995-07-01 00:00:00'",
+    salt: str = "exp0",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al. WSDM'13:
+    use each unit's PRE-period metric X as a control covariate for its
+    experiment-period metric Y; the adjusted mean
+    ``Ȳ_adj = Ȳ − θ·(X̄ − μ_X)`` with ``θ = Cov(X,Y)/Var(X)`` removes the
+    between-user variance X explains).
+
+    Determinism: per-user X and Y are exact integer micro-sums; the
+    pooled Cov/Var sufficient statistics are DECIMAL(38,0) sums of
+    integer products; θ and the arm means are then a fixed tree of IEEE
+    divisions/multiplications on identical operands — bit-identical
+    cross-engine (the length_outliers discipline; no round(), no
+    transcendental).
+
+    Arms are the deterministic md5 bucket (the ab_test_report
+    machinery), so assignment never changes as data grows. Scale: ONE
+    user-keyed aggregate over the events (map-side combinable
+    conditional sums), then constant-size arm rollups.
+    """
+    from samza_spark.pipeline.sampling import _hash_bucket
+
+    vmicro = f"cast(floor({value_col} * {micro}) as long)"
+    per_user = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.expr(
+            f"coalesce(sum(case when not ({split_expr}) then {vmicro} end), 0)"
+        ).alias("x"),
+        F.expr(
+            f"coalesce(sum(case when {split_expr} then {vmicro} end), 0)"
+        ).alias("y"),
+    )
+    armed = per_user.select(_hash_bucket("u", salt, 2).alias("arm"), "x", "y")
+    d = "cast({} as decimal(38,0))"
+    pooled = armed.agg(
+        F.expr(f"sum({d.format('1')})").alias("gn"),
+        F.expr(f"sum({d.format('x')})").alias("gsx"),
+        F.expr(f"sum({d.format('y')})").alias("gsy"),
+        F.expr(f"sum({d.format('x')} * {d.format('x')})").alias("gsxx"),
+        F.expr(f"sum({d.format('x')} * {d.format('y')})").alias("gsxy"),
+    )
+    arms = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    # theta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx): both operands exact
+    # DECIMAL integers cast to double for ONE division.
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n",
+            F.expr("cast(sy as double) / cast(n as double)").alias("mean_y_micro"),
+            F.expr(
+                "(cast(sy as double) / cast(n as double)) - "
+                "(cast(gn * gsxy - gsx * gsy as double) / cast(gn * gsxx - gsx * gsx as double)) * "
+                "((cast(sx as double) / cast(n as double)) - (cast(gsx as double) / cast(gn as double)))"
+            ).alias("mean_y_adj_micro"),
+        )
+        .orderBy("arm")
+    )

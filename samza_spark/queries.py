@@ -10057,6 +10057,261 @@ ORACLES["orc_roundtrip"] = (
 )
 
 
+def q_countmin_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch as relational state (pipeline.sketches): the d×w
+    cell table is built from ONE exact key-count aggregate (the
+    corpus-sized pass), estimates are min-over-d broadcast lookups, and
+    because hashing is the cross-engine md5 bucket the whole sketch —
+    construction AND estimates — is bit-exact in the oracle (unlike an
+    opaque binary sketch). Emits per user the exact count, the sketch
+    estimate, and the one-sided-error invariant (count-min never
+    undercounts)."""
+    from samza_spark.pipeline import sketches
+
+    ev = load_table(spark, sf, "events")
+    sk = sketches.count_min_table(ev, "user_id", depth=4, width=128)
+    est = sketches.count_min_estimate(
+        sk, ev.select("user_id"), "user_id", depth=4, width=128
+    )
+    exact = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return exact.join(est, "k").select(
+        F.col("k").alias("user_id"),
+        "n_exact",
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("n_exact")).alias("never_undercounts"),
+    )
+
+
+QUERIES["countmin_freq"] = q_countmin_freq
+
+ORACLES["countmin_freq"] = (
+    "WITH counts AS (SELECT user_id AS k, count(*) AS c_key FROM events GROUP BY 1), "
+    "d AS (SELECT unnest(generate_series(0, 3)) AS depth), "
+    "cells AS (SELECT depth, ('0x' || substr(md5('cm0|' || CAST(depth AS VARCHAR) "
+    "|| '|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 128 AS bucket, "
+    "CAST(sum(c_key) AS BIGINT) AS c FROM counts, d GROUP BY 1, 2), "
+    "probe AS (SELECT k, depth, ('0x' || substr(md5('cm0|' || CAST(depth AS VARCHAR) "
+    "|| '|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 128 AS bucket FROM counts, d), "
+    "est AS (SELECT p.k, min(c.c) AS cm_estimate FROM probe p "
+    "JOIN cells c ON c.depth = p.depth AND c.bucket = p.bucket GROUP BY p.k) "
+    "SELECT counts.k AS user_id, counts.c_key AS n_exact, est.cm_estimate, "
+    "est.cm_estimate >= counts.c_key AS never_undercounts "
+    "FROM counts JOIN est ON est.k = counts.k"
+)
+
+
+def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage
+    (pipeline.linkage.fellegi_sunter): customers vs a deterministically
+    corrupted copy (md5-bucket field corruption — the noisy-duplicate
+    shape), blocked on nation (never all-pairs), scored by exact
+    integer permille likelihood-ratio products (no log weights — the
+    ranking is identical and the arithmetic crosses engines bit-for-bit).
+    Emits the accepted matches with their agreement pattern and
+    rational weight."""
+    from samza_spark.pipeline.linkage import fellegi_sunter
+
+    cust = load_table(spark, sf, "customer")
+    a = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_name",
+        F.expr("cast(floor(c_acctbal * 100) as long)").alias("bal_cents"),
+    )
+    # corrupted copy: ~30% lose the segment, ~20% keep only the phone
+    # prefix, ~10% have the balance off by one cent
+    b = cust.select(
+        F.col("c_custkey").alias("b_custkey"),
+        "c_nationkey",
+        F.expr(
+            "case when cast(conv(substr(md5(concat('seg|', cast(c_custkey as string))), 1, 8), 16, 10) "
+            "as bigint) % 10 < 3 then 'CORRUPTED' else c_mktsegment end"
+        ).alias("b_seg"),
+        F.expr(
+            "case when cast(conv(substr(md5(concat('nm|', cast(c_custkey as string))), 1, 8), 16, 10) "
+            "as bigint) % 10 < 2 then substr(c_name, 1, length(c_name) - 2) else c_name end"
+        ).alias("b_name"),
+        F.expr(
+            "cast(floor(c_acctbal * 100) as long) + "
+            "(case when cast(conv(substr(md5(concat('bal|', cast(c_custkey as string))), 1, 8), 16, 10) "
+            "as bigint) % 10 < 1 then 1 else 0 end)"
+        ).alias("b_bal_cents"),
+    )
+    scored = fellegi_sunter(
+        a,
+        b,
+        id_a="c_custkey",
+        id_b="b_custkey",
+        block_cols=["c_nationkey"],
+        fields=[
+            ("seg", "A.c_mktsegment", "B.b_seg"),
+            ("name", "A.c_name", "B.b_name"),
+            ("bal", "A.bal_cents", "B.b_bal_cents"),
+        ],
+        m_permille={"seg": 700, "name": 800, "bal": 900},
+        u_permille={"seg": 200, "name": 1, "bal": 1},
+        threshold_ratio=(1000, 1),
+    )
+    return scored.filter("is_match").select(
+        "a_id", "b_id", "pattern", "w_num", "w_den"
+    )
+
+
+QUERIES["record_linkage"] = q_record_linkage
+
+ORACLES["record_linkage"] = (
+    "WITH a AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name, "
+    "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer), "
+    "b AS (SELECT c_custkey AS b_custkey, c_nationkey, "
+    "CASE WHEN ('0x' || substr(md5('seg|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 10 < 3 "
+    "THEN 'CORRUPTED' ELSE c_mktsegment END AS b_seg, "
+    "CASE WHEN ('0x' || substr(md5('nm|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 10 < 2 "
+    "THEN substr(c_name, 1, length(c_name) - 2) ELSE c_name END AS b_name, "
+    "CAST(floor(c_acctbal * 100) AS BIGINT) + "
+    "(CASE WHEN ('0x' || substr(md5('bal|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 10 < 1 "
+    "THEN 1 ELSE 0 END) AS b_bal_cents FROM customer), "
+    "p AS (SELECT a.c_custkey AS a_id, b.b_custkey AS b_id, "
+    "a.c_mktsegment IS NOT DISTINCT FROM b.b_seg AS g1, "
+    "a.c_name IS NOT DISTINCT FROM b.b_name AS g2, "
+    "a.bal_cents IS NOT DISTINCT FROM b.b_bal_cents AS g3 "
+    "FROM a JOIN b ON a.c_nationkey = b.c_nationkey), "
+    "s AS (SELECT a_id, b_id, "
+    "(CASE WHEN g1 THEN '1' ELSE '0' END) || (CASE WHEN g2 THEN '1' ELSE '0' END) "
+    "|| (CASE WHEN g3 THEN '1' ELSE '0' END) AS pattern, "
+    "CAST((CASE WHEN g1 THEN 700 ELSE 300 END) AS BIGINT) * "
+    "(CASE WHEN g2 THEN 800 ELSE 200 END) * (CASE WHEN g3 THEN 900 ELSE 100 END) AS w_num, "
+    "CAST((CASE WHEN g1 THEN 200 ELSE 800 END) AS BIGINT) * "
+    "(CASE WHEN g2 THEN 1 ELSE 999 END) * (CASE WHEN g3 THEN 1 ELSE 999 END) AS w_den FROM p) "
+    "SELECT a_id, b_id, pattern, w_num, w_den FROM s WHERE w_num * 1 >= w_den * 1000"
+)
+
+
+def q_disorder_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time disorder audit (pipeline.events.disorder_audit) — the
+    measurement that sizes a watermark delay: per stream key, lateness
+    of each record vs the event-time high-water mark at its arrival
+    (arrival order = event_id), with exact p95 by rank and the ppm a
+    10-minute watermark would drop. ONE key shuffle; both windows ride
+    the same partitioning. All-integer µs output."""
+    from samza_spark.pipeline.events import disorder_audit
+
+    ev = load_table(spark, sf, "events")
+    return disorder_audit(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        seq_col="event_id",
+        late_threshold_us=600_000_000,
+    )
+
+
+QUERIES["disorder_audit"] = q_disorder_audit
+
+ORACLES["disorder_audit"] = (
+    "WITH l AS (SELECT event_type AS key, "
+    "max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - epoch_us(ts) AS late_us "
+    "FROM events), "
+    "r AS (SELECT key, late_us, row_number() OVER "
+    "(PARTITION BY key ORDER BY late_us) AS rn FROM l), "
+    "p AS (SELECT key, count(*) AS n_events, "
+    "CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order, "
+    "max(late_us) AS max_late_us, "
+    "CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond "
+    "FROM r GROUP BY key), "
+    "p95 AS (SELECT r.key, r.late_us AS p95_late_us FROM r JOIN p USING (key) "
+    "WHERE r.rn = greatest(1, (19 * p.n_events + 19) // 20)) "
+    "SELECT p.key, p.n_events, p.n_out_of_order, p.max_late_us, p95.p95_late_us, "
+    "(p.n_beyond * 1000000) // p.n_events AS dropped_ppm "
+    "FROM p JOIN p95 USING (key)"
+)
+
+
+def q_encoding_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Storage-encoding advisor (pipeline.quality.encoding_profile):
+    per-column distinct/run statistics in file order within
+    1000-row storage blocks (the row-group analog) -> dictionary/RLE
+    encoding recommendations. The unpivot is map-only; run detection is
+    a (column, block)-partitioned window — thousands of independent
+    partitions, no global sort."""
+    from samza_spark.pipeline.quality import encoding_profile
+
+    ev = load_table(spark, sf, "events")
+    return encoding_profile(
+        ev, ["event_type", "user_id", "props"], order_col="event_id"
+    )
+
+
+QUERIES["encoding_profile"] = q_encoding_profile
+
+ORACLES["encoding_profile"] = (
+    "WITH base AS (SELECT event_id AS ord, event_id // 1000 AS block, "
+    "CAST(event_type AS VARCHAR) AS v1, CAST(user_id AS VARCHAR) AS v2, "
+    "CAST(props AS VARCHAR) AS v3 FROM events), "
+    "lng AS (SELECT 'event_type' AS col_name, ord, block, v1 AS val FROM base "
+    "UNION ALL SELECT 'user_id', ord, block, v2 FROM base "
+    "UNION ALL SELECT 'props', ord, block, v3 FROM base), "
+    "runs AS (SELECT col_name, val, CASE WHEN "
+    "row_number() OVER (PARTITION BY col_name, block ORDER BY ord) = 1 "
+    "OR val IS DISTINCT FROM lag(val) OVER (PARTITION BY col_name, block ORDER BY ord) "
+    "THEN 1 ELSE 0 END AS run_start FROM lng), "
+    "agg AS (SELECT col_name, count(*) AS n_rows, count(DISTINCT val) AS n_distinct, "
+    "CAST(sum(run_start) AS BIGINT) AS n_runs FROM runs GROUP BY col_name) "
+    "SELECT col_name, n_rows, n_distinct, n_runs, "
+    "(n_rows * 1000) // n_runs AS avg_run_len_x1000, "
+    "n_distinct * 10 <= n_rows AS dict_friendly, "
+    "n_runs * 2 <= n_rows AS rle_friendly FROM agg"
+)
+
+
+def q_cuped_readout(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (pipeline.stats.cuped_adjust,
+    Deng et al. WSDM'13): pre-period per-user value as the control
+    covariate, θ from DECIMAL(38,0) sufficient statistics, arm means
+    adjusted by a fixed IEEE expression tree on exact integer operands
+    — bit-identical cross-engine, no round(), no transcendental. ONE
+    user-keyed aggregate over the events."""
+    from samza_spark.pipeline.stats import cuped_adjust
+
+    ev = load_table(spark, sf, "events")
+    return cuped_adjust(
+        ev,
+        user_col="user_id",
+        value_col="value",
+        ts_col="ts",
+        split_expr="ts >= timestamp'2024-01-16 00:00:00'",
+        salt="exp0",
+    )
+
+
+QUERIES["cuped_readout"] = q_cuped_readout
+
+ORACLES["cuped_readout"] = (
+    "WITH pu AS (SELECT user_id AS u, "
+    "coalesce(sum(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-16 00:00:00') "
+    "THEN CAST(floor(value * 1000000) AS BIGINT) END), 0) AS x, "
+    "coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' "
+    "THEN CAST(floor(value * 1000000) AS BIGINT) END), 0) AS y "
+    "FROM events GROUP BY 1), "
+    "armed AS (SELECT ('0x' || substr(md5('exp0|' || CAST(u AS VARCHAR)), 1, 8))::BIGINT % 2 "
+    "AS arm, x, y FROM pu), "
+    "pooled AS (SELECT sum(CAST(1 AS DECIMAL(38,0))) AS gn, "
+    "sum(CAST(x AS DECIMAL(38,0))) AS gsx, sum(CAST(y AS DECIMAL(38,0))) AS gsy, "
+    "sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS gsxx, "
+    "sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS gsxy FROM armed), "
+    "arms AS (SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, "
+    "CAST(sum(y) AS BIGINT) AS sy FROM armed GROUP BY arm) "
+    "SELECT arm, n, CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y_micro, "
+    "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - "
+    "(CAST(gn * gsxy - gsx * gsy AS DOUBLE) / CAST(gn * gsxx - gsx * gsx AS DOUBLE)) * "
+    "((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE))) "
+    "AS mean_y_adj_micro FROM arms, pooled ORDER BY arm"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to
