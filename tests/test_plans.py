@@ -691,3 +691,41 @@ def test_retrieval_eval_corpus_side_never_shuffles(spark, sf_dir):
     plan = _plan(spark, "retrieval_eval", sf_dir)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "countmin_freq",
+        "record_linkage",
+        "disorder_audit",
+        "encoding_profile",
+        "cuped_readout",
+    ],
+)
+def test_round6c_ops_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_countmin_estimate_broadcasts_the_sketch(spark, sf_dir):
+    # the d*w cell table must reach the probe join as a broadcast —
+    # a shuffled join would move the probe stream for a constant-size table
+    plan = _plan(spark, "countmin_freq", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_encoding_profile_no_single_partition_window(spark, sf_dir):
+    # run detection is (column, block)-partitioned; a global-order window
+    # would collapse to one partition and die at scale
+    plan = _plan(spark, "encoding_profile", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_record_linkage_join_is_blocked_equi_join(spark, sf_dir):
+    # candidate generation must be a hash join on the blocking key,
+    # never a nested-loop over all pairs
+    plan = _plan(spark, "record_linkage", sf_dir)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
