@@ -140,6 +140,42 @@ def run_job(cfg: JobConfig, spark=None) -> dict:
             result["plan_error"] = str(e)
 
     _write_plan()
+    # Status registry (samza-rest JobsResource payload; see status.py):
+    # starting -> started around the run, stopped + ApplicationStatus
+    # detail on the way out (including the failure path).
+    status_dir = cfg.props.get("job.status.dir") or os.environ.get(
+        "SAMZA_SPARK_STATUS_DIR"
+    )
+    job_id = cfg.props.get("job.id", "1")
+    if status_dir:
+        from samza_spark import status as jstatus
+
+        jstatus.record_status(status_dir, cfg.job_name, job_id, jstatus.STARTING)
+
+    def _finish(ok: bool) -> None:
+        if status_dir:
+            jstatus.record_status(
+                status_dir,
+                cfg.job_name,
+                job_id,
+                jstatus.STOPPED,
+                jstatus.SUCCESSFUL_FINISH if ok else jstatus.UNSUCCESSFUL_FINISH,
+            )
+
+    try:
+        out = _run_job_body(cfg, spark, result, reporters, _write_plan, status_dir, job_id)
+    except BaseException:
+        _finish(False)
+        raise
+    _finish(True)
+    return out
+
+
+def _run_job_body(cfg, spark, result, reporters, _write_plan, status_dir, job_id):
+    if status_dir:
+        from samza_spark import status as jstatus
+
+        jstatus.record_status(status_dir, cfg.job_name, job_id, jstatus.STARTED)
 
     def _emit_metrics(queries=()):
         """One snapshot per drained query handle plus one job-level
