@@ -100,3 +100,47 @@ def count_min_estimate(
         "k", F.coalesce("c", F.lit(0)).alias("cell")
     )
     return joined.groupBy("k").agg(F.min("cell").alias("cm_estimate"))
+
+
+def streaming_count_min(
+    stream_df: DataFrame,
+    key_col: str,
+    state_path: str,
+    depth: int = 4,
+    width: int = 128,
+    salt: str = "cm0",
+    checkpoint_dir: str | None = None,
+):
+    """Maintain the count-min cell table as streaming state: per
+    micro-batch, sketch the batch (``count_min_table`` on batch rows —
+    O(|batch|)) and fold it into the durable cell table by cell-wise
+    sum. Linearity makes the streamed result EQUAL to the batch sketch
+    of everything ingested, bit for bit (tested), independent of batch
+    boundaries — the Samza KeyValueStore-per-task aggregation shape
+    with the sketch as the store.
+
+    State is d·w rows (constant); it travels through the driver as a
+    bounded in-memory list (same discipline as the BPE vocab loop) and
+    lands in parquet with an atomic overwrite per trigger. Returns the
+    StreamingQuery; read ``state_path`` for the live sketch.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = count_min_table(
+            batch_df, key_col, depth=depth, width=width, salt=salt
+        )
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = count_min_merge(prev, inc)
+        except Exception:
+            merged = inc
+        # materialize the tiny cell table before overwriting its own input
+        rows = [(r["depth"], r["bucket"], r["c"]) for r in merged.collect()]
+        out = spark.createDataFrame(rows, "depth int, bucket bigint, c long")
+        out.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

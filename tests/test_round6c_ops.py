@@ -216,3 +216,35 @@ def test_cuped_matches_numpy_reference(spark):
     # variance reduction direction: adjusted means pull toward each other
     # when covariate imbalance exists (weak sanity, not an equality)
     assert all(abs(r["mean_y_adj_micro"]) > 0 for r in out)
+
+
+def test_streaming_count_min_equals_batch(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "cm_state")
+    ck = str(tmp_path / "ck")
+    df1 = spark.createDataFrame([(f"k{i % 5}",) for i in range(100)], "k string")
+    df1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    q = sketches.streaming_count_min(
+        stream, "k", state, depth=3, width=32, checkpoint_dir=ck
+    )
+    q.awaitTermination(60)
+    # second wave of data -> incremental fold, corpus never re-sketched
+    df2 = spark.createDataFrame([(f"k{i % 3}",) for i in range(50)], "k string")
+    df2.coalesce(1).write.mode("append").parquet(src)
+    q2 = sketches.streaming_count_min(
+        spark.readStream.schema("k string").parquet(src),
+        "k", state, depth=3, width=32, checkpoint_dir=ck,
+    )
+    q2.awaitTermination(60)
+    streamed = {
+        (r["depth"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(state).collect()
+    }
+    whole = sketches.count_min_table(
+        spark.read.parquet(src), "k", depth=3, width=32
+    )
+    batch = {(r["depth"], r["bucket"]): r["c"] for r in whole.collect()}
+    assert streamed == batch  # linearity across batch boundaries, exact
