@@ -37,6 +37,7 @@ __all__ = [
     "operator_graph",
     "execution_plan",
     "write_plan_json",
+    "column_lineage",
 ]
 
 # Catalyst analyzed-plan node name -> Samza OpCode
@@ -277,3 +278,102 @@ def write_plan_json(plan: dict, plan_dir: str) -> str:
         json.dump(plan, f, indent=2, sort_keys=True)
     os.replace(tmp, path)
     return path
+
+
+def _seq(jseq) -> list:
+    return [jseq.apply(i) for i in range(jseq.length())]
+
+
+def column_lineage(df) -> dict:
+    """Column-level lineage from the analyzed logical plan — which leaf
+    relation columns each output column is derived from.
+
+    The reference has no lineage surface (governance lives outside
+    Samza); at 100 TB a curation DAG needs one — "which raw inputs feed
+    this exported column" is the audit question behind every
+    decontamination / PII attestation. Spark's analyzed plan already
+    carries the answer in its expression graph: every Alias / aggregate
+    / window expression names its references by globally-unique exprId,
+    so lineage is one metadata walk — no job runs, nothing is executed.
+
+    Returns ``{"columns": {out_col: [sorted "inN.col" refs]},
+    "relations": {"inN": relation description}}``. Duplicate output
+    names are disambiguated as ``name#2``, ``name#3``, ...
+    """
+    jplan = df._jdf.queryExecution().analyzed()
+    id2src: dict[int, set] = {}
+    relations: dict[str, str] = {}
+    leaf_n = itertools.count(1)
+
+    def refs_srcs(ne) -> set:
+        out: set = set()
+        for at in _seq(ne.references().toSeq()):
+            out |= id2src.get(at.exprId().id(), set())
+        return out
+
+    def register(ne) -> None:
+        eid = ne.exprId().id()
+        if eid not in id2src:
+            id2src[eid] = refs_srcs(ne)
+
+    def visit(node) -> None:
+        kids = _children(node)
+        for c in kids:
+            visit(c)
+        if not kids:  # leaf relation
+            tag = f"in{next(leaf_n)}"
+            relations[tag] = _relation_hint(node)
+            for at in _seq(node.output()):
+                id2src[at.exprId().id()] = {f"{tag}.{at.name()}"}
+            return
+        name = node.nodeName()
+        if name in ("Union", "Intersect", "Except"):
+            # output reuses the first child's exprIds; fold every
+            # branch's positional column into the same lineage set
+            outs = _seq(node.output())
+            for i, at in enumerate(outs):
+                srcs: set = set()
+                for c in kids:
+                    c_out = _seq(c.output())
+                    if i < len(c_out):
+                        srcs |= id2src.get(c_out[i].exprId().id(), set())
+                id2src[at.exprId().id()] = srcs
+            return
+        for meth in ("projectList", "aggregateExpressions", "windowExpressions"):
+            try:
+                for ne in _seq(getattr(node, meth)()):
+                    register(ne)
+            except Exception:
+                continue
+        if name == "Generate":
+            try:
+                gen_srcs: set = set()
+                for at in _seq(node.generator().references().toSeq()):
+                    gen_srcs |= id2src.get(at.exprId().id(), set())
+                for at in _seq(node.generatorOutput()):
+                    id2src.setdefault(at.exprId().id(), gen_srcs)
+            except Exception:
+                pass
+        # conservative fallback: an output attribute this walk didn't
+        # resolve inherits everything its children expose
+        all_child: set = set()
+        unresolved = [
+            at for at in _seq(node.output()) if at.exprId().id() not in id2src
+        ]
+        if unresolved:
+            for c in kids:
+                for at in _seq(c.output()):
+                    all_child |= id2src.get(at.exprId().id(), set())
+            for at in unresolved:
+                id2src[at.exprId().id()] = all_child
+
+    visit(jplan)
+    columns: dict[str, list] = {}
+    for at in _seq(jplan.output()):
+        key = at.name()
+        n = 2
+        while key in columns:
+            key = f"{at.name()}#{n}"
+            n += 1
+        columns[key] = sorted(id2src.get(at.exprId().id(), set()))
+    return {"columns": columns, "relations": relations}

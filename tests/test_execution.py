@@ -137,3 +137,54 @@ def test_write_plan_json_atomic(tmp_path):
     d = str(tmp_path / "p")
     path = write_plan_json({"jobs": []}, d)
     assert json.loads(open(path).read()) == {"jobs": []}
+
+
+def test_column_lineage_projection_and_agg(spark, sf_dir):
+    from samza_spark.execution import column_lineage
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = (
+        orders.filter("o_totalprice > 0")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"), F.count("*").alias("n"))
+        .select("o_custkey", (F.col("spend") / F.col("n")).alias("avg_spend"))
+    )
+    lin = column_lineage(df)
+    cols = lin["columns"]
+    assert cols["o_custkey"] == ["in1.o_custkey"]
+    assert cols["avg_spend"] == ["in1.o_totalprice"]
+    assert "orders" in lin["relations"]["in1"] or "parquet" in lin["relations"]["in1"].lower()
+
+
+def test_column_lineage_join_attributes_both_sides(spark, sf_dir):
+    from samza_spark.execution import column_lineage
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        (F.col("o_totalprice") + F.col("c_acctbal")).alias("mix"),
+    )
+    lin = column_lineage(df)["columns"]
+    assert len(lin["mix"]) == 2 and len({r.split(".")[0] for r in lin["mix"]}) == 2
+    assert lin["c_mktsegment"][0].endswith(".c_mktsegment")
+
+
+def test_column_lineage_union_folds_branches(spark):
+    from samza_spark.execution import column_lineage
+
+    a = spark.createDataFrame([(1,)], "x long").select(F.col("x").alias("v"))
+    b = spark.createDataFrame([(2,)], "y long").select(F.col("y").alias("v"))
+    lin = column_lineage(a.unionByName(b))["columns"]
+    assert sorted(r.split(".")[1] for r in lin["v"]) == ["x", "y"]
+
+
+def test_column_lineage_explode(spark):
+    from samza_spark.execution import column_lineage
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>").select(
+        "id", F.explode("xs").alias("x")
+    )
+    lin = column_lineage(df)["columns"]
+    assert lin["x"] == ["in1.xs"]
+    assert lin["id"] == ["in1.id"]
