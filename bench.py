@@ -242,6 +242,7 @@ HEADLINE = [
     "disorder_audit",
     "encoding_profile",
     "cuped_readout",
+    "hypertable_rollup",
 ]
 
 

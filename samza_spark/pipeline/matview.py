@@ -72,3 +72,37 @@ def merge_agg_states(
         else:
             raise ValueError(f"unknown agg kind {kind!r}")
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def realtime_rollup(
+    raw: DataFrame,
+    matview: DataFrame,
+    keys: Sequence[str],
+    specs: Mapping[str, tuple],
+    bucket_col: str,
+    frontier,
+) -> DataFrame:
+    """Continuous-aggregate read path (the TimescaleDB real-time
+    hypertable rollup shape): buckets strictly before the
+    materialization ``frontier`` come from the persisted ``matview``
+    partial states; buckets at/after it are aggregated from ``raw`` on
+    the fly; one state-merge stitches them into the exact up-to-date
+    answer. Query cost = materialized lookups + a scan of only the raw
+    TAIL (with ``bucket_col`` as the partition column, partition pruning
+    makes that literal).
+
+    Correctness contract: ``matview`` holds only COMPLETE buckets below
+    ``frontier`` (the invalidation-threshold semantics) — both sides are
+    filtered on the BUCKET value, so a frontier inside a bucket never
+    double-counts: that bucket is recomputed wholly from raw.
+
+    The merge invariant (merge(state(head), state(tail)) ==
+    state(whole)) is the module's oracle-checked property; the
+    hypertable_rollup query checks this composition end-to-end against
+    a from-scratch aggregate.
+    """
+    head = matview.filter(F.col(bucket_col) < F.lit(frontier))
+    tail = agg_state(
+        raw.filter(F.col(bucket_col) >= F.lit(frontier)), keys, specs
+    )
+    return merge_agg_states(head, tail, keys, specs)

@@ -10312,6 +10312,46 @@ ORACLES["cuped_readout"] = (
 )
 
 
+def q_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-time continuous aggregate (pipeline.matview.realtime_rollup
+    — the TimescaleDB hypertable-rollup shape): hourly per-event-type
+    partial states materialized up to a frontier, the raw TAIL
+    aggregated on the fly, one state-merge stitching them. The oracle
+    is the from-scratch hourly aggregate, proving
+    merge(state(head), state(tail)) == state(whole) through the full
+    composition. Scale: the materialized side never rescans; the tail
+    scan prunes to post-frontier buckets."""
+    from samza_spark.pipeline.matview import agg_state, realtime_rollup
+
+    ev = load_table(spark, sf, "events")
+    raw = ev.select(
+        F.expr(
+            "unix_micros(ts) - unix_micros(ts) % (3600 * cast(1000000 as bigint))"
+        ).alias("ws_us"),
+        "event_type",
+        F.expr("cast(floor(value * 1000000) as long)").alias("vmicro"),
+    )
+    keys = ["ws_us", "event_type"]
+    specs = {
+        "n": ("count", "vmicro"),
+        "v_sum": ("sum", "vmicro"),
+        "v_max": ("max", "vmicro"),
+    }
+    frontier_us = 1705708800000000  # 2024-01-20T00:00:00Z, bucket-aligned
+    mat = agg_state(raw.filter(F.col("ws_us") < frontier_us), keys, specs)
+    return realtime_rollup(raw, mat, keys, specs, "ws_us", frontier_us)
+
+
+QUERIES["hypertable_rollup"] = q_hypertable_rollup
+
+ORACLES["hypertable_rollup"] = (
+    "WITH raw AS (SELECT epoch_us(ts) - epoch_us(ts) % (3600 * CAST(1000000 AS BIGINT)) AS ws_us, "
+    "event_type, CAST(floor(value * 1000000) AS BIGINT) AS vmicro FROM events) "
+    "SELECT ws_us, event_type, count(*) AS n, CAST(sum(vmicro) AS BIGINT) AS v_sum, "
+    "max(vmicro) AS v_max FROM raw GROUP BY ws_us, event_type"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

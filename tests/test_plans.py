@@ -729,3 +729,11 @@ def test_record_linkage_join_is_blocked_equi_join(spark, sf_dir):
     plan = _plan(spark, "record_linkage", sf_dir)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hypertable_rollup_two_aggregates_one_merge(spark, sf_dir):
+    # head states + tail aggregation + the stitch merge: three grouped
+    # aggregates total, no cartesian, nothing row-wise in Python
+    plan = _plan(spark, "hypertable_rollup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -248,3 +248,22 @@ def test_streaming_count_min_equals_batch(spark, tmp_path):
     )
     batch = {(r["depth"], r["bucket"]): r["c"] for r in whole.collect()}
     assert streamed == batch  # linearity across batch boundaries, exact
+
+
+def test_realtime_rollup_frontier_inside_bucket_never_double_counts(spark):
+    from samza_spark.pipeline.matview import agg_state, realtime_rollup
+
+    rows = [(b, "k", v) for b, v in [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)]]
+    raw = spark.createDataFrame(rows, "bucket long, k string, v long")
+    keys = ["bucket", "k"]
+    specs = {"n": ("count", "v"), "s": ("sum", "v")}
+    # materialize ONLY complete buckets below the frontier (bucket < 1);
+    # the frontier bucket itself must come wholly from raw
+    mat = agg_state(raw.filter("bucket < 1"), keys, specs)
+    out = realtime_rollup(raw, mat, keys, specs, "bucket", 1)
+    got = {(r["bucket"], r["k"]): (r["n"], r["s"]) for r in out.collect()}
+    assert got == {(0, "k"): (2, 3), (1, "k"): (2, 7), (2, "k"): (1, 5)}
+    # from-scratch equivalence
+    whole = agg_state(raw, keys, specs)
+    ref = {(r["bucket"], r["k"]): (r["n"], r["s"]) for r in whole.collect()}
+    assert got == ref
