@@ -1,0 +1,153 @@
+"""Physical-plan scale advisor: the hazards this repo's own
+test_plans.py pins for every headline operator, packaged as a
+user-facing audit for *their* DataFrames.
+
+At 100 TB the difference between a plan that works and one that melts
+is usually one of a small set of shapes — a cartesian product, a
+single-partition exchange under a global window, row-at-a-time Python
+in the hot path, a scan that ignores its pushable filters. Samza's
+answer was code review of the operator DAG; Spark's analyzed/physical
+plan makes the review mechanical.
+
+Usage::
+
+    from samza_spark.advisor import plan_audit
+    findings = plan_audit(df)          # [] means no known hazard
+    for f in findings:
+        print(f["severity"], f["code"], f["detail"])
+
+Detection is string-level over ``explain("formatted")`` (the same
+surface the plan regression tests use — each node renders twice there,
+tree + details, which the counts below account for).
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["plan_audit", "explain_formatted"]
+
+
+def explain_formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _finding(code: str, severity: str, detail: str) -> dict:
+    return {"code": code, "severity": severity, "detail": detail}
+
+
+def plan_audit(df, expected_filter_pushdown: bool | None = None) -> "list[dict]":
+    """Audit one DataFrame's physical plan for known scale hazards.
+
+    Returns a list of findings ``{code, severity, detail}`` —
+    empty when none of the known shapes appear. Severities: ``error``
+    (will not survive a 100× scale-up), ``warn`` (costs real money but
+    may be intentional — e.g. a deliberate one-row broadcast join).
+
+    ``expected_filter_pushdown=True`` adds a check that the scan
+    actually received pushed filters (only meaningful when the query
+    filters on scannable columns of a v1 file source).
+    """
+    plan = explain_formatted(df)
+    findings: list[dict] = []
+
+    if "CartesianProduct" in plan:
+        findings.append(
+            _finding(
+                "cartesian-product",
+                "error",
+                "CartesianProduct joins every row with every row; at scale "
+                "this is O(n*m) shuffle and compute. Add an equi-join key "
+                "(blocking/banding) or broadcast a provably tiny side.",
+            )
+        )
+    if "BatchEvalPython" in plan:
+        findings.append(
+            _finding(
+                "rowwise-python",
+                "error",
+                "BatchEvalPython is a row-at-a-time Python UDF in the hot "
+                "path (~10-100x slower than JVM expressions). Rewrite with "
+                "built-in functions, or at minimum an Arrow-batched "
+                "pandas_udf / mapInPandas.",
+            )
+        )
+    # formatted mode renders an exchange's partitioning only in its
+    # details block ("Arguments: SinglePartition, ..."), once per node
+    n_single = plan.count("SinglePartition")
+    if n_single:
+        findings.append(
+            _finding(
+                "single-partition-exchange",
+                "warn" if n_single == 1 else "error",
+                f"{n_single} Exchange SinglePartition node(s): all data "
+                "funnels through one task. Fine for a final k-row collect; "
+                "fatal under a global Window.orderBy or global sort — use a "
+                "range exchange (operators.rank.global_rank) instead.",
+            )
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        if "Join type: Cross" in plan or "Join condition: None" in plan:
+            findings.append(
+                _finding(
+                    "cartesian-product",
+                    "error",
+                    "Conditionless cross join (BroadcastNestedLoopJoin "
+                    "Cross): every row pairs with every broadcast row — "
+                    "O(n*m) compute even without a shuffle. Fine only for "
+                    "one-row scalar attachment; otherwise add an equi-key.",
+                )
+            )
+        else:
+            findings.append(
+                _finding(
+                    "nested-loop-join",
+                    "warn",
+                    "BroadcastNestedLoopJoin evaluates its condition per "
+                    "row pair. Acceptable only when the broadcast side is "
+                    "O(1) rows (scalar attachment); otherwise add an "
+                    "equi-key.",
+                )
+            )
+    n_exchange = plan.count("Exchange") // 2
+    if n_exchange >= 8:
+        findings.append(
+            _finding(
+                "many-exchanges",
+                "warn",
+                f"{n_exchange} shuffles in one query. Check for repeated "
+                "re-partitioning of the same data — persist a shared "
+                "subtree, pre-bucket the tables, or reuse one partitioning "
+                "across stages.",
+            )
+        )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if m and m.group(1).count(",") + 1 >= 12:
+        findings.append(
+            _finding(
+                "wide-scan",
+                "warn",
+                f"scan reads {m.group(1).count(',') + 1} columns — if the "
+                "query uses only a few, add an explicit select() so column "
+                "pruning reaches the reader.",
+            )
+        )
+    if expected_filter_pushdown:
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        if pushed and all(not p.strip() for p in pushed):
+            findings.append(
+                _finding(
+                    "no-filter-pushdown",
+                    "warn",
+                    "PushedFilters is empty on every scan: the filter is "
+                    "evaluated after a full read. Filter on raw columns "
+                    "(not expressions over them) or pre-partition by the "
+                    "filter column.",
+                )
+            )
+    return findings
