@@ -243,6 +243,7 @@ HEADLINE = [
     "encoding_profile",
     "cuped_readout",
     "hypertable_rollup",
+    "join_size_estimate",
 ]
 
 

@@ -144,3 +144,27 @@ def streaming_count_min(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def count_min_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min cell tables
+    (Cormode & Muthukrishnan §4.3): per depth, the dot product of the
+    two sketch rows; the estimate is the MIN over depths. One-sided like
+    the point estimate — never underestimates the true join size
+    Σ_k a(k)·b(k) — so it is a safe input to join planning (broadcast
+    vs shuffle vs salt: see advisor/skew_report).
+
+    Cost: the sketches are d·w rows each — this is a constant-size job,
+    independent of either table. Returns one row
+    ``(join_size_estimate BIGINT)``.
+    """
+    joined = (
+        sk_a.select("depth", "bucket", F.col("c").alias("ca"))
+        .join(
+            sk_b.select("depth", "bucket", F.col("c").alias("cb")),
+            ["depth", "bucket"],
+        )
+        .groupBy("depth")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return joined.agg(F.min("dot").alias("join_size_estimate"))

@@ -10352,6 +10352,69 @@ ORACLES["hypertable_rollup"] = (
 )
 
 
+def q_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches
+    (pipeline.sketches.count_min_inner_product): sketch orders.o_custkey
+    and customer.c_custkey, estimate |orders ⋈ customer| as the
+    min-over-depths dot product of the cell tables — a constant-size job
+    once the two key-count passes are paid, and the one-sided bound
+    (never underestimates) that makes it a safe broadcast/salt planning
+    input. Emits estimate, true size, the bound invariant, and the
+    overcount in ppm — all oracle-exact."""
+    from samza_spark.pipeline import sketches
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    sk_o = sketches.count_min_table(orders, "o_custkey", depth=4, width=256, salt="js0")
+    sk_c = sketches.count_min_table(cust, "c_custkey", depth=4, width=256, salt="js0")
+    est = sketches.count_min_inner_product(sk_o, sk_c)
+    true_sz = (
+        orders.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("na"))
+        .join(
+            cust.groupBy(F.col("c_custkey").alias("k")).agg(
+                F.count(F.lit(1)).alias("nb")
+            ),
+            "k",
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("true_join_size"))
+    )
+    return est.crossJoin(true_sz).select(
+        "join_size_estimate",
+        "true_join_size",
+        (F.col("join_size_estimate") >= F.col("true_join_size")).alias(
+            "never_underestimates"
+        ),
+        F.expr(
+            "((join_size_estimate - true_join_size) * 1000000) div true_join_size"
+        ).alias("overcount_ppm"),
+    )
+
+
+QUERIES["join_size_estimate"] = q_join_size_estimate
+
+ORACLES["join_size_estimate"] = (
+    "WITH ca AS (SELECT o_custkey AS k, count(*) AS c_key FROM orders GROUP BY 1), "
+    "cb AS (SELECT c_custkey AS k, count(*) AS c_key FROM customer GROUP BY 1), "
+    "d AS (SELECT unnest(generate_series(0, 3)) AS depth), "
+    "cells_a AS (SELECT depth, ('0x' || substr(md5('js0|' || CAST(depth AS VARCHAR) "
+    "|| '|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket, "
+    "CAST(sum(c_key) AS BIGINT) AS ca FROM ca, d GROUP BY 1, 2), "
+    "cells_b AS (SELECT depth, ('0x' || substr(md5('js0|' || CAST(depth AS VARCHAR) "
+    "|| '|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 256 AS bucket, "
+    "CAST(sum(c_key) AS BIGINT) AS cb FROM cb, d GROUP BY 1, 2), "
+    "dots AS (SELECT a.depth, CAST(sum(a.ca * b.cb) AS BIGINT) AS dot FROM cells_a a "
+    "JOIN cells_b b ON a.depth = b.depth AND a.bucket = b.bucket GROUP BY a.depth), "
+    "est AS (SELECT min(dot) AS join_size_estimate FROM dots), "
+    "tru AS (SELECT CAST(sum(ca.c_key * cb.c_key) AS BIGINT) AS true_join_size "
+    "FROM ca JOIN cb ON ca.k = cb.k) "
+    "SELECT est.join_size_estimate, tru.true_join_size, "
+    "est.join_size_estimate >= tru.true_join_size AS never_underestimates, "
+    "((est.join_size_estimate - tru.true_join_size) * 1000000) // tru.true_join_size "
+    "AS overcount_ppm FROM est, tru"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

@@ -267,3 +267,17 @@ def test_realtime_rollup_frontier_inside_bucket_never_double_counts(spark):
     whole = agg_state(raw, keys, specs)
     ref = {(r["bucket"], r["k"]): (r["n"], r["s"]) for r in whole.collect()}
     assert got == ref
+
+
+def test_count_min_inner_product_bounds_join_size(spark):
+    a = spark.createDataFrame([(f"k{i % 10}",) for i in range(200)], "k string")
+    b = spark.createDataFrame([(f"k{i % 4}",) for i in range(80)], "k string")
+    sk_a = sketches.count_min_table(a, "k", depth=4, width=64, salt="jt")
+    sk_b = sketches.count_min_table(b, "k", depth=4, width=64, salt="jt")
+    est = sketches.count_min_inner_product(sk_a, sk_b).collect()[0][
+        "join_size_estimate"
+    ]
+    true_size = a.join(b, "k").count()
+    assert est >= true_size
+    # w=64 on ~10 keys: collisions rare, estimate should be tight
+    assert est <= true_size * 2
