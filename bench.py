@@ -244,6 +244,7 @@ HEADLINE = [
     "cuped_readout",
     "hypertable_rollup",
     "join_size_estimate",
+    "kmv_distinct",
 ]
 
 

@@ -168,3 +168,66 @@ def count_min_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
     )
     return joined.agg(F.min("dot").alias("join_size_estimate"))
+
+
+def kmv_hash(key_expr: str, salt: str = "kmv0") -> Column:
+    """Deterministic 48-bit uniform hash for KMV: first 12 md5 hex chars
+    (DuckDB: ``('0x' || substr(md5(...), 1, 12))::BIGINT``)."""
+    return F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', '|', cast({key_expr} as string))), "
+        f"1, 12), 16, 10) as bigint)"
+    )
+
+
+def kmv_table(
+    df: DataFrame,
+    key_col: str,
+    group_cols=(),
+    k: int = 64,
+    salt: str = "kmv0",
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) as a
+    relational table: per group, the k smallest distinct 48-bit key
+    hashes. Deterministic md5 hashing makes the whole sketch — and its
+    estimate — **bit-exact cross-engine**, which Spark's HLL binary
+    sketches are not; and min-k is exactly mergeable:
+    ``min-k(A ∪ B) == min-k(min-k(A) ∪ min-k(B))`` (tested).
+
+    One distinct-key aggregate (the same shuffle a COUNT DISTINCT pays)
+    then a rank window over groups bounded at k rows each.
+    """
+    gcols = list(group_cols)
+    hashed = df.select(
+        *gcols, kmv_hash(key_col, salt).alias("h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*gcols).orderBy("h")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("h")
+    )
+    return (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(*gcols, "r", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols=(), k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: with fewer than k
+    hashes the count is EXACT (the sketch saw every distinct value);
+    otherwise ``(k-1) * 2^48 div h_k`` — integer arithmetic plus one
+    integer division, bit-exact cross-engine."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("h_k"),
+    )
+    return agg.select(
+        *gcols,
+        F.expr(
+            f"case when n_hashes < {k} then n_hashes "
+            f"else (({k} - 1) * cast(281474976710656 as bigint)) div h_k end"
+        ).alias("distinct_estimate"),
+    )

@@ -10415,6 +10415,55 @@ ORACLES["join_size_estimate"] = (
 )
 
 
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch (pipeline.sketches.kmv_table/estimate):
+    per event_type, the k=32 smallest distinct md5 key hashes -> an
+    estimate that is EXACT below k and (k-1)*2^48 div h_k above it —
+    all-integer, so unlike HLL the sketch AND the estimate are
+    bit-exact in the oracle. Emits exact distinct, the estimate, and
+    the 25% error-bound invariant (k=32 -> 1/sqrt(k) ~ 18% expected).
+    One distinct aggregate + a k-bounded rank window per group."""
+    from samza_spark.pipeline import sketches
+
+    ev = load_table(spark, sf, "events")
+    sk = sketches.kmv_table(ev, "user_id", group_cols=["event_type"], k=32)
+    est = sketches.kmv_estimate(sk, group_cols=["event_type"], k=32)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "distinct_estimate",
+        (
+            F.abs(F.col("distinct_estimate") - F.col("n_exact")) * 4
+            <= F.col("n_exact")
+        ).alias("within_25pct"),
+    )
+
+
+QUERIES["kmv_distinct"] = q_kmv_distinct
+
+ORACLES["kmv_distinct"] = (
+    "WITH hashed AS (SELECT DISTINCT event_type, "
+    "('0x' || substr(md5('kmv0|' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h "
+    "FROM events), "
+    "ranked AS (SELECT event_type, h, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY h) AS r FROM hashed), "
+    "sk AS (SELECT event_type, count(*) AS n_hashes, "
+    "max(CASE WHEN r = 32 THEN h END) AS h_k FROM ranked WHERE r <= 32 "
+    "GROUP BY event_type), "
+    "est AS (SELECT event_type, CASE WHEN n_hashes < 32 THEN n_hashes "
+    "ELSE ((32 - 1) * CAST(281474976710656 AS BIGINT)) // h_k END AS distinct_estimate "
+    "FROM sk), "
+    "ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events "
+    "GROUP BY event_type) "
+    "SELECT ex.event_type, ex.n_exact, est.distinct_estimate, "
+    "abs(est.distinct_estimate - ex.n_exact) * 4 <= ex.n_exact AS within_25pct "
+    "FROM ex JOIN est ON est.event_type = ex.event_type"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

@@ -281,3 +281,38 @@ def test_count_min_inner_product_bounds_join_size(spark):
     assert est >= true_size
     # w=64 on ~10 keys: collisions rare, estimate should be tight
     assert est <= true_size * 2
+
+
+def test_kmv_exact_below_k_and_mergeable(spark):
+    df = spark.createDataFrame(
+        [(f"u{i % 40}", i) for i in range(500)], "u string, i long"
+    )
+    # 40 distinct < k=64 -> exact
+    est = sketches.kmv_estimate(
+        sketches.kmv_table(df, "u", k=64), k=64
+    ).collect()[0]["distinct_estimate"]
+    assert est == 40
+    # mergeability: min-k of halves' sketches == min-k of the whole
+    k = 16
+    whole = sketches.kmv_table(df, "u", k=k)
+    h1 = sketches.kmv_table(df.filter("i % 2 = 0"), "u", k=k)
+    h2 = sketches.kmv_table(df.filter("i % 2 = 1"), "u", k=k)
+    from pyspark.sql import Window, functions as FF
+
+    merged = (
+        h1.select("h")
+        .unionByName(h2.select("h"))
+        .distinct()
+        .withColumn("r", FF.row_number().over(Window.partitionBy(FF.lit(1)).orderBy("h")))
+        .filter(FF.col("r") <= k)
+    )
+    assert {r["h"] for r in merged.collect()} == {r["h"] for r in whole.collect()}
+
+
+def test_kmv_estimate_above_k_is_reasonable(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(2000)], "u string")
+    est = sketches.kmv_estimate(
+        sketches.kmv_table(df, "u", k=64), k=64
+    ).collect()[0]["distinct_estimate"]
+    # 1/sqrt(64) = 12.5% expected error; allow 3 sigma
+    assert abs(est - 2000) <= 0.4 * 2000
