@@ -12,6 +12,10 @@ samza-sql/.../runner/SamzaSqlApplication.java:52) as idiomatic Spark:
 * connectors             -> :mod:`samza_spark.sources`
 * stateful extensions    -> :mod:`samza_spark.streaming`
 * LLM-data-pipeline ops  -> :mod:`samza_spark.pipeline`
+* job runner / planning  -> :mod:`samza_spark.run_app`,
+  :mod:`samza_spark.execution` (plan.json + column lineage),
+  :mod:`samza_spark.jobmodel`, :mod:`samza_spark.status`,
+  :mod:`samza_spark.advisor` (plan scale audit)
 """
 
 from samza_spark.session import get_session, SessionConfig

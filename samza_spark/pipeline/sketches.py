@@ -202,16 +202,21 @@ def kmv_table(
     ).distinct()
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*gcols).orderBy("h")
-        if gcols
-        else Window.partitionBy(F.lit(1)).orderBy("h")
-    )
-    return (
-        hashed.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= k)
-        .select(*gcols, "r", "h")
-    )
+    if gcols:
+        w = Window.partitionBy(*gcols).orderBy("h")
+        return (
+            hashed.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select(*gcols, "r", "h")
+        )
+    # global sketch: sort+limit plans as TakeOrderedAndProject —
+    # per-partition top-k merged at the driver, never a single-partition
+    # window over every distinct hash; the rank window then runs over
+    # only k rows
+    topk = hashed.orderBy("h").limit(k)
+    return topk.withColumn(
+        "r", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
+    ).select("r", "h")
 
 
 def kmv_estimate(sketch: DataFrame, group_cols=(), k: int = 64) -> DataFrame:
