@@ -737,6 +737,65 @@ def main() -> None:
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
 
+    # KV-store micro-bench — BASELINE.md #3/#5 analog
+    # (TestKeyValuePerformance.scala:164-227: 1M messages of ~256 B
+    # through the store write path; batch put+delete cycles). The
+    # engine's store is the DurableLocalTable parquet changelog; writes
+    # here are full durable upserts (changelog append + state update),
+    # the same path .properties stores and sendTo(table) use.
+    import tempfile as _tf
+
+    from samza_spark.tables.local import DurableLocalTable
+
+    kv_root = _tf.mkdtemp(prefix="bench_kv_")
+    try:
+        n_kv = int(os.environ.get("SPARK_GRAFT_BENCH_KV_MSGS", "1000000"))
+        payload = spark.range(n_kv).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v" * 248), F.col("id").cast("string")).alias("v"),
+        )
+        payload = payload.localCheckpoint()  # time the store, not the generator
+        t0 = time.perf_counter()
+        table = DurableLocalTable.open(
+            spark, f"{kv_root}/store1", key_cols=["k"],
+            schema="k long, v string",
+        )
+        table.merge_batch(payload, mode="upsert")
+        secs = round(time.perf_counter() - t0, 3)
+        per_query["kv_store_write_1m"] = secs
+        streaming["kv_store_write_msgs_per_sec"] = round(n_kv / secs)
+        print(
+            f"# kv_store_write_1m: {secs:.3f}s ({n_kv} x ~256B durable upserts)",
+            file=sys.stderr,
+        )
+
+        # put+delete cycles (#5 'all-with-deletes'): alternating batch
+        # upsert and delete of the same keys against the durable store
+        cycles = int(os.environ.get("SPARK_GRAFT_BENCH_KV_CYCLES", "20"))
+        cyc_rows = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("x" * 256).alias("v")
+        )
+        cyc_rows = cyc_rows.localCheckpoint()
+        table2 = DurableLocalTable.open(
+            spark, f"{kv_root}/store2", key_cols=["k"],
+            schema="k long, v string",
+        )
+        t0 = time.perf_counter()
+        for _ in range(cycles):
+            table2.merge_batch(cyc_rows, mode="upsert")
+            table2.merge_batch(cyc_rows.select("k"), mode="delete")
+        secs = round(time.perf_counter() - t0, 3)
+        per_query["kv_store_put_delete_cycles"] = secs
+        streaming["kv_store_put_delete_ops_per_sec"] = round(
+            cycles * 2000 / secs
+        )
+        print(
+            f"# kv_store_put_delete_cycles: {secs:.3f}s ({cycles} cycles x 1000 put+delete)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(kv_root, ignore_errors=True)
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

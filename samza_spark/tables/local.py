@@ -286,13 +286,17 @@ class DurableLocalTable(LocalTable):
         self._seq += 1
 
     def merge_batch(self, updates: DataFrame, mode: str = "upsert") -> "DurableLocalTable":
-        keys = updates.select(*self.key_cols).distinct()
-        super().merge_batch(updates, mode)
         if mode == "delete":
+            keys = updates.select(*self.key_cols).distinct()
+            super().merge_batch(updates, mode)
             self._append_changelog(keys, "delete")
         else:
-            post = self._df.join(keys, on=self.key_cols, how="left_semi")
-            self._append_changelog(post, "upsert")
+            super().merge_batch(updates, mode)
+            # the updates ARE the post-image for their keys (merge_batch
+            # requires per-key-unique update rows), so append them
+            # directly — the previous distinct + semi-join read-back cost
+            # two extra full shuffles per batch on the durable write path
+            self._append_changelog(updates, "upsert")
         return self
 
     def update_batch(

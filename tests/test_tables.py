@@ -69,12 +69,16 @@ def test_durable_table_compaction_truncates_changelog(spark, tmp_path):
     # compaction ran at least twice: base exists, changelog truncated since
     assert DurableLocalTable._has_parquet(os.path.join(path, "base"))
     clog = os.path.join(path, "changelog")
-    n_clog = (
-        len([f for f in os.listdir(clog) if f.endswith(".parquet")])
-        if os.path.isdir(clog)
-        else 0
-    )
-    assert n_clog <= 3  # only post-compaction mutations remain
+    # only post-compaction MUTATIONS remain (the truncation invariant;
+    # files-per-mutation is an append-width detail, not the contract)
+    seqs = {
+        r[DurableLocalTable.SEQ_COL]
+        for r in spark.read.parquet(clog)
+        .select(DurableLocalTable.SEQ_COL)
+        .distinct()
+        .collect()
+    }
+    assert len(seqs) <= 2 and min(seqs) >= 5
     r = DurableLocalTable.open(spark.newSession(), path, ["k"])
     assert {row.k for row in r.df.collect()} == set(range(7))
 
