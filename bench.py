@@ -262,9 +262,15 @@ def main() -> None:
     idle_load = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.5"))
     idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
     waited = 0.0
-    while os.getloadavg()[0] > idle_load and waited < idle_wait:
+    # gate on the 5-minute average too: a burst that just finished leaves
+    # load1 low but the machine still cache/IO-disturbed (this session
+    # measured a uniform ~1.6x inflation benching right after a heavy run)
+    while (
+        os.getloadavg()[0] > idle_load or os.getloadavg()[1] > 2 * idle_load
+    ) and waited < idle_wait:
         print(
-            f"# load_avg {os.getloadavg()[0]:.2f} > {idle_load}; waiting for idle"
+            f"# load_avg {os.getloadavg()[0]:.2f}/{os.getloadavg()[1]:.2f}"
+            f" > {idle_load}/{2 * idle_load}; waiting for idle"
             f" ({waited:.0f}/{idle_wait:.0f}s)",
             file=sys.stderr,
         )
@@ -771,7 +777,7 @@ def main() -> None:
 
         # put+delete cycles (#5 'all-with-deletes'): alternating batch
         # upsert and delete of the same keys against the durable store
-        cycles = int(os.environ.get("SPARK_GRAFT_BENCH_KV_CYCLES", "20"))
+        cycles = int(os.environ.get("SPARK_GRAFT_BENCH_KV_CYCLES", "5"))
         cyc_rows = spark.range(1000).select(
             F.col("id").alias("k"), F.lit("x" * 256).alias("v")
         )
