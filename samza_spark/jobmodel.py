@@ -229,3 +229,49 @@ def diff_job_models(old: dict, new: dict) -> dict:
         "added": sorted(set(p_new) - set(p_old)),
         "removed": sorted(set(p_old) - set(p_new)),
     }
+
+
+def rebalance(model: dict, n_containers: int) -> dict:
+    """Sticky minimal-movement rebalance — the host-affinity behavior
+    (reference: LocalityManager + TaskAssignmentManager keep each task's
+    previous placement in the coordinator stream precisely so a
+    container-count change does NOT reshuffle every task; every moved
+    task pays a full changelog state restore).
+
+    Rules, deterministic and movement-minimal to the ±1 balance target:
+
+    * tasks on surviving containers stay put unless their container is
+      above the balance ceiling;
+    * tasks from removed containers, plus overflow tasks (name-sorted,
+      taken from the most-loaded containers), fill the least-loaded
+      containers (ties by container id).
+
+    Returns a new JobModel; per-task changelog partitions are preserved
+    verbatim (they key the durable state — a rebalance must never
+    remap them).
+    """
+    placements: dict[str, str] = {}
+    task_specs: dict[str, dict] = {}
+    for cid, cont in model["containers"].items():
+        for tname, t in cont["tasks"].items():
+            placements[tname] = cid
+            task_specs[tname] = t
+    n_tasks = len(task_specs)
+    ceiling = -(-n_tasks // n_containers) if n_containers else 0
+    new_ids = [str(c) for c in range(n_containers)]
+    load = {cid: 0 for cid in new_ids}
+    keep: dict[str, str] = {}
+    for tname in sorted(placements):
+        cid = placements[tname]
+        if cid in load and load[cid] < ceiling:
+            keep[tname] = cid
+            load[cid] += 1
+    homeless = sorted(t for t in task_specs if t not in keep)
+    for tname in homeless:
+        target = min(new_ids, key=lambda c: (load[c], int(c)))
+        keep[tname] = target
+        load[target] += 1
+    containers = {cid: {"id": cid, "tasks": {}} for cid in new_ids}
+    for tname, cid in keep.items():
+        containers[cid]["tasks"][tname] = task_specs[tname]
+    return {"job-name": model.get("job-name"), "containers": containers}

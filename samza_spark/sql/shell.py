@@ -108,6 +108,8 @@ class ShellSession:
             return self._stop(int(line.split()[1]), remove=True)
         if upper.startswith("SET"):
             return self._set(line[3:].strip())
+        if upper.startswith("EXPLAIN "):
+            return self._explain(line.split(None, 1)[1])
         if upper.startswith("SELECT") or upper.startswith("INSERT"):
             return self._sql(line)
         if upper.startswith("MERGE"):
@@ -201,6 +203,26 @@ class ShellSession:
         self._executions[exec_id] = _Execution(exec_id, sql, result)
         return ShellResult("execution", execution_id=exec_id)
 
+    def _explain(self, sql: str) -> ShellResult:
+        """EXPLAIN <select>: the physical plan plus the scale advisor's
+        findings (samza_spark.advisor.plan_audit) — the shell-level
+        answer to "will this query survive the full corpus"."""
+        from samza_spark.advisor import explain_formatted, plan_audit
+
+        stmt = parse_statement(sql)
+        df = self.app._plan(stmt)
+        findings = plan_audit(df)
+        lines = [explain_formatted(df).rstrip(), ""]
+        if findings:
+            lines.append("scale advisor:")
+            lines += [
+                f"  [{f['severity']}] {f['code']}: {f['detail']}"
+                for f in findings
+            ]
+        else:
+            lines.append("scale advisor: no known hazard shapes")
+        return ShellResult("text", text="\n".join(lines))
+
     def view_rows(self, exec_id: int) -> list:
         """Poll a live view started by a streaming SELECT."""
         return self.spark.sql(f"SELECT * FROM shell_view_{exec_id}").collect()
@@ -208,8 +230,8 @@ class ShellSession:
     # -- tab completion ----------------------------------------------------
 
     COMMANDS = (
-        "SELECT", "INSERT", "MERGE", "SHOW", "DESCRIBE", "LS", "STOP", "RM",
-        "SET", "EXIT",
+        "SELECT", "INSERT", "MERGE", "EXPLAIN", "SHOW", "DESCRIBE", "LS",
+        "STOP", "RM", "SET", "EXIT",
     )
     SQL_KEYWORDS = (
         "FROM", "WHERE", "GROUP BY", "ORDER BY", "HAVING", "JOIN", "ON",

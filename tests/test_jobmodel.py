@@ -141,3 +141,73 @@ def test_model_persistence_and_rebalance_diff(tmp_path):
     }
     assert all(new_place[t] == "4" for t in d["moved"])
     assert d["moved_ppm"] == (1_000_000 * d["n_moved"]) // 64
+
+
+def _model(assign):
+    # assign: {container: [task names]}
+    return {
+        "job-name": "j",
+        "containers": {
+            cid: {
+                "id": cid,
+                "tasks": {
+                    t: {
+                        "task-name": t,
+                        "system-stream-partitions": [],
+                        "changelog-partition": i,
+                        "task-mode": "Active",
+                    }
+                    for i, t in enumerate(tasks)
+                },
+            }
+            for cid, tasks in assign.items()
+        },
+    }
+
+
+def test_rebalance_scale_down_moves_only_removed_containers_tasks():
+    from samza_spark.jobmodel import diff_job_models, rebalance
+
+    old = _model({"0": ["t0", "t1"], "1": ["t2", "t3"], "2": ["t4", "t5"]})
+    new = rebalance(old, 2)
+    d = diff_job_models(old, new)
+    # only the two tasks from container 2 moved
+    assert set(d["moved"]) == {"t4", "t5"}
+    # balanced within the ceiling
+    sizes = sorted(len(c["tasks"]) for c in new["containers"].values())
+    assert sizes == [3, 3]
+
+
+def test_rebalance_scale_up_moves_minimum():
+    from samza_spark.jobmodel import diff_job_models, rebalance
+
+    old = _model({"0": ["t0", "t1", "t2"], "1": ["t3", "t4", "t5"]})
+    new = rebalance(old, 3)
+    d = diff_job_models(old, new)
+    # 6 tasks over 3 containers -> ceiling 2: exactly one task leaves
+    # each old container
+    assert d["n_moved"] == 2
+    sizes = sorted(len(c["tasks"]) for c in new["containers"].values())
+    assert sizes == [2, 2, 2]
+
+
+def test_rebalance_preserves_changelog_partitions():
+    from samza_spark.jobmodel import rebalance
+
+    old = _model({"0": ["a", "b"], "1": ["c"]})
+    clog = {
+        t: spec["changelog-partition"]
+        for c in old["containers"].values()
+        for t, spec in c["tasks"].items()
+    }
+    new = rebalance(old, 1)
+    for c in new["containers"].values():
+        for t, spec in c["tasks"].items():
+            assert spec["changelog-partition"] == clog[t]
+
+
+def test_rebalance_same_count_is_noop():
+    from samza_spark.jobmodel import diff_job_models, rebalance
+
+    old = _model({"0": ["t0", "t1"], "1": ["t2"]})
+    assert diff_job_models(old, rebalance(old, 2))["n_moved"] == 0

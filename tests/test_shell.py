@@ -149,3 +149,26 @@ def test_shell_merge_statement(spark):
     assert res.kind == "text" and "merged into 'shtgt' (3 rows)" in res.text
     got = {(r["id"], r["k"]) for r in spark.table("shtgt").collect()}
     assert got == {(1, "a"), (2, "b2"), (3, "c")}
+
+
+def test_explain_shows_plan_and_advisor(spark):
+    from samza_spark.sql.runner import SqlApplication
+    from samza_spark.sql.shell import ShellSession
+
+    app = SqlApplication(spark, compat_mode=False)
+    app.add_stream(
+        "exp_src",
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string"),
+    )
+    sh = ShellSession(spark, app)
+    r = sh.execute("EXPLAIN SELECT k, count(*) AS n FROM exp_src GROUP BY k")
+    assert "HashAggregate" in r.text or "Aggregate" in r.text
+    assert "scale advisor" in r.text
+    # a clean aggregate has no hazard findings
+    assert "no known hazard shapes" in r.text
+    # a cross join triggers the advisor through the same command
+    app.add_stream(
+        "exp_b", spark.createDataFrame([(1,)], "x long")
+    )
+    r2 = sh.execute("EXPLAIN SELECT * FROM exp_src CROSS JOIN exp_b")
+    assert "cartesian-product" in r2.text
