@@ -228,3 +228,50 @@ class JobConfig:
                 spark, f"{base_dir}/{name}", key_cols, schema=schema
             )
         return LocalTable(empty, key_cols)
+
+
+def _env_rewrite(props: dict, env: "Mapping[str, str]") -> dict:
+    """EnvironmentConfigRewriter.java:51-75: every ``SAMZA_FOO_BAR=baz``
+    environment variable becomes ``foo.bar=baz``, overriding the file
+    value (prefix stripped, downcased, underscores -> dots)."""
+    out = dict(props)
+    for k, v in env.items():
+        if k.startswith("SAMZA_") and len(k) > len("SAMZA_"):
+            out[k[len("SAMZA_"):].lower().replace("_", ".")] = v
+    return out
+
+
+def apply_rewriters(cfg: "JobConfig", env: "Mapping[str, str] | None" = None) -> "JobConfig":
+    """ConfigRewriter chain (JobConfig.java:44-50: ``job.config.rewriters``
+    is a CSV of names, each resolved through
+    ``job.config.rewriter.<name>.class``) — JobRunner applies the chain
+    before submitting; :func:`samza_spark.run_app.run_job` does the same.
+
+    Supported classes: the reference's EnvironmentConfigRewriter (by
+    class-name suffix), and the Python-native form ``module:callable``
+    where the callable receives ``(name, props_dict)`` and returns the
+    rewritten dict."""
+    import importlib
+    import os as _os
+
+    names = [
+        n.strip()
+        for n in cfg.props.get("job.config.rewriters", "").split(",")
+        if n.strip()
+    ]
+    if not names:
+        return cfg
+    props = dict(cfg.props)
+    for name in names:
+        klass = props.get(f"job.config.rewriter.{name}.class", "")
+        if klass.rsplit(".", 1)[-1] == "EnvironmentConfigRewriter":
+            props = _env_rewrite(props, env if env is not None else _os.environ)
+        elif ":" in klass:
+            mod, _, attr = klass.partition(":")
+            props = getattr(importlib.import_module(mod), attr)(name, props)
+        else:
+            raise ValueError(
+                f"unsupported config rewriter {name!r} -> {klass!r} "
+                "(EnvironmentConfigRewriter or 'module:callable')"
+            )
+    return JobConfig(props)

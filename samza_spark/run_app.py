@@ -117,6 +117,9 @@ def _metrics_reporters(cfg: JobConfig) -> list:
 def run_job(cfg: JobConfig, spark=None) -> dict:
     """Run one job config to completion. Returns a small result dict
     (job name, app kind, per-output row counts where knowable)."""
+    from samza_spark.config import apply_rewriters
+
+    cfg = apply_rewriters(cfg)  # JobRunner rewrites before submitting
     if spark is None:
         from samza_spark.session import get_session
 
@@ -283,9 +286,10 @@ def main(argv: "list[str] | None" = None) -> int:
     p.add_argument(
         "--operation",
         default="run",
-        choices=["run"],
-        help="only 'run' is supported (kill/status are resource-manager "
-        "operations the local runner has no server for)",
+        choices=["run", "status", "kill"],
+        help="run the job, read its registry status, or request a stop "
+        "(ApplicationRunnerMain operations; status/kill use the "
+        "job.status.dir registry — see samza_spark.status)",
     )
     args = p.parse_args(argv)
     cfg = JobConfig.from_file(args.config_path)
@@ -294,6 +298,24 @@ def main(argv: "list[str] | None" = None) -> int:
         if not _:
             p.error(f"--config expects K=V, got {kv!r}")
         cfg.props[k.strip()] = v.strip()
+    if args.operation in ("status", "kill"):
+        import json as _json
+
+        from samza_spark import status as jstatus
+
+        store = cfg.props.get("job.status.dir") or os.environ.get(
+            "SAMZA_SPARK_STATUS_DIR"
+        )
+        if not store:
+            p.error(f"--operation {args.operation} needs job.status.dir "
+                    "(or $SAMZA_SPARK_STATUS_DIR)")
+        job_id = cfg.props.get("job.id", "1")
+        if args.operation == "kill":
+            payload = jstatus.request_stop(store, cfg.job_name, job_id)
+        else:
+            payload = jstatus.get_job(store, cfg.job_name, job_id)
+        print(_json.dumps(payload, indent=2))
+        return 0
     result = run_job(cfg)
     import json
 

@@ -160,3 +160,51 @@ def test_debezium_envelope_to_merge(spark):
         snapshot, changes, id_col="id", order_cols=("seq",)
     )
     assert {(r["id"], r["v"]) for r in merged.collect()} == {(1, "a2"), (3, "c")}
+
+
+def test_environment_config_rewriter():
+    from samza_spark.config import JobConfig, apply_rewriters
+
+    cfg = JobConfig.from_text(
+        "job.name=rw\n"
+        "job.config.rewriters=env\n"
+        "job.config.rewriter.env.class=org.apache.samza.config.EnvironmentConfigRewriter\n"
+        "task.window.ms=100\n"
+    )
+    out = apply_rewriters(
+        cfg, env={"SAMZA_TASK_WINDOW_MS": "250", "SAMZA_NEW_KEY": "v", "OTHER": "x"}
+    )
+    assert out.props["task.window.ms"] == "250"  # env overrides file
+    assert out.props["new.key"] == "v"
+    assert "other" not in out.props
+    assert out.job_name == "rw"
+
+
+def _my_rewriter(name, props):
+    props = dict(props)
+    props["rewritten.by"] = name
+    return props
+
+
+def test_python_callable_rewriter_chain():
+    from samza_spark.config import JobConfig, apply_rewriters
+
+    cfg = JobConfig.from_text(
+        "job.name=rw2\n"
+        "job.config.rewriters=py\n"
+        "job.config.rewriter.py.class=tests.test_config:_my_rewriter\n"
+    )
+    assert apply_rewriters(cfg).props["rewritten.by"] == "py"
+
+
+def test_unknown_rewriter_raises():
+    import pytest
+
+    from samza_spark.config import JobConfig, apply_rewriters
+
+    cfg = JobConfig.from_text(
+        "job.name=rw3\njob.config.rewriters=x\n"
+        "job.config.rewriter.x.class=com.example.Unknown\n"
+    )
+    with pytest.raises(ValueError):
+        apply_rewriters(cfg)

@@ -101,3 +101,18 @@ def test_cli_outputs_payloads(tmp_path, capsys):
     assert status.main(["--store", store, "job", "c1"]) == 0
     one = json.loads(capsys.readouterr().out)
     assert one["status"] == "started"
+
+
+def test_cli_operation_status_and_kill(tmp_path, capsys):
+    from samza_spark.run_app import main as run_main
+
+    store = str(tmp_path / "reg")
+    props = tmp_path / "s.properties"
+    props.write_text(f"job.name=opjob\njob.status.dir={store}\n")
+    status.record_status(store, "opjob", "1", status.STARTED)
+    assert run_main(["--config-path", str(props), "--operation", "status"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "started"
+    assert run_main(["--config-path", str(props), "--operation", "kill"]) == 0
+    assert json.loads(capsys.readouterr().out)["status"] == "stopped"
+    assert status.stop_requested(store, "opjob", "1")
