@@ -156,3 +156,97 @@ def streaming_drift_monitor(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer, records
+
+
+def streaming_lateness_monitor(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    watermark_delay_us: int = 600_000_000,
+    state_path: "str | None" = None,
+    on_alert=None,
+    checkpoint: "str | None" = None,
+):
+    """Per-trigger event-time lateness monitor — the live companion of
+    the batch ``disorder_audit``: each micro-batch, every record's
+    lateness is measured against the per-key event-time high-water mark
+    PERSISTED ACROSS TRIGGERS, so a record arriving a batch (or a
+    restart) after its successors is still seen as late. A batch that
+    carries records later than ``watermark_delay_us`` — records a
+    watermark of that delay would silently drop — raises an alert; the
+    operator answer is to widen the watermark or fix the producer.
+
+    Per trigger: the stored HWM table (one row per key — bounded state,
+    the Samza KeyValueStore-per-task shape) broadcasts into ONE
+    key-grouped aggregate over the batch (map-side combinable); the
+    updated HWM is parquet/JSON-durable when ``state_path`` is set,
+    surviving restarts like any changelog-backed store.
+
+    Returns ``(writer, records)`` like the drift monitor.
+    """
+    import json as _json
+    import os
+
+    records: list = []
+    hwm: dict = {}
+    if state_path and os.path.isfile(os.path.join(state_path, "hwm.json")):
+        with open(os.path.join(state_path, "hwm.json")) as fh:
+            hwm.update({k: int(v) for k, v in _json.load(fh).items()})
+
+    FLOOR = -(1 << 62)
+
+    def process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_df.select(
+            F.col(key_col).alias("k"), F.unix_micros(F.col(ts_col)).alias("us")
+        )
+        if hwm:
+            hwm_df = spark.createDataFrame(
+                [(k, v) for k, v in hwm.items()], "k string, hwm long"
+            )
+        else:
+            hwm_df = spark.createDataFrame([], "k string, hwm long")
+        stats = (
+            keyed.join(F.broadcast(hwm_df), "k", "left")
+            .select(
+                "k",
+                "us",
+                (F.coalesce("hwm", F.lit(FLOOR)) - F.col("us")).alias("late_us"),
+            )
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("us").alias("max_us"),
+                F.max(F.greatest("late_us", F.lit(0))).alias("max_late_us"),
+                F.sum(
+                    (F.col("late_us") > watermark_delay_us).cast("long")
+                ).alias("n_beyond"),
+            )
+            .collect()
+        )
+        for r in stats:
+            if r["k"] is None:
+                continue
+            rec = {
+                "batch_id": int(batch_id),
+                "key": r["k"],
+                "n": int(r["n"]),
+                "max_late_us": int(r["max_late_us"]),
+                "n_dropped_by_watermark": int(r["n_beyond"]),
+                "alert": int(r["n_beyond"]) > 0,
+            }
+            records.append(rec)
+            if on_alert is not None and rec["alert"]:
+                on_alert(rec)
+            hwm[r["k"]] = max(hwm.get(r["k"], FLOOR), int(r["max_us"]))
+        if state_path:
+            os.makedirs(state_path, exist_ok=True)
+            tmp = os.path.join(state_path, "hwm.json.tmp")
+            with open(tmp, "w") as fh:
+                _json.dump(hwm, fh)
+            os.replace(tmp, os.path.join(state_path, "hwm.json"))
+
+    writer = df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer, records

@@ -122,3 +122,52 @@ def test_streaming_drift_monitor_flags_skewed_batch(spark, tmp_path):
     # batch 2: p = {view: 900k, error: 100k}; TVD = (|900-500| + |0-500| + |100-0|)/2 = 500k
     assert records[1]["tvd_ppm"] == 500_000 and records[1]["alert"]
     assert fired == [records[1]]
+
+
+def test_streaming_lateness_monitor_flags_cross_batch_late_record(spark, tmp_path):
+    from samza_spark.streaming.alerts import streaming_lateness_monitor
+
+    src = str(tmp_path / "late_src")
+    state = str(tmp_path / "late_state")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    schema = "event_id long, ts timestamp, k string"
+    base = datetime(2026, 1, 1)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # wave 1: in-order events up to minute 100
+    write([(i, base + timedelta(minutes=i), "a") for i in range(100)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    w, recs = streaming_lateness_monitor(
+        stream,
+        key_col="k",
+        ts_col="ts",
+        watermark_delay_us=30 * 60 * 1_000_000,  # 30-minute watermark
+        state_path=state,
+        checkpoint=ck1,
+    )
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    assert recs and not any(r["alert"] for r in recs)  # first wave clean
+
+    # wave 2 (fresh query, restored HWM state): one record 60 min late
+    write([(200, base + timedelta(minutes=101), "a"),
+           (201, base + timedelta(minutes=40), "a")])
+    w2, recs2 = streaming_lateness_monitor(
+        spark.readStream.schema(schema).parquet(src),
+        key_col="k",
+        ts_col="ts",
+        watermark_delay_us=30 * 60 * 1_000_000,
+        state_path=state,
+        checkpoint=ck2,
+    )
+    q2 = w2.trigger(availableNow=True).start()
+    q2.awaitTermination(60)
+    flagged = [r for r in recs2 if r["alert"]]
+    assert flagged, recs2
+    # the 40-minute-old record is 59 minutes behind the stored HWM (99)
+    assert flagged[-1]["n_dropped_by_watermark"] >= 1
+    assert flagged[-1]["max_late_us"] >= 50 * 60 * 1_000_000
