@@ -245,6 +245,7 @@ HEADLINE = [
     "hypertable_rollup",
     "join_size_estimate",
     "kmv_distinct",
+    "zone_map_stats",
 ]
 
 

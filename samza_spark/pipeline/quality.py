@@ -370,3 +370,55 @@ def encoding_profile(
             F.expr("n_runs * 2 <= n_rows").alias("rle_friendly"),
         )
     )
+
+
+def zone_map_stats(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    probe_lo,
+    probe_hi,
+    rows_per_block: int = 1000,
+) -> DataFrame:
+    """Zone-map (block min/max) effectiveness report — the data-skipping
+    statistics a columnar layout keeps per row group, and the
+    measurement behind "should this table be Z-ordered/sorted on this
+    column": per storage block of ``rows_per_block`` consecutive
+    ``order_col`` rows, the min/max of ``value_col``; a probe range
+    ``[probe_lo, probe_hi]`` can SKIP every block whose zone does not
+    intersect it. Emits one row: block count, skippable blocks for the
+    probe, the skip ratio in exact ppm, and the mean block "span share"
+    (avg (max-min) as ppm of the global range — wide spans mean the
+    column is shuffled relative to file order and zone maps are useless;
+    ``zorder_layout`` is the fix).
+
+    ONE aggregate to block zones (map-side combinable), one constant-size
+    rollup. All-integer ppm output.
+    """
+    blocks = (
+        df.select(
+            F.expr(f"{order_col} div {rows_per_block}").alias("block"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("block")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    return blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(
+            ((F.col("hi") < F.lit(probe_lo)) | (F.col("lo") > F.lit(probe_hi)))
+            .cast("long")
+        ).alias("n_skippable"),
+        F.min("lo").alias("global_lo"),
+        F.max("hi").alias("global_hi"),
+        F.sum(F.col("hi") - F.col("lo")).alias("span_sum"),
+    ).select(
+        "n_blocks",
+        "n_skippable",
+        F.expr("(n_skippable * 1000000) div n_blocks").alias("skip_ppm"),
+        F.expr(
+            "cast(case when global_hi > global_lo then "
+            "(span_sum * 1000000) / (cast(n_blocks as double) * (global_hi - global_lo)) "
+            "else 0.0 end as bigint)"
+        ).alias("avg_span_share_ppm"),
+    )

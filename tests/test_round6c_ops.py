@@ -316,3 +316,25 @@ def test_kmv_estimate_above_k_is_reasonable(spark):
     ).collect()[0]["distinct_estimate"]
     # 1/sqrt(64) = 12.5% expected error; allow 3 sigma
     assert abs(est - 2000) <= 0.4 * 2000
+
+
+def test_zone_map_stats_sorted_vs_shuffled(spark):
+    from samza_spark.pipeline.quality import zone_map_stats
+
+    # sorted layout: value == file order -> tight zones, probe skips most
+    sorted_df = spark.createDataFrame(
+        [(i, i) for i in range(10_000)], "ord long, v long"
+    )
+    r = zone_map_stats(sorted_df, "v", "ord", probe_lo=0, probe_hi=999).collect()[0]
+    assert r["n_blocks"] == 10
+    assert r["n_skippable"] == 9  # only block 0 intersects [0, 999]
+    assert r["skip_ppm"] == 900000
+    assert r["avg_span_share_ppm"] <= 150000  # ~10% span share
+
+    # shuffled layout: every block spans the whole range -> zero skipping
+    shuf = spark.createDataFrame(
+        [(i, (i * 7919) % 10_000) for i in range(10_000)], "ord long, v long"
+    )
+    r2 = zone_map_stats(shuf, "v", "ord", probe_lo=0, probe_hi=999).collect()[0]
+    assert r2["n_skippable"] == 0
+    assert r2["avg_span_share_ppm"] >= 900000
