@@ -251,10 +251,30 @@ def _run_job_body(cfg, spark, result, reporters, _write_plan, status_dir, job_id
     if out is None:
         _emit_metrics()
         return result
-    # streaming query handles -> drain (AvailableNow/terminating jobs)
+    # streaming query handles -> drain (AvailableNow/terminating jobs).
+    # With a status registry, a `--operation kill` (or any
+    # status.request_stop) is honored cooperatively between polls —
+    # queries stop cleanly at the micro-batch boundary, the Samza
+    # shutdown contract.
     if isinstance(out, (list, tuple)):
-        for q in out:
-            q.awaitTermination()
+        if status_dir:
+            import time as _time
+
+            from samza_spark import status as jstatus
+
+            active = list(out)
+            while active:
+                active = [q for q in active if q.isActive]
+                if active and jstatus.stop_requested(
+                    status_dir, cfg.job_name, job_id
+                ):
+                    for q in active:
+                        q.stop()
+                for q in active:
+                    q.awaitTermination(0.5)
+        else:
+            for q in out:
+                q.awaitTermination()
         _emit_metrics(out)
         return result
     df = getattr(out, "df", out)

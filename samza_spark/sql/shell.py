@@ -314,3 +314,12 @@ def repl(spark: SparkSession, app: SqlApplication | None = None) -> None:
             print(r.text)
         elif r.kind == "execution":
             print(f"execution {r.execution_id} started")
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    """CLI entry (``python -m samza_spark sql-shell``): default engine
+    session, fresh SqlApplication, interactive repl."""
+    from samza_spark.session import get_session
+
+    repl(get_session())
+    return 0

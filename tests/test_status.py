@@ -116,3 +116,14 @@ def test_cli_operation_status_and_kill(tmp_path, capsys):
     assert run_main(["--config-path", str(props), "--operation", "kill"]) == 0
     assert json.loads(capsys.readouterr().out)["status"] == "stopped"
     assert status.stop_requested(store, "opjob", "1")
+
+
+def test_package_main_dispatch(tmp_path, capsys):
+    from samza_spark.__main__ import main as pkg_main
+
+    store = str(tmp_path / "reg")
+    status.record_status(store, "mj", "1", status.STARTED)
+    assert pkg_main(["status", "--store", store, "jobs"]) == 0
+    assert json.loads(capsys.readouterr().out)[0]["jobName"] == "mj"
+    assert pkg_main(["--help"]) == 0
+    assert pkg_main(["bogus"]) == 2
