@@ -246,6 +246,7 @@ HEADLINE = [
     "join_size_estimate",
     "kmv_distinct",
     "zone_map_stats",
+    "lift_chart",
 ]
 
 

@@ -1240,3 +1240,75 @@ def cuped_adjust(
         )
         .orderBy("arm")
     )
+
+
+def lift_chart(
+    df: DataFrame,
+    key_col: str,
+    score_col,
+    positive_expr: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Lift / cumulative-gains chart — the ranking-model evaluation that
+    complements :func:`roc_auc`: rank units by a model score, cut into
+    ``n_bins`` equal-population bins (best first), and report each bin's
+    positive rate and the cumulative share of all positives captured —
+    "the top decile holds X% of conversions" is the number targeting
+    and data-selection decisions run on.
+
+    Exactness: per-unit score and label are integer aggregates; the
+    global ordering rides :func:`operators.rank.global_rank` (range
+    exchange, no single-partition sort; id tie-break -> total order);
+    bin = ``(rank-1)*n_bins div n + 1`` in integer arithmetic; rates
+    and cumulative shares are exact ppm. The output is ``n_bins`` rows.
+    """
+    from samza_spark.operators.rank import global_rank
+
+    per_unit = df.groupBy(F.col(key_col).alias("u")).agg(
+        F.expr(str(score_col)).alias("score"),
+        F.max(F.expr(positive_expr).cast("long")).alias("pos"),
+    )
+    ranked = global_rank(
+        per_unit,
+        [F.col("score").desc(), F.col("u").asc()],
+        rank_col="r",
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("pos").alias("__p")
+    )
+    bins = (
+        ranked.join(F.broadcast(totals))
+        .select(
+            F.expr(f"((r - 1) * {n_bins}) div __n + 1").alias("bin"),
+            "pos",
+            "__n",
+            "__p",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.max("__p").alias("__p"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bins.select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("(n_pos * 1000000) div n").alias("rate_ppm"),
+            F.sum("n_pos").over(w).alias("__cum"),
+            "__p",
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "rate_ppm",
+            F.expr(
+                "case when __p > 0 then (__cum * 1000000) div __p else 0 end"
+            ).alias("cum_gain_ppm"),
+        )
+        .orderBy("bin")
+    )

@@ -10496,6 +10496,45 @@ ORACLES["zone_map_stats"] = (
 )
 
 
+def q_lift_chart(spark: SparkSession, sf: str) -> DataFrame:
+    """Lift / cumulative-gains chart (pipeline.stats.lift_chart): users
+    ranked by total activity value (exact micro sums), quintile bins via
+    the range-exchange global rank (no single-partition sort over
+    units; the one ordered window runs over the 5 BIN rows), per-bin
+    purchase rate + cumulative gain in exact ppm — the
+    ranking-evaluation artifact beside roc_auc."""
+    from samza_spark.pipeline.stats import lift_chart
+
+    ev = load_table(spark, sf, "events")
+    return lift_chart(
+        ev,
+        key_col="user_id",
+        score_col="sum(cast(floor(value * 1000000) as long))",
+        positive_expr="event_type = 'purchase'",
+        n_bins=5,
+    )
+
+
+QUERIES["lift_chart"] = q_lift_chart
+
+ORACLES["lift_chart"] = (
+    "WITH pu AS (SELECT user_id AS u, "
+    "sum(CAST(floor(value * 1000000) AS BIGINT)) AS score, "
+    "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos "
+    "FROM events GROUP BY 1), "
+    "r AS (SELECT u, score, pos, row_number() OVER (ORDER BY score DESC, u ASC) AS rk, "
+    "count(*) OVER () AS n_total, sum(pos) OVER () AS p_total FROM pu), "
+    "b AS (SELECT ((rk - 1) * 5) // n_total + 1 AS bin, pos, "
+    "max(p_total) OVER () AS p_total FROM r), "
+    "agg AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos, "
+    "max(p_total) AS p_total FROM b GROUP BY bin) "
+    "SELECT bin, n, n_pos, (n_pos * 1000000) // n AS rate_ppm, "
+    "CASE WHEN p_total > 0 THEN (CAST(sum(n_pos) OVER (ORDER BY bin "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000) // p_total "
+    "ELSE 0 END AS cum_gain_ppm FROM agg ORDER BY bin"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

@@ -338,3 +338,23 @@ def test_zone_map_stats_sorted_vs_shuffled(spark):
     r2 = zone_map_stats(shuf, "v", "ord", probe_lo=0, probe_hi=999).collect()[0]
     assert r2["n_skippable"] == 0
     assert r2["avg_span_share_ppm"] >= 900000
+
+
+def test_lift_chart_perfect_ranker_captures_all_positives_early(spark):
+    from samza_spark.pipeline.stats import lift_chart
+
+    # 100 units; the 20 with the highest score are exactly the positives
+    rows = [(u, float(100 - u), 1 if u < 20 else 0) for u in range(100)]
+    df = spark.createDataFrame(rows, "user_id long, value double, pos int")
+    out = lift_chart(
+        df,
+        key_col="user_id",
+        score_col="sum(cast(floor(value * 1000000) as long))",
+        positive_expr="pos = 1",
+        n_bins=5,
+    ).collect()
+    assert [r["bin"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[0]["n"] == 20 and out[0]["n_pos"] == 20
+    assert out[0]["rate_ppm"] == 1_000_000
+    assert out[0]["cum_gain_ppm"] == 1_000_000  # top quintile captures all
+    assert all(r["n_pos"] == 0 for r in out[1:])
