@@ -84,7 +84,7 @@ def plan_audit(df, expected_filter_pushdown: bool | None = None) -> "list[dict]"
         findings.append(
             _finding(
                 "single-partition-exchange",
-                "warn" if n_single == 1 else "error",
+                "warn",
                 f"{n_single} Exchange SinglePartition node(s): all data "
                 "funnels through one task. Fine for a final k-row collect; "
                 "fatal under a global Window.orderBy or global sort — use a "
@@ -93,14 +93,19 @@ def plan_audit(df, expected_filter_pushdown: bool | None = None) -> "list[dict]"
         )
     if "BroadcastNestedLoopJoin" in plan:
         if "Join type: Cross" in plan or "Join condition: None" in plan:
+            # warn, not error: the one-row scalar-attachment idiom
+            # (crossJoin with a global aggregate — totals, centroids,
+            # normalization constants) plans exactly like this and is
+            # O(n*1); the plan alone cannot prove the broadcast side's
+            # cardinality, so the reader must check it.
             findings.append(
                 _finding(
                     "cartesian-product",
-                    "error",
+                    "warn",
                     "Conditionless cross join (BroadcastNestedLoopJoin "
-                    "Cross): every row pairs with every broadcast row — "
-                    "O(n*m) compute even without a shuffle. Fine only for "
-                    "one-row scalar attachment; otherwise add an equi-key.",
+                    "Cross): O(n*m) compute if the broadcast side has m "
+                    "rows. Fine ONLY for one-row scalar attachment; "
+                    "otherwise add an equi-key.",
                 )
             )
         else:

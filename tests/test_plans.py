@@ -737,3 +737,26 @@ def test_hypertable_rollup_two_aggregates_one_merge(spark, sf_dir):
     plan = _plan(spark, "hypertable_rollup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_every_registered_query_passes_the_scale_advisor(spark, sf_dir):
+    """Sweep the FULL registry through plan_audit: no query may plan a
+    true CartesianProduct or row-wise Python — the per-family pins
+    above check subsets; this is the whole-registry net. (Warn-level
+    findings — bounded single-partition stages, one-row broadcast
+    crosses — are the documented idioms and allowed.)"""
+    from samza_spark.advisor import plan_audit
+
+    errors = {}
+    for name, fn in QUERIES.items():
+        try:
+            errs = [
+                f["code"]
+                for f in plan_audit(fn(spark, sf_dir))
+                if f["severity"] == "error"
+            ]
+        except Exception as e:  # a query that cannot even plan is a bug
+            errs = [f"BUILD_FAIL:{type(e).__name__}"]
+        if errs:
+            errors[name] = errs
+    assert not errors, errors
