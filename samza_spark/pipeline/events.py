@@ -1832,3 +1832,68 @@ def disorder_audit(
             F.expr("(n_beyond * 1000000) div n_events").alias("dropped_ppm"),
         )
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_us: int = 7 * 86_400_000_000,
+    bin_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Kaplan-Meier survival table over per-user activity lifetimes.
+
+    Each user is born at their first event. A user whose last event is
+    more than ``churn_gap_us`` before the observation end (the max
+    event time in the table) is a churn *event* at their last-seen
+    time; everyone else is *censored* at the observation end. Lifetimes
+    bucket into units of ``bin_us``. Output is one row per lifetime
+    bucket ``t_bin`` with the risk set and the bucket's event/censor
+    counts — the product-limit estimator's inputs, all integers (the
+    survival curve itself is a cumulative product of rationals, left to
+    the consumer so no cross-engine float drift).
+
+    Scale: ONE per-user aggregate (map-side combinable) plus a count
+    keyed by lifetime bucket; the bucket-level table is bounded by the
+    observation span, so the final risk-set window is a bounded
+    single-partition stage (same idiom as the retention grid).
+    """
+    gap_us = int(churn_gap_us)
+    bin_us = int(bin_us)
+    per_user = events.groupBy(user_col).agg(
+        F.expr(f"min(unix_micros({ts_col}))").alias("birth_us"),
+        F.expr(f"max(unix_micros({ts_col}))").alias("last_us"),
+    )
+    obs = events.agg(F.expr(f"max(unix_micros({ts_col}))").alias("obs_us"))
+    lab = per_user.crossJoin(F.broadcast(obs)).select(
+        F.expr(
+            f"case when last_us < obs_us - {gap_us} "
+            f"then (last_us - birth_us) div {bin_us} "
+            f"else (obs_us - birth_us) div {bin_us} end"
+        ).alias("t_bin"),
+        F.expr(
+            f"case when last_us < obs_us - {gap_us} then 1 else 0 end"
+        ).alias("is_event"),
+    )
+    agg = lab.groupBy("t_bin").agg(
+        F.sum("is_event").alias("d_events"),
+        F.sum(F.lit(1) - F.col("is_event")).alias("c_censored"),
+    )
+    w = Window.orderBy("t_bin").rowsBetween(Window.unboundedPreceding, -1)
+    total = lab.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "t_bin",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum(F.col("d_events") + F.col("c_censored")).over(w),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+            "d_events",
+            "c_censored",
+        )
+        .orderBy("t_bin")
+    )

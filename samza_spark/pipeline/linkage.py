@@ -428,3 +428,34 @@ def fellegi_sunter(
         den.alias("w_den"),
         (num * F.lit(int(t_den)) >= den * F.lit(int(t_num))).alias("is_match"),
     )
+
+
+def golden_record(
+    records: DataFrame,
+    entity_col: str,
+    priority_col: str,
+    fields: "list[str]",
+) -> DataFrame:
+    """Survivorship / golden-record consolidation (the MDM step after
+    record linkage): one output row per entity, each field taken from
+    the highest-priority source record where that field is non-null.
+
+    Field-level (not record-level) survivorship: a low-priority source
+    can still contribute the only non-null phone number. Null fields are
+    demoted to priority -1 so any non-null value from any source beats
+    them; an all-null field stays null.
+
+    Scale shape: ONE map-side-combinable ``max_by`` aggregate per field
+    in a single groupBy — no per-field self-joins, no window over the
+    record universe. Priorities must be distinct per entity for a
+    deterministic pick (the usual source-rank contract).
+    """
+    aggs = [
+        F.expr(
+            f"max_by({f}, case when {f} is not null then {priority_col} "
+            "else -1 end)"
+        ).alias(f)
+        for f in fields
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_sources"))
+    return records.groupBy(entity_col).agg(*aggs)

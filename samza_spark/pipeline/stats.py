@@ -1312,3 +1312,91 @@ def lift_chart(
         )
         .orderBy("bin")
     )
+
+
+# Poisson(1) inverse-CDF thresholds on a 2^30 scale: a 30-bit uniform
+# hash u maps to weight = #{k : u >= _POISSON1_CDF_Q30[k]} in 0..8.
+# Both the Spark expression and the generated oracle SQL bake these SAME
+# integers, so the replicate weights cross engines bit-for-bit.
+import math as _math
+
+_POISSON1_CDF_Q30 = []
+_acc = 0.0
+_fact = 1
+for _k in range(8):
+    if _k > 0:
+        _fact *= _k
+    _acc += _math.exp(-1.0) / _fact
+    _POISSON1_CDF_Q30.append(int(_acc * (1 << 30)))
+
+
+def _boot_weight_expr(rep: int, key_expr: str) -> str:
+    """Poisson(1) bootstrap weight of row ``key_expr`` in replicate
+    ``rep``: inverse-CDF over the codebase's md5 30-bit uniform."""
+    u = (
+        f"(cast(conv(substr(md5(concat('boot{rep}|', cast({key_expr} as string))), "
+        "1, 8), 16, 10) as bigint) % 1073741824)"
+    )
+    parts = " + ".join(
+        f"(case when {u} >= {t} then 1 else 0 end)" for t in _POISSON1_CDF_Q30
+    )
+    return f"({parts})"
+
+
+def _boot_weight_sql(rep_expr: str, key_expr: str) -> str:
+    """DuckDB spelling of ``_boot_weight_expr`` with a column replicate id."""
+    u = (
+        f"(('0x' || substr(md5('boot' || CAST({rep_expr} AS VARCHAR) || '|' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT % 1073741824)"
+    )
+    parts = " + ".join(
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _POISSON1_CDF_Q30
+    )
+    return f"({parts})"
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_reps: int = 32,
+    scale: int = 100,
+) -> DataFrame:
+    """Poisson bootstrap of the mean of ``value_col`` (integer units of
+    ``1/scale``): ``n_reps`` resampled replicates in ONE corpus pass.
+
+    The classic resample-with-replacement bootstrap cannot run on 100 TB
+    (B full shuffled copies of the corpus). The Poisson bootstrap
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012) replaces each replicate's multinomial row counts with
+    independent Poisson(1) weights, which need no coordination: every
+    row computes its B weights locally from a deterministic hash.
+
+    Scale shape: B pairs of aggregation columns (Σw, Σw·v) in a single
+    map-side-combinable ``agg`` — the corpus is scanned ONCE with no
+    fanout, no explode, no shuffle beyond the one-row final combine; the
+    B-row result is unpivoted from the single aggregate row.
+
+    Returns ``(rep, n_eff, sum_units, mean_units)`` — all BIGINT
+    (``mean_units`` by integer division).
+    """
+    units = f"cast(floor({value_col} * {scale}) as bigint)"
+    aggs = []
+    for r in range(1, n_reps + 1):
+        w = _boot_weight_expr(r, key_col)
+        aggs.append(F.expr(f"sum({w})").alias(f"n_{r}"))
+        aggs.append(F.expr(f"sum({w} * {units})").alias(f"s_{r}"))
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"{r}L, n_{r}, s_{r}" for r in range(1, n_reps + 1)
+    )
+    return one.select(
+        F.expr(f"stack({n_reps}, {stacked}) as (rep, n_eff, sum_units)")
+    ).select(
+        "rep",
+        "n_eff",
+        "sum_units",
+        F.expr(
+            "case when n_eff > 0 then sum_units div n_eff else null end"
+        ).alias("mean_units"),
+    )

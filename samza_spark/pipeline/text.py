@@ -1193,3 +1193,63 @@ def mojibake_report(df: DataFrame, text_col: str = "text") -> DataFrame:
             "(1000000L * non_ascii_chars) div greatest(total_chars, 1L)"
         ).alias("non_ascii_ppm"),
     )
+
+
+# RAKE stopword list (kept tiny and fixed: the split pattern is part of
+# the operator's contract and must spell identically in the oracle SQL).
+RAKE_STOPWORDS = (
+    "a an the of and or to in is are was be for on with as by at it "
+    "this that from"
+).split()
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int = 4,
+    top_k: int = 100,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free word runs; a word scores degree*1000 div
+    freq (degree = summed lengths of phrases containing it) and a
+    phrase scores the sum of its words' scores — all integer, so the
+    ranking crosses engines exactly.
+
+    Plan: normalize + stopword-split per document (row-local regex,
+    pushed-down scan), ONE explode to phrase occurrences, one explode to
+    (phrase, word) for the corpus word-stat aggregate, one broadcastable
+    join back (vocabulary-sized stats), and a TakeOrderedAndProject
+    top-k — no single-partition window, no Python.
+
+    Returns ``(phrase, n_occ, score)``, ties broken by phrase text.
+    """
+    stop_re = "\\\\b(" + "|".join(RAKE_STOPWORDS) + ")\\\\b"
+    norm = f"regexp_replace(lower({text_col}), '[^a-z]+', ' ')"
+    marked = f"regexp_replace({norm}, '{stop_re}', '|')"
+    phrases = (
+        df.select(F.expr(f"explode(split({marked}, '[|]'))").alias("raw"))
+        .select(F.expr("trim(regexp_replace(raw, ' +', ' '))").alias("phrase"))
+        .filter(
+            (F.col("phrase") != "")
+            & (F.size(F.split("phrase", " ")) <= max_words)
+        )
+    )
+    occ = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    words = occ.select(
+        "phrase",
+        "n_occ",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    word_stats = words.groupBy("w").agg(
+        F.sum(F.col("n_occ") * F.col("plen")).alias("degree"),
+        F.sum("n_occ").alias("freq"),
+    )
+    scored = (
+        words.join(F.broadcast(word_stats), "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum(F.expr("(degree * 1000) div freq")).alias("score"))
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("n_occ").desc(), F.col("phrase")
+    ).limit(top_k)

@@ -145,3 +145,51 @@ def merkle_manifest(
     return shards.join(F.broadcast(corpus)).select(
         "shard", "n_rows", "shard_root", "corpus_root"
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    group_col: str = "source",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 200_000,
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/bin-packing step of a
+    lakehouse table): within each ``group_col`` partition, assign files
+    in ``file_col`` order to output bins of roughly ``target_bytes``.
+
+    Bin assignment is the deterministic first-byte rule: a file belongs
+    to bin ``(running_start div target)`` where ``running_start`` is the
+    byte offset of the file in the group's ordered concatenation — pure
+    window arithmetic, no sequential packing loop, so the plan is ONE
+    cumulative-sum window per group partition (scale: groups are many
+    and independent; no single-partition stage).
+
+    Returns one row per (group, bin): file count, total bytes, and the
+    file-id range the bin covers.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.select(
+        group_col,
+        file_col,
+        bytes_col,
+        (
+            F.coalesce(F.sum(bytes_col).over(w), F.lit(0)).cast("bigint")
+        ).alias("start_off"),
+    ).withColumn("bin", F.expr(f"start_off div {target_bytes}"))
+    return (
+        binned.groupBy(group_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(bytes_col).cast("bigint").alias("total_bytes"),
+            F.min(file_col).alias("first_file"),
+            F.max(file_col).alias("last_file"),
+        )
+        .orderBy(group_col, "bin")
+    )

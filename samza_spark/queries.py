@@ -10535,6 +10535,273 @@ ORACLES["lift_chart"] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# round-6 session-4 batch: survival, spatial, bootstrap, compaction,
+# survivorship, keyphrases
+# ---------------------------------------------------------------------------
+
+
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival table over user activity lifetimes
+    (pipeline.events.kaplan_meier): integer risk-set / event / censor
+    counts per lifetime hour; churn = >48 idle hours before observation
+    end."""
+    from samza_spark.pipeline.events import kaplan_meier
+
+    ev = load_table(spark, sf, "events")
+    out = kaplan_meier(ev, churn_gap_us=48 * 3_600_000_000, bin_us=3_600_000_000)
+    return out.select(
+        "t_bin",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.col("c_censored").cast("long").alias("c_censored"),
+    )
+
+
+ORACLE_KAPLAN_MEIER = (
+    "WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS birth_us, "
+    "max(epoch_us(ts)) AS last_us FROM events GROUP BY 1), "
+    "o AS (SELECT max(epoch_us(ts)) AS obs_us FROM events), "
+    "lab AS (SELECT CASE WHEN last_us < obs_us - 172800000000 "
+    "THEN (last_us - birth_us) // 3600000000 "
+    "ELSE (obs_us - birth_us) // 3600000000 END AS t_bin, "
+    "CASE WHEN last_us < obs_us - 172800000000 THEN 1 ELSE 0 END AS is_event "
+    "FROM pu, o), "
+    "agg AS (SELECT t_bin, CAST(sum(is_event) AS BIGINT) AS d_events, "
+    "CAST(sum(1 - is_event) AS BIGINT) AS c_censored FROM lab GROUP BY 1), "
+    "tot AS (SELECT count(*) AS n_total FROM lab) "
+    "SELECT t_bin, CAST(n_total - coalesce(sum(d_events + c_censored) OVER "
+    "(ORDER BY t_bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS BIGINT) AS n_risk, d_events, c_censored "
+    "FROM agg, tot ORDER BY t_bin"
+)
+
+
+def q_nearest_hub(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-bucketed spatial nearest-hub join (pipeline.spatial): each
+    customer point matched to its nearest supplier hub within Euclidean
+    radius 256 on a 4096x4096 integer grid; the oracle runs the
+    BRUTE-FORCE cross-distance spec, proving the 3x3-cell equi-join
+    decomposition lossless."""
+    from samza_spark.pipeline.spatial import hash_coord, nearest_hub_join
+
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        F.expr(hash_coord("gx", "c_custkey", 4096)).alias("x"),
+        F.expr(hash_coord("gy", "c_custkey", 4096)).alias("y"),
+    )
+    hubs = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("hub_id"),
+        F.expr(hash_coord("hx", "s_suppkey", 4096)).alias("hx"),
+        F.expr(hash_coord("hy", "s_suppkey", 4096)).alias("hy"),
+    )
+    out = nearest_hub_join(cust, hubs, radius=256, extent=4096)
+    return out.select(
+        "point_id", "hub_id", F.col("d2").cast("long").alias("d2")
+    ).orderBy("point_id")
+
+
+def _duck_coord(salt: str, key: str, extent: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || '|' || CAST({key} AS VARCHAR)), "
+        f"1, 8))::BIGINT % {extent})"
+    )
+
+
+ORACLE_NEAREST_HUB = (
+    "WITH c AS (SELECT c_custkey AS point_id, "
+    f"{_duck_coord('gx', 'c_custkey', 4096)} AS x, "
+    f"{_duck_coord('gy', 'c_custkey', 4096)} AS y FROM customer), "
+    "s AS (SELECT s_suppkey AS hub_id, "
+    f"{_duck_coord('hx', 's_suppkey', 4096)} AS hx, "
+    f"{_duck_coord('hy', 's_suppkey', 4096)} AS hy FROM supplier), "
+    "cand AS (SELECT point_id, hub_id, "
+    "(x - hx) * (x - hx) + (y - hy) * (y - hy) AS d2 FROM c, s "
+    "WHERE (x - hx) * (x - hx) + (y - hy) * (y - hy) <= 65536), "
+    "rk AS (SELECT point_id, hub_id, d2, row_number() OVER "
+    "(PARTITION BY point_id ORDER BY d2, hub_id) AS rn FROM cand) "
+    "SELECT point_id, hub_id, CAST(d2 AS BIGINT) AS d2 FROM rk "
+    "WHERE rn = 1 ORDER BY point_id"
+)
+
+
+def q_poisson_bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson bootstrap of mean order value (pipeline.stats.
+    poisson_bootstrap): 32 hash-deterministic replicates in ONE
+    map-side-combinable corpus pass — the Chamandy et al. massive-data
+    bootstrap; no B-fold fanout anywhere in the plan."""
+    from samza_spark.pipeline.stats import poisson_bootstrap
+
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return poisson_bootstrap(
+        orders, key_col="o_orderkey", value_col="o_totalprice", n_reps=32
+    ).orderBy("rep")
+
+
+def _oracle_poisson_bootstrap() -> str:
+    from samza_spark.pipeline.stats import _boot_weight_sql
+
+    w = _boot_weight_sql("r.rep", "o_orderkey")
+    return (
+        "WITH r AS (SELECT unnest(generate_series(1, 32)) AS rep), "
+        f"wt AS (SELECT r.rep, {w} AS w, "
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS units "
+        "FROM orders, r) "
+        "SELECT CAST(rep AS BIGINT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff, "
+        "CAST(sum(w * units) AS BIGINT) AS sum_units, "
+        "CASE WHEN sum(w) > 0 THEN CAST(sum(w * units) AS BIGINT) "
+        "// CAST(sum(w) AS BIGINT) ELSE NULL END AS mean_units "
+        "FROM wt GROUP BY rep ORDER BY rep"
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Lakehouse small-file compaction planner (pipeline.versioning.
+    compaction_plan): documents rolled into per-source files of 50 docs,
+    packed into ~200 KB output bins by the first-byte rule — one
+    per-group cumsum window, no sequential packing loop."""
+    from samza_spark.pipeline.versioning import compaction_plan
+
+    docs = load_table(spark, sf, "documents")
+    files = docs.groupBy(
+        "source", F.expr("doc_id div 50").alias("file_id")
+    ).agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    return compaction_plan(files, target_bytes=200_000).select(
+        "source",
+        F.col("bin").cast("long").alias("bin"),
+        "n_files",
+        "total_bytes",
+        "first_file",
+        "last_file",
+    )
+
+
+ORACLE_COMPACTION_PLAN = (
+    "WITH f AS (SELECT source, doc_id // 50 AS file_id, "
+    "CAST(sum(n_chars) AS BIGINT) AS bytes FROM documents GROUP BY 1, 2), "
+    "b AS (SELECT source, file_id, bytes, "
+    "CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "// 200000 AS bin FROM f) "
+    "SELECT source, bin, count(*) AS n_files, "
+    "CAST(sum(bytes) AS BIGINT) AS total_bytes, "
+    "min(file_id) AS first_file, max(file_id) AS last_file "
+    "FROM b GROUP BY source, bin ORDER BY source, bin"
+)
+
+
+def q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Golden-record survivorship (pipeline.linkage.golden_record): two
+    deterministic source views of customer (each with hash-dropped
+    fields) consolidated per entity, each field from the highest-
+    priority non-null source."""
+    from samza_spark.pipeline.linkage import golden_record
+
+    cust = load_table(spark, sf, "customer")
+    h = "cast(conv(substr(md5(concat('gr|', cast(c_custkey as string))), 1, 8), 16, 10) as bigint)"
+    crm = cust.select(
+        "c_custkey",
+        F.lit(1).alias("prio"),
+        F.upper("c_name").alias("name"),
+        F.expr(f"case when {h} % 3 = 0 then null else c_mktsegment end").alias(
+            "segment"
+        ),
+        F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("acctbal_cents"),
+    )
+    web = cust.select(
+        "c_custkey",
+        F.lit(2).alias("prio"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            f"case when {h} % 2 = 0 then null "
+            "else cast(floor(c_acctbal * 100) as bigint) end"
+        ).alias("acctbal_cents"),
+    )
+    out = golden_record(
+        crm.unionByName(web),
+        entity_col="c_custkey",
+        priority_col="prio",
+        fields=["name", "segment", "acctbal_cents"],
+    )
+    return out.select(
+        "c_custkey", "name", "segment", "acctbal_cents", "n_sources"
+    ).orderBy("c_custkey")
+
+
+_GR_H = "(('0x' || substr(md5('gr' || '|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT)"
+
+ORACLE_GOLDEN_RECORD = (
+    "WITH crm AS (SELECT c_custkey, 1 AS prio, upper(c_name) AS name, "
+    f"CASE WHEN {_GR_H} % 3 = 0 THEN NULL ELSE c_mktsegment END AS segment, "
+    "CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents FROM customer), "
+    "web AS (SELECT c_custkey, 2 AS prio, c_name AS name, "
+    "c_mktsegment AS segment, "
+    f"CASE WHEN {_GR_H} % 2 = 0 THEN NULL "
+    "ELSE CAST(floor(c_acctbal * 100) AS BIGINT) END AS acctbal_cents "
+    "FROM customer), "
+    "u AS (SELECT * FROM crm UNION ALL SELECT * FROM web) "
+    "SELECT c_custkey, "
+    "arg_max(name, CASE WHEN name IS NOT NULL THEN prio ELSE -1 END) AS name, "
+    "arg_max(segment, CASE WHEN segment IS NOT NULL THEN prio ELSE -1 END) "
+    "AS segment, "
+    "arg_max(acctbal_cents, CASE WHEN acctbal_cents IS NOT NULL THEN prio "
+    "ELSE -1 END) AS acctbal_cents, "
+    "CAST(count(*) AS BIGINT) AS n_sources "
+    "FROM u GROUP BY c_custkey ORDER BY c_custkey"
+)
+
+
+def q_rake_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyphrase extraction (pipeline.text.rake_keyphrases):
+    integer degree*1000 div freq word scores summed per stopword-free
+    phrase; corpus top-100 via TakeOrderedAndProject."""
+    from samza_spark.pipeline.text import rake_keyphrases
+
+    docs = load_table(spark, sf, "documents")
+    return rake_keyphrases(docs, text_col="text", max_words=4, top_k=100)
+
+
+def _oracle_rake() -> str:
+    from samza_spark.pipeline.text import RAKE_STOPWORDS
+
+    stop_re = "\\b(" + "|".join(RAKE_STOPWORDS) + ")\\b"
+    return (
+        "WITH ph AS (SELECT trim(regexp_replace(p, ' +', ' ', 'g')) AS phrase "
+        "FROM documents, unnest(string_split_regex(regexp_replace("
+        f"regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), '{stop_re}', "
+        "'|', 'g'), '[|]')) AS t(p)), "
+        "occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM ph "
+        "WHERE phrase <> '' AND length(phrase) - length(replace(phrase, ' ', '')) <= 3 "
+        "GROUP BY phrase), "
+        "wds AS (SELECT phrase, n_occ, "
+        "CAST(length(phrase) - length(replace(phrase, ' ', '')) + 1 AS BIGINT) AS plen, w "
+        "FROM occ, unnest(string_split(phrase, ' ')) AS t(w)), "
+        "ws AS (SELECT w, CAST(sum(n_occ * plen) AS BIGINT) AS degree, "
+        "CAST(sum(n_occ) AS BIGINT) AS freq FROM wds GROUP BY w), "
+        "sc AS (SELECT phrase, n_occ, "
+        "CAST(sum((degree * 1000) // freq) AS BIGINT) AS score "
+        "FROM wds JOIN ws USING (w) GROUP BY phrase, n_occ) "
+        "SELECT phrase, n_occ, score FROM sc "
+        "ORDER BY score DESC, n_occ DESC, phrase LIMIT 100"
+    )
+
+
+QUERIES["kaplan_meier"] = q_kaplan_meier
+QUERIES["nearest_hub"] = q_nearest_hub
+QUERIES["poisson_bootstrap"] = q_poisson_bootstrap
+QUERIES["compaction_plan"] = q_compaction_plan
+QUERIES["golden_record"] = q_golden_record
+QUERIES["rake_keyphrases"] = q_rake_keyphrases
+
+ORACLES["kaplan_meier"] = ORACLE_KAPLAN_MEIER
+ORACLES["nearest_hub"] = ORACLE_NEAREST_HUB
+ORACLES["poisson_bootstrap"] = _oracle_poisson_bootstrap()
+ORACLES["compaction_plan"] = ORACLE_COMPACTION_PLAN
+ORACLES["golden_record"] = ORACLE_GOLDEN_RECORD
+ORACLES["rake_keyphrases"] = _oracle_rake()
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

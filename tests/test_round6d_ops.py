@@ -1,0 +1,193 @@
+"""Round-6 session-4 operators: Kaplan-Meier survival, grid spatial
+join, Poisson bootstrap, compaction planner, golden record, RAKE."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from samza_spark.pipeline.events import kaplan_meier
+from samza_spark.pipeline.linkage import golden_record
+from samza_spark.pipeline.spatial import nearest_hub_join
+from samza_spark.pipeline.stats import (
+    _POISSON1_CDF_Q30,
+    poisson_bootstrap,
+)
+from samza_spark.pipeline.text import rake_keyphrases
+from samza_spark.pipeline.versioning import compaction_plan
+
+
+# ------------------------------------------------------------ kaplan-meier
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def test_kaplan_meier_hand_check(spark):
+    # obs_end = day 10. gap = 2 days. u1 last seen day 3 -> event at
+    # t=(3-1)=2d; u2 active to the end -> censored at t=(10-2)=8d;
+    # u3 last seen day 5 (born day 5) -> event at t=0.
+    rows = [
+        (1, _ts(1)), (1, _ts(3)),
+        (2, _ts(2)), (2, _ts(10)),
+        (3, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = kaplan_meier(
+        df, churn_gap_us=2 * 86_400_000_000, bin_us=86_400_000_000
+    ).collect()
+    by_t = {r["t_bin"]: r for r in out}
+    assert set(by_t) == {0, 2, 8}
+    assert by_t[0]["d_events"] == 1 and by_t[0]["n_risk"] == 3
+    assert by_t[2]["d_events"] == 1 and by_t[2]["n_risk"] == 2
+    assert by_t[8]["c_censored"] == 1 and by_t[8]["n_risk"] == 1
+
+
+def test_kaplan_meier_risk_set_is_decreasing_and_conserves(spark):
+    rows = [(i % 7, _ts(1 + i % 9, i % 24)) for i in range(60)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        kaplan_meier(df, churn_gap_us=86_400_000_000, bin_us=3_600_000_000)
+        .orderBy("t_bin")
+        .collect()
+    )
+    n_users = 7
+    assert out[0]["n_risk"] == n_users
+    seen = 0
+    for r in out:
+        assert r["n_risk"] == n_users - seen
+        seen += r["d_events"] + r["c_censored"]
+    assert seen == n_users
+
+
+# ------------------------------------------------------------ spatial join
+
+
+def test_nearest_hub_matches_bruteforce(spark):
+    import itertools
+
+    pts = [(i, (i * 37) % 500, (i * 91) % 500) for i in range(200)]
+    hubs = [(j, (j * 131) % 500, (j * 53) % 500) for j in range(10)]
+    pdf = spark.createDataFrame(pts, "point_id long, x long, y long")
+    hdf = spark.createDataFrame(hubs, "hub_id long, hx long, hy long")
+    out = {
+        r["point_id"]: (r["hub_id"], r["d2"])
+        for r in nearest_hub_join(pdf, hdf, radius=64, extent=512).collect()
+    }
+    expect = {}
+    for pid, x, y in pts:
+        best = None
+        for hid, hx, hy in hubs:
+            d2 = (x - hx) ** 2 + (y - hy) ** 2
+            if d2 <= 64 * 64 and (best is None or (d2, hid) < best):
+                best = (d2, hid)
+        if best is not None:
+            expect[pid] = (best[1], best[0])
+    assert out == expect
+
+
+def test_nearest_hub_edge_cells_not_clamped(spark):
+    # hub at the grid corner: its out-of-range neighbor cells must be
+    # dropped, not clamped (clamping would duplicate the cell key).
+    pdf = spark.createDataFrame([(1, 0, 0)], "point_id long, x long, y long")
+    hdf = spark.createDataFrame([(7, 1, 1)], "hub_id long, hx long, hy long")
+    out = nearest_hub_join(pdf, hdf, radius=16, extent=64).collect()
+    assert len(out) == 1 and out[0]["hub_id"] == 7 and out[0]["d2"] == 2
+
+
+# --------------------------------------------------------- poisson bootstrap
+
+
+def test_poisson_thresholds_are_poisson1_cdf():
+    import math
+
+    acc, fact = 0.0, 1
+    for k, t in enumerate(_POISSON1_CDF_Q30):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        assert t == int(acc * (1 << 30))
+    assert _POISSON1_CDF_Q30[-1] > (1 << 30) * 0.9999
+
+
+def test_poisson_bootstrap_replicates_cover_the_mean(spark):
+    rows = [(i, 100.0 + (i % 11)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = poisson_bootstrap(df, "k", "v", n_reps=16).collect()
+    assert len(out) == 16
+    true_mean_units = sum(int(v * 100) for _, v in rows) // len(rows)
+    means = [r["mean_units"] for r in out]
+    # every replicate mean is near the true mean; replicates vary
+    assert all(abs(m - true_mean_units) < 100 for m in means)
+    assert len(set(means)) > 1
+    # n_eff concentrates around n (Poisson(1) sum)
+    for r in out:
+        assert 1800 < r["n_eff"] < 2200
+
+
+def test_poisson_bootstrap_single_pass_plan(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    plan = poisson_bootstrap(df, "k", "v", n_reps=8)._jdf.queryExecution().executedPlan().toString()
+    # the only Generate is the B-row unpivot ABOVE the aggregate; a
+    # Generate below the aggregate would be a corpus explode
+    assert "Generate" not in plan.split("HashAggregate", 1)[1]
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- compaction
+
+
+def test_compaction_plan_first_byte_rule(spark):
+    rows = [
+        ("a", 1, 120), ("a", 2, 100), ("a", 3, 50), ("a", 4, 400),
+        ("b", 1, 90),
+    ]
+    df = spark.createDataFrame(rows, "source string, file_id long, bytes long")
+    out = {
+        (r["source"], r["bin"]): (r["n_files"], r["total_bytes"], r["first_file"], r["last_file"])
+        for r in compaction_plan(df, target_bytes=200).collect()
+    }
+    # a: offsets 0,120,220,270 -> bins 0,0,1,1 ; b: offset 0 -> bin 0
+    assert out == {
+        ("a", 0): (2, 220, 1, 2),
+        ("a", 1): (2, 450, 3, 4),
+        ("b", 0): (1, 90, 1, 1),
+    }
+
+
+# ------------------------------------------------------------ golden record
+
+
+def test_golden_record_field_level_survivorship(spark):
+    rows = [
+        # entity 1: high-prio source has null email -> low prio supplies it
+        (1, 2, "Alice", None), (1, 1, "ALICE", "a@x.com"),
+        # entity 2: all-null field stays null
+        (2, 2, None, None), (2, 1, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, prio int, name string, email string")
+    out = {r["id"]: r for r in golden_record(df, "id", "prio", ["name", "email"]).collect()}
+    assert out[1]["name"] == "Alice" and out[1]["email"] == "a@x.com"
+    assert out[2]["name"] is None and out[2]["email"] is None
+    assert out[1]["n_sources"] == 2
+
+
+# --------------------------------------------------------------------- rake
+
+
+def test_rake_scores_multiword_phrases_above_common_words(spark):
+    docs = [
+        ("deep learning is the best",),
+        ("deep learning of deep networks",),
+        ("the networks",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    out = rake_keyphrases(df, top_k=10).collect()
+    by_phrase = {r["phrase"]: r for r in out}
+    # 'deep learning' appears twice and outranks single words
+    assert by_phrase["deep learning"]["n_occ"] == 2
+    top = out[0]
+    assert top["phrase"] in {"deep learning", "deep networks"}
+    # stopwords never appear inside phrases
+    for r in out:
+        assert not set(r["phrase"].split()) & {"is", "the", "of", "a"}
