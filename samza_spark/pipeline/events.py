@@ -1897,3 +1897,111 @@ def kaplan_meier(
         )
         .orderBy("t_bin")
     )
+
+
+def markov_eval(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Order-1 Markov next-event predictor with a held-out evaluation:
+    train transition counts on a deterministic hash split of users
+    (4/5), predict argmax next type, score per-state accuracy on the
+    held-out users — the sequence-model baseline every behavioral
+    pipeline needs before reaching for anything bigger.
+
+    Plan: per-user lag window (ONE user-keyed shuffle shared by train
+    and test), a transition-matrix aggregate bounded by |types|^2, a
+    rank over that tiny matrix, and a broadcast join of predictions
+    onto held-out transitions. Ties in argmax break to the
+    lexicographically smallest type, so the prediction is deterministic.
+
+    Returns ``(prev_type, predicted, n_test, n_correct, acc_ppm)``.
+    """
+    h = (
+        f"cast(conv(substr(md5(concat('mk|', cast({user_col} as string))), "
+        "1, 8), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    trans = events.select(
+        user_col,
+        F.expr(f"{h} % {test_mod} = 0").alias("is_test"),
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    train = (
+        trans.filter(~F.col("is_test"))
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = Window.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), F.col("next_type")
+    )
+    pred = (
+        train.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = trans.filter(F.col("is_test"))
+    return (
+        test.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("next_type") == F.col("predicted")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "prev_type",
+            "predicted",
+            "n_test",
+            "n_correct",
+            F.expr("(n_correct * 1000000) div n_test").alias("acc_ppm"),
+        )
+    )
+
+
+def fifo_allocation(
+    demand: DataFrame,
+    stock: DataFrame,
+    key_col: str,
+    qty_col: str,
+    stock_col: str,
+    order_cols: "list[str]",
+) -> DataFrame:
+    """FIFO inventory allocation (supply-chain netting): demand lines
+    consume each key's stock in strict arrival order; a line is filled
+    with ``clamp(stock - demand_before_it, 0, qty)`` — pure per-key
+    cumulative-sum arithmetic, no sequential loop, no iterative state.
+
+    Returns the demand rows plus ``filled_qty`` / ``short_qty``.
+    Scale: ONE cumsum window per key partition; keys are independent.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = demand.join(stock.select(key_col, stock_col), key_col)
+    return (
+        joined.withColumn(
+            "__before", F.coalesce(F.sum(qty_col).over(w), F.lit(0))
+        )
+        .withColumn(
+            "filled_qty",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col(qty_col), F.col(stock_col) - F.col("__before")
+                ),
+            ).cast("long"),
+        )
+        .withColumn(
+            "short_qty", (F.col(qty_col) - F.col("filled_qty")).cast("long")
+        )
+        .drop("__before")
+    )

@@ -788,3 +788,70 @@ def fair_allocation(
             .alias("alloc"),
         )
     )
+
+
+# Two-sided geometric (discrete Laplace) CDF thresholds on a 2^30 scale
+# for alpha = 1/2 (epsilon = ln 2 per unit sensitivity), support clipped
+# to [-8, 8]: P(K = k) = (1/3) * (1/2)^|k|. The values are exact dyadic
+# rationals over 3, baked once and shared verbatim with the oracle SQL,
+# so the "noise" crosses engines bit-for-bit.
+from fractions import Fraction as _Fr
+
+_DGEOM_CDF_Q30 = []
+for _j in range(-8, 8):
+    if _j < 0:
+        _f = _Fr(2, 3) * _Fr(1, 2 ** (-_j))
+    else:
+        _f = 1 - _Fr(1, 3) * _Fr(1, 2**_j)
+    _DGEOM_CDF_Q30.append(int(_f * (1 << 30)))
+
+
+def _dp_noise_sql(key_expr: str, concat: str, cast_var: str) -> str:
+    """Noise expression from the baked thresholds; ``concat``/``cast_var``
+    pick the Spark or DuckDB spelling of hash-to-uniform."""
+    if cast_var == "spark":
+        u = (
+            f"(cast(conv(substr(md5(concat('dp|', cast({key_expr} as string))), "
+            "1, 8), 16, 10) as bigint) % 1073741824)"
+        )
+    else:
+        u = (
+            f"(('0x' || substr(md5('dp|' || CAST({key_expr} AS VARCHAR)), "
+            "1, 8))::BIGINT % 1073741824)"
+        )
+    parts = " + ".join(
+        f"(case when {u} >= {t} then 1 else 0 end)" for t in _DGEOM_CDF_Q30
+    )
+    return f"(({parts}) - 8)"
+
+
+def dp_histogram(
+    df: DataFrame,
+    category_cols: "list[str]",
+    threshold: int = 3,
+) -> DataFrame:
+    """Differentially-private histogram release (the Google/Apple-style
+    aggregate publication pattern): per-category counts plus two-sided
+    geometric noise (discrete Laplace, epsilon = ln 2), then suppression
+    of categories whose NOISY count falls below ``threshold`` — the
+    standard (eps, delta) thresholded release that also hides the
+    existence of rare categories.
+
+    The noise here is hash-deterministic per category (so the release is
+    reproducible and the oracle can replay it exactly); a production
+    deployment would swap the salt for a secret per-release seed —
+    the mechanism, thresholds, and plan shape are identical.
+
+    Scale: ONE combinable count aggregate; the noise is a row-local
+    expression over the (small) category table.
+    """
+    key = "concat_ws('|', " + ", ".join(category_cols) + ")"
+    noise = _dp_noise_sql(key, "", "spark")
+    counts = df.groupBy(*category_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.select(
+            *category_cols,
+            (F.col("__n") + F.expr(noise)).cast("long").alias("released_count"),
+        )
+        .filter(F.col("released_count") >= threshold)
+    )

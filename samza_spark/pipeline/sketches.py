@@ -236,3 +236,59 @@ def kmv_estimate(sketch: DataFrame, group_cols=(), k: int = 64) -> DataFrame:
             f"else (({k} - 1) * cast(281474976710656 as bigint)) div h_k end"
         ).alias("distinct_estimate"),
     )
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Theta-sketch-style set operations from two global KMV sketches
+    (Dasgupta et al., "Theta-Sketch Framework"): Jaccard, union and
+    intersection estimates, all integer and bit-exact cross-engine.
+
+    ``min-k(A ∪ B)`` is recovered exactly from the two k-row sketches
+    (mergeability), and within that union sample the fraction of hashes
+    present in BOTH input sketches estimates the Jaccard similarity;
+    ``|A ∩ B| ≈ J · |A ∪ B|``. Every job here runs over ≤ 2k rows —
+    the corpus was only touched by the two one-pass sketch builds.
+
+    Returns one row: ``(n_union_hashes, overlap, jaccard_ppm,
+    union_estimate, intersect_estimate)``.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        sketch_a.select("h")
+        .unionByName(sketch_b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .withColumn(
+            "r", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
+        )
+    )
+    both = (
+        u.join(sketch_a.select(F.col("h").alias("ha")), F.col("h") == F.col("ha"), "left")
+        .join(sketch_b.select(F.col("h").alias("hb")), F.col("h") == F.col("hb"), "left")
+        .select(
+            "r",
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("long").alias("in_both"),
+        )
+    )
+    est = kmv_estimate(u, k=k)
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_union_hashes"),
+        F.sum("in_both").alias("overlap"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(est))
+        .select(
+            "n_union_hashes",
+            "overlap",
+            F.expr("(overlap * 1000000) div n_union_hashes").alias("jaccard_ppm"),
+            F.col("distinct_estimate").alias("union_estimate"),
+            F.expr(
+                "(overlap * 1000000) div n_union_hashes * distinct_estimate div 1000000"
+            ).alias("intersect_estimate"),
+        )
+    )

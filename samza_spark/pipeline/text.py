@@ -1253,3 +1253,61 @@ def rake_keyphrases(
     return scored.orderBy(
         F.col("score").desc(), F.col("n_occ").desc(), F.col("phrase")
     ).limit(top_k)
+
+
+def kneser_ney_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """Kneser-Ney bigram LM sufficient statistics (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the count tables a KenLM-style estimator
+    needs, in exact integers with the D = 0.75 discount carried as the
+    rational 3/4:
+
+    - ``c_total``   total bigram count with the word as left context
+    - ``n_right``   distinct continuations N1+(w ·)
+    - ``n_left``    distinct left contexts N1+(· w)
+    - ``lambda_ppm``  backoff mass (3 * n_right * 1e6) div (4 * c_total)
+    - ``pcont_ppm``   continuation prob (n_left * 1e6) div |bigram types|
+
+    Plan: ONE explode from per-document token arrays to bigram rows (an
+    in-row transform over adjacent positions — no positional self-join),
+    then three combinable aggregates over the bigram table; the output
+    is vocabulary-sized. Top-k words by left-context volume via
+    TakeOrderedAndProject.
+    """
+    toks = df.select(
+        F.expr(
+            f"split(trim(regexp_replace(lower({text_col}), '[^a-z]+', ' ')), ' ')"
+        ).alias("a")
+    ).filter(F.size("a") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(a) - 2), "
+                "i -> struct(a[i] as w1, a[i + 1] as w2))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    t_types = bg.agg(F.count(F.lit(1)).alias("t"))
+    left = bg.groupBy("w1").agg(
+        F.sum("c").alias("c_total"), F.count(F.lit(1)).alias("n_right")
+    )
+    right = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
+    out = (
+        left.join(right, left.w1 == right.w2, "left")
+        .crossJoin(F.broadcast(t_types))
+        .select(
+            F.col("w1").alias("word"),
+            F.col("c_total").cast("long").alias("c_total"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.coalesce(F.col("n_left"), F.lit(0)).cast("long").alias("n_left"),
+            F.expr("(3 * n_right * 1000000) div (4 * c_total)").alias(
+                "lambda_ppm"
+            ),
+            F.expr("(coalesce(n_left, 0) * 1000000) div t").alias("pcont_ppm"),
+        )
+    )
+    return out.orderBy(F.col("c_total").desc(), F.col("word")).limit(top_k)

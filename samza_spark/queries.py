@@ -10802,6 +10802,218 @@ ORACLES["golden_record"] = ORACLE_GOLDEN_RECORD
 ORACLES["rake_keyphrases"] = _oracle_rake()
 
 
+def q_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch-style set ops from two KMV sketches
+    (pipeline.sketches.kmv_set_ops): Jaccard / union / intersection
+    estimates for click-users vs purchase-users, every post-sketch job
+    over <= 2k rows; the integer estimates cross engines exactly."""
+    from samza_spark.pipeline.sketches import kmv_set_ops, kmv_table
+
+    ev = load_table(spark, sf, "events")
+    a = kmv_table(ev.filter("event_type = 'click'"), "user_id", k=64, salt="kj")
+    b = kmv_table(
+        ev.filter("event_type = 'purchase'"), "user_id", k=64, salt="kj"
+    )
+    return kmv_set_ops(a, b, k=64)
+
+
+_KJ_H = (
+    "(('0x' || substr(md5('kj' || '|' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT)"
+)
+
+ORACLE_KMV_JACCARD = (
+    f"WITH sa AS (SELECT DISTINCT {_KJ_H} AS h FROM events "
+    "WHERE event_type = 'click' ORDER BY h LIMIT 64), "
+    f"sb AS (SELECT DISTINCT {_KJ_H} AS h FROM events "
+    "WHERE event_type = 'purchase' ORDER BY h LIMIT 64), "
+    "u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) "
+    "ORDER BY h LIMIT 64), "
+    "ur AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM u), "
+    "m AS (SELECT count(*) AS n_union, "
+    "CAST(sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb) "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS overlap, "
+    "max(CASE WHEN r = 64 THEN h END) AS h64, max(r) AS nh FROM ur) "
+    "SELECT CAST(n_union AS BIGINT) AS n_union_hashes, overlap, "
+    "(overlap * 1000000) // n_union AS jaccard_ppm, "
+    "CAST(CASE WHEN nh < 64 THEN nh "
+    "ELSE (63 * 281474976710656) // h64 END AS BIGINT) AS union_estimate, "
+    "(overlap * 1000000) // n_union * "
+    "(CASE WHEN nh < 64 THEN nh ELSE (63 * 281474976710656) // h64 END) "
+    "// 1000000 AS intersect_estimate FROM m"
+)
+
+
+def q_dp_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Thresholded differentially-private histogram release
+    (pipeline.governance.dp_histogram): per-(segment, nation) customer
+    counts + hash-deterministic discrete-Laplace noise (eps = ln 2),
+    rare cells suppressed below the noisy threshold."""
+    from samza_spark.pipeline.governance import dp_histogram
+
+    cust = load_table(spark, sf, "customer")
+    return dp_histogram(
+        cust, ["c_mktsegment", "c_nationkey"], threshold=3
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+def _oracle_dp_histogram() -> str:
+    from samza_spark.pipeline.governance import _dp_noise_sql
+
+    noise = _dp_noise_sql(
+        "concat_ws('|', c_mktsegment, c_nationkey)", "", "duck"
+    )
+    return (
+        "WITH c AS (SELECT c_mktsegment, c_nationkey, count(*) AS n "
+        "FROM customer GROUP BY 1, 2) "
+        f"SELECT c_mktsegment, c_nationkey, CAST(n + {noise} AS BIGINT) "
+        "AS released_count FROM c "
+        f"WHERE n + {noise} >= 3 ORDER BY c_mktsegment, c_nationkey"
+    )
+
+
+def q_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    """Kneser-Ney bigram sufficient statistics
+    (pipeline.text.kneser_ney_stats): continuation counts, backoff mass
+    and continuation probability as exact integers (D = 3/4 rational),
+    top-200 words by left-context volume."""
+    from samza_spark.pipeline.text import kneser_ney_stats
+
+    docs = load_table(spark, sf, "documents")
+    return kneser_ney_stats(docs, text_col="text", top_k=200)
+
+
+ORACLE_KNESER_NEY = (
+    "WITH d AS (SELECT string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^a-z]+', ' ', 'g')), ' ') AS a FROM documents), "
+    "d2 AS (SELECT a FROM d WHERE len(a) >= 2), "
+    "bg0 AS (SELECT unnest(list_zip(a, a[2:])) AS z FROM d2), "
+    "bgr AS (SELECT z[1] AS w1, z[2] AS w2 FROM bg0 "
+    "WHERE z[2] IS NOT NULL), "
+    "bg AS (SELECT w1, w2, count(*) AS c FROM bgr GROUP BY 1, 2), "
+    "tt AS (SELECT count(*) AS t FROM bg), "
+    "lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_total, "
+    "CAST(count(*) AS BIGINT) AS n_right FROM bg GROUP BY 1), "
+    "rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_left FROM bg GROUP BY 1) "
+    "SELECT w1 AS word, c_total, n_right, CAST(coalesce(n_left, 0) AS BIGINT) AS n_left, "
+    "(3 * n_right * 1000000) // (4 * c_total) AS lambda_ppm, "
+    "(coalesce(n_left, 0) * 1000000) // t AS pcont_ppm "
+    "FROM lft LEFT JOIN rgt ON w1 = w2, tt "
+    "ORDER BY c_total DESC, word LIMIT 200"
+)
+
+
+def q_markov_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-1 Markov next-event predictor with held-out accuracy
+    (pipeline.events.markov_eval): transition counts on a 4/5 user hash
+    split, argmax prediction (lexicographic tiebreak), per-state
+    accuracy in exact ppm on the held-out fifth."""
+    from samza_spark.pipeline.events import markov_eval
+
+    ev = load_table(spark, sf, "events")
+    return markov_eval(ev).orderBy("prev_type")
+
+
+ORACLE_MARKOV_EVAL = (
+    "WITH t AS (SELECT user_id, "
+    "(('0x' || substr(md5('mk' || '|' || CAST(user_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 5 = 0) AS is_test, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev_type, event_type AS next_type FROM events), "
+    "tr AS (SELECT prev_type, next_type, count(*) AS c FROM t "
+    "WHERE NOT is_test AND prev_type IS NOT NULL GROUP BY 1, 2), "
+    "p AS (SELECT prev_type, next_type AS predicted FROM "
+    "(SELECT tr.*, row_number() OVER (PARTITION BY prev_type "
+    "ORDER BY c DESC, next_type) AS rn FROM tr) WHERE rn = 1), "
+    "te AS (SELECT prev_type, next_type FROM t "
+    "WHERE is_test AND prev_type IS NOT NULL) "
+    "SELECT prev_type, predicted, CAST(count(*) AS BIGINT) AS n_test, "
+    "CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_correct, "
+    "(CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS BIGINT) "
+    "* 1000000) // count(*) AS acc_ppm "
+    "FROM te JOIN p USING (prev_type) GROUP BY 1, 2 ORDER BY prev_type"
+)
+
+
+def q_fifo_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """FIFO inventory allocation (pipeline.events.fifo_allocation):
+    lineitem demand consumes hash-deterministic per-part stock in order
+    date order; per-part fill/shortfall summary — pure per-key cumsum
+    arithmetic, no sequential loop."""
+    from samza_spark.pipeline.events import fifo_allocation
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    demand = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey",
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+        "o_orderdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    stock = load_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.expr(
+            "50 + cast(conv(substr(md5(concat('st|', cast(p_partkey as string))), "
+            "1, 8), 16, 10) as bigint) % 200"
+        ).alias("stock"),
+    )
+    alloc = fifo_allocation(
+        demand,
+        stock,
+        key_col="l_partkey",
+        qty_col="qty",
+        stock_col="stock",
+        order_cols=["o_orderdate", "l_orderkey", "l_linenumber"],
+    )
+    return (
+        alloc.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("filled_qty") < F.col("qty")).cast("long")).alias(
+                "n_short_lines"
+            ),
+            F.sum("filled_qty").cast("long").alias("total_filled"),
+            F.sum("short_qty").cast("long").alias("total_short"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_FIFO_ALLOCATION = (
+    "WITH d AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, "
+    "o_orderdate, l_orderkey, l_linenumber FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey), "
+    "s AS (SELECT p_partkey, 50 + (('0x' || substr(md5('st' || '|' || "
+    "CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT % 200) AS stock FROM part), "
+    "a AS (SELECT d.l_partkey, qty, stock, "
+    "coalesce(sum(qty) OVER (PARTITION BY d.l_partkey "
+    "ORDER BY o_orderdate, l_orderkey, l_linenumber "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef "
+    "FROM d JOIN s ON d.l_partkey = s.p_partkey), "
+    "f AS (SELECT l_partkey, qty, "
+    "greatest(0, least(qty, stock - bef)) AS filled FROM a) "
+    "SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CASE WHEN filled < qty THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_short_lines, CAST(sum(filled) AS BIGINT) AS total_filled, "
+    "CAST(sum(qty - filled) AS BIGINT) AS total_short "
+    "FROM f GROUP BY 1 ORDER BY l_partkey"
+)
+
+
+QUERIES["kmv_jaccard"] = q_kmv_jaccard
+QUERIES["dp_histogram"] = q_dp_histogram
+QUERIES["kneser_ney"] = q_kneser_ney
+QUERIES["markov_eval"] = q_markov_eval
+QUERIES["fifo_allocation"] = q_fifo_allocation
+
+ORACLES["kmv_jaccard"] = ORACLE_KMV_JACCARD
+ORACLES["dp_histogram"] = _oracle_dp_histogram()
+ORACLES["kneser_ney"] = ORACLE_KNESER_NEY
+ORACLES["markov_eval"] = ORACLE_MARKOV_EVAL
+ORACLES["fifo_allocation"] = ORACLE_FIFO_ALLOCATION
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

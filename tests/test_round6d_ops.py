@@ -191,3 +191,134 @@ def test_rake_scores_multiword_phrases_above_common_words(spark):
     # stopwords never appear inside phrases
     for r in out:
         assert not set(r["phrase"].split()) & {"is", "the", "of", "a"}
+
+
+# ---------------------------------------------------------- kmv set ops
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from samza_spark.pipeline.sketches import kmv_set_ops, kmv_table
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "k long")
+    sa = kmv_table(a, "k", k=64, salt="t")
+    sb = kmv_table(b, "k", k=64, salt="t")
+    r = kmv_set_ops(sa, sb, k=64).collect()[0]
+    # below k everything is exact: |A u B| = 50, |A n B| = 10
+    assert r["union_estimate"] == 50
+    assert r["overlap"] == 10
+    assert r["jaccard_ppm"] == 10 * 1_000_000 // 50
+    assert r["intersect_estimate"] == 10
+
+
+def test_kmv_set_ops_estimates_above_k(spark):
+    from samza_spark.pipeline.sketches import kmv_set_ops, kmv_table
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], "k long")
+    sa = kmv_table(a, "k", k=128, salt="t")
+    sb = kmv_table(b, "k", k=128, salt="t")
+    r = kmv_set_ops(sa, sb, k=128).collect()[0]
+    # true union 3000, jaccard 1000/3000
+    assert abs(r["union_estimate"] - 3000) < 600
+    assert abs(r["jaccard_ppm"] - 333_333) < 120_000
+    assert abs(r["intersect_estimate"] - 1000) < 500
+
+
+# ---------------------------------------------------------- dp histogram
+
+
+def test_dp_histogram_noise_bounded_and_threshold(spark):
+    from samza_spark.pipeline.governance import _DGEOM_CDF_Q30, dp_histogram
+
+    assert len(_DGEOM_CDF_Q30) == 16
+    assert _DGEOM_CDF_Q30 == sorted(_DGEOM_CDF_Q30)
+    rows = [(f"cat{i % 10}",) for i in range(500)] + [("rare",)]
+    df = spark.createDataFrame(rows, "c string")
+    out = {r["c"]: r["released_count"] for r in dp_histogram(df, ["c"], threshold=3).collect()}
+    # noise is clipped to [-8, 8]
+    for c, n in out.items():
+        true = 50 if c != "rare" else 1
+        assert abs(n - true) <= 8
+    # the 1-count category cannot survive a threshold of 3 unless noise >= 2;
+    # deterministically check against its released value
+    if "rare" in out:
+        assert out["rare"] >= 3
+
+
+def test_dp_histogram_deterministic(spark):
+    from samza_spark.pipeline.governance import dp_histogram
+
+    df = spark.createDataFrame([(f"c{i % 5}",) for i in range(100)], "c string")
+    r1 = sorted(map(tuple, dp_histogram(df, ["c"]).collect()))
+    r2 = sorted(map(tuple, dp_histogram(df, ["c"]).collect()))
+    assert r1 == r2
+
+
+# ------------------------------------------------------------- kneser-ney
+
+
+def test_kneser_ney_hand_check(spark):
+    from samza_spark.pipeline.text import kneser_ney_stats
+
+    docs = [("a b c",), ("a b d",), ("e b",)]
+    df = spark.createDataFrame(docs, "text string")
+    # bigrams: (a,b)x2, (b,c), (b,d), (e,b) -> 4 types
+    out = {r["word"]: r for r in kneser_ney_stats(df).collect()}
+    assert out["a"]["c_total"] == 2 and out["a"]["n_right"] == 1
+    assert out["b"]["c_total"] == 2 and out["b"]["n_right"] == 2
+    # 'b' has 2 distinct left contexts (a, e) of 4 bigram types
+    assert out["b"]["n_left"] == 2
+    assert out["b"]["pcont_ppm"] == 2 * 1_000_000 // 4
+    # lambda(a) = (3 * 1 * 1e6) // (4 * 2)
+    assert out["a"]["lambda_ppm"] == 3_000_000 // 8
+
+
+# ------------------------------------------------------------ markov eval
+
+
+def test_markov_eval_learns_deterministic_chain(spark):
+    import datetime
+
+    from samza_spark.pipeline.events import markov_eval
+
+    # every user cycles a -> b -> a ...; the predictor must learn it and
+    # score 100% on held-out users
+    rows = []
+    eid = 0
+    for u in range(20):
+        for i in range(10):
+            rows.append(
+                (eid, u, datetime.datetime(2024, 1, 1, 0, i), "ab"[i % 2])
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["prev_type"]: r for r in markov_eval(df, test_mod=4).collect()}
+    assert out["a"]["predicted"] == "b" and out["a"]["acc_ppm"] == 1_000_000
+    assert out["b"]["predicted"] == "a" and out["b"]["acc_ppm"] == 1_000_000
+
+
+# ------------------------------------------------------- fifo allocation
+
+
+def test_fifo_allocation_hand_check(spark):
+    from samza_spark.pipeline.events import fifo_allocation
+
+    demand = spark.createDataFrame(
+        [(1, 4, 1), (1, 3, 2), (1, 5, 3), (2, 2, 1)],
+        "k long, qty long, seq long",
+    )
+    stock = spark.createDataFrame([(1, 6), (2, 10)], "k long, stock long")
+    out = {
+        (r["k"], r["seq"]): (r["filled_qty"], r["short_qty"])
+        for r in fifo_allocation(
+            demand, stock, "k", "qty", "stock", ["seq"]
+        ).collect()
+    }
+    # key 1: stock 6 -> line1 fills 4, line2 fills 2 (short 1), line3 short 5
+    assert out[(1, 1)] == (4, 0)
+    assert out[(1, 2)] == (2, 1)
+    assert out[(1, 3)] == (0, 5)
+    assert out[(2, 1)] == (2, 0)
