@@ -687,3 +687,92 @@ def temporal_reachability(
     return reach.select(
         "node", F.col("arrival").alias("arrival_us"), "hops"
     )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient in exact ppm:
+    ``2 * triangles(v) * 1e6 div (deg(v) * (deg(v) - 1))`` — the
+    graph-quality companion of :func:`triangle_counts`, reusing its
+    degree-ordered oriented enumeration (no deg^2 wedge blowup at a
+    celebrity node). Nodes of degree < 2 are excluded (coefficient
+    undefined); triangle-free nodes report 0.
+
+    Plan: the triangle pipeline + one degree aggregate + a broadcastable
+    left join — nothing quadratic anywhere.
+    """
+    tri = triangle_counts(edges)
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * 1000000) "
+                "div (degree * (degree - 1))"
+            ).alias("coeff_ppm"),
+        )
+    )
+
+
+def community_modularity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """Per-community modularity contributions for a node partition
+    (e.g. :func:`label_propagation` output) over an undirected
+    (a < b) edge list — the standard community-quality score
+    Q = sum_c (e_c/m - (d_c/2m)^2), carried as the exact integer
+    numerator ``q_num = 4*m*e_c - d_c^2`` over the constant
+    denominator 4*m^2 (every row also reports ``m_edges``), so the
+    score crosses engines with no float division.
+
+    Plan: two label lookups on the edge list (node-keyed joins), one
+    internal-edge count, one degree aggregate — all combinable; the
+    community table is output-sized.
+    """
+    la = labels.select(F.col("node").alias("a"), F.col(label_col).alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col(label_col).alias("lb"))
+    labeled = edges.join(la, "a").join(lb, "b")
+    m = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    e_c = (
+        labeled.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias(label_col))
+        .agg(F.count(F.lit(1)).alias("e_internal"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d_c = (
+        labels.join(deg, "node", "left")
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("d_total"),
+        )
+    )
+    return (
+        d_c.join(e_c, label_col, "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            label_col,
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("e_internal"), F.lit(0))
+            .cast("long")
+            .alias("e_internal"),
+            F.col("d_total").cast("long").alias("d_total"),
+            F.col("m_edges").cast("long").alias("m_edges"),
+            F.expr(
+                "4 * m_edges * coalesce(e_internal, 0) - d_total * d_total"
+            ).alias("q_num"),
+        )
+    )

@@ -459,3 +459,48 @@ def golden_record(
     ]
     aggs.append(F.count(F.lit(1)).alias("n_sources"))
     return records.groupBy(entity_col).agg(*aggs)
+
+
+def symspell_pairs(
+    words: DataFrame, word_col: str = "w", max_len: int = 64
+) -> DataFrame:
+    """All distinct word pairs within Levenshtein distance 1, WITHOUT
+    the all-pairs cross join — the SymSpell deletion-neighborhood trick
+    (Garbe 2012): every word emits itself plus its single-character
+    deletions; any two words within edit distance 1 (insert, delete, or
+    substitute) provably share at least one variant, so candidates come
+    from an equi-join on the variant key and a cheap exact
+    ``levenshtein <= 1`` filter kills the false positives (e.g.
+    transpositions, which share a variant but are distance 2).
+
+    Scale: fanout is |word|+1 variants per word (bounded by
+    ``max_len``), the join is hash-partitioned on the variant string,
+    and the verify step runs only on candidates — the same
+    generate/bucket/verify shape as MinHash-LSH, here with a
+    completeness PROOF instead of a probability.
+
+    Returns ``(w1, w2, dist)`` with ``w1 < w2``.
+    """
+    w = words.select(F.col(word_col).alias("w")).distinct().filter(
+        F.length("w") <= max_len
+    )
+    variants = w.select(
+        "w",
+        F.explode(
+            F.expr(
+                "array_union(array(w), transform(sequence(0, length(w) - 1), "
+                "i -> concat(left(w, i), substring(w, i + 2))))"
+            )
+        ).alias("v"),
+    )
+    v1 = variants.select(F.col("w").alias("w1"), "v")
+    v2 = variants.select(F.col("w").alias("w2"), "v")
+    cand = (
+        v1.join(v2, "v")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+    )
+    return cand.select(
+        "w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist")
+    ).filter(F.col("dist") <= 1)

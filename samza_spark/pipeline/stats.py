@@ -1400,3 +1400,74 @@ def poisson_bootstrap(
             "case when n_eff > 0 then sum_units div n_eff else null end"
         ).alias("mean_units"),
     )
+
+
+def qini_curve(
+    df: DataFrame,
+    key_col: str,
+    score_col,
+    positive_expr: str,
+    treatment_expr: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """Qini / uplift curve (Radcliffe 2007) — the treatment-effect
+    ranking evaluation: units ranked by an uplift score, cut into
+    equal-population bins, and each cumulative prefix scored by
+    ``qini_num = cum_pos_t * cum_n_c - cum_pos_c * cum_n_t`` (the
+    exact integer numerator of incremental conversions over the
+    control baseline, denominator ``cum_n_c`` left to the consumer).
+
+    Same exactness recipe as :func:`lift_chart`: per-unit integer
+    aggregates, global rank via range exchange (no single-partition
+    sort), integer bin split, and a window over only ``n_bins`` rows.
+    """
+    from samza_spark.operators.rank import global_rank
+
+    per_unit = df.groupBy(F.col(key_col).alias("u")).agg(
+        F.expr(str(score_col)).alias("score"),
+        F.max(F.expr(positive_expr).cast("long")).alias("pos"),
+        F.max(F.expr(treatment_expr).cast("long")).alias("treat"),
+    )
+    ranked = global_rank(
+        per_unit,
+        [F.col("score").desc(), F.col("u").asc()],
+        rank_col="r",
+    )
+    totals = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    binned = (
+        ranked.join(F.broadcast(totals))
+        .select(
+            F.expr(f"((r - 1) * {n_bins}) div __n + 1").alias("bin"),
+            "pos",
+            "treat",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("treat").alias("n_t"),
+            F.sum(F.lit(1) - F.col("treat")).alias("n_c"),
+            F.sum(F.col("pos") * F.col("treat")).alias("pos_t"),
+            F.sum(F.col("pos") * (F.lit(1) - F.col("treat"))).alias("pos_c"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        binned.select(
+            "bin",
+            F.col("n_t").cast("long").alias("n_t"),
+            F.col("n_c").cast("long").alias("n_c"),
+            F.col("pos_t").cast("long").alias("pos_t"),
+            F.col("pos_c").cast("long").alias("pos_c"),
+            F.sum("pos_t").over(w).cast("long").alias("cum_pos_t"),
+            F.sum("pos_c").over(w).cast("long").alias("cum_pos_c"),
+            F.sum("n_t").over(w).cast("long").alias("cum_n_t"),
+            F.sum("n_c").over(w).cast("long").alias("cum_n_c"),
+        )
+        .withColumn(
+            "qini_num",
+            (
+                F.col("cum_pos_t") * F.col("cum_n_c")
+                - F.col("cum_pos_c") * F.col("cum_n_t")
+            ).cast("long"),
+        )
+        .orderBy("bin")
+    )

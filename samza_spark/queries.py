@@ -11014,6 +11014,166 @@ ORACLES["markov_eval"] = ORACLE_MARKOV_EVAL
 ORACLES["fifo_allocation"] = ORACLE_FIFO_ALLOCATION
 
 
+def q_qini_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Qini uplift curve (pipeline.stats.qini_curve): users ranked by
+    spend score, hash-deterministic treatment split, cumulative
+    incremental-conversion numerator in exact integers — the
+    treatment-effect companion of lift_chart."""
+    from samza_spark.pipeline.stats import qini_curve
+
+    ev = load_table(spark, sf, "events")
+    return qini_curve(
+        ev,
+        key_col="user_id",
+        score_col="sum(cast(floor(value * 1000000) as bigint))",
+        positive_expr="event_type = 'purchase'",
+        treatment_expr=(
+            "cast(conv(substr(md5(concat('qn|', cast(user_id as string))), "
+            "1, 8), 16, 10) as bigint) % 2 = 0"
+        ),
+        n_bins=5,
+    )
+
+
+ORACLE_QINI_CURVE = (
+    "WITH pu AS (SELECT user_id AS u, "
+    "sum(CAST(floor(value * 1000000) AS BIGINT)) AS score, "
+    "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS pos, "
+    "CAST(max(CASE WHEN (('0x' || substr(md5('qn' || '|' || "
+    "CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0) THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS treat FROM events GROUP BY 1), "
+    "r AS (SELECT u, score, pos, treat, row_number() OVER "
+    "(ORDER BY score DESC, u ASC) AS rk, count(*) OVER () AS n FROM pu), "
+    "b AS (SELECT ((rk - 1) * 5) // n + 1 AS bin, pos, treat FROM r), "
+    "agg AS (SELECT bin, CAST(sum(treat) AS BIGINT) AS n_t, "
+    "CAST(sum(1 - treat) AS BIGINT) AS n_c, "
+    "CAST(sum(pos * treat) AS BIGINT) AS pos_t, "
+    "CAST(sum(pos * (1 - treat)) AS BIGINT) AS pos_c FROM b GROUP BY bin), "
+    "c AS (SELECT bin, n_t, n_c, pos_t, pos_c, "
+    "CAST(sum(pos_t) OVER wnd AS BIGINT) AS cum_pos_t, "
+    "CAST(sum(pos_c) OVER wnd AS BIGINT) AS cum_pos_c, "
+    "CAST(sum(n_t) OVER wnd AS BIGINT) AS cum_n_t, "
+    "CAST(sum(n_c) OVER wnd AS BIGINT) AS cum_n_c FROM agg "
+    "WINDOW wnd AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW)) "
+    "SELECT c.*, cum_pos_t * cum_n_c - cum_pos_c * cum_n_t AS qini_num "
+    "FROM c ORDER BY bin"
+)
+
+
+def q_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficients on the supplier co-occurrence
+    graph (pipeline.graph.clustering_coefficients): degree-oriented
+    triangle enumeration + degree join, exact ppm."""
+    from pyspark import StorageLevel
+
+    from samza_spark.pipeline import graph
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return graph.clustering_coefficients(edges).orderBy("node")
+
+
+ORACLE_CLUSTERING_COEFF = (
+    "WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+    "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'), "
+    "e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b FROM li x "
+    "JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey), "
+    "t AS (SELECT p.a AS x, p.b AS y, q.b AS z FROM e p "
+    "JOIN e q ON p.a = q.a AND p.b < q.b "
+    "JOIN e r ON r.a = p.b AND r.b = q.b), "
+    "n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t "
+    "UNION ALL SELECT z FROM t), "
+    "tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles "
+    "FROM n GROUP BY node), "
+    "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM "
+    "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node) "
+    "SELECT d.node, degree, "
+    "CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles, "
+    "(2 * coalesce(n_triangles, 0) * 1000000) // (degree * (degree - 1)) "
+    "AS coeff_ppm FROM deg d LEFT JOIN tri USING (node) "
+    "WHERE degree >= 2 ORDER BY d.node"
+)
+
+
+def q_community_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Modularity of the label-propagation partition
+    (pipeline.graph.community_modularity): per-community internal
+    edges, degree mass, and the exact integer numerator
+    4*m*e_c - d_c^2 over the shared 4*m^2 denominator."""
+    from pyspark import StorageLevel
+
+    from samza_spark.pipeline import graph
+
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels = graph.label_propagation(graph.symmetric_arcs(edges), n_iters=3)
+    return graph.community_modularity(edges, labels).orderBy("label")
+
+
+ORACLE_COMMUNITY_MODULARITY = (
+    _LPA_PRE
+    + _LPA_ROUNDS
+    + "m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e), "
+    "ec AS (SELECT x.lb AS label, CAST(count(*) AS BIGINT) AS e_internal "
+    "FROM e JOIN l3 x ON e.a = x.node JOIN l3 y ON e.b = y.node "
+    "WHERE x.lb = y.lb GROUP BY 1), "
+    "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM sym "
+    "GROUP BY 1), "
+    "dc AS (SELECT l.lb AS label, CAST(count(*) AS BIGINT) AS n_nodes, "
+    "CAST(sum(coalesce(d, 0)) AS BIGINT) AS d_total FROM l3 l "
+    "LEFT JOIN deg ON l.node = deg.node GROUP BY 1) "
+    "SELECT label, n_nodes, CAST(coalesce(e_internal, 0) AS BIGINT) "
+    "AS e_internal, d_total, (SELECT m_edges FROM m) AS m_edges, "
+    "4 * (SELECT m_edges FROM m) * coalesce(e_internal, 0) "
+    "- d_total * d_total AS q_num "
+    "FROM dc LEFT JOIN ec USING (label) ORDER BY label"
+)
+
+
+def q_typo_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SymSpell deletion-neighborhood join (pipeline.linkage.
+    symspell_pairs): all customer-name pairs within Levenshtein
+    distance 1 WITHOUT an all-pairs cross join; the oracle runs the
+    brute-force quadratic spec, proving the neighborhood decomposition
+    complete."""
+    from samza_spark.pipeline.linkage import symspell_pairs
+
+    cust = load_table(spark, sf, "customer")
+    return symspell_pairs(cust, word_col="c_name").orderBy("w1", "w2")
+
+
+ORACLE_TYPO_PAIRS = (
+    "WITH w AS (SELECT DISTINCT c_name AS w FROM customer) "
+    "SELECT a.w AS w1, b.w AS w2, "
+    "CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist "
+    "FROM w a JOIN w b ON a.w < b.w "
+    "WHERE levenshtein(a.w, b.w) <= 1 ORDER BY w1, w2"
+)
+
+
+QUERIES["qini_curve"] = q_qini_curve
+QUERIES["clustering_coeff"] = q_clustering_coeff
+QUERIES["community_modularity"] = q_community_modularity
+QUERIES["typo_pairs"] = q_typo_pairs
+
+ORACLES["qini_curve"] = ORACLE_QINI_CURVE
+ORACLES["clustering_coeff"] = ORACLE_CLUSTERING_COEFF
+ORACLES["community_modularity"] = ORACLE_COMMUNITY_MODULARITY
+ORACLES["typo_pairs"] = ORACLE_TYPO_PAIRS
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

@@ -322,3 +322,128 @@ def test_fifo_allocation_hand_check(spark):
     assert out[(1, 2)] == (2, 1)
     assert out[(1, 3)] == (0, 5)
     assert out[(2, 1)] == (2, 0)
+
+
+# --------------------------------------------------------------- qini curve
+
+
+def test_qini_curve_perfect_uplift_model(spark):
+    from samza_spark.pipeline.stats import qini_curve
+
+    # treated units 0..49 convert iff score high (units 0..24);
+    # control units never convert -> qini grows only on treated positives
+    rows = []
+    for u in range(100):
+        treated = u < 50
+        score = 100 - u  # descending with u
+        pos = treated and u < 25
+        rows.append((u, score, int(pos), int(treated)))
+    df = spark.createDataFrame(rows, "u long, s long, p long, t long")
+    out = qini_curve(
+        df, key_col="u", score_col="max(s)", positive_expr="p = 1",
+        treatment_expr="t = 1", n_bins=4,
+    ).collect()
+    assert [r["bin"] for r in out] == [1, 2, 3, 4]
+    last = out[-1]
+    assert last["cum_n_t"] == 50 and last["cum_n_c"] == 50
+    assert last["cum_pos_t"] == 25 and last["cum_pos_c"] == 0
+    # with zero control positives, qini_num = cum_pos_t * cum_n_c
+    for r in out:
+        assert r["qini_num"] == r["cum_pos_t"] * r["cum_n_c"]
+
+
+# ------------------------------------------------------ clustering coefficient
+
+
+def test_clustering_coefficients_hand_check(spark):
+    from samza_spark.pipeline.graph import clustering_coefficients
+
+    # triangle 1-2-3 plus pendant 3-4: node 3 has deg 3, 1 triangle ->
+    # 2*1/(3*2) = 1/3; nodes 1,2 have coeff 1; node 4 excluded (deg 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    out = {r["node"]: r for r in clustering_coefficients(edges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["coeff_ppm"] == 1_000_000
+    assert out[2]["coeff_ppm"] == 1_000_000
+    assert out[3]["coeff_ppm"] == 2_000_000 // 6
+
+
+# ------------------------------------------------------------- modularity
+
+
+def test_community_modularity_two_cliques(spark):
+    from samza_spark.pipeline.graph import community_modularity
+
+    # two disjoint triangles, perfectly partitioned: m=6,
+    # each community: e_c=3, d_c=6 -> q_num = 4*6*3 - 36 = 36
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)], "a long, b long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "node long, label long"
+    )
+    out = {r["label"]: r for r in community_modularity(edges, labels).collect()}
+    for lab in (1, 4):
+        assert out[lab]["e_internal"] == 3
+        assert out[lab]["d_total"] == 6
+        assert out[lab]["m_edges"] == 6
+        assert out[lab]["q_num"] == 4 * 6 * 3 - 36
+    # Q = sum(q_num) / (4 m^2) = 72/144 = 0.5, the textbook value
+    assert sum(r["q_num"] for r in out.values()) == 72
+
+
+def test_community_modularity_cross_edges_not_internal(spark):
+    from samza_spark.pipeline.graph import community_modularity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "node long, label long"
+    )
+    out = {r["label"]: r for r in community_modularity(edges, labels).collect()}
+    assert out[1]["e_internal"] == 1 and out[3]["e_internal"] == 0
+    assert out[3]["n_nodes"] == 1 and out[3]["d_total"] == 1
+
+
+# -------------------------------------------------------------- symspell
+
+
+def test_symspell_pairs_equal_bruteforce(spark):
+    from samza_spark.pipeline.linkage import symspell_pairs
+
+    words = [
+        "cat", "cart", "bat", "cap", "dog", "dig", "dg", "act", "tac",
+        "hello", "hallo", "hell", "shell",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r["w1"], r["w2"]) for r in symspell_pairs(df).collect()
+    }
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    expect = {
+        (a, b)
+        for i, a in enumerate(sorted(words))
+        for b in sorted(words)[i + 1:]
+        if lev(a, b) <= 1
+    }
+    assert got == expect
+    # transposition pairs (distance 2) must NOT appear
+    assert ("act", "cat") not in got and ("act", "tac") not in got
