@@ -247,6 +247,22 @@ HEADLINE = [
     "kmv_distinct",
     "zone_map_stats",
     "lift_chart",
+    # round-6 session-4: survival/spatial/bootstrap/linkage/text/graph
+    "kaplan_meier",
+    "nearest_hub",
+    "poisson_bootstrap",
+    "compaction_plan",
+    "golden_record",
+    "rake_keyphrases",
+    "kmv_jaccard",
+    "dp_histogram",
+    "kneser_ney",
+    "markov_eval",
+    "fifo_allocation",
+    "qini_curve",
+    "clustering_coeff",
+    "community_modularity",
+    "typo_pairs",
 ]
 
 

@@ -2005,3 +2005,46 @@ def fifo_allocation(
         )
         .drop("__before")
     )
+
+
+def interval_merge(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Coalesce overlapping (or touching) intervals per key — the
+    gaps-and-islands merge every timeline/entitlement/maintenance-window
+    pipeline needs: an interval starts a new island iff its start lies
+    strictly beyond the running max end of everything before it.
+
+    Plan: per-key sort window (one shuffle on the key), a running-max /
+    running-sum pair, and one groupBy — no self-joins, no recursion.
+    Returns ``(key, island, merged start/end, n_merged)``.
+    """
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = intervals.withColumn(
+        "__new",
+        (
+            F.col(start_col)
+            > F.coalesce(F.max(end_col).over(w_prev), F.lit(-(1 << 62)))
+        ).cast("long"),
+    ).withColumn("island", F.sum("__new").over(w_run))
+    return (
+        flagged.groupBy(key_col, "island")
+        .agg(
+            F.min(start_col).cast("long").alias(start_col),
+            F.max(end_col).cast("long").alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .orderBy(key_col, "island")
+    )

@@ -1471,3 +1471,51 @@ def qini_curve(
         )
         .orderBy("bin")
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    key_col: str,
+    score_col,
+    positive_expr: str,
+) -> DataFrame:
+    """Exact precision-recall curve: one point per DISTINCT score
+    threshold (predict positive iff score >= threshold), with
+    precision/recall in exact ppm — the threshold-sweep companion of
+    :func:`roc_auc` and the binned :func:`lift_chart`.
+
+    Scale: after the per-unit aggregate, everything runs on the
+    DISTINCT-SCORE table (bounded by score cardinality, not corpus
+    size); its cumulative window is a bounded final stage, the same
+    idiom as the survival and retention grids.
+    """
+    per_unit = df.groupBy(F.col(key_col).alias("u")).agg(
+        F.expr(str(score_col)).alias("score"),
+        F.max(F.expr(positive_expr).cast("long")).alias("pos"),
+    )
+    by_score = per_unit.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
+    )
+    totals = per_unit.agg(F.sum("pos").alias("__p"))
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        by_score.join(F.broadcast(totals))
+        .select(
+            F.col("score").cast("long").alias("threshold"),
+            F.sum("npos").over(w).cast("long").alias("tp"),
+            F.sum("n").over(w).cast("long").alias("n_predicted"),
+            "__p",
+        )
+        .select(
+            "threshold",
+            "tp",
+            "n_predicted",
+            F.expr("(tp * 1000000) div n_predicted").alias("precision_ppm"),
+            F.expr(
+                "case when __p > 0 then (tp * 1000000) div __p else 0 end"
+            ).alias("recall_ppm"),
+        )
+        .orderBy(F.col("threshold").desc())
+    )

@@ -11174,6 +11174,92 @@ ORACLES["community_modularity"] = ORACLE_COMMUNITY_MODULARITY
 ORACLES["typo_pairs"] = ORACLE_TYPO_PAIRS
 
 
+def q_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing (pipeline.events.
+    interval_merge): per-user event intervals (duration derived
+    deterministically from value) merged wherever they overlap or
+    touch — running-max island detection, one key shuffle."""
+    from samza_spark.pipeline.events import interval_merge
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        F.col("user_id").alias("key"),
+        F.expr("unix_micros(ts)").alias("start_us"),
+        F.expr(
+            "unix_micros(ts) + (cast(floor(value * 1000000) as bigint) % 600) "
+            "* 1000000"
+        ).alias("end_us"),
+    )
+    out = interval_merge(iv)
+    return out.select(
+        "key",
+        F.col("island").cast("long").alias("island"),
+        "start_us",
+        "end_us",
+        "n_merged",
+    )
+
+
+ORACLE_INTERVAL_MERGE = (
+    "WITH iv AS (SELECT user_id AS key, epoch_us(ts) AS s, "
+    "epoch_us(ts) + (CAST(floor(value * 1000000) AS BIGINT) % 600) * 1000000 "
+    "AS e FROM events), "
+    "fl AS (SELECT key, s, e, CASE WHEN s > coalesce(max(e) OVER "
+    "(PARTITION BY key ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "1 PRECEDING), -4611686018427387904) THEN 1 ELSE 0 END AS nw FROM iv), "
+    "isl AS (SELECT key, s, e, sum(nw) OVER (PARTITION BY key ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl) "
+    "SELECT key, CAST(island AS BIGINT) AS island, "
+    "CAST(min(s) AS BIGINT) AS start_us, CAST(max(e) AS BIGINT) AS end_us, "
+    "CAST(count(*) AS BIGINT) AS n_merged "
+    "FROM isl GROUP BY key, island ORDER BY key, island"
+)
+
+
+def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact precision-recall sweep (pipeline.stats.pr_curve): one
+    point per distinct user spend score, precision/recall in exact
+    ppm; the post-aggregate stages run on the distinct-score table
+    only."""
+    from samza_spark.pipeline.stats import pr_curve
+
+    ev = load_table(spark, sf, "events")
+    return pr_curve(
+        ev,
+        key_col="user_id",
+        score_col="sum(cast(floor(value * 1000000) as bigint))",
+        positive_expr="event_type = 'purchase'",
+    )
+
+
+ORACLE_PR_CURVE = (
+    "WITH pu AS (SELECT user_id AS u, "
+    "sum(CAST(floor(value * 1000000) AS BIGINT)) AS score, "
+    "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS pos FROM events GROUP BY 1), "
+    "bs AS (SELECT score, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(pos) AS BIGINT) AS npos FROM pu GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p FROM pu), "
+    "c AS (SELECT score AS threshold, "
+    "CAST(sum(npos) OVER wnd AS BIGINT) AS tp, "
+    "CAST(sum(n) OVER wnd AS BIGINT) AS n_predicted, "
+    "(SELECT p FROM tot) AS p FROM bs "
+    "WINDOW wnd AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW)) "
+    "SELECT threshold, tp, n_predicted, "
+    "(tp * 1000000) // n_predicted AS precision_ppm, "
+    "CASE WHEN p > 0 THEN (tp * 1000000) // p ELSE 0 END AS recall_ppm "
+    "FROM c ORDER BY threshold DESC"
+)
+
+
+QUERIES["interval_merge"] = q_interval_merge
+QUERIES["pr_curve"] = q_pr_curve
+
+ORACLES["interval_merge"] = ORACLE_INTERVAL_MERGE
+ORACLES["pr_curve"] = ORACLE_PR_CURVE
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

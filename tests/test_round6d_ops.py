@@ -447,3 +447,52 @@ def test_symspell_pairs_equal_bruteforce(spark):
     assert got == expect
     # transposition pairs (distance 2) must NOT appear
     assert ("act", "cat") not in got and ("act", "tac") not in got
+
+
+# ---------------------------------------------------------- interval merge
+
+
+def test_interval_merge_hand_check(spark):
+    from samza_spark.pipeline.events import interval_merge
+
+    iv = spark.createDataFrame(
+        [
+            # key 1: [0,10] + [5,8] (contained) + [10,20] (touching) -> one
+            # island; [25,30] separate
+            (1, 0, 10), (1, 5, 8), (1, 10, 20), (1, 25, 30),
+            # key 2: nested long interval swallows later short ones
+            (2, 0, 100), (2, 10, 20), (2, 99, 101),
+        ],
+        "key long, start_us long, end_us long",
+    )
+    out = {
+        (r["key"], r["island"]): (r["start_us"], r["end_us"], r["n_merged"])
+        for r in interval_merge(iv).collect()
+    }
+    assert out == {
+        (1, 1): (0, 20, 3),
+        (1, 2): (25, 30, 1),
+        (2, 1): (0, 101, 3),
+    }
+
+
+# -------------------------------------------------------------- pr curve
+
+
+def test_pr_curve_perfect_separation(spark):
+    from samza_spark.pipeline.stats import pr_curve
+
+    # scores 100..91 are positive, 50..41 negative -> precision 1.0
+    # until recall 1.0, then decays
+    rows = [(i, 100 - i, 1) for i in range(10)] + [
+        (100 + i, 50 - i, 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "u long, s long, p long")
+    out = pr_curve(df, "u", "max(s)", "p = 1").collect()
+    assert len(out) == 20
+    top = [r for r in out if r["threshold"] >= 91]
+    assert all(r["precision_ppm"] == 1_000_000 for r in top)
+    assert top[-1]["recall_ppm"] == 1_000_000
+    last = out[-1]
+    assert last["n_predicted"] == 20 and last["tp"] == 10
+    assert last["precision_ppm"] == 500_000
