@@ -107,3 +107,124 @@ def nearest_hub_join(
         F.col(f"b.{hub_id}").alias(hub_id),
         F.col("b.d2").alias("d2"),
     )
+
+
+def grid_neighbor_pairs(
+    points: DataFrame,
+    point_id: str = "point_id",
+    eps: int = 128,
+    extent: int = 4096,
+) -> DataFrame:
+    """Directed pairs ``(a, b)`` of distinct points within Euclidean
+    ``eps``, via the same cell-size-==-radius grid decomposition as
+    :func:`nearest_hub_join` — a self-join that never goes quadratic:
+    one side keyed by its own cell, the other expanded to its 3x3
+    neighborhood, equi-join on the cell, exact integer ``d2`` residual.
+    Both orders of every pair appear (the expansion is symmetric).
+    """
+    cell = eps
+    n_cells = (extent + cell - 1) // cell
+    own = points.select(
+        F.col(point_id).alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.expr(f"x div {cell}").alias("cx"),
+        F.expr(f"y div {cell}").alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    other = (
+        points.select(
+            F.col(point_id).alias("b"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.expr(f"x div {cell}").alias("bcx"),
+            F.expr(f"y div {cell}").alias("bcy"),
+        )
+        .select("b", "bx", "by", "bcx", "bcy", offsets.alias("o"))
+        .select(
+            "b",
+            "bx",
+            "by",
+            (F.col("bcx") + F.col("o.dx")).alias("cx"),
+            (F.col("bcy") + F.col("o.dy")).alias("cy"),
+        )
+        .filter(
+            (F.col("cx") >= 0)
+            & (F.col("cx") < n_cells)
+            & (F.col("cy") >= 0)
+            & (F.col("cy") < n_cells)
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        own.join(other, on=["cx", "cy"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", d2.alias("d2"))
+        .filter(F.col("d2") <= eps * eps)
+    )
+
+
+def dbscan(
+    points: DataFrame,
+    point_id: str = "point_id",
+    eps: int = 128,
+    min_pts: int = 5,
+) -> DataFrame:
+    """Distributed DBSCAN (Ester et al. 1996) as a composition of
+    engine primitives — grid-bucketed eps-neighbor pairs (never an
+    all-pairs join), a degree aggregate for core points, and min-label
+    connected components over the core-core adjacency; border points
+    attach to the smallest core neighbor's cluster, noise drops out.
+    Deterministic end-to-end (min tie-breaks), so a SQL oracle can
+    replay it exactly.
+
+    Returns ``(point_id, cluster, is_core)``; cluster ids are the
+    minimum core point id of the component.
+    """
+    from samza_spark.pipeline.graph import connected_components_star
+
+    pairs = grid_neighbor_pairs(points, point_id, eps=eps, extent=4096)
+    pairs = pairs.persist()
+    deg = pairs.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("n_nb"))
+    core = deg.filter(F.col("n_nb") >= min_pts).select(F.col("a").alias("id"))
+    core_edges = (
+        pairs.filter(F.col("a") < F.col("b"))
+        .join(core.select(F.col("id").alias("a")), "a")
+        .join(core.select(F.col("id").alias("b")), "b")
+        .select("a", "b")
+    )
+    # spatial eps-components can be ELONGATED chains (diameter >> 20),
+    # so use the O(log n)-round star contraction, not min-label
+    comp = connected_components_star(core_edges, id_col="node")
+    core_lab = (
+        core.join(comp, core.id == comp.node, "left")
+        .select(
+            F.col("id"),
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+    )
+    border = (
+        pairs.join(
+            core_lab.select(F.col("id").alias("b"), "cluster"), "b"
+        )
+        .join(core.select(F.col("id").alias("a")), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        core_lab.select(
+            F.col("id").alias(point_id), "cluster", F.lit(1).alias("is_core")
+        )
+        .unionByName(
+            border.select(
+                F.col("a").alias(point_id),
+                "cluster",
+                F.lit(0).alias("is_core"),
+            )
+        )
+    )

@@ -496,3 +496,116 @@ def test_pr_curve_perfect_separation(spark):
     last = out[-1]
     assert last["n_predicted"] == 20 and last["tp"] == 10
     assert last["precision_ppm"] == 500_000
+
+
+# ------------------------------------------------------------------ dbscan
+
+
+def test_grid_neighbor_pairs_equal_bruteforce(spark):
+    from samza_spark.pipeline.spatial import grid_neighbor_pairs
+
+    pts = [(i, (i * 197) % 1000, (i * 313) % 1000) for i in range(150)]
+    df = spark.createDataFrame(pts, "point_id long, x long, y long")
+    got = {
+        (r["a"], r["b"])
+        for r in grid_neighbor_pairs(df, eps=100, extent=4096).collect()
+    }
+    expect = {
+        (a, b)
+        for a, xa, ya in pts
+        for b, xb, yb in pts
+        if a != b and (xa - xb) ** 2 + (ya - yb) ** 2 <= 100 * 100
+    }
+    assert got == expect
+
+
+def test_dbscan_hand_check(spark):
+    from samza_spark.pipeline.spatial import dbscan
+
+    # dense blob around (10,10): 5 points -> all core (eps 5, minPts 4);
+    # point at (16,10) is border (1 core neighbor, only 2 total);
+    # point at (100,100) is noise
+    pts = [
+        (1, 10, 10), (2, 11, 10), (3, 10, 11), (4, 12, 11), (5, 11, 12),
+        (6, 16, 10),
+        (7, 100, 100),
+    ]
+    df = spark.createDataFrame(pts, "point_id long, x long, y long")
+    out = {r["point_id"]: (r["cluster"], r["is_core"]) for r in dbscan(df, eps=5, min_pts=4).collect()}
+    assert 7 not in out  # noise dropped
+    assert out[6] == (1, 0)  # border, attached to the blob's min core id
+    for p in (1, 2, 3, 4, 5):
+        assert out[p] == (1, 1)
+
+
+def test_dbscan_chain_component_converges(spark):
+    from samza_spark.pipeline.spatial import dbscan
+
+    # a 60-point chain spaced 4 apart: every interior point has 2
+    # neighbors at eps=5... use minPts=3 so the chain is one cluster;
+    # diameter 60 >> min-label cap would under-converge
+    pts = [(i, 4 * i, 0) for i in range(60)]
+    df = spark.createDataFrame(pts, "point_id long, x long, y long")
+    out = dbscan(df, eps=5, min_pts=3).collect()
+    clusters = {r["cluster"] for r in out}
+    # endpoints (2 neighbors incl. self) are border, so the min CORE id
+    # is 1 -- one cluster spanning the whole 60-point chain either way
+    assert clusters == {1}
+    assert len(out) == 60
+    border = {r["point_id"] for r in out if r["is_core"] == 0}
+    assert border == {0, 59}
+
+
+# --------------------------------------------------------------------- emd
+
+
+def test_emd_1d_hand_check(spark):
+    from samza_spark.pipeline.stats import emd_1d
+
+    # a: mass at 0 and 10; b: same mass shifted +1 -> EMD = 1
+    rows = [(0, "a"), (10, "a"), (1, "b"), (11, "b")]
+    df = spark.createDataFrame(rows, "v long, g string")
+    r = emd_1d(df, "v", "g").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    # numerator over n_a*n_b = 4: emd = 1 -> num = 4
+    assert r["emd_num"] == 4
+
+
+def test_emd_1d_magnitude_aware(spark):
+    from samza_spark.pipeline.stats import emd_1d
+
+    # small shift of much mass vs large shift of little mass: same KS
+    # would differ; EMD ranks the big shift higher
+    near = [(0, "a")] * 10 + [(1, "b")] * 10
+    far = [(0, "a")] * 10 + [(100, "b")] * 10
+    d_near = emd_1d(
+        spark.createDataFrame(near, "v long, g string"), "v", "g"
+    ).collect()[0]
+    d_far = emd_1d(
+        spark.createDataFrame(far, "v long, g string"), "v", "g"
+    ).collect()[0]
+    assert d_far["emd_num"] > d_near["emd_num"]
+    assert d_near["emd_num"] == 100  # 1 * (10*10)
+    assert d_far["emd_num"] == 100 * 100
+
+
+# ------------------------------------------- poisson bootstrap mergeability
+
+
+def test_poisson_bootstrap_is_mergeable(spark):
+    from samza_spark.pipeline.stats import poisson_bootstrap
+
+    rows = [(i, float(i % 50)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    whole = {
+        r["rep"]: (r["n_eff"], r["sum_units"])
+        for r in poisson_bootstrap(df, "k", "v", n_reps=8).collect()
+    }
+    h1 = poisson_bootstrap(df.filter("k % 2 = 0"), "k", "v", n_reps=8).collect()
+    h2 = poisson_bootstrap(df.filter("k % 2 = 1"), "k", "v", n_reps=8).collect()
+    folded = {}
+    for r in list(h1) + list(h2):
+        n, s = folded.get(r["rep"], (0, 0))
+        folded[r["rep"]] = (n + r["n_eff"], s + r["sum_units"])
+    # per-row deterministic weights make replicate sums exactly additive
+    assert folded == whole
