@@ -263,6 +263,10 @@ HEADLINE = [
     "clustering_coeff",
     "community_modularity",
     "typo_pairs",
+    "interval_merge",
+    "pr_curve",
+    "dbscan_clusters",
+    "emd_drift",
 ]
 
 
