@@ -267,6 +267,7 @@ HEADLINE = [
     "pr_curve",
     "dbscan_clusters",
     "emd_drift",
+    "window_funnel",
 ]
 
 

@@ -2048,3 +2048,66 @@ def interval_merge(
         )
         .orderBy(key_col, "island")
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: "list[str]",
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse-style ``windowFunnel``: per user, the longest step
+    chain t1 < t2 < ... < tL (each event strictly after the previous
+    step's) completed within ``window_us`` of the chain's FIRST event —
+    a sliding-window funnel, unlike :func:`funnel` which scans the
+    whole history. Greedy earliest-next matching is provably optimal
+    (an exchange argument: taking the earliest valid next event never
+    shrinks the remaining budget), so the result is deterministic and
+    SQL-replayable.
+
+    Plan: ONE groupBy(user) collecting per-step sorted timestamp
+    arrays; the chain search is a row-local array expression (bounded
+    by the user's own event counts) — no self-joins, no window over
+    the corpus. Returns ``(user, level)`` with level 0 when step 1
+    never fires.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    arrs = [
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col(type_col) == F.lit(s), F.unix_micros(F.col(ts_col))
+                )
+            )
+        ).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    agged = (
+        df.where(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .agg(*arrs)
+    )
+
+    def chain_level(s1):
+        # NOTE: F.filter dispatches on the lambda's ARITY (a second
+        # parameter receives the element index), so the usual
+        # default-arg capture trick must not be used here — bind the
+        # loop state through a one-argument closure factory instead.
+        def step_pred(tp):
+            return lambda x: (x > tp) & (x <= s1 + F.lit(window_us))
+
+        level = F.lit(1)
+        t_prev = s1
+        for k in range(1, len(steps)):
+            t_k = F.array_min(F.filter(F.col(f"__a{k}"), step_pred(t_prev)))
+            level = level + F.when(t_k.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            t_prev = t_k
+        return level
+
+    lvl = F.coalesce(
+        F.array_max(F.transform(F.col("__a0"), chain_level)), F.lit(0)
+    )
+    return agged.select(user_col, lvl.cast("long").alias("level"))

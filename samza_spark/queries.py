@@ -11354,6 +11354,44 @@ ORACLES["dbscan_clusters"] = ORACLE_DBSCAN
 ORACLES["emd_drift"] = ORACLE_EMD_DRIFT
 
 
+def q_window_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickHouse-style sliding-window funnel (pipeline.events.
+    window_funnel): longest view -> click -> purchase chain within one
+    hour of the chain's first event, greedy earliest-next matching —
+    row-local array search after ONE user-keyed shuffle."""
+    from samza_spark.pipeline.events import window_funnel
+
+    ev = load_table(spark, sf, "events")
+    return window_funnel(
+        ev, steps=["view", "click", "purchase"], window_us=3_600_000_000
+    ).orderBy("user_id")
+
+
+_WF_T2 = (
+    "list_min(list_filter(a2, x -> x > s1 AND x <= s1 + 3600000000))"
+)
+
+ORACLE_WINDOW_FUNNEL = (
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events "
+    "WHERE event_type IN ('view', 'click', 'purchase')), "
+    "a AS (SELECT user_id, "
+    "list_sort(list(us) FILTER (WHERE event_type = 'view')) AS a1, "
+    "list_sort(list(us) FILTER (WHERE event_type = 'click')) AS a2, "
+    "list_sort(list(us) FILTER (WHERE event_type = 'purchase')) AS a3 "
+    "FROM e GROUP BY 1) "
+    "SELECT user_id, CAST(coalesce(list_max(list_transform(a1, s1 -> "
+    f"1 + CASE WHEN {_WF_T2} IS NOT NULL THEN "
+    f"1 + CASE WHEN list_min(list_filter(a3, y -> y > {_WF_T2} "
+    "AND y <= s1 + 3600000000)) IS NOT NULL THEN 1 ELSE 0 END "
+    "ELSE 0 END)), 0) AS BIGINT) AS level "
+    "FROM a ORDER BY user_id"
+)
+
+
+QUERIES["window_funnel"] = q_window_funnel
+ORACLES["window_funnel"] = ORACLE_WINDOW_FUNNEL
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

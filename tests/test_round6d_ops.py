@@ -609,3 +609,52 @@ def test_poisson_bootstrap_is_mergeable(spark):
         folded[r["rep"]] = (n + r["n_eff"], s + r["sum_units"])
     # per-row deterministic weights make replicate sums exactly additive
     assert folded == whole
+
+
+# ------------------------------------------------------------ window funnel
+
+
+def test_window_funnel_hand_check(spark):
+    import datetime
+
+    from samza_spark.pipeline.events import window_funnel
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, ts(0), "view"), (1, ts(0, 10), "click"), (1, ts(0, 20), "purchase"),
+        (2, ts(0), "view"), (2, ts(0, 10), "click"),
+        (3, ts(0), "view"), (3, ts(0, 50), "purchase"),  # gap: no click
+        (4, ts(0), "click"), (4, ts(0, 10), "purchase"),  # no step-1
+        (5, ts(0), "view"),
+        # chain crosses the 1h window -> only level 1
+        (6, ts(0), "view"), (6, ts(2), "click"),
+        # a LATER view restarts the window and completes
+        (7, ts(0), "view"), (7, ts(2), "view"),
+        (7, ts(2, 30), "click"), (7, ts(2, 45), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: r["level"]
+        for r in window_funnel(
+            df, ["view", "click", "purchase"], 3_600_000_000
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1, 6: 1, 7: 3}
+
+
+def test_window_funnel_strict_order_within_window(spark):
+    import datetime
+
+    from samza_spark.pipeline.events import window_funnel
+
+    # purchase BEFORE click must not count: view@0, purchase@10, click@20
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0), "view"),
+        (1, datetime.datetime(2024, 1, 1, 0, 10), "purchase"),
+        (1, datetime.datetime(2024, 1, 1, 0, 20), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = window_funnel(df, ["view", "click", "purchase"], 3_600_000_000).collect()
+    assert out[0]["level"] == 2  # view -> click, but no purchase after click
