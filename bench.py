@@ -268,6 +268,8 @@ HEADLINE = [
     "dbscan_clusters",
     "emd_drift",
     "window_funnel",
+    "count_sketch_f2",
+    "mann_whitney",
 ]
 
 
@@ -371,11 +373,21 @@ def main() -> None:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
+    # clearCache drops DataFrame cache entries, but localCheckpoint RDD
+    # blocks (CC / pagerank / LPA lineage cuts) are only released when the
+    # DRIVER garbage-collects the Python references and the ContextCleaner
+    # runs — across a 240-workload suite they otherwise accumulate in the
+    # block manager and inflate late-suite samples (observed: minhash_pairs
+    # 34.9s in-suite vs 13.5s isolated on the same idle host). A per-sample
+    # driver gc.collect() keeps the block manager near-empty.
+    import gc
+
     all_samples: dict[str, list] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     for _ in range(repeats):
         for name in HEADLINE:
             spark.catalog.clearCache()
+            gc.collect()
             t0 = time.perf_counter()
             try:
                 rows[name] = QUERIES[name](spark, sf_dir).count() if query_cap <= 0 else _timed_count(name)
@@ -398,6 +410,7 @@ def main() -> None:
             )
             for _ in range(resamples):
                 spark.catalog.clearCache()
+                gc.collect()
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).count()
                 samples.append(time.perf_counter() - t0)

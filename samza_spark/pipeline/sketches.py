@@ -292,3 +292,78 @@ def kmv_set_ops(
             ).alias("intersect_estimate"),
         )
     )
+
+
+def count_sketch_f2(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 256,
+    salt: str = "cs0",
+) -> DataFrame:
+    """Count-sketch second-moment (F2) estimation (Charikar-Chen-
+    Farach-Colton 2002; the AMS sketch with bucket hashing): each key
+    contributes ``sign(k)`` to one of ``width`` cells per depth; the
+    per-depth sum of squared cells is an unbiased F2 estimate, and the
+    MEDIAN over depths tames the variance. F2 = sum_k n_k^2 is the
+    SELF-join size — the other cardinality the join planner needs
+    beside count-min's cross-join bound, and unlike count-min the
+    estimator is unbiased (signs cancel collisions in expectation).
+
+    Everything is md5-derived and integer, so sketch AND estimate cross
+    engines bit-for-bit; the exact F2 is emitted beside the estimate.
+
+    Scale: ONE exact key-count corpus pass (the same shuffle a COUNT
+    DISTINCT pays); the x``depth`` fanout, squares, and the 5-row
+    median all run on the key/cell tables.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # x-depth fanout as ONE explode over the key table (a d-branch union
+    # would re-run the key-count aggregate per depth)
+    b = (
+        f"cast(conv(substr(md5(concat('{salt}b', cast(depth as string), '|', "
+        f"cast(k as string))), 1, 8), 16, 10) as bigint) % {width}"
+    )
+    s = (
+        f"case when cast(conv(substr(md5(concat('{salt}s', "
+        "cast(depth as string), '|', cast(k as string))), 1, 8), 16, 10) "
+        "as bigint) % 2 = 0 then 1 else -1 end"
+    )
+    cells = counts.select(
+        "k",
+        "n",
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("depth"),
+    ).select(
+        "depth",
+        F.expr(b).alias("bucket"),
+        (F.expr(s) * F.col("n")).alias("contrib"),
+    )
+    cell_tbl = cells.groupBy("depth", "bucket").agg(
+        F.sum("contrib").alias("c")
+    )
+    per_depth = cell_tbl.groupBy("depth").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_est")
+    )
+    from pyspark.sql import Window
+
+    ranked = per_depth.select(
+        "f2_est",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy("f2_est"))
+        .alias("r"),
+    )
+    est = ranked.filter(F.col("r") == (depth + 1) // 2).select(
+        F.col("f2_est").alias("f2_estimate")
+    )
+    exact = counts.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("f2_exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "f2_exact",
+        "f2_estimate",
+        F.expr(
+            "(abs(f2_estimate - f2_exact) * 1000000) div f2_exact"
+        ).alias("err_ppm"),
+    )

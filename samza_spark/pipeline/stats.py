@@ -1584,3 +1584,67 @@ def emd_1d(
         .cast("long")
         .alias("emd_num"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_expr: str,
+    group_expr: str,
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) statistic between two
+    samples — the nonparametric location test beside the distributional
+    :func:`ks_drift` and :func:`emd_1d`. Tie handling uses midranks
+    carried as DOUBLED integers (``2*cum_before + cnt + 1``), so every
+    quantity stays exact: ``u2_a = 2*U_A = sum_A midrank2 -
+    n_a*(n_a+1)``, ``u2_b = 2*n_a*n_b - u2_a``, and the effect size
+    (the AUC / common-language statistic) in exact ppm.
+
+    Scale: ONE combinable count aggregate keyed by value; rank
+    arithmetic runs on the distinct-value table only (bounded by value
+    resolution), the same shape as :func:`pr_curve`.
+    """
+    counts = (
+        df.select(
+            F.expr(value_expr).cast("long").alias("v"),
+            F.expr(group_expr).alias("g"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.expr("case when g = 'a' then 1 else 0 end")).alias("ca"),
+            F.sum(F.expr("case when g = 'b' then 1 else 0 end")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    stepped = counts.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias(
+            "before"
+        ),
+    ).withColumn(
+        "midrank2", F.lit(2) * F.col("before") + F.col("ca") + F.col("cb") + 1
+    )
+    agg = stepped.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("midrank2")).cast("long").alias("sum_mr2_a"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("sum_mr2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        (
+            F.lit(2) * F.col("n_a") * F.col("n_b")
+            - (F.col("sum_mr2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        )
+        .cast("long")
+        .alias("u2_b"),
+        F.expr(
+            "case when n_a * n_b > 0 then "
+            "((sum_mr2_a - n_a * (n_a + 1)) * 1000000) div (2 * n_a * n_b) "
+            "else null end"
+        ).alias("auc_ppm"),
+    )

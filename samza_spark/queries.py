@@ -11392,6 +11392,92 @@ QUERIES["window_funnel"] = q_window_funnel
 ORACLES["window_funnel"] = ORACLE_WINDOW_FUNNEL
 
 
+def q_count_sketch_f2(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-sketch F2 / self-join-size estimation (pipeline.sketches.
+    count_sketch_f2) on the orders customer key: unbiased signed-cell
+    estimator, exact integer construction, median over 5 depths; exact
+    F2 emitted beside the estimate with the error in ppm."""
+    from samza_spark.pipeline.sketches import count_sketch_f2
+
+    orders = load_table(spark, sf, "orders")
+    return count_sketch_f2(orders, "o_custkey", depth=5, width=256)
+
+
+_CSB = (
+    "(('0x' || substr(md5('cs0b' || CAST(d.depth AS VARCHAR) || '|' || "
+    "CAST(k AS VARCHAR)), 1, 8))::BIGINT % 256)"
+)
+_CSS = (
+    "(CASE WHEN (('0x' || substr(md5('cs0s' || CAST(d.depth AS VARCHAR) || "
+    "'|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 2) = 0 THEN 1 ELSE -1 END)"
+)
+
+ORACLE_COUNT_SKETCH_F2 = (
+    "WITH c AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY 1), "
+    f"cells AS (SELECT d.depth, {_CSB} AS bucket, {_CSS} * n AS contrib "
+    "FROM c, (SELECT unnest(generate_series(0, 4)) AS depth) d), "
+    "ct AS (SELECT depth, bucket, CAST(sum(contrib) AS BIGINT) AS cc "
+    "FROM cells GROUP BY 1, 2), "
+    "pd AS (SELECT depth, CAST(sum(cc * cc) AS BIGINT) AS f2_est "
+    "FROM ct GROUP BY 1), "
+    "r AS (SELECT f2_est, row_number() OVER (ORDER BY f2_est) AS rn FROM pd), "
+    "e AS (SELECT f2_est AS f2_estimate FROM r WHERE rn = 3), "
+    "x AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact FROM c) "
+    "SELECT f2_exact, f2_estimate, "
+    "(abs(f2_estimate - f2_exact) * 1000000) // f2_exact AS err_ppm "
+    "FROM x, e"
+)
+
+
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Mann-Whitney U / rank-sum test (pipeline.stats.
+    mann_whitney_u) between click and purchase value distributions —
+    doubled-integer midranks, AUC effect size in exact ppm; the
+    nonparametric location companion of ks_drift/emd_drift."""
+    from samza_spark.pipeline.stats import mann_whitney_u
+
+    ev = load_table(spark, sf, "events").filter(
+        "event_type IN ('click', 'purchase')"
+    )
+    return mann_whitney_u(
+        ev,
+        value_expr="floor(value)",
+        group_expr="case when event_type = 'click' then 'a' else 'b' end",
+    )
+
+
+ORACLE_MANN_WHITNEY = (
+    "WITH c AS (SELECT CAST(floor(value) AS BIGINT) AS v, "
+    "CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g FROM events "
+    "WHERE event_type IN ('click', 'purchase')), "
+    "ct AS (SELECT v, "
+    "CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+    "CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb "
+    "FROM c GROUP BY 1), "
+    "st AS (SELECT v, ca, cb, CAST(coalesce(sum(ca + cb) OVER "
+    "(ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS BIGINT) AS bef FROM ct), "
+    "mr AS (SELECT ca, cb, 2 * bef + ca + cb + 1 AS midrank2 FROM st), "
+    "agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, "
+    "CAST(sum(cb) AS BIGINT) AS n_b, "
+    "CAST(sum(ca * midrank2) AS BIGINT) AS sum_mr2_a FROM mr) "
+    "SELECT n_a, n_b, "
+    "CAST(sum_mr2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a, "
+    "CAST(2 * n_a * n_b - (sum_mr2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b, "
+    "CASE WHEN n_a * n_b > 0 THEN "
+    "((sum_mr2_a - n_a * (n_a + 1)) * 1000000) // (2 * n_a * n_b) "
+    "ELSE NULL END AS auc_ppm FROM agg"
+)
+
+
+QUERIES["count_sketch_f2"] = q_count_sketch_f2
+QUERIES["mann_whitney"] = q_mann_whitney
+
+ORACLES["count_sketch_f2"] = ORACLE_COUNT_SKETCH_F2
+ORACLES["mann_whitney"] = ORACLE_MANN_WHITNEY
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

@@ -658,3 +658,61 @@ def test_window_funnel_strict_order_within_window(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     out = window_funnel(df, ["view", "click", "purchase"], 3_600_000_000).collect()
     assert out[0]["level"] == 2  # view -> click, but no purchase after click
+
+
+# ------------------------------------------------------------ count sketch
+
+
+def test_count_sketch_f2_exact_and_close(spark):
+    from samza_spark.pipeline.sketches import count_sketch_f2
+
+    # skewed keys: F2 dominated by the hot key
+    rows = [(i % 40,) for i in range(400)] + [(999,)] * 100
+    df = spark.createDataFrame(rows, "k long")
+    r = count_sketch_f2(df, "k", depth=5, width=128).collect()[0]
+    exact = 40 * 10 * 10 + 100 * 100
+    assert r["f2_exact"] == exact
+    # median-of-5 unbiased estimator: within ~35% on this size
+    assert abs(r["f2_estimate"] - exact) <= exact * 0.35
+    assert r["err_ppm"] == abs(r["f2_estimate"] - exact) * 1_000_000 // exact
+
+
+def test_count_sketch_f2_exact_when_width_large(spark):
+    from samza_spark.pipeline.sketches import count_sketch_f2
+
+    # few keys + wide sketch -> collisions vanish and the estimate is
+    # EXACT per depth (signs square away)
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    r = count_sketch_f2(df, "k", depth=5, width=4096).collect()[0]
+    assert r["f2_estimate"] == r["f2_exact"] == 5 * 100
+
+
+# ------------------------------------------------------------ mann-whitney
+
+
+def test_mann_whitney_hand_check_with_ties(spark):
+    from samza_spark.pipeline.stats import mann_whitney_u
+
+    # a = [1, 2, 2], b = [2, 3]: ranks 1, 2-3-4 tied (midrank 3), 5
+    # R_A = 1 + 3 + 3 = 7 -> U_A = 7 - 6 = 1 -> u2_a = 2
+    rows = [(1, "a"), (2, "a"), (2, "a"), (2, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "v long, g string")
+    r = mann_whitney_u(df, "v", "g").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u2_a"] == 2
+    assert r["u2_b"] == 2 * 3 * 2 - 2
+    assert r["auc_ppm"] == 2 * 1_000_000 // 12
+
+
+def test_mann_whitney_stochastic_dominance(spark):
+    from samza_spark.pipeline.stats import mann_whitney_u
+
+    # b strictly above a -> AUC(a over b) = 0; flip -> 1e6
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    r = mann_whitney_u(df, "v", "g").collect()[0]
+    assert r["auc_ppm"] == 0 and r["u2_a"] == 0
+    r2 = mann_whitney_u(
+        df, "v", "case when g = 'a' then 'b' else 'a' end"
+    ).collect()[0]
+    assert r2["auc_ppm"] == 1_000_000
