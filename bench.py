@@ -270,6 +270,7 @@ HEADLINE = [
     "window_funnel",
     "count_sketch_f2",
     "mann_whitney",
+    "mcnemar",
 ]
 
 

@@ -1648,3 +1648,56 @@ def mann_whitney_u(
             "else null end"
         ).alias("auc_ppm"),
     )
+
+
+def mcnemar_paired(
+    df: DataFrame,
+    truth_expr: str,
+    pred_a_expr: str,
+    pred_b_expr: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED classifier comparison — the correct
+    test when two models are evaluated on the SAME units (accuracy
+    deltas ignore the pairing): only the discordant counts matter,
+    ``b`` (A right, B wrong) and ``c`` (A wrong, B right); the
+    chi-square statistic ``(b - c)^2 / (b + c)`` is carried as the
+    exact integer ``stat_micro = ((b - c)^2 * 1e6) div (b + c)``, with
+    the continuity-corrected variant beside it.
+
+    ONE combinable aggregate over the unit table; output is a single
+    row ``(n, n_both_right, n_both_wrong, b, c, stat_micro,
+    stat_corrected_micro)``.
+    """
+    labeled = df.select(
+        F.expr(truth_expr).cast("boolean").alias("y"),
+        F.expr(pred_a_expr).cast("boolean").alias("pa"),
+        F.expr(pred_b_expr).cast("boolean").alias("pb"),
+    ).select(
+        (F.col("pa") == F.col("y")).cast("long").alias("ra"),
+        (F.col("pb") == F.col("y")).cast("long").alias("rb"),
+    )
+    agg = labeled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("n_both_right"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("long")
+        .alias("n_both_wrong"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("c"),
+    )
+    return agg.select(
+        "n",
+        "n_both_right",
+        "n_both_wrong",
+        "b",
+        "c",
+        F.expr(
+            "case when b + c > 0 then ((b - c) * (b - c) * 1000000) "
+            "div (b + c) else 0 end"
+        ).alias("stat_micro"),
+        F.expr(
+            "case when b + c > 0 then "
+            "((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) div (b + c) "
+            "else 0 end"
+        ).alias("stat_corrected_micro"),
+    )

@@ -11478,6 +11478,56 @@ ORACLES["count_sketch_f2"] = ORACLE_COUNT_SKETCH_F2
 ORACLES["mann_whitney"] = ORACLE_MANN_WHITNEY
 
 
+def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar paired-classifier comparison (pipeline.stats.
+    mcnemar_paired): two deterministic purchase predictors (spend rule
+    vs activity rule) on the same users; discordant counts and the
+    exact-integer chi-square numerators."""
+    from samza_spark.pipeline.stats import mcnemar_paired
+
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("sum(cast(floor(value * 1000000) as bigint))").alias("spend"),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.expr(
+            "max(case when event_type = 'purchase' then 1 else 0 end)"
+        ).alias("purchased"),
+    )
+    return mcnemar_paired(
+        per_user,
+        truth_expr="purchased = 1",
+        pred_a_expr="spend >= 15000000000",
+        pred_b_expr="n_ev >= 66",
+    )
+
+
+ORACLE_MCNEMAR = (
+    "WITH pu AS (SELECT user_id, "
+    "sum(CAST(floor(value * 1000000) AS BIGINT)) AS spend, count(*) AS n_ev, "
+    "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased "
+    "FROM events GROUP BY 1), "
+    "l AS (SELECT CASE WHEN (spend >= 15000000000) = (purchased = 1) "
+    "THEN 1 ELSE 0 END AS ra, "
+    "CASE WHEN (n_ev >= 66) = (purchased = 1) THEN 1 ELSE 0 END AS rb "
+    "FROM pu), "
+    "agg AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(ra * rb) AS BIGINT) AS n_both_right, "
+    "CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n_both_wrong, "
+    "CAST(sum(ra * (1 - rb)) AS BIGINT) AS b, "
+    "CAST(sum((1 - ra) * rb) AS BIGINT) AS c FROM l) "
+    "SELECT n, n_both_right, n_both_wrong, b, c, "
+    "CASE WHEN b + c > 0 THEN ((b - c) * (b - c) * 1000000) // (b + c) "
+    "ELSE 0 END AS stat_micro, "
+    "CASE WHEN b + c > 0 THEN "
+    "((abs(b - c) - 1) * (abs(b - c) - 1) * 1000000) // (b + c) "
+    "ELSE 0 END AS stat_corrected_micro FROM agg"
+)
+
+
+QUERIES["mcnemar"] = q_mcnemar
+ORACLES["mcnemar"] = ORACLE_MCNEMAR
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to

@@ -716,3 +716,36 @@ def test_mann_whitney_stochastic_dominance(spark):
         df, "v", "case when g = 'a' then 'b' else 'a' end"
     ).collect()[0]
     assert r2["auc_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------- mcnemar
+
+
+def test_mcnemar_hand_check(spark):
+    from samza_spark.pipeline.stats import mcnemar_paired
+
+    # truth all True; A right on 1-6 (b-side rights: 1-4,7):
+    # units: (y, pa, pb)
+    rows = [
+        (True, True, True),    # both right
+        (True, True, False),   # b
+        (True, True, False),   # b
+        (True, True, False),   # b
+        (True, False, True),   # c
+        (True, False, False),  # both wrong
+    ]
+    df = spark.createDataFrame(rows, "y boolean, pa boolean, pb boolean")
+    r = mcnemar_paired(df, "y", "pa", "pb").collect()[0]
+    assert (r["n"], r["n_both_right"], r["n_both_wrong"]) == (6, 1, 1)
+    assert (r["b"], r["c"]) == (3, 1)
+    assert r["stat_micro"] == (3 - 1) ** 2 * 1_000_000 // 4
+    assert r["stat_corrected_micro"] == (2 - 1) ** 2 * 1_000_000 // 4
+
+
+def test_mcnemar_no_discordance(spark):
+    from samza_spark.pipeline.stats import mcnemar_paired
+
+    rows = [(True, True, True), (False, False, False)]
+    df = spark.createDataFrame(rows, "y boolean, pa boolean, pb boolean")
+    r = mcnemar_paired(df, "y", "pa", "pb").collect()[0]
+    assert r["b"] == r["c"] == 0 and r["stat_micro"] == 0
