@@ -294,34 +294,28 @@ def kmv_set_ops(
     )
 
 
-def count_sketch_f2(
+def count_sketch_table(
     df: DataFrame,
     key_col: str,
     depth: int = 5,
     width: int = 256,
     salt: str = "cs0",
 ) -> DataFrame:
-    """Count-sketch second-moment (F2) estimation (Charikar-Chen-
-    Farach-Colton 2002; the AMS sketch with bucket hashing): each key
-    contributes ``sign(k)`` to one of ``width`` cells per depth; the
-    per-depth sum of squared cells is an unbiased F2 estimate, and the
-    MEDIAN over depths tames the variance. F2 = sum_k n_k^2 is the
-    SELF-join size — the other cardinality the join planner needs
-    beside count-min's cross-join bound, and unlike count-min the
-    estimator is unbiased (signs cancel collisions in expectation).
-
-    Everything is md5-derived and integer, so sketch AND estimate cross
-    engines bit-for-bit; the exact F2 is emitted beside the estimate.
+    """Count-sketch cell table (Charikar-Chen-Farach-Colton 2002):
+    each key contributes ``sign(k) * count(k)`` to one of ``width``
+    cells per depth. Shares the (depth, bucket, c) schema with the
+    count-min table, and like it is LINEAR — ``count_min_merge`` folds
+    two count-sketch tables into the sketch of the union exactly, so
+    the same streaming fold applies.
 
     Scale: ONE exact key-count corpus pass (the same shuffle a COUNT
-    DISTINCT pays); the x``depth`` fanout, squares, and the 5-row
-    median all run on the key/cell tables.
+    DISTINCT pays); the x-depth fanout is ONE explode over the key
+    table (a d-branch union would re-run the key-count aggregate per
+    depth).
     """
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    # x-depth fanout as ONE explode over the key table (a d-branch union
-    # would re-run the key-count aggregate per depth)
     b = (
         f"cast(conv(substr(md5(concat('{salt}b', cast(depth as string), '|', "
         f"cast(k as string))), 1, 8), 16, 10) as bigint) % {width}"
@@ -340,10 +334,16 @@ def count_sketch_f2(
         F.expr(b).alias("bucket"),
         (F.expr(s) * F.col("n")).alias("contrib"),
     )
-    cell_tbl = cells.groupBy("depth", "bucket").agg(
+    return cells.groupBy("depth", "bucket").agg(
         F.sum("contrib").alias("c")
     )
-    per_depth = cell_tbl.groupBy("depth").agg(
+
+
+def count_sketch_f2_estimate(cells: DataFrame, depth: int = 5) -> DataFrame:
+    """Median-over-depths F2 estimate from a count-sketch cell table:
+    per-depth sum of squared cells is unbiased; the exact integer
+    median (rank (d+1)/2 of d values) tames the variance."""
+    per_depth = cells.groupBy("depth").agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_est")
     )
     from pyspark.sql import Window
@@ -354,10 +354,31 @@ def count_sketch_f2(
         .over(Window.partitionBy(F.lit(1)).orderBy("f2_est"))
         .alias("r"),
     )
-    est = ranked.filter(F.col("r") == (depth + 1) // 2).select(
+    return ranked.filter(F.col("r") == (depth + 1) // 2).select(
         F.col("f2_est").alias("f2_estimate")
     )
-    exact = counts.agg(
+
+
+def count_sketch_f2(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 256,
+    salt: str = "cs0",
+) -> DataFrame:
+    """Count-sketch second-moment (F2) estimation: the unbiased
+    signed-cell estimator of F2 = sum_k n_k^2 — the SELF-join size,
+    the other cardinality the join planner needs beside count-min's
+    one-sided cross-join bound (signs cancel collisions in
+    expectation). Everything is md5-derived and integer, so sketch AND
+    estimate cross engines bit-for-bit; the exact F2 is emitted beside
+    the estimate with the error in ppm.
+    """
+    cell_tbl = count_sketch_table(df, key_col, depth=depth, width=width, salt=salt)
+    est = count_sketch_f2_estimate(cell_tbl, depth=depth)
+    exact = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).agg(
         F.sum(F.col("n") * F.col("n")).cast("long").alias("f2_exact")
     )
     return exact.crossJoin(F.broadcast(est)).select(
@@ -367,3 +388,39 @@ def count_sketch_f2(
             "(abs(f2_estimate - f2_exact) * 1000000) div f2_exact"
         ).alias("err_ppm"),
     )
+
+
+def streaming_count_sketch(
+    stream_df: DataFrame,
+    key_col: str,
+    state_path: str,
+    depth: int = 5,
+    width: int = 256,
+    salt: str = "cs0",
+    checkpoint_dir: "str | None" = None,
+):
+    """Maintain the count-sketch cell table as streaming state —
+    identical fold discipline to :func:`streaming_count_min` (the
+    tables share schema and linearity): per micro-batch, sketch the
+    batch and cell-wise-sum it into the durable table; the streamed
+    state EQUALS the batch sketch of everything ingested bit for bit,
+    independent of batch boundaries (tested)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = count_sketch_table(
+            batch_df, key_col, depth=depth, width=width, salt=salt
+        )
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = count_min_merge(prev, inc)
+        except Exception:
+            merged = inc
+        rows = [(r["depth"], r["bucket"], r["c"]) for r in merged.collect()]
+        out = spark.createDataFrame(rows, "depth int, bucket bigint, c long")
+        out.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

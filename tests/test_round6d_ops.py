@@ -749,3 +749,68 @@ def test_mcnemar_no_discordance(spark):
     df = spark.createDataFrame(rows, "y boolean, pa boolean, pb boolean")
     r = mcnemar_paired(df, "y", "pa", "pb").collect()[0]
     assert r["b"] == r["c"] == 0 and r["stat_micro"] == 0
+
+
+# -------------------------------------------------- count-sketch streaming
+
+
+def test_count_sketch_merge_equals_whole(spark):
+    from samza_spark.pipeline.sketches import (
+        count_min_merge,
+        count_sketch_table,
+    )
+
+    df = spark.createDataFrame([(f"k{i % 9}", i) for i in range(400)], "k string, i long")
+    whole = count_sketch_table(df, "k", depth=3, width=64)
+    h1 = count_sketch_table(df.filter("i % 2 = 0"), "k", depth=3, width=64)
+    h2 = count_sketch_table(df.filter("i % 2 = 1"), "k", depth=3, width=64)
+    merged = count_min_merge(h1, h2)
+    w = {(r["depth"], r["bucket"]): r["c"] for r in whole.collect()}
+    m = {(r["depth"], r["bucket"]): r["c"] for r in merged.collect()}
+    # linearity: exact cell-wise equality (signed contributions sum)
+    assert {k: v for k, v in w.items() if v != 0} == {
+        k: v for k, v in m.items() if v != 0
+    }
+
+
+def test_streaming_count_sketch_equals_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from samza_spark.pipeline.sketches import (
+        count_sketch_table,
+        streaming_count_sketch,
+    )
+
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(f"k{i % 7}",) for i in range(120)]
+    rows2 = [(f"k{i % 5}",) for i in range(80)]
+    spark.createDataFrame(rows1, "k string").write.mode("overwrite").parquet(
+        str(src / "w1")
+    )
+    stream = spark.readStream.schema("k string").parquet(str(src / "w1"))
+    streaming_count_sketch(
+        stream, "k", state, depth=3, width=64, checkpoint_dir=ckpt
+    ).awaitTermination(120)
+    spark.createDataFrame(rows2, "k string").write.mode("append").parquet(
+        str(src / "w1")
+    )
+    stream2 = spark.readStream.schema("k string").parquet(str(src / "w1"))
+    streaming_count_sketch(
+        stream2, "k", state, depth=3, width=64, checkpoint_dir=ckpt
+    ).awaitTermination(120)
+
+    streamed = {
+        (r["depth"], r["bucket"]): r["c"]
+        for r in spark.read.parquet(state).collect()
+    }
+    batch = {
+        (r["depth"], r["bucket"]): r["c"]
+        for r in count_sketch_table(
+            spark.createDataFrame(rows1 + rows2, "k string"), "k", depth=3, width=64
+        ).collect()
+    }
+    assert {k: v for k, v in streamed.items() if v != 0} == {
+        k: v for k, v in batch.items() if v != 0
+    }
