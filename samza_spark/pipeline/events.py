@@ -707,6 +707,7 @@ def seasonal_anomaly(
             key_col,
             ts_col,
             (F.col("__x").cast("double") / F.lit(float(scale))).alias("value"),
+            F.col("__x").alias("value_micro"),
             F.col("med_x2"),
             F.col("mad_x4"),
         )

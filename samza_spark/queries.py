@@ -7225,7 +7225,13 @@ def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     (pipeline.events.seasonal_anomaly): per (event_type, hour-of-day)
     exact median/MAD baseline (doubled-median integer trick), events
     beyond 3 MADs flagged via the all-integer inequality
-    2*|2x - med_x2| > 3*mad_x4."""
+    2*|2x - med_x2| > 3*mad_x4.
+
+    Driver row emits the fixed-point micros ``value_micro`` (BIGINT),
+    not the reconstructed DOUBLE ``value`` — the r6 driver row was
+    hash-red with the float in the compared set (VERDICT r6 wrong #1:
+    the one visible float among the four red rows); every compared
+    column is now an exact integer."""
     from samza_spark.pipeline import events as pevents
 
     ev = load_table(spark, sf, "events")
@@ -7234,7 +7240,7 @@ def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("ts_us"),
-        "value",
+        "value_micro",
         "med_x2",
         "mad_x4",
     )
@@ -7257,7 +7263,7 @@ ORACLES["seasonal_anomaly"] = (
     "mad AS (SELECT cell, sum(dx) * (3 - count(*)) AS mad_x4 FROM dr "
     "WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY cell) "
     "SELECT event_id, event_type, epoch_us(ts) AS ts_us, "
-    "CAST(x AS DOUBLE) / 1000000.0 AS value, med_x2, mad_x4 "
+    "x AS value_micro, med_x2, mad_x4 "
     "FROM f JOIN med USING (cell) JOIN mad USING (cell) "
     "WHERE 2 * abs(2 * x - med_x2) > 3 * mad_x4"
 )
@@ -11528,35 +11534,323 @@ QUERIES["mcnemar"] = q_mcnemar
 ORACLES["mcnemar"] = ORACLE_MCNEMAR
 
 
+# ---------------------------------------------------------------------------
+# r7 oracle-primitive canaries (VERDICT r6 next #1)
+#
+# Four r6 driver rows (corpus_report, shard_manifest, distribution_drift,
+# seasonal_anomaly) were hash-red at the DRIVER while green on the
+# driver-identical local gate at the same sf — the divergence is an
+# environment delta (most plausibly DuckDB version: sandbox pins 1.0.0) in
+# some oracle primitive those four share, not in the operators. Each canary
+# below isolates ONE suspect primitive over a tiny deterministic input so
+# CORRECTNESS_r07 names the culprit directly: a red canary = that primitive
+# behaves differently in the driver's DuckDB (or its fetch canonicalization)
+# than in DuckDB 1.0.0 / Spark. All 12 are green on the local gate.
+# ---------------------------------------------------------------------------
+
+_IOTA20 = "SELECT i FROM generate_series(1, 20) t(i)"  # i BIGINT 1..20
+
+
+def q_canary_int_div(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (a): BIGINT integer division and modulo, both operand signs.
+    Spark ``div``/``%`` truncate toward zero; DuckDB 1.0.0 ``//``/``%``
+    match (verified: -7//3 = -2). A floor-division DuckDB build would
+    flip q_neg/m_* for negative dividends."""
+    d = spark.range(-10, 11).filter("id <> 0")
+    return d.select(
+        F.col("id").cast("long").alias("i"),
+        F.expr("cast((id * 7) div 3 as bigint)").alias("q_pos"),
+        F.expr("cast((id * 7) div -3 as bigint)").alias("q_neg"),
+        F.expr("cast((id * 7) % 3 as bigint)").alias("m_pos"),
+        F.expr("cast((id * 7) % -3 as bigint)").alias("m_neg"),
+    )
+
+
+QUERIES["canary_int_div"] = q_canary_int_div
+ORACLES["canary_int_div"] = (
+    "SELECT i, (i * 7) // 3 AS q_pos, (i * 7) // (-3) AS q_neg, "
+    "(i * 7) % 3 AS m_pos, (i * 7) % (-3) AS m_neg "
+    "FROM generate_series(-10, 10) t(i) WHERE i <> 0"
+)
+
+
+def q_canary_hex_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (b): md5 hex-prefix -> BIGINT at the three widths the
+    registry uses (8 for shard buckets, 13 for sampling uniforms, 15 for
+    checksums/priorities). Spark ``conv(_, 16, 10)``; DuckDB
+    ``('0x' || substr(md5(_), 1, w))::BIGINT``."""
+    d = spark.range(1, 21)
+    h = "md5(cast(id as string))"
+    return d.select(
+        F.col("id").alias("i"),
+        F.expr(f"cast(conv(substr({h}, 1, 8), 16, 10) as bigint)").alias("h8"),
+        F.expr(f"cast(conv(substr({h}, 1, 13), 16, 10) as bigint)").alias("h13"),
+        F.expr(f"cast(conv(substr({h}, 1, 15), 16, 10) as bigint)").alias("h15"),
+    )
+
+
+QUERIES["canary_hex_cast"] = q_canary_hex_cast
+ORACLES["canary_hex_cast"] = (
+    "SELECT i, "
+    "('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h8, "
+    "('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 13))::BIGINT AS h13, "
+    "('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT AS h15 "
+    f"FROM ({_IOTA20})"
+)
+
+
+def q_canary_hugeint_mod(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (c): wide-integer SUM + modulo — shard_manifest's checksum
+    arithmetic isolated. Spark sums 60-bit hashes as DECIMAL(38,0) then
+    ``% 2^62``; DuckDB sums BIGINT to HUGEINT then ``% HUGEINT``. 200
+    values overflow BIGINT, so this exercises the wide lane on both."""
+    d = spark.range(1, 201)
+    return d.groupBy((F.col("id") % 4).cast("long").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(sum(cast(conv(substr(md5(concat('canary', '|', "
+            "cast(id as string))), 1, 15), 16, 10) as decimal(38,0))) "
+            "% 4611686018427387904 as bigint)"
+        ).alias("checksum"),
+    )
+
+
+QUERIES["canary_hugeint_mod"] = q_canary_hugeint_mod
+ORACLES["canary_hugeint_mod"] = (
+    "SELECT i % 4 AS g, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(('0x' || substr(md5('canary' || '|' || CAST(i AS VARCHAR)), 1, 15))"
+    "::BIGINT) % CAST(4611686018427387904 AS HUGEINT) AS BIGINT) AS checksum "
+    "FROM generate_series(1, 200) t(i) GROUP BY 1"
+)
+
+
+def q_canary_round_half(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (d): ``round()`` on DOUBLE at exact .5 boundaries
+    (i/2 for odd i is exactly representable). Spark rounds HALF_UP on the
+    decimal expansion; DuckDB 1.0.0 rounds half away from zero — equal on
+    ties, but a half-to-even build diverges on every odd i."""
+    d = spark.range(-20, 21)
+    v = F.col("id").cast("double") / F.lit(2.0)
+    return d.select(
+        F.col("id").alias("i"),
+        F.round(v).cast("long").alias("r_half"),
+        # i/128 * 1e6 = i * 7812.5 — an exact half-integer for odd i, so
+        # this is a true .5 tie in the micro-fixed-point lane
+        F.round(F.col("id").cast("double") / F.lit(128.0) * F.lit(1000000.0))
+        .cast("long")
+        .alias("r_micro"),
+    )
+
+
+QUERIES["canary_round_half"] = q_canary_round_half
+ORACLES["canary_round_half"] = (
+    "SELECT i, CAST(round(CAST(i AS DOUBLE) / 2) AS BIGINT) AS r_half, "
+    "CAST(round(CAST(i AS DOUBLE) / 128 * 1000000) AS BIGINT) AS r_micro "
+    "FROM generate_series(-20, 20) t(i)"
+)
+
+
+def q_canary_round_value_micro(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (d'): ``round(value * 1e6)`` over REAL event doubles — the
+    exact fixed-pointing step seasonal_anomaly's baseline starts from. A
+    red here with canary_round_half green = a data-dependent
+    representation-boundary divergence."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.orderBy("event_id")
+        .limit(200)
+        .select(
+            "event_id",
+            F.round(F.col("value") * F.lit(1000000.0)).cast("long").alias("x"),
+        )
+    )
+
+
+QUERIES["canary_round_value_micro"] = q_canary_round_value_micro
+ORACLES["canary_round_value_micro"] = (
+    "SELECT event_id, CAST(round(value * 1000000) AS BIGINT) AS x "
+    "FROM events ORDER BY event_id LIMIT 200"
+)
+
+
+def q_canary_epoch_us(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (e): timestamp -> epoch microseconds on real parquet
+    timestamps (Spark ``unix_micros`` vs DuckDB ``epoch_us``)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.orderBy("event_id")
+        .limit(200)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+QUERIES["canary_epoch_us"] = q_canary_epoch_us
+ORACLES["canary_epoch_us"] = (
+    "SELECT event_id, epoch_us(ts) AS ts_us FROM events ORDER BY event_id LIMIT 200"
+)
+
+
+def q_canary_double_reemit(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (f): DOUBLE emitted as-read vs reconstructed from rounded
+    micros — the float chain in seasonal_anomaly's r6 oracle, isolated.
+    Spark re-emits the parquet ``value``; the oracle reconstructs
+    ``round(value*1e6)/1e6``. Red = the reconstruction (or the driver's
+    float repr canonicalization) is the four-row culprit."""
+    ev = load_table(spark, sf, "events")
+    return ev.orderBy("event_id").limit(200).select("event_id", "value")
+
+
+QUERIES["canary_double_reemit"] = q_canary_double_reemit
+ORACLES["canary_double_reemit"] = (
+    "SELECT event_id, "
+    "CAST(CAST(round(value * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0 AS value "
+    "FROM events ORDER BY event_id LIMIT 200"
+)
+
+
+def q_canary_list_reduce(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (g): ordered list fold with binary-fraction coefficients —
+    ewma's primitive (DuckDB ``list_reduce`` seeds with the first
+    element; Spark replays the seeded fold with ``aggregate``)."""
+    d = spark.range(1, 11)
+    return d.agg(
+        F.expr(
+            "aggregate(slice(array_sort(collect_list(cast(id as double))), 2, 9), "
+            "cast(1.0 as double), (acc, x) -> 0.25 * x + 0.75 * acc)"
+        ).alias("ewma"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+QUERIES["canary_list_reduce"] = q_canary_list_reduce
+ORACLES["canary_list_reduce"] = (
+    "SELECT list_reduce(list(CAST(i AS DOUBLE) ORDER BY i), "
+    "(acc, x) -> 0.25 * x + 0.75 * acc) AS ewma, "
+    f"CAST(count(*) AS BIGINT) AS n FROM ({_IOTA20}) WHERE i <= 10"
+)
+
+
+def q_canary_regexp_g(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (h): global regexp_replace — char-class strips and the
+    whitespace-collapse fingerprint (corpus_report's alpha/punct/fp
+    terms). Spark regexp_replace is always-global; DuckDB needs 'g'."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.orderBy("doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("long").alias("alpha"),
+            F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long").alias("punct"),
+            text.fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+
+
+QUERIES["canary_regexp_g"] = q_canary_regexp_g
+ORACLES["canary_regexp_g"] = (
+    "SELECT doc_id, "
+    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha, "
+    "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct, "
+    f"md5({_NORM.format(c='text')}) AS fp "
+    "FROM documents ORDER BY doc_id LIMIT 50"
+)
+
+
+def q_canary_token_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (i): whitespace token count — Spark ``split``/``size`` vs
+    DuckDB ``string_split_regex``/``len`` (corpus_report's n_tokens)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.orderBy("doc_id")
+        .limit(50)
+        .select("doc_id", text.token_count(F.col("text")).alias("ntok"))
+    )
+
+
+QUERIES["canary_token_split"] = q_canary_token_split
+ORACLES["canary_token_split"] = (
+    f"SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS ntok "
+    "FROM documents ORDER BY doc_id LIMIT 50"
+)
+
+
+def q_canary_ts_varchar_cmp(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (j): TIMESTAMP < VARCHAR-date-literal conditional sum —
+    distribution_drift's reference/current split, without the division."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < F.lit("2024-01-16"), 1).otherwise(0))
+        .cast("long")
+        .alias("ref_n"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES["canary_ts_varchar_cmp"] = q_canary_ts_varchar_cmp
+ORACLES["canary_ts_varchar_cmp"] = (
+    "SELECT event_type, "
+    "CAST(sum(CASE WHEN ts < '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS ref_n, "
+    "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1"
+)
+
+
+def q_canary_hugeint_div(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (k): ppm-share division where DuckDB's operands are HUGEINT
+    sums — distribution_drift's ``n * 1000000 // total`` isolated on a
+    synthetic distribution."""
+    d = spark.range(1, 101)
+    s = d.groupBy((F.col("id") % 7).cast("long").alias("g")).agg(
+        F.sum("id").cast("long").alias("n")
+    )
+    t = s.agg(F.sum("n").alias("__tot"))
+    return s.join(F.broadcast(t)).select(
+        "g",
+        "n",
+        F.expr("cast(n * 1000000 div __tot as bigint)").alias("ppm"),
+    )
+
+
+QUERIES["canary_hugeint_div"] = q_canary_hugeint_div
+ORACLES["canary_hugeint_div"] = (
+    "WITH s AS (SELECT i % 7 AS g, sum(i) AS n "
+    "FROM generate_series(1, 100) t(i) GROUP BY 1), "
+    "t AS (SELECT sum(n) AS tot FROM s) "
+    "SELECT g, CAST(n AS BIGINT) AS n, "
+    "CAST(n * 1000000 // tot AS BIGINT) AS ppm FROM s, t"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
-# r6 window (per VERDICT r5 next #4): the two canon-fixed r5 rows stay in to
-# prove the fixes; the other 48 are operators that have NEVER had a driver
-# row (155 such as of r6 — the 98 previously-checked rows plus everything
-# rotated out stay covered by the identical local gate,
-# tools/check_correctness.py, run in full at round end).
+# r7 window (VERDICT r6 next #1/#2): the four r6 hash-red rows stay IN to
+# prove the fixes, flanked by the 12 oracle-primitive canaries that bisect
+# whatever environment delta made them red (each canary isolates ONE
+# primitive those oracles share); the other 34 slots execute the staged
+# rotation — operators that have NEVER had a driver row (sketch family,
+# DBSCAN, survival/rank stats, preference/SFT/packing). Everything rotated
+# out stays covered by the full local gate (tools/check_correctness.py).
 _DRIVER_WINDOW = [
-    # -- r6 rotation (VERDICT r5 next #4): the two r5 non-green rows,
-    #    re-registered in canon-safe form, stay IN to prove the fixes --
-    "posting_lists", "corpus_report",
-    # -- flagship composite + VERDICT-named session-4 ops --
-    "curation_pipeline", "mmr_select", "matryoshka_eval",
-    "knn_label_noise", "retrieval_eval", "quantile_normalize",
-    "rfm_segments", "temporal_reachability", "skyline_2d",
-    "merkle_manifest", "fair_allocation", "ks_drift",
-    # -- session-3 backlog (never driver-checked) --
-    "weighted_sample", "perplexity_buckets", "pagerank", "kmeans_assign",
-    "ngram_diversity", "tpch_q4", "tpch_q5", "tpch_q10",
-    "containment_pairs", "length_outliers", "triangle_count",
-    "skew_report", "stratified_topk_sample", "trailing_agg",
-    "pivot_counts", "graph_components", "gap_fill", "session_stats",
-    "shard_manifest", "ewma", "user_similarity", "hybrid_search",
-    "distribution_drift", "classifier_confusion", "source_signatures",
-    # -- session-4 scale-novel shapes --
-    "greedy_coverage", "peak_concurrency", "rolling_active_users",
-    "seasonal_anomaly", "changepoint_cusum", "revenue_reconciliation",
-    "labeler_agreement", "standing_queries", "funnel_exclusion",
-    "running_balance", "slo_burn_alerts",
+    # -- the four r6 hash-red rows (seasonal_anomaly now integer-only) --
+    "corpus_report", "shard_manifest", "distribution_drift",
+    "seasonal_anomaly",
+    # -- oracle-primitive canaries (VERDICT r6 next #1) --
+    "canary_int_div", "canary_hex_cast", "canary_hugeint_mod",
+    "canary_round_half", "canary_round_value_micro", "canary_epoch_us",
+    "canary_double_reemit", "canary_list_reduce", "canary_regexp_g",
+    "canary_token_split", "canary_ts_varchar_cmp", "canary_hugeint_div",
+    # -- staged r7 rotation: sketches, spatial, stats, graph (never checked) --
+    "count_sketch_f2", "countmin_freq", "kmv_distinct", "kmv_jaccard",
+    "join_size_estimate", "dbscan_clusters", "nearest_hub",
+    "kaplan_meier", "poisson_bootstrap", "mann_whitney", "mcnemar",
+    "emd_drift", "pr_curve", "qini_curve", "dp_histogram",
+    "community_modularity", "clustering_coeff", "window_funnel",
+    "typo_pairs", "record_linkage", "golden_record", "interval_merge",
+    "markov_eval", "fifo_allocation", "kneser_ney", "zone_map_stats",
+    "hypertable_rollup",
+    # -- post-training data family (r6 session-4, never checked) --
+    "preference_pairs", "sft_export", "packed_sequences", "packing_report",
+    "curriculum_order", "dialogue_turns", "embargo_split",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
