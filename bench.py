@@ -286,17 +286,21 @@ def main() -> None:
     # drop below the threshold before measuring — bounded, so a driver on
     # a busy box still gets an artifact (the stamp then self-identifies).
     idle_load = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.5"))
-    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "300"))
     waited = 0.0
     # gate on the 5-minute average too: a burst that just finished leaves
     # load1 low but the machine still cache/IO-disturbed (this session
-    # measured a uniform ~1.6x inflation benching right after a heavy run)
+    # measured a uniform ~1.6x inflation benching right after a heavy run).
+    # The load5 threshold is the SAME idle_load as load1 — the r6 driver run
+    # started at load5 2.14 under the old 2x threshold (3.0) and recorded
+    # uniformly slower streaming medians; load5 decays slowly, hence the
+    # longer default wait budget.
     while (
-        os.getloadavg()[0] > idle_load or os.getloadavg()[1] > 2 * idle_load
+        os.getloadavg()[0] > idle_load or os.getloadavg()[1] > idle_load
     ) and waited < idle_wait:
         print(
             f"# load_avg {os.getloadavg()[0]:.2f}/{os.getloadavg()[1]:.2f}"
-            f" > {idle_load}/{2 * idle_load}; waiting for idle"
+            f" > {idle_load}/{idle_load}; waiting for idle"
             f" ({waited:.0f}/{idle_wait:.0f}s)",
             file=sys.stderr,
         )
@@ -841,23 +845,73 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    meta = {
+        "repeats": repeats,
+        "waited_for_idle_sec": round(waited, 1),
+        "wall_clock_sec": round(time.perf_counter() - bench_t0, 3),
+        "load_avg": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Full per-query record -> a FILE; the final stdout line stays compact.
+    # The driver keeps only a ~2,000-char stdout tail, so a 240-entry
+    # "queries" dict on stdout silently truncates the graded artifact
+    # (BENCH_r06 recorded "parsed": null for exactly this reason —
+    # VERDICT r6 next #3). BENCH_FULL.json carries every batch median;
+    # stdout carries the BASELINE.md-comparable headline subset + suite
+    # summary stats + a pointer.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
+    with open(full_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_suite_median_sum",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
                 "streaming": streaming,
-                "repeats": repeats,
-                "waited_for_idle_sec": round(waited, 1),
-                "wall_clock_sec": round(time.perf_counter() - bench_t0, 3),
-                "load_avg": {
-                    "start": [round(x, 2) for x in load_start],
-                    "end": [round(x, 2) for x in os.getloadavg()],
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                **meta,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+
+    # the BASELINE.md-mapped core (workload #1 ≈ passthrough/filter,
+    # #3/#4 ≈ windows, joins, flagship pipeline + heaviest batch shape)
+    core = [
+        "passthrough", "filter", "tumbling_window", "session_window",
+        "stream_table_join", "multiway_join_revenue", "interval_join",
+        "tpch_q1", "dedup_exact_groups", "minhash_pairs", "cosine_topk",
+        "bm25_search", "curation_pipeline", "dbscan_clusters",
+    ]
+    batch_medians = sorted(per_query[n] for n in HEADLINE)
+    suite = {
+        "n_queries": len(per_query),
+        "batch_median_sum": round(sum(batch_medians), 3),
+        "batch_p50": round(batch_medians[len(batch_medians) // 2], 3),
+        "batch_p90": round(batch_medians[(len(batch_medians) * 9) // 10], 3),
+        "batch_max": round(batch_medians[-1], 3),
+        "batch_max_query": max(HEADLINE, key=lambda n: per_query[n]),
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_median_sum",
+                "value": total,
+                "unit": "sec",
+                "queries": {n: per_query[n] for n in core if n in per_query},
+                "streaming": streaming,
+                "suite": suite,
+                "full_results": os.path.basename(full_path),
+                **meta,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
