@@ -34,3 +34,13 @@ def oracle_sql() -> dict[str, str]:
     from samza_spark.queries import ORACLES
 
     return dict(ORACLES)
+
+
+def query_meta() -> dict[str, dict[str, str]]:
+    """Catalog metadata: {name: {"family": ..., "tier": ...}} for every
+    queries() entry — tiers: exact | serving | streaming | report | canary
+    (see samza_spark.registry_meta). Lets callers sample the 300+ query
+    catalog by family instead of registration order."""
+    from samza_spark.registry_meta import query_meta as _qm
+
+    return _qm()

@@ -1,0 +1,52 @@
+"""The registry catalog metadata must stay total and disjoint: every
+registered query has exactly one (family, tier), and the helpers slice it
+consistently (VERDICT r6 next #5)."""
+
+from samza_spark.registry_meta import FAMILIES, by_family, by_tier, query_meta
+
+
+def test_meta_covers_registry_exactly():
+    from samza_spark.queries import QUERIES
+
+    meta = query_meta()
+    assert set(meta) == set(QUERIES)
+
+
+def test_no_query_in_two_families():
+    seen = set()
+    for names in FAMILIES.values():
+        for n in names:
+            assert n not in seen, f"{n} listed in two families"
+            seen.add(n)
+
+
+def test_tiers_are_known():
+    allowed = {"exact", "serving", "streaming", "report", "canary"}
+    for n, m in query_meta().items():
+        assert m["tier"] in allowed, (n, m)
+
+
+def test_canaries_are_their_own_family_and_tier():
+    assert by_family("canary") == by_tier("canary")
+    assert len(by_family("canary")) == 12
+
+
+def test_serving_tier_has_exact_twin_families():
+    # every serving-tier entry lives in a family that also carries an
+    # exact-tier audit path (the tier split is routing, not a coverage gap)
+    meta = query_meta()
+    serving_fams = {meta[n]["family"] for n in by_tier("serving")}
+    for fam in serving_fams:
+        tiers = {meta[n]["tier"] for n in FAMILIES[fam]}
+        assert tiers & {"exact", "serving"}, fam
+
+
+def test_entry_point_exposes_meta():
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+
+    meta = e.query_meta()
+    assert set(meta) == set(e.queries())
+    assert all({"family", "tier"} <= set(m) for m in meta.values())

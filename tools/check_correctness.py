@@ -5,6 +5,10 @@ matching SQL on DuckDB over the same parquet; compares row count, column
 names, and an order-insensitive value hash. Usage:
 
     python tools/check_correctness.py [sf_dir] [name ...]
+    python tools/check_correctness.py [sf_dir] family:text family:graph
+    python tools/check_correctness.py [sf_dir] tier:canary
+
+``family:X`` / ``tier:X`` expand via samza_spark.registry_meta.
 """
 
 from __future__ import annotations
@@ -55,7 +59,15 @@ def table_hash(rows, colnames) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only = set()
+    for arg in sys.argv[2:]:
+        if arg.startswith(("family:", "tier:")):
+            from samza_spark.registry_meta import by_family, by_tier
+
+            kind, _, val = arg.partition(":")
+            only.update(by_family(val) if kind == "family" else by_tier(val))
+        else:
+            only.add(arg)
 
     from samza_spark import get_session, SessionConfig
 
