@@ -11534,6 +11534,84 @@ QUERIES["mcnemar"] = q_mcnemar
 ORACLES["mcnemar"] = ORACLE_MCNEMAR
 
 
+def q_tfrecord_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """TFRecord sink+source roundtrip (formats/tfrecord.py — the trainer-
+    side export container, framed with masked CRC32C and hand-rolled
+    tf.train.Example wire encoding, no tensorflow/protobuf deps): one
+    file per partition written via mapInPandas, read back one task per
+    file. Oracle reads the original table, so every byte of the utf-8 /
+    int64 feature encoding is value-checked."""
+    import tempfile
+
+    from samza_spark.formats.tfrecord import read_tfrecords, write_tfrecords
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="ss_tfr_q_")
+    write_tfrecords(docs.repartition(8), path).collect()
+    back = read_tfrecords(
+        spark,
+        path,
+        {"doc_id": "long", "text": "string", "lang": "string", "n_chars": "long"},
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").cast("int").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+QUERIES["tfrecord_roundtrip"] = q_tfrecord_roundtrip
+ORACLES["tfrecord_roundtrip"] = (
+    "SELECT doc_id, lang, n_chars, CAST(length(text) AS INT) AS text_len, "
+    "md5(text) AS text_md5 FROM documents"
+)
+
+
+def q_wet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC/WET export+ingest roundtrip (sources/warc.py — the Common
+    Crawl container an LLM text pipeline starts from): documents written
+    as per-partition gzipped WET conversion records, scanned back one
+    task per archive, projected through wet_to_documents. Oracle reads
+    the original table — header escaping and utf-8 payload framing are
+    value-checked end to end."""
+    import tempfile
+
+    from samza_spark.sources.warc import read_warc, wet_to_documents, write_wet
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.concat(F.lit("http://corpus.example/doc/"), "doc_id").alias(
+                "target_uri"
+            ),
+            "text",
+        )
+        .repartition(8)
+    )
+    path = tempfile.mkdtemp(prefix="ss_wet_q_")
+    write_wet(docs, path).collect()
+    back = wet_to_documents(read_warc(spark, path))
+    return back.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        "target_uri",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+QUERIES["wet_roundtrip"] = q_wet_roundtrip
+ORACLES["wet_roundtrip"] = (
+    "SELECT doc_id, 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) "
+    "AS target_uri, CAST(length(text) AS BIGINT) AS n_chars, "
+    "md5(text) AS text_md5 FROM documents"
+)
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-primitive canaries (VERDICT r6 next #1)
 #

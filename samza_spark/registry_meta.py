@@ -66,6 +66,7 @@ FAMILIES: dict[str, list[str]] = {
     "format": [
         "avro_roundtrip", "csv_roundtrip", "jsonl_roundtrip",
         "orc_roundtrip", "schema_evolution_roundtrip", "multimodal_decode",
+        "tfrecord_roundtrip", "wet_roundtrip",
     ],
     # -- training-data pipeline: dedup & similarity --
     "dedup": [
