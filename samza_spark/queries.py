@@ -11612,6 +11612,97 @@ ORACLES["wet_roundtrip"] = (
 )
 
 
+def q_join_order_advice(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-driven join planning advice (advisor.sketch_join_advice):
+    for each candidate equi-join edge of a TPC-H-shaped join graph,
+    estimate output cardinality from count-min inner products (one-sided
+    — never an underestimate, so a 'safe' rank really is safe), pick
+    broadcast-vs-shuffle from exact input row counts, and emit the
+    greedy smallest-intermediate-first join order. The CBO input a
+    100 TB warehouse derives without a second scan: one key-count
+    aggregate per (table, key), constant-size sketch jobs after."""
+    from samza_spark.advisor import sketch_join_advice
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    li = load_table(spark, sf, "lineitem")
+    nat = load_table(spark, sf, "nation")
+    return sketch_join_advice(
+        [
+            ("orders", orders, "o_custkey", "customer", cust, "c_custkey"),
+            ("lineitem", li, "l_orderkey", "orders", orders, "o_orderkey"),
+            ("customer", cust, "c_nationkey", "nation", nat, "n_nationkey"),
+        ],
+        depth=4,
+        width=256,
+        salt="ja0",
+        broadcast_threshold_rows=10_000,
+    )
+
+
+QUERIES["join_order_advice"] = q_join_order_advice
+
+
+def _cm_cells_sql(kcte: str, alias: str) -> str:
+    """Count-min cell CTE body mirroring pipeline.sketches._bucket
+    (salt 'ja0', depth 4, width 256) over a (k, c) key-count CTE."""
+    return (
+        f"{alias} AS (SELECT depth, ('0x' || substr(md5('ja0|' || "
+        "CAST(depth AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 8))::BIGINT "
+        f"% 256 AS bucket, CAST(sum(c) AS BIGINT) AS c FROM {kcte}, d "
+        "GROUP BY 1, 2)"
+    )
+
+
+def _cm_edge_sql(edge: str, lname: str, rname: str, lc: str, rc: str) -> str:
+    """One advice row: est from the min-over-depths dot product; exact
+    row counts, threshold strategy, (rows, name)-ordered build side."""
+    return (
+        f"SELECT '{edge}' AS edge, '{lname}' AS left_table, "
+        f"'{rname}' AS right_table, "
+        f"(SELECT count(*) FROM {lname}) AS left_rows, "
+        f"(SELECT count(*) FROM {rname}) AS right_rows, "
+        f"(SELECT CAST(min(dot) AS BIGINT) FROM (SELECT a.depth, "
+        f"sum(a.c * b.c) AS dot FROM {lc} a JOIN {rc} b "
+        "ON a.depth = b.depth AND a.bucket = b.bucket GROUP BY 1)) "
+        "AS est_join_size"
+    )
+
+
+ORACLES["join_order_advice"] = (
+    "WITH d AS (SELECT unnest(generate_series(0, 3)) AS depth), "
+    "ko_cust AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1), "
+    "kc_cust AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1), "
+    "kl_ord AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1), "
+    "ko_ord AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1), "
+    "kc_nat AS (SELECT c_nationkey AS k, count(*) AS c FROM customer GROUP BY 1), "
+    "kn_nat AS (SELECT n_nationkey AS k, count(*) AS c FROM nation GROUP BY 1), "
+    + ", ".join(
+        _cm_cells_sql(k, a)
+        for k, a in [
+            ("ko_cust", "c_ko_cust"), ("kc_cust", "c_kc_cust"),
+            ("kl_ord", "c_kl_ord"), ("ko_ord", "c_ko_ord"),
+            ("kc_nat", "c_kc_nat"), ("kn_nat", "c_kn_nat"),
+        ]
+    )
+    + ", edges AS ("
+    + _cm_edge_sql("orders|customer", "orders", "customer", "c_ko_cust", "c_kc_cust")
+    + " UNION ALL "
+    + _cm_edge_sql("lineitem|orders", "lineitem", "orders", "c_kl_ord", "c_ko_ord")
+    + " UNION ALL "
+    + _cm_edge_sql("customer|nation", "customer", "nation", "c_kc_nat", "c_kn_nat")
+    + ") SELECT edge, left_table, right_table, left_rows, right_rows, "
+    "est_join_size, "
+    "CASE WHEN least(left_rows, right_rows) <= 10000 THEN 'broadcast' "
+    "ELSE 'shuffle' END AS strategy, "
+    "CASE WHEN (left_rows < right_rows) OR (left_rows = right_rows AND "
+    "left_table < right_table) THEN left_table ELSE right_table END "
+    "AS build_side, "
+    "CAST(row_number() OVER (ORDER BY est_join_size, edge) AS INT) "
+    "AS join_rank FROM edges"
+)
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-primitive canaries (VERDICT r6 next #1)
 #
