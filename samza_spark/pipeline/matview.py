@@ -106,3 +106,79 @@ def realtime_rollup(
         raw.filter(F.col(bucket_col) >= F.lit(frontier)), keys, specs
     )
     return merge_agg_states(head, tail, keys, specs)
+
+
+# ---------------------------------------------------------------------------
+# incremental JOIN-view maintenance (weighted multiset / Z-set delta rules)
+# ---------------------------------------------------------------------------
+#
+# Aggregate views merge partial states (above); JOIN views maintain with
+# the bilinear delta rule over WEIGHTED multisets (the DBSP / classic
+# incremental-view-maintenance algebra, public literature):
+#
+#     Δ(A ⋈ B) = ΔA ⋈ B_new  +  A_old ⋈ ΔB
+#
+# where every relation carries an integer multiplicity column ``__w``
+# (+1 insert, -1 delete) and a join multiplies weights. The view refresh
+# cost is delta-sized: both terms join a DELTA against a base — never
+# base ⋈ base — so at 100 TB each refresh is two broadcast-delta joins,
+# and a GDPR-style deletion is just a -1 row flowing the same path.
+
+
+def with_weight(df: DataFrame, weight: int = 1) -> DataFrame:
+    """Tag a relation with multiplicity ``__w`` (+1 inserts, -1 deletes)."""
+    return df.withColumn("__w", F.lit(int(weight)).cast("long"))
+
+
+def compact(df: DataFrame) -> DataFrame:
+    """Normalize a weighted multiset: sum multiplicities per distinct
+    row, drop zeros. This is the only view-sized shuffle in the module —
+    production keeps the view bucketed by its join key so the exchange
+    vanishes, or defers compaction and folds weights at read time (the
+    changelog-compaction trade, tables/local.py)."""
+    cols = [c for c in df.columns if c != "__w"]
+    return (
+        df.groupBy(*cols)
+        .agg(F.sum("__w").alias("__w"))
+        .filter(F.col("__w") != 0)
+    )
+
+
+def weighted_join(a: DataFrame, b: DataFrame, on) -> DataFrame:
+    """Equi-join of weighted relations; output weight = wa * wb."""
+    wa = a.withColumnRenamed("__w", "__wa")
+    wb = b.withColumnRenamed("__w", "__wb")
+    return (
+        wa.join(wb, on=on)
+        .withColumn("__w", F.col("__wa") * F.col("__wb"))
+        .drop("__wa", "__wb")
+    )
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on,
+    *,
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """The join-view delta ΔV = ΔA ⋈ B_new + A_old ⋈ ΔB (all weighted).
+    Inserts AND deletes ride the same rule: a -1 in ΔB cancels the
+    matching V rows and suppresses future ΔA matches (B_new is compacted
+    first, so a fully-deleted key contributes nothing). With
+    ``broadcast_deltas`` the two base-side joins hint the delta side —
+    the physical shape that keeps refresh cost O(|Δ|) at any base size."""
+    hint = F.broadcast if broadcast_deltas else (lambda d: d)
+    b_new = compact(b_old.unionByName(delta_b))
+    t1 = weighted_join(hint(delta_a), b_new, on)
+    t2 = weighted_join(a_old, hint(delta_b), on)
+    return t1.unionByName(t2.select(*t1.columns))
+
+
+def apply_delta(view_old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold ΔV into the view (union + compact). The oracle-checked
+    invariant: apply_delta(A_old ⋈ B_old, join_view_delta(...)) ==
+    A_new ⋈ B_new computed from scratch."""
+    return compact(view_old.unionByName(delta.select(*view_old.columns)))

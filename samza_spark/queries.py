@@ -11703,6 +11703,52 @@ ORACLES["join_order_advice"] = (
 )
 
 
+def q_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (pipeline.matview join_view_delta
+    — the weighted-multiset/Z-set bilinear delta rule): the orders ⋈
+    customer view kept current with ONE delta-sized refresh that carries
+    both late-arriving orders (+1) and a GDPR-style customer erasure
+    (-1) through the same algebra. The oracle computes the post-refresh
+    join FROM SCRATCH — equality proves apply_delta(V_old, ΔV) ==
+    A_new ⋈ B_new, the invariant that makes a 100 TB view refresh cost
+    O(|Δ|): both ΔV terms join a broadcast delta against a base."""
+    from samza_spark.pipeline import matview as mv
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.expr("cast(floor(o_totalprice * 100.0) as bigint)").alias("cents"),
+        "o_orderdate",
+    )
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    cutoff = "1996-01-01"
+    a_old = mv.with_weight(
+        orders.filter(F.col("o_orderdate") < F.lit(cutoff)).drop("o_orderdate")
+    )
+    delta_a = mv.with_weight(
+        orders.filter(F.col("o_orderdate") >= F.lit(cutoff)).drop("o_orderdate")
+    )
+    b_old = mv.with_weight(cust)
+    delta_b = mv.with_weight(cust.filter(F.col("custkey") % 10 == 0), -1)
+    v_old = mv.weighted_join(a_old, b_old, on="custkey")
+    dv = mv.join_view_delta(a_old, delta_a, b_old, delta_b, on="custkey")
+    v_new = mv.apply_delta(v_old, dv)
+    return v_new.select(
+        "o_orderkey", "custkey", "cents", "c_name", F.col("__w").alias("w")
+    )
+
+
+QUERIES["join_view_refresh"] = q_join_view_refresh
+ORACLES["join_view_refresh"] = (
+    "SELECT o_orderkey, o_custkey AS custkey, "
+    "CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents, c_name, "
+    "CAST(1 AS BIGINT) AS w FROM orders JOIN customer "
+    "ON o_custkey = c_custkey WHERE c_custkey % 10 <> 0"
+)
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-primitive canaries (VERDICT r6 next #1)
 #

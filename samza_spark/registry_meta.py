@@ -60,7 +60,8 @@ FAMILIES: dict[str, list[str]] = {
     "tpch": [f"tpch_q{i}" for i in range(1, 23)],
     "table": [
         "changelog_compact", "snapshot_diff", "scd2_pit", "merge_upsert",
-        "matview_merge", "zorder", "compaction_plan", "hypertable_rollup",
+        "matview_merge", "join_view_refresh", "zorder", "compaction_plan",
+        "hypertable_rollup",
         "zone_map_stats", "staleness_report", "fk_integrity",
     ],
     "format": [
