@@ -182,3 +182,47 @@ def apply_delta(view_old: DataFrame, delta: DataFrame) -> DataFrame:
     invariant: apply_delta(A_old ⋈ B_old, join_view_delta(...)) ==
     A_new ⋈ B_new computed from scratch."""
     return compact(view_old.unionByName(delta.select(*view_old.columns)))
+
+
+def streaming_join_view(
+    cdc_stream: DataFrame,
+    dim: DataFrame,
+    on,
+    view_path: str,
+    *,
+    op_col: str = "op",
+    checkpoint_dir: "str | None" = None,
+):
+    """CDC stream -> incrementally maintained join view. Each micro-batch
+    of change rows (``op_col`` 'd' = delete, anything else = insert)
+    becomes a weighted delta, joins the broadcast dim via the bilinear
+    rule (static dim => ΔV = ΔA ⋈ B), and APPENDS to the view's weighted
+    delta log — per-trigger cost O(|batch|), no view rewrite, exactly
+    the changelog discipline of tables/local.py. Readers compact
+    multiplicities on read (:func:`read_join_view`); a periodic
+    compaction job can fold the log the same way offline.
+
+    The invariant (tested across restart boundaries): read_join_view
+    after any number of triggers == the from-scratch join of the
+    SURVIVING change rows with the dim."""
+    dim_w = with_weight(dim)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta_a = batch_df.withColumn(
+            "__w",
+            F.when(F.col(op_col) == "d", F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("long"),
+        ).drop(op_col)
+        dv = weighted_join(F.broadcast(delta_a), dim_w, on)
+        dv.write.mode("append").parquet(view_path)
+
+    writer = cdc_stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_join_view(spark, view_path: str) -> DataFrame:
+    """Compacted read of a streaming join view's weighted delta log."""
+    return compact(spark.read.parquet(view_path))

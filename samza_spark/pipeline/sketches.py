@@ -424,3 +424,126 @@ def streaming_count_sketch(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# mergeable integer-histogram quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the mergeable-state family (beside count-min /
+# count-sketch / KMV): a fixed-width histogram over micro-fixed-point
+# values. Unlike t-digest/KLL its cells are pure integers with NO
+# merge-order or randomness dependence — merge is cell-wise sum (exactly
+# linear, like count-min), so per-shard histograms roll up with no
+# rescan and the streamed fold equals the batch build bit-for-bit. The
+# estimate error is bounded by one bin width (the caller picks the
+# resolution/size trade; cells are at most value_range/bin_width rows).
+
+
+def hist_table(
+    df: DataFrame,
+    value_expr: str,
+    bin_width: int,
+    group_cols=(),
+) -> DataFrame:
+    """Build the histogram cell table ``(*group_cols, bin, c)``.
+    ``value_expr`` must be an integer SQL expression (fixed-point the
+    caller's doubles with the round(x*1e6) primitive); ``bin`` is the
+    truncating integer division ``value div bin_width`` (DuckDB mirror
+    ``//`` — both truncate toward zero). One map-side-combinable
+    aggregate; cell count is bounded by the value range, not the data.
+    """
+    gcols = list(group_cols)
+    return (
+        df.select(
+            *gcols,
+            F.expr(f"cast(({value_expr}) div {int(bin_width)} as bigint)").alias(
+                "bin"
+            ),
+        )
+        .groupBy(*gcols, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Cell-wise sum — histograms are linear, so any grouping/order of
+    merges yields the identical table (the matview/rollup contract)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    gcols = [c for c in out.columns if c not in ("c",)]
+    return out.groupBy(*gcols).agg(F.sum("c").alias("c"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs_ppm,
+    bin_width: int,
+    group_cols=(),
+) -> DataFrame:
+    """Quantile estimates from a histogram: for each q (in ppm), the
+    upper edge of the first bin whose cumulative count reaches
+    ``ceil(q * total / 1e6)`` — the classic histogram quantile with a
+    one-bin-width error bound, all integer arithmetic so any engine
+    reproduces it. The rank window runs over the CELL table (bounded),
+    never the data."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    w = (
+        Window.partitionBy(*gcols).orderBy("bin")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("bin")
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1)))
+    )
+    qdf = None
+    for q in qs_ppm:
+        # target rank: ceil(q * total / 1e6) as pure integer arithmetic
+        hit = (
+            cum.filter(
+                F.col("cum") * 1_000_000 >= F.lit(int(q)) * F.col("total")
+            )
+            .groupBy(*gcols)
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                *gcols,
+                F.lit(int(q)).alias("q_ppm"),
+                ((F.col("bin") + 1) * F.lit(int(bin_width))).alias("value_upper"),
+            )
+        )
+        qdf = hit if qdf is None else qdf.unionByName(hit)
+    return qdf
+
+
+def streaming_histogram(
+    stream_df: DataFrame,
+    value_expr: str,
+    state_path: str,
+    bin_width: int,
+    checkpoint_dir: "str | None" = None,
+):
+    """Maintain the histogram as streaming state: sketch each
+    micro-batch, fold by cell-wise sum into the durable cell table
+    (linearity => streamed == batch over everything ingested, bit for
+    bit, independent of batch boundaries — same contract and driver
+    discipline as streaming_count_min)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = hist_table(batch_df, value_expr, bin_width)
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = hist_merge(prev, inc)
+        except Exception:
+            merged = inc
+        rows = [(r["bin"], r["c"]) for r in merged.collect()]
+        out = spark.createDataFrame(rows, "bin bigint, c long")
+        out.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

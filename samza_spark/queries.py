@@ -11749,6 +11749,44 @@ ORACLES["join_view_refresh"] = (
 )
 
 
+def q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-histogram quantile estimates (pipeline.sketches.
+    hist_table/hist_quantiles — the quantile member of the mergeable-
+    state family): per event type, p50/p90/p99 of the value distribution
+    from a fixed-width integer histogram whose merge is cell-wise sum
+    (linear like count-min, so per-shard histograms roll up with no
+    rescan and the streamed fold == the batch build, tested). One-bin-
+    width error bound, all integer arithmetic — the oracle replays every
+    cell and rank decision exactly."""
+    from samza_spark.pipeline import sketches
+
+    ev = load_table(spark, sf, "events")
+    h = sketches.hist_table(
+        ev,
+        "cast(floor(value * 1000000) as bigint)",
+        250000,
+        group_cols=["event_type"],
+    )
+    return sketches.hist_quantiles(
+        h, [500000, 900000, 990000], 250000, group_cols=["event_type"]
+    )
+
+
+QUERIES["hist_quantiles"] = q_hist_quantiles
+ORACLES["hist_quantiles"] = (
+    "WITH h AS (SELECT event_type, "
+    "CAST(floor(value * 1000000) AS BIGINT) // 250000 AS bin, "
+    "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+    "cum AS (SELECT event_type, bin, "
+    "sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum, "
+    "sum(c) OVER (PARTITION BY event_type) AS total FROM h), "
+    "qs AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm) "
+    "SELECT event_type, q_ppm, "
+    "CAST((min(bin) + 1) * 250000 AS BIGINT) AS value_upper "
+    "FROM cum, qs WHERE cum * 1000000 >= q_ppm * total GROUP BY 1, 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-primitive canaries (VERDICT r6 next #1)
 #

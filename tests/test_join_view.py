@@ -63,3 +63,46 @@ def test_delta_plan_broadcasts_delta_side(spark):
         dv._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan  # delta-side joins never shuffle the base
+
+
+def test_streaming_join_view_across_restart(spark, tmp_path):
+    """Two CDC waves through the same checkpoint: inserts then a delete +
+    more inserts; compacted read == from-scratch join of survivors."""
+    from samza_spark.pipeline.matview import read_join_view, streaming_join_view
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    dim = _v(spark, [(1, "d1"), (2, "d2"), (3, "d3")], "k int, dv string")
+    view = str(tmp_path / "view")
+
+    _v(spark, [("i", 1, "a"), ("i", 2, "b")], "op string, k int, av string").write.parquet(
+        str(src / "w1")
+    )
+    q = streaming_join_view(
+        spark.readStream.schema("op string, k int, av string").parquet(f"{src}/*"),
+        dim,
+        on="k",
+        view_path=view,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got1 = {(r["k"], r["av"], r["dv"]) for r in read_join_view(spark, view).collect()}
+    assert got1 == {(1, "a", "d1"), (2, "b", "d2")}
+
+    # wave 2 (restart: new query, same checkpoint): delete (1, a), insert (3, c)
+    _v(spark, [("d", 1, "a"), ("i", 3, "c")], "op string, k int, av string").write.parquet(
+        str(src / "w2")
+    )
+    q2 = streaming_join_view(
+        spark.readStream.schema("op string, k int, av string").parquet(f"{src}/*"),
+        dim,
+        on="k",
+        view_path=view,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    got2 = {
+        (r["k"], r["av"], r["dv"], r["__w"])
+        for r in read_join_view(spark, view).collect()
+    }
+    assert got2 == {(2, "b", "d2", 1), (3, "c", "d3", 1)}
