@@ -1701,3 +1701,60 @@ def mcnemar_paired(
             "else 0 end"
         ).alias("stat_corrected_micro"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_expr: str,
+    alpha_ppm: int = 100_000,
+    group_cols=(),
+) -> DataFrame:
+    """Split-conformal calibration threshold (Vovk et al.; the
+    distribution-free coverage recipe every model-serving gate uses):
+    over a calibration set of integer nonconformity scores, the
+    threshold q̂ is the ``ceil((n+1)(1-α))``-th smallest score — predict
+    sets {y : score ≤ q̂} then cover with probability ≥ 1−α on
+    exchangeable data. Finite-sample rank and α in exact ppm::
+
+        k = ceil((n + 1) * (1e6 - alpha_ppm) / 1e6)   (clamped to n)
+        q̂ = min{ s : #(scores ≤ s) ≥ k }
+
+    Shape: one (group, score) count aggregate, then the cumulative rank
+    runs over the DISTINCT-score table (bounded by score resolution,
+    micro-fixed-point by convention — never the calibration rows).
+    Emits ``(group…, n, k_rank, qhat)``."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    per_score = df.groupBy(
+        *gcols, F.expr(score_expr).cast("long").alias("__s")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy(*gcols).orderBy("__s")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("__s")
+    )
+    wg = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    cum = (
+        per_score.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(wg))
+        .withColumn(
+            "k_rank",
+            F.least(
+                F.expr(
+                    f"((n + 1) * {1_000_000 - int(alpha_ppm)} "
+                    "+ 999999) div 1000000"
+                ),
+                F.col("n"),
+            ),
+        )
+    )
+    return (
+        cum.filter(F.col("cum") >= F.col("k_rank"))
+        .groupBy(*gcols)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("k_rank").alias("k_rank"),
+            F.min("__s").alias("qhat"),
+        )
+    )

@@ -11787,6 +11787,106 @@ ORACLES["hist_quantiles"] = (
 )
 
 
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (pipeline.governance.l_diversity): per
+    (day, user-bucket) QI class, the distinct sensitive-value
+    (event_type) count and the violates flag for classes below l=3 —
+    the k-anonymity strengthening against homogeneous classes. One
+    groupBy with a two-phase distinct."""
+    from samza_spark.pipeline import governance
+
+    ev = load_table(spark, sf, "events")
+    qi = ev.select(
+        F.unix_seconds(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+        F.expr("user_id div 50").alias("ub"),
+        "event_type",
+    )
+    return governance.l_diversity(qi, ["day_s", "ub"], "event_type", l=3)
+
+
+QUERIES["l_diversity"] = q_l_diversity
+ORACLES["l_diversity"] = (
+    "WITH qi AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, "
+    "user_id // 50 AS ub, event_type FROM events) "
+    "SELECT day_s, ub, CAST(count(*) AS BIGINT) AS class_size, "
+    "CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive, "
+    "count(DISTINCT event_type) < 3 AS violates FROM qi GROUP BY 1, 2"
+)
+
+
+def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit (pipeline.governance.t_closeness): per QI
+    class, exact-ppm total-variation distance between the class's
+    sensitive distribution (event_type) and the global one — catches
+    the skewed classes l-diversity misses. All-integer products; the
+    absent-value terms are covered by the broadcast global-value grid
+    with a LEFT join."""
+    from samza_spark.pipeline import governance
+
+    ev = load_table(spark, sf, "events")
+    qi = ev.select(
+        F.unix_seconds(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+        F.expr("user_id div 50").alias("ub"),
+        "event_type",
+    )
+    return governance.t_closeness(
+        qi, ["day_s", "ub"], "event_type", t_ppm=200_000
+    )
+
+
+QUERIES["t_closeness"] = q_t_closeness
+ORACLES["t_closeness"] = (
+    "WITH qi AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s, "
+    "user_id // 50 AS ub, event_type AS v FROM events), "
+    "cls AS (SELECT day_s, ub, count(*) AS class_size FROM qi GROUP BY 1, 2), "
+    "cv AS (SELECT day_s, ub, v, count(*) AS c_v FROM qi GROUP BY 1, 2, 3), "
+    "gv AS (SELECT v, count(*) AS g_v FROM qi GROUP BY 1), "
+    "tot AS (SELECT count(*) AS g FROM qi), "
+    "grid AS (SELECT * FROM cls, gv, tot), "
+    "terms AS (SELECT grid.day_s, grid.ub, grid.class_size, grid.g, "
+    "abs(coalesce(cv.c_v, 0) * grid.g - grid.g_v * grid.class_size) AS term "
+    "FROM grid LEFT JOIN cv ON cv.day_s = grid.day_s AND cv.ub = grid.ub "
+    "AND cv.v = grid.v) "
+    "SELECT day_s, ub, CAST(class_size AS BIGINT) AS class_size, "
+    "CAST((sum(term) * 1000000) // (2 * class_size * g) AS BIGINT) AS tvd_ppm, "
+    "(sum(term) * 1000000) // (2 * class_size * g) > 200000 AS violates "
+    "FROM terms GROUP BY day_s, ub, class_size, g"
+)
+
+
+def q_conformal_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal calibration threshold
+    (pipeline.stats.conformal_threshold): per event type, the
+    ceil((n+1)(1-α))-th smallest micro-fixed-point score at α=10% —
+    the distribution-free serving gate's q̂, finite-sample-corrected,
+    all integer rank arithmetic. The cumulative rank runs over the
+    distinct-score table, never the calibration rows."""
+    from samza_spark.pipeline.stats import conformal_threshold
+
+    ev = load_table(spark, sf, "events")
+    return conformal_threshold(
+        ev,
+        "cast(floor(value * 1000000) as bigint)",
+        alpha_ppm=100_000,
+        group_cols=["event_type"],
+    )
+
+
+QUERIES["conformal_threshold"] = q_conformal_threshold
+ORACLES["conformal_threshold"] = (
+    "WITH s AS (SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS sc, "
+    "count(*) AS c FROM events GROUP BY 1, 2), "
+    "cum AS (SELECT event_type, sc, "
+    "sum(c) OVER (PARTITION BY event_type ORDER BY sc) AS cum, "
+    "sum(c) OVER (PARTITION BY event_type) AS n FROM s), "
+    "k AS (SELECT *, least(((n + 1) * 900000 + 999999) // 1000000, n) "
+    "AS k_rank FROM cum) "
+    "SELECT event_type, CAST(min(n) AS BIGINT) AS n, "
+    "CAST(min(k_rank) AS BIGINT) AS k_rank, CAST(min(sc) AS BIGINT) AS qhat "
+    "FROM k WHERE cum >= k_rank GROUP BY 1"
+)
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-primitive canaries (VERDICT r6 next #1)
 #

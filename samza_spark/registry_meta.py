@@ -145,16 +145,17 @@ FAMILIES: dict[str, list[str]] = {
         "tvd_drift", "emd_drift", "distribution_drift", "ab_test_report",
         "diff_in_diff", "cuped_readout", "roc_auc", "pr_curve",
         "qini_curve", "lift_chart", "mann_whitney", "mcnemar",
-        "kaplan_meier", "poisson_bootstrap", "dp_histogram", "concordance",
+        "kaplan_meier", "poisson_bootstrap", "dp_histogram",
+        "conformal_threshold", "concordance",
         "elo_ratings", "ctr_wilson", "labeler_agreement",
         "classifier_confusion", "skew_gini", "concentration_hhi",
         "abc_classification", "category_entropy", "skew_report",
         "markov_eval", "assoc_lift",
     ],
     "governance": [
-        "k_anonymity", "pii_report", "table_profile",
-        "revenue_reconciliation", "disorder_audit", "quantile_normalize",
-        "json_props_stats", "source_signatures",
+        "k_anonymity", "l_diversity", "t_closeness", "pii_report",
+        "table_profile", "revenue_reconciliation", "disorder_audit",
+        "quantile_normalize", "json_props_stats", "source_signatures",
     ],
     "linkage": [
         "record_linkage", "typo_pairs", "golden_record", "entity_clusters",

@@ -1,0 +1,61 @@
+"""Hand-checked semantics for l-diversity, t-closeness, and the
+split-conformal threshold (beyond the oracle gate's replay)."""
+
+from samza_spark.pipeline.governance import l_diversity, t_closeness
+from samza_spark.pipeline.stats import conformal_threshold
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    df = spark.createDataFrame(
+        [("g1", "flu"), ("g1", "flu"), ("g1", "flu"),
+         ("g2", "flu"), ("g2", "cold"), ("g2", "covid")],
+        "qi string, dx string",
+    )
+    got = {r["qi"]: r for r in l_diversity(df, ["qi"], "dx", l=2).collect()}
+    assert got["g1"]["n_sensitive"] == 1 and got["g1"]["violates"]
+    assert got["g2"]["n_sensitive"] == 3 and not got["g2"]["violates"]
+
+
+def test_t_closeness_zero_for_matching_distribution(spark):
+    # both classes mirror the global 50/50 split exactly -> tvd 0
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")],
+        "qi string, v string",
+    )
+    for r in t_closeness(df, ["qi"], "v", t_ppm=1).collect():
+        assert r["tvd_ppm"] == 0 and not r["violates"]
+
+
+def test_t_closeness_skewed_class(spark):
+    """Exact arithmetic on paper: global {a:3, b:1} over 4 rows; class
+    g1 = {a, a} -> p_class = {a:1}, p_global = {a:.75, b:.25};
+    TVD = (|1-.75| + |0-.25|)/2 = .25 -> 250000 ppm."""
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g2", "a"), ("g2", "b")],
+        "qi string, v string",
+    )
+    got = {r["qi"]: r for r in t_closeness(df, ["qi"], "v", t_ppm=200_000).collect()}
+    assert got["g1"]["tvd_ppm"] == 250_000 and got["g1"]["violates"]
+    assert got["g2"]["tvd_ppm"] == 250_000  # mirror-skewed the other way
+
+
+def test_conformal_threshold_rank_math(spark):
+    # scores 1..10; alpha = 0.5 -> k = ceil(11 * 0.5) = 6 -> qhat = 6
+    df = spark.range(1, 11).selectExpr("id as s")
+    [r] = conformal_threshold(df, "s", alpha_ppm=500_000).collect()
+    assert (r["n"], r["k_rank"], r["qhat"]) == (10, 6, 6)
+    # alpha = 0.0 -> k = 11 clamped to n -> qhat = max score
+    [r0] = conformal_threshold(df, "s", alpha_ppm=0).collect()
+    assert (r0["k_rank"], r0["qhat"]) == (10, 10)
+
+
+def test_conformal_threshold_grouped_with_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 5)] * 8 + [("a", 9)] * 2 + [("b", 1)] * 10,
+        "g string, s int",
+    )
+    got = {r["g"]: r for r in conformal_threshold(df, "s", 100_000, ["g"]).collect()}
+    # group a: n=10, k=ceil(11*.9)=10 -> 10th smallest = 9
+    assert (got["a"]["k_rank"], got["a"]["qhat"]) == (10, 9)
+    # group b: all ties at 1 -> qhat = 1
+    assert got["b"]["qhat"] == 1
