@@ -1916,3 +1916,148 @@ def retrieval_eval(
         "precision_at_k",
         "recall_at_k",
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index lifecycle (build / probe / append)
+# ---------------------------------------------------------------------------
+#
+# The production shape of ivf_topk: CREATE INDEX once, serve many probes.
+# Centroids persist as a tiny parquet; postings persist PARTITIONED BY
+# list_id, so a probe with n_probe lists reads exactly those partitions
+# (PartitionFilters in the scan — plan-pinned in tests) and at 100 TB a
+# query touches ~n_probe/n_lists of the corpus bytes. Appends assign only
+# the NEW vectors against the saved centroids (map-only) and land as new
+# files inside their list partitions — no index rebuild, the same
+# append-only discipline as the log DataSource.
+
+
+def build_ivf_index(
+    corpus,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+):
+    """Train coarse centroids (driver-side deterministic sample — see
+    train_ivf_centroids), persist ``{path}/centroids`` and the
+    list-partitioned postings ``{path}/postings``. One map-only
+    assignment pass + one partitioned write over the corpus."""
+    spark = corpus.sparkSession
+    cent = train_ivf_centroids(corpus, vec_col, id_col, n_lists)
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        cent,
+        "embedding",
+        n_probe=1,
+    ).select("vec_id", "embedding", F.col("list_id")[0].alias("list_id"))
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+
+
+def load_ivf_centroids(spark, path: str):
+    """The (n_lists, dim) centroid matrix back from ``{path}/centroids``."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incremental index maintenance: assign ONLY the new vectors against
+    the saved centroids (map-only) and append into their list partitions
+    — no rebuild, no read of existing postings."""
+    cent = load_ivf_centroids(spark, path)
+    assigned = ivf_assign(
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        cent,
+        "embedding",
+        n_probe=1,
+    ).select("vec_id", "embedding", F.col("list_id")[0].alias("list_id"))
+    assigned.write.partitionBy("list_id").mode("append").parquet(
+        f"{path}/postings"
+    )
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    queries,
+    k: int = 10,
+    n_probe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Serve top-k from the persisted index. Query lists come from the
+    broadcast centroid matrix; the postings scan filters on the probed
+    list ids (set size ≤ n_lists — collected bounded), which Spark turns
+    into partition pruning: only the probed directories are read. Same
+    output contract and scoring fold as ivf_topk."""
+    cent = load_ivf_centroids(spark, path)
+    q = ivf_assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
+        cent,
+        "__qv",
+        n_probe=n_probe,
+    ).select("query_id", "__qv", F.explode("list_id").alias("list_id"))
+    probe_lists = sorted(
+        {r["list_id"] for r in q.select("list_id").distinct().collect()}
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("list_id").isin(probe_lists))
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding", "list_id")
+    )
+    scored = (
+        postings.join(F.broadcast(q), on="list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim_pandas("embedding", "__qv"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "cosine", "neighbor_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+    pruned = scored.mapInPandas(
+        partial_topk,
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in scored.schema.fields
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
