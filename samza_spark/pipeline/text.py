@@ -1311,3 +1311,66 @@ def kneser_ney_stats(
         )
     )
     return out.orderBy(F.col("c_total").desc(), F.col("word")).limit(top_k)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup keying)
+# ---------------------------------------------------------------------------
+
+# ad/analytics query params that never identify content (public
+# convention: the UTM spec + the major click-id params)
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref", "ref_src",
+)
+
+
+def url_normalize(url_col: str) -> Column:
+    """Canonical URL for crawl-level dedup keying — the first dedup an
+    LLM crawl pipeline runs (the same page arrives as http/HTTPS, with
+    tracking params, fragments, default ports, +/- trailing slash).
+    Takes the column NAME and inlines one codegen'd SQL expression
+    (``parse_url`` splits the pieces; the query string is split /
+    filtered / sorted / rejoined with array ops — no Python in the hot
+    path). Normalizations:
+
+    * scheme and host lowercased; a leading ``www.`` dropped
+    * explicit default ports (:80/:443) and fragments dropped
+      (``parse_url`` never returns the fragment)
+    * tracking params (:data:`TRACKING_PARAMS`) removed, the REST of the
+      query sorted by ``key=value`` so param order never splits a key
+    * empty path -> ``/``; one trailing slash trimmed off non-root paths
+
+    Deterministic string output — usable directly as a groupBy/dedup key
+    (one shuffle on the canonical form, the exact-dedup shape)."""
+    u = url_col
+    tracked = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))"
+    # parse_url HOST drops the port entirely; take it from AUTHORITY so a
+    # NON-default port survives (a :8080 origin is a different server)
+    host = (
+        f"regexp_replace(lower(parse_url({u}, 'HOST')), '^www\\.', '')"
+    )
+    port = (
+        f"regexp_replace(coalesce(regexp_extract(parse_url({u}, 'AUTHORITY'), "
+        "':([0-9]+)$', 1), ''), '^(80|443)$', '')"
+    )
+    hostport = (
+        f"concat({host}, case when {port} = '' then '' "
+        f"else concat(':', {port}) end)"
+    )
+    path0 = f"coalesce(parse_url({u}, 'PATH'), '')"
+    path = (
+        f"case when {path0} = '' then '/' "
+        f"else regexp_replace({path0}, '(.)/$', '$1') end"
+    )
+    q0 = f"coalesce(parse_url({u}, 'QUERY'), '')"
+    kept = (
+        f"array_join(array_sort(filter(split({q0}, '&'), "
+        f"p -> p != '' and not array_contains(array({tracked}), "
+        "lower(split_part(p, '=', 1))))), '&')"
+    )
+    return F.expr(
+        f"concat({scheme}, '://', {hostport}, {path}, "
+        f"case when length({kept}) > 0 then concat('?', {kept}) else '' end)"
+    )
