@@ -271,6 +271,15 @@ HEADLINE = [
     "count_sketch_f2",
     "mann_whitney",
     "mcnemar",
+    # round-7: formats, view maintenance, sketch CBO, privacy, conformal
+    "tfrecord_roundtrip",
+    "wet_roundtrip",
+    "join_order_advice",
+    "join_view_refresh",
+    "hist_quantiles",
+    "l_diversity",
+    "t_closeness",
+    "conformal_threshold",
 ]
 
 
