@@ -854,7 +854,21 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # single-thread CPU calibration stamp: a fixed pure-Python loop whose
+    # wall time moves 1:1 with hypervisor throttling/steal — without it,
+    # round-over-round msg/s deltas are uninterpretable on shared hosts
+    # (r7 measured identical code at ~0.5x of r6's idle numbers; this
+    # stamp is how the next reader tells host speed from regression).
+    def _cpu_calib_ms() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i
+        return round((time.perf_counter() - t0) * 1000, 1)
+
     meta = {
+        "cpu_calib_ms": min(_cpu_calib_ms() for _ in range(3)),
         "repeats": repeats,
         "waited_for_idle_sec": round(waited, 1),
         "wall_clock_sec": round(time.perf_counter() - bench_t0, 3),
