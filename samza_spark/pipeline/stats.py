@@ -1758,3 +1758,51 @@ def conformal_threshold(
             F.min("__s").alias("qhat"),
         )
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str = "p_scaled",
+    scale: int = 1_000_000,
+    alpha_ppm: int = 100_000,
+    group_cols=(),
+    id_cols=("unit",),
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (the multiple-testing gate any
+    many-metrics dashboard needs — per-test alpha at m tests yields
+    m*alpha false alarms): sort the m p-values ascending, find the
+    largest k with ``p_(k) <= (k/m) * alpha``, reject ranks 1..k. With
+    p integer-scaled to ``scale`` the decision is the pure-integer
+    inequality ``p_(k) * m * 1e6 <= k * alpha_ppm * scale`` — bit-exact
+    on any engine. The step-up rule ("reject everything BELOW the last
+    passing rank, even ranks that fail their own line") is the
+    backwards running max of the passing flag.
+
+    Shape: one rank window + one reversed running-max window over the
+    HYPOTHESIS table (m rows — tests, not data; the corpus was already
+    reduced to per-unit statistics upstream). Ties order by ``id_cols``
+    for determinism. Emits ``(…, rank, m, bh_line_pass, significant)``.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    )
+    order = [F.col(p_col).asc()] + [F.col(c).asc() for c in id_cols]
+    ranked = df.withColumn("rank", F.row_number().over(w.orderBy(*order))).withColumn(
+        "m", F.count(F.lit(1)).over(w)
+    )
+    passing = ranked.withColumn(
+        "bh_line_pass",
+        F.expr(
+            f"{p_col} * m * 1000000 <= rank * {int(alpha_ppm)}L * {int(scale)}"
+        ),
+    )
+    # step-up: significant iff ANY rank >= mine passes its line
+    w_desc = w.orderBy(*[o.desc() for o in [F.col(p_col)]], *[F.col(c).desc() for c in id_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return passing.withColumn(
+        "significant", F.max(F.col("bh_line_pass").cast("int")).over(w_desc) == 1
+    )

@@ -11887,6 +11887,74 @@ ORACLES["conformal_threshold"] = (
 )
 
 
+def q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """FDR-controlled outlier screen (pipeline.stats.bh_fdr): per
+    user-bucket purchase-rate statistics -> one-sided empirical
+    p-values over the unit population -> Benjamini-Hochberg step-up at
+    α=0.2 — the multiple-testing gate that keeps a 30-metric dashboard
+    from crying wolf m·α times. Every decision is integer (ppm rates,
+    tie-count p-values, the p_(k)·m ≤ k·α line); all windows run over
+    the UNIT table (m rows), never the events."""
+    from pyspark.sql import Window as W
+
+    from samza_spark.pipeline.stats import bh_fdr
+
+    ev = load_table(spark, sf, "events")
+    units = ev.groupBy(F.expr("user_id div 25").alias("unit")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "k"
+        ),
+    )
+    stats_df = units.select(
+        "unit", F.expr("cast(k * 1000000 div n as bigint)").alias("stat_ppm")
+    )
+    w_ge = (
+        W.partitionBy(F.lit(1))
+        .orderBy(F.col("stat_ppm").desc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(F.lit(1))
+    with_p = (
+        stats_df.withColumn("c_i", F.count(F.lit(1)).over(w_ge))
+        .withColumn("__m", F.count(F.lit(1)).over(w_all))
+        .select(
+            "unit",
+            "stat_ppm",
+            F.expr("cast(c_i * 1000000 div __m as bigint)").alias("p_ppm"),
+        )
+    )
+    return bh_fdr(
+        with_p, p_col="p_ppm", scale=1_000_000, alpha_ppm=200_000,
+        id_cols=("unit",),
+    ).select(
+        "unit", "stat_ppm", "p_ppm", "rank",
+        F.col("m").cast("long").alias("m"), "bh_line_pass", "significant",
+    )
+
+
+QUERIES["bh_fdr"] = q_bh_fdr
+ORACLES["bh_fdr"] = (
+    "WITH u AS (SELECT user_id // 25 AS unit, count(*) AS n, "
+    "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k "
+    "FROM events GROUP BY 1), "
+    "s AS (SELECT unit, CAST(k * 1000000 // n AS BIGINT) AS stat_ppm FROM u), "
+    "c AS (SELECT unit, stat_ppm, count(*) OVER (ORDER BY stat_ppm DESC "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_i, "
+    "count(*) OVER () AS m FROM s), "
+    "p AS (SELECT unit, stat_ppm, CAST(c_i * 1000000 // m AS BIGINT) AS p_ppm, "
+    "m FROM c), "
+    "r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_ppm, unit) AS INT) "
+    "AS rank FROM p), "
+    "b AS (SELECT *, p_ppm * m * 1000000 <= rank * CAST(200000 AS BIGINT) "
+    "* 1000000 AS bh_line_pass FROM r) "
+    "SELECT unit, stat_ppm, p_ppm, rank, CAST(m AS BIGINT) AS m, bh_line_pass, "
+    "max(CASE WHEN bh_line_pass THEN 1 ELSE 0 END) OVER (ORDER BY p_ppm DESC, "
+    "unit DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
+    "AS significant FROM b"
+)
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-primitive canaries (VERDICT r6 next #1)
 #

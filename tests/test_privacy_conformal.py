@@ -59,3 +59,32 @@ def test_conformal_threshold_grouped_with_ties(spark):
     assert (got["a"]["k_rank"], got["a"]["qhat"]) == (10, 9)
     # group b: all ties at 1 -> qhat = 1
     assert got["b"]["qhat"] == 1
+
+
+def test_bh_fdr_textbook_case(spark):
+    """Classic BH: p = (.005,.01,.03,.04,.2), alpha=.05 -> lines
+    (.01,.02,.03,.04,.05): ranks 1-4 pass, rank 5 fails -> 4 rejections."""
+    from samza_spark.pipeline.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 5000), ("b", 10000), ("c", 30000), ("d", 40000), ("e", 200000)],
+        "unit string, p_ppm int",
+    )
+    got = {r["unit"]: r for r in bh_fdr(df, "p_ppm", alpha_ppm=50_000).collect()}
+    assert [got[u]["significant"] for u in "abcde"] == [True] * 4 + [False]
+
+
+def test_bh_fdr_step_up_rescues_middle_rank(spark):
+    """Step-up: rank 2 fails its own line but rank 3 passes -> ALL THREE
+    significant (the property a naive per-rank threshold gets wrong).
+    p=(.001,.041,.058), alpha=.06 -> lines (.02,.04,.06)."""
+    from samza_spark.pipeline.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 41000), ("c", 58000)], "unit string, p_ppm int"
+    )
+    rows = bh_fdr(df, "p_ppm", alpha_ppm=60_000).collect()
+    assert all(r["significant"] for r in rows)
+    assert [r["bh_line_pass"] for r in sorted(rows, key=lambda r: r["rank"])] == [
+        True, False, True,
+    ]
