@@ -11984,13 +11984,18 @@ def q_canary_int_div(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("cast((id * 7) div -3 as bigint)").alias("q_neg"),
         F.expr("cast((id * 7) % 3 as bigint)").alias("m_pos"),
         F.expr("cast((id * 7) % -3 as bigint)").alias("m_neg"),
+        # mixed-width least/greatest (corpus_report's BIGINT-vs-INT terms)
+        F.expr("cast(least(4000L * id, 400000) as bigint)").alias("lst"),
+        F.expr("cast(greatest(id, 1) as bigint)").alias("grt"),
     )
 
 
 QUERIES["canary_int_div"] = q_canary_int_div
 ORACLES["canary_int_div"] = (
     "SELECT i, (i * 7) // 3 AS q_pos, (i * 7) // (-3) AS q_neg, "
-    "(i * 7) % 3 AS m_pos, (i * 7) % (-3) AS m_neg "
+    "(i * 7) % 3 AS m_pos, (i * 7) % (-3) AS m_neg, "
+    "CAST(least(CAST(4000 AS BIGINT) * i, 400000) AS BIGINT) AS lst, "
+    "CAST(greatest(i, 1) AS BIGINT) AS grt "
     "FROM generate_series(-10, 10) t(i) WHERE i <> 0"
 )
 
@@ -12101,13 +12106,24 @@ def q_canary_epoch_us(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.orderBy("event_id")
         .limit(200)
-        .select("event_id", F.unix_micros("ts").alias("ts_us"))
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            # hour-of-day + the string cell key (seasonal_anomaly's cell)
+            F.date_part(F.lit("hour"), F.col("ts")).cast("long").alias("hr"),
+            F.concat_ws(
+                "|", F.lit("c"), F.date_part(F.lit("hour"), F.col("ts")).cast("string")
+            ).alias("cell"),
+        )
     )
 
 
 QUERIES["canary_epoch_us"] = q_canary_epoch_us
 ORACLES["canary_epoch_us"] = (
-    "SELECT event_id, epoch_us(ts) AS ts_us FROM events ORDER BY event_id LIMIT 200"
+    "SELECT event_id, epoch_us(ts) AS ts_us, "
+    "CAST(date_part('hour', ts) AS BIGINT) AS hr, "
+    "'c' || '|' || CAST(date_part('hour', ts) AS VARCHAR) AS cell "
+    "FROM events ORDER BY event_id LIMIT 200"
 )
 
 
