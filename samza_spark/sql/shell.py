@@ -57,6 +57,8 @@ class ShellSession:
         self._ids = itertools.count(1)
         self._select_limit = 100
         self._buffer: list[str] = []
+        self._matviews: dict[str, str] = {}  # name -> defining SELECT
+        self._mv_dir: str | None = None  # lazily created storage root
 
     # -- command dispatch --------------------------------------------------
 
@@ -71,7 +73,9 @@ class ShellSession:
             if not stripped:
                 return ShellResult("ok")
             head = stripped.split()[0].upper()
-            if head not in ("SELECT", "INSERT", "MERGE") or stripped.endswith(";"):
+            if head not in (
+                "SELECT", "INSERT", "MERGE", "CREATE"
+            ) or stripped.endswith(";"):
                 return self.execute(stripped)
             self._buffer.append(stripped)
             return None
@@ -108,8 +112,20 @@ class ShellSession:
             return self._stop(int(line.split()[1]), remove=True)
         if upper.startswith("SET"):
             return self._set(line[3:].strip())
+        if upper.startswith("EXPLAIN ANALYZE "):
+            return self._explain_analyze(line.split(None, 2)[2])
         if upper.startswith("EXPLAIN "):
             return self._explain(line.split(None, 1)[1])
+        if upper == "SHOW MATERIALIZED VIEWS":
+            return ShellResult(
+                "rows",
+                rows=sorted((n,) for n in self._matviews),
+                columns=["materialized_view"],
+            )
+        if upper.startswith("CREATE MATERIALIZED VIEW "):
+            return self._create_matview(line)
+        if upper.startswith("REFRESH MATERIALIZED VIEW "):
+            return self._refresh_matview(line.split()[-1])
         if upper.startswith("SELECT") or upper.startswith("INSERT"):
             return self._sql(line)
         if upper.startswith("MERGE"):
@@ -124,6 +140,75 @@ class ShellSession:
                 text=f"merged into '{mg.target}' ({merged.count()} rows)",
             )
         return ShellResult("text", text=f"unknown command: {line.split()[0]}")
+
+    # -- materialized views --------------------------------------------------
+
+    _MV_CREATE_RE = None  # compiled lazily below
+
+    def _create_matview(self, line: str) -> ShellResult:
+        """``CREATE MATERIALIZED VIEW name AS SELECT ...``: compute the
+        SELECT once, persist it as parquet under the session's MV root,
+        and register the READ-BACK as the view — queries against it scan
+        the materialization, not the defining plan (the warehouse MV
+        contract; pipeline.matview holds the incremental-refresh
+        algebra, this is the SQL-surface full-refresh form)."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*create\s+materialized\s+view\s+([A-Za-z_]\w*)\s+as\s+(select\b.*)$",
+            line,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m is None:
+            return ShellResult("text", text="malformed CREATE MATERIALIZED VIEW")
+        name, select = m.group(1), m.group(2)
+        self._matviews[name] = select
+        n = self._materialize(name)
+        return ShellResult(
+            "text", text=f"materialized view '{name}' ({n} rows)"
+        )
+
+    def _refresh_matview(self, name: str) -> ShellResult:
+        """``REFRESH MATERIALIZED VIEW name``: recompute the stored
+        SELECT and swap the materialization (full refresh)."""
+        if name not in self._matviews:
+            return ShellResult("text", text=f"unknown materialized view '{name}'")
+        n = self._materialize(name)
+        return ShellResult("text", text=f"refreshed '{name}' ({n} rows)")
+
+    def _materialize(self, name: str) -> int:
+        import os
+        import tempfile
+
+        from samza_spark.sql.parser import parse_statement
+
+        if self._mv_dir is None:
+            self._mv_dir = tempfile.mkdtemp(prefix="ss_shell_mv_")
+        df = self.app._plan(parse_statement(self._matviews[name]))
+        path = os.path.join(self._mv_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        back = self.spark.read.parquet(path)
+        back.createOrReplaceTempView(name)
+        return back.count()
+
+    def _explain_analyze(self, sql: str) -> ShellResult:
+        """``EXPLAIN ANALYZE <select>``: the EXPLAIN output (physical
+        plan + scale advisor) plus an actual execution — wall seconds
+        and row count — so a shell user sees predicted hazards and
+        measured cost side by side."""
+        import time as _time
+
+        from samza_spark.sql.parser import parse_statement
+
+        base = self._explain(sql)
+        df = self.app._plan(parse_statement(sql))
+        t0 = _time.perf_counter()
+        n = df.count()
+        secs = _time.perf_counter() - t0
+        return ShellResult(
+            "text",
+            text=f"{base.text}\n\nanalyze: {n} rows in {secs:.3f}s",
+        )
 
     # -- metadata commands -------------------------------------------------
 
@@ -231,7 +316,7 @@ class ShellSession:
 
     COMMANDS = (
         "SELECT", "INSERT", "MERGE", "EXPLAIN", "SHOW", "DESCRIBE", "LS",
-        "STOP", "RM", "SET", "EXIT",
+        "STOP", "RM", "SET", "EXIT", "CREATE", "REFRESH",
     )
     SQL_KEYWORDS = (
         "FROM", "WHERE", "GROUP BY", "ORDER BY", "HAVING", "JOIN", "ON",

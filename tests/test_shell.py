@@ -172,3 +172,34 @@ def test_explain_shows_plan_and_advisor(spark):
     )
     r2 = sh.execute("EXPLAIN SELECT * FROM exp_src CROSS JOIN exp_b")
     assert "cartesian-product" in r2.text
+
+
+def test_materialized_view_create_refresh(shell, spark):
+    r = shell.execute(
+        "CREATE MATERIALIZED VIEW adults AS "
+        "SELECT name, age FROM people WHERE age >= 18"
+    )
+    assert "materialized view 'adults' (2 rows)" in r.text
+    # queries hit the materialization (a temp view over parquet)
+    got = shell.execute("SELECT name FROM adults ORDER BY name;")
+    assert [row[0] for row in got.rows] == ["alice", "carol"]
+    assert shell.execute("SHOW MATERIALIZED VIEWS").rows == [("adults",)]
+
+    # the MV is a SNAPSHOT: base-table changes are invisible until REFRESH
+    spark.createDataFrame(
+        [(1, "alice", 30), (2, "bob", 17), (3, "carol", 45), (4, "dave", 52)],
+        "id int, name string, age int",
+    ).createOrReplaceTempView("people")
+    got = shell.execute("SELECT count(*) AS n FROM adults;")
+    assert got.rows[0][0] == 2
+    r = shell.execute("REFRESH MATERIALIZED VIEW adults")
+    assert "refreshed 'adults' (3 rows)" in r.text
+    got = shell.execute("SELECT name FROM adults ORDER BY name;")
+    assert [row[0] for row in got.rows] == ["alice", "carol", "dave"]
+    assert "unknown" in shell.execute("REFRESH MATERIALIZED VIEW nope").text
+
+
+def test_explain_analyze_reports_rows_and_seconds(shell):
+    r = shell.execute("EXPLAIN ANALYZE SELECT name FROM people WHERE age >= 18")
+    assert "scale advisor" in r.text
+    assert "analyze: 2 rows in " in r.text
