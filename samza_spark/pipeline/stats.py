@@ -1806,3 +1806,66 @@ def bh_fdr(
     return passing.withColumn(
         "significant", F.max(F.col("bh_line_pass").cast("int")).over(w_desc) == 1
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns in nats, with
+    both marginal entropies — the information-theoretic dependence
+    measure beside chi2_independence (chi2 answers "dependent at all?",
+    MI answers "by how many bits/nats" — the feature-selection and
+    leakage-screen number).
+
+    Exactness contract: the only floats are the final ``(c/n)·ln(·)``
+    terms, computed with an IDENTICAL expression shape on both engines
+    and summed in a PINNED order (terms sorted by category, folded
+    left-to-right seeded at 0.0 == DuckDB's first-element seed under
+    IEEE) — the ewma/unigram_logprob cross-engine discipline. Everything
+    upstream is integer counts.
+
+    Shape: one (x, y) cell aggregate (the only corpus-sized job), tiny
+    broadcast margin joins, then folds over the CELL table collected to
+    one row — cells are |X|·|Y|, bounded by the category domains."""
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    j = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        "(cast(c as double) / n) * "
+        "ln((cast(c as double) * n) / (cast(cx as double) * cy))"
+    )
+    mi = j.agg(
+        F.max("n").alias("n"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(named_struct("
+            f"'x', x, 'y', y, 't', {term}))), s -> s.t), "
+            "cast(0.0 as double), (acc, t) -> acc + t)"
+        ).alias("mi_nats"),
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(named_struct("
+            "'x', x, 't', -(cast(cx as double) / n) * "
+            "ln(cast(cx as double) / n)))), s -> s.t), "
+            "cast(0.0 as double), (acc, t) -> acc + t)"
+        ).alias("h_x_nats")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(named_struct("
+            "'y', y, 't', -(cast(cy as double) / n) * "
+            "ln(cast(cy as double) / n)))), s -> s.t), "
+            "cast(0.0 as double), (acc, t) -> acc + t)"
+        ).alias("h_y_nats")
+    )
+    return mi.crossJoin(hx).crossJoin(hy)

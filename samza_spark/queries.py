@@ -11955,6 +11955,30 @@ ORACLES["bh_fdr"] = (
 )
 
 
+def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information + marginal entropies between source and lang
+    (pipeline.stats.mutual_information) — the information-theoretic
+    dependence number beside chi2_independence (how MANY nats the
+    source tells you about the language — the feature-selection /
+    leakage-screen measure). One (x,y) cell aggregate; floats appear
+    only in the final order-pinned ln folds.
+
+    Deliberately NO SQL oracle (rows-only driver check): the folds are
+    order-pinned, but ``ln`` itself differs by 1 ulp between the JVM and
+    DuckDB's libm on some arguments — measured live while building this
+    (h_y at sf0.01: ...0510890 vs ...05108880). That is exactly the
+    fragility class behind the r6 hash-red rows, so correctness is
+    pinned by analytic pytest cases (independence -> MI == 0, pure
+    dependence -> MI == H) instead of a cross-libm hash."""
+    from samza_spark.pipeline.stats import mutual_information
+
+    docs = load_table(spark, sf, "documents")
+    return mutual_information(docs, "source", "lang")
+
+
+QUERIES["mutual_information"] = q_mutual_information
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-primitive canaries (VERDICT r6 next #1)
 #

@@ -146,7 +146,7 @@ FAMILIES: dict[str, list[str]] = {
         "diff_in_diff", "cuped_readout", "roc_auc", "pr_curve",
         "qini_curve", "lift_chart", "mann_whitney", "mcnemar",
         "kaplan_meier", "poisson_bootstrap", "dp_histogram",
-        "conformal_threshold", "bh_fdr", "concordance",
+        "conformal_threshold", "bh_fdr", "mutual_information", "concordance",
         "elo_ratings", "ctr_wilson", "labeler_agreement",
         "classifier_confusion", "skew_gini", "concentration_hhi",
         "abc_classification", "category_entropy", "skew_report",

@@ -88,3 +88,30 @@ def test_bh_fdr_step_up_rescues_middle_rank(spark):
     assert [r["bh_line_pass"] for r in sorted(rows, key=lambda r: r["rank"])] == [
         True, False, True,
     ]
+
+
+def test_mutual_information_analytic_cases(spark):
+    from math import log
+
+    from samza_spark.pipeline.stats import mutual_information
+
+    # independence: x and y uniform and unrelated -> MI == 0 exactly
+    # (every cell term is ln(1) = 0); H(x) == ln(2)
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(5)],
+        "x string, y string",
+    )
+    [r] = mutual_information(ind, "x", "y").collect()
+    assert r["mi_nats"] == 0.0
+    assert abs(r["h_x_nats"] - log(2)) < 1e-12
+
+    # pure dependence: y = f(x) -> MI == H(x) == H(y)
+    dep = spark.createDataFrame(
+        [("a", "A")] * 3 + [("b", "B")] * 3 + [("c", "C")] * 6,
+        "x string, y string",
+    )
+    [r] = mutual_information(dep, "x", "y").collect()
+    assert abs(r["mi_nats"] - r["h_x_nats"]) < 1e-12
+    assert abs(r["h_x_nats"] - r["h_y_nats"]) < 1e-12
+    want = -(0.25 * log(0.25) + 0.25 * log(0.25) + 0.5 * log(0.5))
+    assert abs(r["h_x_nats"] - want) < 1e-12
