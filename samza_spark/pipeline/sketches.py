@@ -445,24 +445,33 @@ def hist_table(
     value_expr: str,
     bin_width: int,
     group_cols=(),
+    weight_expr: "str | None" = None,
 ) -> DataFrame:
     """Build the histogram cell table ``(*group_cols, bin, c)``.
     ``value_expr`` must be an integer SQL expression (fixed-point the
     caller's doubles with the round(x*1e6) primitive); ``bin`` is the
     truncating integer division ``value div bin_width`` (DuckDB mirror
-    ``//`` — both truncate toward zero). One map-side-combinable
-    aggregate; cell count is bounded by the value range, not the data.
-    """
+    ``//`` — both truncate toward zero). ``weight_expr`` (integer)
+    makes it a weighted histogram — token counts, bytes, revenue cents
+    — and the weighted quantiles come out of the same hist_quantiles.
+    One map-side-combinable aggregate; cell count is bounded by the
+    value range, not the data."""
     gcols = list(group_cols)
+    w = (
+        F.count(F.lit(1))
+        if weight_expr is None
+        else F.sum(F.col("__wexpr").cast("long"))
+    )
     return (
         df.select(
             *gcols,
             F.expr(f"cast(({value_expr}) div {int(bin_width)} as bigint)").alias(
                 "bin"
             ),
+            *([] if weight_expr is None else [F.expr(weight_expr).alias("__wexpr")]),
         )
         .groupBy(*gcols, "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(w.alias("c"))
     )
 
 

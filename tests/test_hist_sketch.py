@@ -74,3 +74,19 @@ def test_streaming_fold_equals_batch(spark, tmp_path):
     streamed = _cells(spark.read.parquet(state))
     batch = _cells(hist_table(a.unionByName(b), "v", BIN))
     assert streamed == batch
+
+
+def test_weighted_histogram_equals_repeated_rows(spark):
+    # weight w == w repetitions of the row: identical cells, and the
+    # weighted quantile is the token-weighted percentile
+    w = spark.createDataFrame(
+        [(5_000, 3), (25_000, 1), (95_000, 6)], "v long, w int"
+    )
+    rep = spark.createDataFrame(
+        [(5_000,)] * 3 + [(25_000,)] * 1 + [(95_000,)] * 6, "v long"
+    )
+    hw = hist_table(w, "v", BIN, weight_expr="w")
+    hr = hist_table(rep, "v", BIN)
+    assert _cells(hw) == _cells(hr)
+    [p50] = hist_quantiles(hw, [500_000], BIN).collect()
+    assert p50["value_upper"] == 100_000  # 6/10 of mass sits in the top bin
