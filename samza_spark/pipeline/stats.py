@@ -1869,3 +1869,61 @@ def mutual_information(
         ).alias("h_y_nats")
     )
     return mi.crossJoin(hx).crossJoin(hy)
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_folds: int = 5,
+    horizon_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Rolling-origin backtest folds (the time-series cross-validation
+    scheme — forecast models may never train on their own future, so
+    k-fold shuffling is leakage by construction): fold i trains on
+    everything before origin_i and tests on the ``horizon_us`` window
+    after it, with origins spaced evenly across the usable span.
+
+    All integer micro-arithmetic: origin_i = min + span_i computed with
+    ``div`` (span excludes the last horizon so every fold has a full
+    test window). Per (event, fold): role train/test/future. One scan
+    cross-joined with the tiny fold table (n_folds rows, broadcast);
+    per-fold counts make the audit row a pipeline can assert on.
+
+    Emits ``(fold, origin_us, n_train, n_test)`` — monotone n_train is
+    the rolling-origin invariant (tested)."""
+    b = df.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
+    )
+    folds = (
+        b.crossJoin(
+            df.sparkSession.range(1, n_folds + 1).select(
+                F.col("id").cast("int").alias("fold")
+            )
+        )
+        .select(
+            "fold",
+            F.expr(
+                f"lo + (hi - lo - {int(horizon_us)}) * fold div {int(n_folds) + 1}"
+            ).alias("origin_us"),
+        )
+    )
+    ev = df.select(F.unix_micros(F.col(ts_col)).alias("us"))
+    tagged = ev.crossJoin(F.broadcast(folds))
+    return (
+        tagged.groupBy("fold", "origin_us")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("origin_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("us") >= F.col("origin_us"))
+                    & (F.col("us") < F.col("origin_us") + F.lit(int(horizon_us))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_test"),
+        )
+    )

@@ -111,7 +111,8 @@ FAMILIES: dict[str, list[str]] = {
         "uniform_sample", "weighted_sample", "stratified_topk_sample",
         "stratified_weighted_sample", "stratified_kfold", "dsir_weights",
         "temperature_mixture", "mixing_schedule", "split_leakage",
-        "leakage_safe_split", "balanced_shards", "shard_manifest",
+        "leakage_safe_split", "rolling_origin_folds", "balanced_shards",
+        "shard_manifest",
         "merkle_manifest", "fair_allocation", "fifo_allocation",
     ],
     "sketch": [

@@ -115,3 +115,23 @@ def test_mutual_information_analytic_cases(spark):
     assert abs(r["h_x_nats"] - r["h_y_nats"]) < 1e-12
     want = -(0.25 * log(0.25) + 0.25 * log(0.25) + 0.5 * log(0.5))
     assert abs(r["h_x_nats"] - want) < 1e-12
+
+
+def test_rolling_origin_folds_monotone_train(spark):
+    from pyspark.sql import functions as F
+
+    from samza_spark.pipeline.stats import rolling_origin_folds
+
+    df = spark.range(1000).select(
+        F.timestamp_micros(F.col("id") * 3_600_000_000).alias("ts")
+    )
+    rows = sorted(
+        rolling_origin_folds(df, "ts", n_folds=4, horizon_us=10 * 3_600_000_000).collect(),
+        key=lambda r: r["fold"],
+    )
+    # later origins strictly grow the training window; every fold has a
+    # full 10-hour test window (10 hourly events)
+    trains = [r["n_train"] for r in rows]
+    assert trains == sorted(trains) and trains[0] > 0
+    assert all(r["n_test"] == 10 for r in rows)
+    assert all(r["n_train"] + r["n_test"] <= 1000 for r in rows)
