@@ -422,3 +422,65 @@ def zone_map_stats(
             "else 0.0 end as bigint)"
         ).alias("avg_span_share_ppm"),
     )
+
+
+def streaming_quality_gate(
+    stream_df: DataFrame,
+    rules: Sequence[Mapping],
+    good_path: str,
+    quarantine_path: str,
+    report_path: "str | None" = None,
+    checkpoint_dir: "str | None" = None,
+):
+    """Per-trigger data-contract gate on a stream: every micro-batch is
+    split ROW-WISE by the conjunction of row-level rules — passing rows
+    append to ``good_path``, failing rows append to ``quarantine_path``
+    WITH a ``__violated`` column naming the broken rules (the quarantine
+    pattern: bad data is parked and attributable, never dropped or
+    allowed to poison downstream state). Optionally appends one
+    quality_report row-set per trigger to ``report_path`` (batch id +
+    per-rule ppm) — the contract's audit trail over time.
+
+    Row-level kinds only (completeness / in_range / in_set / matches /
+    non_negative); ``uniqueness`` is corpus-level, not row-decidable —
+    rejected here, use dedup/exact on the good stream instead.
+
+    Scale: the split is two filtered appends of the SAME batch scan (no
+    shuffle); the report aggregate is one combinable pass per trigger.
+    """
+    for r in rules:
+        if r["kind"] == "uniqueness":
+            raise ValueError(
+                "uniqueness is not row-decidable; gate rows with row-level "
+                "kinds and deduplicate the good stream downstream"
+            )
+
+    conds = [(r["name"], _rule_condition(r)) for r in rules]
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = batch_df.withColumn(
+            "__violated",
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(~c, F.lit(name)).otherwise(F.lit(None))
+                        for name, c in conds
+                    ]
+                )
+            ),
+        )
+        flagged.filter(F.size("__violated") == 0).drop("__violated").write.mode(
+            "append"
+        ).parquet(good_path)
+        flagged.filter(F.size("__violated") > 0).withColumn(
+            "__violated", F.array_join("__violated", ",")
+        ).write.mode("append").parquet(quarantine_path)
+        if report_path:
+            quality_report(batch_df, rules).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ).write.mode("append").parquet(report_path)
+
+    writer = stream_df.writeStream.foreachBatch(gate).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -556,3 +556,46 @@ def streaming_histogram(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def hist_ks(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
+    """Two-sample KS drift between two HISTOGRAM SKETCHES — the
+    monitoring composition that compares a reference window's persisted
+    cells against the live fold WITHOUT rescanning either corpus (the
+    raw-data twin is the ks_drift query). Exact at bin granularity:
+    over the union of bins, D = max |cumA·nB − cumB·nA| as a pure
+    integer numerator with the n_a·n_b denominator carried alongside
+    (ks_ppm = 1e6·D // (nA·nB)). Every stage runs on the cell tables.
+    """
+    from pyspark.sql import Window
+
+    a = hist_a.select("bin", F.col("c").alias("ca"))
+    b = hist_b.select("bin", F.col("c").alias("cb"))
+    u = (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("bin")
+    wg = Window.partitionBy(F.lit(1))
+    cum = (
+        u.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .withColumn("n_a", F.sum("ca").over(wg))
+        .withColumn("n_b", F.sum("cb").over(wg))
+    )
+    return cum.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias(
+            "d_num"
+        ),
+    ).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr("cast(d_num * 1000000 div (n_a * n_b) as bigint)").alias("ks_ppm"),
+    )

@@ -12008,6 +12008,44 @@ ORACLES["rolling_origin_folds"] = (
 )
 
 
+def q_hist_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """KS drift between two HISTOGRAM SKETCHES (pipeline.sketches.
+    hist_ks): reference window vs current window compared entirely at
+    the cell level — the monitoring composition that never rescans
+    either corpus once the sketches exist (persisted or streamed via
+    streaming_histogram). Exact at bin granularity: integer numerator
+    max|cumA·nB − cumB·nA| with the ppm division last."""
+    from samza_spark.pipeline import sketches
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit("2024-01-16")
+    vexpr = "cast(floor(value * 1000000) as bigint)"
+    h_ref = sketches.hist_table(ev.filter(F.col("ts") < split), vexpr, 250000)
+    h_cur = sketches.hist_table(ev.filter(F.col("ts") >= split), vexpr, 250000)
+    return sketches.hist_ks(h_ref, h_cur)
+
+
+QUERIES["hist_ks_drift"] = q_hist_ks_drift
+ORACLES["hist_ks_drift"] = (
+    "WITH ha AS (SELECT CAST(floor(value * 1000000) AS BIGINT) // 250000 "
+    "AS bin, CAST(count(*) AS BIGINT) AS ca FROM events "
+    "WHERE ts < '2024-01-16' GROUP BY 1), "
+    "hb AS (SELECT CAST(floor(value * 1000000) AS BIGINT) // 250000 "
+    "AS bin, CAST(count(*) AS BIGINT) AS cb FROM events "
+    "WHERE ts >= '2024-01-16' GROUP BY 1), "
+    "u AS (SELECT coalesce(ha.bin, hb.bin) AS bin, "
+    "coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb "
+    "FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin), "
+    "c AS (SELECT bin, sum(ca) OVER (ORDER BY bin) AS cum_a, "
+    "sum(cb) OVER (ORDER BY bin) AS cum_b, "
+    "sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b FROM u) "
+    "SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b, "
+    "CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num, "
+    "CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000 "
+    "// (max(n_a) * max(n_b)) AS BIGINT) AS ks_ppm FROM c"
+)
+
+
 # ---------------------------------------------------------------------------
 # r7 oracle-primitive canaries (VERDICT r6 next #1)
 #

@@ -119,6 +119,7 @@ FAMILIES: dict[str, list[str]] = {
         "approx_sketches", "heavy_hitters", "hll_distinct", "countmin_freq",
         "count_sketch_f2", "kmv_distinct", "kmv_jaccard",
         "join_size_estimate", "join_order_advice", "hist_quantiles",
+        "hist_ks_drift",
     ],
     "graph": [
         "pagerank", "pagerank_weighted", "pagerank_personalized",

@@ -90,3 +90,18 @@ def test_weighted_histogram_equals_repeated_rows(spark):
     assert _cells(hw) == _cells(hr)
     [p50] = hist_quantiles(hw, [500_000], BIN).collect()
     assert p50["value_upper"] == 100_000  # 6/10 of mass sits in the top bin
+
+
+def test_hist_ks_identity_and_disjoint(spark):
+    from samza_spark.pipeline.sketches import hist_ks
+
+    a = hist_table(spark.range(1000).selectExpr("id * 137 as v"), "v", BIN)
+    # identical distributions -> KS 0
+    [r] = hist_ks(a, a).collect()
+    assert r["ks_ppm"] == 0 and r["d_num"] == 0
+    # disjoint supports -> KS = 1 (1e6 ppm)
+    b = hist_table(
+        spark.range(1000).selectExpr("id * 137 + 10000000 as v"), "v", BIN
+    )
+    [r] = hist_ks(a, b).collect()
+    assert r["ks_ppm"] == 1_000_000
