@@ -558,15 +558,29 @@ def streaming_histogram(
     return writer.start()
 
 
-def hist_ks(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
-    """Two-sample KS drift between two HISTOGRAM SKETCHES — the
-    monitoring composition that compares a reference window's persisted
-    cells against the live fold WITHOUT rescanning either corpus (the
-    raw-data twin is the ks_drift query). Exact at bin granularity:
-    over the union of bins, D = max |cumA·nB − cumB·nA| as a pure
-    integer numerator with the n_a·n_b denominator carried alongside
-    (ks_ppm = 1e6·D // (nA·nB)). Every stage runs on the cell tables.
-    """
+def hist_ks(
+    hist_a: DataFrame, hist_b: DataFrame, bin_width: int = 1
+) -> DataFrame:
+    """Two-sample KS **and** earth-mover drift between two HISTOGRAM
+    SKETCHES — the monitoring composition that compares a reference
+    window's persisted cells against the live fold WITHOUT rescanning
+    either corpus (raw-data twins: the ks_drift / emd_drift queries).
+    Exact at bin granularity over the union of bins, both from the same
+    cumulative walk:
+
+    * ``ks_ppm``  = 1e6 · max|cumA·nB − cumB·nA| // (nA·nB)
+    * ``emd_scaled`` = Σ|cumA·nB − cumB·nA| · bin_width // (nA·nB) —
+      Wasserstein-1 in the histogram's value units (magnitude-aware
+      where KS only sees the worst bin).
+
+    Pure integer numerators, divisions last; every stage runs on the
+    cell tables.
+
+    Range note: numerators scale with nA·nB (·bins for EMD) — fine
+    through ~1e9-row windows in BIGINT; beyond that, downscale both
+    histograms by a common factor first (both statistics are invariant
+    to common scaling of the counts; cell-wise ``c div k`` keeps the
+    merge property)."""
     from pyspark.sql import Window
 
     a = hist_a.select("bin", F.col("c").alias("ca"))
@@ -587,15 +601,19 @@ def hist_ks(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
         .withColumn("n_a", F.sum("ca").over(wg))
         .withColumn("n_b", F.sum("cb").over(wg))
     )
+    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
     return cum.agg(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
-        F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias(
-            "d_num"
-        ),
+        F.max(gap).alias("d_num"),
+        F.sum(gap).alias("emd_num"),
     ).select(
         "n_a",
         "n_b",
         "d_num",
         F.expr("cast(d_num * 1000000 div (n_a * n_b) as bigint)").alias("ks_ppm"),
+        "emd_num",
+        F.expr(
+            f"cast(emd_num * {int(bin_width)} div (n_a * n_b) as bigint)"
+        ).alias("emd_scaled"),
     )

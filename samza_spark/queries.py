@@ -12022,7 +12022,7 @@ def q_hist_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     vexpr = "cast(floor(value * 1000000) as bigint)"
     h_ref = sketches.hist_table(ev.filter(F.col("ts") < split), vexpr, 250000)
     h_cur = sketches.hist_table(ev.filter(F.col("ts") >= split), vexpr, 250000)
-    return sketches.hist_ks(h_ref, h_cur)
+    return sketches.hist_ks(h_ref, h_cur, bin_width=250000)
 
 
 QUERIES["hist_ks_drift"] = q_hist_ks_drift
@@ -12042,7 +12042,10 @@ ORACLES["hist_ks_drift"] = (
     "SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b, "
     "CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num, "
     "CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000 "
-    "// (max(n_a) * max(n_b)) AS BIGINT) AS ks_ppm FROM c"
+    "// (max(n_a) * max(n_b)) AS BIGINT) AS ks_ppm, "
+    "CAST(sum(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS emd_num, "
+    "CAST(sum(abs(cum_a * n_b - cum_b * n_a)) * 250000 "
+    "// (max(n_a) * max(n_b)) AS BIGINT) AS emd_scaled FROM c"
 )
 
 
