@@ -3103,8 +3103,8 @@ ORACLES["corpus_report"] = (
     "+ least(CAST(4000 AS BIGINT) * n_tokens, 400000) "
     "+ (200000 - least((CAST(2000000 AS BIGINT) * punct) // len1, 200000)) "
     "AS q_micro FROM p) "
-    "SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars, "
-    "sum(n_tokens) AS n_tokens, count(DISTINCT fp) AS n_unique, "
+    "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, "
+    "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, count(DISTINCT fp) AS n_unique, "
     "count(*) - count(DISTINCT fp) AS n_exact_dups, "
     "count(DISTINCT lang) AS n_langs, "
     "CAST(sum(q_micro) AS BIGINT) AS quality_micro_sum "
@@ -3756,7 +3756,7 @@ ORACLES["shard_manifest"] = (
     "WITH p AS (SELECT doc_id, n_chars, "
     "('0x' || substr(md5('pack0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))"
     "::BIGINT % 8 AS shard FROM documents) "
-    "SELECT shard, count(*) AS n_rows, sum(n_chars) AS total_cost, "
+    "SELECT shard, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS total_cost, "
     f"CAST(sum({_MANI_H}) % CAST(4611686018427387904 AS HUGEINT) AS BIGINT) "
     "AS id_checksum "
     "FROM p GROUP BY shard"
@@ -3973,7 +3973,8 @@ ORACLES["distribution_drift"] = (
     "sum(CASE WHEN ts < '2024-01-16' THEN 0 ELSE 1 END) AS cur_n "
     "FROM events GROUP BY 1), "
     "t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM c) "
-    "SELECT event_type, ref_n, cur_n, "
+    "SELECT event_type, CAST(ref_n AS BIGINT) AS ref_n, "
+    "CAST(cur_n AS BIGINT) AS cur_n, "
     "CAST(ref_n * 1000000 // t.rt AS BIGINT) AS ref_ppm, "
     "CAST(cur_n * 1000000 // t.ct AS BIGINT) AS cur_ppm, "
     "CAST(cur_n * 1000000 // t.ct - ref_n * 1000000 // t.rt AS BIGINT) "
@@ -4829,10 +4830,10 @@ QUERIES["tpch_q12"] = q_tpch_q12
 ORACLES["tpch_q12"] = (
     "SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120 "
     "THEN 'very_late' ELSE 'late' END AS lateness, "
-    "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) "
-    "AS high_line_count, "
-    "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) "
-    "AS low_line_count "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
     "AND date_diff('day', o_orderdate, l_shipdate) > 60 GROUP BY 1"
@@ -7263,7 +7264,8 @@ ORACLES["seasonal_anomaly"] = (
     "mad AS (SELECT cell, sum(dx) * (3 - count(*)) AS mad_x4 FROM dr "
     "WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY cell) "
     "SELECT event_id, event_type, epoch_us(ts) AS ts_us, "
-    "x AS value_micro, med_x2, mad_x4 "
+    "x AS value_micro, CAST(med_x2 AS BIGINT) AS med_x2, "
+    "CAST(mad_x4 AS BIGINT) AS mad_x4 "
     "FROM f JOIN med USING (cell) JOIN mad USING (cell) "
     "WHERE 2 * abs(2 * x - med_x2) > 3 * mad_x4"
 )
@@ -10535,9 +10537,9 @@ ORACLES["lift_chart"] = (
     "agg AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos, "
     "max(p_total) AS p_total FROM b GROUP BY bin) "
     "SELECT bin, n, n_pos, (n_pos * 1000000) // n AS rate_ppm, "
-    "CASE WHEN p_total > 0 THEN (CAST(sum(n_pos) OVER (ORDER BY bin "
+    "CAST(CASE WHEN p_total > 0 THEN (CAST(sum(n_pos) OVER (ORDER BY bin "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000) // p_total "
-    "ELSE 0 END AS cum_gain_ppm FROM agg ORDER BY bin"
+    "ELSE 0 END AS BIGINT) AS cum_gain_ppm FROM agg ORDER BY bin"
 )
 
 
@@ -11240,7 +11242,7 @@ def q_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_PR_CURVE = (
     "WITH pu AS (SELECT user_id AS u, "
-    "sum(CAST(floor(value * 1000000) AS BIGINT)) AS score, "
+    "CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS score, "
     "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) "
     "AS pos FROM events GROUP BY 1), "
     "bs AS (SELECT score, CAST(count(*) AS BIGINT) AS n, "
@@ -12362,26 +12364,30 @@ ORACLES["canary_hugeint_div"] = (
 # DBSCAN, survival/rank stats, preference/SFT/packing). Everything rotated
 # out stays covered by the full local gate (tools/check_correctness.py).
 _DRIVER_WINDOW = [
-    # -- the four r6 hash-red rows (seasonal_anomaly now integer-only) --
+    # -- the five HUGEINT ex-red rows, kept in-window to prove the r8 fix
+    # (oracle output typing: sum() HUGEINT -> CAST AS BIGINT; VERDICT r7 #1)
     "corpus_report", "shard_manifest", "distribution_drift",
-    "seasonal_anomaly",
-    # -- oracle-primitive canaries (VERDICT r6 next #1) --
-    "canary_int_div", "canary_hex_cast", "canary_hugeint_mod",
-    "canary_round_half", "canary_round_value_micro", "canary_epoch_us",
-    "canary_double_reemit", "canary_list_reduce", "canary_regexp_g",
-    "canary_token_split", "canary_ts_varchar_cmp", "canary_hugeint_div",
-    # -- staged r7 rotation: sketches, spatial, stats, graph (never checked) --
-    "count_sketch_f2", "countmin_freq", "kmv_distinct", "kmv_jaccard",
-    "join_size_estimate", "dbscan_clusters", "nearest_hub",
-    "kaplan_meier", "poisson_bootstrap", "mann_whitney", "mcnemar",
-    "emd_drift", "pr_curve", "qini_curve", "dp_histogram",
-    "community_modularity", "clustering_coeff", "window_funnel",
-    "typo_pairs", "record_linkage", "golden_record", "interval_merge",
-    "markov_eval", "fifo_allocation", "kneser_ney", "zone_map_stats",
-    "hypertable_rollup",
-    # -- post-training data family (r6 session-4, never checked) --
-    "preference_pairs", "sft_export", "packed_sequences", "packing_report",
-    "curriculum_order", "dialogue_turns", "embargo_split",
+    "seasonal_anomaly", "pr_curve",
+    # -- the two latent HUGEINT rows, fixed in the same pass --
+    "tpch_q12", "lift_chart",
+    # -- r7 batch (never driver-checked) --
+    "tfrecord_roundtrip", "wet_roundtrip", "join_order_advice",
+    "join_view_refresh", "hist_quantiles", "hist_ks_drift",
+    "l_diversity", "t_closeness", "conformal_threshold", "bh_fdr",
+    "rolling_origin_folds",
+    # -- rounds-3-6 backlog, family-stratified (never driver-checked) --
+    "tpch_q2", "tpch_q9", "tpch_q17", "tpch_q22",
+    "roc_auc", "chi2_independence", "weighted_median",
+    "twap", "ohlc_bars", "latency_percentiles",
+    "csv_roundtrip", "jsonl_roundtrip", "orc_roundtrip",
+    "schema_evolution_roundtrip",
+    "pmi_collocations", "quality_report",
+    "pagerank_weighted", "kcore",
+    "scd2_pit", "matview_merge",
+    "pq_topk", "ivfpq_topk",
+    "dup_matrix", "leakage_safe_split", "k_anonymity", "grouping_sets",
+    "rank_funcs", "salted_join", "entity_clusters", "label_aggregation",
+    "padding_waste", "hll_distinct",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
