@@ -228,20 +228,37 @@ def write_tfrecord_file(path: str, payloads: Iterable[bytes]) -> tuple[int, int]
 
 
 def read_tfrecord_file(path: str, *, verify: bool = True) -> Iterator[bytes]:
-    """Iterate framed payloads, verifying both CRC words."""
+    """Iterate framed payloads, verifying both CRC words.
+
+    Every read is length-checked IN ORDER (header CRC, payload, payload
+    CRC) so a file truncated anywhere inside a frame raises ``EOFError``
+    with the offending byte offset — never a bare ``struct.error`` from
+    unpacking a short buffer, and never a CRC comparison against
+    garbage (r8 ADVICE fix)."""
     with open(path, "rb") as f:
         while True:
             header = f.read(8)
             if not header:
                 return
             if len(header) < 8:
-                raise EOFError(f"{path}: truncated length header")
+                raise EOFError(
+                    f"{path}: truncated length header at byte {f.tell() - len(header)}"
+                )
             (length,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", f.read(4))
+            hcrc_raw = f.read(4)
+            if len(hcrc_raw) < 4:
+                raise EOFError(f"{path}: truncated header CRC at byte {f.tell()}")
+            (hcrc,) = struct.unpack("<I", hcrc_raw)
             payload = f.read(length)
-            (pcrc,) = struct.unpack("<I", f.read(4))
             if len(payload) < length:
-                raise EOFError(f"{path}: truncated payload")
+                raise EOFError(
+                    f"{path}: truncated payload at byte {f.tell()} "
+                    f"(want {length}, got {len(payload)})"
+                )
+            pcrc_raw = f.read(4)
+            if len(pcrc_raw) < 4:
+                raise EOFError(f"{path}: truncated payload CRC at byte {f.tell()}")
+            (pcrc,) = struct.unpack("<I", pcrc_raw)
             if verify and (
                 hcrc != _masked_crc(header) or pcrc != _masked_crc(payload)
             ):
@@ -267,8 +284,14 @@ def write_tfrecords(df, path: str, *, allow_float32: bool = False):
     def _write(batches):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.tfrecord")
+        # attempt-scoped temp + atomic rename: a retried or speculative
+        # duplicate attempt never interleaves writes into the final path,
+        # and a failed attempt leaves only a .tmp file that the reader's
+        # *.tfrecord filter ignores (r8 ADVICE fix)
+        tmp = f"{fname}.attempt-{ctx.taskAttemptId()}.tmp"
 
         def payloads():
             for pdf in batches:
@@ -277,7 +300,8 @@ def write_tfrecords(df, path: str, *, allow_float32: bool = False):
                         dict(zip(cols, row)), allow_float32=allow_float32
                     )
 
-        n, total = write_tfrecord_file(fname, payloads())
+        n, total = write_tfrecord_file(tmp, payloads())
+        os.replace(tmp, fname)
         yield pd.DataFrame(
             {"file": [fname], "n_records": [n], "n_bytes": [total]}
         )

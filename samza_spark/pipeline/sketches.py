@@ -26,7 +26,25 @@ never the raw rows, and the sketch itself is d·w rows (constant).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def _read_prior_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Read a fold's persisted cell table, returning None ONLY when the
+    path genuinely doesn't exist yet (first trigger). Any other read
+    error (corrupt file from a crash mid-overwrite, permission, transient
+    FS fault) propagates so the trigger FAILS AND RETRIES instead of
+    silently resetting accumulated state — the bare ``except Exception``
+    this replaces broke the 'streamed == batch bit-for-bit' guarantee on
+    exactly the failures that matter (r7 ADVICE)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(state_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def _bucket(key_expr: str, depth_expr: str, width: int, salt: str) -> Column:
@@ -130,11 +148,8 @@ def streaming_count_min(
         inc = count_min_table(
             batch_df, key_col, depth=depth, width=width, salt=salt
         )
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = count_min_merge(prev, inc)
-        except Exception:
-            merged = inc
+        prev = _read_prior_state(spark, state_path)
+        merged = count_min_merge(prev, inc) if prev is not None else inc
         # materialize the tiny cell table before overwriting its own input
         rows = [(r["depth"], r["bucket"], r["c"]) for r in merged.collect()]
         out = spark.createDataFrame(rows, "depth int, bucket bigint, c long")
@@ -411,11 +426,8 @@ def streaming_count_sketch(
         inc = count_sketch_table(
             batch_df, key_col, depth=depth, width=width, salt=salt
         )
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = count_min_merge(prev, inc)
-        except Exception:
-            merged = inc
+        prev = _read_prior_state(spark, state_path)
+        merged = count_min_merge(prev, inc) if prev is not None else inc
         rows = [(r["depth"], r["bucket"], r["c"]) for r in merged.collect()]
         out = spark.createDataFrame(rows, "depth int, bucket bigint, c long")
         out.coalesce(1).write.mode("overwrite").parquet(state_path)
@@ -543,11 +555,8 @@ def streaming_histogram(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         inc = hist_table(batch_df, value_expr, bin_width)
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = hist_merge(prev, inc)
-        except Exception:
-            merged = inc
+        prev = _read_prior_state(spark, state_path)
+        merged = hist_merge(prev, inc) if prev is not None else inc
         rows = [(r["bin"], r["c"]) for r in merged.collect()]
         out = spark.createDataFrame(rows, "bin bigint, c long")
         out.coalesce(1).write.mode("overwrite").parquet(state_path)
@@ -574,10 +583,17 @@ def hist_ks(
       where KS only sees the worst bin).
 
     Pure integer numerators, divisions last; every stage runs on the
-    cell tables.
+    cell tables. The cumulative gap products and both scalings run in
+    decimal(38,0) (still whole-stage codegen), so nothing wraps below
+    the int64 OUTPUT bound.
 
-    Range note: numerators scale with nA·nB (·bins for EMD) — fine
-    through ~1e9-row windows in BIGINT; beyond that, downscale both
+    Range note (exact envelopes, per column): the per-bin gap is
+    ≤ nA·nB, so ``d_num`` (BIGINT output) is exact while nA·nB < 2^63 —
+    ~3e9 rows per side; ``emd_num`` sums the gap over B occupied bins,
+    so its BIGINT output needs B·nA·nB < 2^63. ``ks_ppm`` /
+    ``emd_scaled`` are computed in decimal(38,0) and are bounded by
+    1e6 / B·bin_width regardless of n, so they never overflow within
+    those envelopes. Beyond ~3e9 rows per side, downscale both
     histograms by a common factor first (both statistics are invariant
     to common scaling of the counts; cell-wise ``c div k`` keeps the
     merge property)."""
@@ -601,19 +617,30 @@ def hist_ks(
         .withColumn("n_a", F.sum("ca").over(wg))
         .withColumn("n_b", F.sum("cb").over(wg))
     )
-    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    # gap in decimal(38,0): cum·n products reach nA·nB, which wraps int64
+    # at ~3e9 rows/side; the *1e6 / *bin_width scalings would wrap at a
+    # mere ~4e6 rows/side in BIGINT (r7 ADVICE) — decimal keeps every
+    # intermediate exact far past any realistic window.
+    gap = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
     return cum.agg(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
-        F.max(gap).alias("d_num"),
-        F.sum(gap).alias("emd_num"),
+        F.max(gap).alias("d_num_dec"),
+        F.sum(gap).alias("emd_num_dec"),
     ).select(
         "n_a",
         "n_b",
-        "d_num",
-        F.expr("cast(d_num * 1000000 div (n_a * n_b) as bigint)").alias("ks_ppm"),
-        "emd_num",
+        F.col("d_num_dec").cast("long").alias("d_num"),
         F.expr(
-            f"cast(emd_num * {int(bin_width)} div (n_a * n_b) as bigint)"
+            "cast(d_num_dec * 1000000 div "
+            "(cast(n_a as decimal(38,0)) * n_b) as bigint)"
+        ).alias("ks_ppm"),
+        F.col("emd_num_dec").cast("long").alias("emd_num"),
+        F.expr(
+            f"cast(emd_num_dec * {int(bin_width)} div "
+            "(cast(n_a as decimal(38,0)) * n_b) as bigint)"
         ).alias("emd_scaled"),
     )

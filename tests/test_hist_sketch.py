@@ -105,3 +105,45 @@ def test_hist_ks_identity_and_disjoint(spark):
     )
     [r] = hist_ks(a, b).collect()
     assert r["ks_ppm"] == 1_000_000
+
+
+def test_hist_ks_no_overflow_at_billion_row_counts(spark):
+    """r8 ADVICE fix: the *1e6 ppm scaling used to wrap int64 at only
+    ~4e6 rows per side (d_num can reach nA*nB). Synthesize cell tables
+    whose counts model 2e9 rows per side — far past the old wrap point —
+    and check exact ppm/EMD values computed via Python bigints."""
+    from samza_spark.pipeline.sketches import hist_ks
+
+    n = 2_000_000_000  # rows per side (cell counts only — tiny table)
+    a = spark.createDataFrame([(0, n // 2), (1, n // 2)], "bin bigint, c long")
+    b = spark.createDataFrame([(0, n // 4), (1, 3 * n // 4)], "bin bigint, c long")
+    [r] = hist_ks(a, b, bin_width=7).collect()
+    # exact reference in unbounded Python ints
+    gap_bin0 = abs((n // 2) * n - (n // 4) * n)
+    gap_bin1 = 0  # full cumulative mass on both sides
+    d_num = max(gap_bin0, gap_bin1)
+    emd_num = gap_bin0 + gap_bin1
+    assert r["d_num"] == d_num
+    assert r["emd_num"] == emd_num
+    assert r["ks_ppm"] == d_num * 1_000_000 // (n * n) == 250_000
+    assert r["emd_scaled"] == emd_num * 7 // (n * n)
+    assert r["ks_ppm"] > 0 and r["emd_scaled"] > 0  # the old code wrapped negative
+
+
+def test_streaming_fold_corrupt_state_fails_loudly(spark, tmp_path):
+    """r8 ADVICE fix: a corrupt/partial state file must FAIL the trigger
+    (so it retries) rather than silently resetting accumulated state."""
+    import pytest
+    from samza_spark.pipeline.sketches import _read_prior_state
+
+    state = tmp_path / "state"
+    # missing path -> None (first trigger bootstrap)
+    assert _read_prior_state(spark, str(state)) is None
+    # corrupt parquet -> propagate, never silently discard
+    state.mkdir()
+    (state / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        df = _read_prior_state(spark, str(state))
+        if df is not None:  # spark may defer the read failure to action time
+            df.collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)

@@ -104,3 +104,26 @@ def test_framing_layout_is_spec_exact(tmp_path):
     assert struct.unpack("<I", raw[8:12])[0] == _masked_crc(header)
     assert raw[12:15] == b"abc"
     assert struct.unpack("<I", raw[15:19])[0] == _masked_crc(b"abc")
+
+
+def test_truncation_inside_crc_words_raises_eoferror(tmp_path):
+    """r8 ADVICE: a file cut anywhere inside a frame — header CRC,
+    payload, or payload CRC — must raise EOFError with a position, never
+    struct.error from unpacking a short buffer."""
+    import pytest
+    from samza_spark.formats.tfrecord import (
+        read_tfrecord_file,
+        write_tfrecord_file,
+    )
+
+    full = tmp_path / "full.tfrecord"
+    write_tfrecord_file(str(full), [b"payload-bytes-here"])
+    blob = full.read_bytes()
+    # cut points: inside header CRC (9), inside payload (14),
+    # inside payload CRC (len-2)
+    for cut in (9, 14, len(blob) - 2):
+        p = tmp_path / f"cut{cut}.tfrecord"
+        p.write_bytes(blob[:cut])
+        with pytest.raises(EOFError) as ei:
+            list(read_tfrecord_file(str(p)))
+        assert "byte" in str(ei.value)

@@ -125,3 +125,27 @@ def test_spark_scan_and_wet_projection(spark, tmp_path):
     assert r["text"] == "doc 1-2 body"
     assert r["target_uri"] == "http://s1.example/2"
     assert r["n_chars"] == len("doc 1-2 body")
+
+
+def test_member_per_record_gzip_layout(tmp_path):
+    """r8 ADVICE: compressed WET defaults to Common Crawl's
+    member-per-record layout — each record its own gzip member, so
+    archives re-split at byte-level member boundaries."""
+    from samza_spark.sources.warc import iter_warc_records, write_warc_file
+
+    recs = [
+        {"headers": {"WARC-Record-ID": f"id{i}"}, "payload": f"t{i}".encode()}
+        for i in range(3)
+    ]
+    p = tmp_path / "m.wet.gz"
+    write_warc_file(str(p), recs, compress=True)
+    blob = p.read_bytes()
+    # one gzip magic per record (deterministic mtime=0 framing)
+    assert blob.count(b"\x1f\x8b\x08") == 3
+    got = list(iter_warc_records(blob))
+    assert [h["WARC-Record-ID"] for h, _ in got] == ["id0", "id1", "id2"]
+    # single-member mode still roundtrips
+    p1 = tmp_path / "s.wet.gz"
+    write_warc_file(str(p1), recs, compress=True, member_per_record=False)
+    assert p1.read_bytes().count(b"\x1f\x8b\x08") == 1
+    assert len(list(iter_warc_records(p1.read_bytes()))) == 3
