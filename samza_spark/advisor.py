@@ -239,3 +239,61 @@ def sketch_join_advice(
         out = out.unionByName(r)
     w = Window.partitionBy(F.lit(1)).orderBy("est_join_size", "edge")
     return out.withColumn("join_rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# SQL join-edge extraction (the shell EXPLAIN surface for sketch advice)
+# ---------------------------------------------------------------------------
+
+_FROM_ITEM_RE = re.compile(
+    r"\b(?:from|join)\s+([A-Za-z_][\w.$]*)(?:\s+(?:as\s+)?"
+    r"(?!on\b|join\b|inner\b|left\b|right\b|full\b|cross\b|where\b|group\b"
+    r"|order\b|limit\b|having\b|union\b)([A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+_ON_EQ_RE = re.compile(
+    r"\bjoin\s+([A-Za-z_][\w.$]*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+on\s+"
+    r"\(?\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*\)?",
+    re.IGNORECASE,
+)
+
+
+def extract_join_edges(select_sql: str) -> "list[tuple[str, str, str, str]]":
+    """Heuristic equi-join edges from a SELECT: each ``JOIN t [alias] ON
+    a.k1 = b.k2`` whose single top equality is alias-qualified on both
+    sides becomes ``(left_table, left_key, right_table, right_key)``.
+    Aliases resolve through the FROM/JOIN item list; anything fancier
+    (expression keys, multi-predicate ON, subquery sources) is skipped —
+    the advisor surface degrades to plan_audit alone, never guesses."""
+    flat = re.sub(r"\s+", " ", select_sql)
+    alias_to_table: dict = {}
+    for m in _FROM_ITEM_RE.finditer(flat):
+        table, alias = m.group(1), m.group(2)
+        alias_to_table[(alias or table).lower()] = table
+        alias_to_table.setdefault(table.lower(), table)
+    edges = []
+    for m in _ON_EQ_RE.finditer(flat):
+        joined, jalias, lq, lk, rq, rk = m.groups()
+        jname = (jalias or joined).lower()
+        lt = alias_to_table.get(lq.lower())
+        rt = alias_to_table.get(rq.lower())
+        if not lt or not rt:
+            continue
+        # orient so the freshly-joined table is the right side
+        if lq.lower() == jname:
+            lt, lk, rt, rk = rt, rk, lt, lk
+        edges.append((lt, lk, rt, rk))
+    return edges
+
+
+def sql_join_advice(spark, select_sql: str, **kwargs):
+    """sketch_join_advice over the equi-join edges of a SQL SELECT whose
+    sources are registered views — the EXPLAIN hook. Returns None when
+    the statement has no extractable edges."""
+    edges = extract_join_edges(select_sql)
+    if not edges:
+        return None
+    triples = []
+    for lt, lk, rt, rk in edges:
+        triples.append((lt, spark.table(lt), lk, rt, spark.table(rt), rk))
+    return sketch_join_advice(triples, **kwargs)

@@ -290,9 +290,16 @@ class ShellSession:
 
     def _explain(self, sql: str) -> ShellResult:
         """EXPLAIN <select>: the physical plan plus the scale advisor's
-        findings (samza_spark.advisor.plan_audit) — the shell-level
-        answer to "will this query survive the full corpus"."""
-        from samza_spark.advisor import explain_formatted, plan_audit
+        findings (samza_spark.advisor.plan_audit) and, when the statement
+        has extractable equi-join edges over registered views, the
+        sketch-CBO's per-edge cardinality/broadcast/order advice
+        (samza_spark.advisor.sql_join_advice) — the shell-level answer
+        to "will this query survive the full corpus"."""
+        from samza_spark.advisor import (
+            explain_formatted,
+            plan_audit,
+            sql_join_advice,
+        )
 
         stmt = parse_statement(sql)
         df = self.app._plan(stmt)
@@ -306,6 +313,20 @@ class ShellSession:
             ]
         else:
             lines.append("scale advisor: no known hazard shapes")
+        try:
+            advice = sql_join_advice(self.spark, stmt.select)
+        except Exception as e:  # advisory only — EXPLAIN must still print
+            advice = None
+            lines.append(f"join advisor: unavailable ({type(e).__name__}: {e})")
+        if advice is not None:
+            lines.append("join advisor (count-min sketch CBO):")
+            for r in advice.orderBy("join_rank").collect():
+                lines.append(
+                    f"  #{r['join_rank']} {r['edge']}: "
+                    f"est_join_size={r['est_join_size']} "
+                    f"rows={r['left_rows']}x{r['right_rows']} "
+                    f"strategy={r['strategy']} build_side={r['build_side']}"
+                )
         return ShellResult("text", text="\n".join(lines))
 
     def view_rows(self, exec_id: int) -> list:

@@ -203,3 +203,38 @@ def test_explain_analyze_reports_rows_and_seconds(shell):
     r = shell.execute("EXPLAIN ANALYZE SELECT name FROM people WHERE age >= 18")
     assert "scale advisor" in r.text
     assert "analyze: 2 rows in " in r.text
+
+
+def test_explain_three_way_join_prints_sketch_order_advice(spark):
+    """r8: EXPLAIN on a 3-way equi-join surfaces the count-min sketch
+    CBO (advisor.sql_join_advice) — per-edge cardinality estimate,
+    broadcast/shuffle strategy, build side, and greedy join order."""
+    from samza_spark.sql.runner import SqlApplication
+    from samza_spark.sql.shell import ShellSession
+
+    app = SqlApplication(spark, compat_mode=False)
+    app.add_stream(
+        "ja_fact",
+        spark.range(2000).selectExpr("id AS fid", "id % 50 AS cust", "id % 7 AS cat"),
+    )
+    app.add_table(
+        "ja_cust", spark.range(50).selectExpr("id AS cust", "concat('c', id) AS cname")
+    )
+    app.add_table(
+        "ja_cat", spark.range(7).selectExpr("id AS cat", "concat('k', id) AS kname")
+    )
+    sh = ShellSession(spark, app)
+    r = sh.execute(
+        "EXPLAIN SELECT f.fid, c.cname, k.kname FROM ja_fact f "
+        "JOIN ja_cust c ON f.cust = c.cust "
+        "JOIN ja_cat k ON f.cat = k.cat"
+    )
+    assert "join advisor (count-min sketch CBO):" in r.text
+    assert "ja_fact|ja_cust" in r.text and "ja_fact|ja_cat" in r.text
+    assert "strategy=broadcast" in r.text  # both dims are tiny
+    assert "#1 " in r.text and "#2 " in r.text  # greedy rank present
+    # build side is always the smaller input
+    assert "build_side=ja_cust" in r.text and "build_side=ja_cat" in r.text
+    # statements without extractable edges stay clean (no advisor block)
+    r2 = sh.execute("EXPLAIN SELECT count(*) AS n FROM ja_fact")
+    assert "join advisor" not in r2.text
