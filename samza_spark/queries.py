@@ -12354,15 +12354,70 @@ ORACLES["canary_hugeint_div"] = (
 )
 
 
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization as a dedup key (pipeline.text.url_normalize —
+    crawl-level exact dedup's first hop). Synthesizes the classic
+    same-page URL variants per document (scheme/host case, leading www,
+    explicit default port, trailing slash, tracking params, param order)
+    and groups by the canonical form: odd doc_ids collapse 3->1, even
+    doc_ids add a genuinely-different 4th variant (extra content param)
+    that must NOT collapse. The oracle derives the expected canonical
+    strings in closed form, so every normalization rule is end-to-end
+    checked. One codegen'd expression, one shuffle on the canonical key
+    (the exact-dedup shape; reference parity: dedup keying upstream of
+    samza-core's PartitionByOperatorImpl repartition)."""
+    from samza_spark.pipeline.text import url_normalize
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    variants = docs.select(
+        F.explode(
+            F.array(
+                F.expr(
+                    "concat('HTTP://WWW.EX', doc_id % 7, '.COM:80/d/', doc_id, "
+                    "'/?b=2&utm_source=x&a=1')"
+                ),
+                F.expr(
+                    "concat('http://ex', doc_id % 7, '.com/d/', doc_id, "
+                    "'?a=1&b=2')"
+                ),
+                F.expr(
+                    "concat('http://www.ex', doc_id % 7, '.com/d/', doc_id, "
+                    "'/?fbclid=zz&b=2&a=1')"
+                ),
+                F.expr(
+                    "case when doc_id % 2 = 0 then "
+                    "concat('http://ex', doc_id % 7, '.com:80/d/', doc_id, "
+                    "'?c=3&b=2&a=1&gclid=1') end"
+                ),
+            )
+        ).alias("url")
+    ).filter(F.col("url").isNotNull())
+    return variants.groupBy(url_normalize("url").alias("canon")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants")
+    )
+
+
+QUERIES["url_normalize"] = q_url_normalize
+ORACLES["url_normalize"] = (
+    "WITH base AS (SELECT doc_id, 'http://ex' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.com/d/' || CAST(doc_id AS VARCHAR) AS stem FROM documents) "
+    "SELECT canon, CAST(n AS BIGINT) AS n_variants FROM ("
+    "SELECT stem || '?a=1&b=2' AS canon, 3 AS n FROM base "
+    "UNION ALL "
+    "SELECT stem || '?a=1&b=2&c=3' AS canon, 1 AS n FROM base "
+    "WHERE doc_id % 2 = 0)"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
-# r7 window (VERDICT r6 next #1/#2): the four r6 hash-red rows stay IN to
-# prove the fixes, flanked by the 12 oracle-primitive canaries that bisect
-# whatever environment delta made them red (each canary isolates ONE
-# primitive those oracles share); the other 34 slots execute the staged
-# rotation — operators that have NEVER had a driver row (sketch family,
-# DBSCAN, survival/rank stats, preference/SFT/packing). Everything rotated
-# out stays covered by the full local gate (tools/check_correctness.py).
+# r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the
+# two latent-fix rows stay IN to prove the output-typing fix; the 12
+# primitive canaries retire (they did their job — every one was green and
+# the divergence was isolated to output typing, not primitives); the other
+# 43 slots run the never-driver-checked backlog, family-stratified.
+# Everything rotated out stays covered by the full local gate
+# (tools/check_correctness.py).
 _DRIVER_WINDOW = [
     # -- the five HUGEINT ex-red rows, kept in-window to prove the r8 fix
     # (oracle output typing: sum() HUGEINT -> CAST AS BIGINT; VERDICT r7 #1)
@@ -12378,7 +12433,7 @@ _DRIVER_WINDOW = [
     # -- rounds-3-6 backlog, family-stratified (never driver-checked) --
     "tpch_q2", "tpch_q9", "tpch_q17", "tpch_q22",
     "roc_auc", "chi2_independence", "weighted_median",
-    "twap", "ohlc_bars", "latency_percentiles",
+    "twap", "ohlc_bars", "url_normalize",
     "csv_roundtrip", "jsonl_roundtrip", "orc_roundtrip",
     "schema_evolution_roundtrip",
     "pmi_collocations", "quality_report",

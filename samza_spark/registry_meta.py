@@ -76,7 +76,7 @@ FAMILIES: dict[str, list[str]] = {
         "ngram_jaccard", "semantic_dedup", "embedding_near_dup",
         "dup_spans", "incremental_dedup", "indexed_dedup",
         "segment_dedup_first", "dup_matrix", "dup_cluster_sizes",
-        "containment_pairs", "source_overlap",
+        "containment_pairs", "source_overlap", "url_normalize",
     ],
     "similarity": [
         "cosine_topk", "ann_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
