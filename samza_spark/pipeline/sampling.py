@@ -731,3 +731,75 @@ def shard_balance_report(
         )
         .orderBy("shard")
     )
+
+
+def range_partition_plan(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Range-partitioning plan for a sorted export: exact discrete
+    quantile boundaries of ``col`` (the value at sorted position
+    ``ceil(N * i / n)`` — percentile_disc semantics, deterministic on
+    ties by value order) plus the EXACT row count each bucket would
+    receive and its deviation from the N/n target in ppm. This is the
+    audit beside Spark's own RangePartitioner: the production writer
+    samples (``df.repartitionByRange``), the plan here is the exact
+    answer the sample is trying to approximate, so skewed boundaries
+    show up as ``dev_ppm`` before a 100 TB sort job is launched.
+
+    Shape: one single-column sort (rank window over the projected
+    column — the same cost class as the range-exchange it audits) into
+    an n-row boundary table, then one broadcast range-join back for
+    counts. Emits ``(bucket, hi, n_rows, target, dev_ppm)`` where
+    ``hi`` is the bucket's inclusive upper boundary (last bucket takes
+    the max).
+    """
+    vals = df.select(F.col(col).cast("long").alias("v"))
+    w = Window.partitionBy(F.lit(1)).orderBy("v")
+    ranked = vals.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_total", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    )
+    nb = int(n_buckets)
+    # boundary i (1..n) = value at sorted position ceil(N * i / n),
+    # computed as the pure-integer ceil (rn*nb-1) div N + 1 — no
+    # cross-engine doubles anywhere in the plan
+    bounds = (
+        ranked.withColumn(
+            "bucket",
+            F.expr(f"cast((rn * {nb} - 1) div n_total + 1 as int)"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("v").alias("hi"), F.max("n_total").alias("n_total"))
+    )
+    # rows land by VALUE interval (lo, hi], not by rank: ties cannot be
+    # split across a value boundary, so a heavy key collapses adjacent
+    # boundaries and the earlier bucket absorbs the whole run — exactly
+    # the skew a real repartitionByRange would produce. lo = lag(hi).
+    w_b = Window.partitionBy(F.lit(1)).orderBy("bucket")
+    intervals = bounds.withColumn("lo", F.lag("hi").over(w_b))
+    counts = (
+        vals.join(
+            F.broadcast(intervals),
+            (F.col("v") <= F.col("hi"))
+            & (F.col("lo").isNull() | (F.col("v") > F.col("lo"))),
+            "inner",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return (
+        intervals.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            "hi",
+            F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias(
+                "n_rows"
+            ),
+            F.expr(f"n_total div {nb}").alias("target"),
+            F.expr(
+                f"(coalesce(n_rows, 0) - n_total div {nb}) * 1000000 "
+                f"div (n_total div {nb})"
+            ).alias("dev_ppm"),
+        )
+    )

@@ -644,3 +644,53 @@ def hist_ks(
             "(cast(n_a as decimal(38,0)) * n_b) as bigint)"
         ).alias("emd_scaled"),
     )
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    key_expr: str,
+    state_path: str,
+    lg_k: int = 12,
+    group_col: "str | None" = None,
+    checkpoint_dir: "str | None" = None,
+):
+    """Maintain HLL distinct-count sketches as streaming state: sketch
+    each micro-batch with ``hll_sketch_agg`` and fold into the durable
+    per-group sketch via ``hll_union_agg`` — sketch-union associativity
+    makes the streamed sketch EQUAL to the batch sketch of everything
+    ingested (same estimate, tested), independent of batch boundaries.
+    Completes the mergeable-fold family beside streaming_count_min /
+    streaming_count_sketch / streaming_histogram; this is the
+    streaming-matview shape for "distinct users per key, live" at any
+    scale: state is one binary sketch row per group.
+
+    State rows travel through the driver as a bounded list (one row per
+    group) and land in parquet with an atomic overwrite per trigger.
+    Genuine read errors on prior state propagate (the trigger retries);
+    only the missing-path first trigger starts fresh.
+    """
+    gcols = [group_col] if group_col else []
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = batch_df.groupBy(*gcols).agg(
+            F.hll_sketch_agg(F.expr(key_expr), lg_k).alias("sk")
+        )
+        prev = _read_prior_state(spark, state_path)
+        if prev is not None:
+            both = prev.select(*gcols, "sk").unionByName(
+                inc.select(*gcols, "sk")
+            )
+            merged = both.groupBy(*gcols).agg(
+                F.hll_union_agg("sk").alias("sk")
+            )
+        else:
+            merged = inc
+        rows = merged.collect()
+        out = spark.createDataFrame(rows, merged.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1927,3 +1927,219 @@ def rolling_origin_folds(
             .alias("n_test"),
         )
     )
+
+
+def oof_target_encoding(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    salt: str = "enc",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding (the standard categorical
+    feature for tabular training: replace a category by the target mean
+    measured on OTHER folds, so a row never sees its own label). Fold
+    assignment is the registry's deterministic md5 bucket of (salt, id)
+    — no RNG, replayable in SQL (sampling.py:22 idiom). The encoding for
+    a row in fold f is ``(sum_cat - sum_cat_fold) * scale div
+    (n_cat - n_cat_fold)`` — pure integer division when ``target_col``
+    is an integer indicator/count, hence oracle hash-exact. Categories
+    seen ONLY in the row's own fold fall back to the global out-of-fold
+    mean (same formula over the whole table), emitted with
+    ``enc_source = 'global'``.
+
+    Scale shape: ONE partial aggregate to the (category, fold) grid
+    (|C| x k rows — tiny), window sums over that grid, then a broadcast
+    join back onto the corpus. No per-row shuffle of the fact table.
+    Reference parity: feature materialization beside Samza's
+    stream-table join enrichment (samza-sql JoinTranslator), here as a
+    leakage-audited encoder.
+    """
+    fold = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', '|', cast({id_col} as string))), 1, 8), 16, 10) "
+        f"as bigint) % {int(n_folds)}"
+    ).alias("fold")
+    rows = df.select(
+        F.col(id_col),
+        F.col(category_col).alias("__cat"),
+        F.col(target_col).cast("long").alias("__t"),
+        fold,
+    )
+    grid = rows.groupBy("__cat", "fold").agg(
+        F.sum("__t").alias("f_sum"), F.count(F.lit(1)).alias("f_n")
+    )
+    w_cat = Window.partitionBy("__cat")
+    w_all = Window.partitionBy(F.lit(1))
+    enc = (
+        grid.withColumn("c_sum", F.sum("f_sum").over(w_cat))
+        .withColumn("c_n", F.sum("f_n").over(w_cat))
+        .withColumn("g_sum", F.sum("f_sum").over(w_all))
+        .withColumn("g_n", F.sum("f_n").over(w_all))
+        .select(
+            "__cat",
+            "fold",
+            F.expr(
+                f"case when c_n - f_n > 0 then (c_sum - f_sum) * {int(scale)} div (c_n - f_n) "
+                f"else (g_sum - f_sum) * {int(scale)} div (g_n - f_n) end"
+            ).alias("enc"),
+            F.expr("case when c_n - f_n > 0 then 'oof' else 'global' end").alias(
+                "enc_source"
+            ),
+        )
+    )
+    return (
+        rows.join(F.broadcast(enc), on=["__cat", "fold"], how="left")
+        .select(
+            F.col(id_col),
+            F.col("__cat").alias(category_col),
+            F.col("fold").cast("int").alias("fold"),
+            F.col("__t").alias(target_col),
+            F.col("enc").cast("long").alias("enc"),
+            "enc_source",
+        )
+    )
+
+
+def ips_estimate(
+    df: DataFrame,
+    ctx_col: str,
+    action_col: str,
+    reward_micro_col: str,
+    clip_ppm: int = 10_000_000,
+) -> DataFrame:
+    """Off-policy value estimate by clipped inverse-propensity scoring
+    (counterfactual "what would a uniform policy have earned on this
+    log" — the replay estimator behind every bandit/ranker holdout).
+    Behavior propensity is the empirical log frequency ``mu(a|x) =
+    n(x,a)/n(x)`` in ppm; the target policy is uniform over the K
+    observed actions (``pi = 1e6 div K`` ppm); per-row weight is
+    ``pi/mu`` in ppm, clipped at ``clip_ppm`` (weight clipping is the
+    standard variance/robustness guard — unclipped IPS explodes on
+    rare logged actions). Emits per-action decomposition plus the
+    numerator both for IPS (1/n normalizer) and SNIPS (sum-of-weights
+    normalizer): all arithmetic is integer division in a fixed order,
+    so the whole estimate is oracle hash-exact.
+
+    Shape: two partial aggregates over (ctx) and (ctx, action) — both
+    bounded by the context/action cardinality, broadcast back — then
+    one final groupBy(action). The fact table is never shuffled on a
+    per-row key.
+    """
+    rows = df.select(
+        F.col(ctx_col).alias("__ctx"),
+        F.col(action_col).alias("__a"),
+        F.col(reward_micro_col).cast("long").alias("__r"),
+    )
+    n_ctx = rows.groupBy("__ctx").agg(F.count(F.lit(1)).alias("n_x"))
+    n_ctx_a = rows.groupBy("__ctx", "__a").agg(F.count(F.lit(1)).alias("n_xa"))
+    k_actions = rows.select("__a").distinct().agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    weighted = (
+        rows.join(F.broadcast(n_ctx), "__ctx")
+        .join(F.broadcast(n_ctx_a), ["__ctx", "__a"])
+        .crossJoin(F.broadcast(k_actions))
+        .withColumn("mu_ppm", F.expr("n_xa * 1000000 div n_x"))
+        .withColumn("pi_ppm", F.expr("1000000 div k"))
+        .withColumn(
+            "w_ppm",
+            F.expr(
+                f"least(pi_ppm * 1000000 div mu_ppm, {int(clip_ppm)}L)"
+            ),
+        )
+    )
+    total = weighted.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        weighted.groupBy(F.col("__a").alias(action_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("w_ppm").cast("long").alias("sum_w_ppm"),
+            F.sum(F.expr("__r * w_ppm div 1000000")).cast("long").alias(
+                "wr_micro"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            action_col,
+            "n",
+            "sum_w_ppm",
+            "wr_micro",
+            F.expr("wr_micro div n_total").alias("v_ips_micro"),
+            F.expr(
+                "case when sum_w_ppm > 0 then wr_micro * 1000000 div sum_w_ppm "
+                "else 0 end"
+            ).alias("v_snips_micro"),
+        )
+    )
+
+
+def isotonic_calibration(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    n_col: str = "n",
+    k_col: str = "k",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) probability calibration over
+    score bins — the nonparametric calibrator (pool-adjacent-violators)
+    that turns a ranking score into a usable probability without
+    assuming a sigmoid shape. Computed by the minimax identity
+    ``iso(i) = max_{j<=i} min_{k>=i} mean(y over bins j..k)`` which is
+    exactly the PAV solution and, unlike the sequential pooling loop,
+    is pure relational algebra. Means are integer micro-units
+    (``sum_k * scale div sum_n``); flooring preserves monotonicity
+    (min over a superset can only shrink), so the output is a valid
+    monotone calibration map and hash-exact cross-engine.
+
+    Scale shape: the corpus is reduced to B score bins upstream (one
+    aggregate pass); the minimax runs on the B-row bin table via
+    prefix sums + a B^2 interval table + a B^3-row span join — all
+    driver-negligible for the B <= a-few-hundred bins any calibrator
+    uses. Emits ``(bin, n, k, raw_micro, iso_micro)``.
+    """
+    w = Window.partitionBy(F.lit(1)).orderBy("b")
+    pref = bins.select(
+        F.col(bin_col).alias("b"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(k_col).cast("long").alias("k"),
+    ).withColumn("cn", F.sum("n").over(w)).withColumn("ck", F.sum("k").over(w))
+    lo = pref.select(
+        F.col("b").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("ck") - F.col("k")).alias("ck_lo"),
+    )
+    hi = pref.select(
+        F.col("b").alias("m"), F.col("cn").alias("cn_hi"),
+        F.col("ck").alias("ck_hi"),
+    )
+    spans = (
+        lo.join(hi, F.col("j") <= F.col("m"))
+        .select(
+            "j",
+            "m",
+            F.expr(
+                f"(ck_hi - ck_lo) * {int(scale)} div (cn_hi - cn_lo)"
+            ).alias("mean_s"),
+        )
+    )
+    idx = pref.select(F.col("b").alias("i"))
+    # min over m >= i of mean(j..m), then max over j <= i
+    inner = (
+        spans.join(idx, (F.col("j") <= F.col("i")) & (F.col("m") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("mean_s").alias("min_mean"))
+        .groupBy("i")
+        .agg(F.max("min_mean").alias("iso"))
+    )
+    return (
+        pref.join(inner, pref["b"] == inner["i"])
+        .select(
+            F.col("b").alias(bin_col),
+            "n",
+            "k",
+            F.expr(f"k * {int(scale)} div n").alias("raw_micro"),
+            F.col("iso").alias("iso_micro"),
+        )
+    )

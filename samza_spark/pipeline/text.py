@@ -1374,3 +1374,105 @@ def url_normalize(url_col: str) -> Column:
         f"concat({scheme}, '://', {hostport}, {path}, "
         f"case when length({kept}) > 0 then concat('?', {kept}) else '' end)"
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: "tuple[str, ...]" = ("doc_id",),
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    repetition/quality signal for crawl filtering (highly repetitive or
+    templated text compresses far below natural prose; pure noise does
+    not compress at all). Emits ``raw_len`` (utf-8 bytes), ``comp_len``
+    (zlib level ``level``) and ``ratio_ppm = comp_len * 1e6 div
+    raw_len`` as integers.
+
+    Arrow-batched ``mapInPandas`` kernel — zlib is CPU-bound C called
+    once per document on whole byte strings, so the per-row Python
+    dispatch cost is amortized to nothing next to the deflate itself;
+    the operator is embarrassingly parallel (map-only, no shuffle), so
+    it scales linearly with executors at any corpus size. No SQL oracle
+    (zlib is not expressible in DuckDB) — correctness is pinned by
+    pytest against the same zlib from the test process plus ordering
+    invariants (repetitive << prose << incompressible).
+
+    Reference parity: per-message enrichment map (MessageStream.map,
+    samza-api OperatorSpecs) carrying an opaque CPU kernel.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    ids = list(id_cols)
+    src = df.select(*ids, F.col(text_col).alias("__text"))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "__text"
+    )
+    out_schema += ", raw_len bigint, comp_len bigint, ratio_ppm bigint"
+
+    lvl = int(level)
+
+    def _kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["__text"].fillna("").str.encode("utf-8")
+            raw_len = raw.str.len().astype("int64")
+            comp_len = raw.map(lambda b: len(zlib.compress(b, lvl))).astype(
+                "int64"
+            )
+            out = pdf[ids].copy()
+            out["raw_len"] = raw_len
+            out["comp_len"] = comp_len
+            out["ratio_ppm"] = [
+                (c * 1_000_000) // r if r > 0 else 0
+                for c, r in zip(comp_len, raw_len)
+            ]
+            yield out
+
+    return src.mapInPandas(_kernel, schema=out_schema)
+
+
+def feature_hashing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    salt: str = "fh",
+) -> DataFrame:
+    """Signed hashing-trick vectorization (Weinberger et al. 2009 — the
+    fixed-width sparse text featurizer that needs NO vocabulary pass,
+    which is what makes it the 100 TB-safe baseline: one map, one
+    groupBy, zero global state). Tokens are lowercased alnum runs; each
+    token lands in ``md5(salt|token) % n_buckets`` with a +/-1 sign from
+    the next md5 hex nibble's parity, and the per-(doc, bucket) signed
+    counts are summed. md5 keeps the whole transform replayable in
+    ANSI SQL (the registry's cross-engine hash idiom, sampling.py:22).
+
+    Emits ``(id_col, bucket, weight)`` sparse rows — at most
+    ``n_buckets`` per document. ONE shuffle on (doc, bucket); the
+    explode is map-side.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = f"md5(concat('{salt}', '|', tok))"
+    hashed = toks.select(
+        F.col(id_col),
+        F.expr(
+            f"cast(conv(substr({h}, 1, 8), 16, 10) as bigint) % {int(n_buckets)}"
+        ).alias("bucket"),
+        F.expr(
+            f"case when cast(conv(substr({h}, 9, 1), 16, 10) as int) % 2 = 0 "
+            "then 1L else -1L end"
+        ).alias("sign"),
+    )
+    return (
+        hashed.groupBy(id_col, "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+    )

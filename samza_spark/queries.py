@@ -12409,6 +12409,267 @@ ORACLES["url_normalize"] = (
 )
 
 
+def q_recursive_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE ancestor-chain closure (SQL-surface CTE extension
+    beyond SamzaSqlQueryParser.java:100's two statement forms; the shell
+    routes WITH statements to Catalyst, which executes recursion as an
+    iterative frontier union in Spark 4). The supplier key space folds
+    into a forest by parent = s_suppkey div 8; each supplier walks to
+    its sub-8 root, emitting (root, depth, ancestor key-sum) — the
+    org-chart / BOM-explosion query shape. Each iteration is one
+    map-side step over the shrinking frontier (no joins at all here),
+    so the plan costs O(log_8 max_key) stages regardless of row count.
+    """
+    load_table(spark, sf, "supplier").createOrReplaceTempView(
+        "__rc_supplier"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain (suppkey, anc, depth, keysum) AS (
+          SELECT s_suppkey, s_suppkey, 0, CAST(s_suppkey AS BIGINT)
+          FROM __rc_supplier
+          UNION ALL
+          SELECT suppkey, anc DIV 8, depth + 1, keysum + anc DIV 8
+          FROM chain WHERE anc >= 8
+        )
+        SELECT suppkey, anc AS root, CAST(depth AS INT) AS depth, keysum
+        FROM chain WHERE anc < 8
+        """
+    )
+
+
+QUERIES["recursive_chain"] = q_recursive_chain
+ORACLES["recursive_chain"] = (
+    "WITH RECURSIVE chain (suppkey, anc, depth, keysum) AS ("
+    "SELECT s_suppkey, s_suppkey, 0, CAST(s_suppkey AS BIGINT) "
+    "FROM supplier "
+    "UNION ALL "
+    "SELECT suppkey, anc // 8, depth + 1, keysum + anc // 8 "
+    "FROM chain WHERE anc >= 8) "
+    "SELECT suppkey, anc AS root, CAST(depth AS INT) AS depth, keysum "
+    "FROM chain WHERE anc < 8"
+)
+
+
+def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding
+    (pipeline.stats.oof_target_encoding): source -> P(lang='en')
+    measured on the OTHER four md5 folds — the tabular-ML categorical
+    feature where computing the mean over ALL rows would leak each
+    row's own label into its feature. Pure integer (indicator sums,
+    micro-unit division); the (category, fold) grid is tiny and
+    broadcast back, so the corpus is never shuffled per-row."""
+    from samza_spark.pipeline.stats import oof_target_encoding
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("case when lang = 'en' then 1L else 0L end").alias("is_en"),
+    )
+    return oof_target_encoding(
+        docs, category_col="source", target_col="is_en", id_col="doc_id",
+        n_folds=5, salt="enc",
+    )
+
+
+QUERIES["target_encoding"] = q_target_encoding
+ORACLES["target_encoding"] = (
+    "WITH r AS (SELECT doc_id, source AS cat, "
+    "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t, "
+    "('0x' || substr(md5('enc|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 5 AS fold FROM documents), "
+    "grid AS (SELECT cat, fold, CAST(sum(t) AS BIGINT) AS f_sum, "
+    "count(*) AS f_n FROM r GROUP BY 1, 2), "
+    "enc AS (SELECT cat, fold, f_sum, f_n, "
+    "sum(f_sum) OVER (PARTITION BY cat) AS c_sum, "
+    "sum(f_n) OVER (PARTITION BY cat) AS c_n, "
+    "sum(f_sum) OVER () AS g_sum, sum(f_n) OVER () AS g_n FROM grid), "
+    "e AS (SELECT cat, fold, "
+    "CASE WHEN c_n - f_n > 0 "
+    "THEN (c_sum - f_sum) * 1000000 // (c_n - f_n) "
+    "ELSE (g_sum - f_sum) * 1000000 // (g_n - f_n) END AS enc, "
+    "CASE WHEN c_n - f_n > 0 THEN 'oof' ELSE 'global' END AS enc_source "
+    "FROM enc) "
+    "SELECT r.doc_id, r.cat AS source, CAST(r.fold AS INT) AS fold, "
+    "CAST(r.t AS BIGINT) AS is_en, CAST(e.enc AS BIGINT) AS enc, "
+    "e.enc_source FROM r JOIN e ON r.cat = e.cat AND r.fold = e.fold"
+)
+
+
+def q_ips_offpolicy(spark: SparkSession, sf: str) -> DataFrame:
+    """Clipped inverse-propensity off-policy evaluation
+    (pipeline.stats.ips_estimate): replay the events log as a logged
+    bandit — context = user_id div 100 cohort, action = event_type,
+    reward = floor(value * 1000) milli-units — and estimate what a
+    UNIFORM target policy would have earned, with IPS and SNIPS
+    normalizers side by side. Every propensity/weight is an integer
+    ppm in a fixed division order, so the counterfactual number is
+    hash-exact cross-engine."""
+    from samza_spark.pipeline.stats import ips_estimate
+
+    ev = load_table(spark, sf, "events").select(
+        F.expr("user_id div 100").alias("cohort"),
+        F.col("event_type"),
+        F.expr("cast(floor(value * 1000) as bigint)").alias("reward_milli"),
+    )
+    return ips_estimate(
+        ev, ctx_col="cohort", action_col="event_type",
+        reward_micro_col="reward_milli", clip_ppm=10_000_000,
+    ).orderBy("event_type")
+
+
+QUERIES["ips_offpolicy"] = q_ips_offpolicy
+ORACLES["ips_offpolicy"] = (
+    "WITH r AS (SELECT user_id // 100 AS ctx, event_type AS a, "
+    "CAST(floor(value * 1000) AS BIGINT) AS rew FROM events), "
+    "nx AS (SELECT ctx, count(*) AS n_x FROM r GROUP BY 1), "
+    "nxa AS (SELECT ctx, a, count(*) AS n_xa FROM r GROUP BY 1, 2), "
+    "k AS (SELECT count(DISTINCT a) AS k FROM r), "
+    "w AS (SELECT r.a, r.rew, "
+    "least((1000000 // k.k) * 1000000 // (nxa.n_xa * 1000000 // nx.n_x), "
+    "10000000) AS w_ppm "
+    "FROM r JOIN nx ON r.ctx = nx.ctx "
+    "JOIN nxa ON r.ctx = nxa.ctx AND r.a = nxa.a CROSS JOIN k), "
+    "tot AS (SELECT count(*) AS n_total FROM w), "
+    "g AS (SELECT a AS event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(w_ppm) AS BIGINT) AS sum_w_ppm, "
+    "CAST(sum(rew * w_ppm // 1000000) AS BIGINT) AS wr_micro "
+    "FROM w GROUP BY 1) "
+    "SELECT event_type, n, sum_w_ppm, wr_micro, "
+    "CAST(wr_micro // n_total AS BIGINT) AS v_ips_micro, "
+    "CAST(CASE WHEN sum_w_ppm > 0 THEN wr_micro * 1000000 // sum_w_ppm "
+    "ELSE 0 END AS BIGINT) AS v_snips_micro "
+    "FROM g CROSS JOIN tot ORDER BY event_type"
+)
+
+
+def q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Signed hashing-trick vectorization
+    (pipeline.text.feature_hashing): vocabulary-free sparse text
+    features — 64 signed md5 buckets per document, the fixed-width
+    featurizer that needs no global vocabulary pass and therefore no
+    second corpus scan at 100 TB. One map-side explode + one (doc,
+    bucket) groupBy."""
+    from samza_spark.pipeline.text import feature_hashing
+
+    docs = load_table(spark, sf, "documents")
+    return feature_hashing(
+        docs, text_col="text", id_col="doc_id", n_buckets=64, salt="fh"
+    )
+
+
+QUERIES["feature_hashing"] = q_feature_hashing
+ORACLES["feature_hashing"] = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+    "'[^a-z0-9]+')) AS tok FROM documents), "
+    "t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+    "h AS (SELECT doc_id, "
+    "('0x' || substr(md5('fh|' || tok), 1, 8))::BIGINT % 64 AS bucket, "
+    "CASE WHEN ('0x' || substr(md5('fh|' || tok), 9, 1))::BIGINT % 2 = 0 "
+    "THEN 1 ELSE -1 END AS sign FROM t) "
+    "SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight "
+    "FROM h GROUP BY 1, 2"
+)
+
+
+def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compressibility as a quality/repetition signal
+    (pipeline.text.compression_ratio): templated/repetitive documents
+    compress far below natural prose, so ratio_ppm is the cheapest
+    corpus-wide repetition screen there is (one map-only pass, no
+    shuffle). Arrow-batched mapInPandas around zlib. Deliberately NO
+    SQL oracle — deflate is not expressible in DuckDB; correctness is
+    pinned by pytest (exact lengths against the same zlib, plus
+    ordering invariants), and the driver records a rows-only check."""
+    from samza_spark.pipeline.text import compression_ratio
+
+    docs = load_table(spark, sf, "documents")
+    return compression_ratio(docs, text_col="text", id_cols=("doc_id",))
+
+
+QUERIES["compression_ratio"] = q_compression_ratio
+
+
+def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic probability calibration (pipeline.stats.
+    isotonic_calibration — PAV via the relational minimax identity
+    ``iso(i) = max_{j<=i} min_{k>=i} mean(j..k)``): length-bin score ->
+    monotone P(lang='en') map. One corpus aggregate to ~23 bins, then
+    bin-table algebra — the calibrator a quality-score pipeline runs
+    before thresholding. Integer micro means end to end."""
+    from samza_spark.pipeline.stats import isotonic_calibration
+
+    bins = (
+        load_table(spark, sf, "documents")
+        .groupBy(F.expr("n_chars div 25").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("case when lang = 'en' then 1 else 0 end")).alias(
+                "k"
+            ),
+        )
+    )
+    return isotonic_calibration(bins, bin_col="bin", n_col="n", k_col="k")
+
+
+QUERIES["isotonic_calibration"] = q_isotonic_calibration
+ORACLES["isotonic_calibration"] = (
+    "WITH bins AS (SELECT n_chars // 25 AS b, count(*) AS n, "
+    "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k "
+    "FROM documents GROUP BY 1), "
+    "pref AS (SELECT b, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, "
+    "sum(n) OVER (ORDER BY b) AS cn, sum(k) OVER (ORDER BY b) AS ck "
+    "FROM bins), "
+    "lo AS (SELECT b AS j, cn - n AS cn_lo, ck - k AS ck_lo FROM pref), "
+    "hi AS (SELECT b AS m, cn AS cn_hi, ck AS ck_hi FROM pref), "
+    "spans AS (SELECT j, m, "
+    "(ck_hi - ck_lo) * 1000000 // (cn_hi - cn_lo) AS mean_s "
+    "FROM lo JOIN hi ON j <= m), "
+    "mins AS (SELECT p.b AS i, s.j, min(s.mean_s) AS min_mean "
+    "FROM pref p JOIN spans s ON s.j <= p.b AND s.m >= p.b GROUP BY 1, 2), "
+    "iso AS (SELECT i, max(min_mean) AS iso FROM mins GROUP BY 1) "
+    "SELECT p.b AS bin, p.n, p.k, "
+    "CAST(p.k * 1000000 // p.n AS BIGINT) AS raw_micro, "
+    "CAST(iso.iso AS BIGINT) AS iso_micro "
+    "FROM pref p JOIN iso ON p.b = iso.i"
+)
+
+
+def q_range_partition_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-partitioning audit for a sorted export
+    (pipeline.sampling.range_partition_plan): exact percentile_disc
+    boundaries of events.user_id into 8 buckets plus each bucket's
+    exact row count and ppm deviation from the N/8 target — the
+    pre-flight skew check beside ``repartitionByRange`` (which samples;
+    this is the answer the sample approximates). Pure integer bucket
+    rule ``(rn*8-1) div N + 1``, so the plan is hash-exact."""
+    from samza_spark.pipeline.sampling import range_partition_plan
+
+    ev = load_table(spark, sf, "events")
+    return range_partition_plan(ev, col="user_id", n_buckets=8)
+
+
+QUERIES["range_partition_plan"] = q_range_partition_plan
+ORACLES["range_partition_plan"] = (
+    "WITH v AS (SELECT CAST(user_id AS BIGINT) AS v FROM events), "
+    "r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, "
+    "count(*) OVER () AS nt FROM v), "
+    "b AS (SELECT CAST((rn * 8 - 1) // nt + 1 AS INT) AS bucket, "
+    "max(v) AS hi, max(nt) AS nt FROM r GROUP BY 1), "
+    "iv AS (SELECT bucket, hi, nt, "
+    "lag(hi) OVER (ORDER BY bucket) AS lo FROM b), "
+    "cnt AS (SELECT iv.bucket, count(*) AS n_rows FROM v "
+    "JOIN iv ON v.v <= iv.hi AND (iv.lo IS NULL OR v.v > iv.lo) "
+    "GROUP BY 1) "
+    "SELECT iv.bucket, iv.hi, "
+    "CAST(coalesce(cnt.n_rows, 0) AS BIGINT) AS n_rows, "
+    "CAST(iv.nt // 8 AS BIGINT) AS target, "
+    "CAST((coalesce(cnt.n_rows, 0) - iv.nt // 8) * 1000000 // (iv.nt // 8) "
+    "AS BIGINT) AS dev_ppm "
+    "FROM iv LEFT JOIN cnt ON iv.bucket = cnt.bucket"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the

@@ -52,7 +52,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "sql": [
         "topk", "having", "set_ops", "set_ops_all", "distinct_agg",
-        "rollup", "grouping_sets", "pivot_counts",
+        "rollup", "grouping_sets", "pivot_counts", "recursive_chain",
     ],
     "functions": [
         "scalar_functions", "collections", "udf_regex", "nested_struct",
@@ -100,7 +100,8 @@ FAMILIES: dict[str, list[str]] = {
         "mojibake_report", "encoding_profile", "span_corruption",
         "repetition_loops", "quality_percentiles", "global_quality_rank",
         "quality_calibration", "quality_report", "length_outliers",
-        "blocklist_filter", "corpus_report",
+        "blocklist_filter", "corpus_report", "compression_ratio",
+        "feature_hashing",
     ],
     "tokenize": [
         "bpe_merges", "bpe_tokenize", "bpe_fertility", "padding_waste",
@@ -114,6 +115,7 @@ FAMILIES: dict[str, list[str]] = {
         "leakage_safe_split", "rolling_origin_folds", "balanced_shards",
         "shard_manifest",
         "merkle_manifest", "fair_allocation", "fifo_allocation",
+        "range_partition_plan",
     ],
     "sketch": [
         "approx_sketches", "heavy_hitters", "hll_distinct", "countmin_freq",
@@ -152,7 +154,8 @@ FAMILIES: dict[str, list[str]] = {
         "elo_ratings", "ctr_wilson", "labeler_agreement",
         "classifier_confusion", "skew_gini", "concentration_hhi",
         "abc_classification", "category_entropy", "skew_report",
-        "markov_eval", "assoc_lift",
+        "markov_eval", "assoc_lift", "target_encoding", "ips_offpolicy",
+        "isotonic_calibration",
     ],
     "governance": [
         "k_anonymity", "l_diversity", "t_closeness", "pii_report",

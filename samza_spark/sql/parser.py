@@ -18,10 +18,15 @@ import re
 from dataclasses import dataclass
 
 _INSERT_RE = re.compile(
-    r"^\s*insert\s+into\s+(?P<sink>[A-Za-z_][\w.$]*)\s+(?P<select>select\b.*)$",
+    r"^\s*insert\s+into\s+(?P<sink>[A-Za-z_][\w.$]*)\s+"
+    r"(?P<select>(?:select|with)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
-_SELECT_RE = re.compile(r"^\s*select\b", re.IGNORECASE)
+# WITH [RECURSIVE] is an extension beyond the reference's two statement
+# forms (SamzaSqlQueryParser.java:100 accepts only INSERT INTO / SELECT);
+# Spark 4 executes recursive CTEs natively, so the parser only needs to
+# recognize the prefix and hand the whole statement to Catalyst.
+_SELECT_RE = re.compile(r"^\s*(?:select|with)\b", re.IGNORECASE)
 
 
 @dataclass(frozen=True)
@@ -39,7 +44,14 @@ class SqlStatement:
             re.sub(r"\(\s*select", "( select", self.select, flags=re.IGNORECASE),
             re.IGNORECASE,
         )
-        return list(dict.fromkeys(ids))
+        ctes = set(
+            re.findall(
+                r"\b([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s+as\s*\(",
+                self.select,
+                re.IGNORECASE,
+            )
+        )
+        return list(dict.fromkeys(i for i in ids if i not in ctes))
 
 
 def split_statements(sql: str) -> list[str]:
@@ -72,8 +84,9 @@ def parse_statement(sql: str) -> SqlStatement:
     if _SELECT_RE.match(sql):
         return SqlStatement(sink=None, select=sql.strip(), raw=sql)
     raise ValueError(
-        "only 'INSERT INTO <sink> SELECT ...' and bare 'SELECT ...' are "
-        f"supported (SamzaSqlQueryParser.java:100); got: {sql[:80]!r}"
+        "only 'INSERT INTO <sink> SELECT ...', bare 'SELECT ...', and "
+        "'WITH [RECURSIVE] ... SELECT ...' are supported "
+        f"(SamzaSqlQueryParser.java:100 + CTE extension); got: {sql[:80]!r}"
     )
 
 

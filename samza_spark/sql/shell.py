@@ -74,7 +74,7 @@ class ShellSession:
                 return ShellResult("ok")
             head = stripped.split()[0].upper()
             if head not in (
-                "SELECT", "INSERT", "MERGE", "CREATE"
+                "SELECT", "INSERT", "MERGE", "CREATE", "WITH"
             ) or stripped.endswith(";"):
                 return self.execute(stripped)
             self._buffer.append(stripped)
@@ -126,7 +126,14 @@ class ShellSession:
             return self._create_matview(line)
         if upper.startswith("REFRESH MATERIALIZED VIEW "):
             return self._refresh_matview(line.split()[-1])
-        if upper.startswith("SELECT") or upper.startswith("INSERT"):
+        if (
+            upper.startswith("SELECT")
+            or upper.startswith("INSERT")
+            or upper.startswith("WITH")
+        ):
+            # WITH [RECURSIVE] ... SELECT runs on Spark's native CTE
+            # support (recursive CTEs execute as an iterative union in
+            # Spark 4; parser.py routes the whole statement to Catalyst).
             return self._sql(line)
         if upper.startswith("MERGE"):
             from samza_spark.sql.parser import parse_merge
@@ -337,7 +344,7 @@ class ShellSession:
 
     COMMANDS = (
         "SELECT", "INSERT", "MERGE", "EXPLAIN", "SHOW", "DESCRIBE", "LS",
-        "STOP", "RM", "SET", "EXIT", "CREATE", "REFRESH",
+        "STOP", "RM", "SET", "EXIT", "CREATE", "REFRESH", "WITH",
     )
     SQL_KEYWORDS = (
         "FROM", "WHERE", "GROUP BY", "ORDER BY", "HAVING", "JOIN", "ON",
