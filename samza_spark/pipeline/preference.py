@@ -323,3 +323,91 @@ def elo_ratings(
         "grp", "id", "rating_micro", "wins", "n_matches",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def borda_count(
+    df: DataFrame,
+    voter_col: str,
+    candidate_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Borda-count rank aggregation — the positional voting rule that
+    turns many noisy per-voter rankings into one consensus ranking
+    (robust preference aggregation for labeler/ranker ensembles; unlike
+    majority vote it uses the WHOLE ranking, so partial agreement still
+    counts). Each voter ranks candidates by ``score_col`` descending
+    (ties break on candidate id ascending — fully deterministic);
+    a candidate at rank r among K candidates earns K - r points.
+
+    Emits per-candidate ``(candidate, n_votes, borda_points,
+    mean_rank_micro)``. Shape: one rank window partitioned by voter +
+    one candidate-keyed aggregate — both shuffles are bounded by the
+    vote table, and the K scalar rides along as a broadcast.
+    """
+    from pyspark.sql import Window
+
+    k = df.select(candidate_col).distinct().agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    w = Window.partitionBy(voter_col).orderBy(
+        F.col(score_col).desc(), F.col(candidate_col).asc()
+    )
+    ranked = df.withColumn("__rank", F.row_number().over(w)).crossJoin(
+        F.broadcast(k)
+    )
+    return (
+        ranked.groupBy(F.col(candidate_col).alias("candidate"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.sum(F.expr("k - __rank")).cast("long").alias("borda_points"),
+            F.expr(
+                "cast(sum(__rank) * 1000000 div count(1) as bigint)"
+            ).alias("mean_rank_micro"),
+        )
+    )
+
+
+def length_bias_audit(
+    pairs: DataFrame,
+    chosen_len_col: str = "chosen_len",
+    rejected_len_col: str = "rejected_len",
+    bucket_width: int = 10,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Length-bias audit for preference pairs — the standard RLHF
+    pathology check: if ``chosen`` wins mostly by being LONGER, a reward
+    model trained on these pairs learns verbosity, not quality. Buckets
+    pairs by |len gap| (capped at ``n_buckets - 1``) and reports how
+    often the chosen side is the longer one, as exact ppm.
+
+    Emits ``(gap_bucket, n_pairs, chosen_longer, rejected_longer, ties,
+    longer_win_ppm)`` where ``longer_win_ppm`` is chosen-longer wins
+    over non-tie pairs (0 when every pair ties). One aggregate over the
+    (already group-sized) pair table."""
+    g = F.col(chosen_len_col) - F.col(rejected_len_col)
+    bw, nb = int(bucket_width), int(n_buckets)
+    tagged = pairs.select(
+        F.least(
+            F.expr(f"abs({chosen_len_col} - {rejected_len_col}) div {bw}"),
+            F.lit(nb - 1),
+        ).cast("int").alias("gap_bucket"),
+        F.when(g > 0, 1).otherwise(0).alias("__cl"),
+        F.when(g < 0, 1).otherwise(0).alias("__rl"),
+        F.when(g == 0, 1).otherwise(0).alias("__tie"),
+    )
+    return (
+        tagged.groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("__cl").cast("long").alias("chosen_longer"),
+            F.sum("__rl").cast("long").alias("rejected_longer"),
+            F.sum("__tie").cast("long").alias("ties"),
+        )
+        .withColumn(
+            "longer_win_ppm",
+            F.expr(
+                "case when n_pairs - ties > 0 then "
+                "chosen_longer * 1000000 div (n_pairs - ties) else 0 end"
+            ),
+        )
+    )

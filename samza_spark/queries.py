@@ -12670,6 +12670,154 @@ ORACLES["range_partition_plan"] = (
 )
 
 
+def q_qualify_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """QUALIFY window filter (Snowflake/DuckDB syntax; the SQL shell
+    rewrites it into a projected-predicate wrapper since Spark has no
+    native clause — sql/parser.py rewrite_qualify): top-3 orders per
+    priority by price. The rewrite keeps the window inside one
+    projection, so the plan is the same rank-filter Spark would emit
+    for the hand-written subquery."""
+    from samza_spark.sql.parser import rewrite_qualify
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("__qf_orders")
+    sql = (
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+        "CAST(row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn "
+        "FROM __qf_orders QUALIFY rn <= 3"
+    )
+    return spark.sql(rewrite_qualify(sql))
+
+
+QUERIES["qualify_topk"] = q_qualify_topk
+ORACLES["qualify_topk"] = (
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "CAST(row_number() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn "
+    "FROM orders QUALIFY rn <= 3"
+)
+
+
+def q_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT / melt (Spark DataFrame.unpivot — the wide->long reshape
+    every metrics exporter needs; Samza SQL has no analog, Spark gets it
+    natively): per-returnflag lineitem counts into (metric, value)
+    rows. Map-side reshape after one aggregate."""
+    li = load_table(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["n_rows", "n_orders", "n_parts"], "metric", "value"
+    )
+
+
+QUERIES["unpivot_metrics"] = q_unpivot_metrics
+ORACLES["unpivot_metrics"] = (
+    "WITH a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, "
+    "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a "
+    "UNION ALL "
+    "SELECT l_returnflag, 'n_orders' AS metric, n_orders AS value FROM a "
+    "UNION ALL "
+    "SELECT l_returnflag, 'n_parts' AS metric, n_parts AS value FROM a"
+)
+
+
+def q_rank_aggregation(spark: SparkSession, sf: str) -> DataFrame:
+    """Borda-count rank aggregation (pipeline.preference.borda_count):
+    every user-cohort "voter" ranks event types by its own activity
+    counts, and the positional points aggregate into one consensus
+    ranking — the robust way to fuse many noisy labeler/ranker
+    orderings (majority vote ignores everything below rank 1; Borda
+    does not). Integer points and micro mean ranks."""
+    from samza_spark.pipeline.preference import borda_count
+
+    votes = (
+        load_table(spark, sf, "events")
+        .groupBy(
+            F.expr("user_id div 50").alias("voter"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    return borda_count(
+        votes, voter_col="voter", candidate_col="event_type",
+        score_col="score",
+    )
+
+
+QUERIES["rank_aggregation"] = q_rank_aggregation
+ORACLES["rank_aggregation"] = (
+    "WITH v AS (SELECT user_id // 50 AS voter, event_type AS c, "
+    "count(*) AS s FROM events GROUP BY 1, 2), "
+    "k AS (SELECT count(DISTINCT c) AS k FROM v), "
+    "r AS (SELECT voter, c, row_number() OVER (PARTITION BY voter "
+    "ORDER BY s DESC, c) AS rank FROM v) "
+    "SELECT c AS candidate, CAST(count(*) AS BIGINT) AS n_votes, "
+    "CAST(sum(k.k - r.rank) AS BIGINT) AS borda_points, "
+    "CAST(sum(r.rank) * 1000000 // count(*) AS BIGINT) AS mean_rank_micro "
+    "FROM r CROSS JOIN k GROUP BY 1"
+)
+
+
+def q_length_bias_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """RLHF length-bias audit (pipeline.preference.length_bias_audit):
+    over the mined preference pairs, how often does the chosen side win
+    simply by being LONGER — the reward-model pathology screen, bucketed
+    by length-gap magnitude. Pairs come from preference_pairs (group-
+    sized), lengths join back from documents via broadcast."""
+    from samza_spark.pipeline.preference import (
+        length_bias_audit,
+        preference_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = preference_pairs(docs, ("source", "lang"))
+    lens = docs.select("doc_id", "n_chars")
+    with_lens = (
+        lens.withColumnRenamed("doc_id", "chosen_id")
+        .withColumnRenamed("n_chars", "chosen_len")
+        .join(F.broadcast(pairs), "chosen_id")
+        .join(
+            F.broadcast(
+                lens.withColumnRenamed("doc_id", "rejected_id")
+                .withColumnRenamed("n_chars", "rejected_len")
+            ),
+            "rejected_id",
+        )
+    )
+    return length_bias_audit(
+        with_lens, "chosen_len", "rejected_len", bucket_width=10,
+        n_buckets=10,
+    )
+
+
+QUERIES["length_bias_audit"] = q_length_bias_audit
+ORACLES["length_bias_audit"] = (
+    "WITH pp AS (" + ORACLES["preference_pairs"] + "), "
+    "wl AS (SELECT pp.*, c.n_chars AS chosen_len, r.n_chars AS rejected_len "
+    "FROM pp JOIN documents c ON pp.chosen_id = c.doc_id "
+    "JOIN documents r ON pp.rejected_id = r.doc_id), "
+    "t AS (SELECT least(abs(chosen_len - rejected_len) // 10, 9) AS gap_bucket, "
+    "CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END AS cl, "
+    "CASE WHEN chosen_len < rejected_len THEN 1 ELSE 0 END AS rl, "
+    "CASE WHEN chosen_len = rejected_len THEN 1 ELSE 0 END AS tie FROM wl) "
+    "SELECT CAST(gap_bucket AS INT) AS gap_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(cl) AS BIGINT) AS chosen_longer, "
+    "CAST(sum(rl) AS BIGINT) AS rejected_longer, "
+    "CAST(sum(tie) AS BIGINT) AS ties, "
+    "CAST(CASE WHEN count(*) - sum(tie) > 0 THEN "
+    "sum(cl) * 1000000 // (count(*) - sum(tie)) ELSE 0 END AS BIGINT) "
+    "AS longer_win_ppm "
+    "FROM t GROUP BY 1"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the

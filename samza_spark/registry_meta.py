@@ -53,6 +53,7 @@ FAMILIES: dict[str, list[str]] = {
     "sql": [
         "topk", "having", "set_ops", "set_ops_all", "distinct_agg",
         "rollup", "grouping_sets", "pivot_counts", "recursive_chain",
+        "qualify_topk", "unpivot_metrics",
     ],
     "functions": [
         "scalar_functions", "collections", "udf_regex", "nested_struct",
@@ -171,6 +172,7 @@ FAMILIES: dict[str, list[str]] = {
         "preference_pairs", "sft_export", "packed_sequences",
         "packing_report", "curriculum_order", "dialogue_turns",
         "embargo_split", "signal_fusion", "task_assignment",
+        "rank_aggregation", "length_bias_audit",
         "label_aggregation", "curation_pipeline",
     ],
     "canary": [

@@ -203,3 +203,57 @@ def parse_merge(sql: str) -> "MergeStatement | None":
         has_insert=has_insert,
         raw=sql,
     )
+
+
+# -- QUALIFY (window-filter extension; Snowflake/DuckDB syntax) ----------
+
+_QUALIFY_RE = re.compile(r"\bqualify\b", re.IGNORECASE)
+_TRAIL_RE = re.compile(r"\b(order\s+by|limit)\b", re.IGNORECASE)
+
+
+def _top_level_match(sql: str, regex: re.Pattern) -> "re.Match | None":
+    """First match of ``regex`` at paren-depth 0 outside string literals."""
+    depth, in_str = 0, False
+    for m in regex.finditer(sql):
+        i = m.start()
+        d, s = 0, False
+        for ch in sql[:i]:
+            if ch == "'":
+                s = not s
+            elif ch == "(" and not s:
+                d += 1
+            elif ch == ")" and not s:
+                d -= 1
+        if d == 0 and not s:
+            return m
+    return None
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite ``SELECT ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]`` into
+    standard Spark SQL — Spark has no native QUALIFY, but the clause is
+    pure sugar for "filter on a window expression after projection":
+
+        SELECT * EXCEPT(__qualify__) FROM (
+          SELECT *, (<pred>) AS __qualify__ FROM ( <head> ) __q_src
+        ) __q_flt WHERE __qualify__ [trailing]
+
+    The predicate may reference projected aliases or inline window
+    functions over the inner SELECT's output (both evaluate in the
+    wrapper's projection context). Statements without a top-level
+    QUALIFY pass through unchanged, so the rewrite is safe to apply
+    unconditionally in the SQL path."""
+    m = _top_level_match(sql, _QUALIFY_RE)
+    if m is None:
+        return sql
+    head, tail = sql[: m.start()].rstrip(), sql[m.end() :].strip()
+    t = _top_level_match(tail, _TRAIL_RE)
+    if t is not None:
+        pred, trailing = tail[: t.start()].rstrip(), " " + tail[t.start() :]
+    else:
+        pred, trailing = tail, ""
+    return (
+        "SELECT * EXCEPT(__qualify__) FROM ("
+        f"SELECT *, ({pred}) AS __qualify__ FROM ({head}) __q_src"
+        f") __q_flt WHERE __qualify__{trailing}"
+    )

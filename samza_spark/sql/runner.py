@@ -21,7 +21,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from samza_spark.functions.builtins import register_builtins
-from samza_spark.sql.parser import SqlStatement, parse_statements
+from samza_spark.sql.parser import (
+    SqlStatement,
+    parse_statements,
+    rewrite_qualify,
+)
 from samza_spark.sql.validator import validate_compat
 
 
@@ -116,6 +120,9 @@ class SqlApplication:
 
                 raise SqlValidationError("Stream-stream join is not yet supported")
         sql = rewrite_builtins(stmt.select, compat_mode=self.compat_mode)
+        # QUALIFY (window filter) is sugar Spark lacks; rewrite is a no-op
+        # for statements without a top-level QUALIFY
+        sql = rewrite_qualify(sql)
         df = self.spark.sql(sql)
         if self.compat_mode and df.isStreaming:
             windowed = self._windowed_groupby(stmt.select)

@@ -430,3 +430,155 @@ class TestStreamingHll:
             .est
         )
         assert streamed == batch
+
+
+# -- QUALIFY rewrite ----------------------------------------------------------
+
+
+class TestQualifyRewrite:
+    def test_passthrough_without_qualify(self):
+        from samza_spark.sql.parser import rewrite_qualify
+
+        sql = "SELECT a FROM t WHERE b > 1"
+        assert rewrite_qualify(sql) == sql
+
+    def test_quoted_and_nested_qualify_ignored(self):
+        from samza_spark.sql.parser import rewrite_qualify
+
+        sql = "SELECT 'qualify' AS w, (SELECT 1) AS x FROM t"
+        assert rewrite_qualify(sql) == sql
+
+    def test_basic_rewrite_runs(self, spark):
+        from samza_spark.sql.parser import rewrite_qualify
+
+        out = spark.sql(
+            rewrite_qualify(
+                "SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) "
+                "AS rn FROM VALUES (1, 10), (1, 20), (2, 30) t(k, v) "
+                "QUALIFY rn = 1"
+            )
+        ).collect()
+        assert sorted((r.k, r.v) for r in out) == [(1, 10), (2, 30)]
+        assert "__qualify__" not in {
+            c
+            for r in out
+            for c in r.asDict()
+        }
+
+    def test_trailing_order_by_limit(self, spark):
+        from samza_spark.sql.parser import rewrite_qualify
+
+        out = spark.sql(
+            rewrite_qualify(
+                "SELECT k, row_number() OVER (ORDER BY k) AS rn "
+                "FROM VALUES (3), (1), (2) t(k) "
+                "QUALIFY rn <= 2 ORDER BY k DESC LIMIT 1"
+            )
+        ).collect()
+        assert [r.k for r in out] == [2]
+
+    def test_shell_qualify_end_to_end(self, spark):
+        from samza_spark.sql.shell import ShellSession
+
+        sh = ShellSession(spark)
+        res = sh.execute(
+            "SELECT k, count(*) AS n, row_number() OVER (ORDER BY count(*) "
+            "DESC, k) AS rn FROM VALUES (1), (1), (2) t(k) GROUP BY k "
+            "QUALIFY rn = 1"
+        )
+        assert res.kind == "rows"
+        assert [(r.k, r.n) for r in res.rows] == [(1, 2)]
+
+
+# -- Borda rank aggregation ---------------------------------------------------
+
+
+class TestBordaCount:
+    def test_hand_check(self, spark):
+        from samza_spark.pipeline.preference import borda_count
+
+        # 2 voters, 3 candidates (K=3):
+        # v1 scores a=5 b=3 c=1 -> ranks a1 b2 c3 -> pts a2 b1 c0
+        # v2 scores b=9 a=2 c=2 -> ranks b1 a2 c3 (tie a/c broken by name)
+        rows = [
+            Row(voter=1, cand="a", s=5),
+            Row(voter=1, cand="b", s=3),
+            Row(voter=1, cand="c", s=1),
+            Row(voter=2, cand="a", s=2),
+            Row(voter=2, cand="b", s=9),
+            Row(voter=2, cand="c", s=2),
+        ]
+        out = {
+            r.candidate: r
+            for r in borda_count(
+                spark.createDataFrame(rows), "voter", "cand", "s"
+            ).collect()
+        }
+        assert out["a"].borda_points == 2 + 1
+        assert out["b"].borda_points == 1 + 2
+        assert out["c"].borda_points == 0 + 0
+        assert out["a"].mean_rank_micro == (1 + 2) * 1_000_000 // 2
+
+    def test_partial_ballots(self, spark):
+        from samza_spark.pipeline.preference import borda_count
+
+        # voter 2 never saw candidate c; K is still global (3)
+        rows = [
+            Row(voter=1, cand="a", s=5),
+            Row(voter=1, cand="b", s=3),
+            Row(voter=1, cand="c", s=1),
+            Row(voter=2, cand="b", s=9),
+            Row(voter=2, cand="a", s=2),
+        ]
+        out = {
+            r.candidate: r
+            for r in borda_count(
+                spark.createDataFrame(rows), "voter", "cand", "s"
+            ).collect()
+        }
+        assert out["c"].n_votes == 1
+        assert out["b"].borda_points == 1 + 2
+
+
+# -- length-bias audit --------------------------------------------------------
+
+
+class TestLengthBiasAudit:
+    def test_hand_check(self, spark):
+        from samza_spark.pipeline.preference import length_bias_audit
+
+        rows = [
+            Row(chosen_len=100, rejected_len=50),   # longer wins, gap 50
+            Row(chosen_len=10, rejected_len=12),    # shorter wins, gap 2
+            Row(chosen_len=30, rejected_len=30),    # tie, gap 0
+        ]
+        out = {
+            r.gap_bucket: r
+            for r in length_bias_audit(
+                spark.createDataFrame(rows), bucket_width=10, n_buckets=10
+            ).collect()
+        }
+        # gap 50 -> bucket 5; gap 2 -> bucket 0; tie -> bucket 0
+        assert 5 in out and out[5].chosen_longer == 1
+        assert out[0].n_pairs == 2 and out[0].ties == 1
+        assert out[0].rejected_longer == 1
+        assert out[0].longer_win_ppm == 0          # the one non-tie lost
+
+    def test_all_ties(self, spark):
+        from samza_spark.pipeline.preference import length_bias_audit
+
+        rows = [Row(chosen_len=5, rejected_len=5)] * 3
+        out = length_bias_audit(spark.createDataFrame(rows)).collect()
+        assert len(out) == 1 and out[0].longer_win_ppm == 0
+
+
+# -- unpivot ------------------------------------------------------------------
+
+
+def test_unpivot_long_shape(spark, sf_dir):
+    from samza_spark.queries import q_unpivot_metrics
+
+    out = q_unpivot_metrics(spark, sf_dir)
+    assert out.columns == ["l_returnflag", "metric", "value"]
+    flags = out.select("l_returnflag").distinct().count()
+    assert out.count() == flags * 3
