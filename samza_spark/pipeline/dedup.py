@@ -1555,3 +1555,68 @@ def ngram_novelty(
         "novel_grams",
         F.expr(f"novel_grams * {g} div n_grams").alias("novelty_ppm"),
     )
+
+
+def minhash_estimate_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_mod: int = 50,
+    num_perm: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """MinHash estimator calibration: per candidate pair, the k-out-of-n
+    signature-match ESTIMATE next to the exact shingle Jaccard and their
+    absolute error — the audit that tells you whether the dedup serving
+    tier's (bands, rows, threshold) operating point actually delivers
+    its advertised precision/recall before a 100 TB run commits to it.
+
+    Uses an md5 permutation family (``min over shingles of
+    md5(p|shingle)``) so the estimate itself replays in ANSI SQL — this
+    audits the ESTIMATOR CONTRACT (match fraction ~ Jaccard under any
+    min-wise independent family), while the serving tier keeps its
+    ~30x-faster xxhash64/splitmix kernel (minhash_signature_pandas).
+    Pairs are blocked on ``id div block_mod`` to bound the quadratic
+    strictly per block. All outputs are integer ppm.
+    """
+    h = (
+        f"cast(conv(substr(md5(concat(cast(p as string), '|', s)), 1, 8), "
+        "16, 10) as bigint)"
+    )
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        char_shingles(text_col, k).alias("__sh"),
+    ).withColumn(
+        "__sig",
+        F.expr(
+            f"transform(sequence(0, {int(num_perm) - 1}), p -> "
+            f"array_min(transform(__sh, s -> {h})))"
+        ),
+    )
+    l = sh.select(
+        F.col("__id").alias("a"),
+        F.col("__sh").alias("ls"),
+        F.col("__sig").alias("lg"),
+    )
+    r = sh.select(
+        F.col("__id").alias("b"),
+        F.col("__sh").alias("rs"),
+        F.col("__sig").alias("rg"),
+    )
+    pairs = l.join(
+        r,
+        (F.expr(f"a div {int(block_mod)}") == F.expr(f"b div {int(block_mod)}"))
+        & (F.col("a") < F.col("b")),
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.expr(
+            "size(filter(zip_with(lg, rg, (x, y) -> x = y), v -> v)) "
+            f"* 1000000 div {int(num_perm)}"
+        ).cast("long").alias("est_ppm"),
+        F.expr(
+            "size(array_intersect(ls, rs)) * 1000000 "
+            "div size(array_distinct(concat(ls, rs)))"
+        ).cast("long").alias("exact_ppm"),
+    ).withColumn("err_ppm", F.expr("abs(est_ppm - exact_ppm)"))

@@ -2143,3 +2143,109 @@ def isotonic_calibration(
             F.col("iso").alias("iso_micro"),
         )
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Gini-optimal decision stump — the one-split tree that is both the
+    classic feature-screening primitive (how separable is y by x at all)
+    and the building block of boosted ensembles. For every candidate
+    threshold t (each distinct x), score the split ``x <= t`` by the
+    unnormalized weighted Gini impurity ``sum_s 2*k_s*(n_s-k_s)*scale
+    div n_s`` over the two sides — rational arithmetic only (Gini, unlike
+    entropy, needs no logarithm, which is what keeps the whole search
+    hash-exact cross-engine). Products are widened through
+    decimal(38,0), so the envelope is the decimal width, not int64.
+
+    Shape: one aggregate to the distinct-x table, prefix sums by one
+    ordered window, per-threshold scoring map-side. Emits every
+    threshold with ``(t, n_left, k_left, n_right, k_right,
+    split_score_micro, rank)`` — rank 1 is the stump.
+    """
+    agg = df.groupBy(F.col(x_col).cast("long").alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(y_col).cast("long")).alias("k"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("t")
+    w_all = Window.partitionBy(F.lit(1))
+    pref = (
+        agg.withColumn("n_left", F.sum("n").over(w))
+        .withColumn("k_left", F.sum("k").over(w))
+        .withColumn("n_tot", F.sum("n").over(w_all))
+        .withColumn("k_tot", F.sum("k").over(w_all))
+        .filter(F.col("n_left") < F.col("n_tot"))  # right side non-empty
+        .select(
+            "t",
+            "n_left",
+            "k_left",
+            (F.col("n_tot") - F.col("n_left")).alias("n_right"),
+            (F.col("k_tot") - F.col("k_left")).alias("k_right"),
+        )
+    )
+    score = F.expr(
+        f"cast(cast(2 as decimal(38,0)) * k_left * (n_left - k_left) "
+        f"* {int(scale)} div n_left "
+        f"+ cast(2 as decimal(38,0)) * k_right * (n_right - k_right) "
+        f"* {int(scale)} div n_right as bigint)"
+    )
+    scored = pref.withColumn("split_score_micro", score)
+    w_rank = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("split_score_micro").asc(), F.col("t").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w_rank)
+    ).select(
+        "t", "n_left", "k_left", "n_right", "k_right",
+        "split_score_micro", "rank",
+    )
+
+
+def cem_att(
+    units: DataFrame,
+    treated_col: str,
+    outcome_micro_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Coarsened-exact-matching treatment-effect estimate — the
+    observational-causal workhorse beside diff_in_diff/cuped: stratify
+    units on coarsened covariates, compare treated vs control means
+    WITHIN each stratum, and weight strata by their matched mass
+    ``min(n_t, n_c)`` (a stratum with no overlap contributes nothing —
+    that's the matching). All means are integer micro divisions in a
+    fixed order, so the ATT is hash-exact.
+
+    Emits one row per stratum ``(stratum, n_treated, n_control,
+    matched_w, diff_micro)`` plus the pooled ``att_micro`` repeated on
+    each row (so the table is self-contained). One unit-table aggregate;
+    the stratum table is tiny and the pooled ATT rides on a broadcast.
+    """
+    per = units.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(F.when(F.col(treated_col) == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col(treated_col) == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(
+            F.when(F.col(treated_col) == 1, F.col(outcome_micro_col)).otherwise(0)
+        ).alias("s_t"),
+        F.sum(
+            F.when(F.col(treated_col) == 0, F.col(outcome_micro_col)).otherwise(0)
+        ).alias("s_c"),
+    )
+    scored = per.select(
+        "stratum",
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("n_c").cast("long").alias("n_control"),
+        F.expr("least(n_t, n_c)").cast("long").alias("matched_w"),
+        F.expr(
+            "case when n_t > 0 and n_c > 0 "
+            "then s_t div n_t - s_c div n_c else null end"
+        ).cast("long").alias("diff_micro"),
+    )
+    pooled = scored.filter(F.col("matched_w") > 0).agg(
+        F.expr(
+            "cast(sum(matched_w * diff_micro) div sum(matched_w) as bigint)"
+        ).alias("att_micro")
+    )
+    return scored.crossJoin(F.broadcast(pooled))

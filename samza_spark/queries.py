@@ -12818,6 +12818,147 @@ ORACLES["length_bias_audit"] = (
 )
 
 
+def q_decision_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini-optimal decision stump (pipeline.stats.decision_stump): the
+    best single threshold on document length for predicting lang='en' —
+    the feature-screening / boosted-ensemble primitive. Gini (not
+    entropy) keeps the whole threshold search rational, hence
+    hash-exact; products widen through decimal(38,0). One aggregate to
+    distinct lengths + one ordered prefix-sum window."""
+    from samza_spark.pipeline.stats import decision_stump
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.expr("case when lang = 'en' then 1 else 0 end").alias("y"),
+    )
+    return decision_stump(docs, x_col="x", y_col="y")
+
+
+QUERIES["decision_stump"] = q_decision_stump
+ORACLES["decision_stump"] = (
+    "WITH a AS (SELECT CAST(n_chars AS BIGINT) AS t, count(*) AS n, "
+    "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k "
+    "FROM documents GROUP BY 1), "
+    "p AS (SELECT t, sum(n) OVER (ORDER BY t) AS n_left, "
+    "sum(k) OVER (ORDER BY t) AS k_left, "
+    "sum(n) OVER () AS n_tot, sum(k) OVER () AS k_tot FROM a), "
+    "f AS (SELECT t, n_left, k_left, n_tot - n_left AS n_right, "
+    "k_tot - k_left AS k_right FROM p WHERE n_left < n_tot), "
+    "s AS (SELECT t, n_left, k_left, n_right, k_right, "
+    "2 * k_left * (n_left - k_left) * 1000000 // n_left "
+    "+ 2 * k_right * (n_right - k_right) * 1000000 // n_right AS score "
+    "FROM f) "
+    "SELECT t, CAST(n_left AS BIGINT) AS n_left, "
+    "CAST(k_left AS BIGINT) AS k_left, "
+    "CAST(n_right AS BIGINT) AS n_right, "
+    "CAST(k_right AS BIGINT) AS k_right, "
+    "CAST(score AS BIGINT) AS split_score_micro, "
+    "CAST(row_number() OVER (ORDER BY score, t) AS INT) AS rank FROM s"
+)
+
+
+def q_cem_att(spark: SparkSession, sf: str) -> DataFrame:
+    """Coarsened-exact-matching treatment effect (pipeline.stats.
+    cem_att): does signing up change purchase behavior, controlling for
+    activity level — treated/control purchase-count means compared
+    WITHIN activity strata, pooled by matched mass min(n_t, n_c). The
+    observational-causal estimate beside diff_in_diff/cuped, all
+    integer micro."""
+    from samza_spark.pipeline.stats import cem_att
+
+    ev = load_table(spark, sf, "events")
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("treated"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np"),
+        F.count(F.lit(1)).alias("n_ev"),
+    ).select(
+        "treated",
+        F.expr("np * 1000000").cast("long").alias("outcome_micro"),
+        # per-user event counts concentrate at ~50-90 across every sf,
+        # so anchor the coarsening at 50 to spread the strata
+        F.expr("least(greatest(n_ev - 50, 0) div 5, 9)")
+        .cast("int")
+        .alias("stratum"),
+    )
+    return cem_att(
+        units, treated_col="treated", outcome_micro_col="outcome_micro",
+        stratum_col="stratum",
+    ).orderBy("stratum")
+
+
+QUERIES["cem_att"] = q_cem_att
+ORACLES["cem_att"] = (
+    "WITH u AS (SELECT user_id, "
+    "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS treated, "
+    "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "* 1000000 AS BIGINT) AS o, "
+    "least(greatest(count(*) - 50, 0) // 5, 9) AS stratum "
+    "FROM events GROUP BY 1), "
+    "per AS (SELECT stratum, "
+    "sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS n_t, "
+    "sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS n_c, "
+    "sum(CASE WHEN treated = 1 THEN o ELSE 0 END) AS s_t, "
+    "sum(CASE WHEN treated = 0 THEN o ELSE 0 END) AS s_c "
+    "FROM u GROUP BY 1), "
+    "sc AS (SELECT CAST(stratum AS INT) AS stratum, "
+    "CAST(n_t AS BIGINT) AS n_treated, CAST(n_c AS BIGINT) AS n_control, "
+    "CAST(least(n_t, n_c) AS BIGINT) AS matched_w, "
+    "CAST(CASE WHEN n_t > 0 AND n_c > 0 "
+    "THEN s_t // n_t - s_c // n_c END AS BIGINT) AS diff_micro FROM per), "
+    "pool AS (SELECT CAST(sum(matched_w * diff_micro) // sum(matched_w) "
+    "AS BIGINT) AS att_micro FROM sc WHERE matched_w > 0) "
+    "SELECT sc.*, pool.att_micro FROM sc CROSS JOIN pool ORDER BY stratum"
+)
+
+
+def q_minhash_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator calibration (pipeline.dedup.
+    minhash_estimate_eval): per blocked candidate pair, the 16-perm
+    signature-match estimate vs the exact 5-char-shingle Jaccard and
+    |error| — the audit that validates the dedup serving tier's
+    operating point (bands/rows/threshold) against ground truth. The
+    eval uses an md5 permutation family so the ESTIMATE itself replays
+    in the oracle; the serving tier keeps its fast xxhash64 kernel."""
+    from samza_spark.pipeline.dedup import minhash_estimate_eval
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_estimate_eval(
+        docs, text_col="text", id_col="doc_id", block_mod=50, num_perm=16,
+        k=5,
+    )
+
+
+QUERIES["minhash_eval"] = q_minhash_eval
+_MH_EVAL_H = (
+    "('0x' || substr(md5(CAST(p AS VARCHAR) || '|' || x), 1, 8))::BIGINT"
+)
+ORACLES["minhash_eval"] = (
+    "WITH nrm AS (SELECT doc_id, "
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(length(n) - 4, 1)), "
+    "i -> substr(n, i, 5))) AS s FROM nrm), "
+    "sig AS (SELECT doc_id, s, list_transform(generate_series(0, 15), "
+    f"p -> list_min(list_transform(s, x -> {_MH_EVAL_H}))) AS g FROM sh), "
+    "pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, l.g AS lg, r.g AS rg, "
+    "l.s AS ls, r.s AS rs FROM sig l JOIN sig r "
+    "ON l.doc_id // 50 = r.doc_id // 50 AND l.doc_id < r.doc_id), "
+    "m AS (SELECT a, b, "
+    "CAST(len(list_filter(generate_series(1, 16), i -> lg[i] = rg[i])) "
+    "* 1000000 // 16 AS BIGINT) AS est_ppm, "
+    "CAST(len(list_intersect(ls, rs)) * 1000000 "
+    "// len(list_distinct(list_concat(ls, rs))) AS BIGINT) AS exact_ppm "
+    "FROM pairs) "
+    "SELECT a, b, est_ppm, exact_ppm, "
+    "CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm FROM m"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the

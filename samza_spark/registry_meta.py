@@ -78,6 +78,7 @@ FAMILIES: dict[str, list[str]] = {
         "dup_spans", "incremental_dedup", "indexed_dedup",
         "segment_dedup_first", "dup_matrix", "dup_cluster_sizes",
         "containment_pairs", "source_overlap", "url_normalize",
+        "minhash_eval",
     ],
     "similarity": [
         "cosine_topk", "ann_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
@@ -156,7 +157,7 @@ FAMILIES: dict[str, list[str]] = {
         "classifier_confusion", "skew_gini", "concentration_hhi",
         "abc_classification", "category_entropy", "skew_report",
         "markov_eval", "assoc_lift", "target_encoding", "ips_offpolicy",
-        "isotonic_calibration",
+        "isotonic_calibration", "decision_stump", "cem_att",
     ],
     "governance": [
         "k_anonymity", "l_diversity", "t_closeness", "pii_report",

@@ -582,3 +582,129 @@ def test_unpivot_long_shape(spark, sf_dir):
     assert out.columns == ["l_returnflag", "metric", "value"]
     flags = out.select("l_returnflag").distinct().count()
     assert out.count() == flags * 3
+
+
+# -- decision stump -----------------------------------------------------------
+
+
+class TestDecisionStump:
+    def test_perfect_split(self, spark):
+        from samza_spark.pipeline.stats import decision_stump
+
+        # y = 1 exactly when x >= 10: threshold t=9 separates perfectly
+        rows = [Row(x=i, y=0) for i in range(10)] + [
+            Row(x=i, y=1) for i in range(10, 20)
+        ]
+        out = decision_stump(spark.createDataFrame(rows), "x", "y").collect()
+        best = [r for r in out if r.rank == 1][0]
+        assert best.t == 9
+        assert best.split_score_micro == 0
+        assert (best.n_left, best.k_left) == (10, 0)
+        assert (best.n_right, best.k_right) == (10, 10)
+
+    def test_score_matches_hand_formula(self, spark):
+        from samza_spark.pipeline.stats import decision_stump
+
+        rows = [
+            Row(x=1, y=1),
+            Row(x=1, y=0),
+            Row(x=2, y=1),
+            Row(x=3, y=0),
+        ]
+        out = {r.t: r for r in decision_stump(
+            spark.createDataFrame(rows), "x", "y"
+        ).collect()}
+        # split at t=1: left (2,1) right (2,1):
+        # 2*1*1*1e6//2 + 2*1*1*1e6//2 = 2_000_000
+        assert out[1].split_score_micro == 2_000_000
+        # split at t=2: left (3,2) right (1,0):
+        # 2*2*1*1e6//3 + 0 = 1_333_333
+        assert out[2].split_score_micro == 2 * 2 * 1 * 1_000_000 // 3
+        # right side empty threshold (t=3) must not appear
+        assert 3 not in out
+
+    def test_no_split_when_pure(self, spark):
+        from samza_spark.pipeline.stats import decision_stump
+
+        rows = [Row(x=i, y=1) for i in range(5)]
+        out = decision_stump(spark.createDataFrame(rows), "x", "y").collect()
+        assert all(r.split_score_micro == 0 for r in out)
+
+
+# -- CEM treatment effect -----------------------------------------------------
+
+
+class TestCemAtt:
+    def test_hand_check(self, spark):
+        from samza_spark.pipeline.stats import cem_att
+
+        # stratum 0: t mean 3e6, c mean 1e6 -> diff 2e6, w = 1
+        # stratum 1: only control -> excluded from pooling (w = 0)
+        rows = [
+            Row(stratum=0, treated=1, o=3_000_000),
+            Row(stratum=0, treated=0, o=1_000_000),
+            Row(stratum=0, treated=0, o=1_000_000),
+            Row(stratum=1, treated=0, o=9_000_000),
+        ]
+        out = {
+            r.stratum: r
+            for r in cem_att(
+                spark.createDataFrame(rows), "treated", "o", "stratum"
+            ).collect()
+        }
+        assert out[0].diff_micro == 2_000_000
+        assert out[0].matched_w == 1
+        assert out[1].matched_w == 0 and out[1].diff_micro is None
+        assert out[0].att_micro == 2_000_000
+        assert out[1].att_micro == 2_000_000  # pooled value on every row
+
+    def test_pooled_weighting(self, spark):
+        from samza_spark.pipeline.stats import cem_att
+
+        # stratum A: diff 4e6 with w=1; stratum B: diff 1e6 with w=3
+        rows = (
+            [Row(stratum="A", treated=1, o=4_000_000),
+             Row(stratum="A", treated=0, o=0)]
+            + [Row(stratum="B", treated=1, o=1_000_000) for _ in range(3)]
+            + [Row(stratum="B", treated=0, o=0) for _ in range(4)]
+        )
+        out = cem_att(
+            spark.createDataFrame(rows), "treated", "o", "stratum"
+        ).collect()
+        # att = (1*4e6 + 3*1e6) // 4 = 1_750_000
+        assert all(r.att_micro == 1_750_000 for r in out)
+
+
+# -- minhash estimator eval ---------------------------------------------------
+
+
+class TestMinhashEval:
+    def test_identical_docs_estimate_full_match(self, spark):
+        from samza_spark.pipeline.dedup import minhash_estimate_eval
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="the quick brown fox " * 5),
+             Row(doc_id=2, text="the quick brown fox " * 5),
+             Row(doc_id=3, text="completely different words here now")]
+        )
+        out = {(r.a, r.b): r for r in minhash_estimate_eval(
+            df, block_mod=100, num_perm=16
+        ).collect()}
+        # identical docs: every signature position matches, jaccard 1
+        assert out[(1, 2)].est_ppm == 1_000_000
+        assert out[(1, 2)].exact_ppm == 1_000_000
+        assert out[(1, 2)].err_ppm == 0
+        # disjoint docs: exact 0; estimate collisions are possible but
+        # bounded by construction at 1/16 granularity
+        assert out[(1, 3)].exact_ppm < 200_000
+
+    def test_blocking_bounds_pairs(self, spark):
+        from samza_spark.pipeline.dedup import minhash_estimate_eval
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=f"doc number {i} body") for i in range(8)]
+        )
+        out = minhash_estimate_eval(df, block_mod=4, num_perm=8).collect()
+        # blocks {0..3} and {4..7}: C(4,2)*2 = 12 pairs, never cross-block
+        assert len(out) == 12
+        assert all((r.a // 4) == (r.b // 4) for r in out)
