@@ -755,10 +755,17 @@ def range_partition_plan(
     ``hi`` is the bucket's inclusive upper boundary (last bucket takes
     the max).
     """
+    from samza_spark.operators.rank import global_rank
+
     vals = df.select(F.col(col).cast("long").alias("v"))
-    w = Window.partitionBy(F.lit(1)).orderBy("v")
-    ranked = vals.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n_total", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+    # exact global positions WITHOUT a single-partition window: range
+    # exchange + per-partition offsets (operators/rank.py) — the same
+    # plan shape as the repartitionByRange this operator audits. Ties
+    # need no extra tiebreaker here: equal values share a boundary
+    # bucket by construction (max(v) per bucket is tie-invariant).
+    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = global_rank(vals, [F.col("v")], rank_col="rn").crossJoin(
+        F.broadcast(total)
     )
     nb = int(n_buckets)
     # boundary i (1..n) = value at sorted position ceil(N * i / n),

@@ -760,3 +760,69 @@ def test_every_registered_query_passes_the_scale_advisor(spark, sf_dir):
         if errs:
             errors[name] = errs
     assert not errors, errors
+
+
+# -- round-8 operators --------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "recursive_chain",
+        "target_encoding",
+        "ips_offpolicy",
+        "feature_hashing",
+        "isotonic_calibration",
+        "range_partition_plan",
+        "qualify_topk",
+        "unpivot_metrics",
+        "rank_aggregation",
+        "length_bias_audit",
+        "decision_stump",
+        "cem_att",
+        "minhash_eval",
+    ],
+)
+def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_target_encoding_grid_is_broadcast(spark, sf_dir):
+    # the (category, fold) encoding grid joins back via broadcast — the
+    # corpus is never shuffled on a per-row key
+    plan = _plan(spark, "target_encoding", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ips_propensity_tables_broadcast(spark, sf_dir):
+    plan = _plan(spark, "ips_offpolicy", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_feature_hashing_single_shuffle(spark, sf_dir):
+    # explode is map-side; the only exchange is the (doc, bucket) groupBy
+    # (plus AQE re-reads of the same shuffle, which don't add cost)
+    plan = _plan(spark, "feature_hashing", sf_dir)
+    import re as _re
+
+    exchanges = len(_re.findall(r"\(\d+\) Exchange\b", plan))
+    assert exchanges == 1, plan[:2000]
+
+
+def test_compression_ratio_map_only(spark, sf_dir):
+    plan = _plan(spark, "compression_ratio", sf_dir)
+    assert "MapInPandas" in plan  # Arrow-batched kernel, not per-row UDF
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_range_partition_plan_no_single_partition_window(spark, sf_dir):
+    # the global positions come from range exchange + offsets
+    # (operators/rank.py), never a PARTITION BY lit(1) window over the
+    # corpus; counts join back via broadcast
+    plan = _plan(spark, "range_partition_plan", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
