@@ -280,6 +280,22 @@ HEADLINE = [
     "l_diversity",
     "t_closeness",
     "conformal_threshold",
+    # round-8: SQL surface (recursion/QUALIFY/UNPIVOT), tabular-ML prep,
+    # causal/off-policy stats, estimator calibration
+    "recursive_chain",
+    "qualify_topk",
+    "unpivot_metrics",
+    "target_encoding",
+    "feature_hashing",
+    "compression_ratio",
+    "isotonic_calibration",
+    "range_partition_plan",
+    "ips_offpolicy",
+    "rank_aggregation",
+    "length_bias_audit",
+    "decision_stump",
+    "cem_att",
+    "minhash_eval",
 ]
 
 

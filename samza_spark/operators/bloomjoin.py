@@ -117,3 +117,101 @@ def bloom_semi_join(
     bloom = bloom_build(keys, on, m_bits, k, seed)
     pre = bloom_prefilter(big, on, bloom, m_bits, k, seed)
     return pre.join(keys, on, "left_semi")
+
+
+def bloom_fpp_audit(
+    insert_df: DataFrame,
+    probe_df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+    salt: str = "bf",
+) -> DataFrame:
+    """Observed false-positive-rate audit for a Bloom-filter sizing
+    (m, k): build the filter from ``insert_df``'s keys, probe with
+    ``probe_df``'s keys that are NOT in the insert set, and report the
+    measured FPP next to the bit-load — the pre-flight check before
+    shipping a decontamination/runtime filter across a 100 TB scan
+    (an undersized filter silently passes contamination; an oversized
+    one wastes broadcast bytes). Positions use the md5 family
+    (``md5(j|salt|key) % m``), so the ENTIRE audit — bit array included
+    — replays in ANSI SQL; the serving-path filter (bloom_build) keeps
+    its faster xxhash64 positions, and this audit validates the
+    (m, k, n) operating point, which is hash-family-independent at
+    these load factors.
+
+    One summary row: ``(m_bits, k, n_insert, set_bits, load_ppm,
+    n_probe_neg, false_pos, fpp_ppm)``. Shape: two bounded aggregates
+    (word table <= m/64 rows, probe verdicts one row per probe key) —
+    the probe side checks bits via one broadcast word-table join. Words
+    are 32-bit (mask <= 2^31) because DuckDB's BIGINT left-shift
+    errors on 1<<63 — the audit's bit array must replay verbatim.
+    """
+    def positions(col: str):
+        return F.expr(
+            f"transform(sequence(0, {int(k) - 1}), j -> "
+            f"cast(conv(substr(md5(concat(cast(j as string), '|{salt}|', "
+            f"cast({col} as string))), 1, 12), 16, 10) as bigint) "
+            f"% {int(m_bits)})"
+        )
+
+    ins = insert_df.select(F.col(key_col).alias("__k")).distinct()
+    words = (
+        ins.select(F.explode(positions("__k")).alias("p"))
+        .select(
+            F.expr("cast(p div 32 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(p, 32) as int))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("m"))
+    )
+    n_insert = ins.agg(F.count(F.lit(1)).alias("n_insert"))
+    set_bits = words.agg(
+        F.sum(F.expr("bit_count(m)")).cast("long").alias("set_bits")
+    )
+    # probe keys genuinely absent from the insert set (left anti join)
+    neg = (
+        probe_df.select(F.col(key_col).alias("__k"))
+        .distinct()
+        .join(ins, "__k", "left_anti")
+    )
+    probe_bits = (
+        neg.select("__k", F.explode(positions("__k")).alias("p"))
+        .select(
+            "__k",
+            F.expr("cast(p div 32 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(p, 32) as int))").alias("mask"),
+        )
+        .join(F.broadcast(words), "w", "left")
+        .select(
+            "__k",
+            F.expr(
+                "case when m is not null and (m & mask) <> 0 then 1 else 0 end"
+            ).alias("hit"),
+        )
+        .groupBy("__k")
+        .agg(F.min("hit").alias("all_set"))
+    )
+    verdict = probe_bits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_neg"),
+        F.sum("all_set").cast("long").alias("false_pos"),
+    )
+    return (
+        n_insert.crossJoin(F.broadcast(set_bits))
+        .crossJoin(F.broadcast(verdict))
+        .select(
+            F.lit(int(m_bits)).cast("long").alias("m_bits"),
+            F.lit(int(k)).cast("int").alias("k"),
+            F.col("n_insert").cast("long").alias("n_insert"),
+            "set_bits",
+            F.expr(f"set_bits * 1000000 div {int(m_bits)}L").alias(
+                "load_ppm"
+            ),
+            "n_probe_neg",
+            "false_pos",
+            F.expr(
+                "case when n_probe_neg > 0 then "
+                "false_pos * 1000000 div n_probe_neg else 0 end"
+            ).alias("fpp_ppm"),
+        )
+    )

@@ -209,3 +209,49 @@ def sample_video_frames(
             yield out
 
     return df.mapInPandas(run, out_ddl)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str = "id",
+    duration_ms_col: str = "duration_ms",
+    n_frames: int = 8,
+    gop_ms: int = 2000,
+) -> DataFrame:
+    """Frame-sampling SCHEDULE for video ingestion — the decode-free
+    planning half of the multimodal path: given per-asset durations,
+    emit the deterministic midpoint-sampling timestamps
+    ``ts_ms = duration * (2i+1) div (2n)`` plus each timestamp snapped
+    back to its GOP boundary (``gop_ts_ms = ts div gop * gop``) — the
+    seek target a real decoder jumps to before rolling forward. All
+    integer, so the schedule is hash-exact and can be audited before a
+    single byte of video is read; the decode itself stays in
+    sample_video_frames (ffmpeg-gated).
+
+    Map-side sequence+explode — no shuffle, no Python; rows = n_frames
+    per asset. Assets shorter than one frame interval still get
+    ``n_frames`` midpoints (they just repeat timestamps) — the
+    downstream dedup on (id, gop_ts) is the documented contract."""
+    n = int(n_frames)
+    g = int(gop_ms)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(duration_ms_col).cast("long").alias("__dur"),
+        )
+        .select(
+            id_col,
+            "__dur",
+            F.explode(F.expr(f"sequence(0, {n - 1})")).alias("frame_idx"),
+        )
+        .select(
+            id_col,
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.expr(f"__dur * (2 * frame_idx + 1) div {2 * n}").alias(
+                "ts_ms"
+            ),
+            F.expr(
+                f"__dur * (2 * frame_idx + 1) div {2 * n} div {g} * {g}"
+            ).alias("gop_ts_ms"),
+        )
+    )

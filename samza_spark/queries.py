@@ -12959,6 +12959,116 @@ ORACLES["minhash_eval"] = (
 )
 
 
+def q_distinct_on_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT ON first-row-per-key (Postgres/DuckDB sugar; the SQL
+    path rewrites it into the row_number pattern — sql/parser.py
+    rewrite_distinct_on): each user's LATEST event, ties broken by
+    event_id so the winner is a total order. The canonical "current
+    state per key" compaction query."""
+    from samza_spark.sql.parser import rewrite_distinct_on
+
+    load_table(spark, sf, "events").createOrReplaceTempView("__don_events")
+    sql = (
+        "SELECT DISTINCT ON (user_id) user_id, event_type, "
+        "unix_micros(ts) AS ts_us FROM __don_events "
+        "ORDER BY user_id, ts DESC, event_id DESC"
+    )
+    return spark.sql(rewrite_distinct_on(sql))
+
+
+QUERIES["distinct_on_latest"] = q_distinct_on_latest
+ORACLES["distinct_on_latest"] = (
+    "SELECT DISTINCT ON (user_id) user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us FROM events "
+    "ORDER BY user_id, ts DESC, event_id DESC"
+)
+
+
+def q_bloom_fpp_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter sizing audit (operators.bloomjoin.bloom_fpp_audit):
+    build a 512-bit/3-hash filter from every 7th doc_id, probe with the
+    rest, and measure the OBSERVED false-positive rate next to the bit
+    load — the pre-flight number that says whether a decontamination /
+    runtime filter at this (m, k, n) is safe to ship across a full
+    scan. md5 position family, so the bit array itself replays in the
+    oracle."""
+    from samza_spark.operators.bloomjoin import bloom_fpp_audit
+
+    docs = load_table(spark, sf, "documents")
+    ins = docs.filter(F.expr("doc_id % 7 = 0"))
+    probe = docs
+    return bloom_fpp_audit(
+        ins, probe, key_col="doc_id", m_bits=512, k=3, salt="bf"
+    )
+
+
+QUERIES["bloom_fpp_audit"] = q_bloom_fpp_audit
+_BF_POS = (
+    "('0x' || substr(md5(CAST(j AS VARCHAR) || '|bf|' "
+    "|| CAST(k AS VARCHAR)), 1, 12))::BIGINT % 512"
+)
+ORACLES["bloom_fpp_audit"] = (
+    "WITH ins AS (SELECT DISTINCT doc_id AS k FROM documents "
+    "WHERE doc_id % 7 = 0), "
+    "js AS (SELECT unnest(generate_series(0, 2)) AS j), "
+    f"pos AS (SELECT k, {_BF_POS} AS p FROM ins CROSS JOIN js), "
+    "words AS (SELECT p // 32 AS w, "
+    "bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS m "
+    "FROM pos GROUP BY 1), "
+    "ni AS (SELECT count(*) AS n_insert FROM ins), "
+    "sb AS (SELECT CAST(sum(bit_count(m)) AS BIGINT) AS set_bits "
+    "FROM words), "
+    "neg AS (SELECT DISTINCT doc_id AS k FROM documents "
+    "WHERE doc_id % 7 <> 0), "
+    f"ppos AS (SELECT k, {_BF_POS} AS p FROM neg CROSS JOIN js), "
+    "pb AS (SELECT ppos.k, CASE WHEN words.m IS NOT NULL "
+    "AND (words.m & (CAST(1 AS BIGINT) << CAST(ppos.p % 32 AS INT))) <> 0 "
+    "THEN 1 ELSE 0 END AS hit "
+    "FROM ppos LEFT JOIN words ON ppos.p // 32 = words.w), "
+    "verd AS (SELECT k, min(hit) AS all_set FROM pb GROUP BY 1), "
+    "vt AS (SELECT CAST(count(*) AS BIGINT) AS n_probe_neg, "
+    "CAST(sum(all_set) AS BIGINT) AS false_pos FROM verd) "
+    "SELECT CAST(512 AS BIGINT) AS m_bits, CAST(3 AS INT) AS k, "
+    "CAST(ni.n_insert AS BIGINT) AS n_insert, sb.set_bits, "
+    "CAST(sb.set_bits * 1000000 // 512 AS BIGINT) AS load_ppm, "
+    "vt.n_probe_neg, vt.false_pos, "
+    "CAST(CASE WHEN vt.n_probe_neg > 0 THEN "
+    "vt.false_pos * 1000000 // vt.n_probe_neg ELSE 0 END AS BIGINT) "
+    "AS fpp_ppm "
+    "FROM ni CROSS JOIN sb CROSS JOIN vt"
+)
+
+
+def q_frame_sample_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode-free video frame-sampling schedule (pipeline.multimodal.
+    frame_sample_plan): deterministic midpoint timestamps + GOP-aligned
+    seek targets per asset — the plan a 100 TB video ingest audits and
+    shards BEFORE touching codecs (the decode itself stays behind the
+    ffmpeg gate in sample_video_frames). Durations synthesized from
+    document lengths; map-side sequence+explode, no shuffle."""
+    from samza_spark.pipeline.multimodal import frame_sample_plan
+
+    media = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        (F.col("n_chars") * 40).alias("duration_ms"),
+    )
+    return frame_sample_plan(
+        media, id_col="id", duration_ms_col="duration_ms", n_frames=8,
+        gop_ms=2000,
+    )
+
+
+QUERIES["frame_sample_plan"] = q_frame_sample_plan
+ORACLES["frame_sample_plan"] = (
+    "SELECT doc_id AS id, CAST(i AS INT) AS frame_idx, "
+    "CAST(n_chars * 40 * (2 * i + 1) // 16 AS BIGINT) AS ts_ms, "
+    "CAST(n_chars * 40 * (2 * i + 1) // 16 // 2000 * 2000 AS BIGINT) "
+    "AS gop_ts_ms "
+    "FROM documents CROSS JOIN "
+    "(SELECT unnest(generate_series(0, 7)) AS i) ii"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the

@@ -48,12 +48,12 @@ FAMILIES: dict[str, list[str]] = {
         "stream_table_join", "join_left_outer", "multiway_join_revenue",
         "interval_join", "asof_join", "remote_table_join", "range_join",
         "nearest_event_join", "salted_join", "bloom_semi_join",
-        "join_fanout_audit",
+        "join_fanout_audit", "bloom_fpp_audit",
     ],
     "sql": [
         "topk", "having", "set_ops", "set_ops_all", "distinct_agg",
         "rollup", "grouping_sets", "pivot_counts", "recursive_chain",
-        "qualify_topk", "unpivot_metrics",
+        "qualify_topk", "unpivot_metrics", "distinct_on_latest",
     ],
     "functions": [
         "scalar_functions", "collections", "udf_regex", "nested_struct",
@@ -68,7 +68,7 @@ FAMILIES: dict[str, list[str]] = {
     "format": [
         "avro_roundtrip", "csv_roundtrip", "jsonl_roundtrip",
         "orc_roundtrip", "schema_evolution_roundtrip", "multimodal_decode",
-        "tfrecord_roundtrip", "wet_roundtrip",
+        "tfrecord_roundtrip", "wet_roundtrip", "frame_sample_plan",
     ],
     # -- training-data pipeline: dedup & similarity --
     "dedup": [

@@ -257,3 +257,51 @@ def rewrite_qualify(sql: str) -> str:
         f"SELECT *, ({pred}) AS __qualify__ FROM ({head}) __q_src"
         f") __q_flt WHERE __qualify__{trailing}"
     )
+
+
+# -- DISTINCT ON (Postgres/DuckDB first-row-per-key extension) -----------
+
+_DISTINCT_ON_RE = re.compile(
+    r"^\s*select\s+distinct\s+on\s*\((?P<keys>[^)]*)\)\s*(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+
+
+def rewrite_distinct_on(sql: str) -> str:
+    """Rewrite ``SELECT DISTINCT ON (k...) proj FROM ... ORDER BY k...,
+    tiebreak...`` (Postgres/DuckDB first-row-per-group sugar) into the
+    standard row_number pattern Spark understands:
+
+        SELECT * EXCEPT(__don__) FROM (
+          SELECT proj, row_number() OVER (
+            PARTITION BY k... ORDER BY <full order list>) AS __don__
+          FROM ...
+        ) __don_src WHERE __don__ = 1
+
+    The window lives in the SAME select as the projection, so keys and
+    order expressions may reference base-table columns (they need not be
+    projected). Statements without the prefix pass through unchanged.
+    Like Postgres, which row wins is defined by the ORDER BY tail; an
+    ORDER BY that stops at the keys leaves the winner tied —
+    deterministic engines should always pass a tiebreaker."""
+    m = _DISTINCT_ON_RE.match(sql)
+    if m is None:
+        return sql
+    keys, rest = m.group("keys").strip(), m.group("rest")
+    om = _top_level_match(rest, _ORDER_BY_RE)
+    if om is not None:
+        body, order = rest[: om.start()].rstrip(), rest[om.end() :].strip()
+    else:
+        body, order = rest, keys
+    # split "proj FROM ..." at the top-level FROM
+    fm = _top_level_match(body, re.compile(r"\bfrom\b", re.IGNORECASE))
+    if fm is None:
+        raise ValueError("DISTINCT ON requires a FROM clause")
+    proj, tail = body[: fm.start()].rstrip(), body[fm.start() :]
+    return (
+        "SELECT * EXCEPT(__don__) FROM ("
+        f"SELECT {proj}, row_number() OVER ("
+        f"PARTITION BY {keys} ORDER BY {order}) AS __don__ {tail}"
+        ") __don_src WHERE __don__ = 1"
+    )

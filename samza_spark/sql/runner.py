@@ -24,6 +24,7 @@ from samza_spark.functions.builtins import register_builtins
 from samza_spark.sql.parser import (
     SqlStatement,
     parse_statements,
+    rewrite_distinct_on,
     rewrite_qualify,
 )
 from samza_spark.sql.validator import validate_compat
@@ -123,6 +124,7 @@ class SqlApplication:
         # QUALIFY (window filter) is sugar Spark lacks; rewrite is a no-op
         # for statements without a top-level QUALIFY
         sql = rewrite_qualify(sql)
+        sql = rewrite_distinct_on(sql)
         df = self.spark.sql(sql)
         if self.compat_mode and df.isStreaming:
             windowed = self._windowed_groupby(stmt.select)

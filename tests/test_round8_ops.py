@@ -708,3 +708,108 @@ class TestMinhashEval:
         # blocks {0..3} and {4..7}: C(4,2)*2 = 12 pairs, never cross-block
         assert len(out) == 12
         assert all((r.a // 4) == (r.b // 4) for r in out)
+
+
+# -- DISTINCT ON rewrite ------------------------------------------------------
+
+
+class TestDistinctOnRewrite:
+    def test_passthrough(self):
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        sql = "SELECT DISTINCT a FROM t"
+        assert rewrite_distinct_on(sql) == sql
+
+    def test_latest_per_key(self, spark):
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        out = spark.sql(
+            rewrite_distinct_on(
+                "SELECT DISTINCT ON (k) k, v FROM VALUES "
+                "(1, 'old', 10), (1, 'new', 20), (2, 'only', 5) t(k, v, ts) "
+                "ORDER BY k, ts DESC"
+            )
+        ).collect()
+        assert sorted((r.k, r.v) for r in out) == [(1, "new"), (2, "only")]
+
+    def test_order_key_not_projected(self, spark):
+        # the window lives in the same SELECT, so ts need not be projected
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        out = spark.sql(
+            rewrite_distinct_on(
+                "SELECT DISTINCT ON (k) v FROM VALUES "
+                "(1, 'a', 2), (1, 'b', 1) t(k, v, ts) ORDER BY k, ts"
+            )
+        ).collect()
+        assert [r.v for r in out] == ["b"]
+
+    def test_shell_distinct_on(self, spark):
+        from samza_spark.sql.shell import ShellSession
+
+        sh = ShellSession(spark)
+        res = sh.execute(
+            "SELECT DISTINCT ON (k) k, v FROM VALUES (7, 1), (7, 2) t(k, v) "
+            "ORDER BY k, v DESC"
+        )
+        assert res.kind == "rows" and [tuple(r) for r in res.rows] == [(7, 2)]
+
+
+# -- bloom FPP audit ----------------------------------------------------------
+
+
+class TestBloomFppAudit:
+    def test_no_false_negatives_and_counts(self, spark):
+        from samza_spark.operators.bloomjoin import bloom_fpp_audit
+
+        ins = spark.range(0, 50).select(F.col("id").alias("k"))
+        probe = spark.range(0, 200).select(F.col("id").alias("k"))
+        r = bloom_fpp_audit(
+            ins, probe, key_col="k", m_bits=1 << 12, k=4
+        ).collect()[0]
+        assert r.n_insert == 50
+        assert r.n_probe_neg == 150  # inserts excluded via anti join
+        assert 0 < r.set_bits <= 200
+        assert 0 <= r.false_pos <= r.n_probe_neg
+        assert r.fpp_ppm == (
+            r.false_pos * 1_000_000 // r.n_probe_neg
+        )
+
+    def test_tiny_filter_saturates(self, spark):
+        from samza_spark.operators.bloomjoin import bloom_fpp_audit
+
+        # 32 bits for 200 keys: filter saturates, everything is a FP
+        ins = spark.range(0, 200).select(F.col("id").alias("k"))
+        probe = spark.range(200, 260).select(F.col("id").alias("k"))
+        r = bloom_fpp_audit(
+            ins, probe, key_col="k", m_bits=32, k=3
+        ).collect()[0]
+        assert r.load_ppm > 900_000
+        assert r.fpp_ppm > 900_000
+
+
+# -- frame sample plan --------------------------------------------------------
+
+
+class TestFrameSamplePlan:
+    def test_midpoints_and_gop_snap(self, spark):
+        from samza_spark.pipeline.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame([Row(id=1, duration_ms=16000)])
+        out = sorted(
+            frame_sample_plan(df, n_frames=8, gop_ms=2000).collect(),
+            key=lambda r: r.frame_idx,
+        )
+        assert [r.ts_ms for r in out] == [
+            16000 * (2 * i + 1) // 16 for i in range(8)
+        ]
+        assert all(r.gop_ts_ms == r.ts_ms // 2000 * 2000 for r in out)
+        assert all(r.gop_ts_ms <= r.ts_ms for r in out)
+
+    def test_short_asset_repeats_within_bounds(self, spark):
+        from samza_spark.pipeline.multimodal import frame_sample_plan
+
+        df = spark.createDataFrame([Row(id=1, duration_ms=3)])
+        out = frame_sample_plan(df, n_frames=8, gop_ms=2000).collect()
+        assert len(out) == 8
+        assert all(0 <= r.ts_ms < 3 for r in out)
