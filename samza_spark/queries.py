@@ -13069,6 +13069,80 @@ ORACLES["frame_sample_plan"] = (
 )
 
 
+def q_cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY CUBE — the full 2^k grouping lattice (ROLLUP's superset;
+    Catalyst's Expand computes every set in one pass over the scan):
+    lineitem counts by returnflag x linestatus including both marginals
+    and the grand total. NULL lattice markers coalesce to 'ALL' (same
+    convention as the rollup query)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+QUERIES["cube_counts"] = q_cube_counts
+ORACLES["cube_counts"] = (
+    "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
+    "coalesce(l_linestatus, 'ALL') AS ls, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+)
+
+
+def q_json_shred(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed JSON shredding (from_json with a declared schema -> nested
+    struct access + array explode): synthesize a realistic nested
+    payload per document (object + typed scalar + tag array), then
+    shred it back into typed relational columns — the semi-structured
+    ingestion shape every event pipeline needs beyond the
+    key-frequency report (json_props_stats). Map-side only; the oracle
+    re-parses the identical payload with DuckDB's JSON functions."""
+    docs = load_table(spark, sf, "documents")
+    j = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('{\"meta\": {\"lang\": \"', lang, '\", \"n\": ', "
+            "n_chars, '}, \"tags\": [\"t', doc_id % 5, "
+            "'\", \"u', doc_id % 3, '\"]}')"
+        ).alias("js"),
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.from_json(
+                "js",
+                "meta struct<lang: string, n: bigint>, tags array<string>",
+            ).alias("o"),
+        )
+        .select(
+            "doc_id",
+            F.col("o.meta.lang").alias("lang"),
+            F.col("o.meta.n").alias("n"),
+            F.explode("o.tags").alias("tag"),
+        )
+    )
+
+
+QUERIES["json_shred"] = q_json_shred
+ORACLES["json_shred"] = (
+    "WITH j AS (SELECT doc_id, "
+    "'{\"meta\": {\"lang\": \"' || lang || '\", \"n\": ' || n_chars || "
+    "'}, \"tags\": [\"t' || doc_id % 5 || '\", \"u' || doc_id % 3 || "
+    "'\"]}' AS js FROM documents) "
+    "SELECT doc_id, json_extract_string(js, '$.meta.lang') AS lang, "
+    "CAST(json_extract(js, '$.meta.n') AS BIGINT) AS n, "
+    "unnest(CAST(json_extract(js, '$.tags') AS VARCHAR[])) AS tag "
+    "FROM j"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the

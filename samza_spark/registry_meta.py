@@ -54,6 +54,7 @@ FAMILIES: dict[str, list[str]] = {
         "topk", "having", "set_ops", "set_ops_all", "distinct_agg",
         "rollup", "grouping_sets", "pivot_counts", "recursive_chain",
         "qualify_topk", "unpivot_metrics", "distinct_on_latest",
+        "cube_counts", "json_shred",
     ],
     "functions": [
         "scalar_functions", "collections", "udf_regex", "nested_struct",

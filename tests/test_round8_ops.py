@@ -813,3 +813,45 @@ class TestFrameSamplePlan:
         out = frame_sample_plan(df, n_frames=8, gop_ms=2000).collect()
         assert len(out) == 8
         assert all(0 <= r.ts_ms < 3 for r in out)
+
+
+# -- CUBE + JSON shred --------------------------------------------------------
+
+
+def test_cube_lattice_complete(spark, sf_dir):
+    from samza_spark.queries import q_cube_counts
+
+    rows = q_cube_counts(spark, sf_dir).collect()
+    total = [r.n for r in rows if r.rf == "ALL" and r.ls == "ALL"]
+    assert len(total) == 1
+    # marginals sum back to the grand total
+    rf_marginals = sum(
+        r.n for r in rows if r.rf != "ALL" and r.ls == "ALL"
+    )
+    assert rf_marginals == total[0]
+
+
+def test_json_shred_types_and_explode(spark):
+    from samza_spark.pipeline import text  # noqa: F401 (engine import path)
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [Row(doc_id=7, lang="de", n_chars=42)]
+    ).select(
+        "doc_id",
+        SF.expr(
+            "concat('{\"meta\": {\"lang\": \"', lang, '\", \"n\": ', "
+            "n_chars, '}, \"tags\": [\"t', doc_id % 5, "
+            "'\", \"u', doc_id % 3, '\"]}')"
+        ).alias("js"),
+    )
+    out = df.select(
+        SF.from_json(
+            "js", "meta struct<lang: string, n: bigint>, tags array<string>"
+        ).alias("o")
+    ).select("o.meta.lang", "o.meta.n", SF.explode("o.tags").alias("tag"))
+    rows = out.collect()
+    assert [(r.lang, r.n, r.tag) for r in rows] == [
+        ("de", 42, "t2"),
+        ("de", 42, "u1"),
+    ]
