@@ -89,3 +89,50 @@ def assignment_movement(before: DataFrame, after: DataFrame,
             " div count(*)"
         ).alias("moved_ppm"),
     )
+
+
+def rebalance_audit(
+    tasks: DataFrame,
+    n_old: int,
+    n_new: int,
+    task_cols: "tuple[str, ...]" = ("stream", "partition_id"),
+) -> DataFrame:
+    """Scale-out rebalance audit: what fraction of tasks MOVE when the
+    container count changes from ``n_old`` to ``n_new`` — rendezvous
+    hashing's whole point is that the answer is ~1/n_new, while the
+    naive ``partition % n`` placement reshuffles almost everything
+    (state restore cost ~ 50 MB/s/store per the reference's own docs,
+    so movement fraction IS the scale-out downtime). Emits one row per
+    task ``(task cols, old_container, new_container, moved,
+    moved_modulo)`` plus the two pooled ppm columns repeated per row.
+
+    Same md5 scoring as rendezvous_assign (replayable in SQL); the
+    modulo baseline uses the task's partition id. Both assignments ride
+    the same broadcast-scored window — no extra shuffle beyond the
+    task-keyed argmax.
+    """
+    old = rendezvous_assign(
+        tasks, n_old, task_cols=task_cols
+    ).withColumnRenamed("container", "old_container").drop("score")
+    new = rendezvous_assign(
+        tasks, n_new, task_cols=task_cols
+    ).withColumnRenamed("container", "new_container").drop("score")
+    joined = old.join(new, list(task_cols))
+    pid = F.col(task_cols[-1])
+    tagged = joined.withColumn(
+        "moved", F.col("old_container") != F.col("new_container")
+    ).withColumn(
+        "moved_modulo",
+        (pid % F.lit(int(n_old))) != (pid % F.lit(int(n_new))),
+    )
+    pooled = tagged.agg(
+        F.expr(
+            "cast(sum(case when moved then 1 else 0 end) * 1000000 "
+            "div count(1) as bigint)"
+        ).alias("rz_moved_ppm"),
+        F.expr(
+            "cast(sum(case when moved_modulo then 1 else 0 end) * 1000000 "
+            "div count(1) as bigint)"
+        ).alias("mod_moved_ppm"),
+    )
+    return tagged.crossJoin(F.broadcast(pooled))

@@ -2112,3 +2112,57 @@ def window_funnel(
         F.array_max(F.transform(F.col("__a0"), chain_level)), F.lit(0)
     )
     return agged.select(user_col, lvl.cast("long").alias("level"))
+
+
+def watermark_plan(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    candidate_delays_us: "tuple[int, ...]" = (
+        0,
+        60_000_000,
+        600_000_000,
+        3_600_000_000,
+    ),
+) -> DataFrame:
+    """Watermark-delay tradeoff CURVE — disorder_audit answers "how much
+    is late at THIS threshold"; this emits the whole operating table a
+    streaming job tunes against: for each candidate delay d, how many
+    records per key the watermark would drop (arrived after the
+    event-time high-water mark had advanced more than d past them).
+    Pick the knee; every extra second of delay is extra state retention
+    on every stateful operator downstream.
+
+    Same lateness definition and single key-shuffle as disorder_audit
+    (running max over ``seq_col`` arrival order); the candidate list is
+    a broadcast literal crossed in map-side. Emits ``(key, delay_us,
+    n_events, n_late, late_ppm)`` — all integer."""
+    ts_us = F.unix_micros(F.col(ts_col))
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = df.select(
+        F.col(key_col).alias("key"),
+        (F.max(ts_us).over(w_run) - ts_us).alias("late_us"),
+    )
+    delays = ", ".join(str(int(d)) + "L" for d in candidate_delays_us)
+    tagged = late.select(
+        "key",
+        "late_us",
+        F.explode(F.expr(f"array({delays})")).alias("delay_us"),
+    )
+    return (
+        tagged.groupBy("key", "delay_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("late_us") > F.col("delay_us")).cast("long"))
+            .cast("long")
+            .alias("n_late"),
+        )
+        .withColumn(
+            "late_ppm", F.expr("n_late * 1000000 div n_events")
+        )
+    )

@@ -13143,6 +13143,89 @@ ORACLES["json_shred"] = (
 )
 
 
+def q_rebalance_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-out rebalance audit (operators.assignment.rebalance_audit):
+    the 80 SSP tasks re-placed when containers scale 8 -> 9 —
+    rendezvous movement (~1/9 of tasks) vs the modulo baseline
+    (~8/9), per task plus pooled ppm. Movement fraction is the
+    scale-out downtime at the reference's own ~50 MB/s/store restore
+    rate, which is why the assigner choice is an operator, not a
+    config detail."""
+    from samza_spark.operators.assignment import rebalance_audit
+
+    ev = load_table(spark, sf, "events")
+    tasks = ev.select(
+        F.col("event_type").alias("stream"),
+        (F.col("user_id") % 16).cast("long").alias("partition_id"),
+    ).distinct()
+    return rebalance_audit(tasks, n_old=8, n_new=9)
+
+
+QUERIES["rebalance_audit"] = q_rebalance_audit
+_RZ_PICK = (
+    "SELECT stream, partition_id, container FROM ("
+    "SELECT stream, partition_id, container, "
+    "row_number() OVER (PARTITION BY stream, partition_id "
+    "ORDER BY ('0x' || substring(md5(stream || '|' || partition_id "
+    "|| '|' || container), 1, 13))::BIGINT DESC, container ASC) AS rn "
+    "FROM t CROSS JOIN {c}) WHERE rn = 1"
+)
+ORACLES["rebalance_audit"] = (
+    "WITH t AS (SELECT DISTINCT event_type AS stream, "
+    "CAST(user_id % 16 AS BIGINT) AS partition_id FROM events), "
+    "c8 AS (SELECT 'container_' || CAST(i AS VARCHAR) AS container "
+    "FROM range(8) AS r(i)), "
+    "c9 AS (SELECT 'container_' || CAST(i AS VARCHAR) AS container "
+    "FROM range(9) AS r(i)), "
+    "o AS (" + _RZ_PICK.format(c="c8") + "), "
+    "n AS (" + _RZ_PICK.format(c="c9") + "), "
+    "j AS (SELECT o.stream, o.partition_id, "
+    "o.container AS old_container, n.container AS new_container, "
+    "o.container <> n.container AS moved, "
+    "(o.partition_id % 8) <> (o.partition_id % 9) AS moved_modulo "
+    "FROM o JOIN n ON o.stream = n.stream "
+    "AND o.partition_id = n.partition_id), "
+    "p AS (SELECT CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) * 1000000 "
+    "// count(*) AS BIGINT) AS rz_moved_ppm, "
+    "CAST(sum(CASE WHEN moved_modulo THEN 1 ELSE 0 END) * 1000000 "
+    "// count(*) AS BIGINT) AS mod_moved_ppm FROM j) "
+    "SELECT j.*, p.rz_moved_ppm, p.mod_moved_ppm FROM j CROSS JOIN p"
+)
+
+
+def q_watermark_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-delay tradeoff curve (pipeline.events.watermark_plan):
+    per event-type key and candidate delay {0, 1m, 10m, 1h}, how many
+    records the watermark would drop — the operating table behind
+    disorder_audit's single threshold (pick the knee; every extra
+    second of delay is extra state on every downstream stateful
+    operator). Arrival order = event_id, lateness = running event-time
+    high-water mark minus own ts."""
+    from samza_spark.pipeline.events import watermark_plan
+
+    ev = load_table(spark, sf, "events")
+    return watermark_plan(ev)
+
+
+QUERIES["watermark_plan"] = q_watermark_plan
+ORACLES["watermark_plan"] = (
+    "WITH l AS (SELECT event_type AS key, "
+    "max(epoch_ns(ts) // 1000) OVER (PARTITION BY event_type "
+    "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "- epoch_ns(ts) // 1000 AS late_us FROM events), "
+    "d AS (SELECT unnest([0, 60000000, 600000000, 3600000000]) "
+    "AS delay_us), "
+    "t AS (SELECT key, CAST(d.delay_us AS BIGINT) AS delay_us, late_us "
+    "FROM l CROSS JOIN d) "
+    "SELECT key, delay_us, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CASE WHEN late_us > delay_us THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_late, "
+    "CAST(sum(CASE WHEN late_us > delay_us THEN 1 ELSE 0 END) * 1000000 "
+    "// count(*) AS BIGINT) AS late_ppm "
+    "FROM t GROUP BY 1, 2"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the

@@ -144,6 +144,7 @@ FAMILIES: dict[str, list[str]] = {
         "standing_queries", "slo_burn_alerts", "ts_pattern_search",
         "latency_percentiles", "latency_log2_histogram",
         "conversion_delay_ecdf", "interval_merge", "interval_audit",
+        "watermark_plan",
         "cohort_ltv", "rfm_segments", "skyline_2d",
     ],
     "stats": [
@@ -174,6 +175,7 @@ FAMILIES: dict[str, list[str]] = {
         "preference_pairs", "sft_export", "packed_sequences",
         "packing_report", "curriculum_order", "dialogue_turns",
         "embargo_split", "signal_fusion", "task_assignment",
+        "rebalance_audit",
         "rank_aggregation", "length_bias_audit",
         "label_aggregation", "curation_pipeline",
     ],

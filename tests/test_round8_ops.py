@@ -855,3 +855,63 @@ def test_json_shred_types_and_explode(spark):
         ("de", 42, "t2"),
         ("de", 42, "u1"),
     ]
+
+
+# -- rebalance audit + watermark plan ----------------------------------------
+
+
+class TestRebalanceAudit:
+    def test_rendezvous_moves_fraction_modulo_moves_most(self, spark):
+        from samza_spark.operators.assignment import rebalance_audit
+
+        tasks = spark.range(0, 200).select(
+            F.lit("s").alias("stream"), F.col("id").alias("partition_id")
+        )
+        out = rebalance_audit(tasks, n_old=10, n_new=11).collect()
+        rz = out[0].rz_moved_ppm
+        md = out[0].mod_moved_ppm
+        # rendezvous: ~1/11 (~90909 ppm); modulo: ~10/11 — allow slack
+        assert rz < 250_000
+        assert md > 700_000
+        assert rz < md
+
+    def test_only_moves_to_new_container(self, spark):
+        from samza_spark.operators.assignment import rebalance_audit
+
+        tasks = spark.range(0, 100).select(
+            F.lit("s").alias("stream"), F.col("id").alias("partition_id")
+        )
+        out = rebalance_audit(tasks, n_old=4, n_new=5).collect()
+        # rendezvous invariant: a task that moves on scale-OUT can only
+        # move to the NEW container (its old score order is unchanged)
+        for r in out:
+            if r.moved:
+                assert r.new_container == "container_4"
+
+
+class TestWatermarkPlan:
+    def test_monotone_in_delay_and_hand_values(self, spark):
+        from samza_spark.pipeline.events import watermark_plan
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # arrival order 1..4; ts seconds: 10, 5 (5s late), 20, 19 (1s late)
+        rows = [
+            Row(k="a", event_id=1, ts=base + dt.timedelta(seconds=10)),
+            Row(k="a", event_id=2, ts=base + dt.timedelta(seconds=5)),
+            Row(k="a", event_id=3, ts=base + dt.timedelta(seconds=20)),
+            Row(k="a", event_id=4, ts=base + dt.timedelta(seconds=19)),
+        ]
+        out = {
+            r.delay_us: r
+            for r in watermark_plan(
+                spark.createDataFrame(rows),
+                key_col="k",
+                candidate_delays_us=(0, 2_000_000, 10_000_000),
+            ).collect()
+        }
+        assert out[0].n_late == 2
+        assert out[2_000_000].n_late == 1  # only the 5s-late record
+        assert out[10_000_000].n_late == 0
+        lates = [out[d].n_late for d in (0, 2_000_000, 10_000_000)]
+        assert lates == sorted(lates, reverse=True)
