@@ -2249,3 +2249,64 @@ def cem_att(
         ).alias("att_micro")
     )
     return scored.crossJoin(F.broadcast(pooled))
+
+
+def xi_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols=(),
+    tiebreak_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Chatterjee's xi rank correlation (JASA 2021) — the modern
+    dependence measure that, unlike Pearson/Spearman, converges to a
+    meaningful limit for ANY relationship (0 = independent, 1 = y is a
+    measurable function of x, even non-monotone): sort by x, walk the
+    y-ranks, and measure how much they jump:
+
+        xi = 1 - 3 * sum|r_{i+1} - r_i| / (n^2 - 1)
+
+    Rank-only arithmetic — the statistic never touches the raw values
+    beyond ordering, so the whole computation is integer and hash-exact
+    (the reason to ship xi beside the ieee-domain correlation ops).
+    Ties break deterministically on ``tiebreak_col`` (the documented
+    randomized-tie variant replaced by a fixed total order). The
+    unscaled integer numerator/denominator ride along; the n^2 term
+    bounds exactness at ~3e9 rows per group — far beyond any per-key
+    window.
+
+    One shuffle per rank window, both on the group key (global xi uses
+    a single synthetic group — fine for the summary-statistic tier).
+    Emits ``(group..., n, jump_sum, xi_micro)``.
+    """
+    gcols = list(group_cols)
+    tb = [F.col(tiebreak_col)] if tiebreak_col else []
+    part = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    )
+    rx = F.row_number().over(part.orderBy(F.col(x_col).asc(), *tb))
+    ry = F.row_number().over(part.orderBy(F.col(y_col).asc(), *tb))
+    ranked = df.select(*gcols, rx.alias("__rx"), ry.alias("__ry"))
+    w_walk = part.orderBy("__rx")
+    jumps = ranked.withColumn(
+        "__dr", F.abs(F.col("__ry") - F.lag("__ry").over(w_walk))
+    )
+    agg_keys = gcols if gcols else []
+    grouped = (
+        jumps.groupBy(*agg_keys)
+        if agg_keys
+        else jumps.groupBy(F.lit(1).alias("__g"))
+    )
+    out = grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__dr").cast("long").alias("jump_sum"),
+    ).withColumn(
+        "xi_micro",
+        F.expr(
+            f"case when n > 1 then "
+            f"((n * n - 1) - 3 * jump_sum) * {int(scale)} div (n * n - 1) "
+            f"else 0 end"
+        ),
+    )
+    return out if agg_keys else out.drop("__g")

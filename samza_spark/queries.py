@@ -13226,6 +13226,47 @@ ORACLES["watermark_plan"] = (
 )
 
 
+def q_xi_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Chatterjee's xi rank correlation (pipeline.stats.xi_correlation):
+    per event type, does ``value`` depend on event TIME — the
+    any-relationship dependence measure (0 independent, 1 functional,
+    monotone not required), computed rank-only so it is hash-exact
+    where Pearson/Spearman live in the ieee double domain. Ties break
+    on event_id."""
+    from samza_spark.pipeline.stats import xi_correlation
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("x"),
+        F.col("value").alias("y"),
+        "event_id",
+    )
+    return xi_correlation(
+        ev, x_col="x", y_col="y", group_cols=("event_type",),
+        tiebreak_col="event_id",
+    )
+
+
+QUERIES["xi_correlation"] = q_xi_correlation
+ORACLES["xi_correlation"] = (
+    "WITH b AS (SELECT event_type, epoch_ns(ts) // 1000 AS x, value AS y, "
+    "event_id FROM events), "
+    "r AS (SELECT event_type, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) "
+    "AS rx, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY y, event_id) "
+    "AS ry FROM b), "
+    "j AS (SELECT event_type, abs(ry - lag(ry) OVER ("
+    "PARTITION BY event_type ORDER BY rx)) AS dr FROM r) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(dr) AS BIGINT) AS jump_sum, "
+    "CAST(CASE WHEN count(*) > 1 THEN "
+    "((count(*) * count(*) - 1) - 3 * sum(dr)) * 1000000 "
+    "// (count(*) * count(*) - 1) ELSE 0 END AS BIGINT) AS xi_micro "
+    "FROM j GROUP BY 1"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the

@@ -160,6 +160,7 @@ FAMILIES: dict[str, list[str]] = {
         "abc_classification", "category_entropy", "skew_report",
         "markov_eval", "assoc_lift", "target_encoding", "ips_offpolicy",
         "isotonic_calibration", "decision_stump", "cem_att",
+        "xi_correlation",
     ],
     "governance": [
         "k_anonymity", "l_diversity", "t_closeness", "pii_report",

@@ -915,3 +915,55 @@ class TestWatermarkPlan:
         assert out[10_000_000].n_late == 0
         lates = [out[d].n_late for d in (0, 2_000_000, 10_000_000)]
         assert lates == sorted(lates, reverse=True)
+
+
+# -- xi correlation -----------------------------------------------------------
+
+
+class TestXiCorrelation:
+    def test_functional_dependence_near_one(self, spark):
+        from samza_spark.pipeline.stats import xi_correlation
+
+        # y = x^2 (non-monotone function): Pearson would miss it, xi -> 1
+        rows = [Row(x=i, y=(i - 50) ** 2, id=i) for i in range(100)]
+        r = xi_correlation(
+            spark.createDataFrame(rows), "x", "y", tiebreak_col="id"
+        ).collect()[0]
+        assert r.xi_micro > 850_000
+
+    def test_independent_near_zero(self, spark):
+        from samza_spark.pipeline.stats import xi_correlation
+
+        # y is an md5 scramble of x: no dependence xi can exploit
+        import hashlib
+
+        rows = [
+            Row(x=i, y=int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), id=i)
+            for i in range(200)
+        ]
+        r = xi_correlation(
+            spark.createDataFrame(rows), "x", "y", tiebreak_col="id"
+        ).collect()[0]
+        assert abs(r.xi_micro) < 200_000
+
+    def test_hand_check_small(self, spark):
+        from samza_spark.pipeline.stats import xi_correlation
+
+        # x: 1,2,3 with y: 10,30,20 -> y-ranks in x order: 1,3,2
+        # jumps |3-1| + |2-3| = 3; xi = 1 - 3*3/(9-1) = -0.125
+        rows = [Row(x=1, y=10, id=1), Row(x=2, y=30, id=2), Row(x=3, y=20, id=3)]
+        r = xi_correlation(
+            spark.createDataFrame(rows), "x", "y", tiebreak_col="id"
+        ).collect()[0]
+        assert r.n == 3 and r.jump_sum == 3
+        assert r.xi_micro == ((9 - 1) - 9) * 1_000_000 // (9 - 1)
+
+    def test_grouped(self, spark, sf_dir):
+        from samza_spark.queries import q_xi_correlation
+
+        out = q_xi_correlation(spark, sf_dir).collect()
+        assert {r.event_type for r in out} == {
+            "click", "view", "purchase", "signup", "error"
+        }
+        for r in out:
+            assert -500_000 <= r.xi_micro <= 1_000_000
