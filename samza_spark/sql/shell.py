@@ -402,8 +402,10 @@ def repl(spark: SparkSession, app: SqlApplication | None = None) -> None:
         readline.parse_and_bind("tab: complete")
     except ImportError:
         pass
-    print("samza-spark sql shell — SELECT / INSERT INTO / SHOW TABLES / "
-          "SHOW FUNCTIONS / DESCRIBE <t> / LS / STOP <id> / RM <id> / SET k=v / EXIT")
+    print("samza-spark sql shell — SELECT [DISTINCT ON]/[QUALIFY] / "
+          "WITH [RECURSIVE] / INSERT INTO / MERGE / CREATE|REFRESH "
+          "MATERIALIZED VIEW / EXPLAIN [ANALYZE] / SHOW TABLES|FUNCTIONS / "
+          "DESCRIBE <t> / LS / STOP <id> / RM <id> / SET k=v / EXIT")
     while True:
         try:
             line = input("...> " if sess.pending else "sql> ")
