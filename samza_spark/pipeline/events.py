@@ -2166,3 +2166,81 @@ def watermark_plan(
             "late_ppm", F.expr("n_late * 1000000 div n_events")
         )
     )
+
+
+def position_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    lookback_us: int = 604_800_000_000,
+    first_ppm: int = 400_000,
+    last_ppm: int = 400_000,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — last_touch's
+    fair sibling: each conversion's credit splits 40/20/40 (configurable
+    ppm) across the first touch, the middle touches (evenly), and the
+    last touch within the lookback. The multi-touch model every
+    ad-spend report wants once last-touch's bias is understood; with
+    one touch the whole 1e6 ppm goes to it, with two the middle share
+    folds into first+last proportionally (here: added to last, the
+    standard U-shape degenerate rule).
+
+    Shape: conversions pair with their prior touches through ONE
+    key-partitioned interval join (touch in (conv_ts - lookback,
+    conv_ts)), then rank-in-window decides position — both shuffles on
+    the key. Integer ppm division with the remainder assigned to the
+    LAST touch so every conversion's credit sums to exactly 1e6
+    (auditable corpus-wide).
+
+    Emits one row per (conversion, touch): ``(key, conv_id, touch_id,
+    position, n_touches, credit_ppm)``.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("conv_id"),
+        us.alias("conv_us"),
+    )
+    touch = df.filter(F.col(type_col) == touch_type).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("touch_id"),
+        us.alias("touch_us"),
+    )
+    paired = conv.join(touch, "key").filter(
+        (F.col("touch_us") < F.col("conv_us"))
+        & (F.col("touch_us") >= F.col("conv_us") - F.lit(int(lookback_us)))
+    )
+    w = Window.partitionBy("key", "conv_id").orderBy(
+        F.col("touch_us").asc(), F.col("touch_id").asc()
+    )
+    w_n = Window.partitionBy("key", "conv_id")
+    ranked = paired.withColumn("position", F.row_number().over(w)).withColumn(
+        "n_touches", F.count(F.lit(1)).over(w_n)
+    )
+    f, l = int(first_ppm), int(last_ppm)
+    mid_total = 1_000_000 - f - l
+    # the last touch takes everything not already assigned, so each
+    # conversion's credit sums to exactly 1e6 despite integer division
+    credit = F.expr(
+        f"""case
+          when n_touches = 1 then 1000000L
+          when position = 1 then {f}L
+          when n_touches = 2 then 1000000L - {f}L
+          when position < n_touches
+            then {mid_total}L div (n_touches - 2)
+          else 1000000L - {f}L
+               - ({mid_total}L div (n_touches - 2)) * (n_touches - 2)
+        end"""
+    )
+    return ranked.select(
+        "key",
+        "conv_id",
+        "touch_id",
+        F.col("position").cast("int").alias("position"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        credit.cast("long").alias("credit_ppm"),
+    )

@@ -13267,6 +13267,47 @@ ORACLES["xi_correlation"] = (
 )
 
 
+def q_position_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution
+    (pipeline.events.position_attribution) — last_touch's fair sibling:
+    each purchase's credit splits across first/middle/last prior clicks
+    in the 7-day lookback, integer ppm with the division remainder
+    assigned to the last touch so every conversion sums to exactly
+    1e6 (auditable corpus-wide). One key-partitioned interval join +
+    one rank window."""
+    from samza_spark.pipeline.events import position_attribution
+
+    ev = load_table(spark, sf, "events")
+    return position_attribution(ev)
+
+
+QUERIES["position_attribution"] = q_position_attribution
+ORACLES["position_attribution"] = (
+    "WITH conv AS (SELECT user_id AS key, event_id AS conv_id, "
+    "epoch_ns(ts) // 1000 AS conv_us FROM events "
+    "WHERE event_type = 'purchase'), "
+    "tch AS (SELECT user_id AS key, event_id AS touch_id, "
+    "epoch_ns(ts) // 1000 AS touch_us FROM events "
+    "WHERE event_type = 'click'), "
+    "p AS (SELECT c.key, c.conv_id, t.touch_id, t.touch_us "
+    "FROM conv c JOIN tch t ON c.key = t.key "
+    "AND t.touch_us < c.conv_us "
+    "AND t.touch_us >= c.conv_us - 604800000000), "
+    "r AS (SELECT key, conv_id, touch_id, "
+    "row_number() OVER (PARTITION BY key, conv_id "
+    "ORDER BY touch_us, touch_id) AS position, "
+    "count(*) OVER (PARTITION BY key, conv_id) AS n FROM p) "
+    "SELECT key, conv_id, touch_id, CAST(position AS INT) AS position, "
+    "CAST(n AS BIGINT) AS n_touches, "
+    "CAST(CASE WHEN n = 1 THEN 1000000 "
+    "WHEN position = 1 THEN 400000 "
+    "WHEN n = 2 THEN 600000 "
+    "WHEN position < n THEN 200000 // (n - 2) "
+    "ELSE 1000000 - 400000 - (200000 // (n - 2)) * (n - 2) END AS BIGINT) "
+    "AS credit_ppm FROM r"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r8 window (VERDICT r7 next #1/#2): the five HUGEINT ex-red rows and the

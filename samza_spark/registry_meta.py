@@ -140,6 +140,7 @@ FAMILIES: dict[str, list[str]] = {
         "rolling_active_users", "peak_concurrency", "funnel_exclusion",
         "window_funnel", "activity_streaks", "churn_analysis",
         "running_balance", "last_touch_attribution", "path_deviation",
+        "position_attribution",
         "leadlag_xcorr", "burstiness", "trend_slopes", "hysteresis_alerts",
         "standing_queries", "slo_burn_alerts", "ts_pattern_search",
         "latency_percentiles", "latency_log2_histogram",
