@@ -1620,3 +1620,36 @@ def minhash_estimate_eval(
             "div size(array_distinct(concat(ls, rs)))"
         ).cast("long").alias("exact_ppm"),
     ).withColumn("err_ppm", F.expr("abs(est_ppm - exact_ppm)"))
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING exact duplicates, keep every row
+    and downweight it by its duplicate-cluster size (``weight_ppm =
+    1e6 div cluster_size``) — the training-mixture alternative to hard
+    dedup (duplicates still contribute, but a page mirrored 1000x no
+    longer contributes 1000x gradient mass; total corpus weight equals
+    the deduplicated count by construction). Clusters are exact
+    normalized-text md5 fingerprints — the same keying as
+    dedup_exact, so hard and soft paths agree on what "duplicate"
+    means.
+
+    One fingerprint-keyed aggregate + one join back on the fingerprint
+    (both shuffles on the same key, so AQE reuses the exchange).
+    Emits ``(id, cluster_size, weight_ppm)``."""
+    fp = F.md5(normalized(F.col(text_col)))
+    keyed = df.select(F.col(id_col), fp.alias("__fp"))
+    sizes = keyed.groupBy("__fp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        keyed.join(sizes, "__fp")
+        .select(
+            id_col,
+            "cluster_size",
+            F.expr("1000000 div cluster_size").alias("weight_ppm"),
+        )
+    )

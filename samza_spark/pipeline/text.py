@@ -1476,3 +1476,41 @@ def feature_hashing(
         hashed.groupBy(id_col, "bucket")
         .agg(F.sum("sign").cast("long").alias("weight"))
     )
+
+
+def nfc_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: "tuple[str, ...]" = ("doc_id",),
+) -> DataFrame:
+    """Unicode NFC normalization audit — the i18n hygiene pass a crawl
+    pipeline runs BEFORE hashing/dedup (the same text in composed vs
+    decomposed form hashes differently, silently splitting duplicate
+    clusters): per document, codepoint length before and after NFC and
+    whether normalization changes the string at all. Arrow-batched
+    mapInPandas around ``unicodedata`` (Spark has no NFC builtin);
+    map-only, no shuffle. The oracle replays with DuckDB's
+    nfc_normalize — both implement the same stable Unicode algorithm.
+    """
+    ids = list(id_cols)
+    src = df.select(*ids, F.col(text_col).alias("__t"))
+    prefix = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name != "__t"
+    )
+    schema = f"{prefix}, raw_len_cp bigint, nfc_len_cp bigint, changed boolean"
+
+    def _kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            t = pdf["__t"].fillna("")
+            out = pdf[ids].copy()
+            nfc = t.map(lambda s: unicodedata.normalize("NFC", s))
+            out["raw_len_cp"] = t.str.len().astype("int64")
+            out["nfc_len_cp"] = nfc.str.len().astype("int64")
+            out["changed"] = (nfc != t).astype(bool)
+            yield out
+
+    return src.mapInPandas(_kernel, schema=schema)

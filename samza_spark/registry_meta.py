@@ -79,7 +79,7 @@ FAMILIES: dict[str, list[str]] = {
         "dup_spans", "incremental_dedup", "indexed_dedup",
         "segment_dedup_first", "dup_matrix", "dup_cluster_sizes",
         "containment_pairs", "source_overlap", "url_normalize",
-        "minhash_eval",
+        "minhash_eval", "soft_dedup_weights",
     ],
     "similarity": [
         "cosine_topk", "ann_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
@@ -104,7 +104,7 @@ FAMILIES: dict[str, list[str]] = {
         "repetition_loops", "quality_percentiles", "global_quality_rank",
         "quality_calibration", "quality_report", "length_outliers",
         "blocklist_filter", "corpus_report", "compression_ratio",
-        "feature_hashing",
+        "feature_hashing", "nfc_audit",
     ],
     "tokenize": [
         "bpe_merges", "bpe_tokenize", "bpe_fertility", "padding_waste",

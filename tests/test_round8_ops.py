@@ -967,3 +967,54 @@ class TestXiCorrelation:
         }
         for r in out:
             assert -500_000 <= r.xi_micro <= 1_000_000
+
+
+# -- NFC audit + soft dedup ---------------------------------------------------
+
+
+class TestNfcAudit:
+    def test_decomposed_detected_composed_untouched(self, spark):
+        from samza_spark.pipeline.text import nfc_audit
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="café"),   # decomposed: 5 cps
+                Row(doc_id=2, text="café"),     # composed: 4 cps
+                Row(doc_id=3, text="plain ascii"),
+            ]
+        )
+        out = {r.doc_id: r for r in nfc_audit(df).collect()}
+        assert out[1].changed and out[1].raw_len_cp == 5
+        assert out[1].nfc_len_cp == 4
+        assert not out[2].changed and out[2].nfc_len_cp == 4
+        assert not out[3].changed
+
+    def test_null_text(self, spark):
+        from samza_spark.pipeline.text import nfc_audit
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=None)], schema="doc_id long, text string"
+        )
+        r = nfc_audit(df).collect()[0]
+        assert r.raw_len_cp == 0 and not r.changed
+
+
+class TestSoftDedupWeights:
+    def test_weights_and_conservation(self, spark):
+        from samza_spark.pipeline.dedup import soft_dedup_weights
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="same  text"),
+                Row(doc_id=2, text="same text"),   # normalizes equal
+                Row(doc_id=3, text="Same Text"),   # lowercases equal
+                Row(doc_id=4, text="different"),
+            ]
+        )
+        out = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+        assert out[1].cluster_size == 3
+        assert out[1].weight_ppm == 1_000_000 // 3
+        assert out[4].weight_ppm == 1_000_000
+        # total weight ~= deduplicated count (floor error < n_clusters)
+        total = sum(r.weight_ppm for r in out.values())
+        assert 2_000_000 - 3 <= total <= 2_000_000
