@@ -296,6 +296,17 @@ HEADLINE = [
     "decision_stump",
     "cem_att",
     "minhash_eval",
+    "distinct_on_latest",
+    "bloom_fpp_audit",
+    "frame_sample_plan",
+    "cube_counts",
+    "json_shred",
+    "rebalance_audit",
+    "watermark_plan",
+    "xi_correlation",
+    "position_attribution",
+    "nfc_audit",
+    "soft_dedup_weights",
 ]
 
 
