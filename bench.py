@@ -730,7 +730,7 @@ def main() -> None:
             )
 
         secs = run_sustained(
-            "stream_sustained_log_sink_1m", start_log_sink, reps=min(2, repeats)
+            "stream_sustained_log_sink_1m", start_log_sink, reps=repeats
         )
         streaming["stream_sustained_log_sink_msgs_per_sec"] = round(
             n_replay / secs
@@ -765,7 +765,7 @@ def main() -> None:
                 )
 
             samples = []
-            for _ in range(min(2, repeats)):
+            for _ in range(repeats):
                 t0 = time.perf_counter()
                 q = fan_in_query()
                 q.awaitTermination()
@@ -806,7 +806,7 @@ def main() -> None:
                 )
 
             samples = []
-            for _ in range(min(2, repeats)):
+            for _ in range(repeats):
                 t0 = time.perf_counter()
                 q = fan_in_one_source_query()
                 q.awaitTermination()
