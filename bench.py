@@ -307,6 +307,9 @@ HEADLINE = [
     "position_attribution",
     "nfc_audit",
     "soft_dedup_weights",
+    "qte_report",
+    "tail_attribution",
+    "audience_overlap",
 ]
 
 

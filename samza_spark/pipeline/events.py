@@ -2244,3 +2244,102 @@ def position_attribution(
         F.col("n_touches").cast("long").alias("n_touches"),
         credit.cast("long").alias("credit_ppm"),
     )
+
+
+def tail_attribution(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    tail_ppm: int = 990_000,
+) -> DataFrame:
+    """Tail attribution: WHICH keys own the p99 — latency_percentiles
+    says how bad the tail is; this says who to page. The global
+    threshold is the exact discrete order statistic at ``tail_ppm``
+    (value at sorted position ``ceil(n * q)``, integer-ceil idiom)
+    computed through the range-exchange global rank — no
+    single-partition sort — then one key aggregate counts each key's
+    rows at or above it. Emits ``(key, n_events, n_tail, tail_share_ppm,
+    tail_rate_ppm)``: share = of all tail rows, rate = of the key's own
+    rows.
+    """
+    from samza_spark.operators.rank import global_rank
+
+    vals = df.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"cast(floor({value_col} * 1000) as bigint)").alias("v"),
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = global_rank(
+        vals.select("v"), [F.col("v")], rank_col="rn"
+    ).crossJoin(F.broadcast(total))
+    thr = ranked.filter(
+        F.expr(f"rn = (n_total * {int(tail_ppm)}L - 1) div 1000000 + 1")
+    ).select(F.col("v").alias("thr"))
+    tagged = vals.crossJoin(F.broadcast(thr))
+    per_key = tagged.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("v") >= F.col("thr")).cast("long"))
+        .cast("long")
+        .alias("n_tail"),
+    )
+    tail_total = per_key.agg(
+        F.sum("n_tail").cast("long").alias("tail_all")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tail_total))
+        .select(
+            "key",
+            "n_events",
+            "n_tail",
+            F.expr(
+                "case when tail_all > 0 then n_tail * 1000000 div tail_all "
+                "else 0 end"
+            ).alias("tail_share_ppm"),
+            F.expr("n_tail * 1000000 div n_events").alias("tail_rate_ppm"),
+        )
+    )
+
+
+def audience_overlap(
+    df: DataFrame,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Pairwise audience overlap — for every pair of event types, how
+    many distinct users do both (the venn report behind "are clickers
+    the same people as purchasers"). Exact distinct-user sets; Jaccard
+    in ppm. The (user, key) distinct projection is one aggregate; the
+    pair join is user-keyed (bounded by per-user key-set size squared,
+    i.e. K^2 per user at most), never a corpus cross join.
+
+    Emits ``(key_a, key_b, n_a, n_b, n_both, jaccard_ppm)`` for
+    key_a < key_b."""
+    uk = df.select(F.col(user_col).alias("u"), F.col(key_col).alias("k")).distinct()
+    sizes = uk.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        uk.alias("l")
+        .join(uk.alias("r"), "u")
+        .filter(F.expr("l.k < r.k"))
+        .groupBy(F.expr("l.k").alias("key_a"), F.expr("r.k").alias("key_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("k", "key_a").withColumnRenamed("n", "n_a")),
+            "key_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("k", "key_b").withColumnRenamed("n", "n_b")),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "n_both * 1000000 div (n_a + n_b - n_both)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -2310,3 +2310,53 @@ def xi_correlation(
         ),
     )
     return out if agg_keys else out.drop("__g")
+
+
+def quantile_treatment_effect(
+    units: DataFrame,
+    treated_col: str,
+    outcome_col: str,
+    percentiles: "tuple[int, ...]" = (25, 50, 75, 90),
+) -> DataFrame:
+    """Quantile treatment effects — the distributional complement to the
+    mean-effect estimators (cem_att/diff_in_diff/cuped): at each
+    requested percentile, the treated-vs-control gap in the OUTCOME
+    DISTRIBUTION, which a mean can hide entirely (a treatment that
+    helps the p25 and hurts the p90 nets to zero). Quantiles are exact
+    discrete order statistics (value at sorted position
+    ``ceil(n * p / 100)`` via the integer-ceil idiom), so the whole
+    report is hash-exact — no interpolation, no doubles.
+
+    Shape: one rank window per arm over the UNIT table (bh_fdr's
+    unit-table window discipline — units, not events), percentile grid
+    crossed in as a broadcast literal. Emits ``(p, q_treated,
+    q_control, qte)``.
+    """
+    t = units.select(
+        F.col(treated_col).cast("int").alias("__t"),
+        F.col(outcome_col).cast("long").alias("__y"),
+    )
+    w = Window.partitionBy("__t").orderBy("__y")
+    ranked = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("__t"))
+    )
+    ps = ", ".join(str(int(p)) for p in percentiles)
+    grid = ranked.crossJoin(
+        F.broadcast(
+            t.sparkSession.range(1).select(
+                F.explode(F.expr(f"array({ps})")).alias("p")
+            )
+        )
+    )
+    picks = grid.filter(
+        F.expr("rn = (n * p - 1) div 100 + 1")
+    ).groupBy("p").agg(
+        F.max(F.when(F.col("__t") == 1, F.col("__y"))).alias("q_treated"),
+        F.max(F.when(F.col("__t") == 0, F.col("__y"))).alias("q_control"),
+    )
+    return picks.select(
+        F.col("p").cast("int").alias("p"),
+        "q_treated",
+        "q_control",
+        (F.col("q_treated") - F.col("q_control")).alias("qte"),
+    )

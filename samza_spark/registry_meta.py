@@ -145,7 +145,7 @@ FAMILIES: dict[str, list[str]] = {
         "standing_queries", "slo_burn_alerts", "ts_pattern_search",
         "latency_percentiles", "latency_log2_histogram",
         "conversion_delay_ecdf", "interval_merge", "interval_audit",
-        "watermark_plan",
+        "watermark_plan", "tail_attribution", "audience_overlap",
         "cohort_ltv", "rfm_segments", "skyline_2d",
     ],
     "stats": [
@@ -161,7 +161,7 @@ FAMILIES: dict[str, list[str]] = {
         "abc_classification", "category_entropy", "skew_report",
         "markov_eval", "assoc_lift", "target_encoding", "ips_offpolicy",
         "isotonic_calibration", "decision_stump", "cem_att",
-        "xi_correlation",
+        "xi_correlation", "qte_report",
     ],
     "governance": [
         "k_anonymity", "l_diversity", "t_closeness", "pii_report",

@@ -1018,3 +1018,83 @@ class TestSoftDedupWeights:
         # total weight ~= deduplicated count (floor error < n_clusters)
         total = sum(r.weight_ppm for r in out.values())
         assert 2_000_000 - 3 <= total <= 2_000_000
+
+
+# -- QTE + tail attribution + audience overlap --------------------------------
+
+
+class TestQteReport:
+    def test_hand_check(self, spark):
+        from samza_spark.pipeline.stats import quantile_treatment_effect
+
+        # control outcomes 1..10, treated = control + 5 at every rank
+        rows = [Row(t=0, y=i) for i in range(1, 11)] + [
+            Row(t=1, y=i + 5) for i in range(1, 11)
+        ]
+        out = {
+            r.p: r
+            for r in quantile_treatment_effect(
+                spark.createDataFrame(rows), "t", "y",
+                percentiles=(50, 90),
+            ).collect()
+        }
+        # ceil(10*50/100)=5th value: control 5, treated 10
+        assert (out[50].q_control, out[50].q_treated) == (5, 10)
+        assert out[50].qte == 5
+        assert out[90].qte == 5
+
+    def test_distributional_effect_mean_hides(self, spark):
+        from samza_spark.pipeline.stats import quantile_treatment_effect
+
+        # treatment COMPRESSES the distribution (lifts the floor, caps
+        # the ceiling) while leaving the mean nearly unchanged
+        control = [0, 10, 20, 30, 40, 50, 60, 70]
+        treated = [15, 18, 22, 30, 40, 50, 52, 55]
+        rows = [Row(t=0, y=v) for v in control] + [
+            Row(t=1, y=v) for v in treated
+        ]
+        out = {
+            r.p: r.qte
+            for r in quantile_treatment_effect(
+                spark.createDataFrame(rows), "t", "y",
+                percentiles=(25, 90),
+            ).collect()
+        }
+        assert out[25] > 0 and out[90] < 0
+
+
+class TestTailAttribution:
+    def test_shares_sum_to_unit_and_threshold(self, spark):
+        from samza_spark.pipeline.events import tail_attribution
+
+        rows = [Row(event_type="a", value=float(i)) for i in range(100)] + [
+            Row(event_type="b", value=1000.0) for _ in range(5)
+        ]
+        out = {r.key: r for r in tail_attribution(
+            spark.createDataFrame(rows), tail_ppm=950_000
+        ).collect()}
+        # threshold = value at rank ceil(105*0.95)=100 -> 99000 milli
+        # tail rows: a's value 99.0 (1 row) + b's 5 rows = 6
+        assert out["b"].n_tail == 5
+        assert out["a"].n_tail == 1
+        total_share = out["a"].tail_share_ppm + out["b"].tail_share_ppm
+        assert 1_000_000 - 6 <= total_share <= 1_000_000
+
+
+class TestAudienceOverlap:
+    def test_hand_check(self, spark):
+        from samza_spark.pipeline.events import audience_overlap
+
+        rows = [
+            Row(user_id=1, event_type="x"),
+            Row(user_id=1, event_type="y"),
+            Row(user_id=2, event_type="x"),
+            Row(user_id=3, event_type="y"),
+            Row(user_id=3, event_type="y"),  # duplicate event, same user
+        ]
+        out = audience_overlap(spark.createDataFrame(rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.key_a, r.key_b) == ("x", "y")
+        assert (r.n_a, r.n_b, r.n_both) == (2, 2, 1)
+        assert r.jaccard_ppm == 1_000_000 // 3
