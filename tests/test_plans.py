@@ -781,6 +781,19 @@ def test_every_registered_query_passes_the_scale_advisor(spark, sf_dir):
         "decision_stump",
         "cem_att",
         "minhash_eval",
+        "distinct_on_latest",
+        "bloom_fpp_audit",
+        "frame_sample_plan",
+        "cube_counts",
+        "json_shred",
+        "rebalance_audit",
+        "watermark_plan",
+        "xi_correlation",
+        "position_attribution",
+        "soft_dedup_weights",
+        "qte_report",
+        "tail_attribution",
+        "audience_overlap",
     ],
 )
 def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
