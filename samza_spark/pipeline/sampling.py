@@ -804,9 +804,14 @@ def range_partition_plan(
                 "n_rows"
             ),
             F.expr(f"n_total div {nb}").alias("target"),
+            # CASE guard: fewer rows than buckets makes target 0 — Spark
+            # div would return NULL while the DuckDB oracle's // raises,
+            # so degenerate inputs get an explicit dev_ppm = 0 instead of
+            # a cross-engine divergence (same idiom as tail_attribution).
             F.expr(
+                f"case when n_total div {nb} > 0 then "
                 f"(coalesce(n_rows, 0) - n_total div {nb}) * 1000000 "
-                f"div (n_total div {nb})"
+                f"div (n_total div {nb}) else 0 end"
             ).alias("dev_ppm"),
         )
     )

@@ -2045,8 +2045,14 @@ def ips_estimate(
         .withColumn("pi_ppm", F.expr("1000000 div k"))
         .withColumn(
             "w_ppm",
+            # greatest(mu_ppm, 1): with >1e6 rows per context a rare
+            # action's floored propensity hits 0 ppm; unguarded, Spark's
+            # div yields NULL (silently dropping the row) while DuckDB's
+            # // raises — the guard keeps both engines on the clip path
+            # (pi/epsilon >> clip) instead of diverging exactly at scale.
             F.expr(
-                f"least(pi_ppm * 1000000 div mu_ppm, {int(clip_ppm)}L)"
+                "least(pi_ppm * 1000000 div greatest(mu_ppm, 1L), "
+                f"{int(clip_ppm)}L)"
             ),
         )
     )

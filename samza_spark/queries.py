@@ -12526,8 +12526,8 @@ ORACLES["ips_offpolicy"] = (
     "nxa AS (SELECT ctx, a, count(*) AS n_xa FROM r GROUP BY 1, 2), "
     "k AS (SELECT count(DISTINCT a) AS k FROM r), "
     "w AS (SELECT r.a, r.rew, "
-    "least((1000000 // k.k) * 1000000 // (nxa.n_xa * 1000000 // nx.n_x), "
-    "10000000) AS w_ppm "
+    "least((1000000 // k.k) * 1000000 // "
+    "greatest(nxa.n_xa * 1000000 // nx.n_x, 1), 10000000) AS w_ppm "
     "FROM r JOIN nx ON r.ctx = nx.ctx "
     "JOIN nxa ON r.ctx = nxa.ctx AND r.a = nxa.a CROSS JOIN k), "
     "tot AS (SELECT count(*) AS n_total FROM w), "
@@ -12664,8 +12664,9 @@ ORACLES["range_partition_plan"] = (
     "SELECT iv.bucket, iv.hi, "
     "CAST(coalesce(cnt.n_rows, 0) AS BIGINT) AS n_rows, "
     "CAST(iv.nt // 8 AS BIGINT) AS target, "
-    "CAST((coalesce(cnt.n_rows, 0) - iv.nt // 8) * 1000000 // (iv.nt // 8) "
-    "AS BIGINT) AS dev_ppm "
+    "CAST(CASE WHEN iv.nt // 8 > 0 THEN "
+    "(coalesce(cnt.n_rows, 0) - iv.nt // 8) * 1000000 // (iv.nt // 8) "
+    "ELSE 0 END AS BIGINT) AS dev_ppm "
     "FROM iv LEFT JOIN cnt ON iv.bucket = cnt.bucket"
 )
 

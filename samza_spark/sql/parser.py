@@ -266,6 +266,29 @@ _DISTINCT_ON_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+_LIMIT_OFFSET_RE = re.compile(r"\b(limit|offset)\b", re.IGNORECASE)
+_SORT_ITEM_RE = re.compile(
+    r"(?is)^(?P<expr>.*?)(?P<dir>\s+(?:asc|desc))?"
+    r"(?P<nulls>\s+nulls\s+(?:first|last))?\s*$"
+)
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas at paren-depth 0 outside string literals."""
+    parts, depth, in_str, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(s[start:i])
+                start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 def rewrite_distinct_on(sql: str) -> str:
@@ -284,24 +307,59 @@ def rewrite_distinct_on(sql: str) -> str:
     projected). Statements without the prefix pass through unchanged.
     Like Postgres, which row wins is defined by the ORDER BY tail; an
     ORDER BY that stops at the keys leaves the winner tied —
-    deterministic engines should always pass a tiebreaker."""
+    deterministic engines should always pass a tiebreaker.
+
+    A trailing top-level LIMIT/OFFSET is hoisted OUT of the rewrite and
+    re-applied after the ``__don__ = 1`` filter (Postgres applies LIMIT
+    after DISTINCT ON), and the user's ORDER BY is re-emitted on the
+    outer SELECT so the documented output ordering survives: each order
+    expression is projected as a hidden ``__don_o{i}`` column inside the
+    window select (where base-table columns are still in scope) and the
+    outer sort references those, so unprojected order keys work."""
     m = _DISTINCT_ON_RE.match(sql)
     if m is None:
         return sql
     keys, rest = m.group("keys").strip(), m.group("rest")
     om = _top_level_match(rest, _ORDER_BY_RE)
+    limit = ""
     if om is not None:
         body, order = rest[: om.start()].rstrip(), rest[om.end() :].strip()
+        lm = _top_level_match(order, _LIMIT_OFFSET_RE)
+        if lm is not None:
+            order, limit = (
+                order[: lm.start()].rstrip(),
+                " " + order[lm.start() :].strip(),
+            )
+        emit_order = True
     else:
-        body, order = rest, keys
+        body, order, emit_order = rest, keys, False
+        lm = _top_level_match(body, _LIMIT_OFFSET_RE)
+        if lm is not None:
+            body, limit = (
+                body[: lm.start()].rstrip(),
+                " " + body[lm.start() :].strip(),
+            )
     # split "proj FROM ..." at the top-level FROM
     fm = _top_level_match(body, re.compile(r"\bfrom\b", re.IGNORECASE))
     if fm is None:
         raise ValueError("DISTINCT ON requires a FROM clause")
     proj, tail = body[: fm.start()].rstrip(), body[fm.start() :]
+    hidden, outer_order, excepts = [], [], ["__don__"]
+    if emit_order:
+        for i, item in enumerate(_split_top_level_commas(order)):
+            sm = _SORT_ITEM_RE.match(item)
+            expr = sm.group("expr").strip()
+            suffix = (sm.group("dir") or "") + (sm.group("nulls") or "")
+            hidden.append(f", ({expr}) AS __don_o{i}")
+            outer_order.append(f"__don_o{i}{suffix}")
+            excepts.append(f"__don_o{i}")
+    order_clause = (
+        f" ORDER BY {', '.join(outer_order)}" if outer_order else ""
+    )
     return (
-        "SELECT * EXCEPT(__don__) FROM ("
+        f"SELECT * EXCEPT({', '.join(excepts)}) FROM ("
         f"SELECT {proj}, row_number() OVER ("
-        f"PARTITION BY {keys} ORDER BY {order}) AS __don__ {tail}"
-        ") __don_src WHERE __don__ = 1"
+        f"PARTITION BY {keys} ORDER BY {order}) AS __don__"
+        f"{''.join(hidden)} {tail}"
+        f") __don_src WHERE __don__ = 1{order_clause}{limit}"
     )
