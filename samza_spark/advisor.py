@@ -41,6 +41,40 @@ def _finding(code: str, severity: str, detail: str) -> dict:
     return {"code": code, "severity": severity, "detail": detail}
 
 
+_TREE_NODE_RE = re.compile(r"([A-Za-z][A-Za-z0-9]*) \((\d+)\)")
+_DETAIL_HEAD_RE = re.compile(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9]*)", re.MULTILINE)
+
+
+def _count_single_partition_windows(plan: str) -> int:
+    """Count Window nodes fed (directly or through a Sort) by an
+    Exchange SinglePartition — the shape that serializes the whole
+    input into one sorting task.
+
+    Formatted explain numbers nodes depth-first, so in a straight
+    Exchange -> [Sort ->] Window chain the parent's id is child+1; the
+    SinglePartition argument only appears in the details block of the
+    exchange's id."""
+    names = {int(i): n for n, i in _TREE_NODE_RE.findall(plan)}
+    # details text per node id (block runs to the next "(id) Name" head)
+    heads = list(_DETAIL_HEAD_RE.finditer(plan))
+    details = {}
+    for k, h in enumerate(heads):
+        end = heads[k + 1].start() if k + 1 < len(heads) else len(plan)
+        details[int(h.group(1))] = plan[h.start() : end]
+    count = 0
+    for nid, name in names.items():
+        if name != "Exchange":
+            continue
+        if "SinglePartition" not in details.get(nid, ""):
+            continue
+        up1, up2 = names.get(nid + 1, ""), names.get(nid + 2, "")
+        if up1 in ("Window", "WindowGroupLimit") or (
+            up1 == "Sort" and up2 in ("Window", "WindowGroupLimit")
+        ):
+            count += 1
+    return count
+
+
 def plan_audit(df, expected_filter_pushdown: bool | None = None) -> "list[dict]":
     """Audit one DataFrame's physical plan for known scale hazards.
 
@@ -79,7 +113,25 @@ def plan_audit(df, expected_filter_pushdown: bool | None = None) -> "list[dict]"
         )
     # formatted mode renders an exchange's partitioning only in its
     # details block ("Arguments: SinglePartition, ..."), once per node
+    n_window = _count_single_partition_windows(plan)
     n_single = plan.count("SinglePartition")
+    if n_window:
+        # promoted to error (r8 verdict #5): a SinglePartition exchange
+        # FEEDING a Window/Sort chain is the global-window funnel — one
+        # task sorts the whole input; it cannot survive a 100x scale-up
+        # unless the table is provably bounded (bins, sketch cells,
+        # distinct scores — callers with such tables waive explicitly).
+        findings.append(
+            _finding(
+                "single-partition-window",
+                "error",
+                f"{n_window} Window over Exchange SinglePartition: the "
+                "whole input funnels through ONE task to be sorted. Use "
+                "the range-exchange primitives (operators.rank.global_rank "
+                "/ global_cumsum) — or waive only if the windowed table is "
+                "provably bounded (bin/sketch/distinct-score tables).",
+            )
+        )
     if n_single:
         findings.append(
             _finding(

@@ -653,6 +653,7 @@ def streaming_hll(
     lg_k: int = 12,
     group_col: "str | None" = None,
     checkpoint_dir: "str | None" = None,
+    max_groups: int = 100_000,
 ):
     """Maintain HLL distinct-count sketches as streaming state: sketch
     each micro-batch with ``hll_sketch_agg`` and fold into the durable
@@ -666,6 +667,11 @@ def streaming_hll(
 
     State rows travel through the driver as a bounded list (one row per
     group) and land in parquet with an atomic overwrite per trigger.
+    ``max_groups`` caps that list (same guard discipline as dedup's
+    hot-bucket census): a group key whose cardinality grows with the
+    data — user_id instead of a categorical — would otherwise OOM the
+    driver silently; past the cap the trigger fails with a clear error
+    naming the fix (coarser group key, or raise the cap deliberately).
     Genuine read errors on prior state propagate (the trigger retries);
     only the missing-path first trigger starts fresh.
     """
@@ -686,7 +692,17 @@ def streaming_hll(
             )
         else:
             merged = inc
-        rows = merged.collect()
+        # limit-probe: one job, and the driver never holds more than
+        # max_groups+1 rows even on the failing trigger
+        rows = merged.limit(max_groups + 1).collect()
+        if len(rows) > max_groups:
+            raise ValueError(
+                f"streaming_hll state exceeds the max_groups="
+                f"{max_groups} driver-collect cap. The group key's "
+                "cardinality scales with the data — use a coarser key "
+                "(sketch state must stay bounded), or raise max_groups "
+                "deliberately if the driver can hold it."
+            )
         out = spark.createDataFrame(rows, merged.schema)
         out.coalesce(1).write.mode("overwrite").parquet(state_path)
 

@@ -5,6 +5,7 @@ that silently reintroduces a shuffle or a BatchEvalPython node fails
 here before it costs anything at real scale."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from samza_spark.queries import QUERIES
 
@@ -460,6 +461,20 @@ def test_quantile_normalize_no_single_partition_sort(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_qte_report_no_two_partition_arm_window(spark, sf_dir):
+    # VERDICT r8 #1: per-arm order statistics must come from the range
+    # exchange (global_rank keyed by arm), never Window.partitionBy on
+    # the 0/1 treatment flag — that plan is two tasks sorting half the
+    # unit table each. Pin: no single-partition exchange, and the rank's
+    # range exchange fans out to >2 tasks.
+    import re as _re
+
+    plan = _plan(spark, "qte_report", sf_dir)
+    assert "Exchange SinglePartition" not in plan
+    parts = [int(m) for m in _re.findall(r"rangepartitioning\([^)]*,\s*(\d+)\)", plan)]
+    assert parts and max(parts) > 2, plan[:2000]
+
+
 def test_ohlc_bars_single_window_node(spark, sf_dir):
     # both row_numbers share the (key, bucket) partition spec: Catalyst
     # must not add a second shuffle for the descending ordering
@@ -739,12 +754,37 @@ def test_hypertable_rollup_two_aggregates_one_merge(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+# Waivers for the error-level single-partition-window finding (r8
+# verdict #5 promoted it from warn): each query below windows over a
+# table that is BOUNDED BY CONSTRUCTION — day/hour buckets, n_bins
+# rows, distinct-value/score domains, hypothesis tables — never the
+# unit/corpus table itself (each operator's docstring states the bound).
+# Anything NOT in this list that plans a Window over Exchange
+# SinglePartition fails the sweep.
+_SINGLE_PARTITION_WINDOW_WAIVERS = {
+    "pr_curve",                # distinct-score thresholds
+    "lift_chart",              # n_bins decile rows
+    "hist_ks_drift",           # histogram bin cells
+    "bh_fdr",                  # hypothesis table (one row per test)
+    "conversion_delay_ecdf",   # day-bucket delay domain
+    "slo_burn_alerts",         # hour-grid buckets
+    "kaplan_meier",            # lifetime buckets (observation span)
+    "qini_curve",              # n_bins rows
+    "emd_drift",               # histogram bin cells
+    "mann_whitney",            # distinct-value table (value resolution)
+    "target_encoding",         # (category, fold) grid
+    "isotonic_calibration",    # calibration-bin table (B^3 span, documented)
+    "range_partition_plan",    # n_buckets interval rows
+}
+
+
 def test_every_registered_query_passes_the_scale_advisor(spark, sf_dir):
     """Sweep the FULL registry through plan_audit: no query may plan a
-    true CartesianProduct or row-wise Python — the per-family pins
-    above check subsets; this is the whole-registry net. (Warn-level
-    findings — bounded single-partition stages, one-row broadcast
-    crosses — are the documented idioms and allowed.)"""
+    true CartesianProduct, row-wise Python, or (r8 verdict #5) a
+    Window fed by an Exchange SinglePartition — unless the windowed
+    table is in the explicit bounded-idiom waiver list above. Warn-level
+    findings (bounded non-window single-partition stages, one-row
+    broadcast crosses) remain allowed."""
     from samza_spark.advisor import plan_audit
 
     errors = {}
@@ -754,12 +794,50 @@ def test_every_registered_query_passes_the_scale_advisor(spark, sf_dir):
                 f["code"]
                 for f in plan_audit(fn(spark, sf_dir))
                 if f["severity"] == "error"
+                and not (
+                    f["code"] == "single-partition-window"
+                    and name in _SINGLE_PARTITION_WINDOW_WAIVERS
+                )
             ]
         except Exception as e:  # a query that cannot even plan is a bug
             errs = [f"BUILD_FAIL:{type(e).__name__}"]
         if errs:
             errors[name] = errs
     assert not errors, errors
+
+
+def test_advisor_flags_corpus_table_global_window_as_error(spark, sf_dir):
+    """The shape that shipped qte_report's r8 funnel must now be RED: a
+    window partitioned by a constant over a corpus-scale table is an
+    error-severity finding, not a warn the sweep ignores."""
+    from pyspark.sql import Window
+
+    from samza_spark.advisor import plan_audit
+    from samza_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy("doc_id")
+        ),
+    )
+    codes = {
+        f["code"]: f["severity"] for f in plan_audit(bad)
+    }
+    assert codes.get("single-partition-window") == "error", codes
+
+
+def test_advisor_final_limit_collect_is_not_an_error(spark, sf_dir):
+    """A SinglePartition exchange that only feeds a final k-row
+    ordered-limit stays warn-level — the documented acceptable idiom."""
+    from samza_spark.advisor import plan_audit
+    from samza_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok = docs.groupBy("lang").count().orderBy(F.desc("count")).limit(3)
+    errs = [f for f in plan_audit(ok) if f["severity"] == "error"]
+    assert not errs, errs
 
 
 # -- round-8 operators --------------------------------------------------------

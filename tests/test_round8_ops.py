@@ -462,6 +462,29 @@ class TestStreamingHll:
         )
         assert streamed == batch
 
+    def test_unbounded_group_key_raises_before_collect(self, spark, tmp_path):
+        # VERDICT r8 #4: a group key whose cardinality scales with the
+        # data must fail the trigger with a clear error, never OOM the
+        # driver — the fold probes limit(max_groups+1), so even the
+        # failing trigger holds a bounded row list
+        from pyspark.sql.streaming import StreamingQueryException
+        from samza_spark.pipeline.sketches import streaming_hll
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        spark.range(0, 300).select(
+            F.col("id").alias("u"), F.col("id").cast("string").alias("g")
+        ).write.parquet(src)
+        stream = spark.readStream.schema("u long, g string").parquet(src)
+        q = streaming_hll(
+            stream, "u", state, lg_k=12, group_col="g",
+            checkpoint_dir=ckpt, max_groups=50,
+        )
+        with pytest.raises(StreamingQueryException) as ei:
+            q.awaitTermination(120)
+        assert "max_groups" in str(ei.value)
+
 
 # -- QUALIFY rewrite ----------------------------------------------------------
 
@@ -1028,6 +1051,37 @@ class TestXiCorrelation:
         ).collect()[0]
         assert r.n == 3 and r.jump_sum == 3
         assert r.xi_micro == ((9 - 1) - 9) * 1_000_000 // (9 - 1)
+
+    def test_global_path_no_single_partition_window(self, spark):
+        # VERDICT r8 #2: the ungrouped library path must rank via the
+        # range exchange, never Window.partitionBy(lit(1))
+        from samza_spark.pipeline.stats import xi_correlation
+
+        rows = [Row(x=i, y=(i * 7) % 23, id=i) for i in range(50)]
+        df = xi_correlation(
+            spark.createDataFrame(rows), "x", "y", tiebreak_col="id"
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+        r = df.collect()[0]
+        assert r.n == 50 and 0 <= r.jump_sum
+
+    def test_grouped_and_global_agree_on_one_group(self, spark):
+        # the self-join walk must be byte-identical to the windowed
+        # formulation: run both paths on the same total-ordered data
+        from samza_spark.pipeline.stats import xi_correlation
+
+        rows = [Row(g=1, x=i, y=(i * 13) % 31, id=i) for i in range(60)]
+        df = spark.createDataFrame(rows)
+        grouped = xi_correlation(
+            df, "x", "y", group_cols=("g",), tiebreak_col="id"
+        ).collect()[0]
+        glob = xi_correlation(df, "x", "y", tiebreak_col="id").collect()[0]
+        assert (grouped.n, grouped.jump_sum, grouped.xi_micro) == (
+            glob.n, glob.jump_sum, glob.xi_micro,
+        )
 
     def test_grouped(self, spark, sf_dir):
         from samza_spark.queries import q_xi_correlation
