@@ -857,17 +857,28 @@ def main() -> None:
             F.concat(F.lit("v" * 248), F.col("id").cast("string")).alias("v"),
         )
         payload = payload.localCheckpoint()  # time the store, not the generator
-        t0 = time.perf_counter()
-        table = DurableLocalTable.open(
-            spark, f"{kv_root}/store1", key_cols=["k"],
-            schema="k long, v string",
-        )
-        table.merge_batch(payload, mode="upsert")
-        secs = round(time.perf_counter() - t0, 3)
+        # median of `repeats` fresh-store runs: r9 profiling
+        # (tools/profile_kv_write.py) measured the FIRST durable write
+        # of a session at ~4x the settled cost (codegen/JIT + cold write
+        # path: 2.36s vs 0.49s on an idle host) — a single sample lands
+        # anywhere in that band depending on what ran before it, which
+        # is exactly the r7->r8 748k->585k "regression" (PERF.md r9).
+        kv_samples = []
+        for i in range(max(repeats, 2)):
+            t0 = time.perf_counter()
+            table = DurableLocalTable.open(
+                spark, f"{kv_root}/store1_{i}", key_cols=["k"],
+                schema="k long, v string",
+            )
+            table.merge_batch(payload, mode="upsert")
+            kv_samples.append(time.perf_counter() - t0)
+        secs = round(statistics.median(kv_samples), 3)
         per_query["kv_store_write_1m"] = secs
         streaming["kv_store_write_msgs_per_sec"] = round(n_kv / secs)
         print(
-            f"# kv_store_write_1m: {secs:.3f}s ({n_kv} x ~256B durable upserts)",
+            f"# kv_store_write_1m: median {secs:.3f}s of "
+            f"{[round(s, 3) for s in kv_samples]} "
+            f"({n_kv} x ~256B durable upserts)",
             file=sys.stderr,
         )
 
