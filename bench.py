@@ -310,6 +310,15 @@ HEADLINE = [
     "qte_report",
     "tail_attribution",
     "audience_overlap",
+    # round-9: adversarial SQL-surface conformance
+    "qualify_nested",
+    "qualify_grouped",
+    "distinct_on_expr",
+    "distinct_on_ordered_topk",
+    "recursive_edges_reach",
+    "recursive_reach_rollup",
+    "unpivot_nulls",
+    "cube_lattice_filter",
 ]
 
 

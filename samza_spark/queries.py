@@ -13475,6 +13475,284 @@ ORACLES["audience_overlap"] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# round-9: adversarial SQL-surface conformance (VERDICT r8 next #6) — the
+# r8 sugar (QUALIFY / DISTINCT ON / UNPIVOT / CUBE / WITH RECURSIVE) had
+# rewrite-level tests but one oracle query each; these push each surface
+# through its hostile shapes, and the DuckDB oracles run the SAME sugar
+# natively, so the conformance target is another engine's implementation
+# of the identical syntax, not a hand-translated UNION ALL.
+# ---------------------------------------------------------------------------
+
+
+def q_qualify_nested(spark: SparkSession, sf: str) -> DataFrame:
+    """QUALIFY nested inside a FROM subquery (sql/parser.py
+    _rewrite_subqueries applies the rewrite depth-first): inner top-2
+    orders per priority by price, outer aggregate over the survivors —
+    the window filter must run BEFORE the outer GROUP BY. DuckDB runs
+    the identical statement with its native QUALIFY."""
+    from samza_spark.sql.parser import rewrite_qualify
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("__qn_orders")
+    sql = (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM ("
+        "SELECT o_orderpriority, o_orderkey, "
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c "
+        "FROM __qn_orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY price_c DESC, o_orderkey) <= 2"
+        ") GROUP BY o_orderpriority"
+    )
+    return spark.sql(rewrite_qualify(sql))
+
+
+QUERIES["qualify_nested"] = q_qualify_nested
+ORACLES["qualify_nested"] = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(price_c) AS BIGINT) AS sum_price_c FROM ("
+    "SELECT o_orderpriority, o_orderkey, "
+    "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c "
+    "FROM orders "
+    "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY price_c DESC, o_orderkey) <= 2"
+    ") GROUP BY o_orderpriority"
+)
+
+
+def q_qualify_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """QUALIFY over an AGGREGATED query: the window runs on the GROUP
+    BY output and the predicate references the aggregate's alias — the
+    post-aggregation evaluation order Snowflake documents. The rank
+    window runs over the grouped event-type table (bounded by type
+    cardinality — sweep-waivered idiom)."""
+    from samza_spark.sql.parser import rewrite_qualify
+
+    load_table(spark, sf, "events").createOrReplaceTempView("__qg_events")
+    sql = (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM __qg_events GROUP BY event_type "
+        "QUALIFY rank() OVER (ORDER BY n DESC, event_type) <= 3"
+    )
+    return spark.sql(rewrite_qualify(sql))
+
+
+QUERIES["qualify_grouped"] = q_qualify_grouped
+ORACLES["qualify_grouped"] = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY event_type "
+    "QUALIFY rank() OVER (ORDER BY n DESC, event_type) <= 3"
+)
+
+
+def q_distinct_on_expr(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT ON with a function-call expression key (balanced-paren
+    key-list parsing, sql/parser.py): the single most expensive order
+    per priority CLASS (first character of the priority string) — the
+    key never exists as a column. DuckDB runs the statement natively."""
+    from samza_spark.sql.parser import rewrite_distinct_on
+
+    load_table(spark, sf, "orders").createOrReplaceTempView("__do_orders")
+    sql = (
+        "SELECT DISTINCT ON (substr(o_orderpriority, 1, 1)) "
+        "substr(o_orderpriority, 1, 1) AS prio_class, o_orderkey, "
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c "
+        "FROM __do_orders "
+        "ORDER BY substr(o_orderpriority, 1, 1), o_totalprice DESC, "
+        "o_orderkey"
+    )
+    return spark.sql(rewrite_distinct_on(sql))
+
+
+QUERIES["distinct_on_expr"] = q_distinct_on_expr
+ORACLES["distinct_on_expr"] = (
+    "SELECT DISTINCT ON (substr(o_orderpriority, 1, 1)) "
+    "substr(o_orderpriority, 1, 1) AS prio_class, o_orderkey, "
+    "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c "
+    "FROM orders "
+    "ORDER BY substr(o_orderpriority, 1, 1), o_totalprice DESC, o_orderkey"
+)
+
+
+def q_distinct_on_ordered_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT ON with trailing ORDER BY ... LIMIT (the r8-advice
+    regression shape, now oracle-proved): richest customer per nation,
+    then the 10 highest nation keys IN ORDER — the LIMIT must apply
+    after the per-key filter and the user's ORDER BY must survive as
+    the output ordering (Postgres semantics, hidden __don_o columns)."""
+    from samza_spark.sql.parser import rewrite_distinct_on
+
+    load_table(spark, sf, "customer").createOrReplaceTempView(
+        "__dt_customer"
+    )
+    sql = (
+        "SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, "
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c "
+        "FROM __dt_customer "
+        "ORDER BY c_nationkey DESC, c_acctbal DESC, c_custkey LIMIT 10"
+    )
+    return spark.sql(rewrite_distinct_on(sql))
+
+
+QUERIES["distinct_on_ordered_topk"] = q_distinct_on_ordered_topk
+ORACLES["distinct_on_ordered_topk"] = (
+    "SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, "
+    "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c "
+    "FROM customer "
+    "ORDER BY c_nationkey DESC, c_acctbal DESC, c_custkey LIMIT 10"
+)
+
+
+def q_recursive_edges_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE with a JOIN inside the recursive leg (the closure
+    shape recursive_chain's self-contained walk avoids): an explicit
+    supplier->parent edge TABLE, and each iteration extends the
+    frontier by joining it back to the edges — classic transitive
+    closure / BOM explosion. The forest parent = suppkey div 8 bounds
+    depth at log_8(max key), so the iteration count is O(log n) stages
+    while each stage is one equi-join."""
+    load_table(spark, sf, "supplier").createOrReplaceTempView(
+        "__rj_supplier"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE edges (child, parent) AS (
+          SELECT s_suppkey, s_suppkey DIV 8 FROM __rj_supplier
+          WHERE s_suppkey >= 8
+        ),
+        reach (node, anc, hops) AS (
+          SELECT child, parent, 1 FROM edges
+          UNION ALL
+          SELECT r.node, e.parent, r.hops + 1
+          FROM reach r JOIN edges e ON r.anc = e.child
+        )
+        SELECT node, anc, CAST(hops AS INT) AS hops FROM reach
+        """
+    )
+
+
+QUERIES["recursive_edges_reach"] = q_recursive_edges_reach
+ORACLES["recursive_edges_reach"] = (
+    "WITH RECURSIVE edges (child, parent) AS ("
+    "SELECT s_suppkey, s_suppkey // 8 FROM supplier WHERE s_suppkey >= 8"
+    "), reach (node, anc, hops) AS ("
+    "SELECT child, parent, 1 FROM edges "
+    "UNION ALL "
+    "SELECT r.node, e.parent, r.hops + 1 "
+    "FROM reach r JOIN edges e ON r.anc = e.child"
+    ") SELECT node, anc, CAST(hops AS INT) AS hops FROM reach"
+)
+
+
+def q_recursive_reach_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregation OVER a recursive closure (join in the recursive leg
+    + outer GROUP BY): per ancestor, how many descendants reach it and
+    from how deep — the org-chart rollup. Proves the recursive CTE's
+    result composes with downstream relational operators."""
+    load_table(spark, sf, "supplier").createOrReplaceTempView(
+        "__rr_supplier"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE edges (child, parent) AS (
+          SELECT s_suppkey, s_suppkey DIV 8 FROM __rr_supplier
+          WHERE s_suppkey >= 8
+        ),
+        reach (node, anc, hops) AS (
+          SELECT child, parent, 1 FROM edges
+          UNION ALL
+          SELECT r.node, e.parent, r.hops + 1
+          FROM reach r JOIN edges e ON r.anc = e.child
+        )
+        SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
+               CAST(max(hops) AS INT) AS max_hops
+        FROM reach GROUP BY anc
+        """
+    )
+
+
+QUERIES["recursive_reach_rollup"] = q_recursive_reach_rollup
+ORACLES["recursive_reach_rollup"] = (
+    "WITH RECURSIVE edges (child, parent) AS ("
+    "SELECT s_suppkey, s_suppkey // 8 FROM supplier WHERE s_suppkey >= 8"
+    "), reach (node, anc, hops) AS ("
+    "SELECT child, parent, 1 FROM edges "
+    "UNION ALL "
+    "SELECT r.node, e.parent, r.hops + 1 "
+    "FROM reach r JOIN edges e ON r.anc = e.child"
+    ") SELECT anc, CAST(count(*) AS BIGINT) AS n_desc, "
+    "CAST(max(hops) AS INT) AS max_hops FROM reach GROUP BY anc"
+)
+
+
+def q_unpivot_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-level UNPIVOT with INCLUDE NULLS: by default UNPIVOT DROPS
+    null measures — the include-nulls variant must keep them (the
+    dashboard melt where a missing metric is a visible gap, not a
+    vanished row). One measure is forced NULL for one group so the
+    semantics are proven at every sf."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView(
+        "__un_lineitem"
+    )
+    return spark.sql(
+        "SELECT * FROM ("
+        "SELECT l_returnflag, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(CASE WHEN l_returnflag = 'N' THEN NULL "
+        "ELSE count(DISTINCT l_orderkey) END AS BIGINT) AS n_orders "
+        "FROM __un_lineitem GROUP BY l_returnflag"
+        ") UNPIVOT INCLUDE NULLS "
+        "(value FOR metric IN (n_rows, n_orders))"
+    )
+
+
+QUERIES["unpivot_nulls"] = q_unpivot_nulls
+ORACLES["unpivot_nulls"] = (
+    "WITH a AS (SELECT l_returnflag, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(CASE WHEN l_returnflag = 'N' THEN NULL "
+    "ELSE count(DISTINCT l_orderkey) END AS BIGINT) AS n_orders "
+    "FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a "
+    "UNION ALL "
+    "SELECT l_returnflag, 'n_orders' AS metric, n_orders AS value FROM a"
+)
+
+
+def q_cube_lattice_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY CUBE + GROUPING() lattice-level filtering: keep only
+    the two one-dimension marginals (grouping level sum = 1), with the
+    grouping markers emitted as typed columns — the standard way a
+    report consumer distinguishes a real NULL group from a lattice
+    rollup row. DuckDB evaluates the same GROUPING() natively."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView(
+        "__cg_lineitem"
+    )
+    return spark.sql(
+        "SELECT rf, ls, lvl_rf, lvl_ls, n FROM ("
+        "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
+        "coalesce(l_linestatus, 'ALL') AS ls, "
+        "CAST(grouping(l_returnflag) AS INT) AS lvl_rf, "
+        "CAST(grouping(l_linestatus) AS INT) AS lvl_ls, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM __cg_lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ") WHERE lvl_rf + lvl_ls = 1"
+    )
+
+
+QUERIES["cube_lattice_filter"] = q_cube_lattice_filter
+ORACLES["cube_lattice_filter"] = (
+    "SELECT rf, ls, lvl_rf, lvl_ls, n FROM ("
+    "SELECT coalesce(l_returnflag, 'ALL') AS rf, "
+    "coalesce(l_linestatus, 'ALL') AS ls, "
+    "CAST(grouping(l_returnflag) AS INT) AS lvl_rf, "
+    "CAST(grouping(l_linestatus) AS INT) AS lvl_ls, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ") WHERE lvl_rf + lvl_ls = 1"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r9 window (VERDICT r8 next #1): CORRECTNESS_r08 was 50/50 green, so the

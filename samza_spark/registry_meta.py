@@ -55,6 +55,10 @@ FAMILIES: dict[str, list[str]] = {
         "rollup", "grouping_sets", "pivot_counts", "recursive_chain",
         "qualify_topk", "unpivot_metrics", "distinct_on_latest",
         "cube_counts", "json_shred",
+        # r9 adversarial conformance (DuckDB runs the same sugar natively)
+        "qualify_nested", "qualify_grouped", "distinct_on_expr",
+        "distinct_on_ordered_topk", "recursive_edges_reach",
+        "recursive_reach_rollup", "unpivot_nulls", "cube_lattice_filter",
     ],
     "functions": [
         "scalar_functions", "collections", "udf_regex", "nested_struct",

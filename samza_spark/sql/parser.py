@@ -229,6 +229,42 @@ def _top_level_match(sql: str, regex: re.Pattern) -> "re.Match | None":
     return None
 
 
+def _rewrite_subqueries(sql: str, rewrite) -> str:
+    """Apply ``rewrite`` to the content of every parenthesized group
+    (depth-first — inner groups are handled by the recursive call the
+    rewriter itself makes), skipping string literals. This is what lets
+    QUALIFY / DISTINCT ON appear inside FROM subqueries, not just at the
+    statement's top level: each subquery body is itself a SELECT the
+    same rewrite understands. Non-SELECT groups (function args, IN
+    lists) pass through the rewriter unchanged by its own guards."""
+    res, last = [], 0
+    i, n, in_str = 0, len(sql), False
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            in_str = not in_str
+        elif ch == "(" and not in_str:
+            d, j, s2 = 1, i + 1, False
+            while j < n and d:
+                c2 = sql[j]
+                if c2 == "'":
+                    s2 = not s2
+                elif not s2:
+                    if c2 == "(":
+                        d += 1
+                    elif c2 == ")":
+                        d -= 1
+                j += 1
+            inner = sql[i + 1 : j - 1]
+            res.append(sql[last : i + 1])
+            res.append(rewrite(inner))
+            last = j - 1
+            i = j - 1
+        i += 1
+    res.append(sql[last:])
+    return "".join(res)
+
+
 def rewrite_qualify(sql: str) -> str:
     """Rewrite ``SELECT ... QUALIFY <pred> [ORDER BY ...] [LIMIT n]`` into
     standard Spark SQL — Spark has no native QUALIFY, but the clause is
@@ -242,7 +278,9 @@ def rewrite_qualify(sql: str) -> str:
     functions over the inner SELECT's output (both evaluate in the
     wrapper's projection context). Statements without a top-level
     QUALIFY pass through unchanged, so the rewrite is safe to apply
-    unconditionally in the SQL path."""
+    unconditionally in the SQL path. Subqueries are rewritten first
+    (depth-first), so a QUALIFY nested inside a FROM subquery works."""
+    sql = _rewrite_subqueries(sql, rewrite_qualify)
     m = _top_level_match(sql, _QUALIFY_RE)
     if m is None:
         return sql
@@ -261,9 +299,8 @@ def rewrite_qualify(sql: str) -> str:
 
 # -- DISTINCT ON (Postgres/DuckDB first-row-per-key extension) -----------
 
-_DISTINCT_ON_RE = re.compile(
-    r"^\s*select\s+distinct\s+on\s*\((?P<keys>[^)]*)\)\s*(?P<rest>.*)$",
-    re.IGNORECASE | re.DOTALL,
+_DISTINCT_ON_PREFIX_RE = re.compile(
+    r"^\s*select\s+distinct\s+on\s*\(", re.IGNORECASE
 )
 _ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
 _LIMIT_OFFSET_RE = re.compile(r"\b(limit|offset)\b", re.IGNORECASE)
@@ -315,11 +352,30 @@ def rewrite_distinct_on(sql: str) -> str:
     outer SELECT so the documented output ordering survives: each order
     expression is projected as a hidden ``__don_o{i}`` column inside the
     window select (where base-table columns are still in scope) and the
-    outer sort references those, so unprojected order keys work."""
-    m = _DISTINCT_ON_RE.match(sql)
+    outer sort references those, so unprojected order keys work.
+
+    Subqueries rewrite first (a DISTINCT ON inside a FROM subquery
+    works), and the key list is parsed with balanced parens, so
+    expression keys like ``substr(name, 1, 1)`` are legal."""
+    sql = _rewrite_subqueries(sql, rewrite_distinct_on)
+    m = _DISTINCT_ON_PREFIX_RE.match(sql)
     if m is None:
         return sql
-    keys, rest = m.group("keys").strip(), m.group("rest")
+    # balanced-paren scan for the key list (expression keys may nest)
+    i, depth, in_str = m.end(), 1, False
+    while i < len(sql) and depth:
+        ch = sql[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced parens in DISTINCT ON key list")
+    keys, rest = sql[m.end() : i - 1].strip(), sql[i:]
     om = _top_level_match(rest, _ORDER_BY_RE)
     limit = ""
     if om is not None:

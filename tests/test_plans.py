@@ -775,6 +775,7 @@ _SINGLE_PARTITION_WINDOW_WAIVERS = {
     "target_encoding",         # (category, fold) grid
     "isotonic_calibration",    # calibration-bin table (B^3 span, documented)
     "range_partition_plan",    # n_buckets interval rows
+    "qualify_grouped",         # rank over the grouped event-type table
 }
 
 
@@ -878,6 +879,44 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# -- round-9 SQL-surface conformance queries ----------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "qualify_nested",
+        "qualify_grouped",
+        "distinct_on_expr",
+        "distinct_on_ordered_topk",
+        "recursive_edges_reach",
+        "recursive_reach_rollup",
+        "unpivot_nulls",
+        "cube_lattice_filter",
+    ],
+)
+def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_distinct_on_expr_single_window_partitioned_by_key(spark, sf_dir):
+    # the rewrite's row_number window must hash-partition on the
+    # expression key, never collapse to a single partition
+    plan = _plan(spark, "distinct_on_expr", sf_dir)
+    assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0].split(
+        "AdaptiveSparkPlan"
+    )[0]
+
+
+def test_recursive_reach_is_loop_of_joins(spark, sf_dir):
+    # the recursive leg joins the frontier to the edge table — the plan
+    # must contain a real equi-join (UnionLoop iteration), no cartesian
+    plan = _plan(spark, "recursive_edges_reach", sf_dir)
+    assert "Join" in plan or "UnionLoop" in plan
 
 
 def test_target_encoding_grid_is_broadcast(spark, sf_dir):

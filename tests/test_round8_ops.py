@@ -531,6 +531,38 @@ class TestQualifyRewrite:
         ).collect()
         assert [r.k for r in out] == [2]
 
+    def test_nested_in_from_subquery(self, spark):
+        # r9 conformance: a QUALIFY nested inside a FROM subquery
+        # rewrites depth-first and the outer aggregate sees only the
+        # window survivors
+        from samza_spark.sql.parser import rewrite_qualify
+
+        out = sorted(
+            tuple(r)
+            for r in spark.sql(
+                rewrite_qualify(
+                    "SELECT k, count(*) AS n FROM (SELECT k, v FROM "
+                    "VALUES (1,5),(1,9),(1,2),(2,7),(2,1) t(k,v) "
+                    "QUALIFY row_number() OVER (PARTITION BY k "
+                    "ORDER BY v DESC) <= 2) GROUP BY k"
+                )
+            ).collect()
+        )
+        assert out == [(1, 2), (2, 2)]
+
+    def test_after_group_by(self, spark):
+        # QUALIFY filtering on a window over the AGGREGATED output
+        from samza_spark.sql.parser import rewrite_qualify
+
+        out = spark.sql(
+            rewrite_qualify(
+                "SELECT k, count(*) AS n FROM VALUES "
+                "(1,1),(1,2),(2,3),(3,4),(3,5),(3,6) t(k,v) GROUP BY k "
+                "QUALIFY rank() OVER (ORDER BY n DESC) <= 1"
+            )
+        ).collect()
+        assert [(r.k, r.n) for r in out] == [(3, 3)]
+
     def test_shell_qualify_end_to_end(self, spark):
         from samza_spark.sql.shell import ShellSession
 
@@ -826,6 +858,46 @@ class TestDistinctOnRewrite:
             )
         ).collect()
         assert [r.v for r in out] == ["c", "b"]
+
+    def test_expression_keys_with_parens(self, spark):
+        # r9 conformance: DISTINCT ON key lists parse with balanced
+        # parens, so function-call keys are legal
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        out = spark.sql(
+            rewrite_distinct_on(
+                "SELECT DISTINCT ON (substr(name, 1, 1)) name, v FROM "
+                "VALUES ('apple',1),('avocado',2),('banana',3) t(name,v) "
+                "ORDER BY substr(name, 1, 1), v DESC"
+            )
+        ).collect()
+        assert sorted((r.name, r.v) for r in out) == [
+            ("avocado", 2), ("banana", 3),
+        ]
+
+    def test_nested_in_from_subquery(self, spark):
+        # r9 conformance: DISTINCT ON inside a FROM subquery rewrites
+        # depth-first — the outer statement needs no rewrite at all
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        out = spark.sql(
+            rewrite_distinct_on(
+                "SELECT sum(v) AS s FROM (SELECT DISTINCT ON (k) k, v "
+                "FROM VALUES (1,5),(1,9),(2,7) t(k,v) ORDER BY k, v DESC)"
+            )
+        ).collect()
+        assert out[0].s == 16
+
+    def test_string_literal_parens_ignored(self, spark):
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        out = spark.sql(
+            rewrite_distinct_on(
+                "SELECT DISTINCT ON (k) k, v FROM VALUES ('(x',1),('(x',2) "
+                "t(k,v) ORDER BY k, v DESC"
+            )
+        ).collect()
+        assert [(r.k, r.v) for r in out] == [("(x", 2)]
 
     def test_limit_without_order_by(self, spark):
         from samza_spark.sql.parser import rewrite_distinct_on
