@@ -319,6 +319,10 @@ HEADLINE = [
     "recursive_reach_rollup",
     "unpivot_nulls",
     "cube_lattice_filter",
+    "interval_join_left",
+    "luhn_audit",
+    "simpson_audit",
+    "binary_near_dup",
 ]
 
 

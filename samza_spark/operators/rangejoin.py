@@ -49,6 +49,8 @@ def banded_range_join(
     upper: str = "INTERVAL 5 MINUTES",
     band_seconds: int | None = None,
     extra_on=None,
+    how: str = "inner",
+    left_id_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Rows of ``left`` x ``right`` with ``right.right_ts`` in
     ``[left.left_ts + lower, left.left_ts + upper]`` (string INTERVAL
@@ -58,7 +60,24 @@ def banded_range_join(
     optionally adds conjuncts (a Column over the two inputs) evaluated
     with the range filter. Column name collisions are the caller's
     problem (alias before joining), as with any raw DataFrame join.
+
+    ``how="left"`` keeps unmatched left rows with typed NULL right
+    columns — the outer TTL-join a naive band explode cannot produce
+    (an exploded left row sits in up to 2 bands, so a per-band outer
+    join would DUPLICATE its unmatched copy). The scale-safe shape is
+    inner-banded-join + anti-complement: matched left ids (one
+    distinct over the match output) anti-join the original left, and
+    the remainder unions in with null right columns. ``left_id_cols``
+    must uniquely identify left rows for the complement. Both legs are
+    ordinary hash shuffles; no nested loop anywhere.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"banded_range_join supports inner/left, got {how!r}")
+    if how == "left" and not left_id_cols:
+        raise ValueError(
+            "how='left' needs left_id_cols (unique left row identity) "
+            "for the anti-join complement"
+        )
     if band_seconds is None:
         band_seconds = _span_seconds(left, lower, upper)
     lo = F.expr(f"{left_ts} + {lower}")
@@ -84,4 +103,14 @@ def banded_range_join(
     )
     if extra_on is not None:
         cond = cond & extra_on
-    return l_banded.join(r_banded, on=cond).drop("__band")
+    joined = l_banded.join(r_banded, on=cond).drop("__band")
+    if how == "inner":
+        return joined
+    matched = joined.select(*left_id_cols).distinct()
+    unmatched = left.join(matched, on=list(left_id_cols), how="left_anti")
+    for f in right.schema.fields:
+        unmatched = unmatched.withColumn(
+            f.name, F.lit(None).cast(f.dataType)
+        )
+    out_cols = [*left.columns, *[f.name for f in right.schema.fields]]
+    return joined.select(*out_cols).unionByName(unmatched.select(*out_cols))

@@ -946,3 +946,51 @@ def t_closeness(
             ).alias("violates"),
         )
     )
+
+
+def luhn_audit(
+    df: DataFrame,
+    token_col: str,
+    group_cols: "tuple[str, ...] | list[str]" = (),
+) -> DataFrame:
+    """Luhn mod-10 checksum audit over candidate numeric tokens — the
+    precision layer of a PII scan: a digit-run regex alone flags every
+    long number (order ids, timestamps, hashes); the Luhn check digit
+    (ISO/IEC 7812, the public checksum every payment-card number
+    carries) separates plausibly-real card numbers from digit noise at
+    a 10% false-accept floor, which is what decides whether a document
+    is quarantined or merely logged.
+
+    The checksum is evaluated as ONE Catalyst higher-order expression
+    (aggregate over the token's digit positions — right-to-left
+    alternate doubling with the >9 fold), so the audit is map-side
+    integer arithmetic with a single tiny groupBy on (group...,
+    token length). Emits ``(group..., token_len, n_tokens, n_valid,
+    valid_ppm)``; non-digit or short (<12) tokens are excluded (the
+    regex layer's job, not the checksum's).
+    """
+    g = list(group_cols)
+    t = F.col(token_col)
+    luhn_sum = F.expr(
+        f"aggregate(sequence(1, length({token_col})), 0, (acc, i) -> "
+        f"acc + (CASE WHEN (length({token_col}) - i) % 2 = 0 "
+        f"THEN ascii(substr({token_col}, i, 1)) - 48 "
+        f"ELSE IF((ascii(substr({token_col}, i, 1)) - 48) * 2 > 9, "
+        f"(ascii(substr({token_col}, i, 1)) - 48) * 2 - 9, "
+        f"(ascii(substr({token_col}, i, 1)) - 48) * 2) END))"
+    )
+    scored = (
+        df.filter(t.rlike("^[0-9]{12,19}$"))
+        .withColumn("token_len", F.length(t).cast("int"))
+        .withColumn("__valid", (luhn_sum % 10 == 0).cast("long"))
+    )
+    return (
+        scored.groupBy(*g, "token_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__valid").cast("long").alias("n_valid"),
+        )
+        .withColumn(
+            "valid_ppm", F.expr("n_valid * 1000000 div n_tokens")
+        )
+    )

@@ -255,3 +255,47 @@ def frame_sample_plan(
             ).alias("gop_ts_ms"),
         )
     )
+
+
+def binary_near_dup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    hash_family: str = "xxhash64",
+    impl: str = "pandas",
+    max_block_size: "int | None" = 5000,
+) -> DataFrame:
+    """Decode-free near-duplicate candidates over opaque BINARY payloads
+    (image/audio/video bytes — the multimodal columns this module
+    carries): SimHash over the payload's hex byte-stream shingles, the
+    pigeonhole block bucketing, and the exact hamming verify — the text
+    near-dup discipline (pipeline.dedup.simhash_candidates) lifted onto
+    a binary column. Byte-level similarity is the pragmatic pre-decode
+    dedup tier: re-encodes/re-uploads of one asset share long byte runs
+    and land within a few signature bits, while true perceptual
+    hashing needs the decode stub's features (decode_image) — run this
+    FIRST, at 100 TB the decode is the expensive step, and every blob
+    this tier removes never gets decoded.
+
+    Plan: ``hex()`` is a map-side projection; everything downstream is
+    simhash_candidates' single (block, value)-keyed shuffle with the
+    hot-block cap. ``hash_family='md5'`` keeps the chain replayable in
+    DuckDB for the oracle.
+    """
+    from samza_spark.pipeline.dedup import simhash_candidates
+
+    hexed = df.select(
+        F.col(id_col), F.hex(F.col(content_col)).alias("__hx")
+    )
+    return simhash_candidates(
+        hexed,
+        text_col="__hx",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bits=bits,
+        impl=impl,
+        hash_family=hash_family,
+        max_block_size=max_block_size,
+    )

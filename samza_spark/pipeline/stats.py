@@ -2432,3 +2432,75 @@ def quantile_treatment_effect(
         "q_control",
         (F.col("q_treated") - F.col("q_control")).alias("qte"),
     )
+
+
+def simpson_audit(
+    units: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Simpson's-paradox audit — the sanity gate in front of every
+    pooled A/B or cohort readout: does the pooled exposed-vs-control
+    direction agree with the within-stratum directions, or is the
+    pooled sign an artifact of unequal stratum mix (Simpson 1951; the
+    Berkeley-admissions shape)? Directions compare rates WITHOUT
+    division: ``sign(k_t * n_c - k_c * n_t)`` is the exact sign of
+    ``k_t/n_t - k_c/n_c``, so the audit is all-integer and hash-exact.
+
+    Emits one row per stratum with the exposed/control counts, the
+    stratum direction, the pooled direction (repeated — the table is
+    self-contained), and a ``reverses`` flag; a consumer alerts when
+    any stratum (or most mass) reverses the pooled sign.
+
+    Shape: ONE unit-table aggregate to the stratum table (bounded by
+    stratum cardinality), pooled totals as a broadcast scalar — the
+    unit table is touched once, exactly like cem_att.
+    """
+    per = units.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(
+            F.when(F.col(exposure_col) == 1, 1).otherwise(0)
+        ).cast("long").alias("n_t"),
+        F.sum(
+            F.when(
+                (F.col(exposure_col) == 1) & (F.col(outcome_col) == 1), 1
+            ).otherwise(0)
+        ).cast("long").alias("k_t"),
+        F.sum(
+            F.when(F.col(exposure_col) == 0, 1).otherwise(0)
+        ).cast("long").alias("n_c"),
+        F.sum(
+            F.when(
+                (F.col(exposure_col) == 0) & (F.col(outcome_col) == 1), 1
+            ).otherwise(0)
+        ).cast("long").alias("k_c"),
+    )
+    pooled = per.agg(
+        F.sum("n_t").alias("pn_t"),
+        F.sum("k_t").alias("pk_t"),
+        F.sum("n_c").alias("pn_c"),
+        F.sum("k_c").alias("pk_c"),
+    ).select(
+        F.expr("cast(sign(pk_t * pn_c - pk_c * pn_t) as int)").alias(
+            "dir_pooled"
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "dir_stratum",
+            F.expr("cast(sign(k_t * n_c - k_c * n_t) as int)"),
+        )
+        .withColumn(
+            "reverses",
+            (
+                (F.col("dir_stratum") * F.col("dir_pooled") < 0)
+                & (F.col("n_t") > 0)
+                & (F.col("n_c") > 0)
+            ).cast("int"),
+        )
+        .select(
+            "stratum", "n_t", "k_t", "n_c", "k_c",
+            "dir_stratum", "dir_pooled", "reverses",
+        )
+    )

@@ -13753,6 +13753,183 @@ ORACLES["cube_lattice_filter"] = (
 )
 
 
+def q_interval_join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER stream-stream TTL join, batch semantics
+    (operators.rangejoin.banded_range_join how='left'): every click,
+    with its within-5-minutes purchases OR a NULL row if none came —
+    the funnel question the inner TTL join cannot answer ("which
+    clicks went nowhere"). Samza's PartialJoinOperatorImpl emits on
+    match only (users emulate outer with timers); Spark streams it
+    natively (stream-stream left-outer with watermarks,
+    test_streaming.py:344) and this is the banded batch analog: inner
+    banded join + anti-join complement, never a per-band outer join
+    (which would duplicate unmatched rows across bands)."""
+    from samza_spark.operators.rangejoin import banded_range_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = banded_range_join(
+        clicks,
+        purchases,
+        "click_ts",
+        "purchase_ts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 5 MINUTES",
+        extra_on=F.col("user_id") == F.col("p_user"),
+        how="left",
+        left_id_cols=["click_id"],
+    )
+    return j.select("user_id", "click_id", "purchase_id")
+
+
+QUERIES["interval_join_left"] = q_interval_join_left
+ORACLES["interval_join_left"] = (
+    "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id "
+    "FROM events c LEFT JOIN events p ON c.user_id = p.user_id "
+    "AND p.event_type = 'purchase' "
+    "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE "
+    "WHERE c.event_type = 'click'"
+)
+
+
+def q_luhn_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Luhn mod-10 PII audit (pipeline.governance.luhn_audit): the
+    checksum layer of a card-number scan over deterministic synthetic
+    candidates (the corpus has no real PII — candidates of lengths
+    13/15/17/19 are derived from event ids so ~10% pass, the Luhn
+    false-accept floor). One map-side higher-order checksum + a tiny
+    (length) groupBy; the oracle replays the identical digit walk with
+    DuckDB's list_sum/list_transform."""
+    from samza_spark.pipeline.governance import luhn_audit
+
+    ev = load_table(spark, sf, "events")
+    cands = ev.select(
+        F.expr(
+            "substr(concat('4', lpad(cast((user_id * 1000003 + event_id) "
+            "% 100000000000000000 as string), 18, '0')), "
+            "1, 13 + cast(event_id % 4 as int) * 2)"
+        ).alias("token")
+    )
+    return luhn_audit(cands, "token").orderBy("token_len")
+
+
+QUERIES["luhn_audit"] = q_luhn_audit
+ORACLES["luhn_audit"] = (
+    "WITH c AS (SELECT substr('4' || lpad(CAST((user_id * 1000003 + "
+    "event_id) % 100000000000000000 AS VARCHAR), 18, '0'), "
+    "1, CAST(13 + event_id % 4 * 2 AS INT)) AS token FROM events), "
+    "s AS (SELECT token, CAST(length(token) AS INT) AS token_len, "
+    "list_sum(list_transform(range(1, length(token) + 1), i -> "
+    "CASE WHEN (length(token) - i) % 2 = 0 "
+    "THEN ascii(substr(token, i, 1)) - 48 "
+    "ELSE CASE WHEN (ascii(substr(token, i, 1)) - 48) * 2 > 9 "
+    "THEN (ascii(substr(token, i, 1)) - 48) * 2 - 9 "
+    "ELSE (ascii(substr(token, i, 1)) - 48) * 2 END END)) AS luhn "
+    "FROM c WHERE regexp_matches(token, '^[0-9]{12,19}$')) "
+    "SELECT token_len, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN luhn % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_valid, "
+    "CAST(sum(CASE WHEN luhn % 10 = 0 THEN 1 ELSE 0 END) * 1000000 // "
+    "count(*) AS BIGINT) AS valid_ppm "
+    "FROM s GROUP BY token_len ORDER BY token_len"
+)
+
+
+def q_simpson_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson's-paradox audit (pipeline.stats.simpson_audit): does the
+    pooled signup->purchase association hold within every user cohort,
+    or does the cohort mix manufacture the pooled sign? Division-free
+    integer cross-product signs, one unit-table aggregate."""
+    from samza_spark.pipeline.stats import simpson_audit
+
+    ev = load_table(spark, sf, "events")
+    units = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("exposed"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.expr("cast(min(user_id) % 8 as int)").alias("cohort"),
+    )
+    return simpson_audit(
+        units, "exposed", "converted", "cohort"
+    ).orderBy("stratum")
+
+
+QUERIES["simpson_audit"] = q_simpson_audit
+ORACLES["simpson_audit"] = (
+    "WITH u AS (SELECT user_id, "
+    "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS x, "
+    "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y, "
+    "CAST(user_id % 8 AS INT) AS z FROM events GROUP BY user_id), "
+    "per AS (SELECT z AS stratum, "
+    "CAST(sum(CASE WHEN x = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, "
+    "CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS k_t, "
+    "CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, "
+    "CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS k_c FROM u GROUP BY 1), "
+    "pooled AS (SELECT CAST(sign(sum(k_t) * sum(n_c) - sum(k_c) * "
+    "sum(n_t)) AS INT) AS dir_pooled FROM per) "
+    "SELECT stratum, n_t, k_t, n_c, k_c, "
+    "CAST(sign(k_t * n_c - k_c * n_t) AS INT) AS dir_stratum, "
+    "dir_pooled, "
+    "CAST(CASE WHEN sign(k_t * n_c - k_c * n_t) * dir_pooled < 0 "
+    "AND n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END AS INT) AS reverses "
+    "FROM per CROSS JOIN pooled ORDER BY stratum"
+)
+
+
+def q_binary_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload near-dup (pipeline.multimodal.binary_near_dup):
+    SimHash-banded candidates over the hex byte-stream of an opaque
+    binary column — the pre-decode dedup tier of a multimodal
+    pipeline. Payloads are the documents' utf-8 bytes (the corpus's
+    deterministic stand-in for image blobs); md5 family so the DuckDB
+    oracle replays gram-hash -> bit majority -> hamming as the
+    BRUTE-FORCE join (recall-1 pigeonhole, same guarantee as
+    simhash_pairs)."""
+    from samza_spark.pipeline.multimodal import binary_near_dup
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return binary_near_dup(
+        docs, content_col="content", id_col="doc_id",
+        max_hamming=3, hash_family="md5",
+    ).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+QUERIES["binary_near_dup"] = q_binary_near_dup
+ORACLES["binary_near_dup"] = (
+    "WITH t AS (SELECT doc_id, lower(hex(text)) AS n FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, greatest(length(n) - 3, 1)), "
+    "i -> ('0x' || substr(md5(substr(n, i, 4)), 1, 8))::BIGINT)) AS h "
+    "FROM t), "
+    "bits AS (SELECT doc_id, b, CASE WHEN 2 * sum((h >> b) & 1) > count(*) "
+    "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END AS v "
+    "FROM g CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb "
+    "GROUP BY doc_id, b), "
+    "sig AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sh FROM bits "
+    "GROUP BY doc_id) "
+    "SELECT l.doc_id AS a, r.doc_id AS b, "
+    "CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming "
+    "FROM sig l JOIN sig r ON l.doc_id < r.doc_id "
+    "WHERE bit_count(xor(l.sh, r.sh)) <= 3"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r9 window (VERDICT r8 next #1): CORRECTNESS_r08 was 50/50 green, so the

@@ -48,7 +48,7 @@ FAMILIES: dict[str, list[str]] = {
         "stream_table_join", "join_left_outer", "multiway_join_revenue",
         "interval_join", "asof_join", "remote_table_join", "range_join",
         "nearest_event_join", "salted_join", "bloom_semi_join",
-        "join_fanout_audit", "bloom_fpp_audit",
+        "join_fanout_audit", "bloom_fpp_audit", "interval_join_left",
     ],
     "sql": [
         "topk", "having", "set_ops", "set_ops_all", "distinct_agg",
@@ -83,7 +83,7 @@ FAMILIES: dict[str, list[str]] = {
         "dup_spans", "incremental_dedup", "indexed_dedup",
         "segment_dedup_first", "dup_matrix", "dup_cluster_sizes",
         "containment_pairs", "source_overlap", "url_normalize",
-        "minhash_eval", "soft_dedup_weights",
+        "minhash_eval", "soft_dedup_weights", "binary_near_dup",
     ],
     "similarity": [
         "cosine_topk", "ann_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
@@ -165,12 +165,13 @@ FAMILIES: dict[str, list[str]] = {
         "abc_classification", "category_entropy", "skew_report",
         "markov_eval", "assoc_lift", "target_encoding", "ips_offpolicy",
         "isotonic_calibration", "decision_stump", "cem_att",
-        "xi_correlation", "qte_report",
+        "xi_correlation", "qte_report", "simpson_audit",
     ],
     "governance": [
         "k_anonymity", "l_diversity", "t_closeness", "pii_report",
         "table_profile", "revenue_reconciliation", "disorder_audit",
         "quantile_normalize", "json_props_stats", "source_signatures",
+        "luhn_audit",
     ],
     "linkage": [
         "record_linkage", "typo_pairs", "golden_record", "entity_clusters",

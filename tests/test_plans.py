@@ -895,12 +895,31 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
         "recursive_reach_rollup",
         "unpivot_nulls",
         "cube_lattice_filter",
+        "interval_join_left",
+        "luhn_audit",
+        "simpson_audit",
+        "binary_near_dup",
     ],
 )
 def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_left_no_nested_loop(spark, sf_dir):
+    # the outer TTL join is inner-banded-join + anti complement: both
+    # legs are hash joins; a BroadcastNestedLoopJoin would mean the
+    # band equi-key got lost
+    plan = _plan(spark, "interval_join_left", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_luhn_audit_map_side_checksum(spark, sf_dir):
+    # the Luhn fold is one Catalyst higher-order expression: exactly one
+    # exchange (the per-length groupBy + its AQE re-read), no Python
+    plan = _plan(spark, "luhn_audit", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_distinct_on_expr_single_window_partitioned_by_key(spark, sf_dir):

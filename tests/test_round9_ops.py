@@ -1,0 +1,215 @@
+"""Round-9 operator unit tests: outer banded range join, Luhn audit,
+Simpson's-paradox audit, binary near-dup."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# -- banded_range_join how="left" --------------------------------------------
+
+
+class TestBandedRangeJoinLeft:
+    def _mk(self, spark):
+        left = spark.createDataFrame(
+            [
+                Row(lid=1, lts="2024-01-01 00:00:00"),
+                Row(lid=2, lts="2024-01-01 01:00:00"),  # no match
+            ]
+        ).select("lid", F.col("lts").cast("timestamp").alias("lts"))
+        right = spark.createDataFrame(
+            [
+                Row(rid=10, rts="2024-01-01 00:02:00"),
+                Row(rid=11, rts="2024-01-01 00:04:00"),
+            ]
+        ).select("rid", F.col("rts").cast("timestamp").alias("rts"))
+        return left, right
+
+    def test_unmatched_left_kept_once(self, spark):
+        from samza_spark.operators.rangejoin import banded_range_join
+
+        left, right = self._mk(spark)
+        out = banded_range_join(
+            left, right, "lts", "rts",
+            lower="INTERVAL 0 SECONDS", upper="INTERVAL 5 MINUTES",
+            how="left", left_id_cols=["lid"],
+        ).collect()
+        # lid=1 matches both rights; lid=2 appears exactly once with null
+        assert sorted((r.lid, r.rid) for r in out) == [
+            (1, 10), (1, 11), (2, None),
+        ]
+
+    def test_unmatched_not_duplicated_across_bands(self, spark):
+        # a left row explodes into up to 2 bands; the anti-complement
+        # must emit its unmatched copy exactly once regardless
+        from samza_spark.operators.rangejoin import banded_range_join
+
+        left = spark.createDataFrame(
+            [Row(lid=i, lts=f"2024-01-01 00:{i:02d}:30") for i in range(5)]
+        ).select("lid", F.col("lts").cast("timestamp").alias("lts"))
+        right = spark.createDataFrame(
+            [Row(rid=99, rts="2023-06-01 00:00:00")]
+        ).select("rid", F.col("rts").cast("timestamp").alias("rts"))
+        out = banded_range_join(
+            left, right, "lts", "rts",
+            lower="INTERVAL 0 SECONDS", upper="INTERVAL 3 MINUTES",
+            how="left", left_id_cols=["lid"],
+        ).collect()
+        assert sorted(r.lid for r in out) == [0, 1, 2, 3, 4]
+        assert all(r.rid is None for r in out)
+
+    def test_left_requires_id_cols(self, spark):
+        from samza_spark.operators.rangejoin import banded_range_join
+
+        left, right = self._mk(spark)
+        with pytest.raises(ValueError, match="left_id_cols"):
+            banded_range_join(
+                left, right, "lts", "rts", how="left"
+            )
+
+    def test_unknown_how_rejected(self, spark):
+        from samza_spark.operators.rangejoin import banded_range_join
+
+        left, right = self._mk(spark)
+        with pytest.raises(ValueError, match="inner/left"):
+            banded_range_join(left, right, "lts", "rts", how="full")
+
+
+# -- Luhn audit ---------------------------------------------------------------
+
+
+class TestLuhnAudit:
+    def test_known_valid_and_invalid(self, spark):
+        from samza_spark.pipeline.governance import luhn_audit
+
+        rows = [
+            Row(token="4532015112830366"),  # Luhn-valid test number
+            Row(token="4532015112830367"),  # last digit off by one
+            Row(token="79927398713"),       # valid but too short (<12)
+            Row(token="4111x11111111111"),  # non-digit: excluded
+        ]
+        out = luhn_audit(spark.createDataFrame(rows), "token").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.token_len, r.n_tokens, r.n_valid) == (16, 2, 1)
+        assert r.valid_ppm == 500_000
+
+    def test_random_tokens_near_ten_percent(self, spark):
+        # the mod-10 floor: ~1 in 10 random digit strings pass
+        from samza_spark.pipeline.governance import luhn_audit
+
+        df = spark.range(0, 2000).select(
+            F.expr(
+                "lpad(cast((id * 1000003 + 7) % 1000000000000 as string), "
+                "12, '0')"
+            ).alias("token")
+        )
+        r = luhn_audit(df, "token").collect()[0]
+        assert r.n_tokens == 2000
+        assert 50_000 <= r.valid_ppm <= 150_000
+
+    def test_group_cols(self, spark):
+        from samza_spark.pipeline.governance import luhn_audit
+
+        rows = [
+            Row(src="a", token="4532015112830366"),
+            Row(src="b", token="4532015112830366"),
+        ]
+        out = luhn_audit(
+            spark.createDataFrame(rows), "token", group_cols=["src"]
+        ).collect()
+        assert sorted((r.src, r.n_valid) for r in out) == [("a", 1), ("b", 1)]
+
+
+# -- Simpson audit ------------------------------------------------------------
+
+
+class TestSimpsonAudit:
+    def test_textbook_reversal(self, spark):
+        from samza_spark.pipeline.stats import simpson_audit
+
+        # each stratum: control beats exposed; pooled: exposed wins
+        # (exposed mass concentrated in the easy stratum)
+        rows = (
+            # stratum A (easy): exposed 80/100, control 9/10
+            [Row(x=1, y=1, z="A")] * 80 + [Row(x=1, y=0, z="A")] * 20
+            + [Row(x=0, y=1, z="A")] * 9 + [Row(x=0, y=0, z="A")] * 1
+            # stratum B (hard): exposed 2/10, control 30/100
+            + [Row(x=1, y=1, z="B")] * 2 + [Row(x=1, y=0, z="B")] * 8
+            + [Row(x=0, y=1, z="B")] * 30 + [Row(x=0, y=0, z="B")] * 70
+        )
+        out = {
+            r.stratum: r
+            for r in simpson_audit(
+                spark.createDataFrame(rows), "x", "y", "z"
+            ).collect()
+        }
+        assert out["A"].dir_pooled == 1  # pooled: exposed looks better
+        assert out["A"].dir_stratum == -1 and out["A"].reverses == 1
+        assert out["B"].dir_stratum == -1 and out["B"].reverses == 1
+
+    def test_consistent_no_flags(self, spark):
+        from samza_spark.pipeline.stats import simpson_audit
+
+        rows = (
+            [Row(x=1, y=1, z="A")] * 8 + [Row(x=1, y=0, z="A")] * 2
+            + [Row(x=0, y=1, z="A")] * 2 + [Row(x=0, y=0, z="A")] * 8
+            + [Row(x=1, y=1, z="B")] * 6 + [Row(x=1, y=0, z="B")] * 4
+            + [Row(x=0, y=1, z="B")] * 1 + [Row(x=0, y=0, z="B")] * 9
+        )
+        out = simpson_audit(
+            spark.createDataFrame(rows), "x", "y", "z"
+        ).collect()
+        assert all(r.reverses == 0 for r in out)
+
+    def test_empty_arm_stratum_not_flagged(self, spark):
+        from samza_spark.pipeline.stats import simpson_audit
+
+        rows = [Row(x=1, y=1, z="only_exposed")] * 5 + [
+            Row(x=0, y=1, z="mixed"), Row(x=1, y=0, z="mixed"),
+        ]
+        out = {
+            r.stratum: r
+            for r in simpson_audit(
+                spark.createDataFrame(rows), "x", "y", "z"
+            ).collect()
+        }
+        # a stratum with no control arm can never "reverse"
+        assert out["only_exposed"].reverses == 0
+
+
+# -- binary near-dup ----------------------------------------------------------
+
+
+class TestBinaryNearDup:
+    def test_identical_payloads_pair_at_zero(self, spark):
+        from samza_spark.pipeline.multimodal import binary_near_dup
+
+        rows = [
+            Row(doc_id=1, content=bytearray(b"the same asset bytes " * 20)),
+            Row(doc_id=2, content=bytearray(b"the same asset bytes " * 20)),
+            Row(doc_id=3, content=bytearray(b"something else entirely " * 20)),
+        ]
+        out = binary_near_dup(
+            spark.createDataFrame(rows), max_hamming=3
+        ).collect()
+        pairs = {(r.a, r.b): r.hamming for r in out}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_md5_family_matches_pandas_impl(self, spark):
+        from samza_spark.pipeline.multimodal import binary_near_dup
+
+        rows = [
+            Row(doc_id=i, content=bytearray(f"blob {i % 4} payload".encode() * 8))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows)
+        a = sorted(
+            (r.a, r.b, r.hamming)
+            for r in binary_near_dup(df, hash_family="md5", impl="sql").collect()
+        )
+        b = sorted(
+            (r.a, r.b, r.hamming)
+            for r in binary_near_dup(df, hash_family="md5", impl="pandas").collect()
+        )
+        assert a == b and len(a) >= 1
