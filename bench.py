@@ -323,6 +323,8 @@ HEADLINE = [
     "luhn_audit",
     "simpson_audit",
     "binary_near_dup",
+    "lateral_topk",
+    "rate_limit_replay",
 ]
 
 

@@ -13930,6 +13930,63 @@ ORACLES["binary_near_dup"] = (
 )
 
 
+def q_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT (SQL:1999
+    lateral derived table; Spark decorrelates it into a ranked join
+    rather than a per-row nested loop — the plan pin asserts no
+    CartesianProduct): top-2 customers by balance per nation, written
+    as the per-row subquery a SQL author reaches for before learning
+    window functions. DuckDB executes the same LATERAL natively."""
+    load_table(spark, sf, "nation").createOrReplaceTempView("__lt_nation")
+    load_table(spark, sf, "customer").createOrReplaceTempView(
+        "__lt_customer"
+    )
+    return spark.sql(
+        "SELECT n.n_nationkey, n.n_name, t.c_custkey, t.bal_c "
+        "FROM __lt_nation n, "
+        "LATERAL (SELECT c_custkey, "
+        "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c "
+        "FROM __lt_customer c WHERE c.c_nationkey = n.n_nationkey "
+        "ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2) t"
+    )
+
+
+QUERIES["lateral_topk"] = q_lateral_topk
+ORACLES["lateral_topk"] = (
+    "SELECT n.n_nationkey, n.n_name, t.c_custkey, t.bal_c "
+    "FROM nation n, "
+    "LATERAL (SELECT c_custkey, "
+    "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c "
+    "FROM customer c WHERE c.c_nationkey = n.n_nationkey "
+    "ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2) t"
+)
+
+
+def q_rate_limit_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key token-bucket admission replay (streaming.ratelimit
+    rate_limit_batch — the exact batch twin of the
+    applyInPandasWithState stream operator, streamed==batch tested):
+    per user, 2 tokens/s with a 5-token burst over the click stream;
+    each click comes back admitted or throttled with its token balance.
+    Rows-only by design: the bucket recurrence is a non-associative
+    per-key scan (the documented reason it ships as an Arrow kernel,
+    not SQL) — correctness is pinned by the hand-check and
+    streamed==batch pytests instead of a DuckDB twin."""
+    from samza_spark.streaming.ratelimit import rate_limit_batch
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "click"
+    )
+    return rate_limit_batch(
+        ev, key_col="user_id", ts_col="ts", seq_col="event_id",
+        rate_milli_per_sec=2000, burst_milli=5000,
+    )
+
+
+QUERIES["rate_limit_replay"] = q_rate_limit_replay
+# rows-only (no ORACLES entry): see docstring
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r9 window (VERDICT r8 next #1): CORRECTNESS_r08 was 50/50 green, so the

@@ -59,6 +59,7 @@ FAMILIES: dict[str, list[str]] = {
         "qualify_nested", "qualify_grouped", "distinct_on_expr",
         "distinct_on_ordered_topk", "recursive_edges_reach",
         "recursive_reach_rollup", "unpivot_nulls", "cube_lattice_filter",
+        "lateral_topk",
     ],
     "functions": [
         "scalar_functions", "collections", "udf_regex", "nested_struct",
@@ -150,6 +151,7 @@ FAMILIES: dict[str, list[str]] = {
         "latency_percentiles", "latency_log2_histogram",
         "conversion_delay_ecdf", "interval_merge", "interval_audit",
         "watermark_plan", "tail_attribution", "audience_overlap",
+        "rate_limit_replay",
         "cohort_ltv", "rfm_segments", "skyline_2d",
     ],
     "stats": [
@@ -205,6 +207,7 @@ _TIER_OVERRIDES: dict[str, str] = {
     "triggered_window": "streaming", "triggered_window_acc": "streaming",
     "standing_queries": "streaming", "hysteresis_alerts": "streaming",
     "slo_burn_alerts": "streaming", "incremental_dedup": "streaming",
+    "rate_limit_replay": "streaming",
     # monitoring/report aggregates
     "corpus_report": "report", "quality_report": "report",
     "skew_report": "report", "pii_report": "report",

@@ -899,6 +899,7 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
         "luhn_audit",
         "simpson_audit",
         "binary_near_dup",
+        "lateral_topk",
     ],
 )
 def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):

@@ -213,3 +213,101 @@ class TestBinaryNearDup:
             for r in binary_near_dup(df, hash_family="md5", impl="pandas").collect()
         )
         assert a == b and len(a) >= 1
+
+
+# -- token-bucket rate limiting ----------------------------------------------
+
+
+class TestRateLimit:
+    def test_hand_check_admissions(self, spark):
+        from samza_spark.streaming.ratelimit import rate_limit_batch
+
+        # 1 token/s, burst 2: admits at 0s, 0.1s (burst), denies 0.2s,
+        # refills for 1.5s, caps at burst by 10s
+        rows = [
+            Row(k="a", seq=i, ts_us=t)
+            for i, t in enumerate(
+                [0, 100_000, 200_000, 1_500_000, 10_000_000]
+            )
+        ]
+        df = spark.createDataFrame(rows).select(
+            "k", "seq", F.timestamp_micros("ts_us").alias("ts")
+        )
+        out = sorted(
+            rate_limit_batch(
+                df, "k", "ts", "seq",
+                rate_milli_per_sec=1000, burst_milli=2000,
+            ).collect(),
+            key=lambda r: r.seq,
+        )
+        assert [r.admitted for r in out] == [1, 1, 0, 1, 1]
+        assert [r.tokens_milli for r in out] == [1000, 100, 200, 500, 1000]
+
+    def test_keys_isolated(self, spark):
+        from samza_spark.streaming.ratelimit import rate_limit_batch
+
+        rows = [Row(k=f"k{i % 3}", seq=i, ts_us=0) for i in range(9)]
+        df = spark.createDataFrame(rows).select(
+            "k", "seq", F.timestamp_micros("ts_us").alias("ts")
+        )
+        out = rate_limit_batch(
+            df, "k", "ts", "seq", rate_milli_per_sec=1000, burst_milli=1000
+        ).collect()
+        # burst 1: exactly one admit per key at the same instant
+        per_key = {}
+        for r in out:
+            per_key.setdefault(r.k, 0)
+            per_key[r.k] += r.admitted
+        assert per_key == {"k0": 1, "k1": 1, "k2": 1}
+
+    def test_streamed_equals_batch(self, spark, tmp_path):
+        from samza_spark.streaming.ratelimit import (
+            rate_limit_batch,
+            rate_limit_stream,
+        )
+
+        src = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # two time-ordered files per key: the stream replays them as
+        # separate micro-batches; state carries across the boundary
+        df1 = spark.createDataFrame(
+            [Row(k=f"k{i % 4}", seq=i, ts_us=i * 137_000) for i in range(60)]
+        ).select("k", "seq", F.timestamp_micros("ts_us").alias("ts"))
+        df2 = spark.createDataFrame(
+            [
+                Row(k=f"k{i % 4}", seq=i, ts_us=i * 137_000)
+                for i in range(60, 120)
+            ]
+        ).select("k", "seq", F.timestamp_micros("ts_us").alias("ts"))
+        df1.coalesce(1).write.parquet(src)
+        df2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("k string, seq long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            rate_limit_stream(
+                stream, "k", "ts", "seq",
+                rate_milli_per_sec=2000, burst_milli=3000,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = sorted(
+            (r.k, r.seq, r.tokens_milli, r.admitted)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        batch = sorted(
+            (r.k, r.seq, r.tokens_milli, r.admitted)
+            for r in rate_limit_batch(
+                spark.read.parquet(src), "k", "ts", "seq",
+                rate_milli_per_sec=2000, burst_milli=3000,
+            ).collect()
+        )
+        assert streamed == batch and len(streamed) == 120
