@@ -325,6 +325,8 @@ HEADLINE = [
     "binary_near_dup",
     "lateral_topk",
     "rate_limit_replay",
+    "jaccard_prefix_join",
+    "deletion_audit",
 ]
 
 

@@ -1653,3 +1653,111 @@ def soft_dedup_weights(
             F.expr("1000000 div cluster_size").alias("weight_ppm"),
         )
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_num: int = 4,
+    tau_den: int = 5,
+    max_bucket_size: "int | None" = 5000,
+) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07 / Xiao et al. WWW'08) — the exact complement
+    to the MinHash band join: every document pair whose word-set
+    Jaccard is >= tau (= tau_num/tau_den, a rational so the threshold
+    compare is integer-exact), with NO false negatives and no
+    estimation. MinHash answers "probably similar" cheaply; this is the
+    operator you run when the dedup decision must be provably right.
+
+    Prefix-filtering theorem: order every document's distinct tokens by
+    a GLOBAL total order (rarest-first here — ties broken by token — the
+    order that minimizes candidates; correctness holds for any fixed
+    order) and keep only the first ``|T| - ceil(tau*|T|) + 1`` tokens as
+    the prefix. Two sets with J >= tau overlap in more than
+    ``|A| - ceil(tau*|A|)`` positions, so they MUST share at least one
+    prefix token — candidate recall is exactly 1, and the brute-force
+    pairwise join is a valid oracle.
+
+    Shape: one aggregate for token frequencies (broadcast), one window
+    per doc to rank tokens (keyed by doc — never global), prefix
+    explode, the single (token)-keyed candidate shuffle, then the exact
+    intersection count via a (pair)-keyed join of the full posting
+    lists. ``max_bucket_size`` drops degenerate hot prefix-token
+    buckets from pair expansion (the same hot-bucket guard the LSH path
+    uses) — at tau=0.8 prefixes are short and rare, so the cap only
+    bites adversarial inputs.
+
+    Emits ``(a, b, inter, na, nb, jaccard_ppm)`` for pairs at J >= tau.
+    """
+    norm = f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+    toks = (
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(F.split(F.expr(norm), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("__d").agg(F.count(F.lit(1)).alias("n_tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    w_doc = Window.partitionBy("__d").orderBy("__f", "tok")
+    # freq is vocabulary-sized and sizes doc-count-sized: neither may
+    # be broadcast at corpus scale — both joins stay keyed hash joins
+    # (AQE still broadcasts them when the actual input is small)
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("__r", F.row_number().over(w_doc))
+        .join(sizes, "__d")
+    )
+    # prefix length = n - ceil(tau*n) + 1, integer-ceil idiom
+    prefix = ranked.filter(
+        F.expr(
+            f"__r <= n_tok - ((n_tok * {int(tau_num)} - 1) "
+            f"div {int(tau_den)} + 1) + 1"
+        )
+    ).select("tok", "__d")
+    if max_bucket_size is not None:
+        bucket_n = prefix.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        prefix = prefix.join(bucket_n, "tok").filter(
+            F.col("__bn") <= max_bucket_size
+        )
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "tok")
+        .filter(F.col("l.__d") < F.col("r.__d"))
+        .select(F.col("l.__d").alias("a"), F.col("r.__d").alias("b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("__d").alias("a"), "tok"), "a")
+        .join(toks.select(F.col("__d").alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("__d").alias("a"), F.col("n_tok").alias("na")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("__d").alias("b"), F.col("n_tok").alias("nb")),
+            "b",
+        )
+        .filter(
+            F.expr(
+                f"inter * {int(tau_den)} >= (na + nb - inter) * {int(tau_num)}"
+            )
+        )
+        .select(
+            "a", "b", "inter",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.expr("inter * 1000000 div (na + nb - inter)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

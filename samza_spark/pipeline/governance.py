@@ -994,3 +994,49 @@ def luhn_audit(
             "valid_ppm", F.expr("n_valid * 1000000 div n_tokens")
         )
     )
+
+
+def deletion_audit(
+    requests: DataFrame,
+    key_col: str,
+    tables: "dict[str, tuple[DataFrame, str]]",
+) -> DataFrame:
+    """Right-to-be-forgotten residual audit: after a deletion pass, how
+    many rows STILL reference a requested subject key, per table — the
+    verification step a GDPR/CCPA erasure pipeline must run before it
+    can attest completion (the deletion job's own success says it ran,
+    not that nothing remains — late-arriving data, missed join paths,
+    and re-ingests all leave residuals).
+
+    ``tables`` maps table name -> (DataFrame, key column). Emits one
+    row per table: ``(table, n_requests, n_residual_rows,
+    n_residual_keys)`` — zero residuals everywhere is the attestation.
+
+    Shape: the request key set is deduplicated once; each audited table
+    pays ONE inner equi-join keyed on its subject column plus a count
+    aggregate — no table is scanned more than once, and the per-table
+    plans run independently (a union of summaries, not a multi-way
+    join).
+    """
+    keys = requests.select(F.col(key_col).alias("__k")).distinct()
+    n_req = keys.count()
+    outs = []
+    for name, (df, col) in tables.items():
+        hit = df.select(F.col(col).alias("__k")).join(keys, "__k")
+        outs.append(
+            hit.agg(
+                F.count(F.lit(1)).cast("long").alias("n_residual_rows"),
+                F.countDistinct("__k").cast("long").alias(
+                    "n_residual_keys"
+                ),
+            ).select(
+                F.lit(name).alias("table"),
+                F.lit(n_req).cast("long").alias("n_requests"),
+                "n_residual_rows",
+                "n_residual_keys",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -13987,6 +13987,75 @@ QUERIES["rate_limit_replay"] = q_rate_limit_replay
 # rows-only (no ORACLES entry): see docstring
 
 
+def q_jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact set-similarity join by prefix filtering
+    (pipeline.dedup.jaccard_prefix_join, AllPairs/PPJoin): every doc
+    pair with word-set Jaccard >= 4/5, no false negatives — the exact
+    twin of the MinHash band join. The oracle is the BRUTE-FORCE
+    pairwise Jaccard (valid because prefix-filter recall is exactly 1),
+    so the check proves the operator finds every qualifying pair, not
+    merely that it mirrors its own pruning."""
+    from samza_spark.pipeline.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, sf, "documents")
+    return jaccard_prefix_join(docs, tau_num=4, tau_den=5)
+
+
+QUERIES["jaccard_prefix_join"] = q_jaccard_prefix_join
+ORACLES["jaccard_prefix_join"] = (
+    "WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+    "'\\s+', ' ', 'g')) AS n FROM documents), "
+    "uk AS (SELECT DISTINCT doc_id AS d, unnest(string_split(n, ' ')) "
+    "AS tok FROM t), "
+    "uk2 AS (SELECT d, tok FROM uk WHERE tok <> ''), "
+    "sz AS (SELECT d, CAST(count(*) AS BIGINT) AS n_tok FROM uk2 "
+    "GROUP BY d), "
+    "inter AS (SELECT l.d AS a, r.d AS b, "
+    "CAST(count(*) AS BIGINT) AS inter FROM uk2 l JOIN uk2 r "
+    "ON l.tok = r.tok AND l.d < r.d GROUP BY 1, 2) "
+    "SELECT i.a, i.b, i.inter, sa.n_tok AS na, sb.n_tok AS nb, "
+    "CAST(i.inter * 1000000 // (sa.n_tok + sb.n_tok - i.inter) "
+    "AS BIGINT) AS jaccard_ppm "
+    "FROM inter i JOIN sz sa ON i.a = sa.d JOIN sz sb ON i.b = sb.d "
+    "WHERE i.inter * 5 >= (sa.n_tok + sb.n_tok - i.inter) * 4"
+)
+
+
+def q_deletion_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """GDPR residual audit (pipeline.governance.deletion_audit): users
+    who filed an erasure request (stand-in: users with an 'error'
+    event) checked for surviving rows across two subject-keyed tables
+    — the attestation query an erasure pipeline runs after the delete
+    pass. One keyed semi-probe per table."""
+    from samza_spark.pipeline.governance import deletion_audit
+
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer")
+    requests = ev.filter(F.col("event_type") == "error").select("user_id")
+    return deletion_audit(
+        requests,
+        "user_id",
+        {"events": (ev, "user_id"), "customer": (cust, "c_custkey")},
+    ).orderBy("table")
+
+
+QUERIES["deletion_audit"] = q_deletion_audit
+ORACLES["deletion_audit"] = (
+    "WITH k AS (SELECT DISTINCT user_id AS kk FROM events "
+    "WHERE event_type = 'error'), "
+    "nr AS (SELECT CAST(count(*) AS BIGINT) AS n_requests FROM k), "
+    "e AS (SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS "
+    "n_residual_rows, CAST(count(DISTINCT user_id) AS BIGINT) AS "
+    "n_residual_keys FROM events JOIN k ON user_id = kk), "
+    "c AS (SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS "
+    "n_residual_rows, CAST(count(DISTINCT c_custkey) AS BIGINT) AS "
+    "n_residual_keys FROM customer JOIN k ON c_custkey = kk) "
+    "SELECT tbl AS \"table\", n_requests, n_residual_rows, "
+    "n_residual_keys FROM (SELECT * FROM e UNION ALL SELECT * FROM c) "
+    "CROSS JOIN nr ORDER BY tbl"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r9 window (VERDICT r8 next #1): CORRECTNESS_r08 was 50/50 green, so the

@@ -85,6 +85,7 @@ FAMILIES: dict[str, list[str]] = {
         "segment_dedup_first", "dup_matrix", "dup_cluster_sizes",
         "containment_pairs", "source_overlap", "url_normalize",
         "minhash_eval", "soft_dedup_weights", "binary_near_dup",
+        "jaccard_prefix_join",
     ],
     "similarity": [
         "cosine_topk", "ann_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
@@ -173,7 +174,7 @@ FAMILIES: dict[str, list[str]] = {
         "k_anonymity", "l_diversity", "t_closeness", "pii_report",
         "table_profile", "revenue_reconciliation", "disorder_audit",
         "quantile_normalize", "json_props_stats", "source_signatures",
-        "luhn_audit",
+        "luhn_audit", "deletion_audit",
     ],
     "linkage": [
         "record_linkage", "typo_pairs", "golden_record", "entity_clusters",

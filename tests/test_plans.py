@@ -900,6 +900,8 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
         "simpson_audit",
         "binary_near_dup",
         "lateral_topk",
+        "jaccard_prefix_join",
+        "deletion_audit",
     ],
 )
 def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):

@@ -311,3 +311,96 @@ class TestRateLimit:
             ).collect()
         )
         assert streamed == batch and len(streamed) == 120
+
+
+# -- exact set-similarity join (prefix filtering) -----------------------------
+
+
+class TestJaccardPrefixJoin:
+    def test_hand_check_threshold(self, spark):
+        from samza_spark.pipeline.dedup import jaccard_prefix_join
+
+        rows = [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=2, text="alpha beta gamma delta zeta"),      # J=4/6
+            Row(doc_id=3, text="alpha beta gamma delta epsilon"),   # J=1 w/ 1
+            Row(doc_id=4, text="totally different words here now"),
+        ]
+        out = jaccard_prefix_join(
+            spark.createDataFrame(rows), tau_num=4, tau_den=5
+        ).collect()
+        pairs = {(r.a, r.b): r.jaccard_ppm for r in out}
+        assert pairs == {(1, 3): 1_000_000}
+
+    def test_recall_vs_bruteforce(self, spark):
+        # prefix filtering must find EVERY pair at J >= tau
+        from samza_spark.pipeline.dedup import jaccard_prefix_join
+
+        words = ["w%d" % i for i in range(12)]
+        rows = [
+            Row(doc_id=i, text=" ".join(words[j] for j in range(12) if (i >> (j % 4)) & 1 or j < 8))
+            for i in range(16)
+        ]
+        df = spark.createDataFrame(rows)
+        got = {
+            (r.a, r.b)
+            for r in jaccard_prefix_join(df, tau_num=3, tau_den=4).collect()
+        }
+        # brute force in python
+        sets = {r.doc_id: set(r.text.split()) for r in rows}
+        want = set()
+        ids = sorted(sets)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    if inter * 4 >= union * 3:
+                        want.add((i, j))
+        assert got == want and want
+
+    def test_jaccard_exact_value(self, spark):
+        from samza_spark.pipeline.dedup import jaccard_prefix_join
+
+        rows = [
+            Row(doc_id=1, text="a b c d e f g h i j"),
+            Row(doc_id=2, text="a b c d e f g h i k"),  # inter 9, union 11
+        ]
+        out = jaccard_prefix_join(
+            spark.createDataFrame(rows), tau_num=4, tau_den=5
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.inter, r.na, r.nb) == (9, 10, 10)
+        assert r.jaccard_ppm == 9 * 1_000_000 // 11
+
+
+# -- deletion audit -----------------------------------------------------------
+
+
+class TestDeletionAudit:
+    def test_residuals_counted_per_table(self, spark):
+        from samza_spark.pipeline.governance import deletion_audit
+
+        req = spark.createDataFrame([Row(uid=1), Row(uid=2), Row(uid=1)])
+        t1 = spark.createDataFrame(
+            [Row(uid=1, v="x"), Row(uid=1, v="y"), Row(uid=9, v="z")]
+        )
+        t2 = spark.createDataFrame([Row(k=2, v="a"), Row(k=3, v="b")])
+        out = {
+            r.table: r
+            for r in deletion_audit(
+                req, "uid", {"t1": (t1, "uid"), "t2": (t2, "k")}
+            ).collect()
+        }
+        assert out["t1"].n_requests == 2
+        assert (out["t1"].n_residual_rows, out["t1"].n_residual_keys) == (2, 1)
+        assert (out["t2"].n_residual_rows, out["t2"].n_residual_keys) == (1, 1)
+
+    def test_clean_tables_attest_zero(self, spark):
+        from samza_spark.pipeline.governance import deletion_audit
+
+        req = spark.createDataFrame([Row(uid=5)])
+        t1 = spark.createDataFrame([Row(uid=1, v="x")])
+        out = deletion_audit(req, "uid", {"t1": (t1, "uid")}).collect()
+        assert out[0].n_residual_rows == 0 and out[0].n_residual_keys == 0
