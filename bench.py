@@ -327,6 +327,7 @@ HEADLINE = [
     "rate_limit_replay",
     "jaccard_prefix_join",
     "deletion_audit",
+    "bitmap_intersections",
 ]
 
 

@@ -710,3 +710,83 @@ def streaming_hll(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_heavy_hitters(
+    stream_df: DataFrame,
+    key_col: str,
+    state_path: str,
+    k: int = 64,
+    checkpoint_dir: "str | None" = None,
+):
+    """Maintain a Misra-Gries top-k summary as streaming state — the
+    bounded-memory heavy-hitters fold beside streaming_count_min /
+    streaming_hll: per trigger, the batch's EXACT per-key counts merge
+    into the ≤k carried counters, and when the merge exceeds k entries
+    every counter is decremented by the (k+1)-largest count and
+    non-positive counters drop (the mergeable-summaries MG merge,
+    Agarwal et al. PODS'12). Invariants, independent of batch
+    boundaries:
+
+    * every retained estimate UNDERCOUNTS its true frequency by at most
+      ``n_total / (k+1)`` (n_total = rows ingested so far), and
+    * any key with true frequency > ``n_total / (k+1)`` is guaranteed
+      present — the heavy hitters cannot be evicted.
+
+    Unlike the linear sketches the summary is order-dependent (two
+    ingestion orders give different counter values), so the test pins
+    the GUARANTEES against exact batch counts, not byte equality.
+
+    Per trigger: one distributed groupBy for batch counts, a
+    TakeOrdered(k+1) for the trim threshold, ≤k state rows through the
+    driver (the bounded-list discipline). n_total rides along as a
+    meta row — distinguished by ``is_meta = 1``, never by key value,
+    so a real key equal to the sentinel string cannot collide.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        inc = (
+            batch_df.select(
+                F.expr(key_col).cast("string").alias("key")
+            )
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("is_meta", F.lit(0))
+        )
+        n_batch = batch_df.count()
+        prev = _read_prior_state(spark, state_path)
+        n_prev = 0
+        if prev is not None:
+            n_prev = prev.filter(F.col("is_meta") == 1).collect()[0]["c"]
+            both = prev.filter(F.col("is_meta") == 0).unionByName(inc)
+            merged = both.groupBy("key").agg(
+                F.sum("c").cast("long").alias("c")
+            )
+        else:
+            merged = inc.select("key", "c")
+        # MG trim: keep k largest after subtracting the (k+1)-th count
+        top = merged.orderBy(
+            F.col("c").desc(), F.col("key")
+        ).limit(k + 1).collect()
+        if len(top) > k:
+            cut = top[k]["c"]
+            kept = [
+                (r["key"], r["c"] - cut, 0)
+                for r in top[:k]
+                if r["c"] - cut > 0
+            ]
+        else:
+            kept = [(r["key"], r["c"], 0) for r in top]
+        kept.append(("__n_total__", n_prev + n_batch, 1))
+        out = spark.createDataFrame(
+            kept, "key string, c long, is_meta int"
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(fold).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

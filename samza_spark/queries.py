@@ -14056,6 +14056,47 @@ ORACLES["deletion_audit"] = (
 )
 
 
+def q_bitmap_intersections(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitmap-index audience set ops (pipeline.events.bitmap_index +
+    bitmap_pair_counts): per-event-type audiences packed into 32-bit
+    words (bit_or over ``1 << uid % 32`` — masks stay inside the
+    cross-engine-safe range), then every pairwise exact intersection /
+    union / Jaccard from bit_count over the word join — the
+    bitmap-accelerated twin of audience_overlap that never re-touches
+    raw membership rows. The oracle replays the identical word packing
+    in DuckDB."""
+    from samza_spark.pipeline.events import (
+        bitmap_index,
+        bitmap_pair_counts,
+    )
+
+    ev = load_table(spark, sf, "events")
+    bm = bitmap_index(ev, set_col="event_type", member_col="user_id")
+    return bitmap_pair_counts(bm).orderBy("set_a", "set_b")
+
+
+QUERIES["bitmap_intersections"] = q_bitmap_intersections
+ORACLES["bitmap_intersections"] = (
+    "WITH m AS (SELECT DISTINCT event_type AS s, user_id AS mm "
+    "FROM events), "
+    "bm AS (SELECT s, mm // 32 AS bucket, "
+    "CAST(bit_or(CAST(1 AS BIGINT) << CAST(mm % 32 AS INT)) AS BIGINT) "
+    "AS word FROM m GROUP BY 1, 2), "
+    "sz AS (SELECT s, CAST(sum(bit_count(word)) AS BIGINT) AS n "
+    "FROM bm GROUP BY 1), "
+    "p AS (SELECT a.s AS set_a, b.s AS set_b, "
+    "CAST(sum(bit_count(a.word & b.word)) AS BIGINT) AS n_inter "
+    "FROM bm a JOIN bm b ON a.bucket = b.bucket AND a.s < b.s "
+    "GROUP BY 1, 2 HAVING sum(bit_count(a.word & b.word)) > 0) "
+    "SELECT p.set_a, p.set_b, sa.n AS n_a, sb.n AS n_b, p.n_inter, "
+    "sa.n + sb.n - p.n_inter AS n_union, sa.n - p.n_inter AS n_only_a, "
+    "CAST(p.n_inter * 1000000 // (sa.n + sb.n - p.n_inter) AS BIGINT) "
+    "AS jaccard_ppm "
+    "FROM p JOIN sz sa ON p.set_a = sa.s JOIN sz sb ON p.set_b = sb.s "
+    "ORDER BY set_a, set_b"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r9 window (VERDICT r8 next #1): CORRECTNESS_r08 was 50/50 green, so the

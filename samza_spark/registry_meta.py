@@ -152,7 +152,7 @@ FAMILIES: dict[str, list[str]] = {
         "latency_percentiles", "latency_log2_histogram",
         "conversion_delay_ecdf", "interval_merge", "interval_audit",
         "watermark_plan", "tail_attribution", "audience_overlap",
-        "rate_limit_replay",
+        "rate_limit_replay", "bitmap_intersections",
         "cohort_ltv", "rfm_segments", "skyline_2d",
     ],
     "stats": [

@@ -902,6 +902,7 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
         "lateral_topk",
         "jaccard_prefix_join",
         "deletion_audit",
+        "bitmap_intersections",
     ],
 )
 def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):

@@ -404,3 +404,88 @@ class TestDeletionAudit:
         t1 = spark.createDataFrame([Row(uid=1, v="x")])
         out = deletion_audit(req, "uid", {"t1": (t1, "uid")}).collect()
         assert out[0].n_residual_rows == 0 and out[0].n_residual_keys == 0
+
+
+# -- bitmap index set ops -----------------------------------------------------
+
+
+class TestBitmapOps:
+    def test_counts_match_set_algebra(self, spark):
+        from samza_spark.pipeline.events import (
+            bitmap_index,
+            bitmap_pair_counts,
+        )
+
+        rows = [Row(s="A", m=m) for m in [1, 2, 3, 64, 65]] + [
+            Row(s="B", m=m) for m in [2, 3, 65, 200]
+        ] + [Row(s="C", m=m) for m in [500]]
+        bm = bitmap_index(spark.createDataFrame(rows), "s", "m")
+        out = {(r.set_a, r.set_b): r for r in bitmap_pair_counts(bm).collect()}
+        ab = out[("A", "B")]
+        assert (ab.n_a, ab.n_b, ab.n_inter, ab.n_union, ab.n_only_a) == (
+            5, 4, 3, 6, 2,
+        )
+        assert ab.jaccard_ppm == 3 * 1_000_000 // 6
+        # C is disjoint from both: no rows
+        assert ("A", "C") not in out and ("B", "C") not in out
+
+    def test_duplicate_members_counted_once(self, spark):
+        from samza_spark.pipeline.events import (
+            bitmap_index,
+            bitmap_pair_counts,
+        )
+
+        rows = [Row(s="A", m=7)] * 5 + [Row(s="B", m=7)] * 3
+        bm = bitmap_index(spark.createDataFrame(rows), "s", "m")
+        r = bitmap_pair_counts(bm).collect()[0]
+        assert (r.n_a, r.n_b, r.n_inter) == (1, 1, 1)
+
+
+# -- streaming Misra-Gries heavy hitters --------------------------------------
+
+
+class TestStreamingHeavyHitters:
+    def test_guarantees_across_batches(self, spark, tmp_path):
+        from samza_spark.pipeline.sketches import streaming_heavy_hitters
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        # skewed stream: key 'hot' is >10% of mass, long uniform tail
+        df1 = spark.range(0, 400).select(
+            F.expr("CASE WHEN id % 4 = 0 THEN 'hot' ELSE "
+                   "concat('t', id % 97) END").alias("k")
+        )
+        df2 = spark.range(400, 800).select(
+            F.expr("CASE WHEN id % 4 = 0 THEN 'hot' ELSE "
+                   "concat('u', id % 89) END").alias("k")
+        )
+        df1.coalesce(1).write.parquet(src)
+        df2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_heavy_hitters(
+            stream, "k", state, k=16, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+        st = spark.read.parquet(state)
+        meta = st.filter("is_meta = 1").collect()[0]
+        assert meta.c == 800  # n_total carried across batches
+        summaries = {r.key: r.c for r in st.filter("is_meta = 0").collect()}
+        assert len(summaries) <= 16
+        true_counts = {
+            r.k: r.c
+            for r in spark.read.parquet(src)
+            .groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        bound = 800 // 17 + 1
+        # any key above n/(k+1) must be present; estimates undercount <= bound
+        for key, n in true_counts.items():
+            if n > 800 / 17:
+                assert key in summaries, key
+        for key, est in summaries.items():
+            assert est <= true_counts[key]
+            assert true_counts[key] - est <= bound
