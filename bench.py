@@ -328,6 +328,7 @@ HEADLINE = [
     "jaccard_prefix_join",
     "deletion_audit",
     "bitmap_intersections",
+    "null_semantics_not_in",
 ]
 
 

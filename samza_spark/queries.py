@@ -14097,6 +14097,73 @@ ORACLES["bitmap_intersections"] = (
 )
 
 
+def q_null_semantics_not_in(spark: SparkSession, sf: str) -> DataFrame:
+    """Three-valued-logic conformance: NOT IN against a subquery that
+    CONTAINS a NULL excludes every row (x <> NULL is UNKNOWN, so the
+    conjunction can never be TRUE) while the NULL-free subquery behaves
+    set-like, and IN is unaffected by the extra NULL — the classic SQL
+    trap, pinned cross-engine in one row. Counts over orders vs a
+    customer-key list with an injected NULL."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("__ns_orders")
+    load_table(spark, sf, "customer").createOrReplaceTempView(
+        "__ns_customer"
+    )
+    return spark.sql(
+        "SELECT "
+        "CAST((SELECT count(*) FROM __ns_orders WHERE o_custkey NOT IN "
+        "(SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey "
+        "END FROM __ns_customer)) AS BIGINT) AS n_not_in_with_null, "
+        "CAST((SELECT count(*) FROM __ns_orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM __ns_customer WHERE c_custkey % 50 <> 0"
+        ")) AS BIGINT) AS n_not_in_clean, "
+        "CAST((SELECT count(*) FROM __ns_orders WHERE o_custkey IN "
+        "(SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey "
+        "END FROM __ns_customer)) AS BIGINT) AS n_in_with_null"
+    )
+
+
+QUERIES["null_semantics_not_in"] = q_null_semantics_not_in
+ORACLES["null_semantics_not_in"] = (
+    "SELECT "
+    "CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN "
+    "(SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END "
+    "FROM customer)) AS BIGINT) AS n_not_in_with_null, "
+    "CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN "
+    "(SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0)) "
+    "AS BIGINT) AS n_not_in_clean, "
+    "CAST((SELECT count(*) FROM orders WHERE o_custkey IN "
+    "(SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END "
+    "FROM customer)) AS BIGINT) AS n_in_with_null"
+)
+
+
+def q_canary_negative_divmod(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (m): integer division and modulo on NEGATIVE operands —
+    Spark ``div``/``%`` and DuckDB ``//``/``%`` BOTH truncate toward
+    zero (verified r9: -7 div 2 = -3 in both, -7 % 2 = -1 in both), so
+    oracle authors may use them on signed values without a floor()
+    detour. This row pins that agreement so a future engine change
+    surfaces as a canary red, not a mystery in some downstream op."""
+    d = spark.range(1, 20).select(
+        (F.col("id") - 10).cast("long").alias("a")
+    )
+    return d.select(
+        "a",
+        F.expr("a div 3").alias("q3"),
+        F.expr("a % 3").alias("r3"),
+        F.expr("a div -4").alias("qm4"),
+        F.expr("a % -4").alias("rm4"),
+    )
+
+
+QUERIES["canary_negative_divmod"] = q_canary_negative_divmod
+ORACLES["canary_negative_divmod"] = (
+    "SELECT a, CAST(a // 3 AS BIGINT) AS q3, CAST(a % 3 AS BIGINT) AS r3, "
+    "CAST(a // -4 AS BIGINT) AS qm4, CAST(a % -4 AS BIGINT) AS rm4 "
+    "FROM (SELECT CAST(r - 10 AS BIGINT) AS a FROM range(1, 20) t(r))"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r9 window (VERDICT r8 next #1): CORRECTNESS_r08 was 50/50 green, so the

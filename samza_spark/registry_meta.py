@@ -59,7 +59,7 @@ FAMILIES: dict[str, list[str]] = {
         "qualify_nested", "qualify_grouped", "distinct_on_expr",
         "distinct_on_ordered_topk", "recursive_edges_reach",
         "recursive_reach_rollup", "unpivot_nulls", "cube_lattice_filter",
-        "lateral_topk",
+        "lateral_topk", "null_semantics_not_in",
     ],
     "functions": [
         "scalar_functions", "collections", "udf_regex", "nested_struct",
@@ -194,6 +194,7 @@ FAMILIES: dict[str, list[str]] = {
         "canary_round_half", "canary_round_value_micro", "canary_epoch_us",
         "canary_double_reemit", "canary_list_reduce", "canary_regexp_g",
         "canary_token_split", "canary_ts_varchar_cmp", "canary_hugeint_div",
+        "canary_negative_divmod",
     ],
 }
 
