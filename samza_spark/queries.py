@@ -13901,8 +13901,13 @@ def q_binary_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     simhash_pairs)."""
     from samza_spark.pipeline.multimodal import binary_near_dup
 
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    # doc_id % 2 subset for the same quadratic-output reason as
+    # jaccard_prefix_join (the corpus's dup clusters make the PAIR LIST
+    # the scaling hazard, not the banded plan)
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter("doc_id % 2 = 0")
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
     )
     return binary_near_dup(
         docs, content_col="content", id_col="doc_id",
@@ -13912,7 +13917,8 @@ def q_binary_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["binary_near_dup"] = q_binary_near_dup
 ORACLES["binary_near_dup"] = (
-    "WITH t AS (SELECT doc_id, lower(hex(text)) AS n FROM documents), "
+    "WITH t AS (SELECT doc_id, lower(hex(text)) AS n FROM documents "
+    "WHERE doc_id % 2 = 0), "
     "g AS (SELECT doc_id, unnest(list_transform("
     "generate_series(1, greatest(length(n) - 3, 1)), "
     "i -> ('0x' || substr(md5(substr(n, i, 4)), 1, 8))::BIGINT)) AS h "
@@ -13997,14 +14003,20 @@ def q_jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
     merely that it mirrors its own pruning."""
     from samza_spark.pipeline.dedup import jaccard_prefix_join
 
-    docs = load_table(spark, sf, "documents")
+    # doc_id % 4 subset: the EXACT pair output is inherently quadratic
+    # in dup-cluster size (this corpus is built heavily duplicated — the
+    # full sf0.1 join emits ~3M pairs), so the registered query runs the
+    # calibration-tier subset, the same discipline as minhash_eval; the
+    # operator itself is the production path at any scale because its
+    # OUTPUT, not its plan, is what grows quadratically.
+    docs = load_table(spark, sf, "documents").filter("doc_id % 4 = 0")
     return jaccard_prefix_join(docs, tau_num=4, tau_den=5)
 
 
 QUERIES["jaccard_prefix_join"] = q_jaccard_prefix_join
 ORACLES["jaccard_prefix_join"] = (
     "WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), "
-    "'\\s+', ' ', 'g')) AS n FROM documents), "
+    "'\\s+', ' ', 'g')) AS n FROM documents WHERE doc_id % 4 = 0), "
     "uk AS (SELECT DISTINCT doc_id AS d, unnest(string_split(n, ' ')) "
     "AS tok FROM t), "
     "uk2 AS (SELECT d, tok FROM uk WHERE tok <> ''), "
