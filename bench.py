@@ -329,6 +329,7 @@ HEADLINE = [
     "deletion_audit",
     "bitmap_intersections",
     "null_semantics_not_in",
+    "canary_null_ordering",
 ]
 
 

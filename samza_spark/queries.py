@@ -14176,6 +14176,41 @@ ORACLES["canary_negative_divmod"] = (
 )
 
 
+def q_canary_null_ordering(spark: SparkSession, sf: str) -> DataFrame:
+    """Canary (n): NULL sort placement. The engines' DEFAULTS differ
+    (Spark ASC puts nulls FIRST, DuckDB ASC puts nulls LAST), so every
+    oracle-paired ORDER BY / window ORDER BY over a nullable key must
+    spell NULLS FIRST/LAST explicitly — this row pins that the explicit
+    modifiers agree, by ranking a nullable column both ways."""
+    d = spark.range(1, 8).select(
+        F.col("id").alias("k"),
+        F.expr("CASE WHEN id % 3 = 0 THEN NULL ELSE id END").alias("v"),
+    )
+    return d.select(
+        "k",
+        "v",
+        F.expr(
+            "row_number() OVER (ORDER BY v ASC NULLS FIRST, k)"
+        ).cast("int").alias("rn_nf"),
+        F.expr(
+            "row_number() OVER (ORDER BY v DESC NULLS LAST, k)"
+        ).cast("int").alias("rn_nl"),
+    )
+
+
+QUERIES["canary_null_ordering"] = q_canary_null_ordering
+ORACLES["canary_null_ordering"] = (
+    "SELECT k, v, "
+    "CAST(row_number() OVER (ORDER BY v ASC NULLS FIRST, k) AS INT) "
+    "AS rn_nf, "
+    "CAST(row_number() OVER (ORDER BY v DESC NULLS LAST, k) AS INT) "
+    "AS rn_nl "
+    "FROM (SELECT CAST(r AS BIGINT) AS k, "
+    "CASE WHEN r % 3 = 0 THEN NULL ELSE CAST(r AS BIGINT) END AS v "
+    "FROM range(1, 8) t(r))"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r9 window (VERDICT r8 next #1): CORRECTNESS_r08 was 50/50 green, so the

@@ -194,7 +194,7 @@ FAMILIES: dict[str, list[str]] = {
         "canary_round_half", "canary_round_value_micro", "canary_epoch_us",
         "canary_double_reemit", "canary_list_reduce", "canary_regexp_g",
         "canary_token_split", "canary_ts_varchar_cmp", "canary_hugeint_div",
-        "canary_negative_divmod",
+        "canary_negative_divmod", "canary_null_ordering",
     ],
 }
 

@@ -28,7 +28,7 @@ def test_tiers_are_known():
 
 def test_canaries_are_their_own_family_and_tier():
     assert by_family("canary") == by_tier("canary")
-    assert len(by_family("canary")) == 13
+    assert len(by_family("canary")) == 14
 
 
 def test_serving_tier_has_exact_twin_families():
