@@ -911,6 +911,17 @@ def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan
 
 
+def test_sugar_rewrites_get_window_group_limit(spark, sf_dir):
+    # the QUALIFY / DISTINCT ON rewrites must produce the rank-filter
+    # shape Catalyst recognizes: WindowGroupLimit pushes the per-group
+    # top-k BELOW the shuffle (partial limit per map task), which is
+    # what makes first-row-per-key viable on a billion-row group —
+    # a rewrite that hid the filter behind an opaque predicate would
+    # silently lose this
+    for name in ("qualify_topk", "distinct_on_latest"):
+        assert "WindowGroupLimit" in _plan(spark, name, sf_dir), name
+
+
 def test_interval_join_left_no_nested_loop(spark, sf_dir):
     # the outer TTL join is inner-banded-join + anti complement: both
     # legs are hash joins; a BroadcastNestedLoopJoin would mean the
