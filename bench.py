@@ -330,6 +330,7 @@ HEADLINE = [
     "bitmap_intersections",
     "null_semantics_not_in",
     "canary_null_ordering",
+    "expectations_report",
 ]
 
 

@@ -1040,3 +1040,93 @@ def deletion_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def expectations_report(
+    df: DataFrame,
+    expectations: "list[dict]",
+) -> DataFrame:
+    """Declarative data-quality expectations evaluated in one pass — the
+    contract gate in front of a table publish (the Great-Expectations /
+    dbt-test shape, relationalized): each expectation is a dict
+
+    * ``{"name", "kind": "not_null", "col"}``
+    * ``{"kind": "range", "col", "lo", "hi"}`` (inclusive)
+    * ``{"kind": "in_set", "col", "values": [...]}``
+    * ``{"kind": "regex", "col", "pattern"}``
+    * ``{"kind": "unique", "cols": [...]}``
+
+    and the report emits one row per expectation: ``(expectation, kind,
+    n_rows, n_violations, pass)`` — ``pass = 1`` iff zero violations,
+    so the publish gate is ``min(pass) = 1``.
+
+    Shape: every ROW-level expectation compiles to a CASE-sum in a
+    SINGLE aggregate over one scan (adding expectations adds
+    expressions, not passes); each ``unique`` expectation pays its own
+    keyed groupBy (violations = rows in excess of one per key). The
+    table is never scanned more than ``1 + #unique-specs`` times.
+    """
+    row_specs, uniq_specs = [], []
+    for e in expectations:
+        (uniq_specs if e["kind"] == "unique" else row_specs).append(e)
+
+    def _viol(e) -> Column:
+        c = F.col(e["col"])
+        if e["kind"] == "not_null":
+            return c.isNull()
+        if e["kind"] == "range":
+            return c.isNull() | (c < F.lit(e["lo"])) | (c > F.lit(e["hi"]))
+        if e["kind"] == "in_set":
+            return c.isNull() | ~c.isin(list(e["values"]))
+        if e["kind"] == "regex":
+            return c.isNull() | ~c.rlike(e["pattern"])
+        raise ValueError(f"unknown expectation kind {e['kind']!r}")
+
+    def _name(e) -> str:
+        return e.get("name") or f"{e['kind']}:{e.get('col') or ','.join(e['cols'])}"
+
+    outs = []
+    if row_specs:
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")] + [
+            F.sum(_viol(e).cast("long")).cast("long").alias(f"__v{i}")
+            for i, e in enumerate(row_specs)
+        ]
+        wide = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{_name(e)}', '{e['kind']}', __v{i}"
+            for i, e in enumerate(row_specs)
+        )
+        outs.append(
+            wide.select(
+                F.expr(
+                    f"stack({len(row_specs)}, {stack}) AS "
+                    "(expectation, kind, n_violations)"
+                ),
+                F.col("__n").alias("n_rows"),
+            ).select(
+                "expectation", "kind", "n_rows",
+                F.coalesce("n_violations", F.lit(0)).cast("long").alias(
+                    "n_violations"
+                ),
+            )
+        )
+    for e in uniq_specs:
+        keys = [F.col(c) for c in e["cols"]]
+        g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+        outs.append(
+            g.agg(
+                F.sum("__c").cast("long").alias("n_rows"),
+                F.sum(F.expr("__c - 1")).cast("long").alias("n_violations"),
+            ).select(
+                F.lit(_name(e)).alias("expectation"),
+                F.lit("unique").alias("kind"),
+                "n_rows",
+                "n_violations",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "pass", (F.col("n_violations") == 0).cast("int")
+    )

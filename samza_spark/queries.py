@@ -14211,6 +14211,68 @@ ORACLES["canary_null_ordering"] = (
 )
 
 
+def q_expectations_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality contract gate
+    (pipeline.governance.expectations_report): six expectations over
+    lineitem — not-null key, quantity/discount ranges, returnflag
+    value set, linestatus regex, line-PK uniqueness — evaluated in one
+    scan plus one keyed groupBy for the uniqueness spec. The publish
+    gate is min(pass) = 1."""
+    from samza_spark.pipeline.governance import expectations_report
+
+    li = load_table(spark, sf, "lineitem")
+    specs = [
+        {"name": "orderkey_not_null", "kind": "not_null",
+         "col": "l_orderkey"},
+        {"name": "quantity_1_50", "kind": "range", "col": "l_quantity",
+         "lo": 1.0, "hi": 50.0},
+        {"name": "discount_frac", "kind": "range", "col": "l_discount",
+         "lo": 0.0, "hi": 1.0},
+        {"name": "returnflag_set", "kind": "in_set",
+         "col": "l_returnflag", "values": ["A", "N", "R"]},
+        {"name": "linestatus_regex", "kind": "regex",
+         "col": "l_linestatus", "pattern": "^[OF]$"},
+        {"name": "line_pk_unique", "kind": "unique",
+         "cols": ["l_orderkey", "l_linenumber"]},
+    ]
+    return expectations_report(li, specs).orderBy("expectation")
+
+
+QUERIES["expectations_report"] = q_expectations_report
+ORACLES["expectations_report"] = (
+    "WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS v0, "
+    "CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 "
+    "OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v1, "
+    "CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 "
+    "OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS v2, "
+    "CAST(sum(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN "
+    "('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v3, "
+    "CAST(sum(CASE WHEN l_linestatus IS NULL OR NOT "
+    "regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS v4 FROM lineitem), "
+    "u AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+    "CAST(sum(c - 1) AS BIGINT) AS v FROM (SELECT count(*) AS c "
+    "FROM lineitem GROUP BY l_orderkey, l_linenumber)) "
+    "SELECT * FROM ("
+    "SELECT 'orderkey_not_null' AS expectation, 'not_null' AS kind, "
+    "n AS n_rows, v0 AS n_violations, "
+    "CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INT) AS pass FROM b "
+    "UNION ALL SELECT 'quantity_1_50', 'range', n, v1, "
+    "CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INT) FROM b "
+    "UNION ALL SELECT 'discount_frac', 'range', n, v2, "
+    "CAST(CASE WHEN v2 = 0 THEN 1 ELSE 0 END AS INT) FROM b "
+    "UNION ALL SELECT 'returnflag_set', 'in_set', n, v3, "
+    "CAST(CASE WHEN v3 = 0 THEN 1 ELSE 0 END AS INT) FROM b "
+    "UNION ALL SELECT 'linestatus_regex', 'regex', n, v4, "
+    "CAST(CASE WHEN v4 = 0 THEN 1 ELSE 0 END AS INT) FROM b "
+    "UNION ALL SELECT 'line_pk_unique', 'unique', n, v, "
+    "CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) FROM u"
+    ") ORDER BY expectation"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r9 window (VERDICT r8 next #1): CORRECTNESS_r08 was 50/50 green, so the

@@ -174,7 +174,7 @@ FAMILIES: dict[str, list[str]] = {
         "k_anonymity", "l_diversity", "t_closeness", "pii_report",
         "table_profile", "revenue_reconciliation", "disorder_audit",
         "quantile_normalize", "json_props_stats", "source_signatures",
-        "luhn_audit", "deletion_audit",
+        "luhn_audit", "deletion_audit", "expectations_report",
     ],
     "linkage": [
         "record_linkage", "typo_pairs", "golden_record", "entity_clusters",

@@ -903,6 +903,7 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
         "jaccard_prefix_join",
         "deletion_audit",
         "bitmap_intersections",
+        "expectations_report",
     ],
 )
 def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):

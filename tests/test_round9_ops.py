@@ -489,3 +489,62 @@ class TestStreamingHeavyHitters:
         for key, est in summaries.items():
             assert est <= true_counts[key]
             assert true_counts[key] - est <= bound
+
+
+# -- expectations report ------------------------------------------------------
+
+
+class TestExpectationsReport:
+    def test_kinds_and_violation_counts(self, spark):
+        from samza_spark.pipeline.governance import expectations_report
+
+        rows = [
+            Row(k=1, v=10, s="A"),
+            Row(k=1, v=200, s="B"),   # dup key, out of range, bad set
+            Row(k=2, v=None, s="A"),  # null v
+            Row(k=3, v=30, s="A"),
+        ]
+        specs = [
+            {"name": "v_nn", "kind": "not_null", "col": "v"},
+            {"name": "v_rng", "kind": "range", "col": "v", "lo": 0, "hi": 100},
+            {"name": "s_set", "kind": "in_set", "col": "s", "values": ["A"]},
+            {"name": "k_uniq", "kind": "unique", "cols": ["k"]},
+        ]
+        out = {
+            r.expectation: r
+            for r in expectations_report(
+                spark.createDataFrame(rows), specs
+            ).collect()
+        }
+        assert out["v_nn"].n_violations == 1 and out["v_nn"].n_rows == 4
+        # range counts NULL as a violation too
+        assert out["v_rng"].n_violations == 2
+        assert out["s_set"].n_violations == 1
+        assert out["k_uniq"].n_violations == 1  # one excess row for k=1
+        assert {r.expectation: r["pass"] for r in out.values()} == {
+            "v_nn": 0, "v_rng": 0, "s_set": 0, "k_uniq": 0,
+        }
+
+    def test_clean_table_all_pass(self, spark):
+        from samza_spark.pipeline.governance import expectations_report
+
+        rows = [Row(k=i, v=i * 10, s="A") for i in range(1, 5)]
+        specs = [
+            {"kind": "not_null", "col": "v"},
+            {"kind": "regex", "col": "s", "pattern": "^[A-Z]$"},
+            {"kind": "unique", "cols": ["k"]},
+        ]
+        out = expectations_report(spark.createDataFrame(rows), specs).collect()
+        assert all(r["pass"] == 1 and r.n_violations == 0 for r in out)
+        # default names derive from kind:col
+        assert {r.expectation for r in out} == {
+            "not_null:v", "regex:s", "unique:k",
+        }
+
+    def test_unknown_kind_rejected(self, spark):
+        from samza_spark.pipeline.governance import expectations_report
+
+        with pytest.raises(ValueError, match="unknown expectation"):
+            expectations_report(
+                spark.range(3), [{"kind": "nope", "col": "id"}]
+            ).collect()
