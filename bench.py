@@ -331,6 +331,7 @@ HEADLINE = [
     "null_semantics_not_in",
     "canary_null_ordering",
     "expectations_report",
+    "expectations_routing",
 ]
 
 

@@ -1130,3 +1130,53 @@ def expectations_report(
     return out.withColumn(
         "pass", (F.col("n_violations") == 0).cast("int")
     )
+
+
+def expectations_tag(
+    df: DataFrame,
+    expectations: "list[dict]",
+    tag_col: str = "failed_expectations",
+) -> DataFrame:
+    """Row-level companion to :func:`expectations_report`: tag every row
+    with the array of ROW-LEVEL expectation names it violates (empty
+    array = clean), so a pipeline can route rows —
+    ``filter(size(tag)=0)`` publishes, the rest lands in quarantine
+    WITH the reason attached (the part a boolean filter loses).
+    ``unique`` specs are table-level and rejected here — uniqueness is
+    not a property of one row.
+
+    Map-side only: the tag is one array expression over the same CASE
+    predicates the report aggregates, so tagging adds zero shuffles to
+    whatever plan follows.
+    """
+    for e in expectations:
+        if e["kind"] == "unique":
+            raise ValueError(
+                "expectations_tag handles row-level kinds only; "
+                "'unique' is table-level — use expectations_report"
+            )
+
+    def _viol(e) -> Column:
+        c = F.col(e["col"])
+        if e["kind"] == "not_null":
+            return c.isNull()
+        if e["kind"] == "range":
+            return c.isNull() | (c < F.lit(e["lo"])) | (c > F.lit(e["hi"]))
+        if e["kind"] == "in_set":
+            return c.isNull() | ~c.isin(list(e["values"]))
+        if e["kind"] == "regex":
+            return c.isNull() | ~c.rlike(e["pattern"])
+        raise ValueError(f"unknown expectation kind {e['kind']!r}")
+
+    def _name(e) -> str:
+        return e.get("name") or f"{e['kind']}:{e['col']}"
+
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(_viol(e), F.lit(_name(e)))
+                for e in expectations
+            ]
+        )
+    )
+    return df.withColumn(tag_col, tags)

@@ -175,6 +175,7 @@ FAMILIES: dict[str, list[str]] = {
         "table_profile", "revenue_reconciliation", "disorder_audit",
         "quantile_normalize", "json_props_stats", "source_signatures",
         "luhn_audit", "deletion_audit", "expectations_report",
+        "expectations_routing",
     ],
     "linkage": [
         "record_linkage", "typo_pairs", "golden_record", "entity_clusters",

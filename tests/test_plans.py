@@ -904,6 +904,7 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
         "deletion_audit",
         "bitmap_intersections",
         "expectations_report",
+        "expectations_routing",
     ],
 )
 def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):

@@ -548,3 +548,31 @@ class TestExpectationsReport:
             expectations_report(
                 spark.range(3), [{"kind": "nope", "col": "id"}]
             ).collect()
+
+    def test_tag_rows_and_order(self, spark):
+        from samza_spark.pipeline.governance import expectations_tag
+
+        rows = [Row(v=10, s="A"), Row(v=None, s="Z"), Row(v=500, s="A")]
+        out = expectations_tag(
+            spark.createDataFrame(rows),
+            [
+                {"name": "v_nn", "kind": "not_null", "col": "v"},
+                {"name": "v_rng", "kind": "range", "col": "v",
+                 "lo": 0, "hi": 100},
+                {"name": "s_set", "kind": "in_set", "col": "s",
+                 "values": ["A"]},
+            ],
+        ).collect()
+        got = {(r.v, r.s): r.failed_expectations for r in out}
+        assert got[(10, "A")] == []
+        # tags preserve spec order
+        assert got[(None, "Z")] == ["v_nn", "v_rng", "s_set"]
+        assert got[(500, "A")] == ["v_rng"]
+
+    def test_tag_rejects_unique(self, spark):
+        from samza_spark.pipeline.governance import expectations_tag
+
+        with pytest.raises(ValueError, match="row-level"):
+            expectations_tag(
+                spark.range(2), [{"kind": "unique", "cols": ["id"]}]
+            )
