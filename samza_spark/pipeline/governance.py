@@ -1180,3 +1180,41 @@ def expectations_tag(
         )
     )
     return df.withColumn(tag_col, tags)
+
+
+def streaming_expectations_route(
+    stream_df: DataFrame,
+    expectations: "list[dict]",
+    pass_path: str,
+    quarantine_path: str,
+    checkpoint_dir: "str | None" = None,
+):
+    """Streaming contract gate: tag each micro-batch with
+    :func:`expectations_tag` and route rows to the publish sink or the
+    quarantine sink — quarantined rows carry their
+    ``failed_expectations`` array, so triage never re-derives the
+    reason. The split is two filters over ONE tagged frame per trigger
+    (the tag expression is map-side), and both writes are idempotent
+    parquet appends under the query's checkpoint — the
+    standard Structured Streaming dead-letter shape.
+
+    Row-level kinds only (``unique`` is table-level; run
+    expectations_report on the published table instead — the same
+    contract expectations_tag enforces).
+    """
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = expectations_tag(batch_df, expectations)
+        tagged.filter(F.size("failed_expectations") == 0).drop(
+            "failed_expectations"
+        ).write.mode("append").parquet(pass_path)
+        tagged.filter(F.size("failed_expectations") > 0).write.mode(
+            "append"
+        ).parquet(quarantine_path)
+
+    writer = stream_df.writeStream.foreachBatch(route).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -576,3 +576,33 @@ class TestExpectationsReport:
             expectations_tag(
                 spark.range(2), [{"kind": "unique", "cols": ["id"]}]
             )
+
+    def test_streaming_route_pass_and_quarantine(self, spark, tmp_path):
+        from samza_spark.pipeline.governance import (
+            streaming_expectations_route,
+        )
+
+        src = str(tmp_path / "src")
+        ok_dir = str(tmp_path / "pass")
+        qr_dir = str(tmp_path / "quarantine")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=900), Row(k=4, v=20)]
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        q = streaming_expectations_route(
+            stream,
+            [
+                {"name": "v_nn", "kind": "not_null", "col": "v"},
+                {"name": "v_rng", "kind": "range", "col": "v",
+                 "lo": 0, "hi": 100},
+            ],
+            ok_dir, qr_dir, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+        ok = spark.read.parquet(ok_dir).collect()
+        qr = spark.read.parquet(qr_dir).collect()
+        assert sorted(r.k for r in ok) == [1, 4]
+        assert "failed_expectations" not in ok[0].asDict()
+        reasons = {r.k: r.failed_expectations for r in qr}
+        assert reasons == {2: ["v_nn", "v_rng"], 3: ["v_rng"]}
