@@ -332,6 +332,7 @@ HEADLINE = [
     "canary_null_ordering",
     "expectations_report",
     "expectations_routing",
+    "simhash_eval",
 ]
 
 

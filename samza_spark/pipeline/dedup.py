@@ -1761,3 +1761,64 @@ def jaccard_prefix_join(
             ),
         )
     )
+
+
+def simhash_estimate_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_mod: int = 50,
+    bits: int = 32,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """SimHash estimator calibration — :func:`minhash_estimate_eval`'s
+    twin for the hamming-distance family: per blocked candidate pair,
+    the signature hamming distance next to the EXACT shingle Jaccard,
+    rolled up per hamming value (count + mean exact similarity). This
+    is the curve that justifies a (bits, max_hamming) operating point:
+    "hamming <= 3 at 32 bits" is only a dedup threshold if the measured
+    mean Jaccard at hamming 3 is where the dedup policy thinks it is.
+
+    md5 hash family throughout, so the whole chain — gram hash, per-bit
+    majority, XOR popcount, exact set Jaccard — replays in DuckDB SQL.
+    Pairs are blocked on ``id div block_mod`` (quadratic strictly per
+    block — the documented eval-tier bound). Output rows are bounded by
+    ``bits + 1``.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_hashes(text_col, shingle_k, family="md5").alias("__gh"),
+    ).withColumn("__sig", simhash("__gh", bits=bits))
+    l = sh.select(
+        F.col("__id").alias("a"),
+        F.col("__gh").alias("lh"),
+        F.col("__sig").alias("lg"),
+    )
+    r = sh.select(
+        F.col("__id").alias("b"),
+        F.col("__gh").alias("rh"),
+        F.col("__sig").alias("rg"),
+    )
+    pairs = l.join(
+        r,
+        (F.expr(f"a div {int(block_mod)}") == F.expr(f"b div {int(block_mod)}"))
+        & (F.col("a") < F.col("b")),
+    ).select(
+        F.expr("cast(bit_count(lg ^ rg) as int)").alias("hamming"),
+        F.expr(
+            "size(array_intersect(lh, rh)) * 1000000 "
+            "div size(array_distinct(concat(lh, rh)))"
+        ).cast("long").alias("exact_ppm"),
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("exact_ppm").cast("long").alias("__sum"),
+        )
+        .select(
+            "hamming",
+            "n_pairs",
+            F.expr("__sum div n_pairs").alias("mean_exact_ppm"),
+        )
+    )

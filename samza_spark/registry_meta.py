@@ -84,7 +84,7 @@ FAMILIES: dict[str, list[str]] = {
         "dup_spans", "incremental_dedup", "indexed_dedup",
         "segment_dedup_first", "dup_matrix", "dup_cluster_sizes",
         "containment_pairs", "source_overlap", "url_normalize",
-        "minhash_eval", "soft_dedup_weights", "binary_near_dup",
+        "minhash_eval", "soft_dedup_weights", "binary_near_dup", "simhash_eval",
         "jaccard_prefix_join",
     ],
     "similarity": [

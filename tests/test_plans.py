@@ -905,6 +905,7 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
         "bitmap_intersections",
         "expectations_report",
         "expectations_routing",
+        "simhash_eval",
     ],
 )
 def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):

@@ -606,3 +606,32 @@ class TestExpectationsReport:
         assert "failed_expectations" not in ok[0].asDict()
         reasons = {r.k: r.failed_expectations for r in qr}
         assert reasons == {2: ["v_nn", "v_rng"], 3: ["v_rng"]}
+
+
+# -- simhash estimator calibration --------------------------------------------
+
+
+class TestSimhashEval:
+    def test_identical_docs_at_hamming_zero_full_jaccard(self, spark):
+        from samza_spark.pipeline.dedup import simhash_estimate_eval
+
+        rows = [
+            Row(doc_id=0, text="the quick brown fox jumps over it"),
+            Row(doc_id=1, text="the quick brown fox jumps over it"),
+            Row(doc_id=2, text="a completely different sentence here"),
+        ]
+        out = {r.hamming: r for r in simhash_estimate_eval(
+            spark.createDataFrame(rows), block_mod=50
+        ).collect()}
+        assert out[0].n_pairs >= 1
+        assert out[0].mean_exact_ppm >= 900_000  # identical pair dominates
+
+    def test_blocking_bounds_pairs(self, spark):
+        from samza_spark.pipeline.dedup import simhash_estimate_eval
+
+        rows = [Row(doc_id=i, text=f"document body number {i}") for i in range(8)]
+        out = simhash_estimate_eval(
+            spark.createDataFrame(rows), block_mod=4
+        ).collect()
+        # blocks {0..3}/{4..7}: C(4,2)*2 = 12 pairs total across buckets
+        assert sum(r.n_pairs for r in out) == 12
