@@ -776,6 +776,7 @@ _SINGLE_PARTITION_WINDOW_WAIVERS = {
     "isotonic_calibration",    # calibration-bin table (B^3 span, documented)
     "range_partition_plan",    # n_buckets interval rows
     "qualify_grouped",         # rank over the grouped event-type table
+    "canary_null_ordering",    # 7 synthetic rows (oracle-primitive canary)
 }
 
 
