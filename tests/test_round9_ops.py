@@ -635,3 +635,51 @@ class TestSimhashEval:
         ).collect()
         # blocks {0..3}/{4..7}: C(4,2)*2 = 12 pairs total across buckets
         assert sum(r.n_pairs for r in out) == 12
+
+
+# -- rewrite robustness edge cases --------------------------------------------
+
+
+class TestRewriteEdgeCases:
+    def test_escaped_quote_in_string_literal(self, spark):
+        # SQL-escaped quotes ('' inside a literal) toggle the scanner
+        # twice — net balanced, so the rewrite still fires correctly
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        out = spark.sql(
+            rewrite_distinct_on(
+                "SELECT DISTINCT ON (k) k, v FROM VALUES "
+                "('it''s', 1), ('it''s', 2) t(k, v) ORDER BY k, v DESC"
+            )
+        ).collect()
+        assert [(r.k, r.v) for r in out] == [("it's", 2)]
+
+    def test_qualify_keyword_inside_string_stays(self):
+        from samza_spark.sql.parser import rewrite_qualify
+
+        sql = "SELECT 'no qualify here' AS c FROM t"
+        assert rewrite_qualify(sql) == sql
+
+    def test_distinct_on_only_in_subquery_leaves_outer_alone(self):
+        # the outer statement has no DISTINCT ON prefix: only the inner
+        # group is rewritten, outer text (incl. its ORDER BY) untouched
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        out = rewrite_distinct_on(
+            "SELECT * FROM (SELECT DISTINCT ON (k) k FROM t ORDER BY k) "
+            "ORDER BY k DESC"
+        )
+        assert out.endswith("ORDER BY k DESC")
+        assert "__don__" in out and out.count("row_number") == 1
+
+    def test_nested_parens_in_expression_keys(self, spark):
+        from samza_spark.sql.parser import rewrite_distinct_on
+
+        out = spark.sql(
+            rewrite_distinct_on(
+                "SELECT DISTINCT ON (substr(concat(k, 'x'), 1, 2)) k, v "
+                "FROM VALUES ('ab', 1), ('ab', 9), ('cd', 5) t(k, v) "
+                "ORDER BY substr(concat(k, 'x'), 1, 2), v DESC"
+            )
+        ).collect()
+        assert sorted((r.k, r.v) for r in out) == [("ab", 9), ("cd", 5)]
