@@ -1770,6 +1770,7 @@ def simhash_estimate_eval(
     block_mod: int = 50,
     bits: int = 32,
     shingle_k: int = 4,
+    impl: str = "pandas",
 ) -> DataFrame:
     """SimHash estimator calibration — :func:`minhash_estimate_eval`'s
     twin for the hamming-distance family: per blocked candidate pair,
@@ -1784,11 +1785,29 @@ def simhash_estimate_eval(
     Pairs are blocked on ``id div block_mod`` (quadratic strictly per
     block — the documented eval-tier bound). Output rows are bounded by
     ``bits + 1``.
+
+    ``impl='pandas'`` (default) computes the per-bit majority with the
+    vectorized numpy kernel (simhash_pandas) — same VALUES as the
+    interpreted SQL fold (impl='sql', kept for environments without
+    Arrow), ~10x faster because the 32 filter scans per doc collapse to
+    one reduceat pass.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        shingle_hashes(text_col, shingle_k, family="md5").alias("__gh"),
-    ).withColumn("__sig", simhash("__gh", bits=bits))
+    sig = (
+        simhash_pandas("__gh", bits=bits)
+        if impl == "pandas"
+        else simhash("__gh", bits=bits)
+    )
+    # materialize signatures once: the self-join would otherwise
+    # recompute the gram-hash + majority subtree on BOTH sides (the
+    # dominant cost — md5 per gram), doubling the job
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingle_hashes(text_col, shingle_k, family="md5").alias("__gh"),
+        )
+        .withColumn("__sig", sig)
+        .localCheckpoint(eager=True)
+    )
     l = sh.select(
         F.col("__id").alias("a"),
         F.col("__gh").alias("lh"),

@@ -14334,14 +14334,23 @@ def q_simhash_eval(spark: SparkSession, sf: str) -> DataFrame:
     bounded by bits+1 rows."""
     from samza_spark.pipeline.dedup import simhash_estimate_eval
 
-    docs = load_table(spark, sf, "documents")
-    return simhash_estimate_eval(docs, block_mod=50).orderBy("hamming")
+    # calibration tier: doc_id % 4 subset, 400-char prefixes (the gram
+    # hashing + per-pair exact Jaccard cost scales with total gram
+    # count; a prefix calibrates the estimator just as well — same
+    # discipline as minhash_eval/jaccard_prefix_join)
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter("doc_id % 4 = 0")
+        .select("doc_id", F.expr("substring(text, 1, 400)").alias("text"))
+    )
+    return simhash_estimate_eval(docs, block_mod=25).orderBy("hamming")
 
 
 QUERIES["simhash_eval"] = q_simhash_eval
 ORACLES["simhash_eval"] = (
-    "WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), "
-    "'\\s+', ' ', 'g')) AS n FROM documents), "
+    "WITH t AS (SELECT doc_id, trim(regexp_replace(lower("
+    "substr(text, 1, 400)), '\\s+', ' ', 'g')) AS n FROM documents "
+    "WHERE doc_id % 4 = 0), "
     "g AS (SELECT doc_id, unnest(list_transform("
     "generate_series(1, greatest(length(n) - 3, 1)), "
     "i -> ('0x' || substr(md5(substr(n, i, 4)), 1, 8))::BIGINT)) AS h "
@@ -14356,11 +14365,11 @@ ORACLES["simhash_eval"] = (
     "sz AS (SELECT d, CAST(count(*) AS BIGINT) AS nt FROM uk GROUP BY d), "
     "pr AS (SELECT l.doc_id AS a, r.doc_id AS b, "
     "CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming "
-    "FROM sig l JOIN sig r ON l.doc_id // 50 = r.doc_id // 50 "
+    "FROM sig l JOIN sig r ON l.doc_id // 25 = r.doc_id // 25 "
     "AND l.doc_id < r.doc_id), "
     "iv AS (SELECT ua.d AS a, ub.d AS b, CAST(count(*) AS BIGINT) AS "
     "inter FROM uk ua JOIN uk ub ON ua.h = ub.h AND ua.d < ub.d "
-    "AND ua.d // 50 = ub.d // 50 GROUP BY 1, 2), "
+    "AND ua.d // 25 = ub.d // 25 GROUP BY 1, 2), "
     "px AS (SELECT pr.hamming, CAST(coalesce(iv.inter, 0) * 1000000 // "
     "(sa.nt + sb.nt - coalesce(iv.inter, 0)) AS BIGINT) AS exact_ppm "
     "FROM pr LEFT JOIN iv ON pr.a = iv.a AND pr.b = iv.b "
