@@ -348,7 +348,13 @@ def main() -> None:
     # drop below the threshold before measuring — bounded, so a driver on
     # a busy box still gets an artifact (the stamp then self-identifies).
     idle_load = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.5"))
-    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "300"))
+    # r10 (VERDICT r9 what's-wrong #1): the r9 driver run exhausted the
+    # 300 s cap and benched anyway at load15 3.44 — four audit-tier rows
+    # recorded 15-35% phantom regressions. load15 needs ~10 min to decay
+    # from a burst by construction, so the wait budget now covers a full
+    # load15 half-life; and a timed-out gate is stamped in the artifact
+    # (idle_gate_timeout) so a warm-box run can never masquerade as clean.
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "900"))
     waited = 0.0
     # gate on the 5-minute average too: a burst that just finished leaves
     # load1 low but the machine still cache/IO-disturbed (this session
@@ -378,6 +384,19 @@ def main() -> None:
         time.sleep(10)
         waited += 10
     load_start = os.getloadavg()
+    idle_gate_timeout = bool(
+        load_start[0] > idle_load
+        or load_start[1] > idle_load
+        or load_start[2] > 2 * idle_load
+    )
+    if idle_gate_timeout:
+        print(
+            f"# WARNING idle gate TIMED OUT after {waited:.0f}s — benching "
+            f"on a warm box (load_avg {load_start[0]:.2f}/{load_start[1]:.2f}"
+            f"/{load_start[2]:.2f}); treat regressions in this artifact as "
+            "suspect",
+            file=sys.stderr,
+        )
 
     from samza_spark import SessionConfig, get_session
     from samza_spark.catalog import normalize_event_ts
@@ -951,6 +970,7 @@ def main() -> None:
         "cpu_calib_ms": min(_cpu_calib_ms() for _ in range(3)),
         "repeats": repeats,
         "waited_for_idle_sec": round(waited, 1),
+        "idle_gate_timeout": idle_gate_timeout,
         "wall_clock_sec": round(time.perf_counter() - bench_t0, 3),
         "load_avg": {
             "start": [round(x, 2) for x in load_start],

@@ -43,18 +43,58 @@ def _finding(code: str, severity: str, detail: str) -> dict:
 
 _TREE_NODE_RE = re.compile(r"([A-Za-z][A-Za-z0-9]*) \((\d+)\)")
 _DETAIL_HEAD_RE = re.compile(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9]*)", re.MULTILINE)
+# a tree line: branch-art prefix, node name (first word), trailing "(id)"
+_TREE_LINE_RE = re.compile(
+    r"^([\s:|+\-*]*)([A-Za-z][A-Za-z0-9]*)(?:[^()\n]*)\((\d+)\)\s*$"
+)
+# nodes that pass partitioning through unchanged between the Exchange
+# and the Window it feeds (AQE inserts AQEShuffleRead/ShuffleQueryStage
+# between them at runtime; Sort is the standard window pre-sort)
+_PASS_THROUGH = frozenset(
+    {"Sort", "AQEShuffleRead", "ShuffleQueryStage", "InputAdapter"}
+)
 
 
 def _count_single_partition_windows(plan: str) -> int:
-    """Count Window nodes fed (directly or through a Sort) by an
-    Exchange SinglePartition — the shape that serializes the whole
-    input into one sorting task.
+    """Count Window nodes fed (directly or through pass-through nodes —
+    Sort, AQEShuffleRead, ShuffleQueryStage) by an Exchange
+    SinglePartition — the shape that serializes the whole input into
+    one sorting task.
 
-    Formatted explain numbers nodes depth-first, so in a straight
-    Exchange -> [Sort ->] Window chain the parent's id is child+1; the
-    SinglePartition argument only appears in the details block of the
-    exchange's id."""
-    names = {int(i): n for n, i in _TREE_NODE_RE.findall(plan)}
+    Walks the actual indentation tree of the formatted explain instead
+    of assuming parent id = child id + 1 (the r9-ADVICE false-negative:
+    AQE can insert a node between the Exchange and its Sort/Window, and
+    ids are not always consecutive along a branch). The SinglePartition
+    argument only appears in the details block of the exchange's id."""
+    lines = plan.splitlines()
+    # parse only tree sections — detail blocks can contain "name (n)"
+    # shaped text (function lists, argument expressions). The main tree
+    # runs until the first "(id) Name" detail head; each subquery section
+    # ("Subquery:N Hosting operator ...") opens a fresh tree.
+    parents: dict[int, int] = {}
+    names: dict[int, str] = {}
+    stack: "list[tuple[int, int]]" = []  # (name column, node id)
+    in_tree = True
+    for line in lines:
+        if line.startswith("Subquery:") or line.startswith("===== Subqueries"):
+            in_tree = True
+            stack = []
+            continue
+        if _DETAIL_HEAD_RE.match(line):
+            in_tree = False
+            continue
+        if not in_tree:
+            continue
+        m = _TREE_LINE_RE.match(line)
+        if not m:
+            continue
+        col, name, nid = len(m.group(1)), m.group(2), int(m.group(3))
+        names[nid] = name
+        while stack and stack[-1][0] >= col:
+            stack.pop()
+        if stack:
+            parents[nid] = stack[-1][1]
+        stack.append((col, nid))
     # details text per node id (block runs to the next "(id) Name" head)
     heads = list(_DETAIL_HEAD_RE.finditer(plan))
     details = {}
@@ -67,10 +107,12 @@ def _count_single_partition_windows(plan: str) -> int:
             continue
         if "SinglePartition" not in details.get(nid, ""):
             continue
-        up1, up2 = names.get(nid + 1, ""), names.get(nid + 2, "")
-        if up1 in ("Window", "WindowGroupLimit") or (
-            up1 == "Sort" and up2 in ("Window", "WindowGroupLimit")
-        ):
+        up = parents.get(nid)
+        hops = 0
+        while up is not None and names.get(up) in _PASS_THROUGH and hops < 8:
+            up = parents.get(up)
+            hops += 1
+        if up is not None and names.get(up) in ("Window", "WindowGroupLimit"):
             count += 1
     return count
 

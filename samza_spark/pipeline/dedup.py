@@ -1661,7 +1661,8 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     tau_num: int = 4,
     tau_den: int = 5,
-    max_bucket_size: "int | None" = 5000,
+    max_bucket_size: "int | None" = None,
+    on_capped: str = "log",
 ) -> DataFrame:
     """EXACT set-similarity join by prefix filtering (AllPairs/PPJoin,
     Bayardo et al. WWW'07 / Xiao et al. WWW'08) — the exact complement
@@ -1684,10 +1685,13 @@ def jaccard_prefix_join(
     per doc to rank tokens (keyed by doc — never global), prefix
     explode, the single (token)-keyed candidate shuffle, then the exact
     intersection count via a (pair)-keyed join of the full posting
-    lists. ``max_bucket_size`` drops degenerate hot prefix-token
-    buckets from pair expansion (the same hot-bucket guard the LSH path
-    uses) — at tau=0.8 prefixes are short and rare, so the cap only
-    bites adversarial inputs.
+    lists. ``max_bucket_size`` optionally drops degenerate hot
+    prefix-token buckets from pair expansion (the same hot-bucket guard
+    the LSH path uses) — but because this operator's contract is
+    EXACTNESS it defaults to ``None`` (no cap, recall exactly 1), and
+    when a cap IS set, any dropped bucket surfaces through the shared
+    ``on_capped`` census discipline ('log' default / 'raise' / 'ignore')
+    instead of silently losing qualifying pairs (r10 ADVICE fix).
 
     Emits ``(a, b, inter, na, nb, jaccard_ppm)`` for pairs at J >= tau.
     """
@@ -1721,6 +1725,13 @@ def jaccard_prefix_join(
     if max_bucket_size is not None:
         bucket_n = prefix.groupBy("tok").agg(
             F.count(F.lit(1)).alias("__bn")
+        )
+        _report_capped(
+            bucket_n.filter(F.col("__bn") > max_bucket_size).select(
+                "tok", F.col("__bn").alias("n_ids")
+            ),
+            "jaccard_prefix_join",
+            on_capped,
         )
         prefix = prefix.join(bucket_n, "tok").filter(
             F.col("__bn") <= max_bucket_size

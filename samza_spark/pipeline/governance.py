@@ -1092,20 +1092,30 @@ def expectations_report(
             for i, e in enumerate(row_specs)
         ]
         wide = df.agg(*aggs)
-        stack = ", ".join(
-            f"'{_name(e)}', '{e['kind']}', __v{i}"
-            for i, e in enumerate(row_specs)
+        # label columns are built with F.lit per spec (explode of a
+        # struct array), never spliced into SQL text — an expectation
+        # name containing a quote (user-supplied, or regex-derived via
+        # the default "kind:col" naming) must stay data, not syntax
+        # (r10 ADVICE fix; same unpivot shape stack() would plan)
+        spec_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(_name(e)).alias("expectation"),
+                    F.lit(e["kind"]).alias("kind"),
+                    F.col(f"__v{i}").alias("n_violations"),
+                )
+                for i, e in enumerate(row_specs)
+            ]
         )
         outs.append(
             wide.select(
-                F.expr(
-                    f"stack({len(row_specs)}, {stack}) AS "
-                    "(expectation, kind, n_violations)"
-                ),
+                F.explode(spec_structs).alias("__s"),
                 F.col("__n").alias("n_rows"),
             ).select(
-                "expectation", "kind", "n_rows",
-                F.coalesce("n_violations", F.lit(0)).cast("long").alias(
+                F.col("__s.expectation").alias("expectation"),
+                F.col("__s.kind").alias("kind"),
+                "n_rows",
+                F.coalesce("__s.n_violations", F.lit(0)).cast("long").alias(
                     "n_violations"
                 ),
             )
@@ -1194,9 +1204,16 @@ def streaming_expectations_route(
     quarantine sink — quarantined rows carry their
     ``failed_expectations`` array, so triage never re-derives the
     reason. The split is two filters over ONE tagged frame per trigger
-    (the tag expression is map-side), and both writes are idempotent
-    parquet appends under the query's checkpoint — the
-    standard Structured Streaming dead-letter shape.
+    (the tag expression is map-side).
+
+    Exactly-once output under at-least-once foreachBatch (r10 ADVICE
+    fix): each sink is PARTITIONED by ``__batch_id`` and each trigger
+    dynamically OVERWRITES only its own batch partition — a batch retry
+    (crash between the two writes, restart, or a run without a
+    checkpoint re-processing from the source) rewrites the same
+    partition instead of appending a duplicate copy. Readers see
+    ``__batch_id`` as an extra partition column; dedup is structural,
+    not best-effort.
 
     Row-level kinds only (``unique`` is table-level; run
     expectations_report on the published table instead — the same
@@ -1204,12 +1221,18 @@ def streaming_expectations_route(
     """
 
     def route(batch_df: DataFrame, batch_id: int) -> None:
-        tagged = expectations_tag(batch_df, expectations)
+        tagged = expectations_tag(batch_df, expectations).withColumn(
+            "__batch_id", F.lit(batch_id).cast("long")
+        )
         tagged.filter(F.size("failed_expectations") == 0).drop(
             "failed_expectations"
-        ).write.mode("append").parquet(pass_path)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("__batch_id").parquet(pass_path)
         tagged.filter(F.size("failed_expectations") > 0).write.mode(
-            "append"
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "__batch_id"
         ).parquet(quarantine_path)
 
     writer = stream_df.writeStream.foreachBatch(route).trigger(

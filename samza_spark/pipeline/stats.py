@@ -1871,6 +1871,39 @@ def mutual_information(
     return mi.crossJoin(hx).crossJoin(hy)
 
 
+def mutual_information_cells(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """The exact integer sufficient statistics of
+    :func:`mutual_information` — one row per observed ``(x, y)`` cell
+    with the joint count, both marginal counts, and the grand total:
+    ``(x, y, c, cx, cy, n)``. MI, the marginal entropies, and every
+    other contingency functional are pure (deterministic) functions of
+    this table, so it is what a cross-engine gate should hash: ``ln``
+    differs by 1 ulp between the JVM and DuckDB's libm on some
+    arguments (measured while building the float variant), but counts
+    are counts on every engine.
+
+    Shape: identical to mutual_information's upstream — one (x, y) cell
+    aggregate is the only corpus-sized job; margins re-aggregate the
+    CELL table (|X|·|Y| rows, bounded by the category domains) and join
+    back broadcast."""
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    my = cells.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select("x", "y", "c", "cx", "cy", "n")
+    )
+
+
 def rolling_origin_folds(
     df: DataFrame,
     ts_col: str = "ts",

@@ -49,6 +49,8 @@ FAMILIES: dict[str, list[str]] = {
         "interval_join", "asof_join", "remote_table_join", "range_join",
         "nearest_event_join", "salted_join", "bloom_semi_join",
         "join_fanout_audit", "bloom_fpp_audit", "interval_join_left",
+        # r10 adversarial conformance for the outer banded TTL join
+        "interval_join_left_empty", "interval_join_left_nomatch",
     ],
     "sql": [
         "topk", "having", "set_ops", "set_ops_all", "distinct_agg",
@@ -60,6 +62,8 @@ FAMILIES: dict[str, list[str]] = {
         "distinct_on_ordered_topk", "recursive_edges_reach",
         "recursive_reach_rollup", "unpivot_nulls", "cube_lattice_filter",
         "lateral_topk", "null_semantics_not_in",
+        # r10: the aggregate-decorrelation lateral path
+        "lateral_correlated_agg",
     ],
     "functions": [
         "scalar_functions", "collections", "udf_regex", "nested_struct",
@@ -86,6 +90,8 @@ FAMILIES: dict[str, list[str]] = {
         "containment_pairs", "source_overlap", "url_normalize",
         "minhash_eval", "soft_dedup_weights", "binary_near_dup", "simhash_eval",
         "jaccard_prefix_join",
+        # r10: PPJoin exactly at the rational threshold, prefix ties
+        "ppjoin_boundary",
     ],
     "similarity": [
         "cosine_topk", "ann_topk", "ivf_topk", "pq_topk", "ivfpq_topk",
@@ -153,6 +159,8 @@ FAMILIES: dict[str, list[str]] = {
         "conversion_delay_ecdf", "interval_merge", "interval_audit",
         "watermark_plan", "tail_attribution", "audience_overlap",
         "rate_limit_replay", "bitmap_intersections",
+        # r10: bitmap packing at word seams + provably-disjoint sets
+        "bitmap_word_boundary", "bitmap_disjoint",
         "cohort_ltv", "rfm_segments", "skyline_2d",
     ],
     "stats": [

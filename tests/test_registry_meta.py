@@ -41,6 +41,21 @@ def test_serving_tier_has_exact_twin_families():
         assert tiers & {"exact", "serving"}, fam
 
 
+def test_driver_window_is_fully_oracle_paired():
+    # VERDICT r9 next #3: a rows-only query placed in the driver window
+    # burns one of the 50 CORRECTNESS slots as err=no_oracle (r9 lost 2
+    # slots this way). The window must contain only oracle-paired names,
+    # and must stay at exactly 50 with no duplicates.
+    from samza_spark.queries import ORACLES, QUERIES, _DRIVER_WINDOW
+
+    assert len(_DRIVER_WINDOW) == len(set(_DRIVER_WINDOW)) == 50
+    assert set(_DRIVER_WINDOW) <= set(QUERIES)
+    unpaired = [n for n in _DRIVER_WINDOW if n not in ORACLES]
+    assert unpaired == []
+    # and the window must actually lead the registry iteration order
+    assert list(QUERIES)[:50] == _DRIVER_WINDOW
+
+
 def test_entry_point_exposes_meta():
     import sys
 
