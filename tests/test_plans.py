@@ -907,6 +907,14 @@ def test_round8_no_cartesian_no_rowwise_python(spark, sf_dir, name):
         "expectations_report",
         "expectations_routing",
         "simhash_eval",
+        # r10 conformance queries ride the same pin
+        "ppjoin_boundary",
+        "bitmap_word_boundary",
+        "bitmap_disjoint",
+        "interval_join_left_empty",
+        "interval_join_left_nomatch",
+        "lateral_correlated_agg",
+        "mutual_information",
     ],
 )
 def test_round9_no_cartesian_no_rowwise_python(spark, sf_dir, name):
