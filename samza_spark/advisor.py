@@ -41,7 +41,6 @@ def _finding(code: str, severity: str, detail: str) -> dict:
     return {"code": code, "severity": severity, "detail": detail}
 
 
-_TREE_NODE_RE = re.compile(r"([A-Za-z][A-Za-z0-9]*) \((\d+)\)")
 _DETAIL_HEAD_RE = re.compile(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9]*)", re.MULTILINE)
 # a tree line: branch-art prefix, node name (first word), trailing "(id)"
 _TREE_LINE_RE = re.compile(

@@ -1209,11 +1209,23 @@ def streaming_expectations_route(
     Exactly-once output under at-least-once foreachBatch (r10 ADVICE
     fix): each sink is PARTITIONED by ``__batch_id`` and each trigger
     dynamically OVERWRITES only its own batch partition — a batch retry
-    (crash between the two writes, restart, or a run without a
-    checkpoint re-processing from the source) rewrites the same
-    partition instead of appending a duplicate copy. Readers see
-    ``__batch_id`` as an extra partition column; dedup is structural,
-    not best-effort.
+    (crash between the two writes, or a restart FROM THE SAME
+    checkpoint, where Structured Streaming guarantees the replayed
+    batch keeps its batch id) rewrites the same partition instead of
+    appending a duplicate copy. Readers see ``__batch_id`` as an extra
+    partition column; dedup is structural, not best-effort.
+
+    Sink-ownership contract (what batch-id idempotence does and does
+    not cover): the guarantee holds exactly as far as Spark's batch-id
+    contract — ids are stable only under a retained ``checkpoint_dir``.
+    A re-run WITHOUT the checkpoint (or with ``checkpoint_dir=None``)
+    is a NEW query that re-numbers batches from 0: it must write to a
+    FRESH sink pair, because its batch 0 would overwrite the old run's
+    partition 0 while leaving any higher-numbered partitions from the
+    old run in place. For the same reason each sink directory must be
+    owned by exactly one streaming query — two queries routing into one
+    path clobber each other's partitions (plain ``append`` interleaved
+    them, but offered no retry dedup at all).
 
     Row-level kinds only (``unique`` is table-level; run
     expectations_report on the published table instead — the same

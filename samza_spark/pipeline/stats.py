@@ -1828,18 +1828,17 @@ def mutual_information(
 
     Shape: one (x, y) cell aggregate (the only corpus-sized job), tiny
     broadcast margin joins, then folds over the CELL table collected to
-    one row — cells are |X|·|Y|, bounded by the category domains."""
-    cells = df.groupBy(
-        F.col(x_col).alias("x"), F.col(y_col).alias("y")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
-    my = cells.groupBy("y").agg(F.sum("c").alias("cy"))
-    tot = cells.agg(F.sum("c").alias("n"))
-    j = (
-        cells.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "y")
-        .crossJoin(F.broadcast(tot))
-    )
+    one row — cells are |X|·|Y|, bounded by the category domains.
+
+    The integer sufficient statistics come from
+    :func:`mutual_information_cells` (ONE implementation of the
+    cells/margins/total pipeline — this function only adds the
+    nats-valued folds on top), so the hashed-counts oracle and the
+    float MI can never silently diverge."""
+    j = mutual_information_cells(df, x_col, y_col)
+    mx = j.select("x", "cx").distinct()
+    my = j.select("y", "cy").distinct()
+    tot = j.select("n").distinct()
     term = (
         "(cast(c as double) / n) * "
         "ln((cast(c as double) * n) / (cast(cx as double) * cy))"

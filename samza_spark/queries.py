@@ -14463,6 +14463,32 @@ ORACLES["ppjoin_boundary"] = (
 )
 
 
+def _bitmap_pair_oracle_sql(member_cte: str) -> str:
+    """The shared DuckDB replay of bitmap_index + bitmap_pair_counts
+    (pack members into 32-bit words, AND word-pairs per bucket, emit
+    pairs with n_inter > 0) — ONE copy of the packing/set-algebra SQL,
+    parameterized by the engineered member CTE, so a future fix to the
+    shared expressions cannot drift the two conformance oracles apart."""
+    return (
+        f"WITH m AS ({member_cte}), "
+        "bm AS (SELECT s, mm // 32 AS bucket, "
+        "CAST(bit_or(CAST(1 AS BIGINT) << CAST(mm % 32 AS INT)) AS BIGINT) "
+        "AS word FROM m GROUP BY 1, 2), "
+        "sz AS (SELECT s, CAST(sum(bit_count(word)) AS BIGINT) AS n "
+        "FROM bm GROUP BY 1), "
+        "p AS (SELECT a.s AS set_a, b.s AS set_b, "
+        "CAST(sum(bit_count(a.word & b.word)) AS BIGINT) AS n_inter "
+        "FROM bm a JOIN bm b ON a.bucket = b.bucket AND a.s < b.s "
+        "GROUP BY 1, 2 HAVING sum(bit_count(a.word & b.word)) > 0) "
+        "SELECT p.set_a, p.set_b, sa.n AS n_a, sb.n AS n_b, p.n_inter, "
+        "sa.n + sb.n - p.n_inter AS n_union, sa.n - p.n_inter AS n_only_a, "
+        "CAST(p.n_inter * 1000000 // (sa.n + sb.n - p.n_inter) AS BIGINT) "
+        "AS jaccard_ppm "
+        "FROM p JOIN sz sa ON p.set_a = sa.s JOIN sz sb ON p.set_b = sb.s "
+        "ORDER BY set_a, set_b"
+    )
+
+
 def q_bitmap_word_boundary(spark: SparkSession, sf: str) -> DataFrame:
     """Bitmap packing at the word seams (pipeline.events.bitmap_index +
     bitmap_pair_counts): engineered member ids hit bit 0 and bit 31 of
@@ -14489,27 +14515,12 @@ def q_bitmap_word_boundary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["bitmap_word_boundary"] = q_bitmap_word_boundary
-ORACLES["bitmap_word_boundary"] = (
-    "WITH m AS (SELECT DISTINCT concat('S', CAST(n_nationkey % 3 AS "
-    "VARCHAR)) AS s, CAST(CASE CAST(n_nationkey % 8 AS INT) "
+ORACLES["bitmap_word_boundary"] = _bitmap_pair_oracle_sql(
+    "SELECT DISTINCT concat('S', CAST(n_nationkey % 3 AS VARCHAR)) AS s, "
+    "CAST(CASE CAST(n_nationkey % 8 AS INT) "
     "WHEN 0 THEN 0 WHEN 1 THEN 31 WHEN 2 THEN 32 WHEN 3 THEN 63 "
     "WHEN 4 THEN 64 WHEN 5 THEN 95 WHEN 6 THEN 1024 "
-    "ELSE 4000000031 END AS BIGINT) AS mm FROM nation), "
-    "bm AS (SELECT s, mm // 32 AS bucket, "
-    "CAST(bit_or(CAST(1 AS BIGINT) << CAST(mm % 32 AS INT)) AS BIGINT) "
-    "AS word FROM m GROUP BY 1, 2), "
-    "sz AS (SELECT s, CAST(sum(bit_count(word)) AS BIGINT) AS n "
-    "FROM bm GROUP BY 1), "
-    "p AS (SELECT a.s AS set_a, b.s AS set_b, "
-    "CAST(sum(bit_count(a.word & b.word)) AS BIGINT) AS n_inter "
-    "FROM bm a JOIN bm b ON a.bucket = b.bucket AND a.s < b.s "
-    "GROUP BY 1, 2 HAVING sum(bit_count(a.word & b.word)) > 0) "
-    "SELECT p.set_a, p.set_b, sa.n AS n_a, sb.n AS n_b, p.n_inter, "
-    "sa.n + sb.n - p.n_inter AS n_union, sa.n - p.n_inter AS n_only_a, "
-    "CAST(p.n_inter * 1000000 // (sa.n + sb.n - p.n_inter) AS BIGINT) "
-    "AS jaccard_ppm "
-    "FROM p JOIN sz sa ON p.set_a = sa.s JOIN sz sb ON p.set_b = sb.s "
-    "ORDER BY set_a, set_b"
+    "ELSE 4000000031 END AS BIGINT) AS mm FROM nation"
 )
 
 
@@ -14534,36 +14545,20 @@ def q_bitmap_disjoint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["bitmap_disjoint"] = q_bitmap_disjoint
-ORACLES["bitmap_disjoint"] = (
-    "WITH m AS (SELECT DISTINCT concat('D', CAST(n_nationkey % 2 AS "
-    "VARCHAR)) AS s, CAST(n_nationkey // 2 * 64 + n_nationkey % 2 "
-    "AS BIGINT) AS mm FROM nation), "
-    "bm AS (SELECT s, mm // 32 AS bucket, "
-    "CAST(bit_or(CAST(1 AS BIGINT) << CAST(mm % 32 AS INT)) AS BIGINT) "
-    "AS word FROM m GROUP BY 1, 2), "
-    "sz AS (SELECT s, CAST(sum(bit_count(word)) AS BIGINT) AS n "
-    "FROM bm GROUP BY 1), "
-    "p AS (SELECT a.s AS set_a, b.s AS set_b, "
-    "CAST(sum(bit_count(a.word & b.word)) AS BIGINT) AS n_inter "
-    "FROM bm a JOIN bm b ON a.bucket = b.bucket AND a.s < b.s "
-    "GROUP BY 1, 2 HAVING sum(bit_count(a.word & b.word)) > 0) "
-    "SELECT p.set_a, p.set_b, sa.n AS n_a, sb.n AS n_b, p.n_inter, "
-    "sa.n + sb.n - p.n_inter AS n_union, sa.n - p.n_inter AS n_only_a, "
-    "CAST(p.n_inter * 1000000 // (sa.n + sb.n - p.n_inter) AS BIGINT) "
-    "AS jaccard_ppm "
-    "FROM p JOIN sz sa ON p.set_a = sa.s JOIN sz sb ON p.set_b = sb.s "
-    "ORDER BY set_a, set_b"
+ORACLES["bitmap_disjoint"] = _bitmap_pair_oracle_sql(
+    "SELECT DISTINCT concat('D', CAST(n_nationkey % 2 AS VARCHAR)) AS s, "
+    "CAST(n_nationkey // 2 * 64 + n_nationkey % 2 AS BIGINT) AS mm "
+    "FROM nation"
 )
 
 
-def q_interval_join_left_empty(spark: SparkSession, sf: str) -> DataFrame:
-    """Outer banded TTL join against an EMPTY right side
-    (operators.rangejoin.banded_range_join how='left'): the right
-    stream filtered to an impossible event type — every click must come
-    back exactly once with a typed-NULL purchase, through the
-    anti-join-complement leg alone (the inner leg is empty). The
-    degenerate case a per-band outer join gets wrong in the other
-    direction (zero rows or duplicated unmatched copies)."""
+def _interval_left_conformance(
+    spark: SparkSession, sf: str, p_filter: str, p_ts: str
+) -> DataFrame:
+    """Shared body of the two outer-banded-TTL-join conformance queries
+    (ONE copy of the click/purchase framing + join spec — the pair
+    differs only in how the right side is made unmatched: filtered
+    empty vs shifted out of every band)."""
     from samza_spark.operators.rangejoin import banded_range_join
 
     ev = load_table(spark, sf, "events")
@@ -14572,10 +14567,10 @@ def q_interval_join_left_empty(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
-    purchases = ev.filter("event_type = '__none__'").select(
+    purchases = ev.filter(p_filter).select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
+        F.expr(p_ts).alias("purchase_ts"),
     )
     j = banded_range_join(
         clicks,
@@ -14589,6 +14584,19 @@ def q_interval_join_left_empty(spark: SparkSession, sf: str) -> DataFrame:
         left_id_cols=["click_id"],
     )
     return j.select("user_id", "click_id", "purchase_id")
+
+
+def q_interval_join_left_empty(spark: SparkSession, sf: str) -> DataFrame:
+    """Outer banded TTL join against an EMPTY right side
+    (operators.rangejoin.banded_range_join how='left'): the right
+    stream filtered to an impossible event type — every click must come
+    back exactly once with a typed-NULL purchase, through the
+    anti-join-complement leg alone (the inner leg is empty). The
+    degenerate case a per-band outer join gets wrong in the other
+    direction (zero rows or duplicated unmatched copies)."""
+    return _interval_left_conformance(
+        spark, sf, "event_type = '__none__'", "ts"
+    )
 
 
 QUERIES["interval_join_left_empty"] = q_interval_join_left_empty
@@ -14609,31 +14617,9 @@ def q_interval_join_left_nomatch(spark: SparkSession, sf: str) -> DataFrame:
     the complement must emit every left row exactly once. Distinguishes
     'right empty' from 'joined empty': a complement keyed on anything
     but the match output gets one of the two wrong."""
-    from samza_spark.operators.rangejoin import banded_range_join
-
-    ev = load_table(spark, sf, "events")
-    clicks = ev.filter("event_type = 'click'").select(
-        "user_id",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
+    return _interval_left_conformance(
+        spark, sf, "event_type = 'purchase'", "ts + INTERVAL 3650 DAYS"
     )
-    purchases = ev.filter("event_type = 'purchase'").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.expr("ts + INTERVAL 3650 DAYS").alias("purchase_ts"),
-    )
-    j = banded_range_join(
-        clicks,
-        purchases,
-        "click_ts",
-        "purchase_ts",
-        lower="INTERVAL 0 SECONDS",
-        upper="INTERVAL 5 MINUTES",
-        extra_on=F.col("user_id") == F.col("p_user"),
-        how="left",
-        left_id_cols=["click_id"],
-    )
-    return j.select("user_id", "click_id", "purchase_id")
 
 
 QUERIES["interval_join_left_nomatch"] = q_interval_join_left_nomatch

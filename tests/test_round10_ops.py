@@ -269,6 +269,21 @@ def test_check_correctness_errors_on_unknown_name():
     assert "definitely_not_a_query" in p.stderr
 
 
+@pytest.mark.parametrize("selector", ["tier:canray", "family:nosuch"])
+def test_check_correctness_errors_on_unknown_selector(selector):
+    # a typo'd tier:/family: selector used to expand to [] (by_tier) or a
+    # bare KeyError (by_family) — both silently skipped the tier the user
+    # believed was checked, the same failure mode as a typo'd name
+    p = subprocess.run(
+        [sys.executable, "tools/check_correctness.py",
+         "/root/testdata/sf0.001", selector],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert p.returncode == 2
+    assert selector.partition(":")[2] in p.stderr
+    assert "known:" in p.stderr
+
+
 # -- mutual information: counts oracle + float variant stays analytic ----------
 
 

@@ -62,9 +62,30 @@ def main() -> int:
     only = set()
     for arg in sys.argv[2:]:
         if arg.startswith(("family:", "tier:")):
-            from samza_spark.registry_meta import by_family, by_tier
+            from samza_spark.registry_meta import (
+                FAMILIES,
+                by_family,
+                by_tier,
+                query_meta,
+            )
 
             kind, _, val = arg.partition(":")
+            # a typo'd selector must fail as loudly as a typo'd name:
+            # by_tier() returns [] for an unknown tier (silently checking
+            # nothing) and by_family() raises a bare KeyError — both are
+            # the silent-skip / unreadable-failure modes the name check
+            # below exists to close
+            known = (
+                set(FAMILIES)
+                if kind == "family"
+                else {m["tier"] for m in query_meta().values()}
+            )
+            if val not in known:
+                print(
+                    f"ERROR unknown {kind} {val!r} (known: {sorted(known)})",
+                    file=sys.stderr,
+                )
+                return 2
             only.update(by_family(val) if kind == "family" else by_tier(val))
         else:
             only.add(arg)

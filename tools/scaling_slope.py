@@ -13,8 +13,12 @@ driver collect); row counts run untimed afterwards. One op runs at a
 time on an otherwise idle box.
 
 jaccard_prefix_join is measured through its PRODUCTION scale path —
-``max_bucket_size=2000, on_capped='log'`` — not the uncapped
-exactness-contract default the registered oracle query uses: this
+``max_bucket_size=2000, on_capped='log'`` — on the registered query's
+own ``doc_id % 4 = 0`` calibration subset (DISCLOSED here and in the
+PERF.md row label: its sf1 point reads 12,500 docs where minhash_pairs
+reads 50,000, so the two rows are a shape contrast, not a same-input
+cost race), and not through the uncapped exactness-contract default
+the registered oracle query uses: this
 synthetic corpus draws every doc from a 30-word vocabulary, so each of
 the handful of globally-rarest tokens lands in the prefix of ~40% of
 all docs and the uncapped candidate join is THETA(n^2) by construction

@@ -3,8 +3,11 @@ driver bench ran on a warm box (idle gate timed out at load15 3.44) and
 four audit-tier rows recorded 15-35% regressions with no plan change.
 This re-measures exactly those rows with bench.py's discipline — idle
 gate (hard, no timeout pass-through), clearCache + driver gc per
-sample, median of N fresh samples — so PERF.md can attribute the r9
-deltas to machine state or to a real cost.
+sample, median of N fresh samples — PLUS one untimed warm-up pass per
+row (stricter than bench.py, which only warms the session: this tool's
+question is "did the PLAN get slower", so one-time codegen/listing
+init must not contaminate any timed sample) — so PERF.md can attribute
+the r9 deltas to machine state or to a real cost.
 
 Usage: python tools/settled_rerun.py [name ...]   (default: the r9 four)
 """
@@ -60,8 +63,17 @@ def main() -> int:
             s += i
         return round((time.perf_counter() - t0) * 1000, 1)
 
+    # bench.py's warm-up discipline: one untimed pass of the session
+    # (codegen/file-listing/JVM init) AND one untimed pass of each row
+    # itself, so the first TIMED sample is never the one paying one-time
+    # init — at sub-2s rows that warm-up sample otherwise dominates the
+    # median (measured: bm25_search first sample 4.4s vs 1.1s warm).
+    QUERIES["passthrough"](spark, sf_dir).count()
+
     out = {}
     for name in names:
+        spark.catalog.clearCache()
+        QUERIES[name](spark, sf_dir).count()  # untimed per-row warm-up
         samples = []
         for _ in range(repeats):
             spark.catalog.clearCache()
