@@ -284,6 +284,103 @@ def test_check_correctness_errors_on_unknown_selector(selector):
     assert "known:" in p.stderr
 
 
+# -- exact-cosine batch kernel: bit-identical to the sequential HOF fold -------
+
+
+class TestSequentialKernelBitExact:
+    def test_kernel_doubles_equal_hof_fold_exactly(self, spark):
+        # the kernel's contract is BIT equality with the zip_with/
+        # aggregate fold (and therefore with the DuckDB list-fold
+        # oracles): same rounded multiply, same rounded add, ascending
+        # dims. Adversarial float32 inputs (mixed magnitudes so the sum
+        # is order-sensitive), compared with == on the raw doubles.
+        import numpy as np
+
+        from samza_spark.pipeline.similarity import (
+            _sequential_dot,
+            _sequential_sq_norm,
+            cosine_sim_expr,
+        )
+
+        rng = np.random.default_rng(7)
+        vecs = (
+            rng.standard_normal((8, 16))
+            * (10.0 ** rng.integers(-6, 6, size=(8, 16)))
+        ).astype(np.float32)
+        rows = [
+            Row(i=i, a=[float(x) for x in vecs[i]],
+                b=[float(x) for x in vecs[(i + 3) % 8]])
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(rows).select(
+            "i",
+            F.col("a").cast("array<float>").alias("a"),
+            F.col("b").cast("array<float>").alias("b"),
+        )
+        hof = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", cosine_sim_expr("a", "b").alias("c")
+            ).collect()
+        }
+        A = vecs.astype(np.float64)
+        B = vecs[[(i + 3) % 8 for i in range(8)]].astype(np.float64)
+        dots = np.asarray(
+            [_sequential_dot(A[i : i + 1], B[i : i + 1])[0, 0]
+             for i in range(8)]
+        )
+        cos = dots / (_sequential_sq_norm(A) * _sequential_sq_norm(B))
+        for i in range(8):
+            assert cos[i] == hof[i], (i, cos[i], hof[i])
+
+    def test_cosine_topk_empty_query_set(self, spark):
+        from samza_spark.pipeline.similarity import cosine_topk
+
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[1.0, 0.0])]
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        out = cosine_topk(df, df.filter("vec_id < 0"), k=3)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+    def test_cosine_topk_query_cap(self, spark):
+        from samza_spark.pipeline.similarity import cosine_topk
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[1.0, float(i)]) for i in range(5)]
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        with pytest.raises(ValueError, match="max_queries"):
+            cosine_topk(df, df, k=2, max_queries=3)
+
+    def test_boundary_ties_pick_smallest_neighbor_id(self, spark):
+        # four corpus vectors IDENTICAL to the query direction (cosine
+        # exactly 1.0 each) competing for k=2 slots: the tie rule must
+        # keep the two smallest neighbor ids, not an argpartition-
+        # arbitrary pair
+        from samza_spark.pipeline.similarity import cosine_topk
+
+        rows = [Row(vec_id=i, embedding=[2.0, 0.0]) for i in (9, 4, 7, 5)]
+        corpus = spark.createDataFrame(rows).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        q = spark.createDataFrame(
+            [Row(vec_id=100, embedding=[1.0, 0.0])]
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        got = [
+            (r.neighbor_id, r.rank)
+            for r in cosine_topk(corpus.coalesce(1), q, k=2)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [(4, 1), (5, 2)]
+
+
 # -- mutual information: counts oracle + float variant stays analytic ----------
 
 
