@@ -401,11 +401,19 @@ def main() -> None:
     from samza_spark import SessionConfig, get_session
     from samza_spark.catalog import normalize_event_ts
 
+    # a real heap for the single local JVM standing in for a cluster's
+    # executors: the stock 1g is tight across a 300+-query session on 32
+    # threads (observed in the r10 gate: GCLocker-adjacent heap OOM on an
+    # iterative graph op under Arrow JNI critical sections, 176 queries
+    # into an otherwise-green run). Timings are unaffected on an idle
+    # box — the heap only removes a flakiness mode from the artifact.
+    mem = os.environ.get("SPARK_GRAFT_BENCH_MEM", "8g")
     spark = get_session(
         SessionConfig(
             app_name="samza_spark_bench",
             master=f"local[{cpus}]",
             shuffle_partitions=cpus,
+            extra={"spark.driver.memory": mem},
         )
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -14,6 +14,7 @@ names, and an order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import traceback
 
@@ -102,7 +103,17 @@ def main() -> int:
         print(f"ERROR unknown query name(s): {unknown}", file=sys.stderr)
         return 2
 
-    spark = get_session(SessionConfig(shuffle_partitions=16))
+    # a real heap for the single local JVM: the stock 1g is tight for a
+    # 384-query session on 32 threads — observed a GCLocker-adjacent
+    # "java.lang.OutOfMemoryError: Java heap space" 176 queries in (an
+    # iterative graph op under Arrow JNI critical sections), where the
+    # identical run passes with headroom
+    mem = os.environ.get("SPARK_GRAFT_GATE_MEM", "8g")
+    spark = get_session(
+        SessionConfig(
+            shuffle_partitions=16, extra={"spark.driver.memory": mem}
+        )
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
