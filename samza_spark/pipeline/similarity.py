@@ -115,12 +115,21 @@ def _sequential_sq_norm(M: "object") -> "object":
 
 
 def _topk_select(col: "object", ids: "object", vidx: "object", k: int):
-    """Batch-local exact top-k with the (value DESC, id ASC) tie rule:
-    indices into the batch of the k best rows among ``vidx`` — strictly
-    greater values first, the boundary-tied group filled by smallest id
-    (a plain argpartition would pick an arbitrary tied subset)."""
+    """Batch-local exact top-k with Spark's (value DESC, id ASC) window
+    order: indices into the batch of the k best rows among ``vidx`` —
+    strictly greater values first, the boundary-tied group filled in
+    (+0.0 before -0.0, then smallest id) order. A plain argpartition
+    would pick an arbitrary tied subset; the signed-zero step matters
+    because the final Window ranks with java.lang.Double.compare, where
+    0.0 > -0.0, while numpy's ``==`` conflates them.
+
+    NaN values (zero-norm vectors: 0/0 cosine) are dropped from the
+    candidates — the behavior the old pandas prune effectively had
+    (pandas sorts NaN last, so NaN rows never survived head(k)); left
+    in, a NaN kth boundary silently empties the selection."""
     import numpy as np
 
+    vidx = vidx[~np.isnan(col[vidx])]
     vcol = col[vidx]
     if len(vidx) > k:
         kth = np.partition(vcol, len(vcol) - k)[len(vcol) - k]
@@ -128,9 +137,10 @@ def _topk_select(col: "object", ids: "object", vidx: "object", k: int):
         tied = vidx[vcol == kth]
         need = k - len(top)
         if need > 0:
-            tied = tied[np.argsort(ids[tied], kind="stable")][:need]
+            tcol = col[tied]
+            tied = tied[np.lexsort((ids[tied], np.signbit(tcol)))][:need]
             sel = np.concatenate([top, tied])
-        else:  # NaN values can leave `top` overfull; plain truncation
+        else:  # unreachable with finite vcol (#(>kth) <= k-1); defensive
             sel = top[:k]
     else:
         sel = vidx
@@ -176,36 +186,91 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cosine, rank), ties broken by
     neighbor_id so results are total-ordered and oracle-comparable.
+
+    Semantics notes (all matching the SQL the kernel replaced): the
+    query side is evaluated EAGERLY at call time (the collect — later
+    mutations of the queries table don't flow into the result);
+    NULL-vector / NULL-id rows are dropped on both sides (a NULL vector
+    folded to a NULL cosine that never ranked; a NULL id never passed
+    the ``!=`` self-filter); zero-norm vectors (0/0 = NaN cosine) never
+    rank.
     """
+    return _exact_cosine_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col, max_queries,
+        op_name="cosine_topk",
+    )
+
+
+def _exact_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: "str | None",
+    max_queries: int,
+    op_name: str,
+    label_col: "str | None" = None,
+    query_label_col: "str | None" = None,
+) -> DataFrame:
+    """Shared engine of :func:`cosine_topk` and :func:`hard_negatives`
+    (one copy of the collect/cap, NULL filtering, batch kernel, and
+    rank tail — the only behavioral delta is the optional label-
+    mismatch mask)."""
     import numpy as np
 
     query_id_col = query_id_col or id_col
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).collect()
+    q_cols = [
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    ]
+    if label_col is not None:
+        q_cols.append(F.col(query_label_col).alias("__ql"))
+    q_rows = queries.select(*q_cols).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
-            f"cosine_topk: {len(q_rows)} query vectors exceed "
+            f"{op_name}: {len(q_rows)} query vectors exceed "
             f"max_queries={max_queries} — the exact brute-force path "
-            "broadcasts the whole query set to every task; use the ANN "
+            "ships the whole query set to every task; use the ANN "
             "paths (ann_topk/ivf_topk/ivfpq_topk) for corpus-scale query "
             "sets, or raise max_queries explicitly"
         )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    # NULL handling mirrors the SQL this kernel replaced: a NULL vector
+    # folded to a NULL cosine (never ranked), a NULL id never passed the
+    # `!=` self-filter, a NULL label never passed `__cl != __ql`
+    q_rows = [
+        r
+        for r in q_rows
+        if r["query_id"] is not None
+        and r["__qv"] is not None
+        and (label_col is None or r["__ql"] is not None)
+    ]
+    c_cond = F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    c_cols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+    ]
+    if label_col is not None:
+        c_cond = c_cond & F.col(label_col).isNotNull()
+        c_cols.append(F.col(label_col).alias("__cl"))
+    c = corpus.filter(c_cond).select(*c_cols)
     id_type = c.schema["neighbor_id"].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     out_schema = (
         f"query_id {qid_type}, neighbor_id {id_type}, cosine double"
     )
-    if not q_rows:
+    if not q_rows or k <= 0:
         return (
             c.sparkSession.createDataFrame([], out_schema)
             .withColumn("rank", F.lit(1))
             .filter(F.lit(False))
         )
     qids = np.asarray([r["query_id"] for r in q_rows])
+    qlabs = (
+        np.asarray([r["__ql"] for r in q_rows])
+        if label_col is not None
+        else None
+    )
     Q = np.asarray(
         [np.asarray(r["__qv"], dtype=np.float64) for r in q_rows]
     )
@@ -213,10 +278,12 @@ def cosine_topk(
 
     def score_batches(batches):
         for pdf in batches:
-            n = len(pdf)
-            if not n:
+            if not len(pdf):
                 continue
             ids = pdf["neighbor_id"].to_numpy()
+            clabs = (
+                pdf["__cl"].to_numpy() if label_col is not None else None
+            )
             C = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]
             )
@@ -225,13 +292,18 @@ def cosine_topk(
             )
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
-                col = cos[:, j]
-                # the self-pair is excluded, as the previous crossJoin
-                # filter did
-                vidx = np.flatnonzero(ids != qids[j])
+                # the self-pair is excluded, as the crossJoin filter did;
+                # hard_negatives additionally keeps only label mismatches
+                mask = ids != qids[j]
+                if clabs is not None:
+                    mask &= clabs != qlabs[j]
+                vidx = np.flatnonzero(mask)
                 if not len(vidx):
                     continue
+                col = cos[:, j]
                 sel = _topk_select(col, ids, vidx, k)
+                if not len(sel):
+                    continue
                 out_q.append(np.repeat(qids[j], len(sel)))
                 out_n.append(ids[sel])
                 out_c.append(col[sel])
@@ -301,6 +373,7 @@ def hard_negatives(
     label_col: str = "label",
     query_id_col: str | None = None,
     query_label_col: str | None = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / embedding-model training
     (the public DPR recipe, Karpukhin et al. 2020: the most similar
@@ -309,93 +382,18 @@ def hard_negatives(
     similar corpus vectors whose label differs from the query's.
 
     Same scale shape and batch kernel as :func:`cosine_topk` (driver-
-    materialized capped query set, dimension-sequential bit-exact
-    cosine, corpus never shuffled), with the label-mismatch filter
-    applied BEFORE selection (filtering after a plain top-k would
-    under-fill k), partition-local top-k then a rank over nparts*k
-    survivors. Output: ``(query_id, neighbor_id, cosine, rank)``, ties
-    broken by neighbor_id — total-ordered and oracle-comparable."""
-    import numpy as np
-
-    query_id_col = query_id_col or id_col
-    query_label_col = query_label_col or label_col
-    q_rows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_label_col).alias("__ql"),
-        F.col(vec_col).alias("__qv"),
-    ).collect()
-    if len(q_rows) > 100_000:
-        raise ValueError(
-            f"hard_negatives: {len(q_rows)} query vectors exceed the "
-            "100000 exact-path cap; mine from an ANN shortlist instead"
-        )
-    # SQL's `__cl != __ql` filter drops NULL labels on either side;
-    # replicate that before the numpy compare (where None != x is True)
-    q_rows = [r for r in q_rows if r["__ql"] is not None]
-    c = corpus.filter(F.col(label_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("__cl"),
-        F.col(vec_col).alias("__cv"),
-    )
-    id_type = c.schema["neighbor_id"].dataType.simpleString()
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    out_schema = (
-        f"query_id {qid_type}, neighbor_id {id_type}, cosine double"
-    )
-    if not q_rows:
-        return (
-            c.sparkSession.createDataFrame([], out_schema)
-            .withColumn("rank", F.lit(1))
-            .filter(F.lit(False))
-        )
-    qids = np.asarray([r["query_id"] for r in q_rows])
-    qlabs = np.asarray([r["__ql"] for r in q_rows])
-    Q = np.asarray(
-        [np.asarray(r["__qv"], dtype=np.float64) for r in q_rows]
-    )
-    qnorm = _sequential_sq_norm(Q)
-
-    def score_batches(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["neighbor_id"].to_numpy()
-            clabs = pdf["__cl"].to_numpy()
-            C = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["__cv"]]
-            )
-            cos = _sequential_dot(C, Q) / (
-                _sequential_sq_norm(C)[:, None] * qnorm[None, :]
-            )
-            out_q, out_n, out_c = [], [], []
-            for j in range(len(qids)):
-                vidx = np.flatnonzero(
-                    (ids != qids[j]) & (clabs != qlabs[j])
-                )
-                if not len(vidx):
-                    continue
-                col = cos[:, j]
-                sel = _topk_select(col, ids, vidx, k)
-                out_q.append(np.repeat(qids[j], len(sel)))
-                out_n.append(ids[sel])
-                out_c.append(col[sel])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "cosine": np.concatenate(out_c),
-                    }
-                )
-
-    pruned = c.mapInPandas(score_batches, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    materialized ``max_queries``-capped query set, dimension-sequential
+    bit-exact cosine, corpus never shuffled, same eager-queries and
+    NULL/NaN semantics), with the label-mismatch filter applied BEFORE
+    selection (filtering after a plain top-k would under-fill k),
+    partition-local top-k then a rank over nparts*k survivors. Output:
+    ``(query_id, neighbor_id, cosine, rank)``, ties broken by
+    neighbor_id — total-ordered and oracle-comparable."""
+    return _exact_cosine_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col, max_queries,
+        op_name="hard_negatives",
+        label_col=label_col,
+        query_label_col=query_label_col or label_col,
     )
 
 
@@ -1804,6 +1802,7 @@ def knn_label_noise(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Label-noise detection by k-NN label disagreement (the Deep-kNN /
     confident-learning-style audit): for each query vector, take its
@@ -1822,7 +1821,10 @@ def knn_label_noise(
     over ≤k rows per query. Exact integer votes, deterministic ties.
     """
     q = queries if queries is not None else emb
-    topk = cosine_topk(emb, q, k=k, id_col=id_col, vec_col=vec_col)
+    topk = cosine_topk(
+        emb, q, k=k, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    )
     nb_labels = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
     )
@@ -1858,6 +1860,7 @@ def matryoshka_eval(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Matryoshka-truncation retrieval evaluation (Kusupati et al. 2022:
     MRL embeddings keep most retrieval quality in a prefix of the
@@ -1872,9 +1875,10 @@ def matryoshka_eval(
     shape, corpus never shuffled; overlap joins on the tiny queries×k
     tables. Exact integer overlap counts, floored ppm recall.
     """
-    truth = cosine_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col).select(
-        "query_id", "neighbor_id"
-    )
+    truth = cosine_topk(
+        emb, queries, k=k, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    ).select("query_id", "neighbor_id")
     n_q = queries.select(id_col).distinct().count()
     out = None
     for d in prefix_dims:
@@ -1885,9 +1889,10 @@ def matryoshka_eval(
         pq = queries.select(
             F.col(id_col), F.slice(F.col(vec_col), 1, dd).alias(vec_col)
         )
-        pk = cosine_topk(pe, pq, k=k, id_col=id_col, vec_col=vec_col).select(
-            "query_id", "neighbor_id"
-        )
+        pk = cosine_topk(
+            pe, pq, k=k, id_col=id_col, vec_col=vec_col,
+            max_queries=max_queries,
+        ).select("query_id", "neighbor_id")
         hits = (
             truth.join(pk, on=["query_id", "neighbor_id"])
             .agg(F.count(F.lit(1)).alias("overlap"))
@@ -2011,6 +2016,7 @@ def retrieval_eval(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Label-relevance retrieval quality per query: exact cosine top-k
     (cosine_topk — queries broadcast, corpus never shuffled) scored as
@@ -2036,7 +2042,10 @@ def retrieval_eval(
     the label histogram aggregate.
     """
     disc, cum = ndcg_discounts_micro(k)
-    ranked = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    ranked = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    )
     nlab = corpus.select(
         F.col(id_col).alias("__nid"), F.col(label_col).alias("__nlab")
     )

@@ -356,6 +356,85 @@ class TestSequentialKernelBitExact:
         with pytest.raises(ValueError, match="max_queries"):
             cosine_topk(df, df, k=2, max_queries=3)
 
+    def test_zero_norm_vectors_never_rank_and_never_empty_topk(self, spark):
+        # NaN cosines (zero-norm corpus rows) must be dropped from the
+        # candidates, not poison the kth-boundary selection: with two
+        # zero vectors in a 5-row corpus and k=2, the result is still
+        # the top-2 FINITE neighbors (the naive kth-partition selection
+        # returned 1 row or none here)
+        from samza_spark.pipeline.similarity import cosine_topk
+
+        rows = [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 0.0]),  # zero norm -> NaN
+            Row(vec_id=4, embedding=[0.0, 0.0]),  # zero norm -> NaN
+            Row(vec_id=5, embedding=[0.5, 0.5]),
+        ]
+        corpus = spark.createDataFrame(rows).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        q = corpus.filter("vec_id = 1")
+        got = [
+            r.neighbor_id
+            for r in cosine_topk(corpus.coalesce(1), q, k=2)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [2, 5]
+        # a zero-norm QUERY yields no rankable pairs at all (every
+        # cosine NaN), and must return empty, not crash
+        zq = corpus.filter("vec_id = 3")
+        assert cosine_topk(corpus, zq, k=2).count() == 0
+
+    def test_null_vector_and_null_id_rows_are_dropped(self, spark):
+        # the SQL the kernel replaced folded NULL vectors to NULL
+        # cosine (never ranked) and NULL ids never passed the != self-
+        # filter; the kernel must drop them, not crash np.asarray/argsort
+        from samza_spark.pipeline.similarity import cosine_topk
+
+        rows = [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=None, embedding=[1.0, 0.0]),
+            Row(vec_id=4, embedding=None),
+        ]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        got = [
+            r.neighbor_id
+            for r in cosine_topk(corpus, corpus.filter("vec_id = 1"), k=3)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [2]
+
+    def test_k_zero_returns_empty(self, spark):
+        from samza_spark.pipeline.similarity import cosine_topk
+
+        df = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[1.0, 0.0]),
+             Row(vec_id=2, embedding=[0.5, 0.5])]
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        assert cosine_topk(df, df, k=0).count() == 0
+
+    def test_hard_negatives_exposes_max_queries(self, spark):
+        from samza_spark.pipeline.similarity import hard_negatives
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, label=i % 2, embedding=[1.0, float(i)])
+             for i in range(4)]
+        ).select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="max_queries"):
+            hard_negatives(df, df, k=2, max_queries=2)
+        assert hard_negatives(df, df, k=2, max_queries=10).count() > 0
+
     def test_boundary_ties_pick_smallest_neighbor_id(self, spark):
         # four corpus vectors IDENTICAL to the query direction (cosine
         # exactly 1.0 each) competing for k=2 slots: the tie rule must
