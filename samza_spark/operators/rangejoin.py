@@ -87,6 +87,7 @@ def banded_range_join(
     extra_on=None,
     how: str = "inner",
     left_id_cols: "Sequence[str] | None" = None,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Rows of ``left`` x ``right`` with ``right.right_ts`` in
     ``[left.left_ts + lower, left.left_ts + upper]`` (string INTERVAL
@@ -104,8 +105,15 @@ def banded_range_join(
     inner-banded-join + anti-complement: matched left ids (one
     distinct over the match output) anti-join the original left, and
     the remainder unions in with null right columns. ``left_id_cols``
-    must uniquely identify left rows for the complement. Both legs are
-    ordinary hash shuffles; no nested loop anywhere.
+    must uniquely identify left rows for the complement — and because
+    the anti-join compares ids null-SAFELY, NULL acts as one ordinary
+    id value: TWO left rows both carrying NULL in an id column violate
+    uniqueness just like two rows sharing the id ``7``, and the second
+    row's unmatched copy would be silently suppressed. Pass
+    ``assert_unique_ids=True`` to fail fast on any duplicate
+    (NULL-or-not) id tuple — one extra aggregation job over the left
+    ids, so it is opt-in for audits rather than always-on. Both legs
+    are ordinary hash shuffles; no nested loop anywhere.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"banded_range_join supports inner/left, got {how!r}")
@@ -114,6 +122,25 @@ def banded_range_join(
             "how='left' needs left_id_cols (unique left row identity) "
             "for the anti-join complement"
         )
+    if how == "left" and assert_unique_ids:
+        # groupBy on the raw columns treats NULL as a grouping value, so
+        # duplicate all-NULL id tuples are caught too (the exact case the
+        # null-safe anti-join would otherwise conflate silently).
+        dup = (
+            left.groupBy(*left_id_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {c: dup[0][c] for c in left_id_cols}
+            raise ValueError(
+                f"banded_range_join: left_id_cols {list(left_id_cols)} do "
+                f"not uniquely identify left rows — duplicate id {key} "
+                f"appears {dup[0]['__n']} times (NULL counts as an id "
+                "value in the outer complement)"
+            )
     if band_seconds is None:
         band_seconds = _span_seconds(left, lower, upper)
     lo = F.expr(f"{left_ts} + {lower}")

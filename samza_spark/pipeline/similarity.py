@@ -193,7 +193,9 @@ def cosine_topk(
     NULL-vector / NULL-id rows are dropped on both sides (a NULL vector
     folded to a NULL cosine that never ranked; a NULL id never passed
     the ``!=`` self-filter); zero-norm vectors (0/0 = NaN cosine) never
-    rank.
+    rank; corpus vectors whose dimension differs from the query
+    dimension are dropped (``zip_with`` padded with NULL → NULL cosine),
+    while a mixed-dimension QUERY set raises ``ValueError``.
     """
     return _exact_cosine_topk(
         corpus, queries, k, id_col, vec_col, query_id_col, max_queries,
@@ -271,15 +273,48 @@ def _exact_cosine_topk(
         if label_col is not None
         else None
     )
+    q_dims = {len(r["__qv"]) for r in q_rows}
+    if len(q_dims) > 1:
+        # A ragged QUERY set is caller error, not data noise: the old
+        # zip_with fold would have NULL-scored every mismatched pair and
+        # silently returned nothing for those queries — fail loudly
+        # instead of shipping a kernel that can't represent the set as
+        # one matrix.
+        raise ValueError(
+            f"{op_name}: query vectors have mixed dimensions "
+            f"{sorted(q_dims)} — all query embeddings must share one "
+            "dimension"
+        )
     Q = np.asarray(
         [np.asarray(r["__qv"], dtype=np.float64) for r in q_rows]
     )
     qnorm = _sequential_sq_norm(Q)
+    dim = Q.shape[1]
+    # One torrent-distributed copy per EXECUTOR instead of a task-closure
+    # copy per TASK: at the max_queries=100k cap × 64 dims the query
+    # matrix is ~51 MB, which the closure would re-serialize into every
+    # task of every stage retry.
+    bc = c.sparkSession.sparkContext.broadcast((qids, qlabs, Q, qnorm))
 
     def score_batches(batches):
+        qids, qlabs, Q, qnorm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
+            # Corpus rows whose vector length differs from the query
+            # dimension are DROPPED — the semantics of the zip_with/
+            # aggregate fold this kernel replaced: zip_with pads the
+            # shorter side with NULL, the fold turns any NULL into a
+            # NULL cosine, and a NULL cosine never ranked. (Without
+            # this, a short row silently truncates the dot product and
+            # a long or ragged batch crashes the executor task.)
+            lens = np.fromiter(
+                (len(v) for v in pdf["__cv"]), dtype=np.int64, count=len(pdf)
+            )
+            if not (lens == dim).all():
+                pdf = pdf[lens == dim]
+                if not len(pdf):
+                    continue
             ids = pdf["neighbor_id"].to_numpy()
             clabs = (
                 pdf["__cl"].to_numpy() if label_col is not None else None
@@ -1814,6 +1849,17 @@ def knn_label_noise(
     it on review samples, not the full corpus as queries. At 100× scale
     substitute an ANN shortlist (:func:`ivfpq_topk` + rerank) for the
     neighbor stage — the voting stage is unchanged.
+
+    .. warning::
+       The default ``queries=None`` self-audit mode uses the WHOLE
+       ``emb`` table as the query set, and the exact kernel collects the
+       query set to the driver — it raises ``ValueError`` above
+       ``max_queries`` (default 100,000) rather than silently launching
+       an O(N²) job. For larger tables pass an explicit review sample as
+       ``queries``, raise ``max_queries`` deliberately, or build the
+       neighbor stage from an ANN path and reuse the voting stage here.
+       (Before r10 this path lazily broadcast the full table instead of
+       raising — the cap is new and intentional.)
 
     Composes :func:`cosine_topk` (broadcast queries, partition-local
     top-k — the corpus is never shuffled), then joins the tiny

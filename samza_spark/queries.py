@@ -14671,44 +14671,39 @@ ORACLES["lateral_correlated_agg"] = (
 
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
-# r10 window (VERDICT r9 next #1): CORRECTNESS_r09 was 48/50 green with the 2
-# errs being rows-only designs — so the whole r9 window rotates out and all 50
-# slots go to never-driver-green rows: the round-9 operators + canaries + SQL
-# conformance the judge verified local-green (the driver row is the only
-# missing proof), mutual_information on its NEW integer-counts oracle
-# (next #3), the six r10 adversarial conformance queries (next #6), then
-# family-stratified backlog. Rows-only queries (rate_limit_replay,
-# compression_ratio) are permanently EXCLUDED from this window — a rows-only
-# name here wastes a slot as err=no_oracle (test_registry_meta pins every
-# window name to an oracle). Everything rotated out stays covered by the full
-# local gate (tools/check_correctness.py).
+# r11 window (VERDICT r10 next #2): CORRECTNESS_r10 was 50/50 green, so the
+# whole r10 window rotates out and the window takes the ENTIRE remaining
+# backlog — the 49 oracle-paired queries that have never appeared in any
+# CORRECTNESS_r*.json (all pre-verified green by the r10 judge's own gate
+# run) — plus one refreshed row: semantic_dedup, whose cosine verify is
+# re-kernelized this round (VERDICT r10 next #1), so the driver re-proves it
+# under the new code. A green r11 window closes the full registry: every
+# oracle-paired query driver-green at least once. Rows-only queries
+# (rate_limit_replay, compression_ratio) are permanently EXCLUDED from this
+# window — a rows-only name here wastes a slot as err=no_oracle
+# (test_registry_meta pins every window name to an oracle). Everything
+# rotated out stays covered by the full local gate
+# (tools/check_correctness.py).
 _DRIVER_WINDOW = [
-    # -- round-9 operators (never driver-checked; judge-verified local-green) --
-    "interval_join_left", "jaccard_prefix_join", "bitmap_intersections",
-    "binary_near_dup", "luhn_audit", "deletion_audit", "simpson_audit",
-    "expectations_report", "expectations_routing", "simhash_eval",
-    "canary_negative_divmod", "canary_null_ordering",
-    # -- r9 SQL adversarial conformance (never driver-checked) --
-    "qualify_nested", "qualify_grouped", "distinct_on_expr",
-    "distinct_on_ordered_topk", "recursive_edges_reach",
-    "recursive_reach_rollup", "unpivot_nulls", "cube_lattice_filter",
-    "lateral_topk", "null_semantics_not_in",
-    # -- newly oracle-paired (r10 next #3) --
-    "mutual_information",
-    # -- r10 adversarial conformance for the r9 surfaces (next #6) --
-    "ppjoin_boundary", "bitmap_word_boundary", "bitmap_disjoint",
-    "interval_join_left_empty", "interval_join_left_nomatch",
-    "lateral_correlated_agg",
-    # -- backlog, family-stratified (never driver-checked) --
-    "tpch_q8", "tpch_q11", "tpch_q14",
-    "latency_percentiles", "ts_pattern_search", "trending",
-    "robust_stats", "elo_ratings", "concordance",
-    "phrase_search", "rake_keyphrases", "doc_structure",
-    "merge_upsert", "zorder",
-    "stratified_kfold", "temperature_mixture",
-    "pagerank_personalized", "n_hop_reach",
-    "bitext_margin", "centroid_drift",
-    "nearest_event_join",
+    # -- the final 49 never-driver-checked oracle-paired queries --
+    "graph_components_star", "stratified_weighted_sample", "source_overlap",
+    "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q20",
+    "ngram_novelty", "quality_calibration", "window_distinct",
+    "set_ops_all", "event_transitions", "dup_cluster_sizes",
+    "assoc_lift", "tvd_drift", "staleness_report",
+    "blocklist_filter", "mixing_schedule", "hysteresis_alerts",
+    "interval_audit", "seq_patterns", "periodicity",
+    "json_props_stats", "leadlag_xcorr", "join_fanout_audit",
+    "fd_audit", "table_profile", "skew_gini",
+    "cohort_ltv", "category_entropy", "churn_analysis",
+    "activity_streaks", "codebook_utilization", "winsorize_stats",
+    "latency_log2_histogram", "path_deviation", "trend_slopes",
+    "burstiness", "abc_classification", "concentration_hhi",
+    "signal_fusion", "balanced_shards", "repetition_loops",
+    "span_corruption", "ctr_wilson", "task_assignment",
+    "disorder_audit", "encoding_profile", "compaction_plan",
+    # -- refreshed row: re-proven under the r11 kernelized cosine verify --
+    "semantic_dedup",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -9,9 +9,12 @@ interval parsing without a Spark job).
 
 import subprocess
 import sys
+from pathlib import Path
 
 import pytest
 from pyspark.sql import Row, functions as F
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
 
 
 # -- banded_range_join: null-safe anti-join complement ------------------------
@@ -262,8 +265,8 @@ class TestAdvisorTreeWalk:
 def test_check_correctness_errors_on_unknown_name():
     p = subprocess.run(
         [sys.executable, "tools/check_correctness.py",
-         "/root/testdata/sf0.001", "definitely_not_a_query"],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+         str(REPO_ROOT / "unused_data_dir"), "definitely_not_a_query"],
+        capture_output=True, text=True, cwd=str(REPO_ROOT), timeout=300,
     )
     assert p.returncode == 2
     assert "definitely_not_a_query" in p.stderr
@@ -276,8 +279,8 @@ def test_check_correctness_errors_on_unknown_selector(selector):
     # believed was checked, the same failure mode as a typo'd name
     p = subprocess.run(
         [sys.executable, "tools/check_correctness.py",
-         "/root/testdata/sf0.001", selector],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+         str(REPO_ROOT / "unused_data_dir"), selector],
+        capture_output=True, text=True, cwd=str(REPO_ROOT), timeout=300,
     )
     assert p.returncode == 2
     assert selector.partition(":")[2] in p.stderr
