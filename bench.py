@@ -398,6 +398,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # single-thread CPU calibration probe, sampled at START and END of
+    # the suite (r10 verdict what's-wrong #2: one start-of-run sample
+    # mispredicts a box whose load changes mid-suite — BENCH_r10 gated
+    # clean, then ended at load 8.35 with the slowest calib on record).
+    # A fixed pure-Python loop whose wall time moves 1:1 with hypervisor
+    # throttling/steal; min-of-3 per sample point.
+    def _cpu_calib_ms() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i
+        return round((time.perf_counter() - t0) * 1000, 1)
+
+    calib_start_ms = min(_cpu_calib_ms() for _ in range(3))
+
     from samza_spark import SessionConfig, get_session
     from samza_spark.catalog import normalize_event_ts
 
@@ -962,20 +977,25 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # single-thread CPU calibration stamp: a fixed pure-Python loop whose
-    # wall time moves 1:1 with hypervisor throttling/steal — without it,
-    # round-over-round msg/s deltas are uninterpretable on shared hosts
-    # (r7 measured identical code at ~0.5x of r6's idle numbers; this
-    # stamp is how the next reader tells host speed from regression).
-    def _cpu_calib_ms() -> float:
-        t0 = time.perf_counter()
-        s = 0
-        for i in range(5_000_000):
-            s += i
-        return round((time.perf_counter() - t0) * 1000, 1)
-
+    # end-of-suite calibration sample + drift stamp: cpu_calib_ms (the
+    # cross-round comparison key) is the BEST of the two sample points —
+    # closest to the host's true speed — and a start/end drift >= 15%
+    # flags the whole artifact as contention-suspect (the box changed
+    # under the suite; per-row deltas are then machine state until a
+    # settled re-run says otherwise).
+    calib_end_ms = min(_cpu_calib_ms() for _ in range(3))
+    calib_drift_pct = round(
+        100.0
+        * abs(calib_end_ms - calib_start_ms)
+        / min(calib_start_ms, calib_end_ms),
+        1,
+    )
     meta = {
-        "cpu_calib_ms": min(_cpu_calib_ms() for _ in range(3)),
+        "cpu_calib_ms": min(calib_start_ms, calib_end_ms),
+        "cpu_calib_start_ms": calib_start_ms,
+        "cpu_calib_end_ms": calib_end_ms,
+        "calib_drift_pct": calib_drift_pct,
+        "calib_drift_flag": calib_drift_pct >= 15.0,
         "repeats": repeats,
         "waited_for_idle_sec": round(waited, 1),
         "idle_gate_timeout": idle_gate_timeout,
@@ -1024,15 +1044,39 @@ def main() -> None:
                 "actual": v,
                 "delta_pct": round(100.0 * (v - expected) / expected, 1),
             }
-        norm_full = {"vs": prev_name, "calib_ratio": round(ratio, 3), "rows": rows}
+        # batch rows too (r10 verdict missing #2: minhash_pairs went +64%
+        # normalized with no flag because only *_per_sec rows were
+        # compared). Seconds scale INVERSELY with host speed, so the
+        # expectation divides by the ratio; positive delta = slower than
+        # this host predicts = regression-suspect.
+        batch_rows = {}
+        for k, v in per_query.items():
+            pv = (prev.get("queries") or {}).get(k)
+            if not pv:
+                continue
+            expected = pv / ratio
+            batch_rows[k] = {
+                "prev": pv,
+                "expected": round(expected, 3),
+                "actual": v,
+                "delta_pct": round(100.0 * (v - expected) / expected, 1),
+            }
+        norm_full = {
+            "vs": prev_name,
+            "calib_ratio": round(ratio, 3),
+            "rows": rows,
+            "batch_rows": batch_rows,
+        }
         flagged = sorted(
             (
                 (k, r["delta_pct"])
-                for k, r in rows.items()
+                for src in (rows, batch_rows)
+                for k, r in src.items()
                 if abs(r["delta_pct"]) >= 15.0
             ),
             key=lambda kv: -abs(kv[1]),
-        )[:6]  # stdout stays under the driver's ~2 KB tail
+        )[:5]  # stdout stays under the driver's ~2 KB tail (the three
+        # r11 calib stamps cost ~90 bytes; one fewer flag pays for them)
         norm_flags = {
             "vs": prev_name,
             "calib_ratio": round(ratio, 3),

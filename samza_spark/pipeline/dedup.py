@@ -39,6 +39,94 @@ from samza_spark.pipeline.text import normalized
 logger = logging.getLogger(__name__)
 
 
+def jaccard_pairs_pandas(a: str, b: str) -> Column:
+    """Per-pair exact Jaccard |A∩B| / |A∪B| as an Arrow batch kernel —
+    the drop-in replacement for ``size(array_intersect(..)) /
+    size(array_union(..))`` on candidate-pair verify paths. The counts
+    are exact integers (Python set algebra — duplicates collapse just
+    as the SQL set functions collapse them) and the single int/int
+    division is the same one IEEE op both Spark and DuckDB perform, so
+    the doubles are bit-identical to the expression it replaces; what
+    changes is the execution class — one vectorized batch per Arrow
+    block instead of an interpreted collection expression inside a
+    join condition (r10 verdict next #1: that class degrades ~40% as a
+    long-lived JVM's eval() call sites go megamorphic).
+
+    NULL on either side → NULL, as the SQL form. An empty union (both
+    arrays empty — unreachable for shingle inputs, which floor at one
+    shingle) → NULL, where the ANSI SQL form would raise
+    DIVIDE_BY_ZERO."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jac(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = np.full(len(sa), np.nan)
+        for i in range(len(sa)):
+            x, y = sa.iat[i], sb.iat[i]
+            if x is None or y is None:
+                continue
+            s1, s2 = set(x), set(y)
+            nu = len(s1 | s2)
+            if nu:
+                out[i] = np.float64(len(s1 & s2)) / np.float64(nu)
+        return pd.Series(out)
+
+    return jac(F.col(a), F.col(b))
+
+
+def jaccard_ppm_pandas(a: str, b: str) -> Column:
+    """Integer-exact Jaccard in ppm — ``|A∩B| * 1_000_000 div |A∪B|``
+    as an Arrow batch kernel (the fixed-point twin of
+    :func:`jaccard_pairs_pandas`; all arithmetic is Python integers, so
+    there is nothing float to drift from the SQL ``div`` form or the
+    DuckDB oracle). NULL on either side → NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def jp(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        vals = [None] * len(sa)
+        for i in range(len(sa)):
+            x, y = sa.iat[i], sb.iat[i]
+            if x is None or y is None:
+                continue
+            s1, s2 = set(x), set(y)
+            nu = len(s1 | s2)
+            if nu:
+                vals[i] = (len(s1 & s2) * 1_000_000) // nu
+        return pd.Series(vals, dtype="Int64")
+
+    return jp(F.col(a), F.col(b))
+
+
+def sig_match_ppm_pandas(a: str, b: str, denom: int) -> Column:
+    """Signature-position match fraction in ppm — the batch form of
+    ``size(filter(zip_with(a, b, (x, y) -> x = y), v -> v)) * 1_000_000
+    div denom``: count equal positions over the common prefix (the
+    fold's NULL-padded tail never survives its filter), exact integer
+    division. NULL on either side → NULL."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    d = int(denom)
+
+    @pandas_udf("long")
+    def mp(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        vals = [None] * len(sa)
+        for i in range(len(sa)):
+            x, y = sa.iat[i], sb.iat[i]
+            if x is None or y is None:
+                continue
+            m = min(len(x), len(y))
+            eq = int(
+                (np.asarray(x[:m]) == np.asarray(y[:m])).sum()
+            )
+            vals[i] = eq * 1_000_000 // d
+        return pd.Series(vals, dtype="Int64")
+
+    return mp(F.col(a), F.col(b))
+
+
 def _report_capped(census: DataFrame, what: str, on_capped: str) -> None:
     """Shared hot-bucket census surfacing: ``on_capped`` is 'ignore' (no
     extra job), 'log' (WARNING with bucket/member counts when anything was
@@ -500,11 +588,7 @@ def jaccard_verify(
     j = (
         pairs.join(sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"}), on="a")
         .join(sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"}), on="b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        .withColumn("jaccard", jaccard_pairs_pandas("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -793,7 +877,10 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, via the ANN
     module's LSH bucketing (avoids the O(n²) cross join at scale)."""
-    from samza_spark.pipeline.similarity import cosine_sim_expr, hyperplane_buckets
+    from samza_spark.pipeline.similarity import (
+        cosine_sim_seq_pandas,
+        hyperplane_buckets,
+    )
 
     bucketed = hyperplane_buckets(emb, vec_col, n_planes=8).select(
         F.col(id_col), F.col(vec_col), F.col("bucket")
@@ -806,7 +893,7 @@ def embedding_near_dup(
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .withColumn(
-            "cosine", cosine_sim_expr(f"l.{vec_col}", f"r.{vec_col}")
+            "cosine", cosine_sim_seq_pandas(f"l.{vec_col}", f"r.{vec_col}")
         )
         .filter(F.col("cosine") >= threshold)
         .select(
@@ -1087,11 +1174,7 @@ def dedup_against_reference(
     verified = (
         cands.join(bsh, on="a_sid")
         .join(rsh, on="b_sid")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        .withColumn("jaccard", jaccard_pairs_pandas("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .groupBy("a_id")
         .agg(
@@ -1282,11 +1365,7 @@ class CorpusDedupIndex:
         verified = (
             cands.join(bsh, on="__bid")
             .join(rsh, on="ref_id")
-            .withColumn(
-                "jaccard",
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-            )
+            .withColumn("jaccard", jaccard_pairs_pandas("sh_a", "sh_b"))
             .filter(F.col("jaccard") >= threshold)
             .groupBy("__bid")
             .agg(
@@ -1611,14 +1690,8 @@ def minhash_estimate_eval(
     return pairs.select(
         "a",
         "b",
-        F.expr(
-            "size(filter(zip_with(lg, rg, (x, y) -> x = y), v -> v)) "
-            f"* 1000000 div {int(num_perm)}"
-        ).cast("long").alias("est_ppm"),
-        F.expr(
-            "size(array_intersect(ls, rs)) * 1000000 "
-            "div size(array_distinct(concat(ls, rs)))"
-        ).cast("long").alias("exact_ppm"),
+        sig_match_ppm_pandas("lg", "rg", num_perm).alias("est_ppm"),
+        jaccard_ppm_pandas("ls", "rs").alias("exact_ppm"),
     ).withColumn("err_ppm", F.expr("abs(est_ppm - exact_ppm)"))
 
 
@@ -1835,10 +1908,7 @@ def simhash_estimate_eval(
         & (F.col("a") < F.col("b")),
     ).select(
         F.expr("cast(bit_count(lg ^ rg) as int)").alias("hamming"),
-        F.expr(
-            "size(array_intersect(lh, rh)) * 1000000 "
-            "div size(array_distinct(concat(lh, rh)))"
-        ).cast("long").alias("exact_ppm"),
+        jaccard_ppm_pandas("lh", "rh").alias("exact_ppm"),
     )
     return (
         pairs.groupBy("hamming")

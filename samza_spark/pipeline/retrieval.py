@@ -39,6 +39,21 @@ def _tokens(text_col: Column) -> Column:
     )
 
 
+def term_count(text_col: Column, term: str) -> Column:
+    """Occurrences of ``term`` as a whole token in the normalized text
+    — one compiled-regex scan (``regexp_count`` is an ordinary codegen
+    expression) instead of split + an interpreted higher-order
+    ``filter`` per document (the expression class that degrades under
+    long-session JIT profile pollution; r10 verdict next #1). The
+    normalized form separates tokens with single spaces, so the token
+    boundary is exactly ``(?:^| )term(?= |$)`` — the lookahead keeps
+    adjacent matches countable ("a a a" counts 3). ``\\Q..\\E`` quoting
+    makes the term literal."""
+    return F.regexp_count(
+        normalized(text_col), F.lit(f"(?:^| )\\Q{term}\\E(?= |$)")
+    ).cast("long")
+
+
 def term_frequencies(
     df: DataFrame,
     terms: list[str],
@@ -50,9 +65,7 @@ def term_frequencies(
     toks = _tokens(F.col(text_col))
     cols = {"dl": F.size(toks).cast("long")}
     for t in terms:
-        cols[f"tf_{t}"] = F.size(
-            F.filter(toks, lambda x: x == F.lit(t))
-        ).cast("long")
+        cols[f"tf_{t}"] = term_count(F.col(text_col), t)
     return df.select(id_col, *(c.alias(n) for n, c in cols.items()))
 
 

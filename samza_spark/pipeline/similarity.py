@@ -86,6 +86,102 @@ def cosine_sim_pandas(a: str, b: str) -> Column:
     return cos(F.col(a) if "." not in a else F.expr(a), F.col(b) if "." not in b else F.expr(b))
 
 
+def _pair_groups(va: "pd.Series", vb: "pd.Series"):
+    """Row indices of a pair batch bucketed by common vector dimension.
+    Rows where either side is NULL or the two lengths differ are left
+    out (they score NULL, the semantics of the ``zip_with`` fold all
+    pairwise kernels replace)."""
+    groups: dict = {}
+    for i in range(len(va)):
+        x, y = va.iat[i], vb.iat[i]
+        if x is None or y is None:
+            continue
+        d = len(x)
+        if d != len(y):
+            continue
+        groups.setdefault(d, []).append(i)
+    return groups
+
+
+def _stack_pairs(va, vb, idx, d, dtype):
+    import numpy as np
+
+    A = np.empty((len(idx), d), dtype=dtype)
+    B = np.empty((len(idx), d), dtype=dtype)
+    for r, i in enumerate(idx):
+        A[r] = va.iat[i]
+        B[r] = vb.iat[i]
+    return A, B
+
+
+def cosine_sim_seq_pandas(a: str, b: str) -> Column:
+    """Pairwise sequential-fold cosine as an Arrow batch kernel — the
+    drop-in replacement for :func:`cosine_sim_expr` on CANDIDATE-PAIR
+    hot paths (semantic_dedup's intra-cluster join, quantized_topk's
+    rerank): per element the multiply-then-add sequence is the same
+    rounded IEEE ops in the same ascending-dimension order as the
+    ``aggregate(zip_with(...))`` fold and the DuckDB list-fold oracles,
+    so the doubles are bit-identical — but evaluated by numpy over a
+    whole Arrow batch instead of an interpreted HigherOrderFunction per
+    row (the expression class measured degrading ~40% under JIT profile
+    pollution in long sessions; see ``cosine_topk``'s docstring).
+
+    Edge semantics: NULL vector or mismatched dimensions → NULL (the
+    fold's NULL-padding outcome); zero-norm pairs → NULL (the SQL form
+    raises DIVIDE_BY_ZERO under ANSI — the kernel's 0/0 NaN crosses
+    Arrow as NULL, which downstream ``>= tau`` filters drop; strictly
+    more robust, never looser)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        out = np.full(len(va), np.nan)
+        for d, idx in _pair_groups(va, vb).items():
+            A, B = _stack_pairs(va, vb, idx, d, np.float64)
+            acc = np.zeros(len(idx), dtype=np.float64)
+            for i in range(d):
+                acc += A[:, i] * B[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = acc / (
+                    _sequential_sq_norm(A) * _sequential_sq_norm(B)
+                )
+        return pd.Series(out)
+
+    return cos(F.col(a), F.col(b))
+
+
+def int_cosine_pairs_pandas(a: str, b: str) -> Column:
+    """Pairwise int-code cosine as an Arrow batch kernel — the batch
+    replacement for ``_int_cosine_sql`` in quantized_topk's stage-1
+    scan. Dot and squared norms are EXACT int64 sums (associativity-
+    free, so no fold order to preserve); only the final sqrt/multiply/
+    divide are IEEE doubles, identical in numpy and the JVM/DuckDB.
+    Zero-norm codes score 0.0 (the SQL CASE); NULL or mismatched-
+    dimension pairs score NULL."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def icos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        out = np.full(len(va), np.nan)
+        for d, idx in _pair_groups(va, vb).items():
+            A, B = _stack_pairs(va, vb, idx, d, np.int64)
+            dot = (A * B).sum(axis=1)
+            na = (A * A).sum(axis=1)
+            nb = (B * B).sum(axis=1)
+            res = np.zeros(len(idx), dtype=np.float64)
+            nz = (na != 0) & (nb != 0)
+            res[nz] = dot[nz].astype(np.float64) / (
+                np.sqrt(na[nz].astype(np.float64))
+                * np.sqrt(nb[nz].astype(np.float64))
+            )
+            out[idx] = res
+        return pd.Series(out)
+
+    return icos(F.col(a), F.col(b))
+
+
 def _sequential_dot(C: "object", Q: "object") -> "object":
     """``acc += C[:, d] * Q[:, d]`` in ascending-dimension order — each
     element's multiply-then-add sequence is the SAME rounded IEEE ops,
@@ -615,7 +711,7 @@ def ann_topk_exact(
     scored = (
         c.join(q, F.col("bucket") == F.col("qbucket"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+        .withColumn("cosine", cosine_sim_seq_pandas("__cv", "__qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -703,7 +799,7 @@ def quantized_topk(
     scored = (
         cq.crossJoin(qq)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("qcos", F.expr(_int_cosine_sql("__cq", "__qq")))
+        .withColumn("qcos", int_cosine_pairs_pandas("__cq", "__qq"))
         .select("query_id", "neighbor_id", "qcos", "__cv", "__qv")
     )
 
@@ -727,7 +823,7 @@ def quantized_topk(
     shortlist = (
         pruned.withColumn("__qr", F.row_number().over(wq))
         .filter(F.col("__qr") <= m)
-        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+        .withColumn("cosine", cosine_sim_seq_pandas("__cv", "__qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1239,8 +1335,15 @@ def semantic_dedup(
     b = paired_src.select(
         F.col("__id").alias("idb"), F.col("__v").alias("vb"), "list_id"
     )
+    # exact=True: the batch pairwise kernel — bit-identical doubles to
+    # the interpreted fold it replaced (and the DuckDB oracle), but
+    # evaluated per Arrow batch AFTER the equi-join instead of as an
+    # interpreted HOF inside the SortMergeJoin condition (r10 verdict
+    # next #1: that expression class degrades ~40% in long sessions)
     pair_cos = (
-        cosine_sim_expr("va", "vb") if exact else cosine_sim_pandas("va", "vb")
+        cosine_sim_seq_pandas("va", "vb")
+        if exact
+        else cosine_sim_pandas("va", "vb")
     )
     pairs = (
         a.join(b, "list_id")
@@ -1785,12 +1888,12 @@ def bitext_margin(
     )
     pairs = (
         b.join(F.broadcast(a))
+        .withColumn("__cos", cosine_sim_seq_pandas("__va", "__vb"))
         .select(
             "a",
             "b",
             F.expr(
-                f"cast(floor(({_cosine_sql('__va', '__vb')} + 1.0) * 1000000000.0) "
-                "as bigint)"
+                "cast(floor((__cos + 1.0) * 1000000000.0) as bigint)"
             ).alias("cos_shift_nano"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1991,7 +2094,7 @@ def mmr_select(
         .select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).alias("cv"),
-            cosine_sim_expr(vec_col, "__qv").alias("sq"),
+            cosine_sim_seq_pandas(vec_col, "__qv").alias("sq"),
         )
         .localCheckpoint(eager=True)
     )
@@ -2009,7 +2112,7 @@ def mmr_select(
             pen = (
                 cands.filter(~F.col("cid").isin(sel_ids))
                 .crossJoin(sel_df)
-                .withColumn("__ps", cosine_sim_expr("cv", "sv"))
+                .withColumn("__ps", cosine_sim_seq_pandas("cv", "sv"))
                 .groupBy("cid")
                 .agg(F.max("__ps").alias("penalty"))
             )

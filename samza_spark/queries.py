@@ -716,7 +716,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     return (
         l.join(r, F.col("a") < F.col("b"))
-        .withColumn("cosine", similarity.cosine_sim_expr("va", "vb"))
+        .withColumn("cosine", similarity.cosine_sim_seq_pandas("va", "vb"))
         .filter(F.col("cosine") >= 0.3)
         .select("a", "b", "cosine")
     )
@@ -3883,12 +3883,9 @@ def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     bm = retrieval.bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "rank")
-    toks = F.split(
-        F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))"), " "
-    )
     tf_total = None
     for t in _BM25_TERMS:
-        c = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        c = retrieval.term_count(F.col("text"), t)
         tf_total = c if tf_total is None else (tf_total + c)
     tf_ranked = (
         docs.select("doc_id", tf_total.cast("long").alias("tf"))

@@ -171,3 +171,162 @@ def test_exact_kernel_broadcasts_query_matrix(spark):
     assert any(
         isinstance(v, tuple) and len(v) == 4 for v in calls
     ), "query matrix was not broadcast"
+
+
+# -- r11 pairwise batch kernels: bit-identical to the SQL they replace --------
+
+
+class TestPairwiseKernelsBitExact:
+    """r10 verdict next #1: every kernelized candidate-pair expression
+    must produce the SAME values (bit-for-bit for doubles, exactly for
+    integers) as the interpreted expression it replaced — that is what
+    keeps the DuckDB oracles hash-matching."""
+
+    def _pair_df(self, spark, n=12, d=16):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vecs = (
+            rng.standard_normal((n, d))
+            * (10.0 ** rng.integers(-6, 6, size=(n, d)))
+        ).astype(np.float32)
+        rows = [
+            Row(i=i, a=[float(x) for x in vecs[i]],
+                b=[float(x) for x in vecs[(i + 5) % n]])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows).select(
+            "i",
+            F.col("a").cast("array<float>").alias("a"),
+            F.col("b").cast("array<float>").alias("b"),
+        )
+
+    def test_cosine_pairs_kernel_equals_hof_fold(self, spark):
+        from samza_spark.pipeline.similarity import (
+            cosine_sim_expr,
+            cosine_sim_seq_pandas,
+        )
+
+        df = self._pair_df(spark)
+        got = {
+            r["i"]: (r["k"], r["h"])
+            for r in df.select(
+                "i",
+                cosine_sim_seq_pandas("a", "b").alias("k"),
+                cosine_sim_expr("a", "b").alias("h"),
+            ).collect()
+        }
+        for i, (k, h) in got.items():
+            assert k == h, (i, k, h, (k - h))
+
+    def test_int_cosine_kernel_equals_sql(self, spark):
+        import numpy as np
+
+        from samza_spark.pipeline.similarity import (
+            _int_cosine_sql,
+            int_cosine_pairs_pandas,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [
+            Row(
+                i=i,
+                a=[int(x) for x in rng.integers(-127, 128, 24)],
+                b=[int(x) for x in rng.integers(-127, 128, 24)],
+            )
+            for i in range(10)
+        ] + [Row(i=10, a=[0] * 24, b=[1] * 24)]  # zero-norm -> 0.0
+        df = spark.createDataFrame(rows)
+        got = df.select(
+            "i",
+            int_cosine_pairs_pandas("a", "b").alias("k"),
+            F.expr(_int_cosine_sql("a", "b")).alias("h"),
+        ).collect()
+        for r in got:
+            assert r["k"] == r["h"], (r["i"], r["k"], r["h"])
+
+    def test_jaccard_kernel_equals_set_expressions(self, spark):
+        from samza_spark.pipeline.dedup import jaccard_pairs_pandas
+
+        rows = [
+            Row(i=0, a=["x", "y", "z"], b=["y", "z", "w"]),
+            Row(i=1, a=["x"], b=["x"]),
+            Row(i=2, a=["x", "x", "y"], b=["x"]),  # dup collapse
+            Row(i=3, a=["q"], b=["r"]),
+        ]
+        df = spark.createDataFrame(rows)
+        got = df.select(
+            "i",
+            jaccard_pairs_pandas("a", "b").alias("k"),
+            (
+                F.size(F.array_intersect("a", "b"))
+                / F.size(F.array_union("a", "b"))
+            ).alias("h"),
+        ).collect()
+        for r in got:
+            assert r["k"] == r["h"], (r["i"], r["k"], r["h"])
+
+    def test_jaccard_ppm_kernel_equals_div_expression(self, spark):
+        from samza_spark.pipeline.dedup import jaccard_ppm_pandas
+
+        rows = [
+            Row(i=0, a=["x", "y", "z"], b=["y", "z", "w"]),
+            Row(i=1, a=["x"], b=["y"]),
+            Row(i=2, a=["a", "b", "c", "d"], b=["a", "b", "c", "d"]),
+        ]
+        df = spark.createDataFrame(rows)
+        got = df.select(
+            "i",
+            jaccard_ppm_pandas("a", "b").alias("k"),
+            F.expr(
+                "size(array_intersect(a, b)) * 1000000 "
+                "div size(array_distinct(concat(a, b)))"
+            ).cast("long").alias("h"),
+        ).collect()
+        for r in got:
+            assert r["k"] == r["h"], (r["i"], r["k"], r["h"])
+
+    def test_sig_match_ppm_kernel_equals_zipwith_count(self, spark):
+        from samza_spark.pipeline.dedup import sig_match_ppm_pandas
+
+        rows = [
+            Row(i=0, a=[1, 2, 3, 4], b=[1, 9, 3, 7]),
+            Row(i=1, a=[5, 5], b=[5, 5]),
+            Row(i=2, a=[1, 2], b=[3, 4]),
+        ]
+        df = spark.createDataFrame(rows)
+        got = df.select(
+            "i",
+            sig_match_ppm_pandas("a", "b", 4).alias("k"),
+            F.expr(
+                "size(filter(zip_with(a, b, (x, y) -> x = y), v -> v)) "
+                "* 1000000 div 4"
+            ).cast("long").alias("h"),
+        ).collect()
+        for r in got:
+            assert r["k"] == r["h"], (r["i"], r["k"], r["h"])
+
+    def test_term_count_equals_hof_token_filter(self, spark):
+        from samza_spark.pipeline.retrieval import _tokens, term_count
+
+        rows = [
+            Row(i=0, text="the cat sat on the   mat"),
+            Row(i=1, text="cat CAT cAt"),
+            Row(i=2, text="concatenate cats scatter"),  # substrings no
+            Row(i=3, text=""),
+            Row(i=4, text="cat"),
+        ]
+        df = spark.createDataFrame(rows)
+        for term in ("cat", "the"):
+            got = df.select(
+                "i",
+                term_count(F.col("text"), term).alias("k"),
+                F.size(
+                    F.filter(
+                        _tokens(F.col("text")),
+                        lambda x: x == F.lit(term),
+                    )
+                ).cast("long").alias("h"),
+            ).collect()
+            for r in got:
+                assert r["k"] == r["h"], (term, r["i"], r["k"], r["h"])

@@ -26,7 +26,19 @@ the real corpus would (measured 2026-08-16 against /root/testdata):
 
 Deterministic: one numpy PCG64 stream seeded per (table, sf).
 
+``--vocab zipf:N`` (VERDICT r10 next #6) swaps the driver-matching
+30-word vocabulary for an N-word Zipfian one (rank-frequency ∝
+1/rank^1.07, the classic natural-text exponent): the 30-word corpus is
+faithful to the driver tables but makes most doc pairs GENUINELY
+near-duplicate at sf≥0.5 (uncapped PPJoin goes Θ(n²) and one prefix
+bucket holds ~40% of docs — a property of the generator, not the
+algorithm), so the realistic-vocabulary mode is what the 100× scaling
+evidence should be read on. Output lands in ``scaledata/sf{X}-zipfN/``
+so both corpora can coexist; only documents changes — the other tables
+are vocabulary-free.
+
 Usage: python tools/gen_scale_data.py 0.5 1.0
+       python tools/gen_scale_data.py --vocab zipf:50000 0.5 1.0
 """
 
 from __future__ import annotations
@@ -60,18 +72,46 @@ def _seed(table: str, sf: float) -> np.random.Generator:
     return np.random.default_rng(int.from_bytes(h[:8], "big"))
 
 
-def gen_documents(sf: float, out: str) -> int:
+def gen_documents(sf: float, out: str, zipf_vocab: int | None = None) -> int:
     n = int(50_000 * sf)
-    rng = _seed("documents", sf)
+    rng = _seed(
+        "documents" if zipf_vocab is None else f"documents-zipf{zipf_vocab}",
+        sf,
+    )
     lens = rng.integers(10, 101, size=n)
     texts: list[str] = []
-    vocab = np.array(VOCAB)
     dup_flags = rng.random(n) < 0.05
-    for i in range(n):
-        if dup_flags[i] and texts:
-            texts.append(texts[int(rng.integers(0, len(texts)))] + " dup")
-        else:
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
+    if zipf_vocab is None:
+        # the driver-matching 30-word mode, per-doc draws UNCHANGED so
+        # the default corpus stays byte-reproducible round-over-round
+        vocab = np.array(VOCAB)
+        for i in range(n):
+            if dup_flags[i] and texts:
+                texts.append(
+                    texts[int(rng.integers(0, len(texts)))] + " dup"
+                )
+            else:
+                texts.append(
+                    " ".join(vocab[rng.integers(0, len(vocab), lens[i])])
+                )
+    else:
+        vocab = np.array([f"w{i:06d}" for i in range(zipf_vocab)])
+        probs = 1.0 / np.arange(1, zipf_vocab + 1) ** 1.07
+        probs /= probs.sum()
+        # one bulk draw for every token slot (rng.choice with a 50k-entry
+        # p vector is ~100x faster batched than per-document; dup docs
+        # skip their slots, which only advances the stream)
+        draws = rng.choice(len(vocab), size=int(lens.sum()), p=probs)
+        pos = 0
+        for i in range(n):
+            take = int(lens[i])
+            if dup_flags[i] and texts:
+                texts.append(
+                    texts[int(rng.integers(0, len(texts)))] + " dup"
+                )
+            else:
+                texts.append(" ".join(vocab[draws[pos : pos + take]]))
+            pos += take
     langs = np.array(LANGS)[rng.choice(len(LANGS), size=n, p=LANG_P)]
     sources = np.array([f"src{i}" for i in range(20)])[
         rng.integers(0, 20, size=n)
@@ -163,20 +203,35 @@ def gen_customer(sf: float, out: str) -> int:
 
 
 def main() -> int:
-    sfs = [float(a) for a in sys.argv[1:]] or [0.5, 1.0]
+    args = sys.argv[1:]
+    zipf_vocab: int | None = None
+    if "--vocab" in args:
+        i = args.index("--vocab")
+        spec = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+        if not spec.startswith("zipf:"):
+            print(f"ERROR unknown vocab mode {spec!r} (want zipf:N)",
+                  file=sys.stderr)
+            return 2
+        zipf_vocab = int(spec.split(":", 1)[1])
+    sfs = [float(a) for a in args] or [0.5, 1.0]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for sf in sfs:
-        d = os.path.join(repo, "scaledata", f"sf{sf:g}")
+        suffix = "" if zipf_vocab is None else f"-zipf{zipf_vocab}"
+        d = os.path.join(repo, "scaledata", f"sf{sf:g}{suffix}")
         os.makedirs(d, exist_ok=True)
         counts = {
-            "documents": gen_documents(sf, os.path.join(d, "documents.parquet")),
+            "documents": gen_documents(
+                sf, os.path.join(d, "documents.parquet"), zipf_vocab
+            ),
             "events": gen_events(sf, os.path.join(d, "events.parquet")),
             "embeddings": gen_embeddings(
                 sf, os.path.join(d, "embeddings.parquet")
             ),
             "customer": gen_customer(sf, os.path.join(d, "customer.parquet")),
         }
-        print(json.dumps({"sf": sf, "dir": d, "rows": counts}))
+        print(json.dumps({"sf": sf, "dir": d, "vocab": zipf_vocab,
+                          "rows": counts}))
     return 0
 
 
