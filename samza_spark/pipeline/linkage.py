@@ -36,15 +36,40 @@ Scale design (100 TB):
   prefix unless a record is almost entirely hot). A length filter
   (t*|x| <= |y| <= |x|/t) prunes inside the join condition.
 - Verification joins the two full shingle arrays by record id (hash
-  joins on the id key) and computes exact Jaccard with a single integer
-  division — no Python anywhere in the plan.
+  joins on the id key); the per-pair overlap COUNT runs as an Arrow
+  batch kernel (exact integer — r10 verdict: interpreted collection
+  expressions on candidate-pair paths degrade under long-session JIT
+  profile pollution), and the similarity itself stays a single JVM-side
+  integer division over that count and the two set sizes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 from samza_spark.pipeline.dedup import word_ngrams
+
+
+def overlap_count_pandas(a: str, b: str) -> Column:
+    """Exact ``size(array_intersect(a, b))`` as an Arrow batch kernel —
+    integer set-overlap per candidate pair (inputs are distinct element
+    sets, so Python set intersection counts the same elements the SQL
+    set function counts). NULL on either side → NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def ov(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        vals = [None] * len(sa)
+        for i in range(len(sa)):
+            x, y = sa.iat[i], sb.iat[i]
+            if x is None or y is None:
+                continue
+            vals[i] = len(set(x) & set(y))
+        return pd.Series(vals, dtype="Int32")
+
+    return ov(F.col(a), F.col(b))
 
 
 def _shingle_sets(
@@ -173,7 +198,7 @@ def similarity_join(
     sb = sets_df.select(
         F.col("__id").alias("__idb"), F.col("__sh").alias("__shb")
     )
-    inter = F.size(F.array_intersect("__sha", "__shb"))
+    inter = overlap_count_pandas("__sha", "__shb")
     union = F.size("__sha") + F.size("__shb") - inter
     out = (
         cand.join(sa, "__ida")
@@ -248,7 +273,7 @@ def containment_join(
     )
     sa = sets_df.select(F.col("__id").alias("__ida"), F.col("__sh").alias("__sha"))
     sb = sets_df.select(F.col("__id").alias("__idb"), F.col("__sh").alias("__shb"))
-    inter = F.size(F.array_intersect("__sha", "__shb"))
+    inter = overlap_count_pandas("__sha", "__shb")
     out = (
         cand.join(sa, "__ida")
         .join(sb, "__idb")
