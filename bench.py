@@ -333,6 +333,7 @@ HEADLINE = [
     "expectations_report",
     "expectations_routing",
     "simhash_eval",
+    "oov_audit",
 ]
 
 

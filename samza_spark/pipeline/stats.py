@@ -2536,3 +2536,4 @@ def simpson_audit(
             "dir_stratum", "dir_pooled", "reverses",
         )
     )
+

@@ -1514,3 +1514,79 @@ def nfc_audit(
             yield out
 
     return src.mapInPandas(_kernel, schema=schema)
+
+
+def oov_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary audit against the corpus's own top-``k``
+    vocabulary: build the ``k`` most frequent normalized whitespace
+    tokens (ties broken token ASC so the boundary is deterministic),
+    then report per document how many of its token OCCURRENCES fall
+    outside that vocabulary — the pre-tokenizer-sizing audit that tells
+    you what coverage a ``k``-entry vocab/merge table would actually buy
+    on this corpus (the classic coverage-vs-size curve point; run it at
+    several ``k`` for the curve).
+
+    Returns ``(id, n_tokens, oov_tokens, oov_ppm)`` for EVERY input row
+    (empty/whitespace docs report 0/0/0).
+
+    Scale shape (100 TB): token counting is one explode + one
+    token-keyed aggregate with map-side partials; the top-``k`` cut uses
+    :func:`samza_spark.operators.rank.global_rank` (range exchange +
+    per-partition windows — no single-partition sort); the selected
+    vocab is ``k`` rows and joins back by BROADCAST, so the second pass
+    over token occurrences is map-side; the per-doc rollup is one
+    id-keyed aggregate. No driver collect, nothing corpus-sized ever
+    sits on one task. All outputs exact integers (``oov_ppm`` is
+    fixed-point ``div``), so a DuckDB oracle hash-matches.
+    """
+    from samza_spark.operators.rank import global_rank
+
+    nt = normalized(F.col(text_col))
+    toks = F.when(nt == "", F.array().cast("array<string>")).otherwise(
+        F.split(nt, " ")
+    )
+    occ = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__tok")
+    )
+    counts = occ.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    vocab = (
+        global_rank(
+            counts,
+            [F.col("__cnt").desc(), F.col("__tok").asc()],
+            rank_col="__r",
+        )
+        .filter(F.col("__r") <= int(k))
+        .select(F.col("__tok"), F.lit(True).alias("__in_vocab"))
+    )
+    per_doc = (
+        occ.join(F.broadcast(vocab), on="__tok", how="left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, df[id_col] == per_doc["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("oov_tokens", F.lit(0)).cast("long").alias(
+                "oov_tokens"
+            ),
+            F.expr(
+                "case when coalesce(n_tokens, 0) = 0 then 0L "
+                "else oov_tokens * 1000000 div n_tokens end"
+            ).alias("oov_ppm"),
+        )
+    )

@@ -14666,6 +14666,41 @@ ORACLES["lateral_correlated_agg"] = (
 )
 
 
+def q_oov_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-vocabulary audit (pipeline.text.vocab_coverage): top-k
+    corpus vocabulary by token count (rank via operators.rank.global_rank
+    — no single-partition sort), k-row vocab broadcast back over the
+    token occurrences, per-doc OOV occurrences in exact integer ppm.
+    k=10 so the synthetic corpus's ~30-word vocabulary actually splits
+    into in/out classes."""
+    from samza_spark.pipeline import text as text_ops
+
+    docs = load_table(spark, sf, "documents")
+    return text_ops.oov_audit(docs, k=10)
+
+
+QUERIES["oov_audit"] = q_oov_audit
+
+ORACLES["oov_audit"] = (
+    f"WITH t AS (SELECT doc_id, CASE WHEN {_NORM.format(c='text')} = '' "
+    "THEN CAST([] AS VARCHAR[]) ELSE "
+    f"string_split({_NORM.format(c='text')}, ' ') END AS w FROM documents), "
+    "occ AS (SELECT doc_id, unnest(w) AS tok FROM t), "
+    "cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY tok), "
+    "v AS (SELECT tok FROM (SELECT tok, row_number() OVER "
+    "(ORDER BY c DESC, tok ASC) AS r FROM cnt) WHERE r <= 10), "
+    "d AS (SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS oov_tokens FROM occ LEFT JOIN v ON occ.tok = v.tok "
+    "GROUP BY occ.doc_id) "
+    "SELECT doc.doc_id, COALESCE(d.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, "
+    "COALESCE(d.oov_tokens, CAST(0 AS BIGINT)) AS oov_tokens, "
+    "CASE WHEN COALESCE(d.n_tokens, 0) = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(d.oov_tokens * 1000000 // d.n_tokens AS BIGINT) END "
+    "AS oov_ppm FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id"
+)
+
+
 # The driver's CORRECTNESS_r{N}.json records only the first ~50 ``queries()``
 # rows, so iteration order decides which operators get a driver-green row.
 # r11 window (VERDICT r10 next #2): CORRECTNESS_r10 was 50/50 green, so the

@@ -111,7 +111,7 @@ FAMILIES: dict[str, list[str]] = {
         "unigram_logprob", "bigram_logprob", "kneser_ney", "nb_classifier",
         "zipf_fit", "tfidf_topk", "edit_distance", "ngram_diversity",
         "ngram_novelty", "perplexity_buckets", "pmi_collocations",
-        "rake_keyphrases", "vocab_coverage", "doc_structure",
+        "rake_keyphrases", "vocab_coverage", "oov_audit", "doc_structure",
         "mojibake_report", "encoding_profile", "span_corruption",
         "repetition_loops", "quality_percentiles", "global_quality_rank",
         "quality_calibration", "quality_report", "length_outliers",

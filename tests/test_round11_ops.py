@@ -330,3 +330,47 @@ class TestPairwiseKernelsBitExact:
             ).collect()
             for r in got:
                 assert r["k"] == r["h"], (term, r["i"], r["k"], r["h"])
+
+
+# -- oov_audit: per-doc out-of-vocabulary audit (new r11 operator) -------------
+
+
+class TestOovAudit:
+    def test_oov_counts_occurrences_against_topk_vocab(self, spark):
+        from samza_spark.pipeline.text import oov_audit
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a b"),      # a,b in vocab (top-2)
+                (2, "a b c"),        # c is OOV
+                (3, "x y z z"),      # z ties with b... see counts below
+                (4, ""),             # empty -> 0/0/0
+                (5, None),           # NULL text -> 0/0/0
+            ],
+            "doc_id long, text string",
+        )
+        # counts: a=4, z=2, b=2, x=1, y=1, c=1 -> top-2 by (count desc,
+        # token asc) = a, b (b < z at the tie)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["oov_tokens"], r["oov_ppm"])
+            for r in oov_audit(docs, k=2).collect()
+        }
+        assert got[1] == (4, 0, 0)
+        assert got[2] == (3, 1, 333333)
+        assert got[3] == (4, 4, 1000000)
+        assert got[4] == (0, 0, 0)
+        assert got[5] == (0, 0, 0)
+
+    def test_plan_has_no_single_partition_window(self, spark):
+        from samza_spark.advisor import (
+            _count_single_partition_windows,
+            explain_formatted,
+        )
+        from samza_spark.pipeline.text import oov_audit
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "b c")], "doc_id long, text string"
+        )
+        plan = explain_formatted(oov_audit(docs, k=1))
+        assert _count_single_partition_windows(plan) == 0
+        assert "CartesianProduct" not in plan
