@@ -72,6 +72,23 @@ SF_DIRS = (
 
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    # r11 (VERDICT r10 next #6): the Zipfian-vocabulary scaling run —
+    #   SPARK_GRAFT_SCALING_DIRS="0.01:scaledata/sf0.01-zipf50000,..."
+    #   SPARK_GRAFT_SCALING_OPS="jaccard_prefix_join,binary_near_dup"
+    #   SPARK_GRAFT_SCALING_UNCAPPED=1   (run the registered uncapped
+    #     jaccard path: realistic vocabularies have tiny prefix buckets,
+    #     so the exactness-contract default should complete at sf1)
+    global SF_DIRS, OPS, OVERRIDES
+    env_dirs = os.environ.get("SPARK_GRAFT_SCALING_DIRS")
+    if env_dirs:
+        SF_DIRS = tuple(
+            tuple(part.split(":", 1)) for part in env_dirs.split(",")
+        )
+    env_ops = os.environ.get("SPARK_GRAFT_SCALING_OPS")
+    if env_ops:
+        OPS = tuple(env_ops.split(","))
+    if os.environ.get("SPARK_GRAFT_SCALING_UNCAPPED"):
+        OVERRIDES = {}
     from __spark_entry__ import queries
 
     from samza_spark import SessionConfig, get_session
