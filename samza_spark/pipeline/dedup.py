@@ -72,7 +72,12 @@ def jaccard_pairs_pandas(a: str, b: str) -> Column:
                 out[i] = np.float64(len(s1 & s2)) / np.float64(nu)
         return pd.Series(out)
 
-    return jac(F.col(a), F.col(b))
+    # non-deterministic stops the optimizer cloning the kernel below the
+    # threshold filter (a deterministic UDF column referenced by a filter
+    # is evaluated once for the filter and AGAIN for the projection — two
+    # ArrowEvalPython nodes per verify path; every candidate pair paid
+    # the kernel twice)
+    return jac.asNondeterministic()(F.col(a), F.col(b))
 
 
 def jaccard_ppm_pandas(a: str, b: str) -> Column:
@@ -96,7 +101,8 @@ def jaccard_ppm_pandas(a: str, b: str) -> Column:
                 vals[i] = (len(s1 & s2) * 1_000_000) // nu
         return pd.Series(vals, dtype="Int64")
 
-    return jp(F.col(a), F.col(b))
+    # see jaccard_pairs_pandas: single evaluation under filters
+    return jp.asNondeterministic()(F.col(a), F.col(b))
 
 
 def sig_match_ppm_pandas(a: str, b: str, denom: int) -> Column:
@@ -124,7 +130,8 @@ def sig_match_ppm_pandas(a: str, b: str, denom: int) -> Column:
             vals[i] = eq * 1_000_000 // d
         return pd.Series(vals, dtype="Int64")
 
-    return mp(F.col(a), F.col(b))
+    # see jaccard_pairs_pandas: single evaluation under filters
+    return mp.asNondeterministic()(F.col(a), F.col(b))
 
 
 def _report_capped(census: DataFrame, what: str, on_capped: str) -> None:
@@ -952,22 +959,24 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # labels only ever DECREASE (least of own and neighbor min), so
+        # "this round changed something" is exactly "some neighbor min
+        # beat the old label" — carry that flag through the checkpoint
+        # and the convergence test becomes a scan of the materialized
+        # round output instead of a second labels-vs-new-labels shuffle
+        # join per round (one fewer join job and exchange per iteration;
+        # the per-round shuffle count is the scale cost of this loop)
         new_labels = (
             labels.join(incoming, on="id", how="left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     else:

@@ -69,7 +69,12 @@ def overlap_count_pandas(a: str, b: str) -> Column:
             vals[i] = len(set(x) & set(y))
         return pd.Series(vals, dtype="Int32")
 
-    return ov(F.col(a), F.col(b))
+    # non-deterministic: the count feeds both the output jaccard/overlap
+    # column AND the tau filter — deterministic UDF columns referenced by
+    # a filter get cloned below it (two ArrowEvalPython nodes), and a
+    # pushable predicate over the count would drag the kernel into a join
+    # condition, which Python eval cannot sit in
+    return ov.asNondeterministic()(F.col(a), F.col(b))
 
 
 def _shingle_sets(
@@ -198,16 +203,24 @@ def similarity_join(
     sb = sets_df.select(
         F.col("__id").alias("__idb"), F.col("__sh").alias("__shb")
     )
-    inter = overlap_count_pandas("__sha", "__shb")
-    union = F.size("__sha") + F.size("__shb") - inter
+    # bind the kernel to ONE materialized column and derive n_common /
+    # jaccard from it: the non-deterministic UDF then appears exactly once
+    # in the plan (one ArrowEvalPython), instead of once per referencing
+    # expression plus once below the threshold filter
+    union = (
+        F.size("__sha") + F.size("__shb") - F.col("__ov")
+    )
     out = (
         cand.join(sa, "__ida")
         .join(sb, "__idb")
+        .withColumn("__ov", overlap_count_pandas("__sha", "__shb"))
         .select(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
-            inter.cast("int").alias("n_common"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.col("__ov").cast("int").alias("n_common"),
+            (F.col("__ov").cast("double") / union.cast("double")).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= F.lit(t))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -273,18 +286,21 @@ def containment_join(
     )
     sa = sets_df.select(F.col("__id").alias("__ida"), F.col("__sh").alias("__sha"))
     sb = sets_df.select(F.col("__id").alias("__idb"), F.col("__sh").alias("__shb"))
-    inter = overlap_count_pandas("__sha", "__shb")
+    # one materialized kernel column, three derived expressions — the
+    # non-deterministic count must appear exactly once in the plan (see
+    # similarity_join)
     out = (
         cand.join(sa, "__ida")
         .join(sb, "__idb")
+        .withColumn("__ov", overlap_count_pandas("__sha", "__shb"))
         .select(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
-            inter.cast("int").alias("n_common"),
-            (inter.cast("double") / F.size("__sha").cast("double")).alias(
+            F.col("__ov").cast("int").alias("n_common"),
+            (F.col("__ov").cast("double") / F.size("__sha").cast("double")).alias(
                 "cont_a_in_b"
             ),
-            (inter.cast("double") / F.size("__shb").cast("double")).alias(
+            (F.col("__ov").cast("double") / F.size("__shb").cast("double")).alias(
                 "cont_b_in_a"
             ),
         )

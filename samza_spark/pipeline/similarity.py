@@ -83,7 +83,11 @@ def cosine_sim_pandas(a: str, b: str) -> Column:
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         return pd.Series(num / np.maximum(den, 1e-300))
 
-    return cos(F.col(a) if "." not in a else F.expr(a), F.col(b) if "." not in b else F.expr(b))
+    # non-deterministic: stops the optimizer cloning the kernel below a
+    # threshold filter on the cosine column (guide-class duplicated
+    # BatchEvalPython/ArrowEvalPython — each pair would pay twice)
+    cos_nd = cos.asNondeterministic()
+    return cos_nd(F.col(a) if "." not in a else F.expr(a), F.col(b) if "." not in b else F.expr(b))
 
 
 def _pair_groups(va: "pd.Series", vb: "pd.Series"):
@@ -148,7 +152,8 @@ def cosine_sim_seq_pandas(a: str, b: str) -> Column:
                 )
         return pd.Series(out)
 
-    return cos(F.col(a), F.col(b))
+    # single evaluation under threshold filters (see cosine_sim_pandas)
+    return cos.asNondeterministic()(F.col(a), F.col(b))
 
 
 def int_cosine_pairs_pandas(a: str, b: str) -> Column:
@@ -179,7 +184,8 @@ def int_cosine_pairs_pandas(a: str, b: str) -> Column:
             out[idx] = res
         return pd.Series(out)
 
-    return icos(F.col(a), F.col(b))
+    # single evaluation under threshold filters (see cosine_sim_pandas)
+    return icos.asNondeterministic()(F.col(a), F.col(b))
 
 
 def _sequential_dot(C: "object", Q: "object") -> "object":

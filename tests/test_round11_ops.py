@@ -374,3 +374,142 @@ class TestOovAudit:
         plan = explain_formatted(oov_audit(docs, k=1))
         assert _count_single_partition_windows(plan) == 0
         assert "CartesianProduct" not in plan
+
+
+class TestConnectedComponentsInlineConvergence:
+    """The r11 optimization folds the per-round convergence check into
+    the checkpointed round output (a ``__chg`` flag) instead of a
+    labels-vs-new-labels shuffle join; values and the output contract
+    must be untouched."""
+
+    def test_output_schema_has_no_flag_column(self, spark):
+        from samza_spark.pipeline.dedup import connected_components
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        out = connected_components(pairs)
+        assert out.columns == ["doc_id", "component"]
+
+    def test_early_convergence_on_star_graph(self, spark):
+        # a star around node 0 converges in one round; the inline flag
+        # must report "no change" on round 2 and stop with min labels
+        from samza_spark.pipeline.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "a long, b long"
+        )
+        comp = {
+            r.doc_id: r.component
+            for r in connected_components(pairs, max_iter=20).collect()
+        }
+        assert comp == {i: 0 for i in range(6)}
+
+    def test_two_components_chain_and_pair(self, spark):
+        from samza_spark.pipeline.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (12, 13), (50, 51)], "a long, b long"
+        )
+        comp = {
+            r.doc_id: r.component
+            for r in connected_components(pairs).collect()
+        }
+        assert comp == {10: 10, 11: 10, 12: 10, 13: 10, 50: 50, 51: 50}
+
+
+class TestKernelSingleEvaluation:
+    """The pair kernels are marked non-deterministic so the optimizer
+    cannot clone them below threshold filters (guide-class duplicated
+    ArrowEvalPython: filter copy + projection copy = every candidate
+    pair scored twice). Pin: exactly ONE ArrowEvalPython per kernel in
+    the verify plans, and values unchanged."""
+
+    def _plan(self, df) -> str:
+        from samza_spark.advisor import explain_formatted
+
+        return explain_formatted(df)
+
+    @staticmethod
+    def _n_nodes(plan: str, op: str) -> int:
+        # formatted explain prints every node twice (tree line + the
+        # numbered "(N) Op" detail header) — count the detail headers
+        import re
+
+        return len(re.findall(rf"^\(\d+\) {op}", plan, re.M))
+
+    def test_jaccard_verify_single_kernel_node(self, spark):
+        from samza_spark.pipeline import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} alpha beta gamma delta common words here")
+             for i in range(8)],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 4)], "a long, b long"
+        )
+        plan = self._plan(dedup.jaccard_verify(docs, pairs, threshold=0.5))
+        assert self._n_nodes(plan, "ArrowEvalPython") == 1, plan
+
+    def test_similarity_join_single_kernel_node(self, spark):
+        from samza_spark.pipeline import linkage
+
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog " + "x" * (i % 3))
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        out = linkage.similarity_join(docs, threshold=0.5)
+        plan = self._plan(out)
+        # the operator persists its output, and explain of a cached frame
+        # prints the cached plan more than once — so count STACKED kernel
+        # nodes (two adjacent ArrowEvalPython tree lines, the signature of
+        # the filter-clone duplication) rather than total occurrences
+        lines = [
+            ln.strip().lstrip("+-:* ").split(" ")[0]
+            for ln in plan.splitlines()
+            if "ArrowEvalPython" in ln or "Filter" in ln
+        ]
+        for prev, cur in zip(lines, lines[1:]):
+            assert not (
+                prev == "ArrowEvalPython" and cur == "ArrowEvalPython"
+            ), plan
+
+    def test_jaccard_verify_values_unchanged_by_nd_marking(self, spark):
+        from samza_spark.pipeline import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "a b c d f"),
+                (3, "x y z w v"),
+                (4, "x y z w q"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in dedup.jaccard_verify(docs, pairs, threshold=0.0).collect()
+        }
+        # reference: the SQL set expressions the kernel replaced, over the
+        # same char-5-gram shingle arrays
+        from samza_spark.pipeline.dedup import _shingle_expr
+
+        sh = docs.select(
+            "doc_id", _shingle_expr("text", "char", 5).alias("sh")
+        )
+        ref = {
+            (r.a, r.b): r.j
+            for r in pairs.join(
+                sh.withColumnsRenamed({"doc_id": "a", "sh": "sh_a"}), "a"
+            )
+            .join(sh.withColumnsRenamed({"doc_id": "b", "sh": "sh_b"}), "b")
+            .selectExpr(
+                "a",
+                "b",
+                "size(array_intersect(sh_a, sh_b)) / "
+                "size(array_union(sh_a, sh_b)) AS j",
+            )
+            .collect()
+        }
+        assert got == ref and len(got) == 2
