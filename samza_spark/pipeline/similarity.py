@@ -1601,6 +1601,37 @@ def pq_encode(
     )
 
 
+def _adc_lut_sql(qvec: str, m: int, n_codes: int, dsub: int) -> str:
+    """Per-query ADC lookup table: a flat ``m * n_codes`` BIGINT array
+    where entry ``j * n_codes + c`` is the floored nano squared-L2
+    between the query's ``j``-th subvector and centroid ``(j, c)`` —
+    the exact :func:`_l2fx_sql` fold the per-candidate ADC evaluated,
+    hoisted to query scale. Entries for (j, c) combos absent from the
+    codebook (empty clusters) come out NULL and are never looked up,
+    because codes only ever reference existing centroids."""
+    return (
+        f"transform(sequence(0, {m * n_codes - 1}), i -> "
+        + _l2fx_sql(
+            f"slice({qvec}, (i div {n_codes}) * {dsub} + 1, {dsub})",
+            f"filter(__cents, s -> s.m = i div {n_codes} "
+            f"AND s.cluster = i % {n_codes})[0].cv",
+        )
+        + ")"
+    )
+
+
+def _adc_lookup_sql(m: int, n_codes: int) -> str:
+    """Candidate ADC from the per-query LUT: an UNROLLED sum of ``m``
+    integer array lookups — pure codegen, no interpreted fold and no
+    centroid scan at candidate-pair scale. Integer addition in the same
+    ascending-subspace order as the fold it replaces (associative, so
+    bit-identical)."""
+    return " + ".join(
+        f"element_at(__lut, {j * n_codes} + element_at(codes, {j + 1}) + 1)"
+        for j in range(m)
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1616,11 +1647,14 @@ def pq_topk(
     codes: score(q, x) = sum_m ||q_m - codebook[m][code_m(x)]||^2 — the
     query stays exact, the corpus is its codes.
 
-    Scale shape: codebook AND queries broadcast; the corpus-side scan is
-    map-only (codes + one integer-fold expression per query), followed by
-    partition-local top-k and a rank shuffle of nparts*k rows per query —
-    the same never-move-the-big-side plan as :func:`cosine_topk`, but
-    reading m ints per vector instead of ``dim`` floats.
+    Scale shape: codebook AND queries broadcast; the per-subspace
+    distance folds are precomputed into a per-query lookup table
+    (``m * n_codes`` BIGINTs, query scale), so the corpus-side scan is
+    map-only with an unrolled codegen integer sum of ``m`` lookups per
+    candidate, followed by partition-local top-k and a rank shuffle of
+    nparts*k rows per query — the same never-move-the-big-side plan as
+    :func:`cosine_topk`, but reading m ints per vector instead of
+    ``dim`` floats.
 
     Determinism: each per-subspace distance is floored to BIGINT
     nano-units (:func:`_l2fx_sql`); the sum over subspaces is integer —
@@ -1629,10 +1663,13 @@ def pq_topk(
     """
     dsub = dim // m
     if codebook is None:
+        # the codebook feeds BOTH the encode broadcast and the query LUT
+        # broadcast — unpersisted, the whole training DAG ran twice
+        # (two full ObjectHashAggregate subtrees in the r10 plan)
         codebook = pq_train_codebook(
             corpus, m=m, k=n_codes, dim=dim, n_iters=1,
             id_col=id_col, vec_col=vec_col,
-        )
+        ).persist()
     codes = pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
     cent1 = F.broadcast(
         codebook.agg(
@@ -1641,25 +1678,29 @@ def pq_topk(
             ).alias("__cents")
         )
     )
+    # the per-subspace distance folds are hoisted into a per-query LUT
+    # (|queries| * m * n_codes interpreted folds — query scale); the
+    # per-candidate ADC below is then an unrolled codegen integer sum of
+    # m lookups, so nothing interpreted runs at pair scale and the
+    # centroid array never rides the candidate join
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.expr(_as_double(vec_col)).alias("__qv"),
         )
-    )
-    # sum over subspaces of the floored per-subspace distance: integer fold
-    adc = (
-        f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), (acc, j) -> acc + "
-        f"{_l2fx_sql(f'slice(__qv, j * {dsub} + 1, {dsub})', 'filter(__cents, s -> s.m = j AND s.cluster = element_at(codes, j + 1))[0].cv')})"
+        .join(cent1)
+        .select(
+            "query_id",
+            F.expr(_adc_lut_sql("__qv", m, n_codes, dsub)).alias("__lut"),
+        )
     )
     scored = (
-        codes.join(cent1)
-        .join(q)
+        codes.join(q)
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.expr(adc).alias("adc_nano"),
+            F.expr(_adc_lookup_sql(m, n_codes)).alias("adc_nano"),
         )
     )
 
@@ -1778,7 +1819,19 @@ def ivfpq_topk(
         resid, codebook, m=m, dim=dim, id_col="__id", vec_col="__r",
         keep_cols=("__lid",),
     )
-    # queries: probe n_probe coarse lists, residual PER PROBED LIST
+    # queries: probe n_probe coarse lists, residual PER PROBED LIST,
+    # then the per-(query, list) ADC lookup table — the fine-codebook
+    # folds run |queries| * n_probe * m * n_codes times here (query
+    # scale) so candidate scoring below is pure-codegen integer lookups
+    # and neither the residual vector nor the centroid array rides the
+    # candidate join (64 BIGINTs per probed query replace 64 doubles)
+    cb1 = F.broadcast(
+        codebook.agg(
+            F.array_sort(
+                F.collect_list(F.struct("m", "cluster", "cv"))
+            ).alias("__cents")
+        )
+    )
     qprobe = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -1802,26 +1855,20 @@ def ivfpq_topk(
             "__lid",
             F.expr(f"zip_with(__v, {lid_cv}, (x, y) -> x - y)").alias("__qr"),
         )
-    )
-    cb1 = F.broadcast(
-        codebook.agg(
-            F.array_sort(
-                F.collect_list(F.struct("m", "cluster", "cv"))
-            ).alias("__cents")
+        .join(cb1)
+        .select(
+            "query_id",
+            "__lid",
+            F.expr(_adc_lut_sql("__qr", m, n_codes, dsub)).alias("__lut"),
         )
-    )
-    adc = (
-        f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), (acc, j) -> acc + "
-        f"{_l2fx_sql(f'slice(__qr, j * {dsub} + 1, {dsub})', 'filter(__cents, s -> s.m = j AND s.cluster = element_at(codes, j + 1))[0].cv')})"
     )
     scored = (
         codes.join(qprobe, on="__lid")
         .filter(F.col("__id") != F.col("query_id"))
-        .join(cb1)
         .select(
             "query_id",
             F.col("__id").alias("neighbor_id"),
-            F.expr(adc).alias("adc_nano"),
+            F.expr(_adc_lookup_sql(m, n_codes)).alias("adc_nano"),
         )
     )
 

@@ -1330,17 +1330,31 @@ for _k in range(8):
     _POISSON1_CDF_Q30.append(int(_acc * (1 << 30)))
 
 
-def _boot_weight_expr(rep: int, key_expr: str) -> str:
-    """Poisson(1) bootstrap weight of row ``key_expr`` in replicate
-    ``rep``: inverse-CDF over the codebase's md5 30-bit uniform."""
-    u = (
+def _boot_u_expr(rep: int, key_expr: str) -> str:
+    """The md5 30-bit uniform draw for (replicate, key) — the expensive
+    half of the bootstrap weight, split out so callers can materialize
+    it ONCE per (row, rep) instead of letting it be textually inlined
+    into every CDF comparison."""
+    return (
         f"(cast(conv(substr(md5(concat('boot{rep}|', cast({key_expr} as string))), "
         "1, 8), 16, 10) as bigint) % 1073741824)"
     )
+
+
+def _boot_cdf_expr(u_expr: str) -> str:
+    """Inverse-CDF Poisson(1) weight from a 30-bit uniform expression —
+    eight integer comparisons, cheap codegen."""
     parts = " + ".join(
-        f"(case when {u} >= {t} then 1 else 0 end)" for t in _POISSON1_CDF_Q30
+        f"(case when {u_expr} >= {t} then 1 else 0 end)"
+        for t in _POISSON1_CDF_Q30
     )
     return f"({parts})"
+
+
+def _boot_weight_expr(rep: int, key_expr: str) -> str:
+    """Poisson(1) bootstrap weight of row ``key_expr`` in replicate
+    ``rep``: inverse-CDF over the codebase's md5 30-bit uniform."""
+    return _boot_cdf_expr(_boot_u_expr(rep, key_expr))
 
 
 def _boot_weight_sql(rep_expr: str, key_expr: str) -> str:
@@ -1381,12 +1395,31 @@ def poisson_bootstrap(
     (``mean_units`` by integer division).
     """
     units = f"cast(floor({value_col} * {scale}) as bigint)"
+    # materialize each replicate's md5 draw ONCE per row, then the weight
+    # once, before aggregating: inlined into the agg directly, the md5
+    # expression is textually repeated per CDF comparison AND per (sum w,
+    # sum w*v) pair — up to 2 * |CDF| = 16 evaluations per (row, rep)
+    # where one suffices. CollapseProject will not re-inline a non-cheap
+    # expression referenced more than once, so the staging holds in the
+    # optimized plan; values are identical (same deterministic hash).
+    staged = df.select(
+        F.expr(units).alias("__u"),
+        *[
+            F.expr(_boot_u_expr(r, key_col)).alias(f"__d_{r}")
+            for r in range(1, n_reps + 1)
+        ],
+    ).select(
+        "__u",
+        *[
+            F.expr(_boot_cdf_expr(f"__d_{r}")).alias(f"__w_{r}")
+            for r in range(1, n_reps + 1)
+        ],
+    )
     aggs = []
     for r in range(1, n_reps + 1):
-        w = _boot_weight_expr(r, key_col)
-        aggs.append(F.expr(f"sum({w})").alias(f"n_{r}"))
-        aggs.append(F.expr(f"sum({w} * {units})").alias(f"s_{r}"))
-    one = df.agg(*aggs)
+        aggs.append(F.expr(f"sum(__w_{r})").alias(f"n_{r}"))
+        aggs.append(F.expr(f"sum(__w_{r} * __u)").alias(f"s_{r}"))
+    one = staged.agg(*aggs)
     stacked = ", ".join(
         f"{r}L, n_{r}, s_{r}" for r in range(1, n_reps + 1)
     )

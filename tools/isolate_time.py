@@ -12,7 +12,8 @@ Usage: python tools/isolate_time.py name [name ...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS,
      SPARK_GRAFT_BENCH_REPEATS (default 5), SPARK_GRAFT_IDLE_SKIP=1 to
      skip the idle assertion (contended A/B where both sides share the
-     same contention).
+     same contention), SPARK_GRAFT_EXTRA_CONF="k=v;k=v" to inject extra
+     Spark confs for conf-level A/B experiments (recorded in the JSON).
 """
 
 from __future__ import annotations
@@ -48,13 +49,18 @@ def main() -> int:
 
     from samza_spark import SessionConfig, get_session
 
+    extra = {"spark.driver.memory": os.environ.get(
+        "SPARK_GRAFT_BENCH_MEM", "8g")}
+    extra_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra_conf.split(";")):
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
     spark = get_session(
         SessionConfig(
             app_name="isolate_time",
             master=f"local[{cpus}]",
             shuffle_partitions=cpus,
-            extra={"spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_BENCH_MEM", "8g")},
+            extra=extra,
         )
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -84,7 +90,7 @@ def main() -> int:
         }
         print(f"# {name}: {results[name]}", file=sys.stderr)
     print(json.dumps({"sf_dir": sf_dir, "cpus": cpus, "noop_sink": True,
-                      "results": results}))
+                      "extra_conf": extra_conf, "results": results}))
     return 0
 
 
