@@ -384,10 +384,17 @@ def hits_exact(
     h = nodes.select("node", F.lit(MICRO).cast("long").alias("x"))
     a = None
     for _ in range(n_iters):
+        # Each half-round's raw sum vector is referenced TWICE (the
+        # scalar max and the rescale join). Materialize it eagerly:
+        # unpersisted, the max's broadcast job re-evaluated the whole
+        # subtree, and because each half-round builds on the last, the
+        # recompute count doubled per half-round (2^(2*n_iters) leaf
+        # evaluations by the final action).
         a_raw = (
             ed.join(h, ed.src == h.node)
             .groupBy("dst")
             .agg(F.sum("x").alias("s"))
+            .localCheckpoint(eager=True)
         )
         amax = a_raw.agg(F.max("s").alias("__m"))
         a = (
@@ -404,6 +411,7 @@ def hits_exact(
             ed.join(a, ed.dst == a.node)
             .groupBy("src")
             .agg(F.sum("x").alias("s"))
+            .localCheckpoint(eager=True)
         )
         hmax = h_raw.agg(F.max("s").alias("__m"))
         h = (
@@ -567,7 +575,12 @@ def label_propagation(
             )
         )
         labels = best.select(F.col("__n").alias("node"), F.col("b.lb").alias("lb"))
-        if (i + 1) % 3 == 0 and i + 1 < n_iters:
+        # checkpoint every 3 rounds INCLUDING the last one that lands on
+        # the boundary: the old `i + 1 < n_iters` guard meant the common
+        # n_iters=3 call returned a fully lazy 3-round DAG, which a
+        # caller referencing it more than once (community_modularity
+        # scans the label table three times) re-ran per reference
+        if (i + 1) % 3 == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("lb").alias(label_col))
 
@@ -738,6 +751,11 @@ def community_modularity(
     internal-edge count, one degree aggregate — all combinable; the
     community table is output-sized.
     """
+    # the label table is scanned three times below (both edge endpoints
+    # + the degree rollup); materialize it once so a lazy upstream
+    # pipeline (e.g. label_propagation rounds) cannot run per reference.
+    # Node-scale data — the materialization is tiny next to one rerun.
+    labels = labels.localCheckpoint(eager=True)
     la = labels.select(F.col("node").alias("a"), F.col(label_col).alias("la"))
     lb = labels.select(F.col("node").alias("b"), F.col(label_col).alias("lb"))
     labeled = edges.join(la, "a").join(lb, "b")

@@ -191,7 +191,14 @@ def dbscan(
     pairs = grid_neighbor_pairs(points, point_id, eps=eps, extent=4096)
     pairs = pairs.persist()
     deg = pairs.groupBy("a").agg((F.count(F.lit(1)) + 1).alias("n_nb"))
-    core = deg.filter(F.col("n_nb") >= min_pts).select(F.col("a").alias("id"))
+    # core is referenced three times below (both core_edges joins + the
+    # border anti-join); unpersisted, each reference re-ran the degree
+    # shuffle over the full pair set
+    core = (
+        deg.filter(F.col("n_nb") >= min_pts)
+        .select(F.col("a").alias("id"))
+        .persist()
+    )
     core_edges = (
         pairs.filter(F.col("a") < F.col("b"))
         .join(core.select(F.col("id").alias("a")), "a")
@@ -201,12 +208,15 @@ def dbscan(
     # spatial eps-components can be ELONGATED chains (diameter >> 20),
     # so use the O(log n)-round star contraction, not min-label
     comp = connected_components_star(core_edges, id_col="node")
+    # referenced twice (border attach + final output) — persist so the
+    # component-label aggregate over the contracted edge set runs once
     core_lab = (
         core.join(comp, core.id == comp.node, "left")
         .select(
             F.col("id"),
             F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
         )
+        .persist()
     )
     border = (
         pairs.join(

@@ -1,0 +1,103 @@
+"""Round-11 optimization pins (second batch): iterative-op lineage
+materialization.
+
+These pin the STRUCTURAL fixes — that the double-referenced per-round
+intermediates of hits_exact / label_propagation / community_modularity /
+dbscan are materialized once instead of re-evaluated per reference —
+without asserting on timing. Value identity is pinned by the existing
+operator tests and the oracle gate (hits, label_propagation,
+community_modularity, dbscan_clusters all hash-green).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# Spark 4: concrete sessions build classic DataFrames; patching the
+# pyspark.sql.DataFrame facade would not intercept operator-internal calls
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+
+def _counting(monkeypatch, method: str):
+    calls = {"n": 0}
+    orig = getattr(_ClassicDF, method)
+
+    def wrapper(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(_ClassicDF, method, wrapper)
+    return calls
+
+
+def test_hits_checkpoints_each_half_round(spark, monkeypatch):
+    # a_raw and h_raw are each localCheckpoint'ed once per iteration —
+    # without this the scalar-max + rescale double reference re-ran the
+    # whole lineage, doubling work per half-round
+    calls = _counting(monkeypatch, "localCheckpoint")
+    from samza_spark.pipeline import graph
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "src string, dst string"
+    )
+    out = graph.hits_exact(edges, n_iters=2).collect()
+    assert calls["n"] >= 4  # 2 per iteration
+    assert {r["node"] for r in out} == {"a", "b", "x", "y"}
+    by = {r["node"]: r for r in out}
+    # a points at both sinks -> top hub; x has two in-arcs -> top authority
+    assert by["a"]["hub_micro"] == 1_000_000
+    assert by["x"]["auth_micro"] == 1_000_000
+
+
+def test_label_propagation_n3_returns_materialized(spark):
+    # n_iters=3 lands on the checkpoint boundary: the returned frame must
+    # be a materialized RDD scan, not a lazy 3-round DAG (callers like
+    # community_modularity reference it three times)
+    from samza_spark.pipeline import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    labels = graph.label_propagation(edges, n_iters=3)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_community_modularity_materializes_labels_once(spark, monkeypatch):
+    calls = _counting(monkeypatch, "localCheckpoint")
+    from samza_spark.pipeline import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "a long, b long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)], "node long, label long"
+    )
+    out = graph.community_modularity(edges, labels).collect()
+    assert calls["n"] >= 1
+    by = {r["label"]: r for r in out}
+    assert by[10]["e_internal"] == 3 and by[10]["d_total"] == 6
+    assert by[40]["e_internal"] == 1 and by[40]["d_total"] == 2
+    # q_num = 4*m*e_c - d_c^2 with m = 4 edges
+    assert by[10]["q_num"] == 4 * 4 * 3 - 36
+    assert by[40]["q_num"] == 4 * 4 * 1 - 4
+
+
+def test_dbscan_persists_derived_sets(spark, monkeypatch):
+    # pairs + core + core_lab are all persisted: 3 persist calls (the
+    # degree aggregate over the pair set must not re-run per reference)
+    calls = _counting(monkeypatch, "persist")
+    from samza_spark.pipeline.spatial import dbscan
+
+    pts = spark.createDataFrame(
+        [(i, 10 * i, 0) for i in range(8)] + [(100, 3000, 3000)],
+        "point_id long, x long, y long",
+    )
+    out = dbscan(pts, eps=128, min_pts=3).collect()
+    assert calls["n"] >= 3
+    clusters = {r["point_id"]: r["cluster"] for r in out}
+    # the 8 colinear close points form one cluster; the far point is noise
+    assert 100 not in clusters
+    assert len(set(clusters[i] for i in range(8))) == 1
