@@ -829,7 +829,12 @@ def quantized_topk(
     shortlist = (
         pruned.withColumn("__qr", F.row_number().over(wq))
         .filter(F.col("__qr") <= m)
-        .withColumn("cosine", cosine_sim_seq_pandas("__cv", "__qv"))
+        # rerank runs on <= rerank_factor*k rows PER QUERY — output
+        # scale, not candidate scale — so the exact fold-order SQL
+        # cosine (which cosine_sim_seq_pandas reproduces bit-for-bit)
+        # costs nothing here and spares a whole extra Python stage; the
+        # batch kernel stays on the candidate-scale paths only
+        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
