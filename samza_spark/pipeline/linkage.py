@@ -56,7 +56,14 @@ def overlap_count_pandas(a: str, b: str) -> Column:
     """Exact ``size(array_intersect(a, b))`` as an Arrow batch kernel —
     integer set-overlap per candidate pair (inputs are distinct element
     sets, so Python set intersection counts the same elements the SQL
-    set function counts). NULL on either side → NULL."""
+    set function counts). NULL on either side → NULL.
+
+    PROJECTION-ONLY: the returned Column is ``asNondeterministic()``
+    (a pure function — the flag only stops the optimizer's double
+    evaluation under filters). Spark rejects non-deterministic
+    expressions in join conditions and sort orders, so bind it ONCE with
+    ``withColumn`` and derive jaccard/containment from the materialized
+    attribute — a second textual reference evaluates the kernel again."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
@@ -137,6 +144,7 @@ def similarity_join(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
+    impl: str = "sql",
 ) -> DataFrame:
     """All record pairs with word-``n``-gram-set Jaccard >= ``threshold``.
 
@@ -210,10 +218,18 @@ def similarity_join(
     union = (
         F.size("__sha") + F.size("__shb") - F.col("__ov")
     )
+    ov = (
+        overlap_count_pandas("__sha", "__shb")
+        if impl == "kernel"
+        # same exact integer count, evaluated by codegen — the r12
+        # settled A/B measured the built-in faster on this verify path
+        # (see jaccard_verify: the built-in is the default to beat)
+        else F.expr("size(array_intersect(__sha, __shb))").cast("int")
+    )
     out = (
         cand.join(sa, "__ida")
         .join(sb, "__idb")
-        .withColumn("__ov", overlap_count_pandas("__sha", "__shb"))
+        .withColumn("__ov", ov)
         .select(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
@@ -236,6 +252,7 @@ def containment_join(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    impl: str = "sql",
 ) -> DataFrame:
     """All record pairs where either direction's shingle-set CONTAINMENT
     ``|A ∩ B| / |A|`` meets ``threshold`` — the asymmetric near-dup
@@ -289,10 +306,15 @@ def containment_join(
     # one materialized kernel column, three derived expressions — the
     # non-deterministic count must appear exactly once in the plan (see
     # similarity_join)
+    ov = (
+        overlap_count_pandas("__sha", "__shb")
+        if impl == "kernel"
+        else F.expr("size(array_intersect(__sha, __shb))").cast("int")
+    )
     out = (
         cand.join(sa, "__ida")
         .join(sb, "__idb")
-        .withColumn("__ov", overlap_count_pandas("__sha", "__shb"))
+        .withColumn("__ov", ov)
         .select(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
@@ -534,12 +556,26 @@ def symspell_pairs(
             )
         ).alias("v"),
     )
-    v1 = variants.select(F.col("w").alias("w1"), "v")
-    v2 = variants.select(F.col("w").alias("w2"), "v")
+    # In-bucket pair expansion instead of a two-sided self-join on the
+    # variant key: the self-join evaluated the whole variant subtree
+    # (distinct + explode over |word|+1 variants/word) TWICE — Spark's
+    # ReuseExchange does not fire across the alias-renamed sides — and
+    # paid two shuffles. Grouping by variant and expanding sorted pairs
+    # per bucket computes the variants ONCE and costs one variant-keyed
+    # shuffle (the same idiom as similarity_join / _expand_bucket_pairs).
+    # Identical candidates: the set of w1 < w2 pairs sharing a variant.
+    agged = variants.groupBy("v").agg(F.collect_list("w").alias("ws"))
+    pair_expr = (
+        "if(size(ws2) >= 2, "
+        "flatten(transform(sequence(1, size(ws2) - 1), i -> "
+        "transform(sequence(0, i - 1), j -> "
+        "struct(ws2[j] AS w1, ws2[i] AS w2)))), "
+        "array())"
+    )
     cand = (
-        v1.join(v2, "v")
-        .filter(F.col("w1") < F.col("w2"))
-        .select("w1", "w2")
+        agged.withColumn("ws2", F.array_sort("ws"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .distinct()
     )
     return cand.select(

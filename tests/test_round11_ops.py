@@ -447,7 +447,12 @@ class TestKernelSingleEvaluation:
         pairs = spark.createDataFrame(
             [(1, 2), (3, 4)], "a long, b long"
         )
-        plan = self._plan(dedup.jaccard_verify(docs, pairs, threshold=0.5))
+        # impl pinned to the kernel path: the single-evaluation property
+        # is a property of the ND-marked kernel, independent of which
+        # impl a given call site defaults to (r12 A/B decides defaults)
+        plan = self._plan(
+            dedup.jaccard_verify(docs, pairs, threshold=0.5, impl="kernel")
+        )
         assert self._n_nodes(plan, "ArrowEvalPython") == 1, plan
 
     def test_similarity_join_single_kernel_node(self, spark):
@@ -458,7 +463,7 @@ class TestKernelSingleEvaluation:
              for i in range(6)],
             "doc_id long, text string",
         )
-        out = linkage.similarity_join(docs, threshold=0.5)
+        out = linkage.similarity_join(docs, threshold=0.5, impl="kernel")
         plan = self._plan(out)
         # the operator persists its output, and explain of a cached frame
         # prints the cached plan more than once — so count STACKED kernel
