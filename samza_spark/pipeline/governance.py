@@ -965,9 +965,14 @@ def luhn_audit(
     (aggregate over the token's digit positions — right-to-left
     alternate doubling with the >9 fold), so the audit is map-side
     integer arithmetic with a single tiny groupBy on (group...,
-    token length). Emits ``(group..., token_len, n_tokens, n_valid,
-    valid_ppm)``; non-digit or short (<12) tokens are excluded (the
-    regex layer's job, not the checksum's).
+    token length). An unrolled 19-term codegen form was built and
+    MEASURED this round (r12, settled interleaved A/B at sf0.1): the
+    unroll lost 1.5× (1.74 s vs 1.15 s) — 19 guarded CASE terms with
+    repeated length/ascii/substr subtrees generate a worse method than
+    the ≤19-step interpreted fold, the §1.2 "ideal plan is slower at
+    first" gotcha — so the fold stays. Emits ``(group..., token_len,
+    n_tokens, n_valid, valid_ppm)``; non-digit or short (<12) tokens are
+    excluded (the regex layer's job, not the checksum's).
     """
     g = list(group_cols)
     t = F.col(token_col)

@@ -755,7 +755,16 @@ def community_modularity(
     # + the degree rollup); materialize it once so a lazy upstream
     # pipeline (e.g. label_propagation rounds) cannot run per reference.
     # Node-scale data — the materialization is tiny next to one rerun.
-    labels = labels.localCheckpoint(eager=True)
+    # Skip when the caller already hands us a materialized table (a
+    # cached/checkpointed input would otherwise be copied again — and a
+    # lazy plan-builder should not submit an avoidable job at call time):
+    # a LogicalRDD/InMemoryRelation leaf IS the materialization.
+    plan0 = labels._jdf.queryExecution().optimizedPlan().toString()
+    first_line = plan0.splitlines()[0] if plan0 else ""
+    if not (
+        "LogicalRDD" in first_line or "InMemoryRelation" in first_line
+    ):
+        labels = labels.localCheckpoint(eager=True)
     la = labels.select(F.col("node").alias("a"), F.col(label_col).alias("la"))
     lb = labels.select(F.col("node").alias("b"), F.col(label_col).alias("lb"))
     labeled = edges.join(la, "a").join(lb, "b")

@@ -457,19 +457,35 @@ def zorder_value(col_a: str, col_b: str, bits: int = 16) -> "F.Column":
     public Delta/Iceberg OPTIMIZE ZORDER layout trick that lets min/max
     file statistics prune scans filtered on either column.
 
-    One integer fold per row (pure Catalyst, map-only), exact in any
+    Pure codegen integer arithmetic per row (map-only), exact in any
     engine. Keys are masked to ``bits`` low bits; z fits 2*bits <= 62.
+
+    The interleave is the closed-form bit-spreading sequence (the public
+    "magic masks" Morton trick: widen each operand's bits to even
+    positions with five shift-or-mask steps, then OR the odd-shifted
+    second operand) instead of a ``bits``-iteration interpreted
+    ``aggregate`` fold — the fold ran an interpreted lambda per bit per
+    row, the spread is a handful of codegen bitops. Identical outputs:
+    the fold summed disjoint powers of two; the spread ORs exactly the
+    same bits (both mask first, so negatives agree too).
     """
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
     mask = (1 << bits) - 1
-    a = f"(cast({col_a} as bigint) & {mask})"
-    b = f"(cast({col_b} as bigint) & {mask})"
-    return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
-        f"acc + shiftleft(shiftright({a}, i) & 1, cast(2 * i as int)) "
-        f"+ shiftleft(shiftright({b}, i) & 1, cast(2 * i + 1 as int)))"
-    )
+
+    def spread(col: str) -> str:
+        x = f"(cast({col} as bigint) & {mask})"
+        for sh, m in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            x = f"((({x}) | shiftleft(({x}), {sh})) & {m}L)"
+        return x
+
+    return F.expr(f"({spread(col_a)} | shiftleft({spread(col_b)}, 1))")
 
 
 def zorder_layout(

@@ -69,7 +69,15 @@ def cosine_sim_pandas(a: str, b: str) -> Column:
     """Vectorized cosine for the approximate paths (ann/ivf): one numpy
     batch op instead of an interpreted fold per row (~50x). NOT used where
     a DuckDB oracle must reproduce the doubles — numpy's pairwise summation
-    order differs from the sequential fold."""
+    order differs from the sequential fold.
+
+    PROJECTION-ONLY: the returned Column is ``asNondeterministic()`` (a
+    pure function — the flag only stops the optimizer's §4.4 double
+    evaluation under threshold filters). Spark rejects non-deterministic
+    expressions in join conditions and sort orders; bind with
+    ``withColumn`` and filter/order on the materialized attribute. Same
+    constraint for :func:`cosine_sim_seq_pandas` and
+    :func:`int_cosine_pairs_pandas`."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -662,21 +670,94 @@ def _plane_array_sql(plane: list[float]) -> str:
 
 
 def hyperplane_buckets_det(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int = 64
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    impl: str = "sql",
 ) -> DataFrame:
     """Deterministic-constant variant of :func:`hyperplane_buckets`: plane
     components are ±1 literals from :func:`det_planes`, the projection is a
     sequential fold (zip_with + aggregate), so a DuckDB oracle reproduces
     the bucket ids bit-for-bit. Multiplying by ±1.0 is exact; only the
-    fold order of the sum matters, and both engines fold left-to-right."""
+    fold order of the sum matters, and both engines fold left-to-right.
+
+    ``impl='pandas'`` evaluates the SAME fold as a vectorized Arrow
+    batch kernel: per plane, products are exact (±1.0 multiply) and the
+    accumulation runs in ascending-dimension order — each element's
+    multiply-then-add is the same rounded IEEE op sequence as the
+    interpreted ``aggregate(zip_with(...))``, so the projections (and
+    hence every bucket bit) are bit-identical. ``impl='sql'`` (default)
+    keeps the pure-Catalyst expression: the r12 settled interleaved A/B
+    at sf0.1 measured the kernel ~15% SLOWER end-to-end on ann_topk
+    (0.74 s vs 0.63 s — at this corpus size the extra Python stage's
+    latency exceeds the 512 interpreted lambda evals/row it removes), so
+    per guide §4's built-in-first rule the fold stays the default; the
+    kernel is the measured escape hatch for corpora large enough that
+    per-row interpreter cost dominates stage latency. Edge semantics
+    (both impls, test-pinned): NULL vector, any NULL element, or a
+    length ≠ ``dim`` folds to a NULL comparison on every plane →
+    bucket 0; a NaN element makes every plane's fold NaN, and Spark's
+    ``NaN >= 0.0`` is TRUE (NaN sorts above all doubles) → every bit
+    set. The kernel reproduces both: a JVM-computed ``exists(isnull)``
+    flag distinguishes true NULL elements (Arrow would conflate them
+    with NaN), and bits are ``NOT (acc < 0)`` so NaN sets the bit.
+    """
     planes = det_planes(n_planes, dim)
-    bit_terms = " + ".join(
-        f"(case when aggregate(zip_with({_as_double(vec_col)}, "
-        f"{_plane_array_sql(p)}, (x, h) -> x * h), cast(0.0 as double), "
-        f"(acc, v) -> acc + v) >= 0.0 then shiftleft(1L, {j}) else 0L end)"
-        for j, p in enumerate(planes)
+    if impl == "sql":
+        bit_terms = " + ".join(
+            f"(case when aggregate(zip_with({_as_double(vec_col)}, "
+            f"{_plane_array_sql(p)}, (x, h) -> x * h), cast(0.0 as double), "
+            f"(acc, v) -> acc + v) >= 0.0 then shiftleft(1L, {j}) else 0L end)"
+            for j, p in enumerate(planes)
+        )
+        return df.withColumn("bucket", F.expr(f"({bit_terms})"))
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim), ±1.0
+    npl, d = int(n_planes), int(dim)
+
+    @pandas_udf("long")
+    def bucket(vs: pd.Series, has_null: pd.Series) -> pd.Series:
+        out = np.zeros(len(vs), dtype=np.int64)
+        idx = []
+        for i in range(len(vs)):
+            v = vs.iat[i]
+            # SQL fold: a NULL vector, any NULL element (the JVM-computed
+            # has_null flag — Arrow would deliver NULL elements as NaN,
+            # which the SQL fold treats differently), or zip_with NULL
+            # padding (length mismatch) makes every plane's acc NULL ->
+            # CASE not taken -> bit 0
+            if v is None or len(v) != d or bool(has_null.iat[i]):
+                continue
+            idx.append(i)
+        if idx:
+            X = np.empty((len(idx), d), dtype=np.float64)
+            for r, i in enumerate(idx):
+                X[r] = np.asarray(vs.iat[i], dtype=np.float64)
+            acc = np.zeros((len(idx), npl), dtype=np.float64)
+            for j in range(d):
+                # ascending-dimension multiply-then-add: same rounded
+                # IEEE ops in the same order as the interpreted fold
+                acc += X[:, j : j + 1] * P[:, j][None, :]
+            # Spark's NaN >= 0.0 is TRUE (NaN sorts above all doubles):
+            # NOT (acc < 0) reproduces that; for finite acc it equals
+            # acc >= 0
+            bits = ~(acc < 0.0)
+            weights = (np.int64(1) << np.arange(npl, dtype=np.int64))
+            out[idx] = bits.astype(np.int64) @ weights
+        return pd.Series(out)
+
+    return df.withColumn(
+        "bucket",
+        bucket(
+            F.col(vec_col),
+            F.coalesce(
+                F.expr(f"exists({vec_col}, x -> isnull(x))"), F.lit(False)
+            ),
+        ),
     )
-    return df.withColumn("bucket", F.expr(f"({bit_terms})"))
 
 
 def ann_topk_exact(
@@ -833,8 +914,18 @@ def quantized_topk(
         # scale, not candidate scale — so the exact fold-order SQL
         # cosine (which cosine_sim_seq_pandas reproduces bit-for-bit)
         # costs nothing here and spares a whole extra Python stage; the
-        # batch kernel stays on the candidate-scale paths only
-        .withColumn("cosine", cosine_sim_expr("__cv", "__qv"))
+        # batch kernel stays on the candidate-scale paths only.
+        # Zero-norm guard: unguarded, a degenerate shortlist vector
+        # scores 0/0 = NaN, and NaN orders ABOVE every double under
+        # desc — it would rank top-1. NULL instead (sorts last, the
+        # kernel's documented never-looser edge semantics).
+        .withColumn(
+            "cosine",
+            F.when(
+                (norm_expr("__cv") * norm_expr("__qv")) > 0,
+                cosine_sim_expr("__cv", "__qv"),
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1403,6 +1494,7 @@ def jl_project(
     k: int = 16,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Project ``emb_col`` (array<float>, dim d) onto ``k`` random ±1
     Rademacher axes (Achlioptas'01 database-friendly JL transform) —
@@ -1424,25 +1516,102 @@ def jl_project(
     the DuckDB oracle.
 
     Returns ``(id_col, axis, v)`` — one row per output coordinate.
+
+    ``impl='pandas'`` (default; settled A/B 2.2× — 0.32 s vs 0.70 s at
+    sf0.1) computes all ``k`` folds of a row in ONE vectorized Arrow
+    batch kernel — per axis the accumulation runs in ascending-i order
+    with exact ±1 sign application (negation is exact), so every double
+    is bit-identical to the interpreted ``aggregate(...)`` fold and the
+    DuckDB oracle; the k-vector is then ``posexplode``d. The SQL form
+    pays k interpreted folds per row (k·dim interpreted lambda evals —
+    1024/row at the 16×64 default), and the explode-then-fold shape
+    re-reads the embedding k times. ``impl='sql'`` keeps the
+    pure-Catalyst expression. Edge semantics (test-pinned): NULL vector
+    or any NULL element → k NULL coordinates (the kernel takes a
+    JVM-computed ``exists(isnull)`` flag, since Arrow conflates NULL
+    elements with NaN); a NaN element folds to NaN in the SQL form but
+    crosses Arrow as NULL from the kernel (the same documented
+    never-looser edge as the cosine kernels); an EMPTY vector returns
+    0.0 from the kernel where the SQL form's ``element_at`` raises
+    under ANSI. All three edges are unreachable for the engine's
+    embedding fixtures (oracle hash-green at both SFs).
     """
-    fold = (
-        f"aggregate(sequence(0, size({emb_col}) - 1), cast(0.0 as double), "
-        f"(acc, i) -> acc + "
-        + _jl_sign_case("i", "axis", f"cast(element_at({emb_col}, i + 1) as double)")
-        + ")"
-    )
-    return (
-        df.select(
-            F.col(id_col),
-            F.col(emb_col),
-            F.explode(F.expr(f"sequence(0, {int(k) - 1})")).alias("axis"),
+    kk = int(k)
+    if impl == "sql":
+        fold = (
+            f"aggregate(sequence(0, size({emb_col}) - 1), cast(0.0 as double), "
+            f"(acc, i) -> acc + "
+            + _jl_sign_case("i", "axis", f"cast(element_at({emb_col}, i + 1) as double)")
+            + ")"
         )
-        .select(
-            id_col,
-            "axis",
-            F.expr(f"{fold} / sqrt(cast({int(k)} as double))").alias("v"),
+        return (
+            df.select(
+                F.col(id_col),
+                F.col(emb_col),
+                F.explode(F.expr(f"sequence(0, {kk - 1})")).alias("axis"),
+            )
+            .select(
+                id_col,
+                "axis",
+                F.expr(f"{fold} / sqrt(cast({kk} as double))").alias("v"),
+            )
         )
-    )
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def _signs(d: int) -> "np.ndarray":
+        # the SQL LCG over exact BIGINT arithmetic, vectorized: int64 is
+        # safe for d <= ~3400 (same 2^63 product bound the SQL form
+        # documents); ±1.0 as float64 so the multiply stays exact
+        i = np.arange(d, dtype=np.int64)[:, None]
+        j = np.arange(kk, dtype=np.int64)[None, :]
+        h = ((i * 1000003 + j * 7919 + 12345) * 2654435761) % 4294967296
+        return np.where(h < 2147483648, 1.0, -1.0)
+
+    @pandas_udf("array<double>")
+    def jlvec(vs: pd.Series, has_null: pd.Series) -> pd.Series:
+        out = [None] * len(vs)
+        groups: dict = {}
+        for i in range(len(vs)):
+            v = vs.iat[i]
+            if v is None or bool(has_null.iat[i]):
+                # SQL: size(NULL) -> NULL sequence -> NULL fold, and a
+                # NULL ELEMENT -> NULL acc (the JVM-computed has_null
+                # flag — Arrow delivers NULL elements as NaN, but the
+                # SQL fold yields NULL, not NaN, for them) -> k NULLs
+                out[i] = [None] * kk
+                continue
+            groups.setdefault(len(v), []).append(i)
+        for d, idx in groups.items():
+            S = _signs(d)  # (d, k)
+            X = np.empty((len(idx), d), dtype=np.float64)
+            for r, i in enumerate(idx):
+                X[r] = np.asarray(vs.iat[i], dtype=np.float64)
+            acc = np.zeros((len(idx), kk), dtype=np.float64)
+            for t in range(d):
+                # ascending-i sign-then-add: the same rounded IEEE ops in
+                # the same order as the interpreted fold
+                acc += X[:, t : t + 1] * S[t, :][None, :]
+            vout = acc / np.sqrt(np.float64(kk))
+            for r, i in enumerate(idx):
+                # a NaN ELEMENT folds to NaN, which crosses Arrow as
+                # NULL (same documented edge as the cosine kernels:
+                # never looser — downstream filters drop NULL like they
+                # drop nothing-compares-true NaN); made explicit here
+                out[i] = [None if x != x else float(x) for x in vout[r]]
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            jlvec(
+                F.col(emb_col),
+                F.coalesce(
+                    F.expr(f"exists({emb_col}, x -> isnull(x))"), F.lit(False)
+                ),
+            )
+        ),
+    ).select(id_col, F.col("pos").alias("axis"), F.col("col").alias("v"))
 
 
 # ---------------------------------------------------------------------------
@@ -1637,6 +1806,25 @@ def _adc_lookup_sql(m: int, n_codes: int) -> str:
     )
 
 
+def _assert_query_cap(
+    queries: DataFrame, id_col: str, max_queries: int, op: str
+) -> None:
+    """Bounded-probe guard for operators that put the query table on the
+    BROADCAST side of the candidate scan: count at most ``max_queries + 1``
+    query rows (a ``limit``-bounded job over one projected column — cost
+    scales with the cap, not the table) and raise rather than silently
+    build an unbounded broadcast. The exact-kernel paths get the same
+    guard for free from their driver collect (``_exact_cosine_topk``)."""
+    n_q = queries.select(id_col).limit(int(max_queries) + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"{op}: query side has > {max_queries} rows; it rides a "
+            "broadcast, so an unbounded query table is an executor OOM "
+            "at scale — raise max_queries deliberately or shard the "
+            "query set and union the results"
+        )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1647,6 +1835,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over PQ
     codes: score(q, x) = sum_m ||q_m - codebook[m][code_m(x)]||^2 — the
@@ -1665,7 +1854,24 @@ def pq_topk(
     nano-units (:func:`_l2fx_sql`); the sum over subspaces is integer —
     shuffle-order-free and DuckDB-reproducible. Returns
     ``(query_id, neighbor_id, adc_nano, rank)``.
+
+    .. warning::
+       The query table rides the BROADCAST side of the candidate scan
+       (a BroadcastNestedLoopJoin by construction — every corpus code
+       row meets every query LUT). That is the correct shape only while
+       the query side is bounded: ``max_queries`` (default 100,000 —
+       ~100 MB of LUTs at m=4/n_codes=16) raises instead of silently
+       building an executor-OOM-scale broadcast at 100 TB. Raise it
+       deliberately, or shard the query set and union the results.
+
+    When no ``codebook`` is passed, the internally-trained one is
+    ``persist()``-ed for the lifetime of the returned plan (it feeds both
+    the encode pass and the query LUTs — unpersisted, training ran
+    twice). It is released by ``spark.catalog.clearCache()`` or session
+    end; long-lived sessions that call pq_topk repeatedly should clear
+    the cache between calls, or train once and pass ``codebook``.
     """
+    _assert_query_cap(queries, id_col, max_queries, "pq_topk")
     dsub = dim // m
     if codebook is None:
         # the codebook feeds BOTH the encode broadcast and the query LUT
@@ -1748,6 +1954,7 @@ def ivfpq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF-PQ with residual encoding — the FAISS-style index actually
     deployed at billion-vector scale: a coarse inverted file prunes the
@@ -1778,7 +1985,15 @@ def ivfpq_topk(
     join the survivors back to their full vectors — the
     ``quantized_topk`` -> rerank pattern), which restores recall to the
     coarse ceiling while still scanning only codes.
+
+    .. warning::
+       The probed-query LUT table is broadcast (``n_probe`` LUT rows per
+       query meet the corpus codes on a ``list_id`` equi-join); that is
+       only safe while the query side is bounded — ``max_queries``
+       (default 100,000) raises instead of building an unbounded
+       broadcast. Raise deliberately or shard the query set.
     """
+    _assert_query_cap(queries, id_col, max_queries, "ivfpq_topk")
     from pyspark import StorageLevel
 
     dsub = dim // m

@@ -185,6 +185,13 @@ def dbscan(
 
     Returns ``(point_id, cluster, is_core)``; cluster ids are the
     minimum core point id of the component.
+
+    The operator persists three internal intermediates (``pairs``,
+    ``core``, ``core_lab``) for the lifetime of the returned plan — each
+    is referenced 2-3 times and re-deriving any of them re-runs a
+    pair-scale shuffle. They are dropped by ``spark.catalog.clearCache()``
+    or session end; a long-lived session that calls dbscan repeatedly
+    should clear the cache between calls (the bench harness does).
     """
     from samza_spark.pipeline.graph import connected_components_star
 

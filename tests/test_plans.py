@@ -263,10 +263,14 @@ def test_shard_manifest_single_combinable_aggregate(spark, sf_dir):
 
 def test_jl_project_is_map_only(spark, sf_dir):
     plan = _plan(spark, "jl_project", sf_dir)
-    # explode + closed-form sign fold: bare scan, no shuffle, no Python
+    # one Arrow batch kernel computes all k folds per row (r12: 2.2x
+    # settled vs the k interpreted folds), then posexplode — still a
+    # bare scan: no shuffle, no row-pickled Python
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1, plan
 
 
 def test_phrase_search_is_map_only(spark, sf_dir):

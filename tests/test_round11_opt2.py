@@ -66,7 +66,15 @@ def test_label_propagation_n3_returns_materialized(spark):
 
 
 def test_community_modularity_materializes_labels_once(spark, monkeypatch):
+    """A LAZY labels input (an aggregate pipeline) is checkpointed once
+    before the three scans; an ALREADY-materialized input (LogicalRDD /
+    cached leaf — e.g. what label_propagation returns, or a local
+    DataFrame) is NOT copied again (r12, advisor ask: no double
+    checkpoint, no avoidable job at plan-build time). Values identical
+    either way."""
     calls = _counting(monkeypatch, "localCheckpoint")
+    from pyspark.sql import functions as F
+
     from samza_spark.pipeline import graph
 
     edges = spark.createDataFrame(
@@ -75,14 +83,20 @@ def test_community_modularity_materializes_labels_once(spark, monkeypatch):
     labels = spark.createDataFrame(
         [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)], "node long, label long"
     )
+    # materialized leaf (LogicalRDD): the checkpoint must be SKIPPED
     out = graph.community_modularity(edges, labels).collect()
+    assert calls["n"] == 0
+    # lazy upstream pipeline (an aggregate): the checkpoint must fire
+    lazy_labels = labels.groupBy("node").agg(F.min("label").alias("label"))
+    out_lazy = graph.community_modularity(edges, lazy_labels).collect()
     assert calls["n"] >= 1
-    by = {r["label"]: r for r in out}
-    assert by[10]["e_internal"] == 3 and by[10]["d_total"] == 6
-    assert by[40]["e_internal"] == 1 and by[40]["d_total"] == 2
-    # q_num = 4*m*e_c - d_c^2 with m = 4 edges
-    assert by[10]["q_num"] == 4 * 4 * 3 - 36
-    assert by[40]["q_num"] == 4 * 4 * 1 - 4
+    for res in (out, out_lazy):
+        by = {r["label"]: r for r in res}
+        assert by[10]["e_internal"] == 3 and by[10]["d_total"] == 6
+        assert by[40]["e_internal"] == 1 and by[40]["d_total"] == 2
+        # q_num = 4*m*e_c - d_c^2 with m = 4 edges
+        assert by[10]["q_num"] == 4 * 4 * 3 - 36
+        assert by[40]["q_num"] == 4 * 4 * 1 - 4
 
 
 def test_dbscan_persists_derived_sets(spark, monkeypatch):
