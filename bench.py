@@ -343,6 +343,25 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     bench_t0 = time.perf_counter()
 
+    # Wall-clock budget (seconds; 0 disables): the r11 8-core scaling run
+    # was killed by the caller's timeout (rc 124, no artifact at all) while
+    # re-sampling dozens of spread-flagged rows — at low core counts every
+    # sample is slower AND spread is wider, so the open-ended resample
+    # phase can exceed any external window. A bench that self-limits
+    # always emits its JSON line: past the soft deadline it stops taking
+    # OPTIONAL samples (extra passes beyond the first, spread resamples,
+    # extra streaming reps) but still runs every query/row at least once —
+    # no row is ever dropped, and the truncation is stamped in the
+    # artifact (budget_*) so a shortened run can't masquerade as a full
+    # one. Medians over fewer samples are the same estimator, just wider.
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300"))
+    soft_deadline = bench_t0 + 0.85 * budget_sec if budget_sec > 0 else None
+    budget_stats = {"passes_skipped": 0, "resamples_skipped": 0,
+                    "stream_reps_skipped": 0}
+
+    def past_soft_deadline() -> bool:
+        return soft_deadline is not None and time.perf_counter() > soft_deadline
+
     # Contention guard: a loaded host inflates every sample uniformly
     # (rounds 2 and 4 both recorded phantom regressions with load_avg > 3
     # stamped in the artifact itself). Spin-wait for the 1-minute load to
@@ -503,8 +522,13 @@ def main() -> None:
 
     all_samples: dict[str, list] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for _ in range(repeats):
+    for pass_i in range(repeats):
         for name in HEADLINE:
+            # budget: passes beyond the first are optional once the soft
+            # deadline has passed — every query already has >=1 sample
+            if pass_i > 0 and past_soft_deadline():
+                budget_stats["passes_skipped"] += 1
+                continue
             spark.catalog.clearCache()
             gc.collect()
             t0 = time.perf_counter()
@@ -518,10 +542,18 @@ def main() -> None:
     # contention burst in >1 pass — take extra samples so the median
     # reflects steady state, not the burst
     resamples = int(os.environ.get("SPARK_GRAFT_BENCH_RESAMPLE", "2"))
+    # at low core counts every sample is slower and spread is wider — the
+    # r11 8-core run burned its whole external window resampling dozens of
+    # flagged rows; one extra sample per flagged row bounds the phase
+    if cpus < 16:
+        resamples = min(resamples, 1)
     for name in HEADLINE:
         samples = all_samples[name]
         med = statistics.median(samples)
         if med > 0 and (max(samples) - min(samples)) > 2 * med:
+            if past_soft_deadline():
+                budget_stats["resamples_skipped"] += 1
+                continue
             print(
                 f"# {name}: spread {max(samples) - min(samples):.3f}s > 2x median"
                 f" {med:.3f}s — taking {resamples} extra sample(s)",
@@ -561,7 +593,7 @@ def main() -> None:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         samples = []
-        for i in range(repeats):
+        for i in range(1 if past_soft_deadline() else repeats):
             # glob form: the file stream source requires a directory/glob path
             src = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
             src = normalize_event_ts(src)
@@ -621,6 +653,9 @@ def main() -> None:
             # vs 1.3s warm measured at sf0.1), and a single-shot number
             # is also contention-exposed — exactly what medians fix.
             samples = []
+            if past_soft_deadline() and reps > 1:
+                budget_stats["stream_reps_skipped"] += reps - 1
+                reps = 1
             for _ in range(reps):
                 t0 = time.perf_counter()
                 q = start_query()
@@ -843,7 +878,7 @@ def main() -> None:
                 )
 
             samples = []
-            for _ in range(repeats):
+            for _ in range(1 if past_soft_deadline() else repeats):
                 t0 = time.perf_counter()
                 q = fan_in_query()
                 q.awaitTermination()
@@ -884,7 +919,7 @@ def main() -> None:
                 )
 
             samples = []
-            for _ in range(repeats):
+            for _ in range(1 if past_soft_deadline() else repeats):
                 t0 = time.perf_counter()
                 q = fan_in_one_source_query()
                 q.awaitTermination()
@@ -930,7 +965,7 @@ def main() -> None:
         # anywhere in that band depending on what ran before it, which
         # is exactly the r7->r8 748k->585k "regression" (PERF.md r9).
         kv_samples = []
-        for i in range(max(repeats, 2)):
+        for i in range(1 if past_soft_deadline() else max(repeats, 2)):
             t0 = time.perf_counter()
             table = DurableLocalTable.open(
                 spark, f"{kv_root}/store1_{i}", key_cols=["k"],
@@ -998,6 +1033,10 @@ def main() -> None:
         "calib_drift_pct": calib_drift_pct,
         "calib_drift_flag": calib_drift_pct >= 15.0,
         "repeats": repeats,
+        # short stamp on stdout (the driver keeps a ~2 KB tail — the full
+        # per-phase budget_stats go to BENCH_FULL.json below)
+        "budget_sec": budget_sec,
+        "budget_truncated": any(v > 0 for v in budget_stats.values()),
         "waited_for_idle_sec": round(waited, 1),
         "idle_gate_timeout": idle_gate_timeout,
         "wall_clock_sec": round(time.perf_counter() - bench_t0, 3),
@@ -1105,6 +1144,7 @@ def main() -> None:
                 "queries": per_query,
                 "streaming": streaming,
                 "calib_normalized": norm_full,
+                "budget_stats": budget_stats,
                 **meta,
             },
             fh,
