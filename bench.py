@@ -1019,17 +1019,26 @@ def main() -> None:
     # flags the whole artifact as contention-suspect (the box changed
     # under the suite; per-row deltas are then machine state until a
     # settled re-run says otherwise).
-    # Sample the end calibration AFTER the Spark JVM is gone plus a short
-    # settle: the probe exists to detect EXTERNAL contention, but sampled
-    # while the bench's own executor threads are still winding down it
-    # reads the all-core turbo state, not the host (measured this round:
-    # start 184 ms on the idle-gated box, end 299 ms with only the
-    # bench's own tail load — a 63% self-induced false drift flag on an
-    # otherwise perfectly settled run). Timing of the queries themselves
-    # is unchanged; this only moves WHEN the second probe fires.
+    # Sample the end calibration AFTER the Spark JVM is gone, over a
+    # recovery window: the probe exists to detect EXTERNAL contention,
+    # but fired right at suite end it reads the host's post-all-core
+    # turbo state, not its speed (measured this round on a fresh-boot,
+    # zero-tenant box: start 184-203 ms idle-gated, end 280-299 ms
+    # seconds after spark.stop() — a 38-63% self-induced false flag;
+    # single-thread turbo on this host needs tens of seconds to recover
+    # from sustained 32-thread load). The probe now takes the MIN over
+    # up to 60 s of 5 s-spaced samples, stopping early once it reads
+    # within 15% of the start sample. A genuinely contended host stays
+    # slow across the whole window, so real drift still flags; turbo
+    # recovery does not. Query timing is untouched.
     spark.stop()
     time.sleep(3)
     calib_end_ms = min(_cpu_calib_ms() for _ in range(3))
+    for _ in range(12):
+        if calib_end_ms <= calib_start_ms * 1.15:
+            break
+        time.sleep(5)
+        calib_end_ms = min(calib_end_ms, _cpu_calib_ms())
     calib_drift_pct = round(
         100.0
         * abs(calib_end_ms - calib_start_ms)
